@@ -1,0 +1,72 @@
+"""The flagship KG-construction pipeline (BASELINE.json north_star).
+
+transcripts --assemble (conv_id shuffle)--> documents
+          --extract (vectorized map_batches)--> predicted documents
+          --explode--> mentions / relations / triggers / args / clusters
+          --canonicalize (salted 2-phase aggregate)--> entities
+          --triples (combiner + keyed dedup)--> (subj, pred, obj) triples
+          --write (partitioned parquet + manifest)--> graph store
+
+Every edge is a lazy Ray Data Dataset; nothing materializes the full
+corpus.  Reference lifecycle analogue: SURVEY.md §3.1 (allennlp predict).
+"""
+
+from __future__ import annotations
+
+import ray.data
+
+from ..semantics import DEFAULT_CONFIG, ExtractionConfig
+from ..sources.transcripts import documents_as_transcripts, read_transcripts
+from ..stages import explode
+from ..stages.assemble import assemble_documents
+from ..stages.canonicalize import canonicalize
+from ..stages.extract import extract
+from ..stages.triples import triples_from_relations
+
+
+class KGPipeline:
+    """Composable handle over the pipeline's intermediate Datasets."""
+
+    def __init__(
+        self,
+        transcripts: ray.data.Dataset,
+        cfg: ExtractionConfig = DEFAULT_CONFIG,
+        num_buckets: int = 64,
+        extract_concurrency: int | tuple[int, int] | None = None,
+    ):
+        self.cfg = cfg
+        self.transcripts = transcripts
+        self.documents = assemble_documents(transcripts, cfg, num_buckets)
+        self.predicted = extract(
+            self.documents, cfg, concurrency=extract_concurrency
+        )
+        # the predicted docs feed several consumers; fan-out re-executes the
+        # lineage per consumer unless the caller materializes small runs
+        self.mentions = explode.mentions_table(self.predicted)
+        self.relations = explode.relations_table(self.predicted)
+        self.triggers = explode.triggers_table(self.predicted)
+        self.event_args = explode.event_args_table(self.predicted)
+        self.clusters = explode.clusters_table(self.predicted)
+
+    def entities(self, num_salts: int = 16) -> ray.data.Dataset:
+        return canonicalize(self.mentions, num_salts=num_salts)
+
+    def triples(self) -> ray.data.Dataset:
+        return triples_from_relations(self.relations)
+
+    def write_graph(self, out_dir: str, num_partitions: int = 32) -> dict:
+        from ..state.checkpoint import write_partitioned
+
+        return write_partitioned(self.triples(), out_dir, "conv_id", num_partitions)
+
+
+def from_parquet(
+    path: str, cfg: ExtractionConfig = DEFAULT_CONFIG, **kw
+) -> KGPipeline:
+    return KGPipeline(read_transcripts(path), cfg, **kw)
+
+
+def from_documents_table(
+    sf_dir: str, cfg: ExtractionConfig = DEFAULT_CONFIG, **kw
+) -> KGPipeline:
+    return KGPipeline(documents_as_transcripts(sf_dir, cfg), cfg, **kw)

@@ -1,0 +1,77 @@
+"""Transcript sources (SURVEY.md §2.1 S1/S3/S6).
+
+Canonical input is the BASELINE.json input_hint table:
+``(conv_id:string, turn_idx:int32, role:string, text:string,
+tool:string, ts:timestamp)`` in Parquet.  Columns are pruned at the
+read — the extraction pipeline needs only (conv_id, turn_idx, text)
+plus whatever metadata columns the caller asks to carry.
+
+``documents_as_transcripts`` adapts the driver's
+``documents.parquet`` (doc_id, text, ...) into that shape — the
+analogue of the raw-text-directory reader
+(``/root/reference/scripts/new-dataset/format_new_dataset.py:12-31``):
+one conversation per document, turns = fixed-size token chunks (the
+deterministic stand-in for spacy sentencization, so the DuckDB oracle
+can reproduce sentence boundaries as ``floor(pos / turn_tokens)``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..semantics import DEFAULT_CONFIG, ExtractionConfig
+
+TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def read_transcripts(
+    path: str, columns: list[str] | None = None
+) -> ray.data.Dataset:
+    """Read a transcript Parquet table; prune to the needed columns."""
+    cols = columns if columns is not None else ["conv_id", "turn_idx", "role", "text"]
+    return ray.data.read_parquet(path, columns=cols)
+
+
+class _DocsToTurns:
+    """Vectorized: explode each document's text into fixed-size token
+    chunks (turns).  Stateless but kept as a class so the chunk size is
+    bound once."""
+
+    def __init__(self, turn_tokens: int):
+        self.turn_tokens = turn_tokens
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        tt = self.turn_tokens
+        toks = batch["text"].str.strip().str.split(r"\s+", regex=True)
+        conv_ids, turn_idxs, texts = [], [], []
+        roles = []
+        for doc_id, words in zip(batch["doc_id"].to_numpy(), toks):
+            cid = f"doc{doc_id}"
+            n = len(words)
+            for t, lo in enumerate(range(0, n, tt)):
+                conv_ids.append(cid)
+                turn_idxs.append(t)
+                texts.append(" ".join(words[lo : lo + tt]))
+                roles.append(("user", "assistant", "tool")[t % 3])
+        return pd.DataFrame(
+            {
+                "conv_id": conv_ids,
+                "turn_idx": np.asarray(turn_idxs, dtype=np.int32),
+                "role": roles,
+                "text": texts,
+            }
+        )
+
+
+def documents_as_transcripts(
+    sf_dir: str, cfg: ExtractionConfig = DEFAULT_CONFIG
+) -> ray.data.Dataset:
+    """Driver ``documents`` table -> transcript-shaped Dataset."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        _DocsToTurns(cfg.turn_tokens), batch_format="pandas", batch_size=2048
+    )

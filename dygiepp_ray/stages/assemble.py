@@ -1,0 +1,109 @@
+"""Document assembly (SURVEY.md §7.2-3, J5, M8, M9).
+
+``transcripts -> documents``: group turns by ``conv_id``, restore stable
+turn order by ``turn_idx`` (the reference assumes in-order contiguous
+sentences, ``dygie/models/coref.py:169-172``), tokenize, and window long
+conversations into documents of <= ``max_tokens_per_doc`` tokens with
+the greedy splitter semantics of ``document.py:197-251`` (doc_key
+suffixed ``_SPLIT_{i}``, renumbered ``sentence_start``; an oversized
+single sentence raises).
+
+This is the ONE required shuffle of the extraction pipeline.  It runs
+through ``core.partitioned_map_groups`` keyed on ``conv_id`` — a single
+all-to-all exchange into ``num_buckets`` hash buckets, with per-bucket
+vectorized assembly (pandas sort + numpy boundary detection; the only
+per-conversation Python work is the greedy window loop over sentence
+lengths).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..core import partitioned_map_groups
+from ..semantics import DEFAULT_CONFIG, ExtractionConfig
+
+_NORM_RE = r"(?<!\S)/([.?])(?!\S)"  # vectorized _normalize_word (dygie.py:213-218)
+
+DOC_SCHEMA = pa.schema(
+    [
+        ("doc_key", pa.string()),
+        ("conv_id", pa.string()),
+        ("dataset", pa.string()),
+        ("sentences", pa.list_(pa.list_(pa.string()))),
+        ("sentence_start", pa.list_(pa.int32())),
+        ("turn_idx", pa.list_(pa.int32())),
+        ("roles", pa.list_(pa.string())),
+        ("n_tokens", pa.int32()),
+    ]
+)
+
+
+def _assemble_bucket(df: pd.DataFrame, cfg: ExtractionConfig) -> pa.Table:
+    df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+    text = df["text"].astype(str).str.replace(_NORM_RE, r"\1", regex=True)
+    toks = text.str.strip().str.split(r"\s+", regex=True)
+    # empty turns tokenize to [] (pandas yields [''] for empty strings)
+    token_lists = [t if t != [""] else [] for t in toks.tolist()]
+    conv_ids = df["conv_id"].to_numpy()
+    turn_idx = df["turn_idx"].to_numpy()
+    roles = (
+        df["role"].to_numpy() if "role" in df.columns else np.full(len(df), "", object)
+    )
+    # conversation boundaries (conv_ids sorted)
+    boundaries = np.flatnonzero(
+        np.r_[True, conv_ids[1:] != conv_ids[:-1]]
+    ).tolist() + [len(conv_ids)]
+
+    out = {k: [] for k in ("doc_key", "conv_id", "dataset", "sentences",
+                           "sentence_start", "turn_idx", "roles", "n_tokens")}
+    mx = cfg.max_tokens_per_doc
+    for bi in range(len(boundaries) - 1):
+        lo, hi = boundaries[bi], boundaries[bi + 1]
+        cid = conv_ids[lo]
+        sents = token_lists[lo:hi]
+        lens = [len(s) for s in sents]
+        # greedy windowing (document.py:197-251)
+        windows: list[tuple[int, int]] = []
+        wlo, wtok = 0, 0
+        for i, ln in enumerate(lens):
+            if ln > mx:
+                raise ValueError(f"sentence longer than max_tokens_per_doc in {cid}")
+            if i > wlo and wtok + ln > mx:
+                windows.append((wlo, i))
+                wlo, wtok = i, 0
+            wtok += ln
+        windows.append((wlo, len(sents)))
+        for w, (a, b) in enumerate(windows):
+            key = cid if len(windows) == 1 else f"{cid}_SPLIT_{w}"
+            wsents = sents[a:b]
+            starts = np.zeros(b - a, dtype=np.int32)
+            if b - a > 1:
+                starts[1:] = np.cumsum(lens[a : b - 1])
+            out["doc_key"].append(key)
+            out["conv_id"].append(cid)
+            out["dataset"].append(cfg.dataset)
+            out["sentences"].append(wsents)
+            out["sentence_start"].append(starts.tolist())
+            out["turn_idx"].append(turn_idx[lo + a : lo + b].astype(np.int32).tolist())
+            out["roles"].append(list(roles[lo + a : lo + b]))
+            out["n_tokens"].append(int(sum(lens[a:b])))
+    return pa.Table.from_pydict(out, schema=DOC_SCHEMA)
+
+
+def assemble_documents(
+    transcripts: ray.data.Dataset,
+    cfg: ExtractionConfig = DEFAULT_CONFIG,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """transcripts (conv_id, turn_idx, text [, role]) -> document rows."""
+    return partitioned_map_groups(
+        transcripts,
+        key="conv_id",
+        fn=lambda df: _assemble_bucket(df, cfg),
+        num_buckets=num_buckets,
+    )

@@ -1,0 +1,460 @@
+"""Joint extraction stage (SURVEY.md §2.2 M2, §2.3 T3/T5/T6/T7, T10/F6).
+
+``documents -> documents + predicted annotations`` as ONE vectorized
+``map_batches`` over Arrow doc rows.  Per batch the whole token stream is
+flattened into numpy arrays once (the row<->columnar pivot the reference
+does per-document in ``fields_to_batches``,
+``dygie/models/shared.py:28-68``); every scorer below is an Arrow/numpy
+kernel over those arrays, and results are regrouped into per-document
+list<struct> columns via offset arithmetic — no per-row Python in the
+hot path.
+
+Semantics (shared with the oracle via ``semantics.py``):
+
+* span enumeration of width <= max_span_width per sentence (M2,
+  ``dygie.py:121-126``) — realized lazily: with the entity-beam pruner
+  (``entity_beam_pruner.py:14-24``) only spans whose best class score
+  beats the null class survive decode, and under the deterministic
+  lexicon scorer those are exactly the lexicon-surface spans, so the
+  engine enumerates candidates by lexicon width instead of scoring all
+  O(n * W) spans.  (The oracle scores all spans exhaustively and must
+  agree — that equivalence is the parity test.)
+* NER decode: dummy null prepended, softmax, argmax != 0, scores
+  rounded to 4 decimals (``ner.py:99-150``, ``document.py:10-11``).
+* Relations: ordered pairs of kept spans in the same sentence with
+  exactly one token between; decode with the label -1 shift
+  (``relation.py:136-180,245-247``).
+* Events: per-token trigger scores; arguments = kept entity spans
+  within ARG_MAX_DIST of the trigger, AGENT before / PATIENT after
+  (``events.py:115-314``), args sorted by start (``events.py:394``).
+* Coref: with ``max_antecedents`` >= the per-window mention bound
+  (flagship config), exact-surface antecedent chains reduce to
+  same-surface-within-window clusters — computed as a vectorized
+  groupby.  A reference-control-flow fallback
+  (``reference_mode=True``) runs the oracle's per-document loop for
+  small/parity workloads (top-k pruning O1/O2 and antecedent caps O4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .. import semantics as S
+from ..semantics import DEFAULT_CONFIG, ExtractionConfig
+
+# ---------------------------------------------------------------------------
+# annotation struct types (FIXTURES.md F3/F4; doc-level token offsets,
+# inclusive ends, like the reference wire format doc/data.md:35-90)
+# ---------------------------------------------------------------------------
+
+MENTION_T = pa.struct(
+    [
+        ("sent_ix", pa.int32()),
+        ("start", pa.int32()),
+        ("end", pa.int32()),
+        ("label", pa.string()),
+        ("raw", pa.float32()),
+        ("softmax", pa.float32()),
+        ("surface", pa.string()),
+    ]
+)
+RELATION_T = pa.struct(
+    [
+        ("sent_ix", pa.int32()),
+        ("s1", pa.int32()),
+        ("e1", pa.int32()),
+        ("s2", pa.int32()),
+        ("e2", pa.int32()),
+        ("label", pa.string()),
+        ("raw", pa.float32()),
+        ("softmax", pa.float32()),
+        ("subj", pa.string()),
+        ("obj", pa.string()),
+    ]
+)
+TRIGGER_T = pa.struct(
+    [
+        ("sent_ix", pa.int32()),
+        ("tok", pa.int32()),
+        ("label", pa.string()),
+        ("raw", pa.float32()),
+        ("softmax", pa.float32()),
+    ]
+)
+ARGUMENT_T = pa.struct(
+    [
+        ("sent_ix", pa.int32()),
+        ("trig_tok", pa.int32()),
+        ("event_type", pa.string()),
+        ("start", pa.int32()),
+        ("end", pa.int32()),
+        ("role", pa.string()),
+        ("surface", pa.string()),
+    ]
+)
+CLUSTER_MEMBER_T = pa.struct(
+    [
+        ("cluster_ix", pa.int32()),
+        ("start", pa.int32()),
+        ("end", pa.int32()),
+        ("surface", pa.string()),
+    ]
+)
+
+
+def _const_scores(n_labels: int) -> tuple[float, float]:
+    """(raw, softmax) of a lexicon hit — identical for every hit under the
+    deterministic scorer; computed through the shared decode path so the
+    engine can never drift from the oracle."""
+    raw = [S.NEG_RAW] * n_labels
+    raw[0] = S.LEX_RAW
+    _, r, p = S.softmax_with_dummy(raw)
+    return S.round_score(r), S.round_score(p)
+
+
+def _doc_list_column(
+    doc_ix: np.ndarray, n_docs: int, struct_arr: pa.StructArray
+) -> pa.ListArray:
+    """Group struct rows (sorted by doc_ix) into one list per document."""
+    offsets = np.searchsorted(doc_ix, np.arange(n_docs + 1)).astype(np.int32)
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct_arr)
+
+
+class ExtractStage:
+    """Actor-pool callable: lexicon index + compiled constants built once
+    per actor (__init__), vectorized extraction per batch (__call__).
+    The reference analogue is the model constructor loading weights once
+    (``models/dygie.py:56-138``); swap the lexicon for a model and
+    ``num_gpus`` for the GPU-pool variant."""
+
+    def __init__(self, cfg: ExtractionConfig = DEFAULT_CONFIG):
+        self.cfg = cfg
+        widths = [w for w in S.LEXICON_WIDTHS if w <= cfg.max_span_width]
+        self.lex_by_width = {
+            w: pd.Index([s for s in S.ENTITY_LEXICON if s.count(" ") + 1 == w])
+            for w in widths
+        }
+        # prefix filter for multi-token phrase matching
+        self.first_words = {
+            w: pd.Index({s.split(" ", 1)[0] for s in idx})
+            for w, idx in self.lex_by_width.items()
+            if w > 1
+        }
+        self.label_map = {s: lab for s, lab in S.ENTITY_LEXICON.items()}
+        self.pred_index = pd.Index(S.PRED_WORDS)
+        self.ner_raw, self.ner_soft = _const_scores(len(cfg.labels))
+        self.rel_raw, self.rel_soft = _const_scores(len(cfg.preds))
+        self.trig_raw, self.trig_soft = _const_scores(len(cfg.preds))
+
+    # -- flattening ---------------------------------------------------------
+
+    def _flatten(self, tbl: pa.Table):
+        sents = tbl["sentences"]
+        if isinstance(sents, pa.ChunkedArray):
+            sents = sents.combine_chunks()
+        outer_off = np.asarray(sents.offsets)              # docs -> sentences
+        outer_off = outer_off - outer_off[0]               # sliced arrays keep base offsets
+        inner = sents.flatten()                             # list<string> per sentence
+        inner_off = np.asarray(inner.offsets)               # sentences -> tokens
+        inner_off = inner_off - inner_off[0]
+        tokens = np.asarray(inner.flatten().to_pandas(), dtype=object)
+        n_docs = len(sents)
+        n_sents = len(inner)
+        n_toks = len(tokens)
+        sent_of_tok = np.repeat(
+            np.arange(n_sents), np.diff(inner_off)
+        ) if n_sents else np.empty(0, np.int64)
+        doc_of_sent = np.repeat(
+            np.arange(n_docs), np.diff(outer_off)
+        ) if n_docs else np.empty(0, np.int64)
+        doc_tok_off = inner_off[outer_off]                  # docs -> token offsets
+        doc_of_tok = doc_of_sent[sent_of_tok] if n_toks else np.empty(0, np.int64)
+        pos_in_doc = np.arange(n_toks) - doc_tok_off[doc_of_tok] if n_toks else np.empty(0, np.int64)
+        sent_ix_in_doc = (
+            np.arange(n_sents) - outer_off[doc_of_sent] if n_sents else np.empty(0, np.int64)
+        )
+        return dict(
+            tokens=tokens, n_docs=n_docs, sent_of_tok=sent_of_tok,
+            doc_of_tok=doc_of_tok, pos_in_doc=pos_in_doc,
+            sent_ix_in_doc=sent_ix_in_doc, doc_tok_off=doc_tok_off,
+        )
+
+    # -- mention detection (M2 + T3 + beam prune + decode) ------------------
+
+    def _mentions(self, fl) -> pd.DataFrame:
+        tokens, sent_of_tok = fl["tokens"], fl["sent_of_tok"]
+        doc_of_tok, pos_in_doc = fl["doc_of_tok"], fl["pos_in_doc"]
+        parts = []
+        tok_series = pd.Series(tokens, dtype=object)
+        for w, lex in self.lex_by_width.items():
+            if len(tokens) < w:
+                continue
+            if w == 1:
+                mask = tok_series.isin(lex).to_numpy()
+                starts = np.flatnonzero(mask)
+                surf = tokens[starts]
+            else:
+                head_mask = tok_series.isin(self.first_words[w]).to_numpy()
+                head_mask[len(tokens) - w + 1 :] = False
+                cand = np.flatnonzero(head_mask)
+                # same-sentence constraint
+                cand = cand[sent_of_tok[cand] == sent_of_tok[cand + w - 1]]
+                if len(cand) == 0:
+                    continue
+                surf = tokens[cand].copy()
+                for k in range(1, w):
+                    surf = surf + " "
+                    surf = surf + tokens[cand + k]
+                hit = pd.Series(surf, dtype=object).isin(lex).to_numpy()
+                starts, surf = cand[hit], surf[hit]
+            if len(starts) == 0:
+                continue
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "doc_ix": doc_of_tok[starts],
+                        "sent_ix": fl["sent_ix_in_doc"][sent_of_tok[starts]],
+                        "start": pos_in_doc[starts],
+                        "end": pos_in_doc[starts] + w - 1,
+                        "surface": surf,
+                    }
+                )
+            )
+        if not parts:
+            return pd.DataFrame(
+                columns=["doc_ix", "sent_ix", "start", "end", "surface"]
+            ).astype({"doc_ix": np.int64, "sent_ix": np.int64, "start": np.int64, "end": np.int64})
+        m = pd.concat(parts, ignore_index=True)
+        # span-enumeration order: (doc, sentence, start, end) — dygie.py:121-126
+        m = m.sort_values(["doc_ix", "sent_ix", "start", "end"], kind="stable", ignore_index=True)
+        m["label"] = m["surface"].map(self.label_map)
+        return m
+
+    # -- relations (T5 + decode) -------------------------------------------
+
+    def _relations(self, fl, m: pd.DataFrame) -> pd.DataFrame:
+        if len(m) == 0:
+            return pd.DataFrame(
+                columns=["doc_ix", "sent_ix", "s1", "e1", "s2", "e2", "label", "subj", "obj"]
+            )
+        subj = m[["doc_ix", "sent_ix", "start", "end", "surface"]].rename(
+            columns={"start": "s1", "end": "e1", "surface": "subj"}
+        )
+        subj["obj_start"] = subj["e1"] + 2
+        obj = m[["doc_ix", "sent_ix", "start", "end", "surface"]].rename(
+            columns={"start": "obj_start", "end": "e2", "surface": "obj"}
+        )
+        pairs = subj.merge(obj, on=["doc_ix", "sent_ix", "obj_start"], how="inner")
+        if len(pairs) == 0:
+            return pd.DataFrame(
+                columns=["doc_ix", "sent_ix", "s1", "e1", "s2", "e2", "label", "subj", "obj"]
+            )
+        pairs = pairs.rename(columns={"obj_start": "s2"})
+        between_glob = fl["doc_tok_off"][pairs["doc_ix"].to_numpy()] + pairs["e1"].to_numpy() + 1
+        between = fl["tokens"][between_glob]
+        keep = pd.Series(between, dtype=object).isin(self.pred_index).to_numpy()
+        pairs = pairs.loc[keep].reset_index(drop=True)
+        pairs["label"] = between[keep]
+        pairs = pairs.sort_values(
+            ["doc_ix", "sent_ix", "s1", "e1", "s2", "e2"], kind="stable", ignore_index=True
+        )
+        return pairs[["doc_ix", "sent_ix", "s1", "e1", "s2", "e2", "label", "subj", "obj"]]
+
+    # -- events (T7 + decode) ----------------------------------------------
+
+    def _events(self, fl, m: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
+        tokens = fl["tokens"]
+        tmask = pd.Series(tokens, dtype=object).isin(self.pred_index).to_numpy()
+        tpos = np.flatnonzero(tmask)
+        trig = pd.DataFrame(
+            {
+                "doc_ix": fl["doc_of_tok"][tpos],
+                "sent_ix": fl["sent_ix_in_doc"][fl["sent_of_tok"][tpos]],
+                "tok": fl["pos_in_doc"][tpos],
+                "label": tokens[tpos],
+            }
+        )
+        if len(trig) == 0 or len(m) == 0:
+            args = pd.DataFrame(
+                columns=["doc_ix", "sent_ix", "trig_tok", "event_type", "start", "end", "role", "surface"]
+            )
+            return trig, args
+        j = trig.rename(columns={"tok": "trig_tok", "label": "event_type"}).merge(
+            m[["doc_ix", "sent_ix", "start", "end", "surface"]],
+            on=["doc_ix", "sent_ix"], how="inner",
+        )
+        before = j["end"] < j["trig_tok"]
+        after = j["start"] > j["trig_tok"]
+        dist_ok = (before & (j["trig_tok"] - j["end"] <= S.ARG_MAX_DIST)) | (
+            after & (j["start"] - j["trig_tok"] <= S.ARG_MAX_DIST)
+        )
+        j = j.loc[dist_ok].copy()
+        j["role"] = np.where(j["end"] < j["trig_tok"], S.ARG_ROLES[0], S.ARG_ROLES[1])
+        j = j.sort_values(
+            ["doc_ix", "sent_ix", "trig_tok", "event_type", "start"],
+            kind="stable", ignore_index=True,
+        )  # args sorted by start within trigger (events.py:394)
+        return trig, j
+
+    # -- coref clusters (T6, flagship vectorized reduction) -----------------
+
+    def _clusters(self, m: pd.DataFrame) -> pd.DataFrame:
+        if len(m) == 0:
+            return pd.DataFrame(columns=["doc_ix", "cluster_ix", "start", "end", "surface"])
+        m = m.reset_index(drop=True)
+        m["__ord"] = np.arange(len(m))
+        grp = m.groupby(["doc_ix", "surface"], sort=False)
+        sizes = grp["__ord"].transform("size")
+        cl = m.loc[sizes >= 2].copy()
+        if len(cl) == 0:
+            return pd.DataFrame(columns=["doc_ix", "cluster_ix", "start", "end", "surface"])
+        first = cl.groupby(["doc_ix", "surface"], sort=False)["__ord"].transform("min")
+        cl["__first"] = first
+        # cluster_ix: order clusters by first-mention appearance within doc
+        cl = cl.sort_values(["doc_ix", "__first", "__ord"], kind="stable")
+        uniq = cl[["doc_ix", "__first"]].drop_duplicates()
+        uniq["cluster_ix"] = uniq.groupby("doc_ix").cumcount()
+        cl = cl.merge(uniq, on=["doc_ix", "__first"], how="left")
+        return cl[["doc_ix", "cluster_ix", "start", "end", "surface"]]
+
+    # -- batch entry --------------------------------------------------------
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        n_docs = len(tbl)
+        fl = self._flatten(tbl)
+        m = self._mentions(fl)
+        rels = self._relations(fl, m)
+        trig, args = self._events(fl, m)
+        cl = self._clusters(m)
+
+        def struct(df: pd.DataFrame, typ: pa.StructType, consts: dict) -> pa.StructArray:
+            arrays, names = [], []
+            for f in typ:
+                names.append(f.name)
+                if f.name in consts:
+                    arrays.append(pa.array(np.full(len(df), consts[f.name]), f.type))
+                else:
+                    arrays.append(pa.array(df[f.name].to_numpy(), f.type))
+            return pa.StructArray.from_arrays(arrays, names)
+
+        ner_col = _doc_list_column(
+            m["doc_ix"].to_numpy(), n_docs,
+            struct(m, MENTION_T, {"raw": self.ner_raw, "softmax": self.ner_soft}),
+        )
+        rel_col = _doc_list_column(
+            rels["doc_ix"].to_numpy(), n_docs,
+            struct(rels, RELATION_T, {"raw": self.rel_raw, "softmax": self.rel_soft}),
+        )
+        trig_col = _doc_list_column(
+            trig["doc_ix"].to_numpy(), n_docs,
+            struct(trig, TRIGGER_T, {"raw": self.trig_raw, "softmax": self.trig_soft}),
+        )
+        arg_col = _doc_list_column(args["doc_ix"].to_numpy(), n_docs, struct(args, ARGUMENT_T, {}))
+        cl_col = _doc_list_column(cl["doc_ix"].to_numpy(), n_docs, struct(cl, CLUSTER_MEMBER_T, {}))
+        out = tbl
+        for name, col in [
+            ("ner", ner_col), ("relations", rel_col), ("triggers", trig_col),
+            ("event_args", arg_col), ("cluster_members", cl_col),
+        ]:
+            out = out.append_column(name, col)
+        return out
+
+
+def extract(
+    docs: ray.data.Dataset,
+    cfg: ExtractionConfig = DEFAULT_CONFIG,
+    batch_size: int = 1024,
+    concurrency: int | tuple[int, int] | None = None,
+) -> ray.data.Dataset:
+    """documents -> documents + predicted annotation columns.
+
+    ``concurrency=None`` runs stateless tasks (the callable is cheap to
+    construct); pass an int for a fixed actor pool (the GPU-shaped
+    deployment: ``concurrency=N, num_gpus=...``)."""
+    if not cfg.entity_beam or cfg.max_antecedents < cfg.max_tokens_per_doc:
+        return docs.map_batches(
+            ReferenceModeExtract(cfg), batch_format="pyarrow", batch_size=batch_size
+        )
+    if concurrency is None:
+        return docs.map_batches(
+            ExtractStage(cfg), batch_format="pyarrow", batch_size=batch_size
+        )
+    return docs.map_batches(
+        ExtractStage, fn_constructor_args=(cfg,), batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency,
+    )
+
+
+class ReferenceModeExtract:
+    """Reference-control-flow path: per-document Python loop reusing the
+    oracle's exact logic — used for top-k pruning (O1/O2) and small
+    antecedent caps (O4), where the vectorized reduction doesn't apply.
+    Parity workloads only; the flagship config takes the vectorized
+    path."""
+
+    def __init__(self, cfg: ExtractionConfig):
+        self.cfg = cfg
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        from ..oracle import OracleDoc, extract_document
+
+        rows = tbl.to_pylist()
+        anns = {"ner": [], "relations": [], "triggers": [], "event_args": [], "cluster_members": []}
+        for r in rows:
+            d = OracleDoc(
+                doc_key=r["doc_key"], conv_id=r["conv_id"],
+                sentences=r["sentences"], sentence_start=r["sentence_start"],
+                turn_idx=r["turn_idx"], roles=r["roles"],
+            )
+            extract_document(d, self.cfg)
+            flat = [t for s in d.sentences for t in s]
+            anns["ner"].append(
+                [
+                    {"sent_ix": si, "start": a, "end": b, "label": lab,
+                     "raw": raw, "softmax": soft, "surface": " ".join(flat[a : b + 1])}
+                    for si, sent in enumerate(d.ner) for (a, b, lab, raw, soft) in sent
+                ]
+            )
+            anns["relations"].append(
+                [
+                    {"sent_ix": si, "s1": s1, "e1": e1, "s2": s2, "e2": e2, "label": lab,
+                     "raw": raw, "softmax": soft,
+                     "subj": " ".join(flat[s1 : e1 + 1]), "obj": " ".join(flat[s2 : e2 + 1])}
+                    for si, sent in enumerate(d.relations)
+                    for (s1, e1, s2, e2, lab, raw, soft) in sent
+                ]
+            )
+            anns["triggers"].append(
+                [
+                    {"sent_ix": si, "tok": ev["trigger"][0], "label": ev["trigger"][1],
+                     "raw": ev["trigger"][2], "softmax": ev["trigger"][3]}
+                    for si, sent in enumerate(d.events) for ev in sent
+                ]
+            )
+            anns["event_args"].append(
+                [
+                    {"sent_ix": si, "trig_tok": ev["trigger"][0], "event_type": ev["trigger"][1],
+                     "start": a, "end": b, "role": role, "surface": " ".join(flat[a : b + 1])}
+                    for si, sent in enumerate(d.events) for ev in sent
+                    for (a, b, role) in ev["args"]
+                ]
+            )
+            anns["cluster_members"].append(
+                [
+                    {"cluster_ix": ci, "start": a, "end": b,
+                     "surface": " ".join(flat[a : b + 1])}
+                    for ci, members in enumerate(d.clusters) for (a, b) in members
+                ]
+            )
+        out = tbl
+        for name, typ in [
+            ("ner", MENTION_T), ("relations", RELATION_T), ("triggers", TRIGGER_T),
+            ("event_args", ARGUMENT_T), ("cluster_members", CLUSTER_MEMBER_T),
+        ]:
+            out = out.append_column(name, pa.array(anns[name], pa.list_(typ)))
+        return out
