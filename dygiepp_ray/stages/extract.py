@@ -227,7 +227,7 @@ class ExtractStage:
             )
         if not parts:
             return pd.DataFrame(
-                columns=["doc_ix", "sent_ix", "start", "end", "surface"]
+                columns=["doc_ix", "sent_ix", "start", "end", "surface", "label"]
             ).astype({"doc_ix": np.int64, "sent_ix": np.int64, "start": np.int64, "end": np.int64})
         m = pd.concat(parts, ignore_index=True)
         # span-enumeration order: (doc, sentence, start, end) — dygie.py:121-126

@@ -113,7 +113,11 @@ def write_partitioned(
 
 
 def read_partitioned(out_dir: str) -> ray.data.Dataset:
-    parts = sorted(
-        os.path.join(out_dir, d) for d in os.listdir(out_dir) if d.startswith("part=") and os.path.isdir(os.path.join(out_dir, d))
+    files = sorted(
+        os.path.join(out_dir, d, f)
+        for d in os.listdir(out_dir)
+        if d.startswith("part=") and os.path.isdir(os.path.join(out_dir, d))
+        for f in os.listdir(os.path.join(out_dir, d))
+        if f.endswith(".parquet")
     )
-    return ray.data.read_parquet(parts)
+    return ray.data.read_parquet(files)

@@ -1,0 +1,79 @@
+"""Assembly-stage semantics: turn-order restoration, greedy windowing
+(document.py:197-251 analogue), edge cases from FIXTURES.md F5."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from dygiepp_ray import oracle
+from dygiepp_ray.semantics import DEFAULT_CONFIG, ExtractionConfig
+from dygiepp_ray.stages.assemble import assemble_documents
+from dygiepp_ray.synth import make_transcripts
+
+
+def _mk(rows):
+    return pa.table(
+        {
+            "conv_id": [r[0] for r in rows],
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": ["user"] * len(rows),
+            "text": [r[2] for r in rows],
+        }
+    )
+
+
+def test_turn_order_restored(ray_session):
+    # shuffled turn rows must reassemble in turn_idx order (the per-turn
+    # text equality invariant under stable turn ordering)
+    rows = [("c1", 2, "gamma g"), ("c1", 0, "alpha a"), ("c1", 1, "beta b")]
+    docs = assemble_documents(rd.from_arrow(_mk(rows)), num_buckets=2).to_pandas()
+    assert len(docs) == 1
+    d = docs.iloc[0]
+    assert list(d["turn_idx"]) == [0, 1, 2]
+    assert [list(s) for s in d["sentences"]] == [["alpha", "a"], ["beta", "b"], ["gamma", "g"]]
+    assert list(d["sentence_start"]) == [0, 2, 4]
+    assert d["n_tokens"] == 6
+
+
+def test_windowing_splits_long_conversations(ray_session):
+    cfg = ExtractionConfig(max_tokens_per_doc=8)
+    rows = [("c1", i, "w x y z") for i in range(5)]  # 5 sentences of 4 tokens
+    docs = assemble_documents(rd.from_arrow(_mk(rows)), cfg, num_buckets=2).to_pandas()
+    docs = docs.sort_values("doc_key").reset_index(drop=True)
+    assert list(docs["doc_key"]) == ["c1_SPLIT_0", "c1_SPLIT_1", "c1_SPLIT_2"]
+    assert [len(s) for s in docs["sentences"]] == [2, 2, 1]
+    # sentence_start renumbered per window
+    assert list(docs.iloc[1]["sentence_start"]) == [0, 4]
+
+
+def test_oversized_sentence_raises(ray_session):
+    cfg = ExtractionConfig(max_tokens_per_doc=4)
+    rows = [("c1", 0, "a b c d e")]
+    with pytest.raises(Exception):
+        assemble_documents(rd.from_arrow(_mk(rows)), cfg, num_buckets=1).to_pandas()
+
+
+def test_empty_and_single_token_turns(ray_session):
+    # single-token turns only warn in the reference (dygie.py:190-195)
+    rows = [("c1", 0, "spark"), ("c1", 1, ""), ("c1", 2, "a b")]
+    docs = assemble_documents(rd.from_arrow(_mk(rows)), num_buckets=1).to_pandas()
+    d = docs.iloc[0]
+    assert [list(s) for s in d["sentences"]] == [["spark"], [], ["a", "b"]]
+    assert list(d["sentence_start"]) == [0, 1, 1]
+
+
+def test_matches_oracle_assembly(ray_session):
+    tbl = make_transcripts(25, seed=3)
+    eng = assemble_documents(rd.from_arrow(tbl), num_buckets=4).to_pandas()
+    ora = oracle.assemble_documents(tbl.to_pylist())
+    eng = eng.sort_values("doc_key").reset_index(drop=True)
+    okeys = sorted(d.doc_key for d in ora)
+    assert list(eng["doc_key"]) == okeys
+    omap = {d.doc_key: d for d in ora}
+    for _, r in eng.iterrows():
+        d = omap[r["doc_key"]]
+        assert [list(s) for s in r["sentences"]] == d.sentences
+        assert list(r["sentence_start"]) == d.sentence_start
+        assert list(r["turn_idx"]) == d.turn_idx
