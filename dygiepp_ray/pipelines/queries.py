@@ -1,0 +1,347 @@
+"""Driver-facing query registry: Ray pipelines + DuckDB oracle SQL.
+
+Each entry runs the real Ray Data pipeline over the driver's parquet
+tables (``sf_dir``) and has a matching ANSI/DuckDB SQL string computing
+the same result over the same tables (pre-registered views).  Column
+names and types match bit-for-bit — the driver sorts columns by name and
+value-hashes.
+
+The KG queries run the flagship pipeline over the ``documents`` table
+via the documents-as-transcripts adapter (one conversation per document,
+turns = 16-token chunks, windows = 256 tokens), so sentence/window
+boundaries are SQL-expressible: with 0-based token position ``pos``,
+sentence = pos // 16, window = pos // 256.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from .. import semantics as S
+from .kg import from_documents_table
+
+TT = S.DEFAULT_CONFIG.turn_tokens          # 16
+WIN = S.DEFAULT_CONFIG.max_tokens_per_doc  # 256
+
+_UNIGRAMS = sorted(s for s in S.ENTITY_LEXICON if " " not in s)
+_BIGRAMS = sorted(s for s in S.ENTITY_LEXICON if s.count(" ") == 1)
+_PREDS = sorted(S.PRED_WORDS)
+
+
+def _sql_list(items) -> str:
+    return ", ".join(f"'{x}'" for x in items)
+
+
+# Shared SQL prelude: 0-based token positions over the documents table.
+SQL_TOKS = f"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr FROM documents
+),
+toks AS (
+  SELECT doc_id, len(arr) AS n, arr[i] AS tok, i - 1 AS pos
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) s
+),
+ents AS (
+  SELECT doc_id, n, pos, pos AS e_end, tok AS surface FROM toks
+  WHERE tok IN ({_sql_list(_UNIGRAMS)})
+  UNION ALL
+  SELECT t1.doc_id, t1.n, t1.pos, t1.pos + 1 AS e_end, t1.tok || ' ' || t2.tok AS surface
+  FROM toks t1 JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+  WHERE t1.tok || ' ' || t2.tok IN ({_sql_list(_BIGRAMS)})
+    AND t1.pos // {TT} = t2.pos // {TT}
+),
+preds AS (
+  SELECT doc_id, n, pos, tok FROM toks WHERE tok IN ({_sql_list(_PREDS)})
+)
+"""
+
+_LABEL_CASE = "CASE " + " ".join(
+    f"WHEN surface = '{s}' THEN '{lab}'" for s, lab in sorted(S.ENTITY_LEXICON.items())
+) + " END"
+
+_DOC_KEY = (
+    f"'doc' || doc_id || CASE WHEN n > {WIN} THEN '_SPLIT_' || CAST(pos // {WIN} AS VARCHAR) ELSE '' END"
+)
+
+
+def _cast_int64(*cols):
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        for c in cols:
+            if c in df.columns:
+                df[c] = df[c].astype(np.int64)
+        return df
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline queries
+# ---------------------------------------------------------------------------
+
+def q_kg_mentions(sf_dir: str) -> ray.data.Dataset:
+    """Exploded decoded NER mentions with window-local doc offsets."""
+    pipe = from_documents_table(sf_dir)
+    ds = pipe.mentions.select_columns(
+        ["doc_key", "conv_id", "sent_ix", "start", "end", "label", "surface"]
+    )
+    return ds.map_batches(
+        _cast_int64("sent_ix", "start", "end"), batch_format="pandas"
+    )
+
+
+SQL_KG_MENTIONS = SQL_TOKS + f"""
+SELECT
+  {_DOC_KEY} AS doc_key,
+  'doc' || doc_id AS conv_id,
+  CAST((pos % {WIN}) // {TT} AS BIGINT) AS sent_ix,
+  CAST(pos % {WIN} AS BIGINT) AS start,
+  CAST(e_end % {WIN} AS BIGINT) AS "end",
+  {_LABEL_CASE} AS label,
+  surface
+FROM ents
+"""
+
+
+def q_kg_mention_counts(sf_dir: str) -> ray.data.Dataset:
+    pipe = from_documents_table(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("label", sort=False).size().rename("n").reset_index()
+
+    partials = pipe.mentions.map_batches(partial, batch_format="pandas")
+    out = partials.groupby("label").sum("n")
+    return out.map_batches(
+        lambda df: df.rename(columns={"sum(n)": "n_mentions"}), batch_format="pandas"
+    )
+
+
+SQL_KG_MENTION_COUNTS = SQL_TOKS + f"""
+SELECT {_LABEL_CASE} AS label, CAST(count(*) AS BIGINT) AS n_mentions
+FROM ents GROUP BY 1
+"""
+
+
+def q_kg_entities(sf_dir: str) -> ray.data.Dataset:
+    pipe = from_documents_table(sf_dir)
+    return pipe.entities(num_salts=8)
+
+
+SQL_KG_ENTITIES = SQL_TOKS + f"""
+SELECT md5(surface) AS entity_id, surface, {_LABEL_CASE} AS label,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT {_DOC_KEY}) AS BIGINT) AS n_docs
+FROM ents GROUP BY ALL
+"""
+
+
+def q_kg_relations(sf_dir: str) -> ray.data.Dataset:
+    """Aggregated decoded relation mentions per (subj, pred, obj)."""
+    pipe = from_documents_table(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["subj", "label", "obj"], sort=False)
+            .size().rename("n").reset_index()
+            .rename(columns={"label": "pred"})
+        )
+
+    partials = pipe.relations.map_batches(partial, batch_format="pandas")
+    out = partials.groupby(["subj", "pred", "obj"]).sum("n")
+    return out.map_batches(
+        lambda df: df.rename(columns={"sum(n)": "n"}), batch_format="pandas"
+    )
+
+
+SQL_KG_RELATIONS = SQL_TOKS + f"""
+SELECT e1.surface AS subj, p.tok AS pred, e2.surface AS obj,
+       CAST(count(*) AS BIGINT) AS n
+FROM ents e1
+JOIN preds p ON p.doc_id = e1.doc_id AND p.pos = e1.e_end + 1
+JOIN ents e2 ON e2.doc_id = e1.doc_id AND e2.pos = e1.e_end + 2
+WHERE e1.pos // {TT} = e2.e_end // {TT}
+GROUP BY 1, 2, 3
+"""
+
+
+def q_kg_triples(sf_dir: str) -> ray.data.Dataset:
+    """The flagship output: deduped (conv, subj, pred, obj) triples with
+    content-addressed entity ids."""
+    pipe = from_documents_table(sf_dir)
+    return pipe.triples().select_columns(
+        ["conv_id", "subj_id", "subj", "pred", "obj_id", "obj"]
+    )
+
+
+SQL_KG_TRIPLES = SQL_TOKS + f"""
+SELECT DISTINCT 'doc' || e1.doc_id AS conv_id,
+       md5(e1.surface) AS subj_id, e1.surface AS subj,
+       p.tok AS pred,
+       md5(e2.surface) AS obj_id, e2.surface AS obj
+FROM ents e1
+JOIN preds p ON p.doc_id = e1.doc_id AND p.pos = e1.e_end + 1
+JOIN ents e2 ON e2.doc_id = e1.doc_id AND e2.pos = e1.e_end + 2
+WHERE e1.pos // {TT} = e2.e_end // {TT}
+"""
+
+
+def q_kg_triggers(sf_dir: str) -> ray.data.Dataset:
+    pipe = from_documents_table(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("label", sort=False).size().rename("n").reset_index()
+            .rename(columns={"label": "event_type"})
+        )
+
+    partials = pipe.triggers.map_batches(partial, batch_format="pandas")
+    out = partials.groupby("event_type").sum("n")
+    return out.map_batches(
+        lambda df: df.rename(columns={"sum(n)": "n_triggers"}), batch_format="pandas"
+    )
+
+
+SQL_KG_TRIGGERS = SQL_TOKS + """
+SELECT tok AS event_type, CAST(count(*) AS BIGINT) AS n_triggers
+FROM preds GROUP BY 1
+"""
+
+
+def q_kg_event_args(sf_dir: str) -> ray.data.Dataset:
+    """Event argument counts per (event_type, role) — the trig x arg pair
+    scorer output (events.py:115-314 analogue)."""
+    pipe = from_documents_table(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["event_type", "role"], sort=False)
+            .size().rename("n").reset_index()
+        )
+
+    partials = pipe.event_args.map_batches(partial, batch_format="pandas")
+    out = partials.groupby(["event_type", "role"]).sum("n")
+    return out.map_batches(
+        lambda df: df.rename(columns={"sum(n)": "n_args"}), batch_format="pandas"
+    )
+
+
+SQL_KG_EVENT_ARGS = SQL_TOKS + f"""
+SELECT p.tok AS event_type,
+       CASE WHEN e.e_end < p.pos THEN 'AGENT' ELSE 'PATIENT' END AS role,
+       CAST(count(*) AS BIGINT) AS n_args
+FROM preds p
+JOIN ents e ON e.doc_id = p.doc_id
+WHERE e.pos // {TT} = p.pos // {TT}
+  AND e.e_end // {TT} = p.pos // {TT}
+  AND ((e.e_end < p.pos AND p.pos - e.e_end <= {S.ARG_MAX_DIST})
+    OR (e.pos > p.pos AND e.pos - p.pos <= {S.ARG_MAX_DIST}))
+GROUP BY 1, 2
+"""
+
+
+def q_kg_clusters(sf_dir: str) -> ray.data.Dataset:
+    """Coref clusters per document window: (doc_key, n_clusters,
+    n_members)."""
+    pipe = from_documents_table(sf_dir)
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        # doc rows are atomic, so per-window stats never straddle batches
+        n_cl = df["cluster_members"].map(
+            lambda ms: len({m["cluster_ix"] for m in ms})
+        )
+        n_mem = df["cluster_members"].map(len)
+        out = pd.DataFrame(
+            {
+                "doc_key": df["doc_key"],
+                "n_clusters": n_cl.astype(np.int64),
+                "n_members": n_mem.astype(np.int64),
+            }
+        )
+        return out[out["n_clusters"] > 0]
+
+    return pipe.predicted.select_columns(["doc_key", "cluster_members"]).map_batches(
+        per_doc, batch_format="pandas"
+    )
+
+
+SQL_KG_CLUSTERS = SQL_TOKS + f"""
+SELECT doc_key, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(cnt) AS BIGINT) AS n_members
+FROM (
+  SELECT {_DOC_KEY} AS doc_key, surface, count(*) AS cnt
+  FROM ents GROUP BY 1, 2 HAVING count(*) >= 2
+) GROUP BY 1
+"""
+
+
+def q_doc_assembly(sf_dir: str) -> ray.data.Dataset:
+    """Document windowing audit: (doc_key, n_sentences, n_tokens)."""
+    pipe = from_documents_table(sf_dir)
+    ds = pipe.documents.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "doc_key": df["doc_key"],
+                "n_sentences": df["sentences"].map(len).astype(np.int64),
+                "n_tokens": df["n_tokens"].astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+    return ds
+
+
+SQL_DOC_ASSEMBLY = f"""
+WITH base AS (
+  SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n FROM documents
+),
+wins AS (
+  SELECT doc_id, n, CAST(ceil(n / {TT}.0) AS BIGINT) AS n_turns,
+         w.w AS w
+  FROM base, LATERAL (
+    SELECT unnest(generate_series(0, CAST(ceil(n / {WIN}.0) AS BIGINT) - 1)) AS w
+  ) w
+)
+SELECT
+  'doc' || doc_id || CASE WHEN n > {WIN} THEN '_SPLIT_' || CAST(w AS VARCHAR) ELSE '' END AS doc_key,
+  CAST(least({WIN // TT}, n_turns - {WIN // TT} * w) AS BIGINT) AS n_sentences,
+  CAST(least({WIN}, n - {WIN} * w) AS BIGINT) AS n_tokens
+FROM wins
+"""
+
+
+def q_transcript_turns(sf_dir: str) -> ray.data.Dataset:
+    """The documents-as-transcripts adapter output itself (S6 source)."""
+    from ..sources.transcripts import documents_as_transcripts
+
+    ds = documents_as_transcripts(sf_dir)
+    return ds.map_batches(_cast_int64("turn_idx"), batch_format="pandas")
+
+
+SQL_TRANSCRIPT_TURNS = f"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr FROM documents
+)
+SELECT 'doc' || doc_id AS conv_id,
+       CAST(t.t AS BIGINT) AS turn_idx,
+       CASE CAST(t.t % 3 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+       array_to_string(arr[t.t * {TT} + 1 : t.t * {TT} + {TT}], ' ') AS text
+FROM base, LATERAL (
+  SELECT unnest(generate_series(0, CAST(ceil(len(arr) / {TT}.0) AS BIGINT) - 1)) AS t
+) t
+"""
+
+
+KG_QUERIES = {
+    "kg_mentions": (q_kg_mentions, SQL_KG_MENTIONS),
+    "kg_mention_counts": (q_kg_mention_counts, SQL_KG_MENTION_COUNTS),
+    "kg_entities": (q_kg_entities, SQL_KG_ENTITIES),
+    "kg_relations": (q_kg_relations, SQL_KG_RELATIONS),
+    "kg_triples": (q_kg_triples, SQL_KG_TRIPLES),
+    "kg_triggers": (q_kg_triggers, SQL_KG_TRIGGERS),
+    "kg_event_args": (q_kg_event_args, SQL_KG_EVENT_ARGS),
+    "kg_clusters": (q_kg_clusters, SQL_KG_CLUSTERS),
+    "doc_assembly": (q_doc_assembly, SQL_DOC_ASSEMBLY),
+    "transcript_turns": (q_transcript_turns, SQL_TRANSCRIPT_TURNS),
+}
