@@ -28,16 +28,15 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2."""
-    from dygiepp_ray.pipelines.queries import KG_QUERIES
+    from dygiepp_ray.pipelines.queries import all_queries
 
-    out: dict[str, Callable[[str], Any]] = {}
-    for name, (fn, _sql) in KG_QUERIES.items():
-        out[name] = fn
-    return out
+    return {name: fn for name, (fn, _sql) in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable SQL equivalents over the pre-registered views."""
-    from dygiepp_ray.pipelines.queries import KG_QUERIES
+    """DuckDB-runnable SQL equivalents over the pre-registered views.
+    Entries absent here (vs queries()) are non-SQL-expressible ops —
+    signatures/fingerprints/LSH/heuristics — checked rows-only."""
+    from dygiepp_ray.pipelines.queries import all_queries
 
-    return {name: sql for name, (fn, sql) in KG_QUERIES.items() if sql is not None}
+    return {name: sql for name, (fn, sql) in all_queries().items() if sql is not None}

