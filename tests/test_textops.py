@@ -1,0 +1,169 @@
+"""Training-data operators: dedup (exact / minhash-LSH / simhash),
+similarity search, quality/langid/fingerprints, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from dygiepp_ray.textops import ann, dedup, multimodal, quality
+
+
+@pytest.fixture()
+def dup_docs(ray_session):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy dog again and once"
+    other = "completely different content about spark and tables here now"
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [base, base, near, other, other, "unique snowflake text"],
+        }
+    )
+    return rd.from_pandas(df), df
+
+
+def test_exact_dedup(dup_docs):
+    ds, df = dup_docs
+    out = dedup.exact_dedup(ds).to_pandas()
+    assert len(out) == 4  # base, near, other, unique
+    by_hash = out.set_index("text_hash")
+    import hashlib
+
+    h = hashlib.md5(df.text[0].encode()).hexdigest()
+    assert by_hash.loc[h, "rep_id"] == 0 and by_hash.loc[h, "n_dups"] == 2
+
+
+def test_minhash_lsh_finds_near_dups(dup_docs):
+    ds, df = dup_docs
+    sigs = dedup.minhash_signatures(ds)
+    pairs = dedup.lsh_candidate_pairs(sigs, num_buckets=4)
+    verified = dedup.ngram_jaccard_verify(pairs, ds, threshold=0.5).to_pandas()
+    got = set(map(tuple, verified[["id_a", "id_b"]].to_numpy()))
+    assert (0, 1) in got or (1, 0) in got          # exact dup pair
+    assert any({a, b} == {3, 4} for a, b in got)   # identical pair
+    near = [j for (a, b), j in zip(got, verified["jaccard"]) if {a, b} == {0, 1}]
+    assert all(verified.loc[(verified.id_a == 0) & (verified.id_b == 1), "jaccard"] == 1.0)
+
+
+def test_minhash_jaccard_estimate_quality(ray_session):
+    # signature agreement rate approximates true jaccard
+    m = dedup.MinHasher(n_perm=128, shingle_k=3)
+    a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10".split()
+    b = "w1 w2 w3 w4 w5 w6 w7 w8 xx yy".split()
+    sa, sb = m.signature(a), m.signature(b)
+    est = (sa == sb).mean()
+    ha = set(dedup._shingle_hashes(a, 3).tolist())
+    hb = set(dedup._shingle_hashes(b, 3).tolist())
+    true = len(ha & hb) / len(ha | hb)
+    assert abs(est - true) < 0.25
+
+
+def test_connected_components(ray_session):
+    edges = rd.from_pandas(
+        pd.DataFrame({"id_a": [1, 2, 10, 11], "id_b": [2, 3, 11, 12]})
+    )
+    out = dedup.connected_components(edges, num_buckets=2).to_pandas()
+    comp = dict(zip(out["node"], out["component"]))
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == comp[12] == 10
+
+
+def test_simhash_near_dups(dup_docs):
+    ds, df = dup_docs
+    sigs = dedup.simhash_signatures(ds)
+    pairs = dedup.simhash_near_dups(sigs, max_hamming=10, num_buckets=4).to_pandas()
+    got = {frozenset((a, b)) for a, b in pairs[["id_a", "id_b"]].to_numpy()}
+    assert frozenset((0, 1)) in got   # identical docs: hamming 0
+    assert frozenset((3, 4)) in got
+
+
+def test_simhash_deterministic():
+    t = "spark join table".split()
+    assert dedup.SimHasher.simhash(t) == dedup.SimHasher.simhash(list(t))
+    assert dedup.SimHasher.simhash(t) != dedup.SimHasher.simhash(["other"])
+
+
+def test_ann_brute_force_matches_numpy(ray_session):
+    rs = np.random.RandomState(0)
+    vecs = rs.normal(size=(50, 8))
+    df = pd.DataFrame({"vec_id": np.arange(50, dtype=np.int64), "embedding": list(vecs)})
+    ds = rd.from_pandas(df)
+    out = ann.brute_force_topk(ds, [0, 1], k=3)
+    # oracle: full cosine matrix
+    n = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = n @ n.T
+    for qid in (0, 1):
+        order = np.argsort(-sims[qid])
+        expect = [i for i in order if i != qid][:3]
+        got = out[out.query_id == qid].sort_values("rank")["vec_id"].tolist()
+        assert got == expect
+
+
+def test_ann_lsh_recall(ray_session):
+    rs = np.random.RandomState(1)
+    vecs = rs.normal(size=(200, 16))
+    df = pd.DataFrame({"vec_id": np.arange(200, dtype=np.int64), "embedding": list(vecs)})
+    ds = rd.from_pandas(df)
+    exact = ann.brute_force_topk(ds, [0, 1, 2], k=5)
+    approx = ann.lsh_topk(ds, [0, 1, 2], k=5, n_planes=4)
+    # approximate: just demand non-trivial recall and valid shape
+    e = {(r.query_id, r.vec_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.vec_id) for r in approx.itertuples()}
+    assert len(a) > 0
+    assert len(e & a) / len(e) >= 0.2
+
+
+def test_quality_scores(ray_session):
+    df = pd.DataFrame({"doc_id": [0], "text": ["the cat and the hat"]})
+    out = quality.quality_scores(rd.from_pandas(df)).to_pandas().iloc[0]
+    assert out.n_tokens == 5
+    assert out.n_stopwords == 3  # the, and, the
+    assert out.n_distinct == 4
+    assert out.mean_token_len_x100 == (3 + 3 + 3 + 3 + 3) * 100 // 5
+
+
+def test_lang_id_heuristic(ray_session):
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["the quick brown fox is in the garden there", "这是一个中文句子测试"],
+        }
+    )
+    out = quality.lang_id(rd.from_pandas(df)).to_pandas()
+    langs = dict(zip(out.doc_id, out.lang_pred))
+    assert langs[1] == "zh"
+    assert langs[0] in ("en", "de", "fr", "es")  # latin profile fired
+
+
+def test_fingerprint_order_sensitive(ray_session):
+    df = pd.DataFrame({"doc_id": [0, 1], "text": ["a b c", "c b a"]})
+    out = quality.fingerprints(rd.from_pandas(df)).to_pandas()
+    assert out.fingerprint[0] != out.fingerprint[1]
+
+
+def test_multimodal_plumbing(ray_session):
+    media = rd.from_arrow(multimodal.synth_media(32))
+    feats = multimodal.decode_features(media).to_pandas()
+    assert len(feats) == 32
+    assert all(len(f) == multimodal.FEATURE_DIM for f in feats["features"])
+    # deterministic: same payload -> same features
+    f2 = multimodal.decode_features(rd.from_arrow(multimodal.synth_media(32))).to_pandas()
+    a = feats.sort_values("media_id")["features"].map(tuple).tolist()
+    b = f2.sort_values("media_id")["features"].map(tuple).tolist()
+    assert a == b
+
+
+def test_multimodal_frame_sample(ray_session):
+    media = rd.from_arrow(multimodal.synth_media(32))
+    frames = multimodal.frame_sample(media, every_ms=2000).to_pandas()
+    videos = multimodal.synth_media(32).to_pandas()
+    vids = videos[videos.kind == "video"]
+    expect = int(sum(-(-int(d) // 2000) if d > 0 else 0 for d in vids.duration_ms))
+    assert len(frames) == expect
+
+
+def test_real_decoder_is_gated():
+    with pytest.raises(NotImplementedError):
+        multimodal.RealDecoder()
