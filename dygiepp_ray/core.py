@@ -34,22 +34,86 @@ def stable_bucket(values, num_buckets: int) -> np.ndarray:
     return (h % np.uint64(num_buckets)).astype(np.int32)
 
 
+def hash_exchange(
+    ds: ray.data.Dataset,
+    key: str,
+    fn: Callable[[pd.DataFrame], pd.DataFrame | pa.Table],
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Explicit all-to-all hash exchange with raw Ray tasks.
+
+    Each upstream block is split into ``num_buckets`` zero-copy Arrow
+    slices by one task (single stable argsort + take); each bucket is
+    merged by one task that concatenates its slices and applies ``fn``.
+    No sampling pass, no sort machinery — measured ~4x faster than
+    ``groupby(bucket).map_groups`` on this Ray version and it scales
+    with CPUs (split/merge tasks are embarrassingly parallel).
+
+    This is the one place the engine drops below the Dataset API: the
+    Dataset groupby expresses the same semantics but its sort-based
+    shuffle dominates wall time (SURVEY.md §4 shuffle discussion).
+    Partitioning assumption: ``fn`` sees ALL rows whose ``key`` hashes
+    to its bucket, exactly once.  Upstream blocks stream into split
+    tasks as they are produced; the returned Dataset's blocks are the
+    pending merge outputs (execution of the exchange is eager, the
+    merges themselves are async).
+    """
+
+    @ray.remote
+    def split(block, key=key, B=num_buckets):
+        tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        col = tbl[key].to_pandas().to_numpy()
+        b = stable_bucket(col, B)
+        order = np.argsort(b, kind="stable")
+        tbl = tbl.take(pa.array(order))
+        bs = b[order]
+        offs = np.searchsorted(bs, np.arange(B + 1))
+        parts = [tbl.slice(offs[i], offs[i + 1] - offs[i]) for i in range(B)]
+        return parts[0] if B == 1 else tuple(parts)
+
+    @ray.remote
+    def merge(*parts):
+        nonempty = [p for p in parts if p.num_rows]
+        base = nonempty if nonempty else list(parts[:1])
+        df = pa.concat_tables(base, promote_options="default").to_pandas()
+        out = fn(df)
+        if isinstance(out, pd.DataFrame):
+            return pa.Table.from_pandas(out, preserve_index=False)
+        return out
+
+    splits = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for bref in bundle.block_refs:
+            refs = split.options(num_returns=num_buckets).remote(bref)
+            splits.append((refs,) if num_buckets == 1 else refs)
+    merged = [merge.remote(*[s[b] for s in splits]) for b in range(num_buckets)]
+    return ray.data.from_arrow_refs(merged)
+
+
 def partitioned_map_groups(
     ds: ray.data.Dataset,
     key: str,
     fn: Callable[[pd.DataFrame], pd.DataFrame | pa.Table],
     num_buckets: int = 64,
     bucket_col: str = "__bucket",
+    impl: str = "hash",
 ) -> ray.data.Dataset:
     """Hash-partition ``ds`` on ``key`` and apply ``fn`` once per bucket.
 
     ``fn`` receives ALL rows sharing a bucket (a superset grouping of the
     logical key) as one pandas DataFrame and must do its own per-key
-    vectorized grouping.  This is the explicit partitioned-shuffle
-    pattern: one all-to-all exchange, Python overhead O(num_buckets) not
-    O(n_groups).  Skewed logical keys can be pre-salted by the caller
-    (canonicalization does: salt = hash(doc_key) % S as a sub-key).
+    vectorized grouping (and must tolerate an empty frame with the input
+    schema).  This is the explicit partitioned-shuffle pattern: one
+    all-to-all exchange, Python overhead O(num_buckets) not O(n_groups).
+    Skewed logical keys can be pre-salted by the caller (canonicalization
+    does: salt = hash(doc_key) % S as a sub-key).
+
+    ``impl="hash"`` (default) uses :func:`hash_exchange`;
+    ``impl="sort"`` uses the pure Dataset API
+    (``groupby(bucket).map_groups`` — lazy, but sort-shuffle-bound).
     """
+    if impl == "hash":
+        return hash_exchange(ds, key, fn, num_buckets)
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()

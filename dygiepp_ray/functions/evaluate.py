@@ -55,6 +55,8 @@ def evaluate(
     from ..core import partitioned_map_groups
 
     def reduce_keys(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"predicted": [0], "gold": [0], "matched": [0]})
         piv = df.pivot_table(
             index="key", columns="side", values="n", aggfunc="sum", fill_value=0
         )

@@ -44,6 +44,8 @@ DOC_SCHEMA = pa.schema(
 
 
 def _assemble_bucket(df: pd.DataFrame, cfg: ExtractionConfig) -> pa.Table:
+    if len(df) == 0:
+        return DOC_SCHEMA.empty_table()
     df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
     text = df["text"].astype(str).str.replace(_NORM_RE, r"\1", regex=True)
     toks = text.str.strip().str.split(r"\s+", regex=True)
@@ -62,6 +64,9 @@ def _assemble_bucket(df: pd.DataFrame, cfg: ExtractionConfig) -> pa.Table:
     out = {k: [] for k in ("doc_key", "conv_id", "dataset", "sentences",
                            "sentence_start", "turn_idx", "roles", "n_tokens")}
     mx = cfg.max_tokens_per_doc
+    dataset = cfg.dataset
+    turn_list = turn_idx.tolist()
+    role_list = list(roles)
     for bi in range(len(boundaries) - 1):
         lo, hi = boundaries[bi], boundaries[bi + 1]
         cid = conv_ids[lo]
@@ -78,20 +83,20 @@ def _assemble_bucket(df: pd.DataFrame, cfg: ExtractionConfig) -> pa.Table:
                 wlo, wtok = i, 0
             wtok += ln
         windows.append((wlo, len(sents)))
+        one = len(windows) == 1
         for w, (a, b) in enumerate(windows):
-            key = cid if len(windows) == 1 else f"{cid}_SPLIT_{w}"
-            wsents = sents[a:b]
-            starts = np.zeros(b - a, dtype=np.int32)
-            if b - a > 1:
-                starts[1:] = np.cumsum(lens[a : b - 1])
-            out["doc_key"].append(key)
+            starts, acc = [], 0
+            for ln in lens[a:b]:
+                starts.append(acc)
+                acc += ln
+            out["doc_key"].append(cid if one else f"{cid}_SPLIT_{w}")
             out["conv_id"].append(cid)
-            out["dataset"].append(cfg.dataset)
-            out["sentences"].append(wsents)
-            out["sentence_start"].append(starts.tolist())
-            out["turn_idx"].append(turn_idx[lo + a : lo + b].astype(np.int32).tolist())
-            out["roles"].append(list(roles[lo + a : lo + b]))
-            out["n_tokens"].append(int(sum(lens[a:b])))
+            out["dataset"].append(dataset)
+            out["sentences"].append(sents[a:b])
+            out["sentence_start"].append(starts)
+            out["turn_idx"].append(turn_list[lo + a : lo + b])
+            out["roles"].append(role_list[lo + a : lo + b])
+            out["n_tokens"].append(acc)
     return pa.Table.from_pydict(out, schema=DOC_SCHEMA)
 
 

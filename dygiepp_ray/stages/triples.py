@@ -36,6 +36,13 @@ TRIPLE_SCHEMA = pa.schema(
 
 
 def _to_triples(batch: pd.DataFrame) -> pd.DataFrame:
+    """Relation mentions -> local triples + combiner dedup.
+
+    Deliberately narrow: entity ids (md5 strings, 64 chars/row) are
+    derived AFTER the global dedup so the shuffle carries only the key
+    columns + score; the shuffle key is a numeric hash of the triple key
+    (bucket placement only — the dedup itself compares real columns, so
+    hash collisions cannot merge distinct triples)."""
     out = pd.DataFrame(
         {
             "conv_id": batch["conv_id"],
@@ -45,30 +52,32 @@ def _to_triples(batch: pd.DataFrame) -> pd.DataFrame:
             "score": batch["softmax"].astype(np.float32),
         }
     )
-    # batch-local combiner: dedup before the shuffle
     out = out.drop_duplicates(TRIPLE_KEY, ignore_index=True)
-    ids = {s: S.entity_id(s) for s in pd.unique(out[["subj", "obj"]].to_numpy().ravel())}
-    out.insert(1, "subj_id", out["subj"].map(ids))
-    out.insert(4, "obj_id", out["obj"].map(ids))
+    h = np.uint64(0)
+    for c in TRIPLE_KEY:
+        h = h * np.uint64(1099511628211) ^ pd.util.hash_array(
+            out[c].to_numpy(dtype=object), categorize=False
+        )
+    out["__tkey"] = h.astype(np.int64)
     return out
+
+
+def _finalize_ids(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.drop_duplicates(TRIPLE_KEY, ignore_index=True)
+    ids = {s: S.entity_id(s) for s in pd.unique(df[["subj", "obj"]].to_numpy().ravel())}
+    df.insert(1, "subj_id", df["subj"].map(ids))
+    df.insert(4, "obj_id", df["obj"].map(ids))
+    return df
 
 
 def triples_from_relations(
     relations: ray.data.Dataset, num_buckets: int = 32
 ) -> ray.data.Dataset:
-    """relations table -> globally deduped triples table."""
+    """relations table -> globally deduped triples table with
+    content-addressed entity ids."""
     local = relations.map_batches(_to_triples, batch_format="pandas")
 
-    def add_key(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__tkey"] = (
-            df["conv_id"].str.cat([df["subj"], df["pred"], df["obj"]], sep="\x00")
-        )
-        return df
-
-    keyed = local.map_batches(add_key, batch_format="pandas")
-
     def dedup(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates("__tkey", ignore_index=True).drop(columns="__tkey")
+        return _finalize_ids(df.drop(columns="__tkey"))
 
-    return partitioned_map_groups(keyed, "__tkey", dedup, num_buckets)
+    return partitioned_map_groups(local, "__tkey", dedup, num_buckets)

@@ -71,6 +71,8 @@ def write_partitioned(
     done = completed_partitions(out_dir)
 
     def write_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"bucket": [-1], "rows": [0], "skipped": [True]})
         bucket = int(stable_bucket(df[key].to_numpy(), num_partitions)[0])
         if bucket in done:
             return pd.DataFrame({"bucket": [bucket], "rows": [0], "skipped": [True]})
@@ -100,6 +102,7 @@ def write_partitioned(
     results = partitioned_map_groups(
         ds, key, write_bucket, num_buckets=num_partitions
     ).to_pandas()
+    results = results[results["bucket"] >= 0]
     run = {
         "partitions": int(results["bucket"].nunique()),
         "rows_written": int(results["rows"].sum()),

@@ -1,0 +1,77 @@
+"""Core exchange primitives: stable bucketing, hash exchange vs the
+Dataset-API sort implementation (must agree exactly)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from dygiepp_ray.core import hash_exchange, partitioned_map_groups, stable_bucket
+
+
+def test_stable_bucket_deterministic():
+    a = stable_bucket(np.array(["x", "y", "z"], dtype=object), 8)
+    b = stable_bucket(np.array(["x", "y", "z"], dtype=object), 8)
+    assert (a == b).all()
+    assert ((a >= 0) & (a < 8)).all()
+
+
+def test_stable_bucket_spreads():
+    keys = np.array([f"k{i}" for i in range(1000)], dtype=object)
+    b = stable_bucket(keys, 16)
+    counts = np.bincount(b, minlength=16)
+    assert (counts > 20).all()  # roughly uniform
+
+
+@pytest.mark.parametrize("impl", ["hash", "sort"])
+def test_partitioned_map_groups_collects_all_keys(ray_session, impl):
+    df = pd.DataFrame({"k": [f"g{i % 7}" for i in range(500)], "v": range(500)})
+    ds = rd.from_pandas(df).repartition(8)
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("k", sort=False)["v"].agg(["sum", "size"]).reset_index()
+        return out.rename(columns={"sum": "s", "size": "n"})
+
+    out = partitioned_map_groups(ds, "k", fn, num_buckets=4, impl=impl).to_pandas()
+    # each logical key appears exactly once (all its rows in one bucket)
+    assert sorted(out["k"]) == sorted(df["k"].unique())
+    expect = df.groupby("k")["v"].sum()
+    got = dict(zip(out["k"], out["s"]))
+    assert got == expect.to_dict()
+
+
+def test_hash_and_sort_impls_agree(ray_session):
+    df = pd.DataFrame({"k": [f"g{i % 13}" for i in range(400)], "v": range(400)})
+    ds1 = rd.from_pandas(df).repartition(4)
+    ds2 = rd.from_pandas(df).repartition(4)
+
+    def fn(g):
+        return g.groupby("k", sort=False)["v"].sum().reset_index()
+
+    a = partitioned_map_groups(ds1, "k", fn, 8, impl="hash").to_pandas()
+    b = partitioned_map_groups(ds2, "k", fn, 8, impl="sort").to_pandas()
+    a = a.sort_values("k", ignore_index=True)
+    b = b.sort_values("k", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_hash_exchange_single_bucket(ray_session):
+    df = pd.DataFrame({"k": ["a", "b"], "v": [1, 2]})
+    out = hash_exchange(
+        rd.from_pandas(df), "k", lambda g: g.sort_values("k", ignore_index=True), 1
+    ).to_pandas()
+    assert list(out["v"]) == [1, 2]
+
+
+def test_hash_exchange_empty_buckets_hit_fn_with_schema(ray_session):
+    df = pd.DataFrame({"k": ["same"] * 10, "v": range(10)})
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        # empty buckets must still present the input schema
+        assert list(g.columns) == ["k", "v"]
+        return pd.DataFrame({"n": [len(g)]})
+
+    out = hash_exchange(rd.from_pandas(df), "k", fn, 16).to_pandas()
+    assert out["n"].sum() == 10
+    assert len(out) == 16
