@@ -21,7 +21,7 @@ from ..stages import explode
 from ..stages.assemble import assemble_documents
 from ..stages.canonicalize import canonicalize
 from ..stages.extract import extract
-from ..stages.triples import triples_from_relations
+from ..stages.triples import triples_from_relations, triples_local_dedup
 
 
 class KGPipeline:
@@ -51,7 +51,17 @@ class KGPipeline:
     def entities(self, num_salts: int = 16) -> ray.data.Dataset:
         return canonicalize(self.mentions, num_salts=num_salts)
 
-    def triples(self) -> ray.data.Dataset:
+    def triples(self, local_dedup: bool = True) -> ray.data.Dataset:
+        """Deduped (conv, subj, pred, obj) triples.
+
+        ``local_dedup=True`` (default) exploits that the assembly
+        exchange already partitions by conv_id — the triple key's
+        prefix — so dedup completes block-locally with NO second
+        shuffle (see ``triples_local_dedup`` for the invariant).
+        ``local_dedup=False`` runs the general keyed-exchange path for
+        relation streams of unknown partitioning."""
+        if local_dedup:
+            return triples_local_dedup(self.relations)
         return triples_from_relations(self.relations)
 
     def write_graph(self, out_dir: str, num_partitions: int = 32) -> dict:

@@ -127,6 +127,10 @@ class ExtractionConfig:
     dataset: str = "synth"
     labels: tuple[str, ...] = ENTITY_LABELS
     preds: tuple[str, ...] = PRED_WORDS
+    # task toggles — the reference enables modules via loss_weights[task] > 0
+    # (models/dygie.py:226-254); disabled tasks are neither computed nor
+    # emitted by the extraction stage
+    tasks: tuple[str, ...] = ("ner", "relations", "events", "coref")
 
 
 DEFAULT_CONFIG = ExtractionConfig()

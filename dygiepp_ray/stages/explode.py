@@ -18,9 +18,12 @@ _PARENTS = ["doc_key", "conv_id"]
 
 
 def _explode(docs: ray.data.Dataset, col: str) -> ray.data.Dataset:
+    # batch_size=None: one batch per block, preserving conv-completeness
+    # per block for downstream local dedup (stages/triples.py invariant)
     return docs.map_batches(
         lambda t, c=col: flatten_with_parent(t, c, _PARENTS),
         batch_format="pyarrow",
+        batch_size=None,
     )
 
 

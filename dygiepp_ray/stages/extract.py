@@ -326,11 +326,9 @@ class ExtractStage:
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         n_docs = len(tbl)
+        tasks = self.cfg.tasks
         fl = self._flatten(tbl)
         m = self._mentions(fl)
-        rels = self._relations(fl, m)
-        trig, args = self._events(fl, m)
-        cl = self._clusters(m)
 
         def struct(df: pd.DataFrame, typ: pa.StructType, consts: dict) -> pa.StructArray:
             arrays, names = [], []
@@ -342,33 +340,50 @@ class ExtractStage:
                     arrays.append(pa.array(df[f.name].to_numpy(), f.type))
             return pa.StructArray.from_arrays(arrays, names)
 
-        ner_col = _doc_list_column(
-            m["doc_ix"].to_numpy(), n_docs,
-            struct(m, MENTION_T, {"raw": self.ner_raw, "softmax": self.ner_soft}),
-        )
-        rel_col = _doc_list_column(
-            rels["doc_ix"].to_numpy(), n_docs,
-            struct(rels, RELATION_T, {"raw": self.rel_raw, "softmax": self.rel_soft}),
-        )
-        trig_col = _doc_list_column(
-            trig["doc_ix"].to_numpy(), n_docs,
-            struct(trig, TRIGGER_T, {"raw": self.trig_raw, "softmax": self.trig_soft}),
-        )
-        arg_col = _doc_list_column(args["doc_ix"].to_numpy(), n_docs, struct(args, ARGUMENT_T, {}))
-        cl_col = _doc_list_column(cl["doc_ix"].to_numpy(), n_docs, struct(cl, CLUSTER_MEMBER_T, {}))
         out = tbl
-        for name, col in [
-            ("ner", ner_col), ("relations", rel_col), ("triggers", trig_col),
-            ("event_args", arg_col), ("cluster_members", cl_col),
-        ]:
-            out = out.append_column(name, col)
+        if "ner" in tasks:
+            out = out.append_column(
+                "ner",
+                _doc_list_column(
+                    m["doc_ix"].to_numpy(), n_docs,
+                    struct(m, MENTION_T, {"raw": self.ner_raw, "softmax": self.ner_soft}),
+                ),
+            )
+        if "relations" in tasks:
+            rels = self._relations(fl, m)
+            out = out.append_column(
+                "relations",
+                _doc_list_column(
+                    rels["doc_ix"].to_numpy(), n_docs,
+                    struct(rels, RELATION_T, {"raw": self.rel_raw, "softmax": self.rel_soft}),
+                ),
+            )
+        if "events" in tasks:
+            trig, args = self._events(fl, m)
+            out = out.append_column(
+                "triggers",
+                _doc_list_column(
+                    trig["doc_ix"].to_numpy(), n_docs,
+                    struct(trig, TRIGGER_T, {"raw": self.trig_raw, "softmax": self.trig_soft}),
+                ),
+            )
+            out = out.append_column(
+                "event_args",
+                _doc_list_column(args["doc_ix"].to_numpy(), n_docs, struct(args, ARGUMENT_T, {})),
+            )
+        if "coref" in tasks:
+            cl = self._clusters(m)
+            out = out.append_column(
+                "cluster_members",
+                _doc_list_column(cl["doc_ix"].to_numpy(), n_docs, struct(cl, CLUSTER_MEMBER_T, {})),
+            )
         return out
 
 
 def extract(
     docs: ray.data.Dataset,
     cfg: ExtractionConfig = DEFAULT_CONFIG,
-    batch_size: int = 1024,
+    batch_size: int | None = None,
     concurrency: int | tuple[int, int] | None = None,
 ) -> ray.data.Dataset:
     """documents -> documents + predicted annotation columns.

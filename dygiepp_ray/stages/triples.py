@@ -74,10 +74,43 @@ def triples_from_relations(
     relations: ray.data.Dataset, num_buckets: int = 32
 ) -> ray.data.Dataset:
     """relations table -> globally deduped triples table with
-    content-addressed entity ids."""
+    content-addressed entity ids (general path: no assumption about
+    input partitioning — one keyed exchange)."""
     local = relations.map_batches(_to_triples, batch_format="pandas")
 
     def dedup(df: pd.DataFrame) -> pd.DataFrame:
         return _finalize_ids(df.drop(columns="__tkey"))
 
     return partitioned_map_groups(local, "__tkey", dedup, num_buckets)
+
+
+def triples_local_dedup(relations: ray.data.Dataset) -> ray.data.Dataset:
+    """Shuffle-free dedup for conv-partitioned relation streams.
+
+    Partitioning assumption (MUST hold, documented per SURVEY.md §2
+    custom-operator rule): every relation row of a given ``conv_id``
+    lives in the same block, which is true for any dataset derived from
+    ``assemble_documents`` output without an intervening repartition —
+    the assembly exchange hash-partitions conversations, and downstream
+    map stages preserve block locality.  The triple key is
+    (conv_id, subj, pred, obj), so dedup within a conv-complete block is
+    globally exact and the second all-to-all of the general path is
+    unnecessary (reuse-the-partitioning-key optimization).
+
+    Callers must keep batches block-sized (``batch_size=None``) so a
+    conversation is never split across two batch calls.
+    """
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "conv_id": df["conv_id"],
+                "subj": df["subj"].str.lower(),
+                "pred": df["label"],
+                "obj": df["obj"].str.lower(),
+                "score": df["softmax"].astype(np.float32),
+            }
+        )
+        return _finalize_ids(out)
+
+    return relations.map_batches(fn, batch_format="pandas", batch_size=None)
