@@ -56,8 +56,11 @@ def ensure_corpus() -> str:
 
 
 def main() -> None:
-    if os.environ.get("RAY_GRAFT_PIN") == "1":
-        os.sched_setaffinity(0, set(range(NUM_CPUS)))
+    if os.environ.get("RAY_GRAFT_PIN", "1") == "1":
+        # confine the WHOLE Ray process tree (raylet/object store inherit
+        # the affinity) — num_cpus alone only caps task slots, and
+        # unpinned runs show ±30% scheduler noise
+        os.sched_setaffinity(0, set(range(min(NUM_CPUS, os.cpu_count()))))
 
     import ray
 

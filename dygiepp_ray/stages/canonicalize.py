@@ -41,14 +41,24 @@ ENTITY_SCHEMA = pa.schema(
 
 
 def canonicalize(
-    mentions: ray.data.Dataset, num_salts: int = 16, num_buckets: int = 32
+    mentions: ray.data.Dataset,
+    num_salts: int = 16,
+    num_buckets: int = 32,
+    doc_local_batches: bool = True,
 ) -> ray.data.Dataset:
-    """mentions (doc_key, surface, label, ...) -> entities table."""
+    """mentions (doc_key, surface, label, ...) -> entities table.
+
+    ``doc_local_batches=True`` (the pipeline default) assumes every
+    document's mentions arrive within ONE batch — true for any mentions
+    table derived from the assembly exchange without repartitioning
+    (same block-locality invariant as ``triples_local_dedup``).  Then
+    batch partials collapse all the way to (surface, label, salt) —
+    O(vocab x salts) rows per batch — and the two aggregation exchanges
+    carry a few hundred rows regardless of corpus size.  Set False for
+    mention streams of unknown partitioning (partials stay at doc
+    granularity; still exact, just a bigger shuffle)."""
 
     def partial_exact(batch: pd.DataFrame) -> pd.DataFrame:
-        # per-(surface, label, doc_key) partial counts: exact distinct-doc
-        # accounting even when one doc's mentions straddle batches (all
-        # partials for a doc share its salt, so phase-2 sums stay exact)
         df = pd.DataFrame(
             {
                 "surface": batch["surface"].str.lower(),
@@ -63,12 +73,29 @@ def canonicalize(
             .reset_index()
         )
         g["salt"] = stable_bucket(g["doc_key"].to_numpy(), num_salts)
+        if doc_local_batches:
+            # each doc_key occurs in exactly one batch -> its row count
+            # here IS its distinct-doc contribution
+            g = (
+                g.groupby(["surface", "label", "salt"], sort=False)
+                .agg(n_mentions=("n_mentions", "sum"), n_docs=("doc_key", "size"))
+                .reset_index()
+            )
         return g
 
-    partials = mentions.map_batches(partial_exact, batch_format="pandas")
+    kw = {"batch_format": "pandas"}
+    if doc_local_batches:
+        kw["batch_size"] = None  # one batch per block preserves doc locality
+    partials = mentions.map_batches(partial_exact, **kw)
 
     def merge_salted(df: pd.DataFrame) -> pd.DataFrame:
         # bucket key is (surface, salt) — hot surfaces spread over S buckets
+        if doc_local_batches:
+            return (
+                df.groupby(["surface", "label", "__skey"], sort=False)
+                .agg(n_mentions=("n_mentions", "sum"), n_docs=("n_docs", "sum"))
+                .reset_index()
+            )
         return (
             df.groupby(["surface", "label", "__skey"], sort=False)
             .agg(n_mentions=("n_mentions", "sum"), n_docs=("doc_key", "nunique"))
