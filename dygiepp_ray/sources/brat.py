@@ -1,0 +1,152 @@
+"""brat standoff reader (SURVEY.md S7, M12, A8).
+
+Parses ``.txt`` + ``.ann`` file pairs into gold document rows with
+char->token alignment, replicating the reference's semantics
+(``scripts/new-dataset/brat_to_input.py:25-157``,
+``annotated_doc.py:17-456``):
+
+* ``T<id>\\tLABEL start end\\tsurface``  — entity (char offsets, end exclusive)
+* ``R<id>\\tREL Arg1:T<a> Arg2:T<b>``     — binary relation
+* ``E<id>\\tTYPE:T<trig> ROLE1:T<x> ...`` — event (trigger + role args)
+* ``*\\tCOREF T<a> T<b> ...``             — coreference equivalence
+
+Annotations whose char offsets do not land on token boundaries are
+DROPPED and counted (``annotated_doc.py:201-273`` drops misaligned
+spans with a warning; the reference accumulates drop Counters,
+``brat_to_input.py:120-151``) — here the counters are ordinary columns
+summed with a Dataset aggregate.
+
+Parsing is an actor-pool ``map_batches`` over ``(doc_key, txt, ann)``
+rows — read the file pairs with ``ray.data.read_binary_files`` /
+``from_items`` and feed them through ``parse_brat_batch``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from ..semantics import tokenize
+
+
+def _token_char_spans(text: str) -> tuple[list[str], dict[int, int], dict[int, int]]:
+    """Tokens + maps char_start->token_ix and char_end(exclusive)->token_ix."""
+    tokens, starts, ends = [], {}, {}
+    pos = 0
+    for raw in text.split(" "):
+        if raw:
+            starts[pos] = len(tokens)
+            ends[pos + len(raw)] = len(tokens)
+            tokens.append(raw)
+        pos += len(raw) + 1
+    return tokens, starts, ends
+
+
+def parse_brat_doc(doc_key: str, txt: str, ann: str) -> dict:
+    """One (txt, ann) pair -> gold doc dict + drop counters."""
+    tokens, starts, ends = _token_char_spans(txt)
+    entities: dict[str, tuple[int, int, str]] = {}
+    dropped = {"entities": 0, "relations": 0, "events": 0, "corefs": 0}
+    ner, relations, events, clusters = [], [], [], []
+    for line in ann.splitlines():
+        line = line.strip()
+        if not line or "\t" not in line:
+            continue
+        tag, body = line.split("\t", 1)
+        if tag.startswith("T"):
+            head = body.split("\t")[0]
+            label, s, e = head.split(" ")[:3]
+            s, e = int(s), int(e)
+            if s in starts and e in ends:
+                entities[tag] = (starts[s], ends[e], label)
+            else:
+                dropped["entities"] += 1  # char->token misalignment (M12)
+    for line in ann.splitlines():
+        line = line.strip()
+        if not line or "\t" not in line:
+            continue
+        tag, body = line.split("\t", 1)
+        if tag.startswith("R"):
+            parts = body.split(" ")
+            label = parts[0]
+            try:
+                a = parts[1].split(":")[1]
+                b = parts[2].split(":")[1]
+                s1, e1, _ = entities[a]
+                s2, e2, _ = entities[b]
+                relations.append((s1, e1, s2, e2, label))
+            except (KeyError, IndexError):
+                dropped["relations"] += 1
+        elif tag.startswith("E"):
+            parts = body.split(" ")
+            try:
+                etype, trig = parts[0].split(":")
+                ts, te, _ = entities[trig]
+                args = []
+                for p in parts[1:]:
+                    if not p:
+                        continue
+                    role, ent = p.split(":")
+                    s, e, _ = entities[ent]
+                    args.append((s, e, role))
+                events.append({"trigger_tok": ts, "event_type": etype, "args": args})
+            except (KeyError, ValueError, IndexError):
+                dropped["events"] += 1
+        elif tag.startswith("*"):
+            parts = body.split(" ")
+            members = []
+            ok = True
+            for t in parts[1:]:
+                if t in entities:
+                    members.append(entities[t][:2])
+                else:
+                    ok = False
+            if ok and len(members) >= 2:
+                clusters.append(members)
+            else:
+                dropped["corefs"] += 1
+    ner = sorted(entities.values())
+    return {
+        "doc_key": doc_key,
+        "tokens": tokens,
+        "ner": [{"start": s, "end": e, "label": lab} for (s, e, lab) in ner],
+        "relations": [
+            {"s1": s1, "e1": e1, "s2": s2, "e2": e2, "label": lab}
+            for (s1, e1, s2, e2, lab) in sorted(relations)
+        ],
+        "events": [
+            {
+                "trigger_tok": ev["trigger_tok"],
+                "event_type": ev["event_type"],
+                "args": [{"start": s, "end": e, "role": r} for (s, e, r) in ev["args"]],
+            }
+            for ev in events
+        ],
+        "clusters": [
+            [{"start": s, "end": e} for (s, e) in members] for members in clusters
+        ],
+        **{f"dropped_{k}": v for k, v in dropped.items()},
+    }
+
+
+def parse_brat_batch(df: pd.DataFrame) -> pd.DataFrame:
+    rows = [
+        parse_brat_doc(k, t, a)
+        for k, t, a in zip(df["doc_key"], df["txt"], df["ann"])
+    ]
+    return pd.DataFrame(rows)
+
+
+def read_brat(pairs: ray.data.Dataset) -> ray.data.Dataset:
+    """pairs: (doc_key, txt, ann) rows -> parsed gold docs."""
+    return pairs.map_batches(parse_brat_batch, batch_format="pandas")
+
+
+def drop_counters(parsed: ray.data.Dataset) -> dict[str, int]:
+    """A8: global dropped-annotation counters via Dataset sum."""
+    out = {}
+    for k in ("entities", "relations", "events", "corefs"):
+        out[k] = int(parsed.sum(f"dropped_{k}") or 0)
+    return out

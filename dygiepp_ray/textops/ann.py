@@ -78,12 +78,14 @@ def brute_force_topk(
     )
     query_ref = ray.put({"ids": qdf["vec_id"].to_numpy(), "vecs": _stack(qdf["embedding"])})
 
+    # pool sized below the CPU budget so the read stage never starves
+    # (an actor pool that reserves every CPU deadlocks the pipeline)
     cands = embeddings.map_batches(
         _BatchTopK,
         fn_constructor_args=(query_ref, k + (1 if exclude_self else 0)),
         batch_format="pandas",
         batch_size=4096,
-        concurrency=4,
+        concurrency=2,
     ).to_pandas()
 
     out = []

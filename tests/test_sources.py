@@ -1,0 +1,104 @@
+"""Source connectors: brat standoff (S7/M12/A8), ChemProt-style TSV
+(S8/J3/F9), documents-as-transcripts adapter (S6)."""
+
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from dygiepp_ray.sources.brat import drop_counters, parse_brat_doc, read_brat
+from dygiepp_ray.sources.transcripts import documents_as_transcripts
+from dygiepp_ray.sources.tsv import read_chemprot_style
+
+TXT = "acme corp acquires spark today"
+ANN = """T1\tORG 0 9\tacme corp
+T2\tTOOL 19 24\tspark
+T3\tBAD 2 7\tme co
+R1\tacquires Arg1:T1 Arg2:T2
+R2\tbogus Arg1:T3 Arg2:T2
+E1\tacquire:T2 Agent:T1
+*\tCOREF T1 T2
+"""
+
+
+def test_parse_brat_doc_alignment_and_drops():
+    d = parse_brat_doc("d1", TXT, ANN)
+    assert d["tokens"] == ["acme", "corp", "acquires", "spark", "today"]
+    assert d["ner"] == [
+        {"start": 0, "end": 1, "label": "ORG"},
+        {"start": 3, "end": 3, "label": "TOOL"},
+    ]
+    assert d["relations"] == [
+        {"s1": 0, "e1": 1, "s2": 3, "e2": 3, "label": "acquires"}
+    ]
+    assert d["dropped_entities"] == 1   # T3 misaligned (M12)
+    assert d["dropped_relations"] == 1  # R2 references dropped T3
+    assert d["events"][0]["event_type"] == "acquire"
+    assert d["events"][0]["args"] == [{"start": 0, "end": 1, "role": "Agent"}]
+    assert d["clusters"] == [
+        [{"start": 0, "end": 1}, {"start": 3, "end": 3}]
+    ]
+
+
+def test_read_brat_dataset_and_counters(ray_session):
+    pairs = rd.from_items(
+        [
+            {"doc_key": "d1", "txt": TXT, "ann": ANN},
+            {"doc_key": "d2", "txt": "spark runs", "ann": "T1\tTOOL 0 5\tspark\n"},
+        ]
+    )
+    parsed = read_brat(pairs)
+    pdf = parsed.to_pandas().set_index("doc_key")
+    assert list(pdf.loc["d2", "tokens"]) == ["spark", "runs"]
+    counters = drop_counters(read_brat(pairs))
+    assert counters["entities"] == 1 and counters["relations"] == 1
+
+
+def test_chemprot_style_join(ray_session):
+    abstracts = rd.from_pandas(
+        pd.DataFrame(
+            {"doc_key": ["a1", "a2"], "text": ["gene alpha binds drug beta", "no entities here"]}
+        )
+    )
+    entities = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_key": ["a1", "a1", "a1"],
+                "ent_id": ["T1", "T2", "T3"],
+                "label": ["GENE-Y", "CHEMICAL", "GENE-N"],
+                "start": [0, 17, 3],     # T3 misaligned (inside 'gene')
+                "end": [10, 26, 7],
+            }
+        )
+    )
+    relations = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_key": ["a1", "a1"],
+                "label": ["CPR:4", "CPR:9"],
+                "arg1": ["Arg1:T1", "Arg1:T3"],
+                "arg2": ["Arg2:T2", "Arg2:T2"],
+            }
+        )
+    )
+    out = read_chemprot_style(abstracts, entities, relations, num_buckets=2).to_pandas()
+    out = out.set_index("doc_key")
+    # GENE-Y -> GENE label rewrite (F9)
+    assert {"start": 0, "end": 1, "label": "GENE"} in [dict(x) for x in out.loc["a1", "ner"]]
+    assert [dict(x) for x in out.loc["a1", "relations"]] == [
+        {"s1": 0, "e1": 1, "s2": 3, "e2": 4, "label": "CPR:4"}
+    ]
+    assert out.loc["a1", "dropped_entities"] == 1
+    assert out.loc["a1", "dropped_relations"] == 1
+    # abstract with no annotations still yields a doc row
+    assert list(out.loc["a2", "ner"]) == []
+
+
+def test_documents_as_transcripts_shape(ray_session):
+    ds = documents_as_transcripts("/root/testdata/sf0.001")
+    df = ds.to_pandas()
+    assert set(df.columns) == {"conv_id", "turn_idx", "role", "text"}
+    g = df[df.conv_id == "doc0"].sort_values("turn_idx")
+    # turns are 16-token chunks except the last
+    lens = g["text"].str.split().map(len)
+    assert (lens.iloc[:-1] == 16).all() and lens.iloc[-1] <= 16
