@@ -292,6 +292,25 @@ def prune_topk_resort(scores: list[float], k: int) -> list[int]:
     return sorted(order)
 
 
+def distance_bucket(d: int) -> int:
+    """10-bucket distance feature (F5) — the standard allennlp
+    ``bucket_values`` scheme used for coref antecedent distance
+    (``coref.py:60-66,561-563``) and trigger-argument distance
+    (``events.py:92-95,249-266``): identity for 0-4, then log buckets
+    5-7 -> 5, 8-15 -> 6, 16-31 -> 7, 32-63 -> 8, 64+ -> 9."""
+    if d < 5:
+        return max(0, d)
+    if d < 8:
+        return 5
+    if d < 16:
+        return 6
+    if d < 32:
+        return 7
+    if d < 64:
+        return 8
+    return 9
+
+
 def prune_entity_beam(best_class_raw: list[float], threshold: float = 1e-10) -> list[int]:
     """Entity-beam pruning (O3): keep spans whose best non-null raw score
     exceeds ``threshold`` (entity_beam_pruner.py:14-24,116-136); order
