@@ -62,6 +62,12 @@ def hash_exchange(
     @ray.remote
     def split(block, key=key, B=num_buckets):
         tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        if key not in tbl.schema.names or tbl.num_rows == 0:
+            # Ray Data passes empty blocks through map UDFs untouched, so an
+            # upstream empty block may lack computed key columns — route it
+            # (0 rows) everywhere
+            empty = tbl.slice(0, 0)
+            return empty if B == 1 else tuple(empty for _ in range(B))
         col = tbl[key].to_pandas().to_numpy()
         b = stable_bucket(col, B)
         order = np.argsort(b, kind="stable")
@@ -76,7 +82,14 @@ def hash_exchange(
         nonempty = [p for p in parts if p.num_rows]
         base = nonempty if nonempty else list(parts[:1])
         df = pa.concat_tables(base, promote_options="default").to_pandas()
-        out = fn(df)
+        try:
+            out = fn(df)
+        except Exception:
+            if len(df) == 0:
+                # empty bucket whose schema lost computed columns upstream
+                # (Ray Data skips UDFs on empty blocks) — emit 0 rows
+                return base[0]
+            raise
         if isinstance(out, pd.DataFrame):
             return pa.Table.from_pandas(out, preserve_index=False)
         return out

@@ -64,10 +64,49 @@ class KGPipeline:
             return triples_local_dedup(self.relations)
         return triples_from_relations(self.relations)
 
+    def materialize_predicted(self) -> "KGPipeline":
+        """Pin the predicted-documents dataset in the object store so the
+        multiple downstream consumers (mentions/entities AND
+        relations/triples) execute the extraction once instead of
+        re-running lineage per consumer.  Use for run-everything jobs;
+        single-output jobs should stay lazy."""
+        self.predicted = self.predicted.materialize()
+        from ..stages import explode
+
+        self.mentions = explode.mentions_table(self.predicted)
+        self.relations = explode.relations_table(self.predicted)
+        self.triggers = explode.triggers_table(self.predicted)
+        self.event_args = explode.event_args_table(self.predicted)
+        self.clusters = explode.clusters_table(self.predicted)
+        return self
+
     def write_graph(self, out_dir: str, num_partitions: int = 32) -> dict:
         from ..state.checkpoint import write_partitioned
 
         return write_partitioned(self.triples(), out_dir, "conv_id", num_partitions)
+
+    def run_all(self, out_dir: str, num_partitions: int = 32) -> dict:
+        """Materialized-extraction run producing the full graph store:
+        triples + entities + clusters under ``out_dir``, each resumable
+        per partition.  Returns the combined manifest."""
+        import os
+
+        from ..state.checkpoint import write_partitioned
+
+        self.materialize_predicted()
+        manifests = {
+            "triples": write_partitioned(
+                self.triples(), os.path.join(out_dir, "triples"), "conv_id", num_partitions
+            ),
+            "entities": write_partitioned(
+                self.entities(), os.path.join(out_dir, "entities"), "surface",
+                max(4, num_partitions // 8),
+            ),
+            "clusters": write_partitioned(
+                self.clusters, os.path.join(out_dir, "clusters"), "doc_key", num_partitions
+            ),
+        }
+        return manifests
 
 
 def from_parquet(

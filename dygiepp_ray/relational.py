@@ -195,6 +195,66 @@ FROM events GROUP BY 1, 2
 """
 
 
+def events_hopping(sf_dir: str, size_s: int = 7200, hop_s: int = 3600) -> ray.data.Dataset:
+    """Hopping (sliding) windows: size 2h, hop 1h — each event lands in
+    size/hop windows; realized as a vectorized per-batch explode (the
+    window assignment is a pure column function, no state)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    k = size_s // hop_s
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sec = df["ts"].astype("int64").to_numpy() // 1_000_000
+        last = (sec // hop_s) * hop_s  # latest window containing the event
+        parts = []
+        for i in range(k):
+            w = last - i * hop_s
+            parts.append(
+                pd.DataFrame(
+                    {"event_type": df["event_type"], "window_start": w, "value": df["value"]}
+                )
+            )
+        allp = pd.concat(parts, ignore_index=True)
+        g = allp.groupby(["event_type", "window_start"], sort=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        )
+        return g.reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__wkey"] = df["event_type"].str.cat(df["window_start"].astype(str), sep="|")
+        return df
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "window_start"], sort=False).agg(
+            n=("n", "sum"), sum_value=("sum_value", "sum")
+        ).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        g["sum_value"] = g["sum_value"].round(2)
+        g["window_start"] = g["window_start"].astype(np.int64)
+        return g
+
+    return partitioned_map_groups(
+        partials.map_batches(keyed, batch_format="pandas"),
+        "__wkey",
+        lambda df: final(df.drop(columns="__wkey")),
+        num_buckets=8,
+    )
+
+
+SQL_EVENTS_HOPPING = """
+SELECT event_type,
+       CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 - s.i * 3600 AS window_start,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events, LATERAL (SELECT unnest(generate_series(0, 1)) AS i) s
+GROUP BY 1, 2
+"""
+
+
 def sessionize(sf_dir: str, gap_s: int = 1800) -> ray.data.Dataset:
     """Gap-based sessionization per user: groupby(user).map_groups over
     ts-sorted events (the streaming-window idiom for a batch log)."""
@@ -256,6 +316,7 @@ RELATIONAL_QUERIES = {
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
     "top_orders": (top_orders, SQL_TOP_ORDERS),
     "events_tumbling": (events_tumbling, SQL_EVENTS_TUMBLING),
+    "events_hopping": (events_hopping, SQL_EVENTS_HOPPING),
     "sessionize": (sessionize, SQL_SESSIONIZE),
     "distinct_event_users": (distinct_event_users, SQL_DISTINCT_EVENT_USERS),
 }

@@ -385,12 +385,16 @@ def extract(
     cfg: ExtractionConfig = DEFAULT_CONFIG,
     batch_size: int | None = None,
     concurrency: int | tuple[int, int] | None = None,
+    num_gpus: float | None = None,
 ) -> ray.data.Dataset:
     """documents -> documents + predicted annotation columns.
 
-    ``concurrency=None`` runs stateless tasks (the callable is cheap to
-    construct); pass an int for a fixed actor pool (the GPU-shaped
-    deployment: ``concurrency=N, num_gpus=...``)."""
+    ``concurrency=None`` runs stateless tasks (the deterministic scorer
+    is cheap to construct); pass an int for a fixed actor pool — the
+    GPU-shaped deployment of the north star: swap the lexicon scorer
+    for a model inside ``ExtractStage.__init__`` (loaded once per
+    actor, ``models/dygie.py:56-138`` analogue) and pass
+    ``concurrency=N, num_gpus=1, batch_size=B`` sized to the fleet."""
     if not cfg.entity_beam or cfg.max_antecedents < cfg.max_tokens_per_doc:
         return docs.map_batches(
             ReferenceModeExtract(cfg), batch_format="pyarrow", batch_size=batch_size
@@ -399,9 +403,12 @@ def extract(
         return docs.map_batches(
             ExtractStage(cfg), batch_format="pyarrow", batch_size=batch_size
         )
+    kw = {}
+    if num_gpus:
+        kw["num_gpus"] = num_gpus
     return docs.map_batches(
         ExtractStage, fn_constructor_args=(cfg,), batch_format="pyarrow",
-        batch_size=batch_size, concurrency=concurrency,
+        batch_size=batch_size, concurrency=concurrency, **kw,
     )
 
 

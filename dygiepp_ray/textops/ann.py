@@ -106,6 +106,94 @@ def brute_force_topk(
     return pd.concat(out, ignore_index=True)
 
 
+def embedding_near_dups(
+    embeddings: ray.data.Dataset,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 77,
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
+    threshold).
+
+    Scale path: random-hyperplane signatures bucket the corpus (near-dup
+    vectors collide with high probability), pairwise cosine runs only
+    within buckets via one keyed exchange.  Multi-probe: each vector is
+    assigned to its bucket plus the n_planes single-bit-flip neighbors,
+    so pairs straddling one hyperplane are still compared (recall loss
+    only for >=2 disagreeing planes — unlikely at cosine >= 0.95).
+    """
+    first = embeddings.take(1)[0]
+    dim = len(first["embedding"])
+    planes = np.random.RandomState(seed).normal(size=(n_planes, dim))
+    planes_ref = ray.put(planes)
+
+    def sign_probe(df: pd.DataFrame) -> pd.DataFrame:
+        vecs = _stack(df["embedding"])
+        bits = (vecs @ ray.get(planes_ref).T) > 0
+        base = (bits.astype(np.uint64) << np.arange(bits.shape[1], dtype=np.uint64)).sum(axis=1)
+        rows = {"vec_id": [], "bucket": [], "embedding": []}
+        for i in range(len(df)):
+            b = int(base[i])
+            buckets = [b] + [b ^ (1 << p) for p in range(n_planes)]
+            emb = vecs[i].tolist()  # plain lists: clean Arrow list<double>
+            for bk in buckets:
+                rows["vec_id"].append(df["vec_id"].iloc[i])
+                rows["bucket"].append(bk)
+                rows["embedding"].append(emb)
+        return pd.DataFrame(rows)
+
+    probed = embeddings.map_batches(sign_probe, batch_format="pandas")
+
+    from ..core import partitioned_map_groups
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("bucket", sort=False):
+            g = g.drop_duplicates("vec_id")
+            if len(g) < 2:
+                continue
+            vecs = np.stack(g["embedding"].to_numpy())
+            norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+            sims = norm @ norm.T
+            ids = g["vec_id"].to_numpy()
+            a, b = np.triu_indices(len(ids), k=1)
+            keep = sims[a, b] >= threshold
+            if keep.any():
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": np.minimum(ids[a[keep]], ids[b[keep]]),
+                            "id_b": np.maximum(ids[a[keep]], ids[b[keep]]),
+                            "cosine": sims[a[keep], b[keep]].round(6),
+                        }
+                    )
+                )
+        if not outs:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64),
+                 "cosine": pd.Series(dtype=np.float64)}
+            )
+        return pd.concat(outs, ignore_index=True).drop_duplicates(
+            ["id_a", "id_b"], ignore_index=True
+        )
+
+    cand = partitioned_map_groups(probed, "bucket", pairs, num_buckets)
+
+    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["pkey"] = df["id_a"].astype(str).str.cat(df["id_b"].astype(str), sep=":")
+        return df
+
+    out = partitioned_map_groups(
+        cand.map_batches(add_pkey, batch_format="pandas"),
+        "pkey",
+        lambda df: df.drop_duplicates("pkey", ignore_index=True).drop(columns="pkey"),
+        num_buckets,
+    )
+    return out.to_pandas().sort_values(["id_a", "id_b"], ignore_index=True)
+
+
 class _Signer:
     def __init__(self, planes_ref):
         self.planes = ray.get(planes_ref)

@@ -118,6 +118,14 @@ def q_minhash_near_dups(sf_dir: str):
     return dedup.ngram_jaccard_verify(pairs, docs, threshold=0.8)
 
 
+def q_embedding_near_dups(sf_dir: str):
+    """Rows-only: embedding-cosine near-dup pairs via multi-probe
+    hyperplane LSH buckets (cosine >= 0.9)."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return ann.embedding_near_dups(emb, threshold=0.9)
+
+
 def q_media_features(sf_dir: str):
     """Rows-only: multimodal decode/feature plumbing over a deterministic
     synthetic media table (binary payload column; stubbed codec)."""
@@ -145,5 +153,6 @@ TEXTOPS_QUERIES = {
     "simhash_signatures": (q_simhash, None),
     "lang_id": (q_lang_id, None),
     "minhash_near_dups": (q_minhash_near_dups, None),
+    "embedding_near_dups": (q_embedding_near_dups, None),
     "media_features": (q_media_features, None),
 }
