@@ -191,7 +191,13 @@ def embedding_near_dups(
         lambda df: df.drop_duplicates("pkey", ignore_index=True).drop(columns="pkey"),
         num_buckets,
     )
-    return out.to_pandas().sort_values(["id_a", "id_b"], ignore_index=True)
+    pdf = out.to_pandas()
+    if "id_a" not in pdf.columns:  # zero pairs end-to-end
+        return pd.DataFrame(
+            {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64),
+             "cosine": pd.Series(dtype=np.float64)}
+        )
+    return pdf.sort_values(["id_a", "id_b"], ignore_index=True)
 
 
 class _Signer:
