@@ -141,6 +141,36 @@ def partitioned_map_groups(
     return with_bucket.groupby(bucket_col).map_groups(run, batch_format="pandas")
 
 
+def assert_unique(ds: ray.data.Dataset, cols: list[str], num_buckets: int = 16) -> ray.data.Dataset:
+    """D1: distributed uniqueness check on a column tuple — raises on the
+    first duplicate (the reference asserts adjacency-index uniqueness,
+    ``adjacency_field_assym.py:62-63``).  Returns the dataset of
+    per-bucket duplicate counts (all zero) so the check composes lazily."""
+
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df):
+            dup = df.duplicated(cols)
+            if dup.any():
+                sample = df.loc[dup, cols].head(3).to_dict("records")
+                raise ValueError(f"duplicate keys on {cols}: {sample}")
+        return pd.DataFrame({"dups": [0]})
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        key = df[cols[0]].astype(str)
+        for c in cols[1:]:
+            key = key.str.cat(df[c].astype(str), sep="\x00")
+        df["__ukey"] = key
+        return df
+
+    return partitioned_map_groups(
+        ds.map_batches(keyed, batch_format="pandas"),
+        "__ukey",
+        check,
+        num_buckets,
+    )
+
+
 def list_offsets(list_array: pa.Array) -> np.ndarray:
     """int64 offsets of a (Large)ListArray, handling chunked input."""
     if isinstance(list_array, pa.ChunkedArray):

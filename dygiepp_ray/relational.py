@@ -287,6 +287,36 @@ FROM ordered GROUP BY 1
 """
 
 
+def orders_sample(sf_dir: str, pct_hex: str = "1a") -> ray.data.Dataset:
+    """Deterministic ~10% sample (O7 analogue, reproducibility-first):
+    keep rows where the first md5 byte of the key is < 0x1a.  Unlike
+    ``random_sample``, membership is a pure function of the key — stable
+    across parallelism levels, block layouts and engines (the DuckDB
+    oracle computes the identical predicate)."""
+    import hashlib
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["o_orderkey"].map(
+            lambda k: hashlib.md5(str(k).encode()).hexdigest()[:2]
+        )
+        out = df[h < pct_hex].copy()
+        out["o_totalprice"] = out["o_totalprice"].round(2)
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+SQL_ORDERS_SAMPLE = """
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders
+WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
+"""
+
+
 def distinct_event_users(sf_dir: str) -> ray.data.Dataset:
     """Distinct users per event type (A9 pattern: per-batch distinct
     partials, then exact distinct-union in a small groupby)."""
@@ -318,5 +348,6 @@ RELATIONAL_QUERIES = {
     "events_tumbling": (events_tumbling, SQL_EVENTS_TUMBLING),
     "events_hopping": (events_hopping, SQL_EVENTS_HOPPING),
     "sessionize": (sessionize, SQL_SESSIONIZE),
+    "orders_sample": (orders_sample, SQL_ORDERS_SAMPLE),
     "distinct_event_users": (distinct_event_users, SQL_DISTINCT_EVENT_USERS),
 }

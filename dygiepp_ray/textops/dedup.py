@@ -281,6 +281,87 @@ def connected_components(
     return ray.data.from_pandas(out)
 
 
+def fuzzy_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key_col: str,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_k: int = 2,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Similarity join on a short-string key (SURVEY.md J4 — the
+    reference aligns GENIA articles by fuzzy title match,
+    ``scripts/data/genia/align_articles.py:1-60``).
+
+    Ray-Data-first shape: both sides are shingled + minhashed, banded
+    LSH buckets generate candidate (left_id, right_id) pairs, exact
+    word-shingle Jaccard filters at ``threshold``.  Output:
+    (left_id, right_id, jaccard), best right match per left id.
+    """
+
+    def tag(side):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "doc_id": df[id_col].to_numpy(),
+                    "text": df[key_col],
+                    "__side": side,
+                }
+            )
+
+        return fn
+
+    l = left.map_batches(tag("L"), batch_format="pandas")
+    r = right.map_batches(tag("R"), batch_format="pandas")
+    both = l.union(r)
+    sigs = minhash_signatures(both, n_perm=64, shingle_k=shingle_k)
+    # carry side through by re-joining on id sign: ids must be disjoint OR
+    # sides distinguished; simplest robust contract: caller guarantees
+    # globally unique ids across sides
+    sides = both.map_batches(
+        lambda df: df[["doc_id", "__side"]], batch_format="pandas"
+    ).to_pandas()
+    side_of = dict(zip(sides["doc_id"], sides["__side"]))
+    pairs = lsh_candidate_pairs(sigs, bands=16, num_buckets=num_buckets)
+    verified = ngram_jaccard_verify(pairs, both, shingle_k=shingle_k,
+                                    threshold=threshold)
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "id_a" not in df.columns:
+            return pd.DataFrame(
+                {"left_id": pd.Series(dtype=np.int64),
+                 "right_id": pd.Series(dtype=np.int64),
+                 "jaccard": pd.Series(dtype=np.float64)}
+            )
+        rows = []
+        for a, b, j in zip(df["id_a"], df["id_b"], df["jaccard"]):
+            sa, sb = side_of.get(a), side_of.get(b)
+            if sa == "L" and sb == "R":
+                rows.append((a, b, j))
+            elif sa == "R" and sb == "L":
+                rows.append((b, a, j))
+        return pd.DataFrame(rows, columns=["left_id", "right_id", "jaccard"])
+
+    oriented = verified.map_batches(orient, batch_format="pandas").to_pandas()
+    if len(oriented) == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {"left_id": pd.Series(dtype=np.int64),
+                 "right_id": pd.Series(dtype=np.int64),
+                 "jaccard": pd.Series(dtype=np.float64)}
+            )
+        )
+    best = (
+        oriented.sort_values(["left_id", "jaccard", "right_id"],
+                             ascending=[True, False, True])
+        .groupby("left_id", sort=True)
+        .head(1)
+        .reset_index(drop=True)
+    )
+    return ray.data.from_pandas(best)
+
+
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
