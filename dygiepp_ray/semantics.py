@@ -36,7 +36,7 @@ from __future__ import annotations
 import hashlib
 import math
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 # ---------------------------------------------------------------------------
 # Label namespaces.  Index 0 is the implicit null class in every namespace

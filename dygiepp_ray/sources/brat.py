@@ -23,12 +23,10 @@ rows — read the file pairs with ``ray.data.read_binary_files`` /
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 
 import ray.data
 
-from ..semantics import tokenize
 
 
 def _token_char_spans(text: str) -> tuple[list[str], dict[int, int], dict[int, int]]:

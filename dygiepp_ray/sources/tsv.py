@@ -15,7 +15,6 @@ large); label normalization is a vectorized string op.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 
 import ray.data

@@ -20,7 +20,6 @@ O(mentions).
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 
