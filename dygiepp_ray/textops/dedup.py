@@ -229,56 +229,84 @@ def ngram_jaccard_verify(
 
 
 def connected_components(
-    edges: ray.data.Dataset, max_iters: int = 10, num_buckets: int = 32
+    edges: ray.data.Dataset, max_iters: int = 20, num_buckets: int = 32
 ) -> ray.data.Dataset:
-    """Min-label propagation over undirected edges (id_a, id_b) ->
-    (doc_id, component) — the distributed union-find for near-dup
-    clusters and fuzzy entity merging (J8).  Converges in O(log n)
-    rounds; each round is one partitioned groupby."""
+    """Fully distributed min-label propagation over undirected edges
+    (id_a, id_b) -> (node, component) — the distributed union-find for
+    near-dup clusters and fuzzy entity merging (J8).
+
+    Each round is TWO keyed exchanges, nothing ever sits on the driver:
+
+      1. edges x labels co-partitioned on the message SOURCE node:
+         every edge endpoint emits its current label to its neighbor;
+      2. messages x labels co-partitioned on the TARGET node:
+         new label = min(own, incoming); emits a per-bucket changed
+         count.
+
+    The driver only reads the scalar changed-count per round (control
+    flow), so the algorithm holds for edge sets far beyond driver
+    memory.  Converges in O(diameter) rounds (min-label propagation).
+    """
 
     def sym(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "node": np.concatenate([df["id_a"].to_numpy(), df["id_b"].to_numpy()]),
-                "peer": np.concatenate([df["id_b"].to_numpy(), df["id_a"].to_numpy()]),
+                "src": np.concatenate([df["id_a"].to_numpy(), df["id_b"].to_numpy()]),
+                "dst": np.concatenate([df["id_b"].to_numpy(), df["id_a"].to_numpy()]),
             }
         )
 
-    labels = edges.map_batches(sym, batch_format="pandas")
+    sym_edges = edges.map_batches(sym, batch_format="pandas").materialize()
 
-    def minimize(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("node", sort=False)["peer"].min().reset_index()
-        g["label"] = np.minimum(g["node"], g["peer"])
-        return g[["node", "label"]]
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("src", sort=False)["dst"].min().reset_index()
+        g["label"] = np.minimum(g["src"], g["dst"])
+        return g.rename(columns={"src": "node"})[["node", "label"]]
 
-    labels = partitioned_map_groups(labels, "node", minimize, num_buckets)
-    edge_pd = edges.to_pandas()  # bounded: candidate pairs, not corpus
+    labels = partitioned_map_groups(sym_edges, "src", init_labels, num_buckets)
 
     for _ in range(max_iters):
-        lab = labels.to_pandas()
-        lookup = dict(zip(lab["node"], lab["label"]))
-        # propagate: node label = min(label, labels of neighbors)
-        a = edge_pd["id_a"].map(lookup)
-        b = edge_pd["id_b"].map(lookup)
-        new = pd.DataFrame(
-            {
-                "node": np.concatenate([edge_pd["id_a"], edge_pd["id_b"], lab["node"]]),
-                "label": np.concatenate([np.minimum(a, b), np.minimum(a, b), lab["label"]]),
-            }
+        lab_rows = labels.map_batches(
+            lambda df: df.assign(kind="L").rename(columns={"node": "src"}),
+            batch_format="pandas",
         )
-        merged = new.groupby("node", sort=False)["label"].min().reset_index()
-        if merged["label"].equals(lab.sort_values("node", ignore_index=True)["label"]):
-            labels = ray.data.from_pandas(merged.rename(columns={"label": "component"}))
+        edge_rows = sym_edges.map_batches(
+            lambda df: df.assign(kind="E", label=np.int64(0)), batch_format="pandas"
+        )
+
+        def send(df: pd.DataFrame) -> pd.DataFrame:
+            # bucket key = src; label rows carry src's label to its edges
+            lab = df[df["kind"] == "L"][["src", "label"]]
+            edg = df[df["kind"] == "E"][["src", "dst"]]
+            j = edg.merge(lab, on="src", how="inner")
+            out = j.rename(columns={"dst": "node"})[["node", "label"]]
+            # union-promotion turns partially-null columns into float64
+            return out.astype({"node": np.int64, "label": np.int64})
+
+        msgs = partitioned_map_groups(
+            lab_rows.union(edge_rows), "src", send, num_buckets
+        )
+
+        m_rows = msgs.map_batches(lambda df: df.assign(kind="M"), batch_format="pandas")
+        l_rows = labels.map_batches(lambda df: df.assign(kind="L"), batch_format="pandas")
+
+        def update(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("node", sort=False)["label"].min().reset_index()
+            old = df[df["kind"] == "L"].set_index("node")["label"]
+            changed = (g.set_index("node")["label"] != old.reindex(g["node"]).to_numpy()).to_numpy()
+            g["changed"] = changed.astype(np.int64)
+            return g.astype({"node": np.int64, "label": np.int64})
+
+        labels = partitioned_map_groups(
+            m_rows.union(l_rows), "node", update, num_buckets
+        ).materialize()
+        if int(labels.sum("changed") or 0) == 0:
             break
-        labels = ray.data.from_pandas(merged)
-    else:
-        labels = labels.map_batches(
-            lambda df: df.rename(columns={"label": "component"}), batch_format="pandas"
-        )
-    out = labels.to_pandas()
-    if "component" not in out.columns:
-        out = out.rename(columns={"label": "component"})
-    return ray.data.from_pandas(out)
+
+    return labels.map_batches(
+        lambda df: df.rename(columns={"label": "component"})[["node", "component"]],
+        batch_format="pandas",
+    )
 
 
 def fuzzy_join(

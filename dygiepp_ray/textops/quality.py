@@ -61,6 +61,43 @@ def quality_scores(ds: ray.data.Dataset, text_col="text", id_col="doc_id") -> ra
     return ds.map_batches(fn, batch_format="pandas")
 
 
+# GPT-2-style pre-tokenizer regex, restricted to constructs with identical
+# semantics in Python re and RE2 (no lookahead, no \p classes) so the
+# DuckDB oracle reproduces it exactly.
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9' ]+"
+
+
+class BpeTokenCounter:
+    """Actor-pool stage: BPE-ish pre-tokenizer compiled once per actor;
+    counts sub-word-ish tokens per document (contractions split,
+    letter/digit/punct runs separated — the usual LLM token-budget
+    estimator shape)."""
+
+    def __init__(self, pattern: str = BPE_PATTERN):
+        import re as _re
+
+        self.pat = _re.compile(pattern)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        n = df["text"].map(lambda t: len(self.pat.findall(t)))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_bpe_tokens": n.to_numpy().astype(np.int64),
+            }
+        )
+
+
+def bpe_token_counts(
+    ds: ray.data.Dataset, concurrency: int | None = None
+) -> ray.data.Dataset:
+    if concurrency:
+        return ds.map_batches(
+            BpeTokenCounter, batch_format="pandas", concurrency=concurrency
+        )
+    return ds.map_batches(BpeTokenCounter(), batch_format="pandas")
+
+
 # language-ID: character n-gram profile heuristic (no external models).
 _LANG_PROFILES = {
     "en": ("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"),

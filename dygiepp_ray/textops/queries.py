@@ -30,6 +30,17 @@ FROM documents
 """
 
 
+def q_bpe_token_count(sf_dir: str):
+    return quality.bpe_token_counts(_docs(sf_dir))
+
+
+SQL_BPE_TOKEN_COUNT = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{quality.BPE_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
 def q_quality(sf_dir: str):
     return quality.quality_scores(_docs(sf_dir))
 
@@ -146,6 +157,7 @@ def q_media_features(sf_dir: str):
 
 TEXTOPS_QUERIES = {
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "bpe_token_count": (q_bpe_token_count, SQL_BPE_TOKEN_COUNT),
     "quality_scores": (q_quality, SQL_QUALITY),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),

@@ -70,6 +70,38 @@ def test_connected_components(ray_session):
     assert comp[10] == comp[11] == comp[12] == 10
 
 
+def test_connected_components_random_graph_vs_union_find(ray_session):
+    # property check: distributed min-label propagation == plain union-find
+    rs = np.random.RandomState(7)
+    edges = rs.randint(0, 80, size=(120, 2))
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    df = pd.DataFrame({"id_a": edges[:, 0], "id_b": edges[:, 1]})
+    out = dedup.connected_components(rd.from_pandas(df), num_buckets=4).to_pandas()
+    got = dict(zip(out["node"], out["component"]))
+
+    parent = list(range(80))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        assert got[a] == got[b]
+    expect = {}
+    for n in set(edges.ravel().tolist()):
+        expect.setdefault(find(n), set()).add(n)
+    got_groups = {}
+    for n, c in got.items():
+        got_groups.setdefault(c, set()).add(n)
+    assert set(map(frozenset, expect.values())) == set(map(frozenset, got_groups.values()))
+
+
 def test_simhash_near_dups(dup_docs):
     ds, df = dup_docs
     sigs = dedup.simhash_signatures(ds)
@@ -167,3 +199,14 @@ def test_multimodal_frame_sample(ray_session):
 def test_real_decoder_is_gated():
     with pytest.raises(NotImplementedError):
         multimodal.RealDecoder()
+
+
+def test_bpe_token_counter_punctuation(ray_session):
+    df = pd.DataFrame(
+        {"doc_id": [0], "text": ["the cat's hat isn't 42 big-deal!!"]}
+    )
+    out = quality.bpe_token_counts(rd.from_pandas(df)).to_pandas()
+    import re
+
+    expect = len(re.findall(quality.BPE_PATTERN, df.text[0]))
+    assert out.n_bpe_tokens[0] == expect == 11
