@@ -228,6 +228,115 @@ def ngram_jaccard_verify(
     return pairs.map_batches(Verify, batch_format="pandas", concurrency=2)
 
 
+def ngram_jaccard_verify_bucketed(
+    pairs: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Exact word-shingle Jaccard over candidate pairs — the full-scale
+    path: shingle sets are joined to the pairs with two keyed exchanges
+    (on id_a, then id_b) instead of broadcasting the whole corpus's
+    shingles to the driver (``ngram_jaccard_verify``'s small-side
+    shortcut).  Output identical to the broadcast path."""
+
+    def to_sets(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.strip().str.split(r"\s+", regex=True)
+        return pd.DataFrame(
+            {
+                "doc_id": df[id_col].to_numpy(),
+                "shingles": [
+                    # serialized uint64 hash set: a scalar binary column
+                    # survives schema promotion across the tagged union
+                    # (nullable list columns break arrow->pandas here)
+                    _shingle_hashes(t if t != [""] else [], shingle_k).tobytes()
+                    for t in toks
+                ],
+            }
+        )
+
+    sets_ds = docs.map_batches(to_sets, batch_format="pandas")
+
+    def attach(side_id: str, out_col: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            sets = df[df["kind"] == "S"][["doc_id", "shingles"]].rename(
+                columns={"doc_id": side_id, "shingles": out_col}
+            )
+            p = df[df["kind"] == "P"].drop(columns=["doc_id", "shingles", "kind"], errors="ignore")
+            if len(p) == 0:
+                p[out_col] = pd.Series(dtype=object)
+                return p
+            j = p.merge(sets, on=side_id, how="inner")
+            for c in ("id_a", "id_b"):
+                j[c] = j[c].astype(np.int64)
+            return j
+
+        return fn
+
+    def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["kind"] = "P"
+        return df
+
+    def tag_sets(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["kind"] = "S"
+        return df
+
+    def keyed(col):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__jkey"] = (
+                df[col] if col in df.columns else df["doc_id"]
+            ).astype(np.int64)
+            return df
+
+        return fn
+
+    p1 = pairs.map_batches(tag_pairs, batch_format="pandas").map_batches(
+        keyed("id_a"), batch_format="pandas"
+    )
+    s1 = sets_ds.map_batches(tag_sets, batch_format="pandas").map_batches(
+        keyed("doc_id"), batch_format="pandas"
+    )
+    withl = partitioned_map_groups(
+        p1.union(s1), "__jkey",
+        lambda df: attach("id_a", "sh_a")(df.drop(columns="__jkey")),
+        num_buckets,
+    )
+    p2 = withl.map_batches(tag_pairs, batch_format="pandas").map_batches(
+        keyed("id_b"), batch_format="pandas"
+    )
+    s2 = sets_ds.map_batches(tag_sets, batch_format="pandas").map_batches(
+        keyed("doc_id"), batch_format="pandas"
+    )
+    withboth = partitioned_map_groups(
+        p2.union(s2), "__jkey",
+        lambda df: attach("id_b", "sh_b")(df.drop(columns="__jkey")),
+        num_buckets,
+    )
+
+    def jaccard(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "sh_a" not in df.columns:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64),
+                 "jaccard": pd.Series(dtype=np.float64)}
+            )
+        jac = np.empty(len(df))
+        for i, (sa, sb) in enumerate(zip(df["sh_a"], df["sh_b"])):
+            A = set(np.frombuffer(sa, dtype=np.uint64).tolist())
+            B = set(np.frombuffer(sb, dtype=np.uint64).tolist())
+            jac[i] = len(A & B) / max(1, len(A | B))
+        out = df[["id_a", "id_b"]].copy()
+        out["jaccard"] = jac
+        return out[out["jaccard"] >= threshold].reset_index(drop=True)
+
+    return withboth.map_batches(jaccard, batch_format="pandas")
+
+
 def connected_components(
     edges: ray.data.Dataset, max_iters: int = 20, num_buckets: int = 32
 ) -> ray.data.Dataset:

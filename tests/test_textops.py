@@ -210,3 +210,16 @@ def test_bpe_token_counter_punctuation(ray_session):
 
     expect = len(re.findall(quality.BPE_PATTERN, df.text[0]))
     assert out.n_bpe_tokens[0] == expect == 11
+
+
+def test_bucketed_jaccard_matches_broadcast(dup_docs):
+    ds, df = dup_docs
+    sigs = dedup.minhash_signatures(ds)
+    pairs = dedup.lsh_candidate_pairs(sigs, num_buckets=4)
+    a = dedup.ngram_jaccard_verify(pairs, ds, threshold=0.5).to_pandas()
+    sigs2 = dedup.minhash_signatures(ds)
+    pairs2 = dedup.lsh_candidate_pairs(sigs2, num_buckets=4)
+    b = dedup.ngram_jaccard_verify_bucketed(pairs2, ds, threshold=0.5).to_pandas()
+    ka = {(r.id_a, r.id_b): round(r.jaccard, 9) for r in a.itertuples()}
+    kb = {(r.id_a, r.id_b): round(r.jaccard, 9) for r in b.itertuples()}
+    assert ka == kb
