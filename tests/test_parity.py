@@ -175,3 +175,50 @@ def test_entities_aggregate(engine, oracle_docs):
     assert got == dict(cnt)
     got_docs = dict(zip(ents.surface, ents.n_docs))
     assert got_docs == {s: len(v) for s, v in docs_per.items()}
+
+
+def test_parity_larger_corpus(ray_session):
+    """Wider parity sweep: 150 conversations (~2.2k turns) with hot keys,
+    splits, single-token turns — every annotation layer must match the
+    exhaustive oracle exactly."""
+    corpus = make_transcripts(150, seed=99)
+    pipe = KGPipeline(rd.from_arrow(corpus), num_buckets=8)
+    pdf = pipe.predicted.to_pandas()
+    ora = oracle.extract_all(corpus.to_pylist())
+    c = M.ner_counts(_eng_mentions(pdf), _ora_mentions(ora))
+    assert c.gold > 3000 and c.prf()[:2] == (1.0, 1.0)
+    pred_r = [
+        (r["doc_key"], m["s1"], m["e1"], m["s2"], m["e2"], m["label"])
+        for _, r in pdf.iterrows() for m in r["relations"]
+    ]
+    gold_r = [
+        (d.doc_key, s1, e1, s2, e2, lab)
+        for d in ora for sent in d.relations
+        for (s1, e1, s2, e2, lab, _x, _y) in sent
+    ]
+    cr = M.relation_counts(pred_r, gold_r)
+    assert cr.gold > 1000 and cr.prf()[:2] == (1.0, 1.0)
+    # triples through the shuffle-free conv-local dedup path
+    etr = pipe.triples().to_pandas()
+    gold_t = [
+        (c_, s, p, o)
+        for (c_, _si, s, p, _oi, o) in oracle.triples_from_docs(ora)
+    ]
+    ct = M.triple_counts(list(zip(etr.conv_id, etr.subj, etr.pred, etr.obj)), gold_t)
+    assert ct.gold > 800 and ct.prf()[:2] == (1.0, 1.0)
+
+
+def test_reference_mode_end_to_end_triples(ray_session, corpus):
+    """Top-k pruning config through the whole pipeline (including
+    triples): engine's reference-control-flow path vs the oracle under
+    the same config."""
+    cfg = ExtractionConfig(entity_beam=False)
+    pipe = KGPipeline(rd.from_arrow(corpus), cfg=cfg, num_buckets=4)
+    etr = pipe.triples().to_pandas()
+    ora = oracle.extract_all(corpus.to_pylist(), cfg)
+    gold_t = [
+        (c_, s, p, o)
+        for (c_, _si, s, p, _oi, o) in oracle.triples_from_docs(ora)
+    ]
+    ct = M.triple_counts(list(zip(etr.conv_id, etr.subj, etr.pred, etr.obj)), gold_t)
+    assert ct.gold > 50 and ct.prf()[:2] == (1.0, 1.0)
