@@ -112,6 +112,48 @@ def write_reference_jsonl(predicted_docs: ray.data.Dataset, out_dir: str) -> int
     return int(counts["n"].sum())
 
 
+def gold_row_to_reference_json(row: dict) -> dict:
+    """Inverse of ``read_reference_jsonl``'s parse: gold doc row ->
+    reference wire-format dict, completing the round-trip identity the
+    reference test-enforces (``document_test.py:36-56``:
+    from_json(to_json(x)) == x)."""
+    n_sents = len(row["sentences"])
+    ner = [[] for _ in range(n_sents)]
+    for m in _as_list(row.get("gold_ner")):
+        ner[m["sent_ix"]].append([int(m["start"]), int(m["end"]), m["label"]])
+    rels = [[] for _ in range(n_sents)]
+    for m in _as_list(row.get("gold_relations")):
+        rels[m["sent_ix"]].append(
+            [int(m["s1"]), int(m["e1"]), int(m["s2"]), int(m["e2"]), m["label"]]
+        )
+    events = [[] for _ in range(n_sents)]
+    for ev in _as_list(row.get("gold_events")):
+        entry = [[int(ev["trigger_tok"]), ev["event_type"]]] + [
+            [int(a["start"]), int(a["end"]), a["role"]] for a in _as_list(ev["args"])
+        ]
+        events[int(ev["sent_ix"])].append(entry)
+    clusters: dict[int, list] = {}
+    for c in _as_list(row.get("gold_clusters")):
+        clusters.setdefault(int(c["cluster_ix"]), []).append(
+            [int(c["start"]), int(c["end"])]
+        )
+    out = {
+        "doc_key": row["doc_key"],
+        "dataset": row.get("dataset", ""),
+        "sentences": [list(s) for s in row["sentences"]],
+        "ner": ner,
+        "relations": rels,
+        "events": events,
+        "clusters": [clusters[k] for k in sorted(clusters)],
+    }
+    if row.get("weight") is not None:
+        out["weight"] = row["weight"]
+    meta = row.get("_metadata")
+    if meta:
+        out.update(json.loads(meta) if isinstance(meta, str) else meta)
+    return out
+
+
 def read_reference_jsonl(paths: str | list[str]) -> ray.data.Dataset:
     """S1/S3: reference-format JSONL -> gold document rows.
 

@@ -199,53 +199,92 @@ def embedding_near_dups(
     return pdf.sort_values(["id_a", "id_b"], ignore_index=True)
 
 
-class _Signer:
-    def __init__(self, planes_ref):
-        self.planes = ray.get(planes_ref)
-
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        vecs = _stack(df["embedding"])
-        bits = (vecs @ self.planes.T) > 0
-        sig = (bits.astype(np.uint64) << np.arange(bits.shape[1], dtype=np.uint64)).sum(axis=1)
-        out = df.copy()
-        out["bucket"] = sig.astype(np.int64)
-        return out
-
-
 def lsh_topk(
     embeddings: ray.data.Dataset,
     query_ids: list[int],
     k: int = 5,
     n_planes: int = 8,
     seed: int = 99,
+    num_buckets: int = 8,
 ) -> pd.DataFrame:
-    """Bucketed ANN: search only the query's hyperplane bucket.
-    Approximate — recall measured against brute_force_topk in tests."""
+    """Bucketed ANN scale path: corpus vectors are hyperplane-bucketed
+    with ONE keyed exchange; each bucket task scores only its queries
+    against only its members (queries broadcast — the small side).  The
+    driver merges the tiny per-bucket top-k lists.  Approximate — recall
+    measured against brute_force_topk in tests."""
     first = embeddings.take(1)[0]
     dim = len(first["embedding"])
     planes = np.random.RandomState(seed).normal(size=(n_planes, dim))
     planes_ref = ray.put(planes)
-    signed = embeddings.map_batches(_Signer(planes_ref), batch_format="pandas")
-    sdf = signed.to_pandas()  # small at test scale; bucket-wise at full scale
-    out = []
-    qrows = sdf[sdf["vec_id"].isin(set(query_ids))]
-    for _, qr in qrows.iterrows():
-        bucket = sdf[sdf["bucket"] == qr["bucket"]]
-        vecs = _stack(bucket["embedding"])
-        qv = np.asarray(qr["embedding"], dtype=np.float64)
-        sims = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)) @ (qv / np.linalg.norm(qv))
-        bucket = bucket.assign(sim=sims)
-        bucket = bucket[bucket["vec_id"] != qr["vec_id"]]
-        top = bucket.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        out.append(
-            pd.DataFrame(
-                {
-                    "query_id": np.full(len(top), qr["vec_id"], dtype=np.int64),
-                    "vec_id": top["vec_id"].to_numpy().astype(np.int64),
-                    "rank": np.arange(1, len(top) + 1, dtype=np.int64),
-                }
-            )
+
+    qset = set(query_ids)
+    qdf = embeddings.map_batches(
+        lambda df: df[df["vec_id"].isin(qset)], batch_format="pandas"
+    ).to_pandas()
+    qvecs = _stack(qdf["embedding"])
+    qbits = (qvecs @ planes.T) > 0
+    qbuckets = (qbits.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
+    queries_ref = ray.put(
+        {"ids": qdf["vec_id"].to_numpy(), "vecs": qvecs, "buckets": qbuckets.astype(np.int64)}
+    )
+
+    def sign(df: pd.DataFrame) -> pd.DataFrame:
+        vecs = _stack(df["embedding"])
+        bits = (vecs @ ray.get(planes_ref).T) > 0
+        sig = (bits.astype(np.uint64) << np.arange(bits.shape[1], dtype=np.uint64)).sum(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy(),
+                "bucket": sig.astype(np.int64),
+                "embedding": [v.tolist() for v in vecs],
+            }
         )
+
+    signed = embeddings.map_batches(sign, batch_format="pandas")
+
+    from ..core import partitioned_map_groups
+
+    def score_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(queries_ref)
+        outs = []
+        for bucket, g in df.groupby("bucket", sort=False):
+            qsel = np.flatnonzero(q["buckets"] == bucket)
+            if len(qsel) == 0 or len(g) == 0:
+                continue
+            vecs = np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]])
+            vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+            for qi in qsel:
+                qv = q["vecs"][qi]
+                sims = vn @ (qv / np.linalg.norm(qv))
+                gg = pd.DataFrame(
+                    {"vec_id": g["vec_id"].to_numpy(), "sim": sims}
+                )
+                gg = gg[gg["vec_id"] != q["ids"][qi]]
+                top = gg.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+                top = top.assign(query_id=q["ids"][qi])
+                outs.append(top)
+        if not outs:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype=np.int64),
+                 "vec_id": pd.Series(dtype=np.int64),
+                 "sim": pd.Series(dtype=np.float64)}
+            )
+        return pd.concat(outs, ignore_index=True)[["query_id", "vec_id", "sim"]]
+
+    cands = partitioned_map_groups(signed, "bucket", score_bucket, num_buckets).to_pandas()
+    out = []
+    if len(cands) and "query_id" in cands.columns:
+        for qid, g in cands.groupby("query_id", sort=True):
+            top = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(len(top), qid, dtype=np.int64),
+                        "vec_id": top["vec_id"].to_numpy().astype(np.int64),
+                        "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+                    }
+                )
+            )
     return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
         columns=["query_id", "vec_id", "rank"]
     )

@@ -185,6 +185,11 @@ def test_jsonl_roundtrip(ray_session, tmp_path):
     gpath.write_text(json.dumps(gold_line) + "\n")
     gds = read_reference_jsonl(str(gpath)).to_pandas()
     row = gds.iloc[0]
+    # golden-identity round trip: from_json(to_json(x)) == x
+    # (document_test.py:36-56)
+    from dygiepp_ray.sources.jsonl import gold_row_to_reference_json
+
+    assert gold_row_to_reference_json(row.to_dict()) == gold_line
     assert row["doc_key"] == "g1"
     assert [dict(m) for m in row["gold_ner"]] == [
         {"sent_ix": 0, "start": 0, "end": 0, "label": "TOOL"},
