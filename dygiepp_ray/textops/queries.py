@@ -122,11 +122,13 @@ def q_lang_id(sf_dir: str):
 
 
 def q_minhash_near_dups(sf_dir: str):
-    """Rows-only: MinHash-LSH candidate pairs verified by exact Jaccard."""
+    """Rows-only: MinHash-LSH candidate pairs verified by exact Jaccard
+    (bucketed-join verify — the scale path; broadcast variant is
+    equivalence-tested against it)."""
     docs = _docs(sf_dir)
     sigs = dedup.minhash_signatures(docs)
     pairs = dedup.lsh_candidate_pairs(sigs)
-    return dedup.ngram_jaccard_verify(pairs, docs, threshold=0.8)
+    return dedup.ngram_jaccard_verify_bucketed(pairs, docs, threshold=0.8)
 
 
 def q_embedding_near_dups(sf_dir: str):
