@@ -56,6 +56,12 @@ def _assemble_bucket(df: pd.DataFrame, cfg: ExtractionConfig) -> pa.Table:
     roles = (
         df["role"].to_numpy() if "role" in df.columns else np.full(len(df), "", object)
     )
+    # optional transcript metadata passthrough (input_hint ts/tool — the
+    # reference's `_`-metadata carry-through, doc/data.md:94-106)
+    ts_us = (
+        df["ts"].astype("int64").to_numpy() if "ts" in df.columns else None
+    )
+    tools = df["tool"].to_numpy() if "tool" in df.columns else None
     # conversation boundaries (conv_ids sorted)
     boundaries = np.flatnonzero(
         np.r_[True, conv_ids[1:] != conv_ids[:-1]]
@@ -63,10 +69,16 @@ def _assemble_bucket(df: pd.DataFrame, cfg: ExtractionConfig) -> pa.Table:
 
     out = {k: [] for k in ("doc_key", "conv_id", "dataset", "sentences",
                            "sentence_start", "turn_idx", "roles", "n_tokens")}
+    if ts_us is not None:
+        out["ts_us"] = []
+    if tools is not None:
+        out["tools"] = []
     mx = cfg.max_tokens_per_doc
     dataset = cfg.dataset
     turn_list = turn_idx.tolist()
     role_list = list(roles)
+    ts_list = ts_us.tolist() if ts_us is not None else None
+    tool_list = list(tools) if tools is not None else None
     for bi in range(len(boundaries) - 1):
         lo, hi = boundaries[bi], boundaries[bi + 1]
         cid = conv_ids[lo]
@@ -97,7 +109,16 @@ def _assemble_bucket(df: pd.DataFrame, cfg: ExtractionConfig) -> pa.Table:
             out["turn_idx"].append(turn_list[lo + a : lo + b])
             out["roles"].append(role_list[lo + a : lo + b])
             out["n_tokens"].append(acc)
-    return pa.Table.from_pydict(out, schema=DOC_SCHEMA)
+            if ts_list is not None:
+                out["ts_us"].append(ts_list[lo + a : lo + b])
+            if tool_list is not None:
+                out["tools"].append(tool_list[lo + a : lo + b])
+    schema = DOC_SCHEMA
+    if ts_list is not None:
+        schema = schema.append(pa.field("ts_us", pa.list_(pa.int64())))
+    if tool_list is not None:
+        schema = schema.append(pa.field("tools", pa.list_(pa.string())))
+    return pa.Table.from_pydict(out, schema=schema)
 
 
 def assemble_documents(

@@ -77,3 +77,25 @@ def test_matches_oracle_assembly(ray_session):
         assert [list(s) for s in r["sentences"]] == d.sentences
         assert list(r["sentence_start"]) == d.sentence_start
         assert list(r["turn_idx"]) == d.turn_idx
+
+
+def test_ts_and_tool_metadata_passthrough(ray_session):
+    # input_hint ts/tool columns carried through assembly in turn order
+    from dygiepp_ray.sources.transcripts import read_transcripts
+    from dygiepp_ray.synth import make_transcripts
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    tbl = make_transcripts(6, seed=17)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.parquet")
+        pq.write_table(tbl, path)
+        ds = read_transcripts(path, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+        docs = assemble_documents(ds, num_buckets=2).to_pandas()
+    assert "ts_us" in docs.columns and "tools" in docs.columns
+    pdf = tbl.to_pandas()
+    for _, r in docs.iterrows():
+        conv = pdf[pdf.conv_id == r["conv_id"]].sort_values("turn_idx")
+        sel = conv[conv.turn_idx.isin(list(r["turn_idx"]))]
+        assert list(r["ts_us"]) == list(sel["ts"].astype("int64"))
+        assert list(r["tools"]) == list(sel["tool"])
