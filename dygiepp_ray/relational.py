@@ -127,6 +127,76 @@ GROUP BY 1
 """
 
 
+def region_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Four-table star join: orders x customer x nation x region ->
+    revenue per region.  The three dimension tables are pre-joined on
+    the driver (they are tiny) and broadcast once; the fact scan does a
+    single vectorized merge per batch — the canonical
+    broadcast-the-small-side pattern at any scale."""
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    ).to_pandas()
+    region = ray.data.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    dim = (
+        cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    )[["c_custkey", "n_name", "r_name"]]
+    dim_ref = ray.put(dim)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    class JoinAgg:
+        def __init__(self):
+            self.dim = ray.get(dim_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            j = df.merge(self.dim, left_on="o_custkey", right_on="c_custkey", how="inner")
+            g = j.groupby(["r_name", "n_name"], sort=False).agg(
+                total=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+            )
+            return g.reset_index()
+
+    partials = orders.map_batches(JoinAgg, batch_format="pandas", concurrency=2)
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__rkey"] = df["r_name"].str.cat(df["n_name"], sep="|")
+        return df
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["r_name", "n_name"], sort=False).agg(
+            total=("total", "sum"), n_orders=("n_orders", "sum")
+        ).reset_index()
+        g["total"] = g["total"].round(2)
+        g["n_orders"] = g["n_orders"].astype(np.int64)
+        return g
+
+    return partitioned_map_groups(
+        partials.map_batches(keyed, batch_format="pandas"),
+        "__rkey",
+        lambda df: final(df.drop(columns="__rkey")),
+        num_buckets=4,
+    )
+
+
+SQL_REGION_REVENUE = """
+SELECT r_name, n_name, round(sum(o_totalprice), 2) AS total,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+
 def top_orders(sf_dir: str, k: int = 10) -> ray.data.Dataset:
     """Global sort + limit (O5/O8): top-k orders by totalprice."""
     ds = ray.data.read_parquet(
@@ -344,6 +414,7 @@ FROM events GROUP BY 1
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
+    "region_revenue": (region_revenue, SQL_REGION_REVENUE),
     "top_orders": (top_orders, SQL_TOP_ORDERS),
     "events_tumbling": (events_tumbling, SQL_EVENTS_TUMBLING),
     "events_hopping": (events_hopping, SQL_EVENTS_HOPPING),
