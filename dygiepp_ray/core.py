@@ -27,6 +27,16 @@ import pyarrow as pa
 import ray.data
 
 
+def ts_epoch_us(s: pd.Series) -> np.ndarray:
+    """Epoch microseconds from a timestamp column, independent of the
+    arrow->pandas conversion unit (timestamp[us] may surface as
+    datetime64[ns] under some configurations — a bare
+    ``astype('int64')`` would then silently hold nanoseconds)."""
+    if np.issubdtype(s.dtype, np.datetime64):
+        return s.astype("datetime64[us]").astype("int64").to_numpy()
+    return s.astype("int64").to_numpy()
+
+
 def stable_bucket(values, num_buckets: int) -> np.ndarray:
     """Deterministic hash bucket per value (stringable array-like)."""
     arr = np.asarray(values, dtype=object)
@@ -34,20 +44,38 @@ def stable_bucket(values, num_buckets: int) -> np.ndarray:
     return (h % np.uint64(num_buckets)).astype(np.int32)
 
 
+# Max ObjectRef arguments per concat/merge task.  At 100 TB / 128 MiB
+# blocks the upstream is ~800k blocks; a flat merge would put every one
+# of them in ONE task spec.  The tree-reduce below caps task fan-in at
+# this constant, giving O(log_F n_blocks) levels of pairwise-parallel
+# concats instead (module-level so tests can shrink it to exercise
+# multi-level trees with small inputs).
+MERGE_FANIN = 512
+
+
 def hash_exchange(
     ds: ray.data.Dataset,
     key: str,
     fn: Callable[[pd.DataFrame], pd.DataFrame | pa.Table],
     num_buckets: int = 64,
+    fn_format: str = "pandas",
 ) -> ray.data.Dataset:
     """Explicit all-to-all hash exchange with raw Ray tasks.
 
     Each upstream block is split into ``num_buckets`` zero-copy Arrow
     slices by one task (single stable argsort + take); each bucket is
-    merged by one task that concatenates its slices and applies ``fn``.
-    No sampling pass, no sort machinery — measured ~4x faster than
+    merged by a tree of concat tasks (fan-in capped at ``MERGE_FANIN``
+    ObjectRefs per task, so task-spec size stays bounded at any block
+    count) with ``fn`` applied once at the root.  No sampling pass, no
+    sort machinery — measured ~4x faster than
     ``groupby(bucket).map_groups`` on this Ray version and it scales
-    with CPUs (split/merge tasks are embarrassingly parallel).
+    with CPUs (split/concat/merge tasks are embarrassingly parallel).
+
+    ``fn_format="pyarrow"`` hands ``fn`` the concatenated
+    ``pa.Table`` directly — no Arrow->pandas round-trip for callbacks
+    that work in Arrow/numpy (the hot assembly path uses this; the box
+    is memory-bandwidth-bound, so fewer copies is the single-node
+    lever).
 
     This is the one place the engine drops below the Dataset API: the
     Dataset groupby expresses the same semantics but its sort-based
@@ -77,15 +105,25 @@ def hash_exchange(
         parts = [tbl.slice(offs[i], offs[i + 1] - offs[i]) for i in range(B)]
         return parts[0] if B == 1 else tuple(parts)
 
-    @ray.remote
-    def merge(*parts):
+    def _concat(parts):
         nonempty = [p for p in parts if p.num_rows]
         base = nonempty if nonempty else list(parts[:1])
-        df = pa.concat_tables(base, promote_options="default").to_pandas()
+        return base, pa.concat_tables(base, promote_options="default")
+
+    @ray.remote
+    def concat(*parts):
+        # inner tree node: pure concatenation, no fn
+        _, tbl = _concat(parts)
+        return tbl.combine_chunks()
+
+    @ray.remote
+    def merge(*parts):
+        base, tbl = _concat(parts)
+        inp = tbl if fn_format == "pyarrow" else tbl.to_pandas()
         try:
-            out = fn(df)
+            out = fn(inp)
         except Exception:
-            if len(df) == 0:
+            if tbl.num_rows == 0:
                 # empty bucket whose schema lost computed columns upstream
                 # (Ray Data skips UDFs on empty blocks) — emit 0 rows
                 return base[0]
@@ -99,7 +137,15 @@ def hash_exchange(
         for bref in bundle.block_refs:
             refs = split.options(num_returns=num_buckets).remote(bref)
             splits.append((refs,) if num_buckets == 1 else refs)
-    merged = [merge.remote(*[s[b] for s in splits]) for b in range(num_buckets)]
+    merged = []
+    for b in range(num_buckets):
+        refs = [s[b] for s in splits]
+        while len(refs) > MERGE_FANIN:
+            refs = [
+                concat.remote(*refs[i : i + MERGE_FANIN])
+                for i in range(0, len(refs), MERGE_FANIN)
+            ]
+        merged.append(merge.remote(*refs))
     return ray.data.from_arrow_refs(merged)
 
 
@@ -110,6 +156,7 @@ def partitioned_map_groups(
     num_buckets: int = 64,
     bucket_col: str = "__bucket",
     impl: str = "hash",
+    fn_format: str = "pandas",
 ) -> ray.data.Dataset:
     """Hash-partition ``ds`` on ``key`` and apply ``fn`` once per bucket.
 
@@ -126,7 +173,10 @@ def partitioned_map_groups(
     (``groupby(bucket).map_groups`` — lazy, but sort-shuffle-bound).
     """
     if impl == "hash":
-        return hash_exchange(ds, key, fn, num_buckets)
+        return hash_exchange(ds, key, fn, num_buckets, fn_format=fn_format)
+    if fn_format == "pyarrow":
+        inner = fn
+        fn = lambda df: inner(pa.Table.from_pandas(df, preserve_index=False))  # noqa: E731
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()

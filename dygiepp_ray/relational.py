@@ -22,7 +22,7 @@ import pandas as pd
 import ray
 import ray.data
 
-from .core import partitioned_map_groups
+from .core import partitioned_map_groups, ts_epoch_us
 
 
 def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
@@ -202,7 +202,9 @@ def top_orders(sf_dir: str, k: int = 10) -> ray.data.Dataset:
     ds = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
     )
-    top = ds.sort("o_totalprice", descending=True).limit(k)
+    # tiebreak on o_orderkey so the k-th boundary is deterministic
+    # (matches the oracle's ORDER BY o_totalprice DESC, o_orderkey)
+    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
     return top.map_batches(
         lambda df: df.assign(o_totalprice=df["o_totalprice"].round(2)),
         batch_format="pandas",
@@ -224,7 +226,7 @@ def events_tumbling(sf_dir: str, window_s: int = 3600) -> ray.data.Dataset:
     )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        win = (df["ts"].astype("int64") // 1_000_000 // window_s) * window_s
+        win = (ts_epoch_us(df["ts"]) // 1_000_000 // window_s) * window_s
         g = (
             df.assign(window_start=win)
             .groupby(["event_type", "window_start"], sort=False)
@@ -275,7 +277,7 @@ def events_hopping(sf_dir: str, size_s: int = 7200, hop_s: int = 3600) -> ray.da
     k = size_s // hop_s
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        sec = df["ts"].astype("int64").to_numpy() // 1_000_000
+        sec = ts_epoch_us(df["ts"]) // 1_000_000
         last = (sec // hop_s) * hop_s  # latest window containing the event
         parts = []
         for i in range(k):
@@ -335,7 +337,7 @@ def sessionize(sf_dir: str, gap_s: int = 1800) -> ray.data.Dataset:
     def sessions(df: pd.DataFrame) -> pd.DataFrame:
         out = []
         for uid, g in df.groupby("user_id", sort=False):
-            t = np.sort(g["ts"].astype("int64").to_numpy() // 1_000_000)
+            t = np.sort(ts_epoch_us(g["ts"]) // 1_000_000)
             n_sessions = 1 + int((np.diff(t) > gap_s).sum()) if len(t) else 0
             out.append((uid, len(t), n_sessions))
         return pd.DataFrame(out, columns=["user_id", "n_events", "n_sessions"]).astype(

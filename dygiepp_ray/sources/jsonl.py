@@ -72,7 +72,13 @@ def doc_row_to_reference_json(row: dict) -> dict:
     for a in _as_list(row.get("event_args")):
         ev = trig_events.get((a["sent_ix"], int(a["trig_tok"])))
         if ev is not None:
-            ev.append([int(a["start"]), int(a["end"]), a["role"]])
+            # predicted args are [start, end, role, raw, softmax]
+            # (doc/data.md:115; document.py:490-497)
+            ev.append(
+                [int(a["start"]), int(a["end"]), a["role"],
+                 round(float(a.get("raw", 0.0)), 4),
+                 round(float(a.get("softmax", 0.0)), 4)]
+            )
     clusters: dict[int, list] = {}
     for c in _as_list(row.get("cluster_members")):
         clusters.setdefault(int(c["cluster_ix"]), []).append(

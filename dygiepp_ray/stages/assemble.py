@@ -24,7 +24,7 @@ import pyarrow as pa
 
 import ray.data
 
-from ..core import partitioned_map_groups
+from ..core import partitioned_map_groups, ts_epoch_us
 from ..semantics import DEFAULT_CONFIG, ExtractionConfig
 
 _NORM_RE = r"(?<!\S)/([.?])(?!\S)"  # vectorized _normalize_word (dygie.py:213-218)
@@ -58,9 +58,7 @@ def _assemble_bucket(df: pd.DataFrame, cfg: ExtractionConfig) -> pa.Table:
     )
     # optional transcript metadata passthrough (input_hint ts/tool — the
     # reference's `_`-metadata carry-through, doc/data.md:94-106)
-    ts_us = (
-        df["ts"].astype("int64").to_numpy() if "ts" in df.columns else None
-    )
+    ts_us = ts_epoch_us(df["ts"]) if "ts" in df.columns else None
     tools = df["tool"].to_numpy() if "tool" in df.columns else None
     # conversation boundaries (conv_ids sorted)
     boundaries = np.flatnonzero(

@@ -94,6 +94,11 @@ ARGUMENT_T = pa.struct(
         ("start", pa.int32()),
         ("end", pa.int32()),
         ("role", pa.string()),
+        # predicted args carry scores in the reference wire format
+        # ([start, end, role, raw, softmax] — doc/data.md:115,
+        # document.py:490-497 reads arg[3]/arg[4])
+        ("raw", pa.float32()),
+        ("softmax", pa.float32()),
         ("surface", pa.string()),
     ]
 )
@@ -150,6 +155,7 @@ class ExtractStage:
         self.ner_raw, self.ner_soft = _const_scores(len(cfg.labels))
         self.rel_raw, self.rel_soft = _const_scores(len(cfg.preds))
         self.trig_raw, self.trig_soft = _const_scores(len(cfg.preds))
+        self.arg_raw, self.arg_soft = _const_scores(len(S.ARG_ROLES))
 
     # -- flattening ---------------------------------------------------------
 
@@ -369,7 +375,10 @@ class ExtractStage:
             )
             out = out.append_column(
                 "event_args",
-                _doc_list_column(args["doc_ix"].to_numpy(), n_docs, struct(args, ARGUMENT_T, {})),
+                _doc_list_column(
+                    args["doc_ix"].to_numpy(), n_docs,
+                    struct(args, ARGUMENT_T, {"raw": self.arg_raw, "softmax": self.arg_soft}),
+                ),
             )
         if "coref" in tasks:
             cl = self._clusters(m)
@@ -421,6 +430,7 @@ class ReferenceModeExtract:
 
     def __init__(self, cfg: ExtractionConfig):
         self.cfg = cfg
+        self.arg_raw, self.arg_soft = _const_scores(len(S.ARG_ROLES))
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         from ..oracle import OracleDoc, extract_document
@@ -458,10 +468,13 @@ class ReferenceModeExtract:
                     for si, sent in enumerate(d.events) for ev in sent
                 ]
             )
+            arg_raw, arg_soft = self.arg_raw, self.arg_soft
             anns["event_args"].append(
                 [
                     {"sent_ix": si, "trig_tok": ev["trigger"][0], "event_type": ev["trigger"][1],
-                     "start": a, "end": b, "role": role, "surface": " ".join(flat[a : b + 1])}
+                     "start": a, "end": b, "role": role,
+                     "raw": arg_raw, "softmax": arg_soft,
+                     "surface": " ".join(flat[a : b + 1])}
                     for si, sent in enumerate(d.events) for ev in sent
                     for (a, b, role) in ev["args"]
                 ]

@@ -66,8 +66,11 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _perm_params(n_perm: int, seed: int = 12345) -> tuple[np.ndarray, np.ndarray]:
+    # a < 2^31 and 32-bit shingle hashes keep a*h + b < 2^63 + 2^61, so
+    # the (a*h + b) mod p arithmetic is EXACT in uint64 — no 2^64 wrap
+    # before the Mersenne mod distorting the universal hash family
     rs = np.random.RandomState(seed)
-    a = rs.randint(1, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
+    a = rs.randint(1, 1 << 31, size=n_perm, dtype=np.int64).astype(np.uint64)
     b = rs.randint(0, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
     return a, b
 
@@ -103,8 +106,11 @@ class MinHasher:
         h = _shingle_hashes(tokens, self.k)
         if len(h) == 0:
             return np.full(self.n_perm, np.uint64(_MERSENNE), dtype=np.uint64)
-        # (a*h + b) mod p, min over shingles — vectorized over (perm, shingle)
-        vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+        # (a*h32 + b) mod p, min over shingles — vectorized over
+        # (perm, shingle); h truncated to 32 bits so the product stays
+        # below 2^63 and the mod-p arithmetic is exact (see _perm_params)
+        h32 = h & np.uint64(0xFFFFFFFF)
+        vals = (self.a[:, None] * h32[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
         return vals.min(axis=1)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:

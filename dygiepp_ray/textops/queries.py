@@ -25,7 +25,9 @@ def q_token_count(sf_dir: str):
 
 SQL_TOKEN_COUNT = """
 SELECT doc_id,
-       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       CAST(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+            AS BIGINT) AS n_tokens
 FROM documents
 """
 
@@ -48,17 +50,27 @@ def q_quality(sf_dir: str):
 _STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 SQL_QUALITY = f"""
-WITH toks AS (
-  SELECT doc_id, arr[i] AS tok
-  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr FROM documents),
-       LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) s
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS arr
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(arr) AS tok FROM base),
+agg AS (
+  SELECT doc_id,
+         count(*) AS n_tokens,
+         sum(CASE WHEN tok IN ({_STOP_LIST}) THEN 1 ELSE 0 END) AS n_stopwords,
+         count(DISTINCT tok) AS n_distinct,
+         sum(len(tok)) * 100 // count(*) AS mean_len
+  FROM toks GROUP BY 1
 )
-SELECT doc_id,
-       CAST(count(*) AS BIGINT) AS n_tokens,
-       CAST(sum(CASE WHEN tok IN ({_STOP_LIST}) THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords,
-       CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct,
-       CAST(sum(len(tok)) * 100 // count(*) AS BIGINT) AS mean_token_len_x100
-FROM toks GROUP BY 1
+SELECT b.doc_id,
+       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.n_stopwords, 0) AS BIGINT) AS n_stopwords,
+       CAST(COALESCE(a.n_distinct, 0) AS BIGINT) AS n_distinct,
+       CAST(COALESCE(a.mean_len, 0) AS BIGINT) AS mean_token_len_x100
+FROM base b LEFT JOIN agg a USING (doc_id)
 """
 
 

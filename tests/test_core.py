@@ -75,3 +75,55 @@ def test_hash_exchange_empty_buckets_hit_fn_with_schema(ray_session):
     out = hash_exchange(rd.from_pandas(df), "k", fn, 16).to_pandas()
     assert out["n"].sum() == 10
     assert len(out) == 16
+
+
+def test_hash_exchange_tree_merge_small_fanin(ray_session, monkeypatch):
+    """Multi-level concat tree (fan-in capped) must agree with flat merge."""
+    import dygiepp_ray.core as core
+
+    df = pd.DataFrame({"k": [f"g{i % 5}" for i in range(300)], "v": range(300)})
+    ds = rd.from_pandas(df).repartition(30)
+
+    def fn(g):
+        return g.groupby("k", sort=False)["v"].sum().reset_index()
+
+    monkeypatch.setattr(core, "MERGE_FANIN", 4)  # 30 blocks -> 2+ tree levels
+    out = hash_exchange(ds, "k", fn, num_buckets=3).to_pandas()
+    expect = df.groupby("k")["v"].sum()
+    assert dict(zip(out["k"], out["v"])) == expect.to_dict()
+
+
+def test_hash_exchange_many_upstream_blocks(ray_session, monkeypatch):
+    """2k+ upstream blocks: per-task ObjectRef fan-in stays bounded by
+    MERGE_FANIN (the 100 TB block-count regime, VERDICT r1 finding #1)."""
+    import dygiepp_ray.core as core
+
+    n_blocks = 2048
+    monkeypatch.setattr(core, "MERGE_FANIN", 256)
+    df = pd.DataFrame({"k": [f"g{i % 11}" for i in range(n_blocks)], "v": range(n_blocks)})
+    ds = rd.from_pandas(df).repartition(n_blocks).materialize()
+    assert ds.num_blocks() >= 2000
+
+    def fn(g):
+        return g.groupby("k", sort=False)["v"].sum().reset_index()
+
+    out = hash_exchange(ds, "k", fn, num_buckets=2).to_pandas()
+    expect = df.groupby("k")["v"].sum()
+    assert dict(zip(out["k"], out["v"])) == expect.to_dict()
+
+
+def test_hash_exchange_pyarrow_fn_format(ray_session):
+    import pyarrow as pa
+
+    df = pd.DataFrame({"k": [f"g{i % 3}" for i in range(60)], "v": range(60)})
+    ds = rd.from_pandas(df).repartition(4)
+
+    def fn(tbl):
+        assert isinstance(tbl, pa.Table)
+        import pyarrow.compute as pc
+        g = pa.TableGroupBy(tbl, "k").aggregate([("v", "sum")])
+        return g.rename_columns(["k", "v"])
+
+    out = hash_exchange(ds, "k", fn, num_buckets=4, fn_format="pyarrow").to_pandas()
+    expect = df.groupby("k")["v"].sum()
+    assert dict(zip(out["k"], out["v"])) == expect.to_dict()
