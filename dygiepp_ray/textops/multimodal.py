@@ -41,19 +41,38 @@ FEATURE_DIM = 16
 
 
 def synth_media(n: int = 64, seed: int = 5) -> pa.Table:
-    """Deterministic fake media table for plumbing tests."""
-    rs = np.random.RandomState(seed)
-    kinds = np.array(["image", "audio", "video"])[rs.randint(0, 3, n)]
-    payloads = [rs.bytes(rs.randint(64, 4096)) for _ in range(n)]
+    """Deterministic fake media table for plumbing tests.
+
+    Every field derives from md5 hex strings (payload = ascii bytes of
+    an md5 chain), so the DuckDB correctness oracle can regenerate the
+    exact table in SQL — see ``SQL_MEDIA_FEATURES``."""
+    kinds_v = ("image", "audio", "video")
+    ids, kinds, payloads, widths, heights, rates, durs = [], [], [], [], [], [], []
+    for i in range(n):
+        base = hashlib.md5(f"media:{seed}:{i}".encode()).hexdigest()
+        kind = kinds_v[int(base[0:2], 16) % 3]
+        n_hex = 64 + int(base[2:6], 16) % 4032
+        chunks = []
+        j = 0
+        while 32 * j < n_hex:
+            chunks.append(hashlib.md5(f"media:{seed}:{i}:{j}".encode()).hexdigest())
+            j += 1
+        ids.append(i)
+        kinds.append(kind)
+        payloads.append("".join(chunks)[:n_hex].encode("ascii"))
+        widths.append(16 + int(base[6:10], 16) % 496)
+        heights.append(16 + int(base[10:14], 16) % 496)
+        rates.append(16000 if kind == "audio" else 0)
+        durs.append(int(base[14:18], 16) % 10_000)
     return pa.table(
         {
-            "media_id": pa.array(range(n), pa.int64()),
-            "kind": pa.array(kinds.tolist(), pa.string()),
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
             "payload": pa.array(payloads, pa.binary()),
-            "width": pa.array(rs.randint(16, 512, n), pa.int32()),
-            "height": pa.array(rs.randint(16, 512, n), pa.int32()),
-            "sample_rate": pa.array(np.where(kinds == "audio", 16000, 0), pa.int32()),
-            "duration_ms": pa.array(rs.randint(0, 10_000, n), pa.int32()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+            "sample_rate": pa.array(rates, pa.int32()),
+            "duration_ms": pa.array(durs, pa.int32()),
         }
     )
 

@@ -116,44 +116,193 @@ FROM ranked WHERE rank <= 5
 """
 
 
+# ---------------------------------------------------------------------------
+# md5-arithmetic oracles: DuckDB reproduces the engine's md5-derived
+# hashes exactly via nibble parsing + HUGEINT arithmetic.
+# ---------------------------------------------------------------------------
+
+# tokenized docs with the engine's empty-text semantics
+_SQL_ARR = r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS arr
+  FROM documents
+)"""
+
+# 64-bit little-endian value of md5(token)[:8] — the engine's token /
+# shingle hash (quality._MOD arithmetic) — as a HUGEINT lambda body
+_SQL_TH = """
+  SELECT doc_id,
+    list_transform(arr, t ->
+      list_sum(list_transform([0,1,2,3,4,5,6,7], i ->
+        ((strpos('0123456789abcdef', substr(md5(t), 2*i+1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(t), 2*i+2, 1)) - 1))::HUGEINT
+        * ([1,256,65536,16777216,4294967296,1099511627776,281474976710656,
+            72057594037927936]::HUGEINT[])[i+1]
+      ))
+    ) AS ths
+  FROM base
+"""
+
+
 def q_fingerprints(sf_dir: str):
-    """Rows-only: polynomial token-stream fingerprints (not SQL-expressible
-    without bignum arithmetic)."""
-    return quality.fingerprints(_docs(sf_dir))
+    """Polynomial token-stream fingerprints mod 2^61-1 (< 2^63, so the
+    engine emits int64 and the oracle CASTs to BIGINT)."""
+    out = quality.fingerprints(_docs(sf_dir))
+    return out.map_batches(
+        lambda df: df.assign(fingerprint=df["fingerprint"].astype(np.int64)),
+        batch_format="pandas",
+    )
+
+
+SQL_FINGERPRINTS = _SQL_ARR + f""",
+th AS ({_SQL_TH})
+SELECT doc_id,
+  CAST(list_reduce(list_prepend(0::HUGEINT, ths),
+       (a, b) -> (a * {quality._BASE} + b) % {quality._MOD}) AS BIGINT) AS fingerprint
+FROM th
+"""
 
 
 def q_simhash(sf_dir: str):
-    """Rows-only: 64-bit simhash signatures."""
-    return dedup.simhash_signatures(_docs(sf_dir))
+    """64-bit simhash split into (hi, lo) 32-bit halves so both sides
+    compare as BIGINT (the top bit of a raw uint64 doesn't fit int64)."""
+    out = dedup.simhash_signatures(_docs(sf_dir))
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        sh = df["simhash"].to_numpy().astype(np.uint64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "simhash_hi": (sh >> np.uint64(32)).astype(np.int64),
+                "simhash_lo": (sh & np.uint64(0xFFFFFFFF)).astype(np.int64),
+            }
+        )
+
+    return out.map_batches(split, batch_format="pandas")
+
+
+SQL_SIMHASH = _SQL_ARR + f""",
+th AS ({_SQL_TH}),
+bits AS (
+  SELECT doc_id,
+    list_transform(range(0, 64), j ->
+      CASE WHEN 2 * list_sum(list_transform(ths, h -> (h // (1::HUGEINT << j)) % 2))
+                > len(ths)
+           THEN 1 ELSE 0 END) AS b
+  FROM th
+)
+SELECT doc_id,
+  CAST(COALESCE(list_sum(list_transform(range(32, 64),
+       j -> b[j+1]::HUGEINT * (1::HUGEINT << (j-32)))), 0) AS BIGINT) AS simhash_hi,
+  CAST(COALESCE(list_sum(list_transform(range(0, 32),
+       j -> b[j+1]::HUGEINT * (1::HUGEINT << j))), 0) AS BIGINT) AS simhash_lo
+FROM bits
+"""
 
 
 def q_lang_id(sf_dir: str):
-    """Rows-only: heuristic n-gram language ID (driver text is synthetic
-    word salad — the heuristic is exercised properly in pytest)."""
+    """Heuristic n-gram language ID (profile hit counts are integers with
+    a shared denominator, so the oracle compares counts exactly)."""
     return quality.lang_id(_docs(sf_dir))
 
 
+def _sql_hits(lang: str) -> str:
+    grams = quality._LANG_PROFILES[lang]
+    terms = [
+        f"(length(low) - length(replace(low, '{g}', ''))) // {len(g)}" for g in grams
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_SQL_LANGS = sorted(l for l, g in quality._LANG_PROFILES.items() if g)
+
+SQL_LANG_ID = f"""
+WITH s AS (
+  SELECT doc_id, lower(text) AS low, length(text) AS n,
+         length(regexp_replace(text, '[^\\x{{4E00}}-\\x{{9FFF}}]', '', 'g')) AS n_cjk
+  FROM documents
+),
+h AS (
+  SELECT doc_id, n, n_cjk,
+         {", ".join(f"{_sql_hits(l)} AS hits_{l}" for l in _SQL_LANGS)}
+  FROM s
+)
+SELECT doc_id, CASE
+  WHEN n = 0 THEN 'und'
+  WHEN n_cjk::DOUBLE / greatest(1, n) > 0.2 THEN 'zh'
+  WHEN greatest({", ".join("hits_" + l for l in _SQL_LANGS)}) = 0 THEN 'und'
+  {" ".join(
+      f"WHEN hits_{l} >= greatest({', '.join('hits_' + m for m in _SQL_LANGS)}) THEN '{l}'"
+      for l in _SQL_LANGS)}
+  END AS lang_pred
+FROM h
+"""
+
+
 def q_minhash_near_dups(sf_dir: str):
-    """Rows-only: MinHash-LSH candidate pairs verified by exact Jaccard
-    (bucketed-join verify — the scale path; broadcast variant is
-    equivalence-tested against it)."""
+    """MinHash-LSH candidate pairs verified by exact Jaccard >= 0.8
+    (bucketed-join verify — the scale path).  The oracle is the
+    ALL-PAIRS shingle-Jaccard join: the check passes iff banded LSH
+    (32 bands x 4 rows) recalled every qualifying pair AND the verify
+    filtered every non-qualifying candidate."""
     docs = _docs(sf_dir)
     sigs = dedup.minhash_signatures(docs)
     pairs = dedup.lsh_candidate_pairs(sigs)
-    return dedup.ngram_jaccard_verify_bucketed(pairs, docs, threshold=0.8)
+    verified = dedup.ngram_jaccard_verify_bucketed(pairs, docs, threshold=0.8)
+
+    def ids_only(df: pd.DataFrame) -> pd.DataFrame:
+        if "id_a" not in df.columns:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"id_a": df["id_a"].astype(np.int64),
+                             "id_b": df["id_b"].astype(np.int64)})
+
+    return verified.map_batches(ids_only, batch_format="pandas")
+
+
+# 5*inter >= 4*union is the exact integer form of jaccard >= 0.8 (the
+# float division can't cross the 0.8 boundary at these set sizes); the
+# union > 0 guard matches the engine's max(1, |union|) denominator.
+SQL_MINHASH_NEAR_DUPS = _SQL_ARR + """,
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(arr) = 0 THEN []::VARCHAR[]
+         WHEN len(arr) < 3 THEN [array_to_string(arr, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(arr) - 1),
+              i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) END AS sh
+  FROM base
+)
+SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_distinct(a.sh || b.sh)) > 0
+  AND 5 * len(list_intersect(a.sh, b.sh)) >= 4 * len(list_distinct(a.sh || b.sh))
+"""
 
 
 def q_embedding_near_dups(sf_dir: str):
-    """Rows-only: embedding-cosine near-dup pairs via multi-probe
-    hyperplane LSH buckets (cosine >= 0.9)."""
+    """Embedding-cosine near-dup pairs via multi-probe hyperplane LSH
+    buckets (cosine >= 0.9); oracle = all-pairs cosine join."""
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
-    return ann.embedding_near_dups(emb, threshold=0.9)
+    out = ann.embedding_near_dups(emb, threshold=0.9)
+    return pd.DataFrame({"id_a": out["id_a"].astype(np.int64),
+                         "id_b": out["id_b"].astype(np.int64)})
+
+
+SQL_EMBEDDING_NEAR_DUPS = """
+SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
+"""
 
 
 def q_media_features(sf_dir: str):
-    """Rows-only: multimodal decode/feature plumbing over a deterministic
-    synthetic media table (binary payload column; stubbed codec)."""
+    """Multimodal decode/feature plumbing over the deterministic synthetic
+    media table (binary payload column; stubbed codec).  The oracle
+    regenerates the md5-chain table in SQL — full rows+schema+hash
+    check on the decode output."""
     media = ray.data.from_arrow(multimodal.synth_media(128))
     feats = multimodal.decode_features(media)
     return feats.map_batches(
@@ -169,16 +318,47 @@ def q_media_features(sf_dir: str):
     )
 
 
+def _sql_hexval(expr: str, start: int, nchars: int) -> str:
+    """SQL expression: integer value of hex chars expr[start..start+n)
+    (1-based)."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {start + i}, 1)) - 1) * {16 ** (nchars - 1 - i)}"
+        for i in range(nchars)
+    ) + ")"
+
+
+SQL_MEDIA_FEATURES = f"""
+WITH m AS (
+  SELECT i AS media_id, md5('media:5:' || i) AS base FROM range(0, 128) t(i)
+),
+p AS (
+  SELECT media_id, base, 64 + {_sql_hexval('base', 3, 4)} % 4032 AS n_hex
+  FROM m
+),
+pay AS (
+  SELECT media_id, base, n_hex,
+    substr(array_to_string(list_transform(range(0, (n_hex + 31) // 32),
+           j -> md5('media:5:' || media_id || ':' || j)), ''), 1, n_hex) AS payload
+  FROM p
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+  (['image','audio','video'])[{_sql_hexval('base', 1, 2)} % 3 + 1] AS kind,
+  CAST(n_hex AS BIGINT) AS n_bytes,
+  CAST(trunc(({_sql_hexval('md5(payload)', 1, 2)} * 1000000.0) / 256) AS BIGINT) AS f0_x1e6
+FROM pay
+"""
+
+
 TEXTOPS_QUERIES = {
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "bpe_token_count": (q_bpe_token_count, SQL_BPE_TOKEN_COUNT),
     "quality_scores": (q_quality, SQL_QUALITY),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
-    "fingerprints": (q_fingerprints, None),
-    "simhash_signatures": (q_simhash, None),
-    "lang_id": (q_lang_id, None),
-    "minhash_near_dups": (q_minhash_near_dups, None),
-    "embedding_near_dups": (q_embedding_near_dups, None),
-    "media_features": (q_media_features, None),
+    "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
+    "simhash_signatures": (q_simhash, SQL_SIMHASH),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH_NEAR_DUPS),
+    "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
+    "media_features": (q_media_features, SQL_MEDIA_FEATURES),
 }
