@@ -105,77 +105,84 @@ def brute_force_topk(
     return pd.concat(out, ignore_index=True)
 
 
+def _probe_masks(n_planes: int, probe_bits: int) -> np.ndarray:
+    """XOR masks for multi-probe: the zero mask plus every combination
+    of up to ``probe_bits`` flipped planes."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, probe_bits + 1):
+        for combo in combinations(range(n_planes), r):
+            m = 0
+            for p in combo:
+                m |= 1 << p
+            masks.append(m)
+    return np.asarray(masks, dtype=np.int64)
+
+
 def embedding_near_dups(
     embeddings: ray.data.Dataset,
     threshold: float = 0.95,
     n_planes: int = 8,
     seed: int = 77,
     num_buckets: int = 16,
+    probe_bits: int = 2,
 ) -> pd.DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
     threshold).
 
-    Scale path: random-hyperplane signatures bucket the corpus (near-dup
-    vectors collide with high probability), pairwise cosine runs only
-    within buckets via one keyed exchange.  Multi-probe: each vector is
-    assigned to its bucket plus the n_planes single-bit-flip neighbors,
-    so pairs straddling one hyperplane are still compared (recall loss
-    only for >=2 disagreeing planes — unlikely at cosine >= 0.95).
+    Scale path with NO vector amplification through the shuffle: only
+    (vec_id, bucket) signature rows (16 bytes each) are exchanged to
+    generate candidate pairs; the vectors are joined to the DEDUPED
+    pairs afterwards via :func:`dedup.attach_pair_values` (two keyed
+    exchanges), so each vector ships O(pairs containing it) times
+    instead of (n_probes)x through the bucket exchange.
+
+    Multi-probe: every vector lands in its own bucket plus all
+    <= ``probe_bits``-bit-flip neighbors; two vectors collide somewhere
+    iff their signatures differ in <= 2*probe_bits planes.  At the
+    default (8 planes, 2-bit probes = 37 signature rows/vector) a
+    cosine-0.9 pair is missed only when >= 5 of 8 hyperplanes split it
+    (P ~ 0.2%); probing is cheap precisely because only signatures are
+    replicated.  Hyperplanes are derived from (seed, dim) inside each
+    task — deterministic, nothing broadcast, no ``take(1)`` probe
+    execution of the upstream plan.
     """
-    first = embeddings.take(1)[0]
-    dim = len(first["embedding"])
-    planes = np.random.RandomState(seed).normal(size=(n_planes, dim))
-    planes_ref = ray.put(planes)
+    from ..core import partitioned_map_groups
+    from .dedup import attach_pair_values
+
+    masks = _probe_masks(n_planes, probe_bits)
 
     def sign_probe(df: pd.DataFrame) -> pd.DataFrame:
         vecs = _stack(df["embedding"])
-        bits = (vecs @ ray.get(planes_ref).T) > 0
-        base = (bits.astype(np.uint64) << np.arange(bits.shape[1], dtype=np.uint64)).sum(axis=1)
-        rows = {"vec_id": [], "bucket": [], "embedding": []}
-        for i in range(len(df)):
-            b = int(base[i])
-            buckets = [b] + [b ^ (1 << p) for p in range(n_planes)]
-            emb = vecs[i].tolist()  # plain lists: clean Arrow list<double>
-            for bk in buckets:
-                rows["vec_id"].append(df["vec_id"].iloc[i])
-                rows["bucket"].append(bk)
-                rows["embedding"].append(emb)
-        return pd.DataFrame(rows)
+        planes = np.random.RandomState(seed).normal(size=(n_planes, vecs.shape[1]))
+        bits = (vecs @ planes.T) > 0
+        base = (
+            bits.astype(np.int64) << np.arange(bits.shape[1], dtype=np.int64)
+        ).sum(axis=1)
+        buckets = (base[:, None] ^ masks[None, :]).ravel()
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(df["vec_id"].to_numpy(), len(masks)),
+                "bucket": buckets,
+            }
+        )
 
     probed = embeddings.map_batches(sign_probe, batch_format="pandas")
-
-    from ..core import partitioned_map_groups
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         outs = []
         for _, g in df.groupby("bucket", sort=False):
-            g = g.drop_duplicates("vec_id")
-            if len(g) < 2:
+            ids = np.unique(g["vec_id"].to_numpy())
+            if len(ids) < 2:
                 continue
-            vecs = np.stack(g["embedding"].to_numpy())
-            norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
-            sims = norm @ norm.T
-            ids = g["vec_id"].to_numpy()
             a, b = np.triu_indices(len(ids), k=1)
-            keep = sims[a, b] >= threshold
-            if keep.any():
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "id_a": np.minimum(ids[a[keep]], ids[b[keep]]),
-                            "id_b": np.maximum(ids[a[keep]], ids[b[keep]]),
-                            "cosine": sims[a[keep], b[keep]].round(6),
-                        }
-                    )
-                )
+            outs.append(pd.DataFrame({"id_a": ids[a], "id_b": ids[b]}))
         if not outs:
             return pd.DataFrame(
-                {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64),
-                 "cosine": pd.Series(dtype=np.float64)}
+                {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64)}
             )
-        return pd.concat(outs, ignore_index=True).drop_duplicates(
-            ["id_a", "id_b"], ignore_index=True
-        )
+        return pd.concat(outs, ignore_index=True).drop_duplicates(ignore_index=True)
 
     cand = partitioned_map_groups(probed, "bucket", pairs, num_buckets)
 
@@ -184,14 +191,47 @@ def embedding_near_dups(
         df["pkey"] = df["id_a"].astype(str).str.cat(df["id_b"].astype(str), sep=":")
         return df
 
-    out = partitioned_map_groups(
+    deduped = partitioned_map_groups(
         cand.map_batches(add_pkey, batch_format="pandas"),
         "pkey",
         lambda df: df.drop_duplicates("pkey", ignore_index=True).drop(columns="pkey"),
         num_buckets,
     )
-    pdf = out.to_pandas()
-    if "id_a" not in pdf.columns:  # zero pairs end-to-end
+
+    def vec_bytes(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["vec_id"].to_numpy(),
+                "vec": [
+                    np.asarray(v, dtype=np.float64).tobytes() for v in df["embedding"]
+                ],
+            }
+        )
+
+    vecs_ds = embeddings.map_batches(vec_bytes, batch_format="pandas")
+    joined = attach_pair_values(deduped, vecs_ds, "vec", "v_a", "v_b", num_buckets)
+
+    def cosine(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "v_a" not in df.columns:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64),
+                 "cosine": pd.Series(dtype=np.float64)}
+            )
+        va = np.stack([np.frombuffer(v, dtype=np.float64) for v in df["v_a"]])
+        vb = np.stack([np.frombuffer(v, dtype=np.float64) for v in df["v_b"]])
+        na = np.linalg.norm(va, axis=1)
+        nb = np.linalg.norm(vb, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        sims = (va * vb).sum(axis=1) / (na * nb)
+        out = pd.DataFrame(
+            {"id_a": df["id_a"].to_numpy(), "id_b": df["id_b"].to_numpy(),
+             "cosine": sims.round(6)}
+        )
+        return out[out["cosine"] >= threshold].reset_index(drop=True)
+
+    pdf = joined.map_batches(cosine, batch_format="pandas").to_pandas()
+    if "id_a" not in pdf.columns or len(pdf) == 0:  # zero pairs end-to-end
         return pd.DataFrame(
             {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64),
              "cosine": pd.Series(dtype=np.float64)}
@@ -212,16 +252,14 @@ def lsh_topk(
     against only its members (queries broadcast — the small side).  The
     driver merges the tiny per-bucket top-k lists.  Approximate — recall
     measured against brute_force_topk in tests."""
-    first = embeddings.take(1)[0]
-    dim = len(first["embedding"])
-    planes = np.random.RandomState(seed).normal(size=(n_planes, dim))
-    planes_ref = ray.put(planes)
-
     qset = set(query_ids)
     qdf = embeddings.map_batches(
         lambda df: df[df["vec_id"].isin(qset)], batch_format="pandas"
     ).to_pandas()
     qvecs = _stack(qdf["embedding"])
+    # hyperplanes derived from (seed, dim) — deterministic in every task,
+    # no broadcast, no take(1) probe execution of the upstream plan
+    planes = np.random.RandomState(seed).normal(size=(n_planes, qvecs.shape[1]))
     qbits = (qvecs @ planes.T) > 0
     qbuckets = (qbits.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
     queries_ref = ray.put(
@@ -230,7 +268,8 @@ def lsh_topk(
 
     def sign(df: pd.DataFrame) -> pd.DataFrame:
         vecs = _stack(df["embedding"])
-        bits = (vecs @ ray.get(planes_ref).T) > 0
+        task_planes = np.random.RandomState(seed).normal(size=(n_planes, vecs.shape[1]))
+        bits = (vecs @ task_planes.T) > 0
         sig = (bits.astype(np.uint64) << np.arange(bits.shape[1], dtype=np.uint64)).sum(axis=1)
         return pd.DataFrame(
             {

@@ -234,63 +234,49 @@ def ngram_jaccard_verify(
     return pairs.map_batches(Verify, batch_format="pandas", concurrency=2)
 
 
-def ngram_jaccard_verify_bucketed(
+def attach_pair_values(
     pairs: ray.data.Dataset,
-    docs: ray.data.Dataset,
-    shingle_k: int = 3,
-    threshold: float = 0.8,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+    values: ray.data.Dataset,
+    value_col: str,
+    out_a: str,
+    out_b: str,
     num_buckets: int = 16,
 ) -> ray.data.Dataset:
-    """Exact word-shingle Jaccard over candidate pairs — the full-scale
-    path: shingle sets are joined to the pairs with two keyed exchanges
-    (on id_a, then id_b) instead of broadcasting the whole corpus's
-    shingles to the driver (``ngram_jaccard_verify``'s small-side
-    shortcut).  Output identical to the broadcast path."""
+    """Join a per-id SCALAR value column (binary/string/int — scalar so
+    schema promotion across the tagged union is clean) onto candidate
+    pairs ``(id_a, id_b, ...)`` with two keyed exchanges (co-partition
+    pairs with values on id_a, then on id_b).  This is the full-scale
+    pair-verification join: nothing is broadcast, nothing touches the
+    driver, shuffle bytes are O(|pairs| + |values|) per exchange.
 
-    def to_sets(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df[text_col].str.strip().str.split(r"\s+", regex=True)
-        return pd.DataFrame(
-            {
-                "doc_id": df[id_col].to_numpy(),
-                "shingles": [
-                    # serialized uint64 hash set: a scalar binary column
-                    # survives schema promotion across the tagged union
-                    # (nullable list columns break arrow->pandas here)
-                    _shingle_hashes(t if t != [""] else [], shingle_k).tobytes()
-                    for t in toks
-                ],
-            }
-        )
-
-    sets_ds = docs.map_batches(to_sets, batch_format="pandas")
+    ``values`` must have columns (doc_id, value_col); ids must be
+    integers.  Extra pair columns pass through untouched."""
 
     def attach(side_id: str, out_col: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
-            sets = df[df["kind"] == "S"][["doc_id", "shingles"]].rename(
-                columns={"doc_id": side_id, "shingles": out_col}
+            vals = df[df["kind"] == "S"][["doc_id", value_col]].rename(
+                columns={"doc_id": side_id, value_col: out_col}
             )
-            p = df[df["kind"] == "P"].drop(columns=["doc_id", "shingles", "kind"], errors="ignore")
+            p = df[df["kind"] == "P"].drop(
+                columns=["doc_id", value_col, "kind"], errors="ignore"
+            )
             if len(p) == 0:
                 p[out_col] = pd.Series(dtype=object)
                 return p
-            j = p.merge(sets, on=side_id, how="inner")
+            j = p.merge(vals, on=side_id, how="inner")
             for c in ("id_a", "id_b"):
                 j[c] = j[c].astype(np.int64)
             return j
 
         return fn
 
-    def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["kind"] = "P"
-        return df
+    def tag(kind):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["kind"] = kind
+            return df
 
-    def tag_sets(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["kind"] = "S"
-        return df
+        return fn
 
     def keyed(col):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -302,27 +288,64 @@ def ngram_jaccard_verify_bucketed(
 
         return fn
 
-    p1 = pairs.map_batches(tag_pairs, batch_format="pandas").map_batches(
-        keyed("id_a"), batch_format="pandas"
-    )
-    s1 = sets_ds.map_batches(tag_sets, batch_format="pandas").map_batches(
-        keyed("doc_id"), batch_format="pandas"
-    )
-    withl = partitioned_map_groups(
-        p1.union(s1), "__jkey",
-        lambda df: attach("id_a", "sh_a")(df.drop(columns="__jkey")),
-        num_buckets,
-    )
-    p2 = withl.map_batches(tag_pairs, batch_format="pandas").map_batches(
-        keyed("id_b"), batch_format="pandas"
-    )
-    s2 = sets_ds.map_batches(tag_sets, batch_format="pandas").map_batches(
-        keyed("doc_id"), batch_format="pandas"
-    )
-    withboth = partitioned_map_groups(
-        p2.union(s2), "__jkey",
-        lambda df: attach("id_b", "sh_b")(df.drop(columns="__jkey")),
-        num_buckets,
+    out = pairs
+    for side_id, out_col in (("id_a", out_a), ("id_b", out_b)):
+        p = out.map_batches(tag("P"), batch_format="pandas").map_batches(
+            keyed(side_id), batch_format="pandas"
+        )
+        s = values.map_batches(tag("S"), batch_format="pandas").map_batches(
+            keyed("doc_id"), batch_format="pandas"
+        )
+        out = partitioned_map_groups(
+            p.union(s), "__jkey",
+            lambda df, si=side_id, oc=out_col: attach(si, oc)(
+                df.drop(columns="__jkey", errors="ignore")
+            ),
+            num_buckets,
+        )
+    return out
+
+
+def shingle_sets(
+    docs: ray.data.Dataset, shingle_k: int, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """(doc_id, shingles): serialized uint64 shingle-hash set per doc.
+    A scalar binary column survives schema promotion across tagged
+    unions (nullable list columns break arrow->pandas there)."""
+
+    def to_sets(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.strip().str.split(r"\s+", regex=True)
+        return pd.DataFrame(
+            {
+                "doc_id": df[id_col].to_numpy(),
+                "shingles": [
+                    _shingle_hashes(t if t != [""] else [], shingle_k).tobytes()
+                    for t in toks
+                ],
+            }
+        )
+
+    return docs.map_batches(to_sets, batch_format="pandas")
+
+
+def ngram_jaccard_verify_bucketed(
+    pairs: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Exact word-shingle Jaccard over candidate pairs — the full-scale
+    path: shingle sets are joined to the pairs via
+    :func:`attach_pair_values` instead of broadcasting the whole
+    corpus's shingles to the driver (``ngram_jaccard_verify``'s
+    small-side shortcut).  Output identical to the broadcast path."""
+    sets_ds = shingle_sets(docs, shingle_k, text_col, id_col)
+    withboth = attach_pair_values(
+        pairs, sets_ds, "shingles", "sh_a", "sh_b", num_buckets
     )
 
     def jaccard(df: pd.DataFrame) -> pd.DataFrame:
@@ -437,10 +460,14 @@ def fuzzy_join(
     reference aligns GENIA articles by fuzzy title match,
     ``scripts/data/genia/align_articles.py:1-60``).
 
-    Ray-Data-first shape: both sides are shingled + minhashed, banded
-    LSH buckets generate candidate (left_id, right_id) pairs, exact
-    word-shingle Jaccard filters at ``threshold``.  Output:
-    (left_id, right_id, jaccard), best right match per left id.
+    Ray-Data-first shape, fully distributed (nothing sits on the
+    driver): both sides are shingled + minhashed, banded LSH buckets
+    generate candidate (id, id) pairs, the BUCKETED exact-Jaccard
+    verify filters at ``threshold``, sides are re-attached via
+    :func:`attach_pair_values` (a keyed exchange, not a driver dict),
+    and best-right-match-per-left is a keyed exchange on left_id.
+    Caller contract: ids globally unique across the two sides.
+    Output: (left_id, right_id, jaccard), best right match per left id.
     """
 
     def tag(side):
@@ -459,50 +486,52 @@ def fuzzy_join(
     r = right.map_batches(tag("R"), batch_format="pandas")
     both = l.union(r)
     sigs = minhash_signatures(both, n_perm=64, shingle_k=shingle_k)
-    # carry side through by re-joining on id sign: ids must be disjoint OR
-    # sides distinguished; simplest robust contract: caller guarantees
-    # globally unique ids across sides
-    sides = both.map_batches(
-        lambda df: df[["doc_id", "__side"]], batch_format="pandas"
-    ).to_pandas()
-    side_of = dict(zip(sides["doc_id"], sides["__side"]))
     pairs = lsh_candidate_pairs(sigs, bands=16, num_buckets=num_buckets)
-    verified = ngram_jaccard_verify(pairs, both, shingle_k=shingle_k,
-                                    threshold=threshold)
+    verified = ngram_jaccard_verify_bucketed(
+        pairs, both, shingle_k=shingle_k, threshold=threshold,
+        num_buckets=num_buckets,
+    )
+    sides_ds = both.map_batches(
+        lambda df: df[["doc_id", "__side"]], batch_format="pandas"
+    )
+    with_sides = attach_pair_values(
+        verified, sides_ds, "__side", "side_a", "side_b", num_buckets
+    )
+
+    _EMPTY = {
+        "left_id": pd.Series(dtype=np.int64),
+        "right_id": pd.Series(dtype=np.int64),
+        "jaccard": pd.Series(dtype=np.float64),
+    }
 
     def orient(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0 or "id_a" not in df.columns:
-            return pd.DataFrame(
-                {"left_id": pd.Series(dtype=np.int64),
-                 "right_id": pd.Series(dtype=np.int64),
-                 "jaccard": pd.Series(dtype=np.float64)}
-            )
-        rows = []
-        for a, b, j in zip(df["id_a"], df["id_b"], df["jaccard"]):
-            sa, sb = side_of.get(a), side_of.get(b)
-            if sa == "L" and sb == "R":
-                rows.append((a, b, j))
-            elif sa == "R" and sb == "L":
-                rows.append((b, a, j))
-        return pd.DataFrame(rows, columns=["left_id", "right_id", "jaccard"])
-
-    oriented = verified.map_batches(orient, batch_format="pandas").to_pandas()
-    if len(oriented) == 0:
-        return ray.data.from_pandas(
-            pd.DataFrame(
-                {"left_id": pd.Series(dtype=np.int64),
-                 "right_id": pd.Series(dtype=np.int64),
-                 "jaccard": pd.Series(dtype=np.float64)}
-            )
+            return pd.DataFrame(_EMPTY)
+        lr = (df["side_a"] == "L") & (df["side_b"] == "R")
+        rl = (df["side_a"] == "R") & (df["side_b"] == "L")
+        out = pd.DataFrame(
+            {
+                "left_id": np.where(lr, df["id_a"], df["id_b"]),
+                "right_id": np.where(lr, df["id_b"], df["id_a"]),
+                "jaccard": df["jaccard"].to_numpy(),
+            }
         )
-    best = (
-        oriented.sort_values(["left_id", "jaccard", "right_id"],
-                             ascending=[True, False, True])
-        .groupby("left_id", sort=True)
-        .head(1)
-        .reset_index(drop=True)
-    )
-    return ray.data.from_pandas(best)
+        return out[lr | rl].reset_index(drop=True)
+
+    oriented = with_sides.map_batches(orient, batch_format="pandas")
+
+    def best_per_left(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "left_id" not in df.columns:
+            return pd.DataFrame(_EMPTY)
+        return (
+            df.sort_values(["left_id", "jaccard", "right_id"],
+                           ascending=[True, False, True])
+            .groupby("left_id", sort=True)
+            .head(1)
+            .reset_index(drop=True)[["left_id", "right_id", "jaccard"]]
+        )
+
+    return partitioned_map_groups(oriented, "left_id", best_per_left, num_buckets)
 
 
 # ---------------------------------------------------------------------------

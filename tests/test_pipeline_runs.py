@@ -74,3 +74,27 @@ def test_events_hopping_counts(ray_session):
     tum = events_tumbling("/root/testdata/sf0.001").to_pandas()
     # every event lands in exactly 2 hopping windows
     assert hop["n"].sum() == 2 * tum["n"].sum()
+
+
+def test_embedding_near_dups_matches_all_pairs(ray_session):
+    """Signature-only-exchange + 2-bit multi-probe path must reproduce
+    the exact all-pairs cosine join on a corpus with planted near-dups
+    (VERDICT r1 #7 equivalence requirement)."""
+    rs = np.random.RandomState(11)
+    vecs = rs.normal(size=(200, 32))
+    for src, dst in [(3, 7), (20, 150), (44, 45), (44, 46)]:
+        vecs[dst] = vecs[src] + rs.normal(scale=0.02, size=32)
+    df = pd.DataFrame({"vec_id": np.arange(200, dtype=np.int64), "embedding": list(vecs)})
+
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    iu = np.triu_indices(200, k=1)
+    truth = {
+        (int(a), int(b))
+        for a, b in zip(iu[0][sims[iu] >= 0.95], iu[1][sims[iu] >= 0.95])
+    }
+    assert len(truth) >= 4  # planted pairs really are above threshold
+
+    pairs = ann.embedding_near_dups(rd.from_pandas(df), threshold=0.95)
+    got = set(zip(pairs["id_a"].astype(int), pairs["id_b"].astype(int)))
+    assert got == truth
