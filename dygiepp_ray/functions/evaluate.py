@@ -88,6 +88,57 @@ def evaluate(
     }
 
 
+def evaluate_coref(
+    pred: ray.data.Dataset, gold: ray.data.Dataset, num_buckets: int = 16
+) -> dict[str, float]:
+    """CoNLL-2012 coreference evaluation over exploded cluster-member
+    tables ``(doc_key, cluster_ix, start, end)``.
+
+    Distributed accumulate-then-finalize (allennlp ``ConllCorefScores``
+    analogue, ``dygie/models/coref.py:80-81``): both sides co-partition
+    on doc_key with ONE keyed exchange, each bucket computes per-doc
+    numerators/denominators (``coref_metrics.doc_stats``) and sums
+    them; the driver sums the tiny per-bucket rows and finalizes
+    MUC / B^3 / CEAF-phi4 P/R/F1 plus their CoNLL mean."""
+    from . import coref_metrics as CM
+    from ..core import partitioned_map_groups
+
+    cols = ["doc_key", "cluster_ix", "start", "end"]
+
+    def tag(side):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[cols].copy()
+            out["side"] = side
+            return out
+
+        return fn
+
+    both = pred.map_batches(tag("p"), batch_format="pandas").union(
+        gold.map_batches(tag("g"), batch_format="pandas")
+    )
+
+    def bucket_stats(df: pd.DataFrame) -> pd.DataFrame:
+        sums: dict[str, float] = {}
+        if len(df):
+            for _, d in df.groupby("doc_key", sort=False):
+                def clusters(side):
+                    s = d[d["side"] == side]
+                    return [
+                        frozenset(zip(g["start"], g["end"]))
+                        for _, g in s.groupby("cluster_ix", sort=False)
+                    ]
+
+                st = CM.doc_stats(clusters("g"), clusters("p"))
+                for k, v in st.items():
+                    sums[k] = sums.get(k, 0.0) + v
+        if not sums:
+            sums = {k: 0.0 for k in CM.doc_stats([], [])}
+        return pd.DataFrame({k: [v] for k, v in sums.items()})
+
+    parts = partitioned_map_groups(both, "doc_key", bucket_stats, num_buckets).to_pandas()
+    return CM.finalize({c: float(parts[c].sum()) for c in parts.columns})
+
+
 def mean_across_tasks(results: list[dict]) -> dict[str, float]:
     """A6: MEAN__ metrics across task namespaces (ner.py:165-169)."""
     if not results:

@@ -142,3 +142,109 @@ def test_multi_dataset_routing(ray_session):
         extract_multi_dataset(
             docs, {"dsA": cfgs["dsA"]}
         ).to_pandas()  # dsB unregistered -> KeyError
+
+
+def test_ceaf_phi4_hand_computed():
+    # key {a,b,c}; response {a,b},{c}
+    # phi4(K1,R1) = 2*2/(3+2) = 0.8, phi4(K1,R2) = 2*1/(3+1) = 0.5
+    # best alignment total = 0.8 -> R = 0.8/1, P = 0.8/2
+    key = [frozenset({"a", "b", "c"})]
+    resp = [frozenset({"a", "b"}), frozenset({"c"})]
+    p, r, f1 = CM.ceaf_phi4(key, resp)
+    assert r == pytest.approx(0.8)
+    assert p == pytest.approx(0.4)
+    assert f1 == pytest.approx(2 * 0.4 * 0.8 / 1.2)
+
+
+def test_ceaf_phi4_optimal_alignment():
+    # greedy (K1->R1) is suboptimal; Kuhn-Munkres must pick K1->R2, K2->R1
+    # phi4 matrix: K1 = {a,b,c,d}, K2 = {e,f}; R1 = {a,b,e,f}, R2 = {c,d}
+    #   K1-R1 = 2*2/8 = .5   K1-R2 = 2*2/6 = .667
+    #   K2-R1 = 2*2/6 = .667 K2-R2 = 0
+    # best total = .667 + .667 = 4/3 (not .5 + 0)
+    key = [frozenset("abcd"), frozenset("ef")]
+    resp = [frozenset("abef"), frozenset("cd")]
+    p, r, f1 = CM.ceaf_phi4(key, resp)
+    assert r == pytest.approx((2 / 3 + 2 / 3) / 2)
+    assert p == pytest.approx((2 / 3 + 2 / 3) / 2)
+
+
+def test_ceaf_phi4_perfect_and_empty():
+    key = [frozenset({(0, 1)}), frozenset({(2, 3), (4, 5)})]
+    assert CM.ceaf_phi4(key, key) == (1.0, 1.0, 1.0)
+    assert CM.ceaf_phi4(key, []) == (0.0, 0.0, 0.0)
+    assert CM.ceaf_phi4([], key) == (0.0, 0.0, 0.0)
+
+
+def test_conll_is_three_way_mean():
+    key = [frozenset({"a", "b", "c"})]
+    resp = [frozenset({"a", "b"}), frozenset({"c"})]
+    expect = (CM.muc(key, resp)[2] + CM.b_cubed(key, resp)[2] + CM.ceaf_phi4(key, resp)[2]) / 3
+    assert CM.conll_coref_f1(key, resp) == pytest.approx(expect)
+
+
+def test_ceaf_rectangular_padding():
+    # more response clusters than key clusters and vice versa
+    key = [frozenset("ab")]
+    resp = [frozenset("a"), frozenset("b"), frozenset("z")]
+    p, r, _ = CM.ceaf_phi4(key, resp)
+    assert r == pytest.approx(2 / 3)       # best single match 2*1/(2+1)
+    assert p == pytest.approx((2 / 3) / 3)
+
+
+def test_evaluate_coref_distributed_matches_local(ray_session):
+    """Distributed CoNLL coref evaluation == local doc_stats sums."""
+    import pandas as pd
+    import ray.data as rd
+    from dygiepp_ray.functions.evaluate import evaluate_coref
+
+    def members(docs):
+        rows = []
+        for dk, clusters in docs.items():
+            for ci, cl in enumerate(clusters):
+                for (s, e) in cl:
+                    rows.append({"doc_key": dk, "cluster_ix": ci, "start": s, "end": e})
+        return pd.DataFrame(rows)
+
+    gold = {
+        "d1": [[(0, 1), (4, 4)], [(2, 2), (9, 9)]],
+        "d2": [[(1, 1), (3, 3), (5, 5)]],
+        "d3": [[(0, 0), (2, 2)]],
+    }
+    pred = {
+        "d1": [[(0, 1), (4, 4)], [(2, 2)]],
+        "d2": [[(1, 1), (3, 3)], [(5, 5), (7, 7)]],
+        # d3: no predicted clusters at all
+    }
+    out = evaluate_coref(
+        rd.from_pandas(members(pred)), rd.from_pandas(members(gold)), num_buckets=4
+    )
+
+    # local reference computation
+    sums: dict[str, float] = {}
+    for dk in set(gold) | set(pred):
+        k = [frozenset(c) for c in gold.get(dk, [])]
+        r = [frozenset(c) for c in pred.get(dk, [])]
+        for kk, v in CM.doc_stats(k, r).items():
+            sums[kk] = sums.get(kk, 0.0) + v
+    expect = CM.finalize(sums)
+    for k in expect:
+        assert out[k] == pytest.approx(expect[k]), k
+    assert out["conll_f1"] == pytest.approx(
+        (out["muc_f1"] + out["b3_f1"] + out["ceaf_phi4_f1"]) / 3
+    )
+    assert 0 < out["conll_f1"] < 1
+
+
+def test_evaluate_coref_perfect():
+    import pandas as pd
+    import ray.data as rd
+    from dygiepp_ray.functions.evaluate import evaluate_coref
+
+    df = pd.DataFrame(
+        {"doc_key": ["a"] * 4, "cluster_ix": [0, 0, 1, 1],
+         "start": [0, 2, 5, 8], "end": [1, 2, 5, 9]}
+    )
+    out = evaluate_coref(rd.from_pandas(df), rd.from_pandas(df.copy()), num_buckets=2)
+    assert out["conll_f1"] == 1.0
+    assert out["mention_recall"] == 1.0
