@@ -15,17 +15,32 @@ from __future__ import annotations
 
 import ray.data
 
+from dataclasses import replace as _cfg_replace
+
 from ..semantics import DEFAULT_CONFIG, ExtractionConfig
 from ..sources.transcripts import documents_as_transcripts, read_transcripts
 from ..stages import explode
 from ..stages.assemble import assemble_documents
 from ..stages.canonicalize import canonicalize
-from ..stages.extract import extract
+from ..stages.collate import collate, explode_sentences, uncollate_predictions
+from ..stages.extract import EncoderExtractStage, extract
 from ..stages.triples import triples_from_relations, triples_local_dedup
 
 
 class KGPipeline:
-    """Composable handle over the pipeline's intermediate Datasets."""
+    """Composable handle over the pipeline's intermediate Datasets.
+
+    ``collate_extract=True`` runs the GPU-shaped deployment of the
+    north star: sentences are length-sorted and bin-packed into
+    pseudo-documents under a span budget (``stages/collate.py``,
+    reference ``scripts/data/shared/collate.py:26-66``), extraction
+    runs as a heavy-state actor pool (``EncoderExtractStage`` — ~50 MB
+    of per-actor encoder state, the model-weights analogue) over the
+    packed batches, and predictions are projected back onto the
+    original documents (``uncollate_predictions``).  Annotation output
+    is identical to the direct path for the sentence-level tasks
+    (test-enforced); coref runs on original documents only, so
+    ``clusters`` falls back to a direct extraction pass."""
 
     def __init__(
         self,
@@ -33,10 +48,42 @@ class KGPipeline:
         cfg: ExtractionConfig = DEFAULT_CONFIG,
         num_buckets: int = 64,
         extract_concurrency: int | tuple[int, int] | None = None,
+        collate_extract: bool = False,
+        extract_num_gpus: float | None = None,
+        extract_batch_size: int | None = None,
     ):
         self.cfg = cfg
         self.transcripts = transcripts
+        self.collated = collate_extract
         self.documents = assemble_documents(transcripts, cfg, num_buckets)
+        if collate_extract:
+            pseudo = collate(
+                explode_sentences(self.documents), dataset=cfg.dataset
+            )
+            sent_cfg = _cfg_replace(
+                cfg, tasks=tuple(t for t in cfg.tasks if t != "coref")
+            )
+            self.predicted = extract(
+                pseudo, sent_cfg,
+                concurrency=extract_concurrency or 2,
+                num_gpus=extract_num_gpus,
+                batch_size=extract_batch_size,
+                stage_cls=EncoderExtractStage,
+            )
+            tables = uncollate_predictions(self.predicted, self.documents)
+            self.mentions = tables["ner"]
+            self.relations = tables["relations"]
+            self.triggers = tables["triggers"]
+            self.event_args = tables["event_args"]
+            # coref is document-scoped; run it (alone) on original docs
+            if "coref" in cfg.tasks:
+                coref_only = _cfg_replace(cfg, tasks=("ner", "coref"))
+                self.clusters = explode.clusters_table(
+                    extract(self.documents, coref_only)
+                )
+            else:
+                self.clusters = None
+            return
         self.predicted = extract(
             self.documents, cfg, concurrency=extract_concurrency
         )
@@ -59,8 +106,10 @@ class KGPipeline:
         prefix — so dedup completes block-locally with NO second
         shuffle (see ``triples_local_dedup`` for the invariant).
         ``local_dedup=False`` runs the general keyed-exchange path for
-        relation streams of unknown partitioning."""
-        if local_dedup:
+        relation streams of unknown partitioning.  The collated path
+        partitions relations by doc_key (not conv_id), so it always
+        takes the general path."""
+        if local_dedup and not self.collated:
             return triples_local_dedup(self.relations)
         return triples_from_relations(self.relations)
 
@@ -70,6 +119,16 @@ class KGPipeline:
         relations/triples) execute the extraction once instead of
         re-running lineage per consumer.  Use for run-everything jobs;
         single-output jobs should stay lazy."""
+        if self.collated:
+            # collated predictions are pseudo-doc-shaped; pin them and
+            # rebuild the projected tables instead of the direct explodes
+            self.predicted = self.predicted.materialize()
+            tables = uncollate_predictions(self.predicted, self.documents)
+            self.mentions = tables["ner"]
+            self.relations = tables["relations"]
+            self.triggers = tables["triggers"]
+            self.event_args = tables["event_args"]
+            return self
         self.predicted = self.predicted.materialize()
         from ..stages import explode
 

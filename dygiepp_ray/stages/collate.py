@@ -63,27 +63,51 @@ def explode_sentences(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
+PSEUDO_SCHEMA = pa.schema(
+    [
+        ("doc_key", pa.string()),
+        ("dataset", pa.string()),
+        ("sentences", pa.list_(pa.list_(pa.string()))),
+        ("sentence_start", pa.list_(pa.int32())),
+        ("_orig_doc_key", pa.list_(pa.string())),
+        ("_orig_sent_ix", pa.list_(pa.int32())),
+        ("n_tokens", pa.int32()),
+    ]
+)
+
+
 def collate(
     sentences: ray.data.Dataset,
     max_spans_per_doc: int = 50_000,
     max_sentences_per_doc: int = 16,
     dataset: str = "synth",
+    block_docs: int = 512,
 ) -> ray.data.Dataset:
     """Sentence rows -> pseudo-document rows.
 
     Global sort by length (collate.py:97-105), then greedy packing under
     the span budget ``n_sents * longest^2`` (collate.py:126-129).  The
-    packer is a sequential pass over the sorted stream (driver-side
-    iter_batches — the budget logic is inherently sequential; the heavy
-    work, the sort, is distributed)."""
+    packer is a sequential pass over the sorted stream (the budget
+    logic is inherently sequential; the heavy work, the sort, is
+    distributed).  Pseudo-docs are shipped to the object store every
+    ``block_docs`` documents, so the driver holds one block at a time,
+    never the whole collated corpus."""
+    import ray as _ray
+
     sorted_ds = sentences.sort("n_tokens")
-    rows = {"doc_key": [], "dataset": [], "sentences": [], "sentence_start": [],
-            "_orig_doc_key": [], "_orig_sent_ix": [], "n_tokens": []}
+    block_refs: list = []
+    rows = {k: [] for k in PSEUDO_SCHEMA.names}
     cur_toks: list[list[str]] = []
     cur_keys: list[str] = []
     cur_ixs: list[int] = []
     longest = 0
     n_doc = 0
+
+    def ship():
+        nonlocal rows
+        if rows["doc_key"]:
+            block_refs.append(_ray.put(pa.Table.from_pydict(rows, schema=PSEUDO_SCHEMA)))
+            rows = {k: [] for k in PSEUDO_SCHEMA.names}
 
     def flush():
         nonlocal cur_toks, cur_keys, cur_ixs, longest, n_doc
@@ -102,6 +126,8 @@ def collate(
         rows["n_tokens"].append(int(sum(lens)))
         n_doc += 1
         cur_toks, cur_keys, cur_ixs, longest = [], [], [], 0
+        if len(rows["doc_key"]) >= block_docs:
+            ship()
 
     for batch in sorted_ds.iter_batches(batch_size=4096, batch_format="pandas"):
         for key, ix, toks, n in zip(
@@ -120,18 +146,154 @@ def collate(
             cur_ixs.append(int(ix))
             longest = new_longest
     flush()
-    tbl = pa.table(
-        {
-            "doc_key": pa.array(rows["doc_key"], pa.string()),
-            "dataset": pa.array(rows["dataset"], pa.string()),
-            "sentences": pa.array(rows["sentences"], pa.list_(pa.list_(pa.string()))),
-            "sentence_start": pa.array(rows["sentence_start"], pa.list_(pa.int32())),
-            "_orig_doc_key": pa.array(rows["_orig_doc_key"], pa.list_(pa.string())),
-            "_orig_sent_ix": pa.array(rows["_orig_sent_ix"], pa.list_(pa.int32())),
-            "n_tokens": pa.array(rows["n_tokens"], pa.int32()),
-        }
-    )
-    return ray.data.from_arrow(tbl)
+    ship()
+    if not block_refs:
+        block_refs.append(_ray.put(PSEUDO_SCHEMA.empty_table()))
+    return ray.data.from_arrow_refs(block_refs)
+
+
+# doc-level token positions to rebase per annotation type (all spans are
+# sentence-internal, so one per-sentence base rebases every field)
+_POS_FIELDS = {
+    "ner": ("start", "end"),
+    "relations": ("s1", "e1", "s2", "e2"),
+    "triggers": ("tok",),
+    "event_args": ("trig_tok", "start", "end"),
+}
+
+
+def _combine(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def uncollate_predictions(
+    pred_pseudo: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    num_buckets: int = 32,
+) -> dict[str, ray.data.Dataset]:
+    """Predicted pseudo-docs -> flat annotation tables keyed by the
+    ORIGINAL documents (the prediction half of uncollate,
+    ``scripts/data/shared/uncollate.py:53-94`` analogue).
+
+    Stage 1 (vectorized per batch): flatten each annotation list column;
+    offset arithmetic maps its pseudo-doc (sent_ix, doc-level token
+    positions) to (orig_doc_key, orig_sent_ix, sentence-local
+    positions).  Stage 2 (one keyed exchange per type, annotations
+    co-partitioned with the original docs on doc_key): rebase the
+    sentence-local positions onto the original document's
+    ``sentence_start`` and attach ``conv_id``.
+
+    Coref clusters are deliberately absent: clusters are
+    document-scoped and pseudo-docs interleave documents, so coref must
+    run on original documents (same restriction as the reference's
+    collate workflow, which targets sentence-level tasks).
+
+    Returns ``{"ner": ds, "relations": ds, "triggers": ds,
+    "event_args": ds}`` with columns matching ``stages.explode``.
+    """
+
+    def flat_stage(col, pos_fields):
+        def fn(tbl: pa.Table) -> pd.DataFrame:
+            ok = _combine(tbl["_orig_doc_key"])
+            sent_off = np.asarray(ok.offsets)
+            sent_off = sent_off - sent_off[0]
+            ok_flat = np.asarray(ok.flatten().to_pandas(), dtype=object)
+            oix_flat = np.asarray(_combine(tbl["_orig_sent_ix"]).flatten())
+            ss_flat = np.asarray(_combine(tbl["sentence_start"]).flatten())
+            ann = _combine(tbl[col])
+            import pyarrow.compute as pc
+
+            parents = np.asarray(pc.list_parent_indices(ann))
+            flat = ann.flatten()
+            if len(flat) == 0:
+                out = {"doc_key": pd.Series(dtype=object),
+                       "sent_ix": pd.Series(dtype=np.int64)}
+                for f in flat.type:
+                    if f.name != "sent_ix":
+                        out[f.name] = pd.Series(
+                            dtype=np.int64 if f.name in pos_fields else object
+                        )
+                out["kind"] = pd.Series(dtype=object)
+                return pd.DataFrame(out)
+            sent_ix = np.asarray(flat.field("sent_ix"))
+            gsent = sent_off[parents] + sent_ix
+            out = {
+                "doc_key": ok_flat[gsent],
+                "sent_ix": oix_flat[gsent].astype(np.int64),
+            }
+            for f in flat.type:
+                if f.name == "sent_ix":
+                    continue
+                if f.name in pos_fields:
+                    out[f.name] = np.asarray(flat.field(f.name)) - ss_flat[gsent]
+                else:
+                    out[f.name] = flat.field(f.name).to_pandas()
+            df = pd.DataFrame(out)
+            df["kind"] = "A"
+            return df
+
+        return fn
+
+    def docs_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_key": df["doc_key"].to_numpy(),
+                "conv_id": df["conv_id"].to_numpy(),
+                # serialized starts: a scalar binary column survives
+                # schema promotion across the tagged union
+                "__ss": [
+                    np.asarray(s, dtype=np.int64).tobytes()
+                    for s in df["sentence_start"]
+                ],
+                "kind": "D",
+            }
+        )
+
+    dside = docs.map_batches(docs_side, batch_format="pandas")
+
+    out: dict[str, ray.data.Dataset] = {}
+    for col, pos_fields in _POS_FIELDS.items():
+        ann = pred_pseudo.map_batches(
+            flat_stage(col, pos_fields), batch_format="pyarrow"
+        )
+
+        def rebase(df: pd.DataFrame, pos=pos_fields) -> pd.DataFrame:
+            if len(df) == 0 or "kind" not in df.columns:
+                return df.head(0)
+            d = df[df["kind"] == "D"][["doc_key", "conv_id", "__ss"]]
+            a = df[df["kind"] == "A"].drop(
+                columns=["conv_id", "__ss", "kind"], errors="ignore"
+            )
+            if len(a) == 0:
+                a.insert(1, "conv_id", pd.Series(dtype=object))
+                return a
+            j = a.merge(d, on="doc_key", how="inner")
+            # union promotion may have floated the int columns (nulls on
+            # the docs-side rows) — restore exact integer dtypes
+            j["sent_ix"] = j["sent_ix"].astype(np.int64)
+            base = np.fromiter(
+                (
+                    np.frombuffer(s, dtype=np.int64)[ix]
+                    for s, ix in zip(j["__ss"], j["sent_ix"])
+                ),
+                dtype=np.int64,
+                count=len(j),
+            )
+            for f in pos:
+                j[f] = (j[f].to_numpy().astype(np.int64) + base).astype(np.int32)
+            j["sent_ix"] = j["sent_ix"].astype(np.int32)  # struct-field dtype
+            for c in ("raw", "softmax"):
+                if c in j.columns:
+                    j[c] = j[c].astype(np.float32)
+            cols = ["doc_key", "conv_id"] + [
+                c for c in a.columns if c != "doc_key"
+            ]
+            return j[cols]
+
+        out[col] = partitioned_map_groups(
+            dside.union(ann), "doc_key", rebase, num_buckets
+        )
+    return out
 
 
 def uncollate(pseudo_docs: ray.data.Dataset) -> ray.data.Dataset:

@@ -389,19 +389,60 @@ class ExtractStage:
         return out
 
 
+class EncoderExtractStage(ExtractStage):
+    """Heavy-per-actor-state deployment of the extraction stage — the
+    GPU-actor-pool shape of the north star.
+
+    ``__init__`` materializes a large embedding table once per actor
+    (~50 MB at the defaults — the model-weights analogue of
+    ``models/dygie.py:56-138`` loading a transformer); ``__call__``
+    embeds the batch's whole token stream and runs a batched projection
+    (the encoder's compute shape: one matmul per batch, no per-token
+    Python) before the span decode.  The decode itself stays the shared
+    deterministic scorer, so outputs remain bit-identical to
+    ``ExtractStage`` and the oracle (SURVEY.md §7.2-2 stand-in
+    discipline) — what this class exercises end to end is the
+    heavy-state actor pool + collated batch shaping, with
+    ``concurrency=N, num_gpus=g, batch_size=B`` sized to the fleet."""
+
+    def __init__(
+        self,
+        cfg: ExtractionConfig = DEFAULT_CONFIG,
+        vocab_hash: int = 100_003,
+        embed_dim: int = 128,
+        seed: int = 13,
+    ):
+        super().__init__(cfg)
+        rs = np.random.RandomState(seed)
+        # ~100k x 128 float32 = 51 MB, held for the actor's lifetime
+        self.embedding_table = rs.normal(size=(vocab_hash, embed_dim)).astype(np.float32)
+        self.projection = rs.normal(size=(embed_dim, embed_dim)).astype(np.float32)
+
+    def _flatten(self, tbl: pa.Table):
+        fl = super()._flatten(tbl)
+        if len(fl["tokens"]):
+            idx = (
+                pd.util.hash_array(fl["tokens"], categorize=False)
+                % np.uint64(len(self.embedding_table))
+            ).astype(np.int64)
+            fl["embeddings"] = self.embedding_table[idx] @ self.projection
+        return fl
+
+
 def extract(
     docs: ray.data.Dataset,
     cfg: ExtractionConfig = DEFAULT_CONFIG,
     batch_size: int | None = None,
     concurrency: int | tuple[int, int] | None = None,
     num_gpus: float | None = None,
+    stage_cls: type = ExtractStage,
 ) -> ray.data.Dataset:
     """documents -> documents + predicted annotation columns.
 
     ``concurrency=None`` runs stateless tasks (the deterministic scorer
     is cheap to construct); pass an int for a fixed actor pool — the
-    GPU-shaped deployment of the north star: swap the lexicon scorer
-    for a model inside ``ExtractStage.__init__`` (loaded once per
+    GPU-shaped deployment of the north star: use
+    ``stage_cls=EncoderExtractStage`` (heavy state loaded once per
     actor, ``models/dygie.py:56-138`` analogue) and pass
     ``concurrency=N, num_gpus=1, batch_size=B`` sized to the fleet."""
     if not cfg.entity_beam or cfg.max_antecedents < cfg.max_tokens_per_doc:
@@ -410,13 +451,13 @@ def extract(
         )
     if concurrency is None:
         return docs.map_batches(
-            ExtractStage(cfg), batch_format="pyarrow", batch_size=batch_size
+            stage_cls(cfg), batch_format="pyarrow", batch_size=batch_size
         )
     kw = {}
     if num_gpus:
         kw["num_gpus"] = num_gpus
     return docs.map_batches(
-        ExtractStage, fn_constructor_args=(cfg,), batch_format="pyarrow",
+        stage_cls, fn_constructor_args=(cfg,), batch_format="pyarrow",
         batch_size=batch_size, concurrency=concurrency, **kw,
     )
 
