@@ -102,3 +102,63 @@ def test_documents_as_transcripts_shape(ray_session):
     # turns are 16-token chunks except the last
     lens = g["text"].str.split().map(len)
     assert (lens.iloc[:-1] == 16).all() and lens.iloc[-1] <= 16
+
+
+def test_xml_standoff_reader(ray_session):
+    """Generic apf-like XML standoff source (S9/S10 pattern): entities,
+    multi-mention coref clusters, relations, events, drop counters."""
+    import ray.data as rd
+
+    from dygiepp_ray.sources.brat import drop_counters
+    from dygiepp_ray.sources.xmlstandoff import read_standoff_xml
+
+    xml = """
+    <corpus>
+      <document doc_key="x1">
+        <text>alice works at acme and alice likes robots</text>
+        <entity id="e1" type="PER">
+          <mention id="m1" start="0" end="5"/>
+          <mention id="m2" start="24" end="29"/>
+        </entity>
+        <entity id="e2" type="ORG">
+          <mention id="m3" start="15" end="19"/>
+        </entity>
+        <relation type="works_at" arg1="m1" arg2="m3"/>
+        <event type="liking">
+          <anchor start="30" end="35"/>
+          <argument role="AGENT" mention="m2"/>
+        </event>
+      </document>
+      <document doc_key="x2">
+        <text>one two three</text>
+        <entity id="e3" type="NUM">
+          <mention id="m4" start="0" end="3"/>
+          <mention id="m5" start="5" end="8"/>   <!-- 'wo ' misaligned: start 5 is mid-token -->
+        </entity>
+        <relation type="r" arg1="m4" arg2="m5"/>
+      </document>
+    </corpus>
+    """
+    ds = rd.from_items([{"doc_key": "ignored", "xml": xml}])
+    out = read_standoff_xml(ds).to_pandas().set_index("doc_key")
+
+    d1 = out.loc["x1"]
+    assert list(d1["tokens"]) == "alice works at acme and alice likes robots".split()
+    ner = {(m["start"], m["end"], m["label"]) for m in d1["ner"]}
+    assert ner == {(0, 0, "PER"), (5, 5, "PER"), (3, 3, "ORG")}
+    assert [dict(r) for r in d1["relations"]] == [
+        {"s1": 0, "e1": 0, "s2": 3, "e2": 3, "label": "works_at"}
+    ]
+    assert d1["events"][0]["trigger_tok"] == 6
+    assert d1["events"][0]["args"][0]["role"] == "AGENT"
+    # two mentions of e1 -> one coref cluster
+    assert len(d1["clusters"]) == 1
+    assert {(m["start"], m["end"]) for m in d1["clusters"][0]} == {(0, 0), (5, 5)}
+
+    d2 = out.loc["x2"]
+    assert d2["dropped_entities"] == 1     # misaligned extent dropped
+    assert d2["dropped_relations"] == 1    # referenced the dropped mention
+    assert len(d2["clusters"]) == 0
+
+    counters = drop_counters(read_standoff_xml(rd.from_items([{"doc_key": "k", "xml": xml}])))
+    assert counters == {"entities": 1, "relations": 1, "events": 0, "corefs": 0}
