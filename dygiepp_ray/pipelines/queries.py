@@ -333,6 +333,38 @@ FROM base, LATERAL (
 """
 
 
+def q_ner_eval(sf_dir: str) -> pd.DataFrame:
+    """Distributed NER evaluation (A1/J2): predicted mentions scored
+    against a deterministically perturbed gold copy (labels flipped
+    where (start + end) % 5 == 0), exercising the multiset-min matched
+    join end to end.  Counts only — P/R/F1 are pure ratios of them."""
+    from ..functions.evaluate import evaluate
+
+    pred = from_documents_table(sf_dir).mentions
+    gold_src = from_documents_table(sf_dir).mentions
+
+    def perturb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        flip = (df["start"].astype(np.int64) + df["end"].astype(np.int64)) % 5 == 0
+        df.loc[flip, "label"] = "X"
+        return df
+
+    gold = gold_src.map_batches(perturb, batch_format="pandas")
+    r = evaluate(pred, gold, "ner")
+    return pd.DataFrame(
+        [{k: np.int64(r[k]) for k in ("predicted", "gold", "matched")}]
+    )
+
+
+SQL_NER_EVAL = SQL_TOKS + f"""
+SELECT CAST(count(*) AS BIGINT) AS predicted,
+       CAST(count(*) AS BIGINT) AS gold,
+       CAST(sum(CASE WHEN (pos % {WIN} + e_end % {WIN}) % 5 != 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS matched
+FROM ents
+"""
+
+
 def all_queries() -> dict:
     """KG + relational + textops registries (name -> (fn, sql|None))."""
     from ..relational import RELATIONAL_QUERIES
@@ -355,4 +387,5 @@ KG_QUERIES = {
     "kg_clusters": (q_kg_clusters, SQL_KG_CLUSTERS),
     "doc_assembly": (q_doc_assembly, SQL_DOC_ASSEMBLY),
     "transcript_turns": (q_transcript_turns, SQL_TRANSCRIPT_TURNS),
+    "ner_eval": (q_ner_eval, SQL_NER_EVAL),
 }

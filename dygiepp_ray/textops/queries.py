@@ -183,7 +183,9 @@ def q_simhash(sf_dir: str):
     return out.map_batches(split, batch_format="pandas")
 
 
-SQL_SIMHASH = _SQL_ARR + f""",
+# (doc_id, simhash_hi, simhash_lo) CTE reused by the signature query and
+# the hamming-distance near-dup oracle
+_SQL_SIMHASH_CTE = _SQL_ARR + f""",
 th AS ({_SQL_TH}),
 bits AS (
   SELECT doc_id,
@@ -192,13 +194,19 @@ bits AS (
                 > len(ths)
            THEN 1 ELSE 0 END) AS b
   FROM th
+),
+sim AS (
+  SELECT doc_id,
+    CAST(COALESCE(list_sum(list_transform(range(32, 64),
+         j -> b[j+1]::HUGEINT * (1::HUGEINT << (j-32)))), 0) AS BIGINT) AS simhash_hi,
+    CAST(COALESCE(list_sum(list_transform(range(0, 32),
+         j -> b[j+1]::HUGEINT * (1::HUGEINT << j))), 0) AS BIGINT) AS simhash_lo
+  FROM bits
 )
-SELECT doc_id,
-  CAST(COALESCE(list_sum(list_transform(range(32, 64),
-       j -> b[j+1]::HUGEINT * (1::HUGEINT << (j-32)))), 0) AS BIGINT) AS simhash_hi,
-  CAST(COALESCE(list_sum(list_transform(range(0, 32),
-       j -> b[j+1]::HUGEINT * (1::HUGEINT << j))), 0) AS BIGINT) AS simhash_lo
-FROM bits
+"""
+
+SQL_SIMHASH = _SQL_SIMHASH_CTE + """
+SELECT doc_id, simhash_hi, simhash_lo FROM sim
 """
 
 
@@ -281,6 +289,130 @@ WHERE len(list_distinct(a.sh || b.sh)) > 0
 """
 
 
+def q_simhash_near_dups(sf_dir: str):
+    """SimHash near-dup pairs (hamming <= 3).  The 4x16-bit pigeonhole
+    bands give EXACT recall (distance <= 3 forces an equal band), so the
+    engine output equals the all-pairs hamming join the oracle runs."""
+    sigs = dedup.simhash_signatures(_docs(sf_dir))
+    out = dedup.simhash_near_dups(sigs, max_hamming=3)
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        if "id_a" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64)
+                                 for c in ("id_a", "id_b", "hamming")})
+        return df.astype({"id_a": np.int64, "id_b": np.int64, "hamming": np.int64})
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+SQL_SIMHASH_NEAR_DUPS = _SQL_SIMHASH_CTE + """
+SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+       CAST(bit_count(xor(a.simhash_hi, b.simhash_hi))
+            + bit_count(xor(a.simhash_lo, b.simhash_lo)) AS BIGINT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash_hi, b.simhash_hi))
+      + bit_count(xor(a.simhash_lo, b.simhash_lo)) <= 3
+"""
+
+
+def q_fuzzy_join_docs(sf_dir: str):
+    """Fuzzy similarity join (J4): documents joined to an id-offset copy
+    of themselves, best right match per left at Jaccard >= 0.8.
+    Identical texts share every minhash band, so the best match (the
+    J=1.0 twin; all texts are distinct) is recalled deterministically;
+    the oracle is the all-pairs best-match join."""
+    docs = _docs(sf_dir)
+    right = docs.map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": df["doc_id"] + 1_000_000, "text": df["text"]}
+        ),
+        batch_format="pandas",
+    )
+    out = dedup.fuzzy_join(docs, right, key_col="text", id_col="doc_id",
+                           threshold=0.8, shingle_k=3)
+
+    def ids_only(df: pd.DataFrame) -> pd.DataFrame:
+        if "left_id" not in df.columns or len(df) == 0:
+            return pd.DataFrame({"left_id": pd.Series(dtype=np.int64),
+                                 "right_id": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"left_id": df["left_id"].astype(np.int64),
+                             "right_id": df["right_id"].astype(np.int64)})
+
+    return out.map_batches(ids_only, batch_format="pandas")
+
+
+SQL_FUZZY_JOIN_DOCS = _SQL_ARR + """,
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(arr) = 0 THEN []::VARCHAR[]
+         WHEN len(arr) < 3 THEN [array_to_string(arr, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(arr) - 1),
+              i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) END AS sh
+  FROM base
+),
+cand AS (
+  SELECT l.doc_id AS lid, r.doc_id + 1000000 AS rid,
+         len(list_intersect(l.sh, r.sh)) AS inter,
+         len(list_distinct(l.sh || r.sh)) AS un
+  FROM sh l, sh r
+),
+best AS (
+  SELECT lid, rid,
+         row_number() OVER (PARTITION BY lid
+                            ORDER BY inter::DOUBLE / un DESC, rid) AS rk
+  FROM cand WHERE un > 0 AND 5 * inter >= 4 * un
+)
+SELECT CAST(lid AS BIGINT) AS left_id, CAST(rid AS BIGINT) AS right_id
+FROM best WHERE rk = 1
+"""
+
+
+def q_near_dup_components(sf_dir: str):
+    """Connected components over the verified minhash near-dup pairs
+    (distributed min-label propagation; oracle = recursive-CTE closure
+    over the all-pairs Jaccard edges)."""
+    docs = _docs(sf_dir)
+    sigs = dedup.minhash_signatures(docs)
+    pairs = dedup.lsh_candidate_pairs(sigs)
+    verified = dedup.ngram_jaccard_verify_bucketed(pairs, docs, threshold=0.8)
+    comps = dedup.connected_components(verified)
+    return comps.map_batches(
+        lambda df: df.astype({"node": np.int64, "component": np.int64}),
+        batch_format="pandas",
+    )
+
+
+SQL_NEAR_DUP_COMPONENTS = "WITH RECURSIVE " + _SQL_ARR[len("WITH "):] + """,
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(arr) = 0 THEN []::VARCHAR[]
+         WHEN len(arr) < 3 THEN [array_to_string(arr, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(arr) - 1),
+              i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) END AS sh
+  FROM base
+),
+e AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_distinct(a.sh || b.sh)) > 0
+    AND 5 * len(list_intersect(a.sh, b.sh)) >= 4 * len(list_distinct(a.sh || b.sh))
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM e
+  UNION SELECT id_b, id_a FROM e
+  UNION SELECT id_a, id_a FROM e
+  UNION SELECT id_b, id_b FROM e
+),
+closure(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT c.s, g.d FROM closure c JOIN edges g ON c.d = g.s
+)
+SELECT CAST(s AS BIGINT) AS node, CAST(min(d) AS BIGINT) AS component
+FROM closure GROUP BY s
+"""
+
+
 def q_embedding_near_dups(sf_dir: str):
     """Embedding-cosine near-dup pairs via multi-probe hyperplane LSH
     buckets (cosine >= 0.9); oracle = all-pairs cosine join."""
@@ -357,8 +489,11 @@ TEXTOPS_QUERIES = {
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "simhash_signatures": (q_simhash, SQL_SIMHASH),
+    "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH_NEAR_DUPS),
+    "fuzzy_join_docs": (q_fuzzy_join_docs, SQL_FUZZY_JOIN_DOCS),
+    "near_dup_components": (q_near_dup_components, SQL_NEAR_DUP_COMPONENTS),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
 }
