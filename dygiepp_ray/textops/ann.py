@@ -239,6 +239,161 @@ def embedding_near_dups(
     return pdf.sort_values(["id_a", "id_b"], ignore_index=True)
 
 
+def kmeans_centroids(
+    embeddings: ray.data.Dataset,
+    k: int = 16,
+    iters: int = 5,
+    seed_ids: list[int] | None = None,
+) -> np.ndarray:
+    """Distributed k-means coarse quantizer (the IVF training step).
+
+    Each iteration is ONE streaming pass: every batch assigns its
+    vectors to the nearest current centroid and emits per-cluster
+    (sum, count) partials; the driver reduces the tiny (k x d) partial
+    table and broadcasts the new centroids via closure capture.  The
+    driver never holds vectors — only k x d floats.
+
+    Deterministic: seeds are the vectors of the ``k`` smallest vec_ids
+    unless ``seed_ids`` is given (no RNG, so results are stable across
+    runs and parallelism)."""
+    if seed_ids is None:
+        small = embeddings.map_batches(
+            lambda df: df.nsmallest(k, "vec_id"), batch_format="pandas"
+        ).to_pandas().nsmallest(k, "vec_id")
+    else:
+        sset = set(seed_ids)
+        small = embeddings.map_batches(
+            lambda df: df[df["vec_id"].isin(sset)], batch_format="pandas"
+        ).to_pandas().sort_values("vec_id")
+    centroids = _stack(small["embedding"])
+
+    for _ in range(iters):
+        cref = ray.put(centroids)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(cref)
+            vecs = _stack(df["embedding"])
+            assign = np.argmin(
+                ((vecs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2), axis=1
+            )
+            rows = []
+            for ci in np.unique(assign):
+                sel = vecs[assign == ci]
+                rows.append(
+                    {"cluster": int(ci), "vsum": sel.sum(axis=0).tobytes(),
+                     "n": len(sel)}
+                )
+            return pd.DataFrame(rows)
+
+        parts = embeddings.map_batches(partial, batch_format="pandas").to_pandas()
+        new = centroids.copy()
+        for ci, g in parts.groupby("cluster"):
+            total = np.sum(
+                [np.frombuffer(b, dtype=np.float64) for b in g["vsum"]], axis=0
+            )
+            n = g["n"].sum()
+            if n:
+                new[ci] = total / n
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    embeddings: ray.data.Dataset,
+    query_ids: list[int],
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 5,
+) -> pd.DataFrame:
+    """IVF cosine top-k: k-means coarse quantizer -> inverted lists ->
+    queries scan only their ``nprobe`` nearest lists (one keyed exchange
+    on list id).  ``nprobe == nlist`` degenerates to exhaustive search
+    and equals ``brute_force_topk`` exactly (the correctness oracle);
+    smaller nprobe trades recall for a 1/(nlist/nprobe) scan fraction —
+    the 100 TB shape, since each list is an independent partition."""
+    centroids = kmeans_centroids(embeddings, k=nlist, iters=iters)
+    cref = ray.put(centroids)
+
+    qset = set(query_ids)
+    qdf = embeddings.map_batches(
+        lambda df: df[df["vec_id"].isin(qset)], batch_format="pandas"
+    ).to_pandas().sort_values("vec_id", ignore_index=True)
+    qvecs = _stack(qdf["embedding"])
+    qd = ((qvecs[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    qlists = np.argsort(qd, axis=1)[:, :nprobe]          # (Q, nprobe)
+    queries_ref = ray.put(
+        {"ids": qdf["vec_id"].to_numpy(), "vecs": qvecs, "lists": qlists}
+    )
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cref)
+        vecs = _stack(df["embedding"])
+        li = np.argmin(((vecs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2), axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy(),
+                "list_id": li.astype(np.int64),
+                "vec": [v.tobytes() for v in vecs],
+            }
+        )
+
+    listed = embeddings.map_batches(assign, batch_format="pandas")
+
+    from ..core import partitioned_map_groups
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "list_id" not in df.columns:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype=np.int64),
+                 "vec_id": pd.Series(dtype=np.int64),
+                 "sim": pd.Series(dtype=np.float64)}
+            )
+        q = ray.get(queries_ref)
+        outs = []
+        for lid, g in df.groupby("list_id", sort=False):
+            qsel = np.flatnonzero((q["lists"] == lid).any(axis=1))
+            if len(qsel) == 0:
+                continue
+            vecs = np.stack([np.frombuffer(v, dtype=np.float64) for v in g["vec"]])
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            vn = vecs / norms
+            ids = g["vec_id"].to_numpy()
+            for qi in qsel:
+                qv = q["vecs"][qi]
+                sims = vn @ (qv / np.linalg.norm(qv))
+                gg = pd.DataFrame({"vec_id": ids, "sim": sims})
+                gg = gg[gg["vec_id"] != q["ids"][qi]]
+                top = gg.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+                outs.append(top.assign(query_id=q["ids"][qi]))
+        if not outs:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype=np.int64),
+                 "vec_id": pd.Series(dtype=np.int64),
+                 "sim": pd.Series(dtype=np.float64)}
+            )
+        return pd.concat(outs, ignore_index=True)[["query_id", "vec_id", "sim"]]
+
+    cands = partitioned_map_groups(listed, "list_id", scan, num_buckets=8).to_pandas()
+    out = []
+    if len(cands) and "query_id" in cands.columns:
+        for qid, g in cands.groupby("query_id", sort=True):
+            top = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(len(top), qid, dtype=np.int64),
+                        "vec_id": top["vec_id"].to_numpy().astype(np.int64),
+                        "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+                    }
+                )
+            )
+    return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+        columns=["query_id", "vec_id", "rank"]
+    )
+
+
 def lsh_topk(
     embeddings: ray.data.Dataset,
     query_ids: list[int],

@@ -146,6 +146,16 @@ _SQL_TH = """
 """
 
 
+def q_ivf_topk(sf_dir: str):
+    """IVF ANN with exhaustive probing (nprobe == nlist): the k-means
+    quantizer + inverted-list exchange machinery runs for real, and the
+    result is provably exact, so the brute-force SQL oracle applies.
+    The recall/speed trade at nprobe < nlist is pytest-covered."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return ann.ivf_topk(emb, _ANN_QUERY_IDS, k=5, nlist=8, nprobe=8, iters=3)
+
+
 def q_fingerprints(sf_dir: str):
     """Polynomial token-stream fingerprints mod 2^61-1 (< 2^63, so the
     engine emits int64 and the oracle CASTs to BIGINT)."""
@@ -487,6 +497,7 @@ TEXTOPS_QUERIES = {
     "quality_scores": (q_quality, SQL_QUALITY),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "ivf_topk": (q_ivf_topk, SQL_ANN_TOPK),
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "simhash_signatures": (q_simhash, SQL_SIMHASH),
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),

@@ -223,3 +223,43 @@ def test_bucketed_jaccard_matches_broadcast(dup_docs):
     ka = {(r.id_a, r.id_b): round(r.jaccard, 9) for r in a.itertuples()}
     kb = {(r.id_a, r.id_b): round(r.jaccard, 9) for r in b.itertuples()}
     assert ka == kb
+
+
+def test_ivf_exhaustive_probe_equals_brute_force(ray_session):
+    """nprobe == nlist scans every inverted list -> provably exact."""
+    rs = np.random.RandomState(21)
+    vecs = rs.normal(size=(300, 24))
+    df = pd.DataFrame({"vec_id": np.arange(300, dtype=np.int64), "embedding": list(vecs)})
+    qids = [0, 5, 17, 123]
+    bf = ann.brute_force_topk(rd.from_pandas(df), qids, k=5)
+    ivf = ann.ivf_topk(rd.from_pandas(df), qids, k=5, nlist=6, nprobe=6, iters=3)
+    pd.testing.assert_frame_equal(
+        bf.sort_values(["query_id", "rank"], ignore_index=True),
+        ivf.sort_values(["query_id", "rank"], ignore_index=True),
+    )
+
+
+def test_ivf_partial_probe_recall(ray_session):
+    """nprobe < nlist is approximate; recall vs brute force stays high
+    (clustered corpus, queries probe their own clusters first)."""
+    rs = np.random.RandomState(8)
+    centers = rs.normal(scale=5.0, size=(4, 16))
+    vecs = np.concatenate([c + rs.normal(size=(80, 16)) for c in centers])
+    df = pd.DataFrame({"vec_id": np.arange(len(vecs), dtype=np.int64), "embedding": list(vecs)})
+    qids = [0, 80, 160, 240]
+    bf = ann.brute_force_topk(rd.from_pandas(df), qids, k=5)
+    ivf = ann.ivf_topk(rd.from_pandas(df), qids, k=5, nlist=8, nprobe=3, iters=4)
+    bf_set = set(zip(bf["query_id"], bf["vec_id"]))
+    ivf_set = set(zip(ivf["query_id"], ivf["vec_id"]))
+    recall = len(bf_set & ivf_set) / len(bf_set)
+    assert recall >= 0.8
+
+
+def test_kmeans_centroids_deterministic(ray_session):
+    rs = np.random.RandomState(4)
+    vecs = rs.normal(size=(100, 8))
+    df = pd.DataFrame({"vec_id": np.arange(100, dtype=np.int64), "embedding": list(vecs)})
+    c1 = ann.kmeans_centroids(rd.from_pandas(df), k=5, iters=3)
+    c2 = ann.kmeans_centroids(rd.from_pandas(df), k=5, iters=3)
+    assert np.array_equal(c1, c2)
+    assert c1.shape == (5, 8)
