@@ -333,6 +333,66 @@ FROM base, LATERAL (
 """
 
 
+def q_multi_namespace_mentions(sf_dir: str) -> ray.data.Dataset:
+    """Per-dataset label namespaces (T8/D2): even-doc_id documents route
+    through a namespace allowing bigram spans, odd ones through a
+    unigram-only namespace (max_span_width=1); mention counts per
+    (namespace, label) prove the routing."""
+    from dataclasses import replace
+
+    from ..sources.transcripts import documents_as_transcripts
+    from ..stages import explode
+    from ..stages.assemble import assemble_documents
+    from ..stages.multi_dataset import extract_multi_dataset
+
+    docs = assemble_documents(documents_as_transcripts(sf_dir), S.DEFAULT_CONFIG)
+
+    def stamp(tbl):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        ids = pc.cast(pc.utf8_slice_codeunits(tbl["conv_id"], 3), pa.int64())
+        ns = pc.if_else(
+            pc.equal(pc.bit_wise_and(ids, 1), 0),
+            pa.scalar("even"), pa.scalar("odd"),
+        )
+        i = tbl.schema.get_field_index("dataset")
+        return tbl.set_column(i, "dataset", ns)
+
+    stamped = docs.map_batches(stamp, batch_format="pyarrow")
+    cfgs = {
+        "even": replace(S.DEFAULT_CONFIG, dataset="even"),
+        "odd": replace(S.DEFAULT_CONFIG, dataset="odd", max_span_width=1),
+    }
+    pred = extract_multi_dataset(stamped, cfgs)
+    mentions = explode.mentions_table(pred)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        parity = df["conv_id"].str.removeprefix("doc").astype(np.int64) % 2
+        df["namespace"] = np.where(parity == 0, "even", "odd")
+        return (
+            df.groupby(["namespace", "label"], sort=False)
+            .size().rename("n").reset_index()
+        )
+
+    partials = mentions.map_batches(partial, batch_format="pandas")
+    out = partials.groupby(["namespace", "label"]).sum("n")
+    return out.map_batches(
+        lambda df: df.rename(columns={"sum(n)": "n_mentions"}), batch_format="pandas"
+    )
+
+
+SQL_MULTI_NAMESPACE_MENTIONS = SQL_TOKS + f"""
+SELECT CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS namespace,
+       {_LABEL_CASE} AS label,
+       CAST(count(*) AS BIGINT) AS n_mentions
+FROM ents
+WHERE pos = e_end OR doc_id % 2 = 0   -- bigram spans only in the even namespace
+GROUP BY 1, 2
+"""
+
+
 def q_ner_eval(sf_dir: str) -> pd.DataFrame:
     """Distributed NER evaluation (A1/J2): predicted mentions scored
     against a deterministically perturbed gold copy (labels flipped
@@ -388,4 +448,5 @@ KG_QUERIES = {
     "doc_assembly": (q_doc_assembly, SQL_DOC_ASSEMBLY),
     "transcript_turns": (q_transcript_turns, SQL_TRANSCRIPT_TURNS),
     "ner_eval": (q_ner_eval, SQL_NER_EVAL),
+    "multi_namespace_mentions": (q_multi_namespace_mentions, SQL_MULTI_NAMESPACE_MENTIONS),
 }
