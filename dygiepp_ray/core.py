@@ -87,24 +87,6 @@ def hash_exchange(
     merges themselves are async).
     """
 
-    @ray.remote
-    def split(block, key=key, B=num_buckets):
-        tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
-        if key not in tbl.schema.names or tbl.num_rows == 0:
-            # Ray Data passes empty blocks through map UDFs untouched, so an
-            # upstream empty block may lack computed key columns — route it
-            # (0 rows) everywhere
-            empty = tbl.slice(0, 0)
-            return empty if B == 1 else tuple(empty for _ in range(B))
-        col = tbl[key].to_pandas().to_numpy()
-        b = stable_bucket(col, B)
-        order = np.argsort(b, kind="stable")
-        tbl = tbl.take(pa.array(order))
-        bs = b[order]
-        offs = np.searchsorted(bs, np.arange(B + 1))
-        parts = [tbl.slice(offs[i], offs[i + 1] - offs[i]) for i in range(B)]
-        return parts[0] if B == 1 else tuple(parts)
-
     def _concat(parts):
         nonempty = [p for p in parts if p.num_rows]
         base = nonempty if nonempty else list(parts[:1])
@@ -132,20 +114,105 @@ def hash_exchange(
             return pa.Table.from_pandas(out, preserve_index=False)
         return out
 
-    splits = []
+    splits = _split_refs(ds, key, num_buckets)
+    merged = []
+    for b in range(num_buckets):
+        refs = _tree_reduce([s[b] for s in splits], concat)
+        merged.append(merge.remote(*refs))
+    return ray.data.from_arrow_refs(merged)
+
+
+def _make_split(key: str, num_buckets: int):
+    @ray.remote
+    def split(block, key=key, B=num_buckets):
+        tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        if key not in tbl.schema.names or tbl.num_rows == 0:
+            empty = tbl.slice(0, 0)
+            return empty if B == 1 else tuple(empty for _ in range(B))
+        col = tbl[key].to_pandas().to_numpy()
+        b = stable_bucket(col, B)
+        order = np.argsort(b, kind="stable")
+        tbl = tbl.take(pa.array(order))
+        bs = b[order]
+        offs = np.searchsorted(bs, np.arange(B + 1))
+        parts = [tbl.slice(offs[i], offs[i + 1] - offs[i]) for i in range(B)]
+        return parts[0] if B == 1 else tuple(parts)
+
+    return split
+
+
+def _split_refs(ds: ray.data.Dataset, key: str, num_buckets: int) -> list:
+    split = _make_split(key, num_buckets)
+    out = []
     for bundle in ds.iter_internal_ref_bundles():
         for bref in bundle.block_refs:
             refs = split.options(num_returns=num_buckets).remote(bref)
-            splits.append((refs,) if num_buckets == 1 else refs)
+            out.append((refs,) if num_buckets == 1 else refs)
+    return out
+
+
+def _tree_reduce(refs: list, concat) -> list:
+    while len(refs) > MERGE_FANIN:
+        refs = [
+            concat.remote(*refs[i : i + MERGE_FANIN])
+            for i in range(0, len(refs), MERGE_FANIN)
+        ]
+    return refs
+
+
+def hash_coexchange(
+    ds_a: ray.data.Dataset,
+    ds_b: ray.data.Dataset,
+    key_a: str,
+    key_b: str,
+    fn,
+    num_buckets: int = 64,
+    fn_format: str = "pandas",
+) -> ray.data.Dataset:
+    """Two-sided keyed exchange: both datasets hash-partition with the
+    SAME deterministic bucketing (rows of ``ds_a`` whose ``key_a``
+    equals some ``key_b`` of ``ds_b`` land in the same bucket), and
+    ``fn(bucket_a, bucket_b)`` runs once per bucket.
+
+    This replaces the tagged-union join pattern (tag both sides with a
+    ``kind`` column, union, filter inside the bucket): each side keeps
+    its OWN schema end to end — no cross-side schema promotion, no
+    int->float corruption from null-padded columns, no Ray Data
+    schema-mismatch warnings.  Same tree-merge fan-in bound and
+    empty-block tolerance as :func:`hash_exchange`; ``fn`` must still
+    tolerate an empty side whose computed columns are missing (Ray Data
+    passes empty blocks through upstream UDFs untouched)."""
+
+    @ray.remote
+    def concat(*parts):
+        nonempty = [p for p in parts if p.num_rows]
+        base = nonempty if nonempty else list(parts[:1])
+        return pa.concat_tables(base, promote_options="default").combine_chunks()
+
+    def _concat_local(parts):
+        nonempty = [p for p in parts if p.num_rows]
+        base = nonempty if nonempty else list(parts[:1])
+        return pa.concat_tables(base, promote_options="default")
+
+    @ray.remote
+    def merge2(n_a, *parts):
+        ta = _concat_local(parts[:n_a])
+        tb = _concat_local(parts[n_a:])
+        if fn_format == "pyarrow":
+            out = fn(ta, tb)
+        else:
+            out = fn(ta.to_pandas(), tb.to_pandas())
+        if isinstance(out, pd.DataFrame):
+            return pa.Table.from_pandas(out, preserve_index=False)
+        return out
+
+    splits_a = _split_refs(ds_a, key_a, num_buckets)
+    splits_b = _split_refs(ds_b, key_b, num_buckets)
     merged = []
     for b in range(num_buckets):
-        refs = [s[b] for s in splits]
-        while len(refs) > MERGE_FANIN:
-            refs = [
-                concat.remote(*refs[i : i + MERGE_FANIN])
-                for i in range(0, len(refs), MERGE_FANIN)
-            ]
-        merged.append(merge.remote(*refs))
+        a_refs = _tree_reduce([s[b] for s in splits_a], concat)
+        b_refs = _tree_reduce([s[b] for s in splits_b], concat)
+        merged.append(merge2.remote(len(a_refs), *a_refs, *b_refs))
     return ray.data.from_arrow_refs(merged)
 
 

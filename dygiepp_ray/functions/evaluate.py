@@ -44,35 +44,30 @@ def evaluate(
     (key, side) partials -> matched = sum(min(pred_n, gold_n)).
     """
     cols = _KEYS[task]
-    p = _keyify(pred, cols).map_batches(
-        lambda df: df.assign(side="p"), batch_format="pandas"
-    )
-    g = _keyify(gold, cols).map_batches(
-        lambda df: df.assign(side="g"), batch_format="pandas"
-    )
-    both = p.union(g)
+    p = _keyify(pred, cols)
+    g = _keyify(gold, cols)
 
-    from ..core import partitioned_map_groups
+    from ..core import hash_coexchange
 
-    def reduce_keys(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame({"predicted": [0], "gold": [0], "matched": [0]})
-        piv = df.pivot_table(
-            index="key", columns="side", values="n", aggfunc="sum", fill_value=0
-        )
-        pn = piv["p"] if "p" in piv else 0
-        gn = piv["g"] if "g" in piv else 0
+    def reduce_keys(pdf: pd.DataFrame, gdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
+        def per_key(df: pd.DataFrame) -> pd.Series:
+            if len(df) == 0 or "key" not in df.columns:
+                return pd.Series(dtype=np.int64)
+            return df.groupby("key", sort=False)["n"].sum()
+
+        pk, gk = per_key(pdf), per_key(gdf)
+        j = pd.concat([pk.rename("p"), gk.rename("g")], axis=1).fillna(0)
         return pd.DataFrame(
             {
-                "predicted": [int(np.sum(pn))],
-                "gold": [int(np.sum(gn))],
-                "matched": [int(np.minimum(pn, gn).sum()) if "p" in piv and "g" in piv else 0],
+                "predicted": [int(pk.sum())],
+                "gold": [int(gk.sum())],
+                "matched": [int(np.minimum(j["p"], j["g"]).sum()) if len(j) else 0],
             }
         )
 
-    parts = partitioned_map_groups(both, "key", reduce_keys, num_buckets=16).to_pandas()
+    parts = hash_coexchange(p, g, "key", "key", reduce_keys, num_buckets=16).to_pandas()
     predicted = int(parts["predicted"].sum())
     gold_n = int(parts["gold"].sum())
     matched = int(parts["matched"].sum())
@@ -101,41 +96,41 @@ def evaluate_coref(
     them; the driver sums the tiny per-bucket rows and finalizes
     MUC / B^3 / CEAF-phi4 P/R/F1 plus their CoNLL mean."""
     from . import coref_metrics as CM
-    from ..core import partitioned_map_groups
+    from ..core import hash_coexchange
 
     cols = ["doc_key", "cluster_ix", "start", "end"]
 
-    def tag(side):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            out = df[cols].copy()
-            out["side"] = side
-            return out
+    def select(df: pd.DataFrame) -> pd.DataFrame:
+        return df[cols].copy()
 
-        return fn
+    p = pred.map_batches(select, batch_format="pandas")
+    g = gold.map_batches(select, batch_format="pandas")
 
-    both = pred.map_batches(tag("p"), batch_format="pandas").union(
-        gold.map_batches(tag("g"), batch_format="pandas")
-    )
+    def bucket_stats(pdf: pd.DataFrame, gdf: pd.DataFrame) -> pd.DataFrame:
+        def by_doc(df: pd.DataFrame) -> dict:
+            if len(df) == 0 or "doc_key" not in df.columns:
+                return {}
+            return {
+                dk: [
+                    frozenset(zip(grp["start"], grp["end"]))
+                    for _, grp in d.groupby("cluster_ix", sort=False)
+                ]
+                for dk, d in df.groupby("doc_key", sort=False)
+            }
 
-    def bucket_stats(df: pd.DataFrame) -> pd.DataFrame:
+        pc_, gc = by_doc(pdf), by_doc(gdf)
         sums: dict[str, float] = {}
-        if len(df):
-            for _, d in df.groupby("doc_key", sort=False):
-                def clusters(side):
-                    s = d[d["side"] == side]
-                    return [
-                        frozenset(zip(g["start"], g["end"]))
-                        for _, g in s.groupby("cluster_ix", sort=False)
-                    ]
-
-                st = CM.doc_stats(clusters("g"), clusters("p"))
-                for k, v in st.items():
-                    sums[k] = sums.get(k, 0.0) + v
+        for dk in set(pc_) | set(gc):
+            st = CM.doc_stats(gc.get(dk, []), pc_.get(dk, []))
+            for k, v in st.items():
+                sums[k] = sums.get(k, 0.0) + v
         if not sums:
             sums = {k: 0.0 for k in CM.doc_stats([], [])}
         return pd.DataFrame({k: [v] for k, v in sums.items()})
 
-    parts = partitioned_map_groups(both, "doc_key", bucket_stats, num_buckets).to_pandas()
+    parts = hash_coexchange(
+        p, g, "doc_key", "doc_key", bucket_stats, num_buckets
+    ).to_pandas()
     return CM.finalize({c: float(parts[c].sum()) for c in parts.columns})
 
 

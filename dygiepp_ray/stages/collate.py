@@ -213,7 +213,6 @@ def uncollate_predictions(
                         out[f.name] = pd.Series(
                             dtype=np.int64 if f.name in pos_fields else object
                         )
-                out["kind"] = pd.Series(dtype=object)
                 return pd.DataFrame(out)
             sent_ix = np.asarray(flat.field("sent_ix"))
             gsent = sent_off[parents] + sent_ix
@@ -228,9 +227,7 @@ def uncollate_predictions(
                     out[f.name] = np.asarray(flat.field(f.name)) - ss_flat[gsent]
                 else:
                     out[f.name] = flat.field(f.name).to_pandas()
-            df = pd.DataFrame(out)
-            df["kind"] = "A"
-            return df
+            return pd.DataFrame(out)
 
         return fn
 
@@ -239,17 +236,18 @@ def uncollate_predictions(
             {
                 "doc_key": df["doc_key"].to_numpy(),
                 "conv_id": df["conv_id"].to_numpy(),
-                # serialized starts: a scalar binary column survives
-                # schema promotion across the tagged union
+                # serialized starts: a scalar binary column concats
+                # cleanly across Arrow blocks
                 "__ss": [
                     np.asarray(s, dtype=np.int64).tobytes()
                     for s in df["sentence_start"]
                 ],
-                "kind": "D",
             }
         )
 
     dside = docs.map_batches(docs_side, batch_format="pandas")
+
+    from ..core import hash_coexchange
 
     out: dict[str, ray.data.Dataset] = {}
     for col, pos_fields in _POS_FIELDS.items():
@@ -257,20 +255,14 @@ def uncollate_predictions(
             flat_stage(col, pos_fields), batch_format="pyarrow"
         )
 
-        def rebase(df: pd.DataFrame, pos=pos_fields) -> pd.DataFrame:
-            if len(df) == 0 or "kind" not in df.columns:
-                return df.head(0)
-            d = df[df["kind"] == "D"][["doc_key", "conv_id", "__ss"]]
-            a = df[df["kind"] == "A"].drop(
-                columns=["conv_id", "__ss", "kind"], errors="ignore"
-            )
-            if len(a) == 0:
-                a.insert(1, "conv_id", pd.Series(dtype=object))
+        def rebase(a: pd.DataFrame, d: pd.DataFrame, pos=pos_fields) -> pd.DataFrame:
+            if (len(a) == 0 or "doc_key" not in a.columns
+                    or len(d) == 0 or "doc_key" not in d.columns):
+                a = a.head(0).copy()
+                if "conv_id" not in a.columns and len(a.columns):
+                    a.insert(1, "conv_id", pd.Series(dtype=object))
                 return a
-            j = a.merge(d, on="doc_key", how="inner")
-            # union promotion may have floated the int columns (nulls on
-            # the docs-side rows) — restore exact integer dtypes
-            j["sent_ix"] = j["sent_ix"].astype(np.int64)
+            j = a.merge(d[["doc_key", "conv_id", "__ss"]], on="doc_key", how="inner")
             base = np.fromiter(
                 (
                     np.frombuffer(s, dtype=np.int64)[ix]
@@ -290,8 +282,8 @@ def uncollate_predictions(
             ]
             return j[cols]
 
-        out[col] = partitioned_map_groups(
-            dside.union(ann), "doc_key", rebase, num_buckets
+        out[col] = hash_coexchange(
+            ann, dside, "doc_key", "doc_key", rebase, num_buckets
         )
     return out
 

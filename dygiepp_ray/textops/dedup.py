@@ -243,64 +243,37 @@ def attach_pair_values(
     num_buckets: int = 16,
 ) -> ray.data.Dataset:
     """Join a per-id SCALAR value column (binary/string/int — scalar so
-    schema promotion across the tagged union is clean) onto candidate
-    pairs ``(id_a, id_b, ...)`` with two keyed exchanges (co-partition
-    pairs with values on id_a, then on id_b).  This is the full-scale
-    pair-verification join: nothing is broadcast, nothing touches the
-    driver, shuffle bytes are O(|pairs| + |values|) per exchange.
+    Arrow concat across blocks is clean) onto candidate pairs
+    ``(id_a, id_b, ...)`` with two co-partitioned exchanges
+    (``core.hash_coexchange`` on id_a, then on id_b).  This is the
+    full-scale pair-verification join: nothing is broadcast, nothing
+    touches the driver, shuffle bytes are O(|pairs| + |values|) per
+    exchange, and each side keeps its own schema (no tagged-union
+    promotion).
 
     ``values`` must have columns (doc_id, value_col); ids must be
     integers.  Extra pair columns pass through untouched."""
+    from ..core import hash_coexchange
 
     def attach(side_id: str, out_col: str):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            vals = df[df["kind"] == "S"][["doc_id", value_col]].rename(
-                columns={"doc_id": side_id, value_col: out_col}
-            )
-            p = df[df["kind"] == "P"].drop(
-                columns=["doc_id", value_col, "kind"], errors="ignore"
-            )
-            if len(p) == 0:
+        def fn(p: pd.DataFrame, vals: pd.DataFrame) -> pd.DataFrame:
+            empty_p = len(p) == 0 or side_id not in p.columns
+            empty_v = len(vals) == 0 or "doc_id" not in vals.columns
+            if empty_p or empty_v:
+                p = p.head(0).copy()
                 p[out_col] = pd.Series(dtype=object)
                 return p
-            j = p.merge(vals, on=side_id, how="inner")
-            for c in ("id_a", "id_b"):
-                j[c] = j[c].astype(np.int64)
-            return j
-
-        return fn
-
-    def tag(kind):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["kind"] = kind
-            return df
-
-        return fn
-
-    def keyed(col):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["__jkey"] = (
-                df[col] if col in df.columns else df["doc_id"]
-            ).astype(np.int64)
-            return df
+            vals = vals[["doc_id", value_col]].rename(
+                columns={"doc_id": side_id, value_col: out_col}
+            )
+            return p.merge(vals, on=side_id, how="inner")
 
         return fn
 
     out = pairs
     for side_id, out_col in (("id_a", out_a), ("id_b", out_b)):
-        p = out.map_batches(tag("P"), batch_format="pandas").map_batches(
-            keyed(side_id), batch_format="pandas"
-        )
-        s = values.map_batches(tag("S"), batch_format="pandas").map_batches(
-            keyed("doc_id"), batch_format="pandas"
-        )
-        out = partitioned_map_groups(
-            p.union(s), "__jkey",
-            lambda df, si=side_id, oc=out_col: attach(si, oc)(
-                df.drop(columns="__jkey", errors="ignore")
-            ),
+        out = hash_coexchange(
+            out, values, side_id, "doc_id", attach(side_id, out_col),
             num_buckets,
         )
     return out
@@ -394,6 +367,8 @@ def connected_components(
             }
         )
 
+    from ..core import hash_coexchange
+
     sym_edges = edges.map_batches(sym, batch_format="pandas").materialize()
 
     def init_labels(df: pd.DataFrame) -> pd.DataFrame:
@@ -403,40 +378,47 @@ def connected_components(
 
     labels = partitioned_map_groups(sym_edges, "src", init_labels, num_buckets)
 
+    _EMPTY_NL = {"node": pd.Series(dtype=np.int64), "label": pd.Series(dtype=np.int64)}
+
+    def send(edg: pd.DataFrame, lab: pd.DataFrame) -> pd.DataFrame:
+        # edges co-partitioned with labels on the SOURCE node; each edge
+        # carries its source's current label to the destination
+        if (len(edg) == 0 or "src" not in edg.columns
+                or len(lab) == 0 or "node" not in lab.columns):
+            return pd.DataFrame(_EMPTY_NL)
+        j = edg[["src", "dst"]].merge(
+            lab.rename(columns={"node": "src"})[["src", "label"]],
+            on="src", how="inner",
+        )
+        return j.rename(columns={"dst": "node"})[["node", "label"]]
+
+    def update(m: pd.DataFrame, lab: pd.DataFrame) -> pd.DataFrame:
+        parts = [
+            s[["node", "label"]]
+            for s in (m, lab)
+            if len(s) and "node" in s.columns
+        ]
+        if not parts:
+            out = pd.DataFrame(_EMPTY_NL)
+            out["changed"] = pd.Series(dtype=np.int64)
+            return out
+        df = pd.concat(parts, ignore_index=True)
+        g = df.groupby("node", sort=False)["label"].min().reset_index()
+        old = (
+            lab.set_index("node")["label"]
+            if len(lab) and "node" in lab.columns
+            else pd.Series(dtype=np.int64)
+        )
+        changed = (g.set_index("node")["label"] != old.reindex(g["node"]).to_numpy()).to_numpy()
+        g["changed"] = changed.astype(np.int64)
+        return g.astype({"node": np.int64, "label": np.int64})
+
     for _ in range(max_iters):
-        lab_rows = labels.map_batches(
-            lambda df: df.assign(kind="L").rename(columns={"node": "src"}),
-            batch_format="pandas",
+        msgs = hash_coexchange(
+            sym_edges, labels, "src", "node", send, num_buckets
         )
-        edge_rows = sym_edges.map_batches(
-            lambda df: df.assign(kind="E", label=np.int64(0)), batch_format="pandas"
-        )
-
-        def send(df: pd.DataFrame) -> pd.DataFrame:
-            # bucket key = src; label rows carry src's label to its edges
-            lab = df[df["kind"] == "L"][["src", "label"]]
-            edg = df[df["kind"] == "E"][["src", "dst"]]
-            j = edg.merge(lab, on="src", how="inner")
-            out = j.rename(columns={"dst": "node"})[["node", "label"]]
-            # union-promotion turns partially-null columns into float64
-            return out.astype({"node": np.int64, "label": np.int64})
-
-        msgs = partitioned_map_groups(
-            lab_rows.union(edge_rows), "src", send, num_buckets
-        )
-
-        m_rows = msgs.map_batches(lambda df: df.assign(kind="M"), batch_format="pandas")
-        l_rows = labels.map_batches(lambda df: df.assign(kind="L"), batch_format="pandas")
-
-        def update(df: pd.DataFrame) -> pd.DataFrame:
-            g = df.groupby("node", sort=False)["label"].min().reset_index()
-            old = df[df["kind"] == "L"].set_index("node")["label"]
-            changed = (g.set_index("node")["label"] != old.reindex(g["node"]).to_numpy()).to_numpy()
-            g["changed"] = changed.astype(np.int64)
-            return g.astype({"node": np.int64, "label": np.int64})
-
-        labels = partitioned_map_groups(
-            m_rows.union(l_rows), "node", update, num_buckets
+        labels = hash_coexchange(
+            msgs, labels, "node", "node", update, num_buckets
         ).materialize()
         if int(labels.sum("changed") or 0) == 0:
             break
