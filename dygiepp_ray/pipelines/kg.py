@@ -69,7 +69,11 @@ class KGPipeline:
                 num_gpus=extract_num_gpus,
                 batch_size=extract_batch_size,
                 stage_cls=EncoderExtractStage,
-            )
+            ).materialize()
+            # materialized once: the four uncollate exchanges are eager
+            # and would otherwise each re-execute the extraction lineage
+            # (the collated path is barrier-shaped anyway — the collate
+            # sort + packer already executed)
             tables = uncollate_predictions(self.predicted, self.documents)
             self.mentions = tables["ner"]
             self.relations = tables["relations"]
