@@ -130,7 +130,9 @@ def main() -> None:
             ("sessionize", R.sessionize),
             ("dedup_exact", TQ.q_dedup_exact),
             ("ann_topk", TQ.q_ann_topk),
+            ("ivf_topk", TQ.q_ivf_topk),
             ("minhash_near_dups", TQ.q_minhash_near_dups),
+            ("simhash_near_dups", TQ.q_simhash_near_dups),
         ]:
             t0 = time.perf_counter()
             res = fn(SF_DIR)

@@ -151,6 +151,12 @@ def _split_refs(ds: ray.data.Dataset, key: str, num_buckets: int) -> list:
     return out
 
 
+def split_refs(ds: ray.data.Dataset, key: str, num_buckets: int) -> list:
+    """Public handle for pre-splitting one exchange side so several
+    :func:`hash_coexchange` calls can share it (``splits_b=``)."""
+    return _split_refs(ds, key, num_buckets)
+
+
 def _tree_reduce(refs: list, concat) -> list:
     while len(refs) > MERGE_FANIN:
         refs = [
@@ -168,11 +174,17 @@ def hash_coexchange(
     fn,
     num_buckets: int = 64,
     fn_format: str = "pandas",
+    splits_b: list | None = None,
 ) -> ray.data.Dataset:
     """Two-sided keyed exchange: both datasets hash-partition with the
     SAME deterministic bucketing (rows of ``ds_a`` whose ``key_a``
     equals some ``key_b`` of ``ds_b`` land in the same bucket), and
     ``fn(bucket_a, bucket_b)`` runs once per bucket.
+
+    ``splits_b`` (from :func:`split_refs`) reuses an already-split b
+    side across several exchanges — the exchange is eager, so passing
+    the same Dataset twice would re-execute its lineage; splitting once
+    shares the object-store copies instead.
 
     This replaces the tagged-union join pattern (tag both sides with a
     ``kind`` column, union, filter inside the bucket): each side keeps
@@ -207,7 +219,8 @@ def hash_coexchange(
         return out
 
     splits_a = _split_refs(ds_a, key_a, num_buckets)
-    splits_b = _split_refs(ds_b, key_b, num_buckets)
+    if splits_b is None:
+        splits_b = _split_refs(ds_b, key_b, num_buckets)
     merged = []
     for b in range(num_buckets):
         a_refs = _tree_reduce([s[b] for s in splits_a], concat)

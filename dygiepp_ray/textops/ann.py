@@ -171,30 +171,31 @@ def embedding_near_dups(
     probed = embeddings.map_batches(sign_probe, batch_format="pandas")
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64)}
+        )
+        if len(df) == 0 or "bucket" not in df.columns:
+            return empty
+        d = df.drop_duplicates(["bucket", "vec_id"])
+        sizes = d.groupby("bucket", sort=False)["vec_id"].transform("size")
+        d = d[sizes >= 2]
         outs = []
-        for _, g in df.groupby("bucket", sort=False):
-            ids = np.unique(g["vec_id"].to_numpy())
-            if len(ids) < 2:
-                continue
+        for _, g in d.groupby("bucket", sort=False):
+            ids = np.sort(g["vec_id"].to_numpy())
             a, b = np.triu_indices(len(ids), k=1)
             outs.append(pd.DataFrame({"id_a": ids[a], "id_b": ids[b]}))
         if not outs:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64)}
-            )
+            return empty
         return pd.concat(outs, ignore_index=True).drop_duplicates(ignore_index=True)
 
     cand = partitioned_map_groups(probed, "bucket", pairs, num_buckets)
 
-    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["pkey"] = df["id_a"].astype(str).str.cat(df["id_b"].astype(str), sep=":")
-        return df
+    from .dedup import _add_pair_key
 
     deduped = partitioned_map_groups(
-        cand.map_batches(add_pkey, batch_format="pandas"),
+        cand.map_batches(_add_pair_key, batch_format="pandas"),
         "pkey",
-        lambda df: df.drop_duplicates("pkey", ignore_index=True).drop(columns="pkey"),
+        lambda df: df.drop_duplicates(["id_a", "id_b"], ignore_index=True).drop(columns="pkey"),
         num_buckets,
     )
 

@@ -10,8 +10,10 @@
 * SimHash: 64-bit fingerprints + banded candidate generation.
 * n-gram Jaccard: exact verify used by both near-dup paths.
 
-All hashing is deterministic (md5-derived), so results are stable across
-processes and runs.
+All hashing is deterministic (md5 where a SQL oracle reproduces the
+values, pandas' fixed-key siphash where the hash is an internal
+fingerprint or bucketing key), so results are stable across processes
+and runs.
 """
 
 from __future__ import annotations
@@ -28,6 +30,19 @@ from ..core import partitioned_map_groups
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
+
+
+def _add_pair_key(df: pd.DataFrame) -> pd.DataFrame:
+    """Numeric pair-bucketing key (vectorized; see callers — dedup always
+    compares the real id columns, never the hash)."""
+    df = df.copy()
+    if "id_a" not in df.columns or len(df) == 0:
+        df["pkey"] = pd.Series(dtype=np.int64)
+        return df
+    ha = pd.util.hash_array(df["id_a"].to_numpy(), categorize=False)
+    hb = pd.util.hash_array(df["id_b"].to_numpy(), categorize=False)
+    df["pkey"] = ((ha * np.uint64(0x9E3779B97F4A7C15) ^ hb) >> np.uint64(1)).astype(np.int64)
+    return df
 
 
 def _md5_series(texts: pd.Series) -> pd.Series:
@@ -76,20 +91,22 @@ def _perm_params(n_perm: int, seed: int = 12345) -> tuple[np.ndarray, np.ndarray
 
 
 def _shingle_hashes(tokens: list[str], k: int) -> np.ndarray:
-    """Deterministic 64-bit hashes of word k-shingles."""
+    """Deterministic 64-bit hashes of the DISTINCT word k-shingles.
+
+    Hashing here only needs to be an injective-w.h.p. fingerprint of
+    each shingle (Jaccard is computed on hash SETS, so any collision-
+    free hash yields identical set cardinalities — the all-pairs SQL
+    oracle computes the same Jaccard on the shingle strings).  pandas'
+    fixed-key siphash is stable across processes/runs and vectorized —
+    ~30x faster than per-shingle hashlib."""
     if len(tokens) < k:
         shingles = [" ".join(tokens)] if tokens else []
     else:
         shingles = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
-    out = np.fromiter(
-        (
-            int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
-            for s in set(shingles)
-        ),
-        dtype=np.uint64,
-        count=len(set(shingles)),
-    )
-    return out
+    if not shingles:
+        return np.empty(0, dtype=np.uint64)
+    h = pd.util.hash_array(np.asarray(shingles, dtype=object), categorize=False)
+    return np.unique(h)
 
 
 class MinHasher:
@@ -145,47 +162,53 @@ def lsh_candidate_pairs(
         sigs = np.stack(df["signature"].to_numpy())
         n_perm = sigs.shape[1]
         rows_per = n_perm // bands
-        doc_ids = np.repeat(df["doc_id"].to_numpy(), bands)
-        band_ix = np.tile(np.arange(bands), len(df))
-        bh = np.empty(len(df) * bands, dtype=object)
-        i = 0
-        for sig in sigs:
-            for b in range(bands):
-                chunk = sig[b * rows_per : (b + 1) * rows_per]
-                bh[i] = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
-                i += 1
-        out = pd.DataFrame({"doc_id": doc_ids, "band": band_ix, "band_hash": bh})
-        out["bkey"] = out["band"].astype(str).str.cat(out["band_hash"], sep=":")
-        return out[["doc_id", "bkey"]]
+        # band key = FNV-style fold of the band's minhash values + the
+        # band index — pure bucketing (equal bands always collide; a
+        # spurious 64-bit collision only adds a candidate pair that the
+        # exact-Jaccard verify filters), fully vectorized
+        chunks = sigs[:, : bands * rows_per].reshape(len(df), bands, rows_per)
+        h = np.zeros((len(df), bands), dtype=np.uint64)
+        for j in range(rows_per):
+            h = h * np.uint64(0x100000001B3) + chunks[:, :, j]
+        h = h * np.uint64(0x100000001B3) + np.arange(bands, dtype=np.uint64)[None, :]
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(df["doc_id"].to_numpy(), bands),
+                "bkey": (h.ravel() >> np.uint64(1)).astype(np.int64),
+            }
+        )
 
     exploded = signatures.map_batches(explode, batch_format="pandas")
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                              "id_b": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "bkey" not in df.columns:
+            return empty
+        # vectorized prefilter: drop singleton buckets BEFORE the
+        # per-group loop (almost every bucket is a singleton)
+        d = df.drop_duplicates(["bkey", "doc_id"])
+        sizes = d.groupby("bkey", sort=False)["doc_id"].transform("size")
+        d = d[sizes >= 2]
         outs = []
-        for _, g in df.groupby("bkey", sort=False):
-            ids = np.unique(g["doc_id"].to_numpy())
-            if len(ids) < 2:
-                continue
+        for _, g in d.groupby("bkey", sort=False):
+            ids = np.sort(g["doc_id"].to_numpy())
             a, b = np.triu_indices(len(ids), k=1)
             outs.append(pd.DataFrame({"id_a": ids[a], "id_b": ids[b]}))
         if not outs:
-            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                                 "id_b": pd.Series(dtype=np.int64)})
+            return empty
         out = pd.concat(outs, ignore_index=True)
         return out.drop_duplicates(ignore_index=True)
 
     cand = partitioned_map_groups(exploded, "bkey", pairs, num_buckets)
 
-    # global pair dedup (same pair can surface from multiple bands/buckets)
-    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["pkey"] = df["id_a"].astype(str).str.cat(df["id_b"].astype(str), sep=":")
-        return df
-
+    # global pair dedup (same pair can surface from multiple bands/buckets);
+    # pkey is a numeric hash for BUCKETING only — the dedup inside the
+    # bucket compares the real id columns, so hash collisions are safe
     return partitioned_map_groups(
-        cand.map_batches(add_pkey, batch_format="pandas"),
+        cand.map_batches(_add_pair_key, batch_format="pandas"),
         "pkey",
-        lambda df: df.drop_duplicates("pkey", ignore_index=True).drop(columns="pkey"),
+        lambda df: df.drop_duplicates(["id_a", "id_b"], ignore_index=True).drop(columns="pkey"),
         num_buckets,
     )
 
@@ -252,8 +275,11 @@ def attach_pair_values(
     promotion).
 
     ``values`` must have columns (doc_id, value_col); ids must be
-    integers.  Extra pair columns pass through untouched."""
-    from ..core import hash_coexchange
+    integers.  Extra pair columns pass through untouched.  The values
+    side is split ONCE and its object-store copies shared by both
+    exchanges (the exchange is eager — passing the Dataset twice would
+    re-execute its lineage)."""
+    from ..core import hash_coexchange, split_refs
 
     def attach(side_id: str, out_col: str):
         def fn(p: pd.DataFrame, vals: pd.DataFrame) -> pd.DataFrame:
@@ -270,11 +296,12 @@ def attach_pair_values(
 
         return fn
 
+    vsplits = split_refs(values, "doc_id", num_buckets)
     out = pairs
     for side_id, out_col in (("id_a", out_a), ("id_b", out_b)):
         out = hash_coexchange(
             out, values, side_id, "doc_id", attach(side_id, out_col),
-            num_buckets,
+            num_buckets, splits_b=vsplits,
         )
     return out
 
@@ -581,11 +608,17 @@ def simhash_near_dups(
     exploded = signatures.map_batches(explode, batch_format="pandas")
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "bkey" not in df.columns:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64),
+                 "hamming": pd.Series(dtype=np.int64)}
+            )
+        d = df.drop_duplicates(["bkey", "doc_id"])
+        sizes = d.groupby("bkey", sort=False)["doc_id"].transform("size")
+        d = d[sizes >= 2]
         outs = []
-        for _, g in df.groupby("bkey", sort=False):
-            u = g.drop_duplicates("doc_id")
-            if len(u) < 2:
-                continue
+        for _, g in d.groupby("bkey", sort=False):
+            u = g
             ids = u["doc_id"].to_numpy()
             hs = u["simhash"].to_numpy().astype(np.uint64)
             a, b = np.triu_indices(len(ids), k=1)
@@ -612,14 +645,9 @@ def simhash_near_dups(
 
     cand = partitioned_map_groups(exploded, "bkey", pairs, num_buckets)
 
-    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["pkey"] = df["id_a"].astype(str).str.cat(df["id_b"].astype(str), sep=":")
-        return df
-
     return partitioned_map_groups(
-        cand.map_batches(add_pkey, batch_format="pandas"),
+        cand.map_batches(_add_pair_key, batch_format="pandas"),
         "pkey",
-        lambda df: df.drop_duplicates("pkey", ignore_index=True).drop(columns="pkey"),
+        lambda df: df.drop_duplicates(["id_a", "id_b"], ignore_index=True).drop(columns="pkey"),
         num_buckets,
     )
