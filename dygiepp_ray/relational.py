@@ -413,6 +413,109 @@ SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY 1
 """
 
+def stratified_sample(sf_dir: str) -> ray.data.Dataset:
+    """Per-stratum deterministic sampling (O7 extended): each ``source``
+    stratum gets its own rate, derived from md5(source) — membership is
+    a pure function of (source, doc_id), so results are stable across
+    parallelism, block layout and engines (the oracle computes the
+    identical predicates)."""
+    import hashlib
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        th = df["source"].map(lambda s: hashlib.md5(s.encode()).hexdigest()[:2])
+        key = df["source"].str.cat(df["doc_id"].astype(str), sep=":")
+        h = key.map(lambda k: hashlib.md5(k.encode()).hexdigest()[:2])
+        return df[h < th][["doc_id", "source"]].reset_index(drop=True)
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, source
+FROM documents
+WHERE substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 2)
+      < substr(md5(source), 1, 2)
+"""
+
+
+def top_docs_per_source(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Group-wise top-k (combiner + keyed exchange): the k largest docs
+    by (n_chars desc, doc_id asc) per source.  Each batch pre-trims to
+    its local top-k per group, so the shuffle carries O(groups x k x
+    batches) rows regardless of corpus size."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["source", "n_chars", "doc_id"],
+                           ascending=[True, False, True])
+            .groupby("source", sort=False)
+            .head(k)
+            .reset_index(drop=True)
+        )
+
+    partials = ds.map_batches(topk, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = topk(df)
+        out["rk"] = out.groupby("source", sort=False).cumcount().astype(np.int64) + 1
+        out["n_chars"] = out["n_chars"].astype(np.int64)
+        return out
+
+    return partitioned_map_groups(partials, "source", final, num_buckets=4)
+
+
+SQL_TOP_DOCS_PER_SOURCE = """
+SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars, rk FROM (
+  SELECT source, doc_id, n_chars,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+  FROM documents
+) WHERE rk <= 3
+"""
+
+
+def docs_embedding_join(sf_dir: str) -> ray.data.Dataset:
+    """Distributed equi-join of two large-side tables via the two-sided
+    keyed exchange (``core.hash_coexchange``): documents x embeddings on
+    doc_id = vec_id — the both-sides-large join shape (neither side is
+    broadcast or driver-materialized)."""
+    from .core import hash_coexchange
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    )
+
+    def join(d: pd.DataFrame, e: pd.DataFrame) -> pd.DataFrame:
+        if (len(d) == 0 or "doc_id" not in d.columns
+                or len(e) == 0 or "vec_id" not in e.columns):
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype=np.int64),
+                 "n_chars": pd.Series(dtype=np.int64),
+                 "label": pd.Series(dtype=object)}
+            )
+        j = d.merge(e.rename(columns={"vec_id": "doc_id"}), on="doc_id", how="inner")
+        return j.astype({"doc_id": np.int64, "n_chars": np.int64})
+
+    return hash_coexchange(docs, emb, "doc_id", "vec_id", join, num_buckets=8)
+
+
+SQL_DOCS_EMBEDDING_JOIN = """
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(d.n_chars AS BIGINT) AS n_chars, e.label
+FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -423,4 +526,7 @@ RELATIONAL_QUERIES = {
     "sessionize": (sessionize, SQL_SESSIONIZE),
     "orders_sample": (orders_sample, SQL_ORDERS_SAMPLE),
     "distinct_event_users": (distinct_event_users, SQL_DISTINCT_EVENT_USERS),
+    "stratified_sample": (stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "top_docs_per_source": (top_docs_per_source, SQL_TOP_DOCS_PER_SOURCE),
+    "docs_embedding_join": (docs_embedding_join, SQL_DOCS_EMBEDDING_JOIN),
 }
