@@ -516,6 +516,43 @@ FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
 """
 
 
+def pack_training_sequences(sf_dir: str, budget: int = 4096) -> ray.data.Dataset:
+    """Sequence packing for training shards: documents fill contiguous
+    packs of <= ``budget`` chars per source, in doc_id order —
+    pack_id = floor(running_total_before_doc / budget).  One keyed
+    exchange on ``source``; the cumsum is vectorized per group.  (The
+    length-aware GPU packer with a span budget is ``stages/collate``;
+    this is the shard-filling variant whose boundaries a SQL window
+    reproduces exactly.)"""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "doc_id"], ignore_index=True)
+        cum = df.groupby("source", sort=False)["n_chars"].cumsum()
+        before = cum - df["n_chars"]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64),
+                "source": df["source"],
+                "pack_id": (before // budget).astype(np.int64),
+            }
+        )
+
+    return partitioned_map_groups(ds, "source", pack, num_buckets=4)
+
+
+SQL_PACK_SEQUENCES = """
+SELECT doc_id, source,
+       CAST(COALESCE(SUM(n_chars) OVER (
+              PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // 4096 AS BIGINT) AS pack_id
+FROM documents
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -527,6 +564,7 @@ RELATIONAL_QUERIES = {
     "orders_sample": (orders_sample, SQL_ORDERS_SAMPLE),
     "distinct_event_users": (distinct_event_users, SQL_DISTINCT_EVENT_USERS),
     "stratified_sample": (stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "pack_sequences": (pack_training_sequences, SQL_PACK_SEQUENCES),
     "top_docs_per_source": (top_docs_per_source, SQL_TOP_DOCS_PER_SOURCE),
     "docs_embedding_join": (docs_embedding_join, SQL_DOCS_EMBEDDING_JOIN),
 }

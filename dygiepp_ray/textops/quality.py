@@ -150,6 +150,30 @@ def lang_id(ds: ray.data.Dataset, concurrency: int | None = None) -> ray.data.Da
     return ds.map_batches(LangId(), batch_format="pandas")
 
 
+DENY_TERMS = ("drop table", "lorem ipsum", "click here")
+
+
+def content_flags(
+    ds: ray.data.Dataset, terms: tuple[str, ...] = DENY_TERMS,
+    text_col="text", id_col="doc_id",
+) -> ray.data.Dataset:
+    """(doc_id, flagged): denylist content filter — flagged=1 iff the
+    text contains any deny term (plain substring, vectorized
+    ``str.contains``).  The moderation/PII-filter shape of a curation
+    pipeline; swap the term list for compiled regexes in an actor pool
+    when patterns are heavy."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        hit = np.zeros(len(df), dtype=bool)
+        for t in terms:
+            hit |= df[text_col].str.contains(t, regex=False).to_numpy()
+        return pd.DataFrame(
+            {"doc_id": df[id_col].to_numpy(), "flagged": hit.astype(np.int64)}
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 def fingerprints(ds: ray.data.Dataset, text_col="text", id_col="doc_id") -> ray.data.Dataset:
     """(doc_id, fingerprint): polynomial rolling hash of the token stream
     modulo 2^61-1 (content fingerprint; deterministic)."""

@@ -74,6 +74,18 @@ FROM base b LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_content_filter(sf_dir: str):
+    return quality.content_flags(_docs(sf_dir))
+
+
+SQL_CONTENT_FILTER = f"""
+SELECT doc_id,
+       CAST(CASE WHEN {" OR ".join(f"contains(text, '{t}')" for t in quality.DENY_TERMS)}
+                 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM documents
+"""
+
+
 def q_dedup_exact(sf_dir: str):
     return dedup.exact_dedup(_docs(sf_dir))
 
@@ -86,6 +98,9 @@ FROM documents GROUP BY 1
 """
 
 _ANN_QUERY_IDS = list(range(10))
+
+from .curation import DIVERSITY_NUM as _CUR_DIVERSITY  # noqa: E402
+from .curation import MIN_TOKENS as _CUR_MIN_TOKENS  # noqa: E402
 
 
 def q_ann_topk(sf_dir: str):
@@ -491,11 +506,79 @@ FROM pay
 """
 
 
+def q_curate(sf_dir: str):
+    """Composite curation pipeline (quality gate x exact dedup x
+    near dedup), end-to-end oracle-checked — see textops/curation.py."""
+    from . import curation
+
+    return curation.curate(_docs(sf_dir))
+
+
+SQL_CURATE = "WITH RECURSIVE " + _SQL_ARR[len("WITH "):] + f""",
+agg AS (
+  SELECT doc_id, len(arr) AS n_tokens, len(list_distinct(arr)) AS n_distinct
+  FROM base
+),
+q AS (
+  SELECT doc_id,
+         CASE WHEN n_tokens >= {_CUR_MIN_TOKENS}
+                   AND {_CUR_DIVERSITY} * n_distinct >= n_tokens
+              THEN 1 ELSE 0 END AS quality_ok
+  FROM agg
+),
+ex AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+              THEN 1 ELSE 0 END AS exact_rep
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(arr) = 0 THEN []::VARCHAR[]
+         WHEN len(arr) < 3 THEN [array_to_string(arr, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(arr) - 1),
+              i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) END AS sh
+  FROM base
+),
+e AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_distinct(a.sh || b.sh)) > 0
+    AND 5 * len(list_intersect(a.sh, b.sh)) >= 4 * len(list_distinct(a.sh || b.sh))
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM e
+  UNION SELECT id_b, id_a FROM e
+  UNION SELECT id_a, id_a FROM e
+  UNION SELECT id_b, id_b FROM e
+),
+closure(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT c.s, g.d FROM closure c JOIN edges g ON c.d = g.s
+),
+comp AS (SELECT s AS node, min(d) AS component FROM closure GROUP BY s),
+nd AS (
+  SELECT doc.doc_id,
+         CASE WHEN c.node IS NULL OR c.component = doc.doc_id
+              THEN 1 ELSE 0 END AS near_rep
+  FROM documents doc LEFT JOIN comp c ON c.node = doc.doc_id
+)
+SELECT q.doc_id,
+       CAST(q.quality_ok AS BIGINT) AS quality_ok,
+       CAST(ex.exact_rep AS BIGINT) AS exact_rep,
+       CAST(nd.near_rep AS BIGINT) AS near_rep,
+       CAST(q.quality_ok * ex.exact_rep * nd.near_rep AS BIGINT) AS kept
+FROM q JOIN ex USING (doc_id) JOIN nd USING (doc_id)
+"""
+
+
 TEXTOPS_QUERIES = {
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "bpe_token_count": (q_bpe_token_count, SQL_BPE_TOKEN_COUNT),
     "quality_scores": (q_quality, SQL_QUALITY),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "content_filter": (q_content_filter, SQL_CONTENT_FILTER),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ivf_topk": (q_ivf_topk, SQL_ANN_TOPK),
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
@@ -507,4 +590,5 @@ TEXTOPS_QUERIES = {
     "near_dup_components": (q_near_dup_components, SQL_NEAR_DUP_COMPONENTS),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
+    "curate_corpus": (q_curate, SQL_CURATE),
 }

@@ -263,3 +263,51 @@ def test_kmeans_centroids_deterministic(ray_session):
     c2 = ann.kmeans_centroids(rd.from_pandas(df), k=5, iters=3)
     assert np.array_equal(c1, c2)
     assert c1.shape == (5, 8)
+
+
+def test_content_flags(ray_session):
+    df = pd.DataFrame(
+        {"doc_id": np.arange(3, dtype=np.int64),
+         "text": ["clean text here", "evil drop table users", "has lorem ipsum filler"]}
+    )
+    out = quality.content_flags(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    assert list(out["flagged"]) == [0, 1, 1]
+
+
+def test_curate_composite(ray_session):
+    """Curation composite: quality gate x exact dedup x near dedup —
+    planted cases hit every branch."""
+    from dygiepp_ray.textops.curation import curate
+
+    long_a = " ".join(f"w{i}" for i in range(40))          # diverse, long
+    near_a = " ".join(f"w{i}" for i in range(39)) + " zz"  # near-dup of long_a
+    rows = [
+        (0, long_a),                 # kept: representative of the near-dup pair
+        (1, near_a),                 # dropped: near-dup, not component min
+        (2, long_a),                 # wait: exact dup of 0? no — same text as 0
+        (3, "short text"),           # dropped: quality (too short)
+        (4, " ".join(["rep"] * 50)), # dropped: diversity (1 distinct / 50)
+        (5, " ".join(f"v{i}" for i in range(30))),  # kept: clean
+    ]
+    df = pd.DataFrame({"doc_id": np.array([r[0] for r in rows], dtype=np.int64),
+                       "text": [r[1] for r in rows]})
+    out = curate(rd.from_pandas(df), num_buckets=4).to_pandas().set_index("doc_id")
+    assert out.loc[0, "kept"] == 1
+    assert out.loc[1, "kept"] == 0 and out.loc[1, "near_rep"] == 0
+    # doc 2 is an exact duplicate of doc 0 -> not the exact representative
+    assert out.loc[2, "exact_rep"] == 0 and out.loc[2, "kept"] == 0
+    assert out.loc[3, "kept"] == 0 and out.loc[3, "quality_ok"] == 0
+    assert out.loc[4, "quality_ok"] == 0
+    assert out.loc[5, "kept"] == 1
+    assert len(out) == 6
+
+
+def test_pack_sequences_contiguous(ray_session):
+    from dygiepp_ray.relational import pack_training_sequences
+    out = pack_training_sequences("/root/testdata/sf0.001").to_pandas()
+    out = out.sort_values(["source", "doc_id"], ignore_index=True)
+    # pack ids are nondecreasing within each source and start at 0
+    for _, g in out.groupby("source"):
+        p = g["pack_id"].to_numpy()
+        assert p[0] == 0
+        assert (np.diff(p) >= 0).all()
