@@ -127,3 +127,50 @@ def test_hash_exchange_pyarrow_fn_format(ray_session):
     out = hash_exchange(ds, "k", fn, num_buckets=4, fn_format="pyarrow").to_pandas()
     expect = df.groupby("k")["v"].sum()
     assert dict(zip(out["k"], out["v"])) == expect.to_dict()
+
+
+def test_hash_coexchange_joins_sides(ray_session):
+    import numpy as np
+
+    from dygiepp_ray.core import hash_coexchange
+
+    a = pd.DataFrame({"id": np.arange(200, dtype=np.int64), "x": np.arange(200) * 2})
+    b = pd.DataFrame({"key": np.arange(50, 250, dtype=np.int64), "y": np.arange(200) * 3})
+
+    def join(ad, bd):
+        if len(ad) == 0 or "id" not in ad.columns or len(bd) == 0 or "key" not in bd.columns:
+            return pd.DataFrame({"id": pd.Series(dtype=np.int64),
+                                 "x": pd.Series(dtype=np.int64),
+                                 "y": pd.Series(dtype=np.int64)})
+        return ad.merge(bd.rename(columns={"key": "id"}), on="id", how="inner")
+
+    out = hash_coexchange(
+        rd.from_pandas(a).repartition(4), rd.from_pandas(b).repartition(3),
+        "id", "key", join, num_buckets=8,
+    ).to_pandas().sort_values("id", ignore_index=True)
+    expect = a.merge(b.rename(columns={"key": "id"}), on="id").sort_values("id", ignore_index=True)
+    pd.testing.assert_frame_equal(out, expect)
+
+
+def test_hash_coexchange_split_reuse(ray_session):
+    import numpy as np
+
+    from dygiepp_ray.core import hash_coexchange, split_refs
+
+    a = pd.DataFrame({"id": np.arange(100, dtype=np.int64), "x": np.arange(100)})
+    b = pd.DataFrame({"key": np.arange(100, dtype=np.int64), "y": np.arange(100) * 7})
+    bs = rd.from_pandas(b).repartition(2)
+    shared = split_refs(bs, "key", 4)
+
+    def join(ad, bd):
+        if len(ad) == 0 or "id" not in ad.columns or len(bd) == 0 or "key" not in bd.columns:
+            return pd.DataFrame({"id": pd.Series(dtype=np.int64),
+                                 "y": pd.Series(dtype=np.int64)})
+        return ad[["id"]].merge(bd.rename(columns={"key": "id"}), on="id")[["id", "y"]]
+
+    r1 = hash_coexchange(rd.from_pandas(a), bs, "id", "key", join, 4,
+                         splits_b=shared).to_pandas()
+    r2 = hash_coexchange(rd.from_pandas(a), bs, "id", "key", join, 4,
+                         splits_b=shared).to_pandas()
+    assert sorted(zip(r1["id"], r1["y"])) == sorted(zip(r2["id"], r2["y"]))
+    assert len(r1) == 100
