@@ -31,7 +31,12 @@ def ts_epoch_us(s: pd.Series) -> np.ndarray:
     """Epoch microseconds from a timestamp column, independent of the
     arrow->pandas conversion unit (timestamp[us] may surface as
     datetime64[ns] under some configurations — a bare
-    ``astype('int64')`` would then silently hold nanoseconds)."""
+    ``astype('int64')`` would then silently hold nanoseconds).  A
+    tz-aware column (DatetimeTZDtype is NOT an np.datetime64 subdtype)
+    is normalized to UTC-naive first, so it takes the unit-correct
+    branch instead of falling through to raw int64 nanoseconds."""
+    if isinstance(s.dtype, pd.DatetimeTZDtype):
+        s = s.dt.tz_convert("UTC").dt.tz_localize(None)
     if np.issubdtype(s.dtype, np.datetime64):
         return s.astype("datetime64[us]").astype("int64").to_numpy()
     return s.astype("int64").to_numpy()
@@ -51,6 +56,21 @@ def stable_bucket(values, num_buckets: int) -> np.ndarray:
 # concats instead (module-level so tests can shrink it to exercise
 # multi-level trees with small inputs).
 MERGE_FANIN = 512
+
+
+def _empty_like(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """0-row single-block dataset carrying ``ds``'s schema when it is
+    known (column-less otherwise) — the result of an exchange over a
+    dataset that produced zero blocks (previously: ``pa.concat_tables``
+    of no parts raised inside the merge task)."""
+    try:
+        sch = ds.schema(fetch_if_missing=True)
+        arrow = getattr(sch, "base_schema", None)
+        if isinstance(arrow, pa.Schema):
+            return ray.data.from_arrow([arrow.empty_table()])
+    except Exception:
+        pass
+    return ray.data.from_arrow([pa.table({})])
 
 
 def hash_exchange(
@@ -115,6 +135,8 @@ def hash_exchange(
         return out
 
     splits = _split_refs(ds, key, num_buckets)
+    if not splits:
+        return _empty_like(ds)
     merged = []
     for b in range(num_buckets):
         refs = _tree_reduce([s[b] for s in splits], concat)
@@ -210,10 +232,18 @@ def hash_coexchange(
     def merge2(n_a, *parts):
         ta = _concat_local(parts[:n_a])
         tb = _concat_local(parts[n_a:])
-        if fn_format == "pyarrow":
-            out = fn(ta, tb)
-        else:
-            out = fn(ta.to_pandas(), tb.to_pandas())
+        try:
+            if fn_format == "pyarrow":
+                out = fn(ta, tb)
+            else:
+                out = fn(ta.to_pandas(), tb.to_pandas())
+        except Exception:
+            if ta.num_rows == 0 and tb.num_rows == 0:
+                # both sides empty with computed columns missing upstream
+                # (Ray Data skips UDFs on empty blocks) — enforce the
+                # empty-tolerance contract centrally like hash_exchange
+                return ta.slice(0, 0)
+            raise
         if isinstance(out, pd.DataFrame):
             return pa.Table.from_pandas(out, preserve_index=False)
         return out
@@ -221,10 +251,18 @@ def hash_coexchange(
     splits_a = _split_refs(ds_a, key_a, num_buckets)
     if splits_b is None:
         splits_b = _split_refs(ds_b, key_b, num_buckets)
+    if not splits_a and not splits_b:
+        return _empty_like(ds_a)
+    # a zero-block SIDE still participates (fn may emit rows from the
+    # other side alone — e.g. label carry-forward in connected
+    # components): stand in a column-less empty table for it
+    empty_side = (
+        ray.put(pa.table({})) if (not splits_a or not splits_b) else None
+    )
     merged = []
     for b in range(num_buckets):
-        a_refs = _tree_reduce([s[b] for s in splits_a], concat)
-        b_refs = _tree_reduce([s[b] for s in splits_b], concat)
+        a_refs = _tree_reduce([s[b] for s in splits_a], concat) or [empty_side]
+        b_refs = _tree_reduce([s[b] for s in splits_b], concat) or [empty_side]
         merged.append(merge2.remote(len(a_refs), *a_refs, *b_refs))
     return ray.data.from_arrow_refs(merged)
 

@@ -174,3 +174,58 @@ def test_hash_coexchange_split_reuse(ray_session):
                          splits_b=shared).to_pandas()
     assert sorted(zip(r1["id"], r1["y"])) == sorted(zip(r2["id"], r2["y"]))
     assert len(r1) == 100
+
+
+def test_ts_epoch_us_tz_aware_matches_naive():
+    from dygiepp_ray.core import ts_epoch_us
+
+    naive = pd.Series(pd.to_datetime(["2024-01-01 12:00:00", "2024-06-01 00:00:01"]))
+    aware = naive.dt.tz_localize("UTC").dt.tz_convert("America/New_York")
+    assert (ts_epoch_us(aware) == ts_epoch_us(naive)).all()
+    # microseconds, not nanoseconds
+    assert ts_epoch_us(naive)[0] == 1704110400 * 10**6
+
+
+def test_hash_exchange_zero_block_input(ray_session):
+    df = pd.DataFrame({"k": ["a"], "v": [1]})
+    empty = rd.from_pandas(df).filter(lambda r: False).materialize()
+
+    out = hash_exchange(empty, "k", lambda g: g, 4)
+    assert out.count() == 0
+
+
+def test_hash_coexchange_one_side_zero_blocks(ray_session):
+    """A zero-block side must not crash the merge; fn still sees the
+    live side (e.g. label carry-forward patterns)."""
+    from dygiepp_ray.core import hash_coexchange
+
+    a = pd.DataFrame({"id": np.arange(20, dtype=np.int64)})
+    live = rd.from_pandas(a).repartition(2)
+    dead = rd.from_pandas(a).filter(lambda r: False).materialize()
+
+    def fn(ad, bd):
+        if len(ad) == 0 or "id" not in ad.columns:
+            return pd.DataFrame({"id": pd.Series(dtype=np.int64)})
+        return ad[["id"]]
+
+    out = hash_coexchange(live, dead, "id", "id", fn, 4).to_pandas()
+    assert sorted(out["id"]) == list(range(20))
+
+
+def test_hash_coexchange_empty_bucket_guard(ray_session):
+    """merge2 enforces the empty-tolerance contract centrally: a fn
+    that blows up on schema-less empty buckets still completes when
+    both sides of that bucket are empty."""
+    from dygiepp_ray.core import hash_coexchange
+
+    a = pd.DataFrame({"id": np.int64([7] * 5), "x": range(5)})
+    b = pd.DataFrame({"id": np.int64([7] * 3), "y": range(3)})
+
+    def fn(ad, bd):
+        # no hand-guard: raises KeyError on empty buckets missing columns
+        return ad.merge(bd, on="id")
+
+    out = hash_coexchange(
+        rd.from_pandas(a), rd.from_pandas(b), "id", "id", fn, 16
+    ).to_pandas()
+    assert len(out) == 15
