@@ -127,6 +127,7 @@ def embedding_near_dups(
     seed: int = 77,
     num_buckets: int = 16,
     probe_bits: int = 2,
+    bucket_cap: int | None = None,
 ) -> pd.DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
     threshold).
@@ -180,9 +181,12 @@ def embedding_near_dups(
         sizes = d.groupby("bucket", sort=False)["vec_id"].transform("size")
         d = d[sizes >= 2]
         outs = []
+        from .dedup import LSH_BUCKET_CAP, _capped_pair_indices
+
+        cap = bucket_cap if bucket_cap is not None else LSH_BUCKET_CAP
         for _, g in d.groupby("bucket", sort=False):
             ids = np.sort(g["vec_id"].to_numpy())
-            a, b = np.triu_indices(len(ids), k=1)
+            a, b = _capped_pair_indices(len(ids), cap, "embedding_near_dups")
             outs.append(pd.DataFrame({"id_a": ids[a], "id_b": ids[b]}))
         if not outs:
             return empty

@@ -86,7 +86,7 @@ def curate(
     # --- stage 3: near-dup representatives -------------------------------
     sigs = dedup.minhash_signatures(docs)
     pairs = dedup.lsh_candidate_pairs(sigs)
-    verified = dedup.ngram_jaccard_verify_bucketed(
+    verified = dedup.ngram_jaccard_verify(
         pairs, docs, threshold=jaccard_threshold, num_buckets=num_buckets
     )
     comps = dedup.connected_components(verified, num_buckets=num_buckets)

@@ -19,6 +19,7 @@ and runs.
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
@@ -26,6 +27,37 @@ import pandas as pd
 import ray.data
 
 from ..core import partitioned_map_groups
+
+_LOG = logging.getLogger(__name__)
+
+# Max members of one LSH bucket entering all-pairs candidate generation.
+# Real web corpora have boilerplate mega-buckets (1e5+ members -> 1e10
+# pairs from np.triu_indices); the exact verify downstream filters wrong
+# pairs but cannot filter an exploding pair STREAM.  Above the cap we
+# emit all pairs among the ``cap`` smallest ids PLUS a star edge from
+# every overflow member to the bucket minimum: output is O(cap^2 + n)
+# per bucket, every member stays reachable for the connected-components
+# pass (so near-identical mega-buckets still collapse to one component
+# after verification), and the truncation is logged — no silent caps.
+LSH_BUCKET_CAP = 512
+
+
+def _capped_pair_indices(n: int, cap: int, what: str) -> tuple[np.ndarray, np.ndarray]:
+    """Index pairs (a < b positionally) for one bucket of ``n`` sorted
+    members: all pairs up to ``cap`` members, capped + star beyond."""
+    k = min(n, cap)
+    a, b = np.triu_indices(k, k=1)
+    if n > k:
+        _LOG.warning(
+            "%s: LSH bucket of %d members exceeds cap=%d; emitting "
+            "all-pairs among the %d smallest ids + %d star edges to the "
+            "bucket minimum (%d of %d possible pairs dropped)",
+            what, n, cap, k, n - k,
+            n * (n - 1) // 2 - (k * (k - 1) // 2 + (n - k)), n * (n - 1) // 2,
+        )
+        a = np.concatenate([a, np.zeros(n - k, dtype=np.int64)])
+        b = np.concatenate([b, np.arange(k, n, dtype=np.int64)])
+    return a, b
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -153,10 +185,12 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: ray.data.Dataset, bands: int = 32, num_buckets: int = 32
+    signatures: ray.data.Dataset, bands: int = 32, num_buckets: int = 32,
+    bucket_cap: int = LSH_BUCKET_CAP,
 ) -> ray.data.Dataset:
     """Banded LSH: explode signatures to (band, band_hash, doc_id) rows,
-    group by (band, band_hash), emit candidate pairs (a < b)."""
+    group by (band, band_hash), emit candidate pairs (a < b); per-bucket
+    pair generation bounded by ``bucket_cap`` (see LSH_BUCKET_CAP)."""
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         sigs = np.stack(df["signature"].to_numpy())
@@ -193,7 +227,7 @@ def lsh_candidate_pairs(
         outs = []
         for _, g in d.groupby("bkey", sort=False):
             ids = np.sort(g["doc_id"].to_numpy())
-            a, b = np.triu_indices(len(ids), k=1)
+            a, b = _capped_pair_indices(len(ids), bucket_cap, "lsh_candidate_pairs")
             outs.append(pd.DataFrame({"id_a": ids[a], "id_b": ids[b]}))
         if not outs:
             return empty
@@ -213,16 +247,19 @@ def lsh_candidate_pairs(
     )
 
 
-def ngram_jaccard_verify(
+def ngram_jaccard_verify_broadcast(
     pairs: ray.data.Dataset, docs: ray.data.Dataset,
     shingle_k: int = 3, threshold: float = 0.8,
     text_col: str = "text", id_col: str = "doc_id",
 ) -> ray.data.Dataset:
-    """Exact word-shingle Jaccard over candidate pairs.
-
-    The docs side is broadcast as shingle-hash sets via ``ray.put``
-    (small side after candidate filtering at realistic dup rates); at
-    extreme scale, swap for a bucketed join on doc_id.
+    """Exact word-shingle Jaccard over candidate pairs — EXPLICIT
+    small-corpus opt-in: the docs side is materialized to the driver
+    and broadcast as shingle-hash sets via ``ray.put``.  The default
+    :func:`ngram_jaccard_verify` is the bucketed exchange join, which
+    is the scale path; this variant exists for corpora small enough
+    that a broadcast dict beats two exchanges, and as the equivalence
+    oracle for the bucketed implementation (tests assert identical
+    output).
     """
     import ray as _ray
 
@@ -329,7 +366,7 @@ def shingle_sets(
     return docs.map_batches(to_sets, batch_format="pandas")
 
 
-def ngram_jaccard_verify_bucketed(
+def ngram_jaccard_verify(
     pairs: ray.data.Dataset,
     docs: ray.data.Dataset,
     shingle_k: int = 3,
@@ -338,11 +375,12 @@ def ngram_jaccard_verify_bucketed(
     id_col: str = "doc_id",
     num_buckets: int = 16,
 ) -> ray.data.Dataset:
-    """Exact word-shingle Jaccard over candidate pairs — the full-scale
-    path: shingle sets are joined to the pairs via
-    :func:`attach_pair_values` instead of broadcasting the whole
-    corpus's shingles to the driver (``ngram_jaccard_verify``'s
-    small-side shortcut).  Output identical to the broadcast path."""
+    """Exact word-shingle Jaccard over candidate pairs — the DEFAULT,
+    full-scale path: shingle sets are joined to the pairs via
+    :func:`attach_pair_values` (two co-partitioned exchanges) instead
+    of broadcasting the whole corpus's shingles to the driver
+    (:func:`ngram_jaccard_verify_broadcast`'s small-side shortcut).
+    Output identical to the broadcast path (equivalence-tested)."""
     sets_ds = shingle_sets(docs, shingle_k, text_col, id_col)
     withboth = attach_pair_values(
         pairs, sets_ds, "shingles", "sh_a", "sh_b", num_buckets
@@ -496,7 +534,7 @@ def fuzzy_join(
     both = l.union(r)
     sigs = minhash_signatures(both, n_perm=64, shingle_k=shingle_k)
     pairs = lsh_candidate_pairs(sigs, bands=16, num_buckets=num_buckets)
-    verified = ngram_jaccard_verify_bucketed(
+    verified = ngram_jaccard_verify(
         pairs, both, shingle_k=shingle_k, threshold=threshold,
         num_buckets=num_buckets,
     )
@@ -584,10 +622,14 @@ def simhash_signatures(ds: ray.data.Dataset, text_col="text", id_col="doc_id") -
 
 
 def simhash_near_dups(
-    signatures: ray.data.Dataset, max_hamming: int = 3, num_buckets: int = 16
+    signatures: ray.data.Dataset, max_hamming: int = 3, num_buckets: int = 16,
+    bucket_cap: int = LSH_BUCKET_CAP,
 ) -> ray.data.Dataset:
     """Candidate pairs via 4x16-bit band buckets, verified by hamming
-    distance (pigeonhole: distance <= 3 => some 16-bit band equal)."""
+    distance (pigeonhole: distance <= 3 => some 16-bit band equal).
+    Per-bucket pair generation bounded by ``bucket_cap`` (capped
+    all-pairs + star edges; pigeonhole exactness holds below the cap,
+    truncation above it is logged — see LSH_BUCKET_CAP)."""
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         sh = df["simhash"].to_numpy().astype(np.uint64)
@@ -618,10 +660,10 @@ def simhash_near_dups(
         d = d[sizes >= 2]
         outs = []
         for _, g in d.groupby("bkey", sort=False):
-            u = g
+            u = g.sort_values("doc_id")
             ids = u["doc_id"].to_numpy()
             hs = u["simhash"].to_numpy().astype(np.uint64)
-            a, b = np.triu_indices(len(ids), k=1)
+            a, b = _capped_pair_indices(len(ids), bucket_cap, "simhash_near_dups")
             ham = np.array(
                 [bin(int(hs[i]) ^ int(hs[j])).count("1") for i, j in zip(a, b)]
             )
@@ -651,3 +693,7 @@ def simhash_near_dups(
         lambda df: df.drop_duplicates(["id_a", "id_b"], ignore_index=True).drop(columns="pkey"),
         num_buckets,
     )
+
+
+# Back-compat alias: the bucketed exchange verify IS the default now.
+ngram_jaccard_verify_bucketed = ngram_jaccard_verify

@@ -283,7 +283,7 @@ def q_minhash_near_dups(sf_dir: str):
     docs = _docs(sf_dir)
     sigs = dedup.minhash_signatures(docs)
     pairs = dedup.lsh_candidate_pairs(sigs)
-    verified = dedup.ngram_jaccard_verify_bucketed(pairs, docs, threshold=0.8)
+    verified = dedup.ngram_jaccard_verify(pairs, docs, threshold=0.8)
 
     def ids_only(df: pd.DataFrame) -> pd.DataFrame:
         if "id_a" not in df.columns:
@@ -399,7 +399,7 @@ def q_near_dup_components(sf_dir: str):
     docs = _docs(sf_dir)
     sigs = dedup.minhash_signatures(docs)
     pairs = dedup.lsh_candidate_pairs(sigs)
-    verified = dedup.ngram_jaccard_verify_bucketed(pairs, docs, threshold=0.8)
+    verified = dedup.ngram_jaccard_verify(pairs, docs, threshold=0.8)
     comps = dedup.connected_components(verified)
     return comps.map_batches(
         lambda df: df.astype({"node": np.int64, "component": np.int64}),

@@ -213,13 +213,15 @@ def test_bpe_token_counter_punctuation(ray_session):
 
 
 def test_bucketed_jaccard_matches_broadcast(dup_docs):
+    """The default (bucketed-exchange) verify must equal the explicit
+    broadcast opt-in bit for bit."""
     ds, df = dup_docs
     sigs = dedup.minhash_signatures(ds)
     pairs = dedup.lsh_candidate_pairs(sigs, num_buckets=4)
-    a = dedup.ngram_jaccard_verify(pairs, ds, threshold=0.5).to_pandas()
+    a = dedup.ngram_jaccard_verify_broadcast(pairs, ds, threshold=0.5).to_pandas()
     sigs2 = dedup.minhash_signatures(ds)
     pairs2 = dedup.lsh_candidate_pairs(sigs2, num_buckets=4)
-    b = dedup.ngram_jaccard_verify_bucketed(pairs2, ds, threshold=0.5).to_pandas()
+    b = dedup.ngram_jaccard_verify(pairs2, ds, threshold=0.5).to_pandas()
     ka = {(r.id_a, r.id_b): round(r.jaccard, 9) for r in a.itertuples()}
     kb = {(r.id_a, r.id_b): round(r.jaccard, 9) for r in b.itertuples()}
     assert ka == kb
@@ -311,3 +313,63 @@ def test_pack_sequences_contiguous(ray_session):
         p = g["pack_id"].to_numpy()
         assert p[0] == 0
         assert (np.diff(p) >= 0).all()
+
+
+# ---------------------------------------------------------------------------
+# LSH bucket cap: planted mega-buckets must yield bounded pair streams
+# ---------------------------------------------------------------------------
+
+
+def _mega_expect(n: int, cap: int) -> int:
+    # all-pairs among cap smallest + one star edge per overflow member
+    return cap * (cap - 1) // 2 + (n - cap)
+
+
+def test_lsh_mega_bucket_bounded(ray_session):
+    """10k-identical-doc boilerplate bucket: O(cap^2 + n) pairs, not
+    O(n^2); every member stays reachable for components."""
+    n, cap = 2000, 64
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": ["the same boilerplate navigation text everywhere"] * n,
+        }
+    )
+    sigs = dedup.minhash_signatures(rd.from_pandas(df))
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, num_buckets=4, bucket_cap=cap
+    ).to_pandas()
+    assert len(pairs) == _mega_expect(n, cap)
+    assert len(set(pairs["id_a"]) | set(pairs["id_b"])) == n
+
+
+def test_simhash_mega_bucket_bounded(ray_session):
+    n, cap = 1000, 32
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": ["identical boilerplate body for simhash"] * n,
+        }
+    )
+    sigs = dedup.simhash_signatures(rd.from_pandas(df))
+    pairs = dedup.simhash_near_dups(
+        sigs, num_buckets=4, bucket_cap=cap
+    ).to_pandas()
+    assert len(pairs) == _mega_expect(n, cap)  # hamming 0 keeps every pair
+    assert len(set(pairs["id_a"]) | set(pairs["id_b"])) == n
+
+
+def test_embedding_mega_bucket_bounded(ray_session):
+    n, cap = 400, 32
+    vec = np.ones(8) / np.sqrt(8)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [vec.copy() for _ in range(n)],
+        }
+    )
+    pairs = ann.embedding_near_dups(
+        rd.from_pandas(df), threshold=0.99, bucket_cap=cap
+    )
+    assert len(pairs) == _mega_expect(n, cap)  # cosine 1.0 keeps every pair
+    assert len(set(pairs["id_a"]) | set(pairs["id_b"])) == n
