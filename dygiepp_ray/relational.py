@@ -516,31 +516,130 @@ FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
 """
 
 
-def pack_training_sequences(sf_dir: str, budget: int = 4096) -> ray.data.Dataset:
+def pack_training_sequences(
+    sf_dir: str, budget: int = 4096, chunk_docs: int = 65536,
+    num_buckets: int = 8,
+) -> ray.data.Dataset:
     """Sequence packing for training shards: documents fill contiguous
     packs of <= ``budget`` chars per source, in doc_id order —
-    pack_id = floor(running_total_before_doc / budget).  One keyed
-    exchange on ``source``; the cumsum is vectorized per group.  (The
+    pack_id = floor(running_total_before_doc / budget).  (The
     length-aware GPU packer with a span budget is ``stages/collate``;
     this is the shard-filling variant whose boundaries a SQL window
-    reproduces exactly.)"""
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
-    )
+    reproduces exactly.)
 
-    def pack(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["source", "doc_id"], ignore_index=True)
-        cum = df.groupby("source", sort=False)["n_chars"].cumsum()
-        before = cum - df["n_chars"]
+    Two-phase distributed prefix sum, so a source with most of the
+    corpus no longer serializes into one task:
+
+    1. exchange on ``(source, doc_id // chunk_docs)``: each CHUNK task
+       computes its local exclusive cumsum + chunk total (a chunk is a
+       contiguous doc_id range WITHIN a source, so chunk order = doc
+       order);
+    2. tiny exchange of the per-chunk totals on ``source``: exclusive
+       prefix over chunks = each chunk's global starting offset
+       (O(n_sources x n_chunks) rows — bytes, not the corpus);
+    3. co-partitioned join of offsets back onto the per-doc rows:
+       pack_id = (offset + local_before) // budget, stateless.
+    """
+    ds = pack_sequences_dataset(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "source", "n_chars"],
+        ),
+        budget=budget, chunk_docs=chunk_docs, num_buckets=num_buckets,
+    )
+    return ds
+
+
+def pack_sequences_dataset(
+    docs: ray.data.Dataset, budget: int = 4096, chunk_docs: int = 65536,
+    num_buckets: int = 8,
+) -> ray.data.Dataset:
+    from .core import hash_coexchange
+
+    def add_ckey(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0 or "doc_id" not in df.columns:
+            df["ckey"] = pd.Series(dtype=object)
+            return df
+        chunk = df["doc_id"].to_numpy().astype(np.int64) // chunk_docs
+        df["chunk"] = chunk
+        df["ckey"] = df["source"].astype(str) + ":" + pd.Series(chunk, index=df.index).astype(str)
+        return df
+
+    keyed = docs.map_batches(add_ckey, batch_format="pandas")
+
+    _LOCAL_EMPTY = {
+        "doc_id": pd.Series(dtype=np.int64), "source": pd.Series(dtype=object),
+        "chunk": pd.Series(dtype=np.int64), "ckey": pd.Series(dtype=object),
+        "local_before": pd.Series(dtype=np.int64),
+        "chunk_total": pd.Series(dtype=np.int64),
+    }
+
+    def local_cumsum(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "doc_id" not in df.columns:
+            return pd.DataFrame(_LOCAL_EMPTY)
+        df = df.sort_values(["source", "chunk", "doc_id"], ignore_index=True)
+        g = df.groupby(["source", "chunk"], sort=False)["n_chars"]
+        cum = g.cumsum()
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"].astype(np.int64),
                 "source": df["source"],
+                "chunk": df["chunk"].astype(np.int64),
+                "ckey": df["ckey"],
+                "local_before": (cum - df["n_chars"]).astype(np.int64),
+                "chunk_total": g.transform("sum").astype(np.int64),
+            }
+        )
+
+    locals_ds = partitioned_map_groups(keyed, "ckey", local_cumsum, num_buckets)
+
+    totals = locals_ds.map_batches(
+        lambda df: (
+            df[["source", "chunk", "ckey", "chunk_total"]].drop_duplicates(
+                ["source", "chunk"], ignore_index=True
+            )
+            if len(df) and "source" in df.columns
+            else pd.DataFrame({k: _LOCAL_EMPTY[k] for k in
+                               ("source", "chunk", "ckey", "chunk_total")})
+        ),
+        batch_format="pandas",
+    )
+
+    def offsets(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "source" not in df.columns:
+            return pd.DataFrame({"ckey": pd.Series(dtype=object),
+                                 "offset": pd.Series(dtype=np.int64)})
+        d = df.drop_duplicates(["source", "chunk"]).sort_values(
+            ["source", "chunk"], ignore_index=True
+        )
+        cum = d.groupby("source", sort=False)["chunk_total"].cumsum()
+        return pd.DataFrame(
+            {"ckey": d["ckey"], "offset": (cum - d["chunk_total"]).astype(np.int64)}
+        )
+
+    offs = partitioned_map_groups(totals, "source", offsets, num_buckets=4)
+
+    def assign(l: pd.DataFrame, o: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series(dtype=np.int64),
+             "source": pd.Series(dtype=object),
+             "pack_id": pd.Series(dtype=np.int64)}
+        )
+        if (len(l) == 0 or "ckey" not in l.columns
+                or len(o) == 0 or "ckey" not in o.columns):
+            return empty
+        j = l.merge(o, on="ckey", how="inner")
+        before = j["offset"].to_numpy() + j["local_before"].to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": j["doc_id"].astype(np.int64),
+                "source": j["source"],
                 "pack_id": (before // budget).astype(np.int64),
             }
         )
 
-    return partitioned_map_groups(ds, "source", pack, num_buckets=4)
+    return hash_coexchange(locals_ds, offs, "ckey", "ckey", assign, num_buckets)
 
 
 SQL_PACK_SEQUENCES = """

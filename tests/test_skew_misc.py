@@ -109,3 +109,37 @@ def test_orders_sample_deterministic(ray_session):
     b = orders_sample("/root/testdata/sf0.001").to_pandas()
     assert sorted(a["o_orderkey"]) == sorted(b["o_orderkey"])
     assert 0 < len(a) < 1500  # ~10% of 1500
+
+
+def test_pack_sequences_skewed_source_multi_chunk(ray_session):
+    """One source holds 90% of rows spread over many blocks: the
+    two-phase packer (chunk-local cumsum -> tiny offset exchange ->
+    stateless assign) must reproduce the sequential per-source cumsum
+    exactly even when the source spans many chunks."""
+    from dygiepp_ray.relational import pack_sequences_dataset
+
+    rs = np.random.RandomState(3)
+    n = 5000
+    src = np.where(rs.rand(n) < 0.9, "big", "small")
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "source": src,
+            "n_chars": rs.randint(1, 900, size=n).astype(np.int64),
+        }
+    )
+    ds = rd.from_pandas(df.sample(frac=1.0, random_state=7)).repartition(16)
+    out = (
+        pack_sequences_dataset(ds, budget=2048, chunk_docs=256, num_buckets=8)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+    ref = df.sort_values(["source", "doc_id"], ignore_index=True)
+    cum = ref.groupby("source", sort=False)["n_chars"].cumsum()
+    ref["pack_id"] = ((cum - ref["n_chars"]) // 2048).astype(np.int64)
+    ref = ref.sort_values("doc_id", ignore_index=True)
+
+    assert (out["doc_id"].to_numpy() == ref["doc_id"].to_numpy()).all()
+    assert (out["pack_id"].to_numpy() == ref["pack_id"].to_numpy()).all()
+    assert (out["source"].to_numpy() == ref["source"].to_numpy()).all()
