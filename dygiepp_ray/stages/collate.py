@@ -9,7 +9,8 @@ length across documents, bin-pack into pseudo-docs under
 no sentence went missing.
 
 Here: ``collate`` = global ``ds.sort`` on sentence length (a real
-all-to-all) + a sequential bin-packer over the sorted stream;
+all-to-all) + a parallel per-range bin-packer (one Ray task per
+contiguous run of sorted blocks — no driver funnel);
 ``uncollate`` = ``partitioned_map_groups`` on ``_orig_doc_key`` with an
 in-group sort on ``_orig_sent_ix`` — exactly the conv_id/turn_idx
 regroup pattern.  Round-trip safety is test-enforced like the
@@ -22,6 +23,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 import ray.data
 
 from ..core import partitioned_map_groups
@@ -76,38 +78,23 @@ PSEUDO_SCHEMA = pa.schema(
 )
 
 
-def collate(
-    sentences: ray.data.Dataset,
-    max_spans_per_doc: int = 50_000,
-    max_sentences_per_doc: int = 16,
-    dataset: str = "synth",
-    block_docs: int = 512,
-) -> ray.data.Dataset:
-    """Sentence rows -> pseudo-document rows.
-
-    Global sort by length (collate.py:97-105), then greedy packing under
-    the span budget ``n_sents * longest^2`` (collate.py:126-129).  The
-    packer is a sequential pass over the sorted stream (the budget
-    logic is inherently sequential; the heavy work, the sort, is
-    distributed).  Pseudo-docs are shipped to the object store every
-    ``block_docs`` documents, so the driver holds one block at a time,
-    never the whole collated corpus."""
-    import ray as _ray
-
-    sorted_ds = sentences.sort("n_tokens")
-    block_refs: list = []
-    rows = {k: [] for k in PSEUDO_SCHEMA.names}
+def _pack_table(
+    tbl: pa.Table,
+    range_ix: int,
+    max_spans_per_doc: int,
+    max_sentences_per_doc: int,
+    dataset: str,
+) -> pa.Table:
+    """Greedy span-budget packer over ONE contiguous sorted range
+    (collate.py:126-129 semantics, exact within the range).  Pseudo-doc
+    keys carry the range index, so ids are deterministic and unique
+    without cross-range coordination."""
+    rows: dict[str, list] = {k: [] for k in PSEUDO_SCHEMA.names}
     cur_toks: list[list[str]] = []
     cur_keys: list[str] = []
     cur_ixs: list[int] = []
     longest = 0
     n_doc = 0
-
-    def ship():
-        nonlocal rows
-        if rows["doc_key"]:
-            block_refs.append(_ray.put(pa.Table.from_pydict(rows, schema=PSEUDO_SCHEMA)))
-            rows = {k: [] for k in PSEUDO_SCHEMA.names}
 
     def flush():
         nonlocal cur_toks, cur_keys, cur_ixs, longest, n_doc
@@ -117,7 +104,7 @@ def collate(
         lens = [len(t) for t in cur_toks]
         if len(lens) > 1:
             starts[1:] = np.cumsum(lens[:-1])
-        rows["doc_key"].append(f"pseudo_doc_{n_doc:06d}")
+        rows["doc_key"].append(f"pseudo_{range_ix:05d}_{n_doc:06d}")
         rows["dataset"].append(dataset)
         rows["sentences"].append(cur_toks)
         rows["sentence_start"].append(starts.tolist())
@@ -126,30 +113,83 @@ def collate(
         rows["n_tokens"].append(int(sum(lens)))
         n_doc += 1
         cur_toks, cur_keys, cur_ixs, longest = [], [], [], 0
-        if len(rows["doc_key"]) >= block_docs:
-            ship()
 
-    for batch in sorted_ds.iter_batches(batch_size=4096, batch_format="pandas"):
-        for key, ix, toks, n in zip(
-            batch["_orig_doc_key"], batch["_orig_sent_ix"],
-            batch["tokens"], batch["n_tokens"],
+    df = tbl.to_pandas()
+    for key, ix, toks, n in zip(
+        df["_orig_doc_key"], df["_orig_sent_ix"], df["tokens"], df["n_tokens"]
+    ):
+        new_longest = max(longest, int(n))
+        if cur_toks and (
+            (len(cur_toks) + 1) * new_longest ** 2 > max_spans_per_doc
+            or len(cur_toks) + 1 > max_sentences_per_doc
         ):
-            new_longest = max(longest, int(n))
-            if cur_toks and (
-                (len(cur_toks) + 1) * new_longest ** 2 > max_spans_per_doc
-                or len(cur_toks) + 1 > max_sentences_per_doc
-            ):
-                flush()
-                new_longest = int(n)
-            cur_toks.append(list(toks))
-            cur_keys.append(key)
-            cur_ixs.append(int(ix))
-            longest = new_longest
+            flush()
+            new_longest = int(n)
+        cur_toks.append(list(toks))
+        cur_keys.append(key)
+        cur_ixs.append(int(ix))
+        longest = new_longest
     flush()
-    ship()
-    if not block_refs:
-        block_refs.append(_ray.put(PSEUDO_SCHEMA.empty_table()))
-    return ray.data.from_arrow_refs(block_refs)
+    return pa.Table.from_pydict(rows, schema=PSEUDO_SCHEMA)
+
+
+@ray.remote
+def _pack_range_task(
+    range_ix: int, max_spans: int, max_sents: int, dataset: str, *blocks
+) -> pa.Table:
+    tbls = [
+        b if isinstance(b, pa.Table) else pa.Table.from_pandas(b) for b in blocks
+    ]
+    tbl = pa.concat_tables(tbls, promote_options="default")
+    return _pack_table(tbl, range_ix, max_spans, max_sents, dataset)
+
+
+def collate(
+    sentences: ray.data.Dataset,
+    max_spans_per_doc: int = 50_000,
+    max_sentences_per_doc: int = 16,
+    dataset: str = "synth",
+    range_rows: int = 8_192,
+) -> ray.data.Dataset:
+    """Sentence rows -> pseudo-document rows, fully distributed.
+
+    Global sort by length (collate.py:97-105) range-partitions the
+    corpus into ordered blocks; consecutive blocks are grouped into
+    ranges of ~``range_rows`` sentences and each range is packed by its
+    OWN Ray task under the span budget ``n_sents * longest^2``
+    (collate.py:126-129) — nothing streams through the driver (the
+    pre-round-3 version pulled every sentence through a driver-side
+    ``iter_batches`` loop; at 100x scale that was a single-node
+    funnel).  The budget is exact within a range; a range boundary can
+    only flush a pack early (an extra pseudo-doc), never exceed the
+    budget.  Pseudo-doc keys are ``pseudo_{range:05d}_{n:06d}`` —
+    deterministic per range, unique globally, and never visible
+    downstream (uncollate regroups on ``_orig_doc_key``)."""
+    sorted_ds = sentences.sort("n_tokens")
+    blocks: list[tuple] = []  # (ref, num_rows)
+    for bundle in sorted_ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            blocks.append((ref, meta.num_rows or 0))
+    groups: list[list] = []
+    cur: list = []
+    cur_rows = 0
+    for ref, nr in blocks:
+        cur.append(ref)
+        cur_rows += nr
+        if cur_rows >= range_rows:
+            groups.append(cur)
+            cur, cur_rows = [], 0
+    if cur:
+        groups.append(cur)
+    if not groups:
+        return ray.data.from_arrow([PSEUDO_SCHEMA.empty_table()])
+    refs = [
+        _pack_range_task.remote(
+            ix, max_spans_per_doc, max_sentences_per_doc, dataset, *grp
+        )
+        for ix, grp in enumerate(groups)
+    ]
+    return ray.data.from_arrow_refs(refs)
 
 
 # doc-level token positions to rebase per annotation type (all spans are

@@ -241,3 +241,64 @@ def test_collated_extraction_identical_to_direct(ray_session):
     pd.testing.assert_frame_equal(
         canon(direct.clusters, c_cols), canon(collated.clusters, c_cols)
     )
+
+
+def test_collate_packs_in_tasks_not_driver(ray_session, monkeypatch):
+    """The packer must not stream the corpus through the driver: collate
+    completes even when Dataset.iter_batches is forbidden."""
+    import ray.data as _rd
+
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_key": [f"d{i}" for i in range(40)],
+                "sentences": [
+                    [["tok"] * ((i + j) % 9 + 1) for j in range(5)]
+                    for i in range(40)
+                ],
+            }
+        )
+    )
+    sents = explode_sentences(docs)
+
+    def forbidden(self, *a, **k):
+        raise AssertionError("driver-side iter_batches in collate path")
+
+    monkeypatch.setattr(_rd.Dataset, "iter_batches", forbidden)
+    pseudo = collate(sents, max_spans_per_doc=2000, max_sentences_per_doc=8)
+    monkeypatch.undo()
+    pdf = pseudo.to_pandas()
+    assert sum(len(ks) for ks in pdf["_orig_doc_key"]) == 200
+
+
+def test_collate_multi_range_budget_and_roundtrip(ray_session):
+    """Tiny range_rows forces many parallel pack tasks: budgets hold per
+    pseudo-doc, pseudo keys are unique, and every sentence survives the
+    round trip."""
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_key": [f"d{i}" for i in range(30)],
+                "sentences": [
+                    [["w"] * ((i * 7 + j * 3) % 13 + 1) for j in range(6)]
+                    for i in range(30)
+                ],
+            }
+        )
+    ).repartition(8)
+    sents = explode_sentences(docs)
+    pseudo = collate(
+        sents, max_spans_per_doc=900, max_sentences_per_doc=6, range_rows=16
+    )
+    pdf = pseudo.to_pandas()
+    assert pdf["doc_key"].is_unique
+    assert len(set(k.split("_")[1] for k in pdf["doc_key"])) > 1  # >1 range
+    for _, row in pdf.iterrows():
+        lens = [len(s) for s in row["sentences"]]
+        assert len(lens) <= 6
+        assert len(lens) * max(lens) ** 2 <= 900
+    back = uncollate(pseudo).to_pandas()
+    assert len(back) == 180
+    assert set(zip(back["_orig_doc_key"], back["_orig_sent_ix"])) == {
+        (f"d{i}", j) for i in range(30) for j in range(6)
+    }
