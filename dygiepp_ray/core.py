@@ -57,6 +57,105 @@ def stable_bucket(values, num_buckets: int) -> np.ndarray:
 # multi-level trees with small inputs).
 MERGE_FANIN = 512
 
+# Exchange sizing rules (VERDICT r2 findings #3/#4).
+#
+# * Auto bucket count: when the caller does not pass ``num_buckets``,
+#   derive it from the upstream's metadata byte size so the root merge
+#   task of each bucket concatenates <= ~TARGET_BUCKET_BYTES — at
+#   100 TB that yields the MAX_AUTO_BUCKETS ceiling instead of a fixed
+#   64 buckets x ~1.5 TB merges.
+# * Bounded driver ref inventory: split outputs are folded into the
+#   per-bucket concat tree INCREMENTALLY as they are launched (a
+#   binary-carry ladder of fan-in MERGE_FANIN), so the driver holds
+#   O(num_buckets x MERGE_FANIN x log_F(n_blocks)) refs at peak instead
+#   of collecting all O(n_blocks x num_buckets) split refs before
+#   reducing (~51M at 800k blocks x 64 buckets).
+# * Micro-block coalescing: a split task handles a GROUP of consecutive
+#   blocks only while the group stays tiny (< TARGET_SPLIT_BYTES) —
+#   normal-sized blocks (100 TB regime: ~128 MB) split one task per
+#   block, preserving split parallelism and upstream overlap; floods of
+#   kilobyte blocks (skewed upstream outputs) coalesce instead of
+#   paying per-task overhead.
+TARGET_BUCKET_BYTES = 256 << 20
+TARGET_SPLIT_BYTES = 8 << 20
+MAX_SPLIT_GROUP_BLOCKS = 64
+MIN_AUTO_BUCKETS = 8
+MAX_AUTO_BUCKETS = 1024
+
+
+def _auto_buckets(total_bytes: int) -> int:
+    import math
+
+    return int(
+        min(
+            MAX_AUTO_BUCKETS,
+            max(MIN_AUTO_BUCKETS, math.ceil(total_bytes / TARGET_BUCKET_BYTES)),
+        )
+    )
+
+
+def _iter_blocks(ds: ray.data.Dataset):
+    """Execute ``ds`` (the exchange is eager) and yield its blocks as
+    ``(ObjectRef, size_bytes)`` pairs AS THEY ARE PRODUCED, so split
+    tasks overlap upstream execution."""
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            yield ref, getattr(meta, "size_bytes", None) or 0
+
+
+def _collect_blocks(ds: ray.data.Dataset) -> list:
+    return list(_iter_blocks(ds))
+
+
+def _stream_split_merge(blocks_iter, key: str, num_buckets: int, concat):
+    """Launch split tasks as upstream blocks arrive and fold each
+    bucket's split outputs through an incremental concat tree (a
+    binary-carry ladder: when a level accumulates MERGE_FANIN refs they
+    collapse into one concat task and carry to the next level).  Every
+    row passes through O(log_F n_blocks) concats and the driver's ref
+    inventory peaks at O(num_buckets x MERGE_FANIN x levels) no matter
+    the block count.  Returns one ref list per bucket (ready for the
+    root merge), or None if the upstream produced zero blocks."""
+    split = _make_split(key, num_buckets)
+    levels: list[list[list]] = [[[]] for _ in range(num_buckets)]
+
+    def add(b: int, ref, lvl: int = 0):
+        L = levels[b]
+        if len(L) <= lvl:
+            L.append([])
+        L[lvl].append(ref)
+        if len(L[lvl]) >= MERGE_FANIN:
+            folded = concat.remote(*L[lvl])
+            L[lvl] = []
+            add(b, folded, lvl + 1)
+
+    group: list = []
+    gbytes = 0
+    n_blocks = 0
+
+    def flush():
+        nonlocal group, gbytes
+        if not group:
+            return
+        refs = split.options(num_returns=num_buckets).remote(*group)
+        refs = (refs,) if num_buckets == 1 else refs
+        for b in range(num_buckets):
+            add(b, refs[b])
+        group, gbytes = [], 0
+
+    for ref, sz in blocks_iter:
+        n_blocks += 1
+        group.append(ref)
+        gbytes += sz
+        if len(group) >= MAX_SPLIT_GROUP_BLOCKS or gbytes >= TARGET_SPLIT_BYTES:
+            flush()
+    flush()
+    if n_blocks == 0:
+        return None
+    return [
+        [r for lvl in levels[b] for r in lvl] for b in range(num_buckets)
+    ]
+
 
 def _empty_like(ds: ray.data.Dataset) -> ray.data.Dataset:
     """0-row single-block dataset carrying ``ds``'s schema when it is
@@ -77,16 +176,21 @@ def hash_exchange(
     ds: ray.data.Dataset,
     key: str,
     fn: Callable[[pd.DataFrame], pd.DataFrame | pa.Table],
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     fn_format: str = "pandas",
 ) -> ray.data.Dataset:
     """Explicit all-to-all hash exchange with raw Ray tasks.
 
-    Each upstream block is split into ``num_buckets`` zero-copy Arrow
-    slices by one task (single stable argsort + take); each bucket is
-    merged by a tree of concat tasks (fan-in capped at ``MERGE_FANIN``
-    ObjectRefs per task, so task-spec size stays bounded at any block
-    count) with ``fn`` applied once at the root.  No sampling pass, no
+    Upstream blocks are split into ``num_buckets`` zero-copy Arrow
+    slices as they stream out of the upstream (one split task per
+    block; floods of micro-blocks coalesce per the sizing notes above);
+    each bucket's split outputs fold through an INCREMENTAL concat tree
+    (fan-in capped at ``MERGE_FANIN`` refs per task, levels collapse as
+    they fill, so both task-spec size and the driver's ref inventory
+    stay bounded at any block count) with ``fn`` applied once at the
+    root.  ``num_buckets=None`` (default) derives the bucket count from
+    the upstream's byte size so each root merge concatenates <=
+    ~``TARGET_BUCKET_BYTES``.  No sampling pass, no
     sort machinery — measured ~4x faster than
     ``groupby(bucket).map_groups`` on this Ray version and it scales
     with CPUs (split/concat/merge tasks are embarrassingly parallel).
@@ -134,42 +238,84 @@ def hash_exchange(
             return pa.Table.from_pandas(out, preserve_index=False)
         return out
 
-    splits = _split_refs(ds, key, num_buckets)
-    if not splits:
+    if num_buckets is None:
+        # auto-sizing needs the total byte size before splitting — the
+        # only path that collects blocks before launching splits;
+        # explicit num_buckets keeps full upstream/split overlap
+        blocks = _collect_blocks(ds)
+        if not blocks:
+            return _empty_like(ds)
+        num_buckets = _auto_buckets(sum(sz for _, sz in blocks))
+        per_bucket = _stream_split_merge(iter(blocks), key, num_buckets, concat)
+    else:
+        per_bucket = _stream_split_merge(_iter_blocks(ds), key, num_buckets, concat)
+    if per_bucket is None:
         return _empty_like(ds)
-    merged = []
-    for b in range(num_buckets):
-        refs = _tree_reduce([s[b] for s in splits], concat)
-        merged.append(merge.remote(*refs))
+    merged = [merge.remote(*refs) for refs in per_bucket]
     return ray.data.from_arrow_refs(merged)
 
 
 def _make_split(key: str, num_buckets: int):
     @ray.remote
-    def split(block, key=key, B=num_buckets):
-        tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
-        if key not in tbl.schema.names or tbl.num_rows == 0:
-            empty = tbl.slice(0, 0)
-            return empty if B == 1 else tuple(empty for _ in range(B))
-        col = tbl[key].to_pandas().to_numpy()
-        b = stable_bucket(col, B)
-        order = np.argsort(b, kind="stable")
-        tbl = tbl.take(pa.array(order))
-        bs = b[order]
-        offs = np.searchsorted(bs, np.arange(B + 1))
-        parts = [tbl.slice(offs[i], offs[i + 1] - offs[i]) for i in range(B)]
-        return parts[0] if B == 1 else tuple(parts)
+    def split(*blocks, key=key, B=num_buckets):
+        # one task splits a GROUP of consecutive blocks (two-level split:
+        # bounds the driver's ref inventory; see sizing notes above)
+        parts: list[list] = [[] for _ in range(B)]
+        fallback = None
+        for block in blocks:
+            tbl = (
+                block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+            )
+            if fallback is None:
+                fallback = tbl.slice(0, 0)
+            if key not in tbl.schema.names or tbl.num_rows == 0:
+                continue
+            col = tbl[key].to_pandas().to_numpy()
+            b = stable_bucket(col, B)
+            order = np.argsort(b, kind="stable")
+            tbl = tbl.take(pa.array(order))
+            bs = b[order]
+            offs = np.searchsorted(bs, np.arange(B + 1))
+            for i in range(B):
+                sl = tbl.slice(offs[i], offs[i + 1] - offs[i])
+                if sl.num_rows:
+                    parts[i].append(sl)
+        out = []
+        for i in range(B):
+            if len(parts[i]) > 1:
+                out.append(pa.concat_tables(parts[i], promote_options="default"))
+            elif parts[i]:
+                out.append(parts[i][0])
+            else:
+                out.append(fallback)
+        return out[0] if B == 1 else tuple(out)
 
     return split
 
 
 def _split_refs(ds: ray.data.Dataset, key: str, num_buckets: int) -> list:
+    return _launch_group_splits(_collect_blocks(ds), key, num_buckets)
+
+
+def _launch_group_splits(blocks: list, key: str, num_buckets: int) -> list:
     split = _make_split(key, num_buckets)
     out = []
-    for bundle in ds.iter_internal_ref_bundles():
-        for bref in bundle.block_refs:
-            refs = split.options(num_returns=num_buckets).remote(bref)
+    group: list = []
+    gbytes = 0
+
+    def flush():
+        nonlocal group, gbytes
+        if group:
+            refs = split.options(num_returns=num_buckets).remote(*group)
             out.append((refs,) if num_buckets == 1 else refs)
+            group, gbytes = [], 0
+
+    for ref, sz in blocks:
+        group.append(ref)
+        gbytes += sz
+        if len(group) >= MAX_SPLIT_GROUP_BLOCKS or gbytes >= TARGET_SPLIT_BYTES:
+            flush()
+    flush()
     return out
 
 
@@ -194,7 +340,7 @@ def hash_coexchange(
     key_a: str,
     key_b: str,
     fn,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     fn_format: str = "pandas",
     splits_b: list | None = None,
 ) -> ray.data.Dataset:
@@ -248,22 +394,49 @@ def hash_coexchange(
             return pa.Table.from_pandas(out, preserve_index=False)
         return out
 
-    splits_a = _split_refs(ds_a, key_a, num_buckets)
-    if splits_b is None:
-        splits_b = _split_refs(ds_b, key_b, num_buckets)
-    if not splits_a and not splits_b:
+    if num_buckets is None:
+        if splits_b is not None:
+            raise ValueError(
+                "num_buckets must be explicit when reusing splits_b "
+                "(the pre-split side fixed the bucket count)"
+            )
+        blocks_a = _collect_blocks(ds_a)
+        blocks_b = _collect_blocks(ds_b)
+        num_buckets = _auto_buckets(
+            max(
+                sum(sz for _, sz in blocks_a),
+                sum(sz for _, sz in blocks_b),
+            )
+        )
+        pb_a = _stream_split_merge(iter(blocks_a), key_a, num_buckets, concat)
+        pb_b = _stream_split_merge(iter(blocks_b), key_b, num_buckets, concat)
+    else:
+        pb_a = _stream_split_merge(_iter_blocks(ds_a), key_a, num_buckets, concat)
+        if splits_b is None:
+            pb_b = _stream_split_merge(
+                _iter_blocks(ds_b), key_b, num_buckets, concat
+            )
+        else:
+            # legacy per-group tuple shape from split_refs (shared side)
+            pb_b = (
+                [_tree_reduce([s[b] for s in splits_b], concat)
+                 for b in range(num_buckets)]
+                if splits_b else None
+            )
+    if pb_a is None and pb_b is None:
         return _empty_like(ds_a)
     # a zero-block SIDE still participates (fn may emit rows from the
     # other side alone — e.g. label carry-forward in connected
     # components): stand in a column-less empty table for it
-    empty_side = (
-        ray.put(pa.table({})) if (not splits_a or not splits_b) else None
-    )
+    if pb_a is None or pb_b is None:
+        empty_side = ray.put(pa.table({}))
+        if pb_a is None:
+            pb_a = [[empty_side] for _ in range(num_buckets)]
+        else:
+            pb_b = [[empty_side] for _ in range(num_buckets)]
     merged = []
     for b in range(num_buckets):
-        a_refs = _tree_reduce([s[b] for s in splits_a], concat) or [empty_side]
-        b_refs = _tree_reduce([s[b] for s in splits_b], concat) or [empty_side]
-        merged.append(merge2.remote(len(a_refs), *a_refs, *b_refs))
+        merged.append(merge2.remote(len(pb_a[b]), *pb_a[b], *pb_b[b]))
     return ray.data.from_arrow_refs(merged)
 
 
@@ -271,7 +444,7 @@ def partitioned_map_groups(
     ds: ray.data.Dataset,
     key: str,
     fn: Callable[[pd.DataFrame], pd.DataFrame | pa.Table],
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     bucket_col: str = "__bucket",
     impl: str = "hash",
     fn_format: str = "pandas",
@@ -292,6 +465,8 @@ def partitioned_map_groups(
     """
     if impl == "hash":
         return hash_exchange(ds, key, fn, num_buckets, fn_format=fn_format)
+    if num_buckets is None:
+        num_buckets = 64  # sort impl needs a concrete bucket column
     if fn_format == "pyarrow":
         inner = fn
         fn = lambda df: inner(pa.Table.from_pandas(df, preserve_index=False))  # noqa: E731

@@ -229,3 +229,50 @@ def test_hash_coexchange_empty_bucket_guard(ray_session):
         rd.from_pandas(a), rd.from_pandas(b), "id", "id", fn, 16
     ).to_pandas()
     assert len(out) == 15
+
+
+def test_auto_bucket_sizing_rule():
+    import dygiepp_ray.core as core
+
+    assert core._auto_buckets(0) == core.MIN_AUTO_BUCKETS
+    assert core._auto_buckets(10 * core.TARGET_BUCKET_BYTES) == 10
+    assert core._auto_buckets(10**18) == core.MAX_AUTO_BUCKETS
+
+
+def test_hash_exchange_auto_buckets_default(ray_session):
+    """num_buckets=None derives the bucket count; tiny input -> floor."""
+    import dygiepp_ray.core as core
+
+    df = pd.DataFrame({"k": [f"g{i % 9}" for i in range(300)], "v": range(300)})
+    out_ds = hash_exchange(
+        rd.from_pandas(df).repartition(6), "k",
+        lambda g: g.groupby("k", sort=False)["v"].sum().reset_index(),
+    )
+    assert out_ds.num_blocks() == core.MIN_AUTO_BUCKETS
+    out = out_ds.to_pandas()
+    assert dict(zip(out["k"], out["v"])) == df.groupby("k")["v"].sum().to_dict()
+
+
+def test_grouped_split_bounds_driver_refs(ray_session, monkeypatch):
+    """Two-level split: the driver holds O(blocks/GROUP x buckets) refs,
+    and a 2k-block exchange still produces exact results with a small
+    merge fan-in (tree depth > 1)."""
+    import dygiepp_ray.core as core
+
+    n_blocks = 2048
+    monkeypatch.setattr(core, "MERGE_FANIN", 8)
+    monkeypatch.setattr(core, "MAX_SPLIT_GROUP_BLOCKS", 16)
+    df = pd.DataFrame(
+        {"k": [f"g{i % 11}" for i in range(n_blocks)], "v": range(n_blocks)}
+    )
+    ds = rd.from_pandas(df).repartition(n_blocks).materialize()
+    assert ds.num_blocks() >= 2000
+
+    splits = core.split_refs(ds, "k", 4)
+    assert len(splits) <= -(-n_blocks // 16)  # ceil: one entry per GROUP
+
+    def fn(g):
+        return g.groupby("k", sort=False)["v"].sum().reset_index()
+
+    out = hash_exchange(ds, "k", fn, num_buckets=4).to_pandas()
+    assert dict(zip(out["k"], out["v"])) == df.groupby("k")["v"].sum().to_dict()
