@@ -400,8 +400,10 @@ def q_ner_eval(sf_dir: str) -> pd.DataFrame:
     join end to end.  Counts only — P/R/F1 are pure ratios of them."""
     from ..functions.evaluate import evaluate
 
-    pred = from_documents_table(sf_dir).mentions
-    gold_src = from_documents_table(sf_dir).mentions
+    # ONE pipeline: pred is materialized once and gold derived from it
+    # by a cheap map (building two pipelines re-ran assembly +
+    # extraction twice for identical mentions — ADVICE r2)
+    pred = from_documents_table(sf_dir).mentions.materialize()
 
     def perturb(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -409,7 +411,7 @@ def q_ner_eval(sf_dir: str) -> pd.DataFrame:
         df.loc[flip, "label"] = "X"
         return df
 
-    gold = gold_src.map_batches(perturb, batch_format="pandas")
+    gold = pred.map_batches(perturb, batch_format="pandas")
     r = evaluate(pred, gold, "ner")
     return pd.DataFrame(
         [{k: np.int64(r[k]) for k in ("predicted", "gold", "matched")}]
