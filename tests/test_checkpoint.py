@@ -67,3 +67,49 @@ def test_manifest_lineage_fields(small_ds, tmp_path):
     C.write_partitioned(ds, out, "conv_id", num_partitions=2)
     m = json.load(open(C._part_manifest(out, sorted(C.completed_partitions(out))[0])))
     assert {"bucket", "key", "rows", "n_keys", "ts"} <= set(m)
+
+
+def test_kill_resume_two_stage_pipeline(ray_session, tmp_path):
+    """SURVEY §4 resumability through the exchange: a two-stage job
+    (conv assembly exchange -> extraction -> triple dedup -> partitioned
+    write) killed mid-write leaves manifests for the finished
+    partitions; the rerun skips exactly those (manifests untouched,
+    byte-identical mtimes) and the resumed output equals a clean run."""
+    from dygiepp_ray.core import stable_bucket
+    from dygiepp_ray.pipelines.kg import from_documents_table
+
+    sf = "/root/testdata/sf0.001"
+    NP = 8
+    out = str(tmp_path / "triples")
+
+    ref = from_documents_table(sf).triples().to_pandas()
+
+    # run 1, "killed" after half the partitions: reproduce the post-kill
+    # state by writing only the rows hashing to the low buckets
+    def keep_low(df):
+        if len(df) == 0:
+            return df
+        return df[stable_bucket(df["conv_id"].to_numpy(), NP) < NP // 2]
+
+    partial = from_documents_table(sf).triples().map_batches(
+        keep_low, batch_format="pandas"
+    )
+    C.write_partitioned(partial, out, "conv_id", num_partitions=NP)
+    done1 = C.completed_partitions(out)
+    assert 0 < len(done1) < NP
+    mtimes1 = {b: os.path.getmtime(C._part_manifest(out, b)) for b in done1}
+
+    # resume: the FULL pipeline re-runs, completed partitions skipped
+    run2 = C.write_partitioned(
+        from_documents_table(sf).triples(), out, "conv_id", num_partitions=NP
+    )
+    assert run2["skipped"] == len(done1)
+    for b in done1:
+        assert os.path.getmtime(C._part_manifest(out, b)) == mtimes1[b]
+    assert C.completed_partitions(out) >= done1
+
+    back = C.read_partitioned(out).to_pandas()
+    assert len(back) == len(ref)
+    cols = sorted(ref.columns)
+    norm = lambda d: sorted(map(tuple, d[cols].astype(str).to_numpy()))  # noqa: E731
+    assert norm(back) == norm(ref)
