@@ -1,0 +1,528 @@
+"""Custom join / quantile / semi-structured operators Ray Data lacks
+natively, built from the engine's exchange primitives with exact DuckDB
+oracles:
+
+* **as-of join** — for each left row, the latest right row at-or-before
+  its timestamp, per key.  Distributed as ONE two-sided keyed exchange
+  on the equi-key (`core.hash_coexchange`) + a vectorized in-bucket
+  `pd.merge_asof`; the reference's closest analogue is the antecedent
+  window (each mention vs preceding spans, `dygie/models/coref.py:471-526`)
+  — "latest preceding item per key" generalized to event time.
+* **range join** — interval x point with NO equi-key: time is cut into
+  fixed chunks, each interval is replicated to the (<=2) chunks it
+  overlaps while each point lands in exactly one, then a keyed
+  coexchange on chunk id joins locally (sorted `searchsorted` probes).
+  Partitioning assumption: interval length <= chunk length, so
+  replication is bounded and no pair dedup is needed.
+* **distributed exact quantiles** — multi-pass selection: per-block
+  order-statistic candidates -> one counting pass (packed int64
+  partials) -> collect only the bracketing interval(s).  The driver
+  holds O(blocks x candidates) scalars, never the data; each refinement
+  round shrinks the interval ~candidates-fold, so 1e12 rows need ~3
+  passes before the final small collect.
+* **anti join** — orders with no matching filtered child rows: child
+  side pre-deduped per batch (combiner), one coexchange, left-anti in
+  the bucket.
+* **JSON extraction** — vectorized regex fast path over a uniform JSON
+  column with a per-row `json.loads` fallback for rows the fast path
+  misses (exact semantics, hot path stays vectorized).
+
+Float policy matches `relational.py`: sums that must hash-match SQL are
+integer (counts, floor-cents) or exact (max / direct values), with
+`round(, 2)` applied on BOTH sides only to per-row values.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+from .core import hash_coexchange, partitioned_map_groups, ts_epoch_us
+
+
+US = 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+def asof_join_purchase(sf_dir: str) -> ray.data.Dataset:
+    """For every 'click' event, the latest 'purchase' by the same user
+    at-or-before the click (backward as-of join on user_id).
+
+    The right side is pre-aggregated to one row per (user_id, ts) so the
+    as-of target is deterministic even under timestamp ties; both sides
+    ride one `hash_coexchange` on user_id and each bucket runs a single
+    vectorized `pd.merge_asof`."""
+    clicks = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    purchases = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def mk_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"] == "click"]
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "t": ts_epoch_us(df["ts"]),
+            }
+        )
+
+    def mk_right(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"] == "purchase"]
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "t": ts_epoch_us(df["ts"]),
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "value": df["value"].to_numpy(np.float64),
+            }
+        )
+
+    left = clicks.map_batches(mk_left, batch_format="pandas")
+    right = purchases.map_batches(mk_right, batch_format="pandas")
+
+    def empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": pd.Series(dtype=np.int64),
+                "user_id": pd.Series(dtype=np.int64),
+                "t_click": pd.Series(dtype=np.int64),
+                "purchase_id": pd.Series(dtype=np.int64),
+                "lag_s": pd.Series(dtype=np.int64),
+                "purchase_value": pd.Series(dtype=np.float64),
+            }
+        )
+
+    def join(c: pd.DataFrame, p: pd.DataFrame) -> pd.DataFrame:
+        if len(c) == 0 or "t" not in c.columns or len(p) == 0 or "t" not in p.columns:
+            return empty()
+        # Deterministic as-of target under ties: one row per (user, ts).
+        p = p.groupby(["user_id", "t"], as_index=False).agg(
+            purchase_id=("event_id", "max"), purchase_value=("value", "sum")
+        )
+        p["t_p"] = p["t"]
+        c = c.sort_values("t", kind="mergesort", ignore_index=True)
+        p = p.sort_values("t", kind="mergesort", ignore_index=True)
+        j = pd.merge_asof(c, p, on="t", by="user_id", direction="backward")
+        j = j.dropna(subset=["purchase_id"])
+        return pd.DataFrame(
+            {
+                "event_id": j["event_id"].to_numpy(np.int64),
+                "user_id": j["user_id"].to_numpy(np.int64),
+                "t_click": j["t"].to_numpy(np.int64),
+                "purchase_id": j["purchase_id"].to_numpy(np.int64),
+                "lag_s": (j["t"].to_numpy(np.int64) - j["t_p"].to_numpy(np.int64))
+                // US,
+                "purchase_value": j["purchase_value"].to_numpy(np.float64).round(2),
+            }
+        )
+
+    return hash_coexchange(left, right, "user_id", "user_id", join, num_buckets=16)
+
+
+SQL_ASOF_JOIN_PURCHASE = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purch AS (
+  SELECT user_id, ts,
+         CAST(max(event_id) AS BIGINT) AS purchase_id,
+         round(sum(value), 2) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id,
+       CAST(epoch_us(c.ts) AS BIGINT) AS t_click,
+       p.purchase_id,
+       (CAST(epoch_us(c.ts) AS BIGINT) - CAST(epoch_us(p.ts) AS BIGINT))
+         // 1000000 AS lag_s,
+       p.purchase_value
+FROM clicks c ASOF JOIN purch p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# range join (interval x point, no equi-key)
+# ---------------------------------------------------------------------------
+
+def range_join_error_window(
+    sf_dir: str, window_s: int = 60, chunk_s: int = 256
+) -> ray.data.Dataset:
+    """Count non-error events falling in each error event's
+    [ts, ts + window_s) interval — a pure range join distributed by
+    time-chunk replication (requires window_s <= chunk_s so each
+    interval spans <= 2 chunks; points are never replicated, so partial
+    counts need no pair dedup, only a per-interval sum).
+
+    Aggregates are exact under any partitioning: n_hits is an integer
+    count, hit_cents sums floor(value*100) (per-row double -> int64,
+    associative)."""
+    if window_s > chunk_s:
+        raise ValueError("window_s must be <= chunk_s (bounded replication)")
+    win_us = window_s * US
+    chunk_us = chunk_s * US
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type", "value"]
+    )
+
+    def mk_intervals(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"] == "error"]
+        t0 = ts_epoch_us(df["ts"])
+        t1 = t0 + win_us
+        eid = df["event_id"].to_numpy(np.int64)
+        c0 = t0 // chunk_us
+        c1 = (t1 - 1) // chunk_us  # last covered point (t1 exclusive)
+        first = pd.DataFrame({"chunk": c0, "event_id": eid, "t0": t0, "t1": t1})
+        spill = c1 > c0
+        second = pd.DataFrame(
+            {"chunk": c1[spill], "event_id": eid[spill],
+             "t0": t0[spill], "t1": t1[spill]}
+        )
+        return pd.concat([first, second], ignore_index=True)
+
+    def mk_points(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"] != "error"]
+        t = ts_epoch_us(df["ts"])
+        return pd.DataFrame(
+            {
+                "chunk": t // chunk_us,
+                "t": t,
+                "cents": np.floor(df["value"].to_numpy(np.float64) * 100.0).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    intervals = ds.map_batches(mk_intervals, batch_format="pandas")
+    points = ds.map_batches(mk_points, batch_format="pandas")
+
+    def bucket_join(iv: pd.DataFrame, pt: pd.DataFrame) -> pd.DataFrame:
+        if (len(iv) == 0 or "t0" not in iv.columns
+                or len(pt) == 0 or "t" not in pt.columns):
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype=np.int64),
+                    "n_hits": pd.Series(dtype=np.int64),
+                    "hit_cents": pd.Series(dtype=np.int64),
+                }
+            )
+        pt = pt.sort_values("t", kind="mergesort", ignore_index=True)
+        ts = pt["t"].to_numpy(np.int64)
+        pref = np.concatenate(
+            [[0], np.cumsum(pt["cents"].to_numpy(np.int64))]
+        )
+        # Clamp each interval replica to its own chunk's span: any point
+        # whose t lies in the clamped range belongs to that chunk by
+        # construction, so a single sorted array over the whole bucket
+        # (which holds many chunks) is safe.
+        chunk = iv["chunk"].to_numpy(np.int64)
+        lo = np.maximum(iv["t0"].to_numpy(np.int64), chunk * chunk_us)
+        hi = np.minimum(iv["t1"].to_numpy(np.int64), (chunk + 1) * chunk_us)
+        i0 = np.searchsorted(ts, lo, side="left")
+        i1 = np.searchsorted(ts, hi, side="left")
+        return pd.DataFrame(
+            {
+                "event_id": iv["event_id"].to_numpy(np.int64),
+                "n_hits": (i1 - i0).astype(np.int64),
+                "hit_cents": (pref[i1] - pref[i0]).astype(np.int64),
+            }
+        )
+
+    partials = hash_coexchange(
+        intervals, points, "chunk", "chunk", bucket_join, num_buckets=16
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_id", as_index=False).agg(
+            n_hits=("n_hits", "sum"), hit_cents=("hit_cents", "sum")
+        )
+        g = g[g["n_hits"] > 0]
+        return g.astype(
+            {"event_id": np.int64, "n_hits": np.int64, "hit_cents": np.int64}
+        )
+
+    return partitioned_map_groups(partials, "event_id", finalize, num_buckets=8)
+
+
+SQL_RANGE_JOIN_ERROR_WINDOW = """
+WITH e AS (
+  SELECT event_id, ts FROM events WHERE event_type = 'error'
+), o AS (
+  SELECT ts, CAST(floor(value * 100.0) AS BIGINT) AS cents
+  FROM events WHERE event_type <> 'error'
+)
+SELECT e.event_id,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(sum(o.cents) AS BIGINT) AS hit_cents
+FROM e JOIN o ON o.ts >= e.ts AND o.ts < e.ts + INTERVAL 60 SECOND
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# distributed exact quantiles
+# ---------------------------------------------------------------------------
+
+def exact_quantiles(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: list[float],
+    per_block_candidates: int = 128,
+    collect_cap: int = 1_000_000,
+    max_rounds: int = 8,
+) -> pd.DataFrame:
+    """Exact q-quantiles of ``ds[col]`` by distributed selection.
+
+    Convention: the q-quantile is the ceil(q*n)-th smallest value
+    (matches DuckDB ``quantile_disc``).  Per round: (1) every block
+    contributes ``per_block_candidates`` of its own order statistics
+    within the current bracket (gap between adjacent global candidates
+    <= n_bracket/(candidates-1)); (2) one counting pass returns packed
+    int64 partial counts per block (driver holds only
+    O(blocks x candidates) scalars); (3) brackets tighten ~128x per
+    round until the interval population fits ``collect_cap``, then only
+    those rows are pulled and selected locally."""
+    if not qs:
+        return pd.DataFrame({"q": pd.Series(dtype=np.float64),
+                             "value": pd.Series(dtype=np.float64)})
+
+    # Per-target bracket (lo_v, hi_v], with lo_cnt = #values <= lo_v.
+    # Brackets refine independently (a shared bracket could never drop
+    # below the population BETWEEN the smallest and largest target);
+    # each round still costs exactly two passes because the candidate
+    # and counting passes run over the UNION of open brackets.
+    brackets = None  # per q: [lo_v, hi_v, lo_cnt, hi_cnt, done]
+    n_total = None
+    ks = None
+
+    for _round in range(max_rounds):
+        if brackets is None:
+            spans = [(-np.inf, np.inf)]
+        else:
+            spans = [(b[0], b[1]) for b in brackets if not b[4]]
+
+        def candidates(df: pd.DataFrame) -> pd.DataFrame:
+            # Sampled per span (not over the union) so a narrow bracket
+            # still receives candidates next to a wide one.
+            v0 = df[col].to_numpy(np.float64)
+            out = []
+            for lo, hi in spans:
+                v = v0[(v0 > lo) & (v0 <= hi)]
+                if len(v) == 0:
+                    continue
+                v.sort()
+                idx = np.linspace(
+                    0, len(v) - 1, min(per_block_candidates, len(v))
+                ).astype(np.int64)
+                out.append(np.unique(v[idx]))
+            if not out:
+                return pd.DataFrame({"cand": pd.Series(dtype=np.float64)})
+            return pd.DataFrame({"cand": np.unique(np.concatenate(out))})
+
+        cand_rows = ds.map_batches(candidates, batch_format="pandas").take_all()
+        cands = np.unique(np.array([r["cand"] for r in cand_rows], dtype=np.float64))
+        if len(cands) == 0:
+            raise ValueError(f"no values of {col!r} in any open bracket")
+
+        def count_le(df: pd.DataFrame) -> pd.DataFrame:
+            v = np.sort(df[col].to_numpy(np.float64))
+            c = np.searchsorted(v, cands, side="right").astype(np.int64)
+            return pd.DataFrame({"packed": [c.tobytes()]})
+
+        parts = ds.map_batches(count_le, batch_format="pandas").take_all()
+        abs_counts = np.zeros(len(cands), dtype=np.int64)
+        for r in parts:
+            abs_counts += np.frombuffer(r["packed"], dtype=np.int64)
+        # abs_counts[i] = #values <= cands[i] over the WHOLE column.
+
+        if n_total is None:
+            # Round 1 candidates include every block's max -> global max.
+            n_total = int(abs_counts[-1])
+            if n_total == 0:
+                raise ValueError(f"empty column {col!r}")
+            ks = [min(max(int(math.ceil(q * n_total)), 1), n_total) for q in qs]
+            brackets = [[-np.inf, np.inf, 0, n_total, False] for _ in qs]
+
+        all_done = True
+        for b, k in zip(brackets, ks):
+            if b[4]:
+                continue
+            # Tighten around rank k using candidates inside this bracket.
+            lo_v, hi_v = b[0], b[1]
+            m = (cands > lo_v) & (cands <= hi_v)
+            c_in, n_in = cands[m], abs_counts[m]
+            i = int(np.searchsorted(n_in, k, side="left"))
+            if i < len(c_in):
+                b[1], b[3] = float(c_in[i]), int(n_in[i])
+            if i > 0:
+                b[0], b[2] = float(c_in[i - 1]), int(n_in[i - 1])
+            if b[3] - b[2] <= collect_cap:
+                b[4] = True
+            else:
+                all_done = False
+        if all_done:
+            break
+    else:
+        raise RuntimeError("exact_quantiles did not converge; raise collect_cap")
+
+    final_spans = [(b[0], b[1]) for b in brackets]
+
+    def in_bracket(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy(np.float64)
+        keep = np.zeros(len(v), dtype=bool)
+        for lo, hi in final_spans:
+            keep |= (v > lo) & (v <= hi)
+        return pd.DataFrame({"v": v[keep]})
+
+    vals = np.sort(
+        np.array(
+            [r["v"] for r in ds.map_batches(in_bracket, batch_format="pandas").take_all()],
+            dtype=np.float64,
+        )
+    )
+    out = []
+    for q, k, b in zip(qs, ks, brackets):
+        lo_v, hi_v, lo_cnt = b[0], b[1], b[2]
+        seg = vals[(vals > lo_v) & (vals <= hi_v)]
+        out.append((q, float(seg[k - lo_cnt - 1])))
+    return pd.DataFrame(out, columns=["q", "value"]).astype(np.float64)
+
+
+def quantiles_price(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed quantiles of lineitem.l_extendedprice."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+    out = exact_quantiles(ds, "l_extendedprice", [0.25, 0.5, 0.75, 0.95])
+    out["value"] = out["value"].round(2)
+    return out
+
+
+SQL_QUANTILES_PRICE = """
+SELECT q, round(value, 2) AS value FROM (
+  SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q,
+         unnest(quantile_disc(l_extendedprice, [0.25, 0.5, 0.75, 0.95])) AS value
+  FROM lineitem
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# anti join
+# ---------------------------------------------------------------------------
+
+def orders_anti_join(sf_dir: str) -> ray.data.Dataset:
+    """Orders with NO returned ('R') lineitem: child side filtered and
+    batch-deduped (combiner), then one coexchange on the order key with
+    a left-anti membership test per bucket."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    )
+
+    def returned_keys(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df.loc[df["l_returnflag"] == "R", "l_orderkey"]
+        return pd.DataFrame({"l_orderkey": keys.unique().astype(np.int64)})
+
+    keys = li.map_batches(returned_keys, batch_format="pandas")
+
+    def anti(o: pd.DataFrame, k: pd.DataFrame) -> pd.DataFrame:
+        if len(o) == 0 or "o_orderkey" not in o.columns:
+            return pd.DataFrame(
+                {"o_orderkey": pd.Series(dtype=np.int64),
+                 "o_totalprice": pd.Series(dtype=np.float64)}
+            )
+        if len(k) == 0 or "l_orderkey" not in k.columns:
+            keep = o
+        else:
+            keep = o[~o["o_orderkey"].isin(k["l_orderkey"])]
+        return pd.DataFrame(
+            {
+                "o_orderkey": keep["o_orderkey"].to_numpy(np.int64),
+                "o_totalprice": keep["o_totalprice"].to_numpy(np.float64).round(2),
+            }
+        )
+
+    return hash_coexchange(orders, keys, "o_orderkey", "l_orderkey", anti,
+                           num_buckets=16)
+
+
+SQL_ORDERS_ANTI_JOIN = """
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction
+# ---------------------------------------------------------------------------
+
+_JSON_K = r'^\{"k":\s*(-?\d+)\}$'
+
+
+def json_props_sum(sf_dir: str) -> ray.data.Dataset:
+    """Sum of the JSON field props.k per event type.  The hot path is a
+    vectorized regex over the uniform payload shape; rows it misses fall
+    back to exact per-row json.loads (zero rows on well-formed data, so
+    the loop never runs hot)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(_JSON_K, expand=False)
+        miss = k.isna()
+        if miss.any():  # exact fallback for non-uniform payloads
+            k = k.copy()
+            k[miss] = df.loc[miss, "props"].map(
+                lambda s: json.loads(s).get("k")
+            )
+        out = pd.DataFrame(
+            {"event_type": df["event_type"], "k": k.astype(np.int64)}
+        )
+        g = out.groupby("event_type", as_index=False).agg(k_sum=("k", "sum"))
+        return g.astype({"k_sum": np.int64})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", as_index=False).agg(k_sum=("k_sum", "sum"))
+        return g.astype({"k_sum": np.int64})
+
+    return partitioned_map_groups(partials, "event_type", final, num_buckets=4)
+
+
+SQL_JSON_PROPS_SUM = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+FROM events GROUP BY 1
+"""
+
+
+ANALYTICS_QUERIES = {
+    "asof_join_purchase": (asof_join_purchase, SQL_ASOF_JOIN_PURCHASE),
+    "range_join_error_window": (range_join_error_window,
+                                SQL_RANGE_JOIN_ERROR_WINDOW),
+    "quantiles_price": (quantiles_price, SQL_QUANTILES_PRICE),
+    "orders_anti_join": (orders_anti_join, SQL_ORDERS_ANTI_JOIN),
+    "json_props_sum": (json_props_sum, SQL_JSON_PROPS_SUM),
+}

@@ -429,12 +429,14 @@ FROM ents
 
 def all_queries() -> dict:
     """KG + relational + textops registries (name -> (fn, sql|None))."""
+    from ..analytics import ANALYTICS_QUERIES
     from ..relational import RELATIONAL_QUERIES
     from ..textops.queries import TEXTOPS_QUERIES
 
     out = dict(KG_QUERIES)
     out.update(RELATIONAL_QUERIES)
     out.update(TEXTOPS_QUERIES)
+    out.update(ANALYTICS_QUERIES)
     return out
 
 

@@ -1,0 +1,138 @@
+"""Unit tests for dygiepp_ray.analytics: as-of join, range join,
+distributed exact quantiles, anti join, JSON extraction — each compared
+against DuckDB on real testdata (sf0.001) or planted corpora."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+
+from dygiepp_ray.analytics import (
+    SQL_ASOF_JOIN_PURCHASE,
+    SQL_JSON_PROPS_SUM,
+    SQL_ORDERS_ANTI_JOIN,
+    SQL_QUANTILES_PRICE,
+    SQL_RANGE_JOIN_ERROR_WINDOW,
+    asof_join_purchase,
+    exact_quantiles,
+    json_props_sum,
+    orders_anti_join,
+    quantiles_price,
+    range_join_error_window,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def duck(sf_dir: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for tbl in ["orders", "lineitem", "events"]:
+        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{sf_dir}/{tbl}.parquet'")
+    return con.execute(sql).fetchdf()
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if df[c].dtype == np.float64:
+            df[c] = df[c].round(6)
+        elif str(df[c].dtype).startswith("int") or str(df[c].dtype).startswith("uint"):
+            df[c] = df[c].astype(np.int64)
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def run(res) -> pd.DataFrame:
+    return res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+
+
+def test_asof_join_matches_duckdb(ray_session):
+    got = norm(run(asof_join_purchase(SF)))
+    want = norm(duck(SF, SQL_ASOF_JOIN_PURCHASE))
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_range_join_matches_duckdb(ray_session):
+    got = norm(run(range_join_error_window(SF)))
+    want = norm(duck(SF, SQL_RANGE_JOIN_ERROR_WINDOW))
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_range_join_invariant_to_chunking(ray_session):
+    # Same result under a different chunk size (different replication
+    # pattern and bucket assignment) — partitioning must not leak.
+    a = norm(run(range_join_error_window(SF, chunk_s=256)))
+    b = norm(run(range_join_error_window(SF, chunk_s=61)))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_anti_join_matches_duckdb(ray_session):
+    got = norm(run(orders_anti_join(SF)))
+    want = norm(duck(SF, SQL_ORDERS_ANTI_JOIN))
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_quantiles_price_matches_duckdb(ray_session):
+    got = norm(run(quantiles_price(SF)))
+    want = norm(duck(SF, SQL_QUANTILES_PRICE))
+    pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.parametrize("n", [1, 7, 10, 101, 1000])
+def test_exact_quantiles_vs_duckdb_planted(ray_session, n):
+    rng = np.random.default_rng(n)
+    # duplicates on purpose: half the values repeat
+    v = np.round(rng.uniform(0, 100, n), 1)
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+    ds = ray.data.from_pandas(pd.DataFrame({"x": v}))
+    if n > 1:
+        ds = ds.repartition(3)
+    got = exact_quantiles(ds, "x", qs)
+    qlist = ", ".join(str(q) for q in qs)
+    want = duckdb.connect().execute(
+        f"SELECT unnest(quantile_disc(x, [{qlist}])) AS value "
+        "FROM (SELECT unnest(?::DOUBLE[]) AS x)",
+        [v.tolist()],
+    ).fetchdf()
+    np.testing.assert_allclose(got["value"].to_numpy(), want["value"].to_numpy())
+
+
+def test_exact_quantiles_refinement_rounds(ray_session):
+    # Force multi-round bracketing: tiny collect cap + few candidates.
+    rng = np.random.default_rng(0)
+    v = rng.normal(0, 1, 5000)
+    ds = ray.data.from_pandas(pd.DataFrame({"x": v})).repartition(8)
+    got = exact_quantiles(
+        ds, "x", [0.5, 0.9], per_block_candidates=8, collect_cap=50
+    )
+    s = np.sort(v)
+    assert got.loc[0, "value"] == s[int(np.ceil(0.5 * len(v))) - 1]
+    assert got.loc[1, "value"] == s[int(np.ceil(0.9 * len(v))) - 1]
+
+
+def test_json_props_fallback(ray_session, tmp_path):
+    # Rows that defeat the regex fast path must flow through the exact
+    # json.loads fallback and still aggregate correctly.
+    df = pd.DataFrame(
+        {
+            "event_type": ["a", "a", "b", "b"],
+            "props": ['{"k": 3}', '{ "k" : 4 , "x": 1 }', '{"k": 5}',
+                      '{"x": 0, "k": -2}'],
+        }
+    )
+    df.to_parquet(tmp_path / "events.parquet")
+    got = norm(run(json_props_sum(str(tmp_path))))
+    want = pd.DataFrame({"event_type": ["a", "b"], "k_sum": [7, 3]}).astype(
+        {"k_sum": np.int64}
+    )
+    pd.testing.assert_frame_equal(got, norm(want))
+
+
+def test_json_props_matches_duckdb(ray_session):
+    got = norm(run(json_props_sum(SF)))
+    want = norm(duck(SF, SQL_JSON_PROPS_SUM))
+    pd.testing.assert_frame_equal(got, want)
