@@ -121,6 +121,7 @@ def main() -> None:
         queries["kg_collated_triples"] = time.perf_counter() - t0
 
         # ---- secondary operator pipelines over driver tables ----
+        from dygiepp_ray import analytics as A
         from dygiepp_ray import relational as R
         from dygiepp_ray.textops import queries as TQ
 
@@ -133,6 +134,9 @@ def main() -> None:
             ("ivf_topk", TQ.q_ivf_topk),
             ("minhash_near_dups", TQ.q_minhash_near_dups),
             ("simhash_near_dups", TQ.q_simhash_near_dups),
+            ("asof_join_purchase", A.asof_join_purchase),
+            ("range_join_error_window", A.range_join_error_window),
+            ("quantiles_price", A.quantiles_price),
         ]:
             t0 = time.perf_counter()
             res = fn(SF_DIR)

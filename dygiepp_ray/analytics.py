@@ -299,6 +299,12 @@ def exact_quantiles(
         return pd.DataFrame({"q": pd.Series(dtype=np.float64),
                              "value": pd.Series(dtype=np.float64)})
 
+    # The selection makes 2+ full passes (candidates, counts, collect):
+    # pin the pruned single column in the object store once instead of
+    # re-decoding parquet per pass.  One float64 column is ~1% of a
+    # typical table's bytes, and blocks spill if it doesn't fit.
+    ds = ds.select_columns([col]).materialize()
+
     # Per-target bracket (lo_v, hi_v], with lo_cnt = #values <= lo_v.
     # Brackets refine independently (a shared bracket could never drop
     # below the population BETWEEN the smallest and largest target);
@@ -332,8 +338,8 @@ def exact_quantiles(
                 return pd.DataFrame({"cand": pd.Series(dtype=np.float64)})
             return pd.DataFrame({"cand": np.unique(np.concatenate(out))})
 
-        cand_rows = ds.map_batches(candidates, batch_format="pandas").take_all()
-        cands = np.unique(np.array([r["cand"] for r in cand_rows], dtype=np.float64))
+        cand_df = ds.map_batches(candidates, batch_format="pandas").to_pandas()
+        cands = np.unique(cand_df["cand"].to_numpy(np.float64))
         if len(cands) == 0:
             raise ValueError(f"no values of {col!r} in any open bracket")
 
@@ -342,10 +348,10 @@ def exact_quantiles(
             c = np.searchsorted(v, cands, side="right").astype(np.int64)
             return pd.DataFrame({"packed": [c.tobytes()]})
 
-        parts = ds.map_batches(count_le, batch_format="pandas").take_all()
+        parts = ds.map_batches(count_le, batch_format="pandas").to_pandas()
         abs_counts = np.zeros(len(cands), dtype=np.int64)
-        for r in parts:
-            abs_counts += np.frombuffer(r["packed"], dtype=np.int64)
+        for buf in parts["packed"]:
+            abs_counts += np.frombuffer(buf, dtype=np.int64)
         # abs_counts[i] = #values <= cands[i] over the WHOLE column.
 
         if n_total is None:
@@ -388,10 +394,8 @@ def exact_quantiles(
         return pd.DataFrame({"v": v[keep]})
 
     vals = np.sort(
-        np.array(
-            [r["v"] for r in ds.map_batches(in_bracket, batch_format="pandas").take_all()],
-            dtype=np.float64,
-        )
+        ds.map_batches(in_bracket, batch_format="pandas")
+        .to_pandas()["v"].to_numpy(np.float64)
     )
     out = []
     for q, k, b in zip(qs, ks, brackets):

@@ -73,7 +73,7 @@ def _snap(starts: np.ndarray, ends: np.ndarray, s_char: int, e_char_incl: int):
         if i >= len(starts):
             return None
     j = int(np.searchsorted(starts, e_char_incl, side="right")) - 1
-    if j < 0:
+    if j < 0 or i > j:  # extent sits wholly in inter-token whitespace
         return None
     snapped = not (starts[i] == s_char and ends[j] == e_char_incl + 1)
     return i, j, snapped
