@@ -135,11 +135,16 @@ def _pack_table(
 
 @ray.remote
 def _pack_range_task(
-    range_ix: int, max_spans: int, max_sents: int, dataset: str, *blocks
+    range_ix: int, max_spans: int, max_sents: int, dataset: str,
+    slices: list, *blocks
 ) -> pa.Table:
-    tbls = [
-        b if isinstance(b, pa.Table) else pa.Table.from_pandas(b) for b in blocks
-    ]
+    """``slices[i] = (offset, length)`` into ``blocks[i]`` — ranges cut
+    by ROW position, not block boundary, so a skewed sort (few distinct
+    n_tokens values -> one giant range-partition block) still fans out."""
+    tbls = []
+    for (off, ln), b in zip(slices, blocks):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_pandas(b)
+        tbls.append(t.slice(off, ln))
     tbl = pa.concat_tables(tbls, promote_options="default")
     return _pack_table(tbl, range_ix, max_spans, max_sents, dataset)
 
@@ -149,7 +154,7 @@ def collate(
     max_spans_per_doc: int = 50_000,
     max_sentences_per_doc: int = 16,
     dataset: str = "synth",
-    range_rows: int = 8_192,
+    range_rows: int = 4_096,
 ) -> ray.data.Dataset:
     """Sentence rows -> pseudo-document rows, fully distributed.
 
@@ -170,22 +175,33 @@ def collate(
     for bundle in sorted_ds.iter_internal_ref_bundles():
         for ref, meta in bundle.blocks:
             blocks.append((ref, meta.num_rows or 0))
-    groups: list[list] = []
+    # Cut ranges by ROW position across the sorted stream (mid-block
+    # slices allowed): sort range-partitions by VALUE, so a skewed
+    # n_tokens distribution can put most rows in one block — grouping
+    # whole blocks would then collapse to a single pack task and the
+    # downstream actor pool would receive one input.
+    groups: list[list] = []  # each: [(ref, offset, length), ...]
     cur: list = []
     cur_rows = 0
     for ref, nr in blocks:
-        cur.append(ref)
-        cur_rows += nr
-        if cur_rows >= range_rows:
-            groups.append(cur)
-            cur, cur_rows = [], 0
+        off = 0
+        while nr - off > 0:
+            take = min(nr - off, range_rows - cur_rows)
+            cur.append((ref, off, take))
+            cur_rows += take
+            off += take
+            if cur_rows >= range_rows:
+                groups.append(cur)
+                cur, cur_rows = [], 0
     if cur:
         groups.append(cur)
     if not groups:
         return ray.data.from_arrow([PSEUDO_SCHEMA.empty_table()])
     refs = [
         _pack_range_task.remote(
-            ix, max_spans_per_doc, max_sentences_per_doc, dataset, *grp
+            ix, max_spans_per_doc, max_sentences_per_doc, dataset,
+            [(off, ln) for (_r, off, ln) in grp],
+            *[r for (r, _o, _l) in grp],
         )
         for ix, grp in enumerate(groups)
     ]
