@@ -424,6 +424,42 @@ SELECT q, round(value, 2) AS value FROM (
 """
 
 
+def quantiles_by_flag(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-group quantiles (l_extendedprice by l_returnflag): one
+    keyed exchange, np selection per group with the same ceil(q*n)-th
+    rank convention as :func:`exact_quantiles`.  Assumes a group fits
+    one bucket task (the sessionize/map_groups shape); for groups
+    bigger than a task, run :func:`exact_quantiles` on a filtered
+    dataset per group instead."""
+    qs = [0.25, 0.5, 0.75, 0.95]
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+    )
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for flag, g in df.groupby("l_returnflag", sort=False):
+            v = np.sort(g["l_extendedprice"].to_numpy(np.float64))
+            for q in qs:
+                k = min(max(int(math.ceil(q * len(v))), 1), len(v))
+                out.append((flag, q, round(float(v[k - 1]), 2)))
+        return pd.DataFrame(out, columns=["l_returnflag", "q", "value"]).astype(
+            {"q": np.float64, "value": np.float64}
+        )
+
+    return partitioned_map_groups(ds, "l_returnflag", per_group, num_buckets=4)
+
+
+SQL_QUANTILES_BY_FLAG = """
+SELECT l_returnflag, q, round(value, 2) AS value FROM (
+  SELECT l_returnflag,
+         unnest([0.25, 0.5, 0.75, 0.95]) AS q,
+         unnest(quantile_disc(l_extendedprice, [0.25, 0.5, 0.75, 0.95])) AS value
+  FROM lineitem GROUP BY l_returnflag
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # anti join
 # ---------------------------------------------------------------------------
@@ -527,6 +563,7 @@ ANALYTICS_QUERIES = {
     "range_join_error_window": (range_join_error_window,
                                 SQL_RANGE_JOIN_ERROR_WINDOW),
     "quantiles_price": (quantiles_price, SQL_QUANTILES_PRICE),
+    "quantiles_by_flag": (quantiles_by_flag, SQL_QUANTILES_BY_FLAG),
     "orders_anti_join": (orders_anti_join, SQL_ORDERS_ANTI_JOIN),
     "json_props_sum": (json_props_sum, SQL_JSON_PROPS_SUM),
 }

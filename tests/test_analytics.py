@@ -101,6 +101,15 @@ def test_exact_quantiles_vs_duckdb_planted(ray_session, n):
     np.testing.assert_allclose(got["value"].to_numpy(), want["value"].to_numpy())
 
 
+def test_quantiles_by_flag_matches_duckdb(ray_session):
+    from dygiepp_ray.analytics import SQL_QUANTILES_BY_FLAG, quantiles_by_flag
+
+    got = norm(run(quantiles_by_flag(SF)))
+    want = norm(duck(SF, SQL_QUANTILES_BY_FLAG))
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_exact_quantiles_refinement_rounds(ray_session):
     # Force multi-round bracketing: tiny collect cap + few candidates.
     rng = np.random.default_rng(0)
