@@ -145,6 +145,7 @@ def parse_apf_doc(doc_key: str, apf_xml: str, sgm_text: str) -> dict:
                 dropped["relations"] += 1
 
     events = []
+    event_cluster_members: dict[str, list[int]] = {}
     for ev in doc.findall("event"):
         label = f"{ev.get('TYPE')}.{ev.get('SUBTYPE')}"
         for em in ev.findall("event_mention"):
@@ -175,6 +176,7 @@ def parse_apf_doc(doc_key: str, apf_xml: str, sgm_text: str) -> dict:
                     ],
                 }
             )
+            event_cluster_members.setdefault(ev.get("ID"), []).append(hit[0])
 
     clusters = [
         sorted(set(members))
@@ -193,6 +195,15 @@ def parse_apf_doc(doc_key: str, apf_xml: str, sgm_text: str) -> dict:
         "events": events,
         "clusters": [
             [{"start": s, "end": e} for (s, e) in members] for members in clusters
+        ],
+        # ACE event coref: an <event> whose mentions survive >= 2 is an
+        # event cluster of its trigger tokens (event_mention_clusters,
+        # parse_ace_event.py:562; `event_clusters` field of the
+        # reference Document, document.py:95-104)
+        "event_clusters": [
+            [{"start": t, "end": t} for t in sorted(set(members))]
+            for _eid, members in sorted(event_cluster_members.items())
+            if len(set(members)) >= 2
         ],
         "snapped": snapped,
         **{f"dropped_{k}": v for k, v in dropped.items()},

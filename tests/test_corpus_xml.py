@@ -74,6 +74,9 @@ APF = f"""
     <event_mention_argument REFID="E1-1" ROLE="Artifact"/>
     <event_mention_argument REFID="E2-1" ROLE="Destination"/>
    </event_mention>
+   <event_mention ID="V1-2">
+    <anchor>{_charseq("bought")}</anchor>
+   </event_mention>
   </event>
   <event ID="V2" TYPE="Transaction" SUBTYPE="Transfer-Ownership">
    <event_mention ID="V2-1">
@@ -113,11 +116,16 @@ def test_apf_relations_events_clusters():
                 {"start": 2, "end": 2, "role": "Artifact"},
                 {"start": 4, "end": 5, "role": "Destination"},
             ],
-        }
+        },
+        {"trigger_tok": 10, "event_type": "Movement.Transport", "args": []},
     ]
     assert doc["dropped_events"] == 1  # multi-token anchor skipped
     # E1's two mentions form the only coref cluster
     assert doc["clusters"] == [[{"start": 2, "end": 2}, {"start": 9, "end": 9}]]
+    # V1's two surviving mentions form an event cluster of triggers
+    assert doc["event_clusters"] == [
+        [{"start": 3, "end": 3}, {"start": 10, "end": 10}]
+    ]
 
 
 def test_apf_reader_dataset(ray_session):
