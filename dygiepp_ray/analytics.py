@@ -464,10 +464,17 @@ SELECT l_returnflag, q, round(value, 2) AS value FROM (
 # anti join
 # ---------------------------------------------------------------------------
 
-def orders_anti_join(sf_dir: str) -> ray.data.Dataset:
+def orders_anti_join(sf_dir: str, bloom_prefilter: bool = False) -> ray.data.Dataset:
     """Orders with NO returned ('R') lineitem: child side filtered and
     batch-deduped (combiner), then one coexchange on the order key with
-    a left-anti membership test per bucket."""
+    a left-anti membership test per bucket.
+
+    ``bloom_prefilter=True`` is the scale path: a distributed Bloom
+    filter over the child keys (one pass, tree-OR'd bitmaps, ray.put
+    broadcast) splits the left side BEFORE the shuffle — Bloom-negative
+    rows provably have no match and bypass the exchange entirely; only
+    Bloom-positive rows (matches + ~1% false positives) ride it for the
+    exact check.  Result is identical (equivalence-tested)."""
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
     )
@@ -498,8 +505,26 @@ def orders_anti_join(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return hash_coexchange(orders, keys, "o_orderkey", "l_orderkey", anti,
-                           num_buckets=16)
+    if not bloom_prefilter:
+        return hash_coexchange(orders, keys, "o_orderkey", "l_orderkey", anti,
+                               num_buckets=16)
+
+    from .functions.bloom import build_bloom, split_by_bloom
+
+    bloom_ref = build_bloom(keys, "l_orderkey")
+    maybe, definitely_not = split_by_bloom(orders, "o_orderkey", bloom_ref)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+                "o_totalprice": df["o_totalprice"].to_numpy(np.float64).round(2),
+            }
+        )
+
+    checked = hash_coexchange(maybe, keys, "o_orderkey", "l_orderkey", anti,
+                              num_buckets=16)
+    return checked.union(definitely_not.map_batches(project, batch_format="pandas"))
 
 
 SQL_ORDERS_ANTI_JOIN = """

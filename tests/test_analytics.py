@@ -145,3 +145,27 @@ def test_json_props_matches_duckdb(ray_session):
     got = norm(run(json_props_sum(SF)))
     want = norm(duck(SF, SQL_JSON_PROPS_SUM))
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_bloom_no_false_negatives_and_low_fp(ray_session):
+    from dygiepp_ray.functions.bloom import build_bloom, split_by_bloom
+
+    rng = np.random.default_rng(7)
+    members = rng.choice(10**9, 5000, replace=False)
+    ds = ray.data.from_pandas(pd.DataFrame({"k": members})).repartition(6)
+    bloom = build_bloom(ds, "k", m_bits=1 << 19)  # ~13 bits/key
+    # every member must test positive (anti-join correctness hinges on it)
+    pos, neg = split_by_bloom(ds, "k", bloom)
+    assert neg.count() == 0 and pos.count() == len(members)
+    # non-members: FP rate well under 5% at this sizing
+    outsiders = pd.DataFrame({"k": members + 1})
+    pos2, neg2 = split_by_bloom(
+        ray.data.from_pandas(outsiders), "k", bloom
+    )
+    assert pos2.count() / len(outsiders) < 0.05
+
+
+def test_anti_join_bloom_path_equivalent(ray_session):
+    plain = norm(run(orders_anti_join(SF)))
+    bloomed = norm(run(orders_anti_join(SF, bloom_prefilter=True)))
+    pd.testing.assert_frame_equal(plain, bloomed)

@@ -143,3 +143,32 @@ def test_pack_sequences_skewed_source_multi_chunk(ray_session):
     assert (out["doc_id"].to_numpy() == ref["doc_id"].to_numpy()).all()
     assert (out["pack_id"].to_numpy() == ref["pack_id"].to_numpy()).all()
     assert (out["source"].to_numpy() == ref["source"].to_numpy()).all()
+
+
+def test_task_retry_through_pipeline(ray_session, tmp_path):
+    """SURVEY §4: stragglers/retries are Ray-native — a UDF that dies on
+    its first attempt (per task) must be retried transparently and the
+    pipeline must still produce exact results.  `retry_exceptions` is
+    the same knob a flaky model-inference stage would use in
+    production; the flag file makes exactly the first attempt fail."""
+    import pandas as pd
+
+    import ray as _ray
+    import ray.data as rd
+
+    flag = tmp_path / "first_attempt_died"
+
+    def flaky(df: pd.DataFrame) -> pd.DataFrame:
+        if not flag.exists():
+            flag.write_text("x")
+            raise RuntimeError("injected first-attempt failure")
+        out = df.copy()
+        out["y"] = out["x"] * 2
+        return out
+
+    ds = rd.from_pandas(pd.DataFrame({"x": list(range(100))})).repartition(1)
+    got = ds.map_batches(
+        flaky, batch_format="pandas", retry_exceptions=True, max_retries=2
+    ).to_pandas()
+    assert flag.exists()
+    assert sorted(got["y"]) == [2 * i for i in range(100)]
