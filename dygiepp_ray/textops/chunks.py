@@ -1,0 +1,215 @@
+"""Document chunking and TF-IDF — the retrieval-prep layer of a
+training-data pipeline, with exact DuckDB twins.
+
+* **chunk_documents** — overlapping token windows (the RAG/pretraining
+  chunking convention, and the same windowing family as the reference's
+  document splitter, ``dygie/data/dataset_readers/document.py:197-251``):
+  chunk i starts at ``i*stride`` and the last chunk is the first one
+  containing the final token, so short docs yield exactly one chunk.
+  Fully vectorized (np.repeat expansion, no per-row loop).
+* **tfidf_top_terms** — distributed TF-IDF over whitespace terms with a
+  LINEAR idf (``score = tf * N/df``): two IEEE ops that both engines
+  evaluate bit-identically, so ranking ties cannot drift between the
+  Ray path and the SQL oracle the way ``log`` ulp differences could.
+  Shuffle shape: (1) per-doc term counts are batch-local (one document
+  per row), (2) df = keyed exchange on term with batch combiners,
+  (3) df re-attached to term rows by a second term exchange,
+  (4) per-doc top-k by one doc_id exchange with in-bucket sort.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+from ..core import hash_coexchange, partitioned_map_groups
+
+
+def _doc_tokens(df: pd.DataFrame, text_col: str) -> pd.Series:
+    """Whitespace token lists (empty list for blank text) — matches
+    ``quality.token_counts`` / regexp_split_to_array semantics."""
+    s = df[text_col].str.strip()
+    toks = s.str.split(r"\s+", regex=True)
+    return toks.where(s != "", None).map(lambda t: t or [])
+
+
+def chunk_documents(
+    ds: ray.data.Dataset,
+    window: int = 128,
+    stride: int = 96,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """(doc_id, chunk_ix, chunk_start, chunk_len) — one row per
+    overlapping token window; docs with no tokens yield no chunks."""
+    if stride <= 0 or window <= 0 or stride > window:
+        raise ValueError("need 0 < stride <= window")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        n = _doc_tokens(df, text_col).map(len).to_numpy(np.int64)
+        ids = df[id_col].to_numpy(np.int64)
+        keep = n > 0
+        n, ids = n[keep], ids[keep]
+        n_chunks = 1 + np.ceil(np.maximum(n - window, 0) / stride).astype(np.int64)
+        doc_rep = np.repeat(ids, n_chunks)
+        n_rep = np.repeat(n, n_chunks)
+        # chunk_ix = 0..n_chunks-1 within each doc, vectorized
+        total = int(n_chunks.sum())
+        ix = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(n_chunks)[:-1]]), n_chunks
+        )
+        start = ix * stride
+        return pd.DataFrame(
+            {
+                "doc_id": doc_rep,
+                "chunk_ix": ix,
+                "chunk_start": start,
+                "chunk_len": np.minimum(window, n_rep - start).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def q_chunk_documents(sf_dir: str) -> ray.data.Dataset:
+    # window sized below the corpus median so the multi-chunk path (the
+    # interesting one) is exercised by the driver check, not just tests
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return chunk_documents(ds, window=32, stride=24)
+
+
+SQL_CHUNK_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n
+  FROM documents
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_ix,
+       CAST(i * 24 AS BIGINT) AS chunk_start,
+       CAST(least(32, n - i * 24) AS BIGINT) AS chunk_len
+FROM toks,
+     unnest(generate_series(0,
+        CAST(CASE WHEN n <= 32 THEN 0
+                  ELSE ceil((n - 32) / 24.0) END AS BIGINT))) AS t(i)
+WHERE n > 0
+"""
+
+
+def tfidf_top_terms(
+    ds: ray.data.Dataset,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """(doc_id, term, rk, score): top-k terms per doc by
+    ``score = tf * (N / df)`` (ties broken by term asc)."""
+
+    def term_counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _doc_tokens(df, text_col)
+        long = pd.DataFrame(
+            {"doc_id": df[id_col], "term": toks}
+        ).explode("term").dropna(subset=["term"])
+        g = long.groupby(["doc_id", "term"], as_index=False).size()
+        return g.rename(columns={"size": "tf"}).astype(
+            {"doc_id": np.int64, "tf": np.int64}
+        )
+
+    # one document per input row -> per-batch tf counts are complete;
+    # materialized because three consumers (df exchange, N pass, score
+    # exchange) would otherwise re-tokenize the corpus three times
+    tf = ds.map_batches(term_counts, batch_format="pandas").materialize()
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # (doc, term) rows are unique -> batch row count = distinct docs
+        g = df.groupby("term", as_index=False).size()
+        return g.rename(columns={"size": "df"}).astype({"df": np.int64})
+
+    def df_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("term", as_index=False).agg(df=("df", "sum"))
+        return g.astype({"df": np.int64})
+
+    df_table = partitioned_map_groups(
+        tf.map_batches(df_partial, batch_format="pandas"), "term", df_final,
+        num_buckets=8,
+    )
+
+    def n_docs_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [df["doc_id"].nunique()]})
+
+    n_docs = int(
+        tf.map_batches(n_docs_partial, batch_format="pandas").to_pandas()["n"].sum()
+    )
+
+    def attach(t: pd.DataFrame, d: pd.DataFrame) -> pd.DataFrame:
+        if len(t) == 0 or "tf" not in t.columns:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype=np.int64), "term": pd.Series(dtype=object),
+                 "score": pd.Series(dtype=np.float64)}
+            )
+        j = t.merge(d, on="term", how="inner")
+        return pd.DataFrame(
+            {
+                "doc_id": j["doc_id"].to_numpy(np.int64),
+                "term": j["term"],
+                "score": j["tf"].to_numpy(np.float64)
+                * (float(n_docs) / j["df"].to_numpy(np.float64)),
+            }
+        )
+
+    scored = hash_coexchange(tf, df_table, "term", "term", attach, num_buckets=8)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.sort_values(["doc_id", "score", "term"],
+                           ascending=[True, False, True])
+            .groupby("doc_id", sort=False)
+            .head(k)
+            .reset_index(drop=True)
+        )
+        out["rk"] = out.groupby("doc_id", sort=False).cumcount().astype(np.int64) + 1
+        out["score"] = out["score"].round(6)
+        return out[["doc_id", "term", "rk", "score"]]
+
+    return partitioned_map_groups(scored, "doc_id", topk, num_buckets=8)
+
+
+def q_tfidf_top_terms(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return tfidf_top_terms(ds)
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM words GROUP BY 1
+), nn AS (
+  SELECT count(DISTINCT doc_id) AS n FROM words
+)
+SELECT doc_id, term, CAST(rk AS BIGINT) AS rk, round(score, 6) AS score
+FROM (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS DOUBLE) * (CAST(nn.n AS DOUBLE) / CAST(df.df AS DOUBLE))
+           AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf AS DOUBLE)
+                    * (CAST(nn.n AS DOUBLE) / CAST(df.df AS DOUBLE)) DESC,
+                    tf.term
+         ) AS rk
+  FROM tf JOIN df USING (term), nn
+)
+WHERE rk <= 3
+"""

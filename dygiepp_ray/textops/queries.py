@@ -10,6 +10,7 @@ import pandas as pd
 import ray.data
 
 from . import ann, dedup, multimodal, quality
+from . import chunks as _chunks
 from ..textops.quality import STOPWORDS
 
 
@@ -643,4 +644,6 @@ TEXTOPS_QUERIES = {
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "curate_corpus": (q_curate, SQL_CURATE),
+    "chunk_documents": (_chunks.q_chunk_documents, _chunks.SQL_CHUNK_DOCUMENTS),
+    "tfidf_top_terms": (_chunks.q_tfidf_top_terms, _chunks.SQL_TFIDF_TOP_TERMS),
 }

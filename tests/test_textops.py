@@ -373,3 +373,74 @@ def test_embedding_mega_bucket_bounded(ray_session):
     )
     assert len(pairs) == _mega_expect(n, cap)  # cosine 1.0 keeps every pair
     assert len(set(pairs["id_a"]) | set(pairs["id_b"])) == n
+
+
+# ---------------------------------------------------------------------------
+# chunking + tf-idf (textops/chunks.py)
+# ---------------------------------------------------------------------------
+
+def test_chunk_documents_hand_computed(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from dygiepp_ray.textops.chunks import chunk_documents
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                " ".join(f"t{i}" for i in range(10)),  # 10 toks: 1 chunk
+                " ".join(f"t{i}" for i in range(33)),  # 33: chunks at 0,24
+                " ".join(f"t{i}" for i in range(80)),  # 80: 0,24,48
+                "   ",                                 # blank: none
+            ],
+        }
+    )
+    got = chunk_documents(
+        rd.from_pandas(docs), window=32, stride=24
+    ).to_pandas().sort_values(["doc_id", "chunk_ix"], ignore_index=True)
+    want = pd.DataFrame(
+        [
+            (1, 0, 0, 10),
+            (2, 0, 0, 32), (2, 1, 24, 9),
+            (3, 0, 0, 32), (3, 1, 24, 32), (3, 2, 48, 32),
+        ],
+        columns=["doc_id", "chunk_ix", "chunk_start", "chunk_len"],
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_chunks_and_tfidf_match_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from dygiepp_ray.textops.chunks import (
+        SQL_CHUNK_DOCUMENTS,
+        SQL_TFIDF_TOP_TERMS,
+        q_chunk_documents,
+        q_tfidf_top_terms,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    for fn, sql in [
+        (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
+        (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    ]:
+        got = fn(sf).to_pandas()
+        got = got[sorted(got.columns)].sort_values(
+            sorted(got.columns), ignore_index=True
+        )
+        want = con.execute(sql).fetchdf()
+        want = want[sorted(want.columns)].sort_values(
+            sorted(want.columns), ignore_index=True
+        )
+        for c in got.columns:
+            if str(got[c].dtype).startswith("int"):
+                got[c] = got[c].astype("int64")
+                want[c] = want[c].astype("int64")
+        assert len(got) > 0
+        pd.testing.assert_frame_equal(got, want)
