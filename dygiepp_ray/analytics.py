@@ -583,6 +583,156 @@ FROM events GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# iterative graph: fixed-point PageRank
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000_000_000  # fixed-point unit: 1e-12 of total rank mass
+
+
+def pagerank3(sf_dir: str, iters: int = 3) -> ray.data.Dataset:
+    """3 power iterations of PageRank (damping 0.85) over the bipartite
+    customer-supplier graph (edge = customer ordered from supplier),
+    entirely in FIXED-POINT integer arithmetic: every multiply/divide
+    floors on BIGINTs, so the result is bit-exact under any partitioning
+    or summation order and the chained-CTE SQL twin hashes identically —
+    the same determinism trick the connected-components oracle uses for
+    floats-free iteration.  Per iteration: one coexchange scatters
+    r/deg along edges (batch-combined per destination), one coexchange
+    gathers sums back onto the node table.  The driver holds only the
+    node count."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+
+    def join_pairs(o: pd.DataFrame, l: pd.DataFrame) -> pd.DataFrame:
+        if (len(o) == 0 or "o_custkey" not in o.columns
+                or len(l) == 0 or "l_suppkey" not in l.columns):
+            return pd.DataFrame({"a": pd.Series(dtype=object),
+                                 "b": pd.Series(dtype=object)})
+        j = o.merge(l, left_on="o_orderkey", right_on="l_orderkey")
+        out = pd.DataFrame(
+            {"a": "c" + j["o_custkey"].astype(str),
+             "b": "s" + j["l_suppkey"].astype(str)}
+        ).drop_duplicates(ignore_index=True)
+        out["pair"] = out["a"] + "|" + out["b"]
+        return out
+
+    pairs_raw = hash_coexchange(
+        orders, li, "o_orderkey", "l_orderkey", join_pairs, num_buckets=16
+    )
+
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates("pair", ignore_index=True)[["a", "b"]]
+
+    pairs = partitioned_map_groups(pairs_raw, "pair", dedup_pairs, num_buckets=16)
+
+    def symmetrize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": pd.concat([df["a"], df["b"]], ignore_index=True),
+                "dst": pd.concat([df["b"], df["a"]], ignore_index=True),
+            }
+        )
+
+    edges = pairs.map_batches(symmetrize, batch_format="pandas").materialize()
+
+    def degree(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("src", as_index=False).size()
+        return g.rename(columns={"src": "node", "size": "deg"}).astype({"deg": np.int64})
+
+    nodes = partitioned_map_groups(edges, "src", degree, num_buckets=8).materialize()
+    n = nodes.count()
+    base = (15 * (_PR_SCALE // n)) // 100
+
+    def init_r(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["r"] = np.int64(_PR_SCALE // n)
+        return out
+
+    r = nodes.map_batches(init_r, batch_format="pandas")
+
+    for _ in range(iters):
+        def scatter(e: pd.DataFrame, rd: pd.DataFrame) -> pd.DataFrame:
+            if (len(e) == 0 or "src" not in e.columns
+                    or len(rd) == 0 or "r" not in rd.columns):
+                return pd.DataFrame({"dst": pd.Series(dtype=object),
+                                     "s": pd.Series(dtype=np.int64)})
+            j = e.merge(rd, left_on="src", right_on="node")
+            j["s"] = j["r"].to_numpy(np.int64) // j["deg"].to_numpy(np.int64)
+            g = j.groupby("dst", as_index=False).agg(s=("s", "sum"))
+            return g.astype({"s": np.int64})
+
+        contribs = hash_coexchange(edges, r, "src", "node", scatter,
+                                   num_buckets=8)
+
+        def gather(nd: pd.DataFrame, c: pd.DataFrame) -> pd.DataFrame:
+            if len(nd) == 0 or "node" not in nd.columns:
+                return pd.DataFrame({"node": pd.Series(dtype=object),
+                                     "deg": pd.Series(dtype=np.int64),
+                                     "r": pd.Series(dtype=np.int64)})
+            if len(c) == 0 or "s" not in c.columns:
+                s = pd.Series(0, index=nd.index, dtype=np.int64)
+                j = nd.assign(s=s)
+            else:
+                cs = c.groupby("dst", as_index=False).agg(s=("s", "sum"))
+                j = nd.merge(cs, left_on="node", right_on="dst", how="left")
+                j["s"] = j["s"].fillna(0)
+            out = pd.DataFrame(
+                {
+                    "node": j["node"],
+                    "deg": j["deg"].to_numpy(np.int64),
+                    "r": np.int64(base)
+                    + (85 * j["s"].to_numpy(np.int64)) // 100,
+                }
+            )
+            return out
+
+        r = hash_coexchange(nodes, contribs, "node", "dst", gather,
+                            num_buckets=8)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["node"], "r": df["r"].to_numpy(np.int64)})
+
+    return r.map_batches(project, batch_format="pandas")
+
+
+SQL_PAGERANK3 = """
+WITH pairs AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                  's' || CAST(l_suppkey AS VARCHAR) AS b
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs
+), deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1
+), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+r0 AS (SELECT node, deg, (1000000000000 // nn.n) AS r FROM deg, nn),
+c1 AS (SELECT e.dst AS node, sum(r0.r // r0.deg) AS s
+       FROM edges e JOIN r0 ON e.src = r0.node GROUP BY 1),
+r1 AS (SELECT r0.node, r0.deg,
+              (15 * (1000000000000 // nn.n)) // 100
+                + (85 * COALESCE(c1.s, 0)) // 100 AS r
+       FROM r0 LEFT JOIN c1 USING (node), nn),
+c2 AS (SELECT e.dst AS node, sum(r1.r // r1.deg) AS s
+       FROM edges e JOIN r1 ON e.src = r1.node GROUP BY 1),
+r2 AS (SELECT r1.node, r1.deg,
+              (15 * (1000000000000 // nn.n)) // 100
+                + (85 * COALESCE(c2.s, 0)) // 100 AS r
+       FROM r1 LEFT JOIN c2 USING (node), nn),
+c3 AS (SELECT e.dst AS node, sum(r2.r // r2.deg) AS s
+       FROM edges e JOIN r2 ON e.src = r2.node GROUP BY 1),
+r3 AS (SELECT r2.node, r2.deg,
+              (15 * (1000000000000 // nn.n)) // 100
+                + (85 * COALESCE(c3.s, 0)) // 100 AS r
+       FROM r2 LEFT JOIN c3 USING (node), nn)
+SELECT node, CAST(r AS BIGINT) AS r FROM r3
+"""
+
+
 ANALYTICS_QUERIES = {
     "asof_join_purchase": (asof_join_purchase, SQL_ASOF_JOIN_PURCHASE),
     "range_join_error_window": (range_join_error_window,
@@ -591,4 +741,5 @@ ANALYTICS_QUERIES = {
     "quantiles_by_flag": (quantiles_by_flag, SQL_QUANTILES_BY_FLAG),
     "orders_anti_join": (orders_anti_join, SQL_ORDERS_ANTI_JOIN),
     "json_props_sum": (json_props_sum, SQL_JSON_PROPS_SUM),
+    "pagerank3": (pagerank3, SQL_PAGERANK3),
 }

@@ -169,3 +169,16 @@ def test_anti_join_bloom_path_equivalent(ray_session):
     plain = norm(run(orders_anti_join(SF)))
     bloomed = norm(run(orders_anti_join(SF, bloom_prefilter=True)))
     pd.testing.assert_frame_equal(plain, bloomed)
+
+
+def test_pagerank3_matches_duckdb_and_conserves_mass(ray_session):
+    from dygiepp_ray.analytics import SQL_PAGERANK3, pagerank3
+
+    got = norm(run(pagerank3(SF)))
+    want = norm(duck(SF, SQL_PAGERANK3))
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want)
+    # fixed-point floors only ever drop mass, never create it
+    total = got["r"].sum()
+    assert 0.999 * 10**12 < total <= 10**12
+    assert (got["r"] > 0).all()
