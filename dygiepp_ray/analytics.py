@@ -57,18 +57,17 @@ def asof_join_purchase(sf_dir: str) -> ray.data.Dataset:
     """For every 'click' event, the latest 'purchase' by the same user
     at-or-before the click (backward as-of join on user_id).
 
-    The right side is pre-aggregated to one row per (user_id, ts) so the
-    as-of target is deterministic even under timestamp ties; both sides
+    The right side is pre-aggregated to one row per (user_id, ts) —
+    purchase_id = max(event_id), purchase_value = max(value) — so the
+    as-of target is deterministic even under timestamp ties (max is
+    order-independent and bit-exact, unlike a float sum); both sides
     ride one `hash_coexchange` on user_id and each bucket runs a single
     vectorized `pd.merge_asof`."""
-    clicks = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
-        columns=["event_id", "ts", "user_id", "event_type"],
-    )
-    purchases = ray.data.read_parquet(
+    events = ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "value"],
     )
+    clicks = purchases = events  # one read; the two maps filter
 
     def mk_left(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["event_type"] == "click"]
@@ -111,7 +110,7 @@ def asof_join_purchase(sf_dir: str) -> ray.data.Dataset:
             return empty()
         # Deterministic as-of target under ties: one row per (user, ts).
         p = p.groupby(["user_id", "t"], as_index=False).agg(
-            purchase_id=("event_id", "max"), purchase_value=("value", "sum")
+            purchase_id=("event_id", "max"), purchase_value=("value", "max")
         )
         p["t_p"] = p["t"]
         c = c.sort_values("t", kind="mergesort", ignore_index=True)
@@ -139,7 +138,7 @@ WITH clicks AS (
 ), purch AS (
   SELECT user_id, ts,
          CAST(max(event_id) AS BIGINT) AS purchase_id,
-         round(sum(value), 2) AS purchase_value
+         round(max(value), 2) AS purchase_value
   FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
 )
 SELECT c.event_id, c.user_id,
@@ -561,8 +560,13 @@ def json_props_sum(sf_dir: str) -> ray.data.Dataset:
             k[miss] = df.loc[miss, "props"].map(
                 lambda s: json.loads(s).get("k")
             )
+        # objects without 'k' are NULL for SQL's sum: skip those rows
+        # (a group whose rows are ALL k-less sums to SQL NULL and to no
+        # row here — out of scope for the uniform-payload contract)
+        has_k = k.notna()
         out = pd.DataFrame(
-            {"event_type": df["event_type"], "k": k.astype(np.int64)}
+            {"event_type": df.loc[has_k, "event_type"],
+             "k": k[has_k].astype(np.int64)}
         )
         g = out.groupby("event_type", as_index=False).agg(k_sum=("k", "sum"))
         return g.astype({"k_sum": np.int64})

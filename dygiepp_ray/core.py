@@ -107,6 +107,25 @@ def _collect_blocks(ds: ray.data.Dataset) -> list:
     return list(_iter_blocks(ds))
 
 
+def _iter_split_groups(blocks_iter):
+    """Group upstream blocks for shared split tasks: normal blocks get
+    their own task (preserving split parallelism and upstream overlap);
+    only micro-block floods coalesce, bounded by MAX_SPLIT_GROUP_BLOCKS
+    refs or TARGET_SPLIT_BYTES bytes per task.  Single home of the
+    coalescing policy for both the streaming exchange and
+    :func:`split_refs`."""
+    group: list = []
+    gbytes = 0
+    for ref, sz in blocks_iter:
+        group.append(ref)
+        gbytes += sz
+        if len(group) >= MAX_SPLIT_GROUP_BLOCKS or gbytes >= TARGET_SPLIT_BYTES:
+            yield group
+            group, gbytes = [], 0
+    if group:
+        yield group
+
+
 def _stream_split_merge(blocks_iter, key: str, num_buckets: int, concat):
     """Launch split tasks as upstream blocks arrive and fold each
     bucket's split outputs through an incremental concat tree (a
@@ -129,31 +148,21 @@ def _stream_split_merge(blocks_iter, key: str, num_buckets: int, concat):
             L[lvl] = []
             add(b, folded, lvl + 1)
 
-    group: list = []
-    gbytes = 0
-    n_blocks = 0
-
-    def flush():
-        nonlocal group, gbytes
-        if not group:
-            return
+    n_groups = 0
+    for group in _iter_split_groups(blocks_iter):
+        n_groups += 1
         refs = split.options(num_returns=num_buckets).remote(*group)
         refs = (refs,) if num_buckets == 1 else refs
         for b in range(num_buckets):
             add(b, refs[b])
-        group, gbytes = [], 0
-
-    for ref, sz in blocks_iter:
-        n_blocks += 1
-        group.append(ref)
-        gbytes += sz
-        if len(group) >= MAX_SPLIT_GROUP_BLOCKS or gbytes >= TARGET_SPLIT_BYTES:
-            flush()
-    flush()
-    if n_blocks == 0:
+    if n_groups == 0:
         return None
+    # Leftovers across ladder levels can total up to (MERGE_FANIN-1) x
+    # levels refs; fold them so the ROOT merge also honors the fan-in
+    # cap (its task spec must stay bounded at any block count).
     return [
-        [r for lvl in levels[b] for r in lvl] for b in range(num_buckets)
+        _tree_reduce([r for lvl in levels[b] for r in lvl], concat)
+        for b in range(num_buckets)
     ]
 
 
@@ -300,22 +309,9 @@ def _split_refs(ds: ray.data.Dataset, key: str, num_buckets: int) -> list:
 def _launch_group_splits(blocks: list, key: str, num_buckets: int) -> list:
     split = _make_split(key, num_buckets)
     out = []
-    group: list = []
-    gbytes = 0
-
-    def flush():
-        nonlocal group, gbytes
-        if group:
-            refs = split.options(num_returns=num_buckets).remote(*group)
-            out.append((refs,) if num_buckets == 1 else refs)
-            group, gbytes = [], 0
-
-    for ref, sz in blocks:
-        group.append(ref)
-        gbytes += sz
-        if len(group) >= MAX_SPLIT_GROUP_BLOCKS or gbytes >= TARGET_SPLIT_BYTES:
-            flush()
-    flush()
+    for group in _iter_split_groups(blocks):
+        refs = split.options(num_returns=num_buckets).remote(*group)
+        out.append((refs,) if num_buckets == 1 else refs)
     return out
 
 

@@ -114,10 +114,19 @@ def build_bloom(
 
 
 def split_by_bloom(
-    ds: ray.data.Dataset, key: str, bloom_ref, k: int = 4
+    ds: ray.data.Dataset, key: str, bloom_ref, k: int = 4,
+    materialize: bool = True,
 ) -> tuple[ray.data.Dataset, ray.data.Dataset]:
     """(maybe_in, definitely_not_in): rows whose key the filter accepts
-    (needs the exact downstream check) vs provably-unmatched rows."""
+    (needs the exact downstream check) vs provably-unmatched rows.
+
+    The two outputs are independent datasets over the same input;
+    ``materialize=True`` (default) pins ``ds`` once so its lineage
+    (read + decode) doesn't execute twice — pass False only when the
+    input is already materialized or cheaper to recompute than to
+    store."""
+    if materialize:
+        ds = ds.materialize()
 
     def keep(df: pd.DataFrame, positive: bool) -> pd.DataFrame:
         if len(df) == 0 or key not in df.columns:

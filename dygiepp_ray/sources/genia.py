@@ -42,26 +42,32 @@ _AND_SEM = re.compile(r"^\((?:AND|OR|BUT_NOT|AS_WELL_AS|NOT_ONLY_BUT_ALSO|"
                       r"AND_OR|OR_BUT_NOT|NEITHER_NOR|TO|VERSUS)\s+(.*)\)$")
 
 
-def _walk(el, buf: list[str], spans: list, dropped: dict) -> None:
+def _walk(el, buf: list[str], all_spans: list) -> list:
     """Depth-first over mixed content; buf accumulates character data,
-    spans collects (char_start, char_end_excl, sem, n_direct_sub_cons,
-    sub_spans)."""
+    all_spans collects every cons as (char_start, char_end_excl, sem,
+    direct_children).  Returns the cons that are DIRECT constituents of
+    ``el`` (transparent non-cons wrappers like ``<w>`` pass through) —
+    coordination must distribute labels over direct children only, not
+    all descendants (genia_xml_to_inline_sutd.py:216 walks
+    ``find_all('cons', recursive=False)``)."""
+    direct = []
     if el.text:
         buf.append(el.text)
     for child in el:
         if child.tag == "cons":
             start = sum(len(s) for s in buf)
-            sub = []
-            _walk(child, buf, sub, dropped)
+            sub = _walk(child, buf, all_spans)
             end = sum(len(s) for s in buf)
             # record even sem-less cons: coordination constituents
             # usually carry only lex (genia_xml_to_inline_sutd.py:246-256)
-            spans.extend(sub)
-            spans.append((start, end, child.get("sem"), sub))
+            tup = (start, end, child.get("sem"), sub)
+            all_spans.append(tup)
+            direct.append(tup)
         else:  # e.g. <w> POS wrappers: transparent
-            _walk(child, buf, spans, dropped)
+            direct.extend(_walk(child, buf, all_spans))
         if child.tail:
             buf.append(child.tail)
+    return direct
 
 
 def _resolve_coordination(spans: list, dropped: dict) -> list:
@@ -99,7 +105,7 @@ def parse_genia_article(xml_text: str, default_doc_key: str = "") -> dict:
     for sent in root.iter("sentence"):
         buf: list[str] = []
         spans: list = []
-        _walk(sent, buf, spans, dropped)
+        _walk(sent, buf, spans)
         text = "".join(buf)
         tokens, starts, ends = _token_char_spans(text)
         offset = len(all_tokens)

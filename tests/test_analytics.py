@@ -128,9 +128,10 @@ def test_json_props_fallback(ray_session, tmp_path):
     # json.loads fallback and still aggregate correctly.
     df = pd.DataFrame(
         {
-            "event_type": ["a", "a", "b", "b"],
+            "event_type": ["a", "a", "b", "b", "a"],
             "props": ['{"k": 3}', '{ "k" : 4 , "x": 1 }', '{"k": 5}',
-                      '{"x": 0, "k": -2}'],
+                      '{"x": 0, "k": -2}',
+                      '{"x": 9}'],  # no 'k': NULL for SQL sum -> skipped
         }
     )
     df.to_parquet(tmp_path / "events.parquet")

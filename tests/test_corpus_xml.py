@@ -184,3 +184,12 @@ def test_genia_reader_dataset(ray_session):
     df = read_genia(ds).to_pandas()
     assert len(df) == 3
     assert all(df["doc_key"] == "MEDLINE:97050754")
+
+
+def test_genia_coordination_uses_direct_children_only():
+    # One DIRECT constituent (holding a nested cons) but two labels:
+    # must be dropped, never distributed over all descendants.
+    xml = """<article><sentence>x <cons sem="(AND G#a G#b)"><cons lex="outer"><cons lex="inner">alpha</cons> beta</cons> and gamma</cons> .</sentence></article>"""
+    doc = parse_genia_article(xml, default_doc_key="d")
+    assert doc["ner"] == []
+    assert doc["dropped_entities"] == 1
