@@ -453,6 +453,27 @@ def extract(
         return docs.map_batches(
             stage_cls(cfg), batch_format="pyarrow", batch_size=batch_size
         )
+    # A CPU actor pool as wide as the CPU budget starves the upstream
+    # read stage and deadlocks the streaming executor (no GPU pools:
+    # their actors hold num_gpus, not the CPU slots the read needs).
+    if not num_gpus and ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 0))
+        cap = max(1, cpus - 1)
+        too_big = (
+            max(concurrency) if isinstance(concurrency, tuple) else concurrency
+        ) > cap
+        if cpus and too_big:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "extract: clamping actor-pool concurrency %s to %d "
+                "(pool >= CPU budget starves the read stage)",
+                concurrency, cap,
+            )
+            concurrency = (
+                (min(concurrency[0], cap), cap)
+                if isinstance(concurrency, tuple) else cap
+            )
     kw = {}
     if num_gpus:
         kw["num_gpus"] = num_gpus

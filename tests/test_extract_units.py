@@ -85,3 +85,22 @@ def test_decode_score_constants(ray_session):
     arg, raw, soft = S.softmax_with_dummy(S.ner_raw_scores("spark"))
     assert float(m["raw"]) == S.round_score(raw)
     assert abs(float(m["softmax"]) - S.round_score(soft)) < 1e-6
+
+
+def test_extract_clamps_oversized_actor_pool(ray_session):
+    """An actor pool as wide as the CPU budget deadlocks the streaming
+    executor (starves the read stage); extract() must clamp and finish.
+    Without the clamp this test HANGS at the 4-CPU session."""
+    texts = ["spark join table", "user filter logs", "spark group rows"]
+    tbl = pa.table(
+        {
+            "conv_id": [f"c{i}" for i in range(len(texts))],
+            "turn_idx": pa.array([0] * len(texts), pa.int32()),
+            "role": ["user"] * len(texts),
+            "text": texts,
+        }
+    )
+    pipe = KGPipeline(
+        rd.from_arrow(tbl), num_buckets=2, extract_concurrency=64
+    )
+    assert pipe.mentions.count() > 0
