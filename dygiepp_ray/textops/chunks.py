@@ -31,9 +31,9 @@ from ..core import hash_coexchange, partitioned_map_groups
 def _doc_tokens(df: pd.DataFrame, text_col: str) -> pd.Series:
     """Whitespace token lists (empty list for blank text) — matches
     ``quality.token_counts`` / regexp_split_to_array semantics."""
-    s = df[text_col].str.strip()
+    s = df[text_col].fillna("").str.strip()
     toks = s.str.split(r"\s+", regex=True)
-    return toks.where(s != "", None).map(lambda t: t or [])
+    return toks.where(s != "", None).map(lambda t: t if isinstance(t, list) else [])
 
 
 def chunk_documents(
