@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray
 import ray.data
@@ -214,7 +215,8 @@ def embedding_near_dups(
         )
 
     vecs_ds = embeddings.map_batches(vec_bytes, batch_format="pandas")
-    joined = attach_pair_values(deduped, vecs_ds, "vec", "v_a", "v_b", num_buckets)
+    joined = attach_pair_values(deduped, vecs_ds, "vec", "v_a", "v_b",
+                                num_buckets, value_dtype=pa.binary())
 
     def cosine(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0 or "v_a" not in df.columns:

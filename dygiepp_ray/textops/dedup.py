@@ -301,6 +301,7 @@ def attach_pair_values(
     out_a: str,
     out_b: str,
     num_buckets: int = 16,
+    value_dtype=None,
 ) -> ray.data.Dataset:
     """Join a per-id SCALAR value column (binary/string/int — scalar so
     Arrow concat across blocks is clean) onto candidate pairs
@@ -318,13 +319,24 @@ def attach_pair_values(
     re-execute its lineage)."""
     from ..core import hash_coexchange, split_refs
 
+    # empty buckets must emit TYPED empty value columns: an empty object
+    # Series converts to Arrow null and trips Ray's schema-mismatch
+    # warning against the binary/string blocks of non-empty buckets —
+    # both the one being attached now and the one attached by the
+    # PREVIOUS exchange (whose dtype degrades to object on the
+    # pandas round-trip of an empty block)
+    empty_dtype = pd.ArrowDtype(value_dtype) if value_dtype is not None else object
+
     def attach(side_id: str, out_col: str):
         def fn(p: pd.DataFrame, vals: pd.DataFrame) -> pd.DataFrame:
             empty_p = len(p) == 0 or side_id not in p.columns
             empty_v = len(vals) == 0 or "doc_id" not in vals.columns
             if empty_p or empty_v:
                 p = p.head(0).copy()
-                p[out_col] = pd.Series(dtype=object)
+                for c in (out_a, out_b):
+                    if c in p.columns and p[c].dtype == object:
+                        p[c] = p[c].astype(empty_dtype)
+                p[out_col] = pd.Series(dtype=empty_dtype)
                 return p
             vals = vals[["doc_id", value_col]].rename(
                 columns={"doc_id": side_id, value_col: out_col}
@@ -382,8 +394,11 @@ def ngram_jaccard_verify(
     (:func:`ngram_jaccard_verify_broadcast`'s small-side shortcut).
     Output identical to the broadcast path (equivalence-tested)."""
     sets_ds = shingle_sets(docs, shingle_k, text_col, id_col)
+    import pyarrow as pa
+
     withboth = attach_pair_values(
-        pairs, sets_ds, "shingles", "sh_a", "sh_b", num_buckets
+        pairs, sets_ds, "shingles", "sh_a", "sh_b", num_buckets,
+        value_dtype=pa.binary(),
     )
 
     def jaccard(df: pd.DataFrame) -> pd.DataFrame:
@@ -541,8 +556,11 @@ def fuzzy_join(
     sides_ds = both.map_batches(
         lambda df: df[["doc_id", "__side"]], batch_format="pandas"
     )
+    import pyarrow as pa
+
     with_sides = attach_pair_values(
-        verified, sides_ds, "__side", "side_a", "side_b", num_buckets
+        verified, sides_ds, "__side", "side_a", "side_b", num_buckets,
+        value_dtype=pa.string(),
     )
 
     _EMPTY = {
