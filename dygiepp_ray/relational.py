@@ -337,8 +337,12 @@ def sessionize(sf_dir: str, gap_s: int = 1800) -> ray.data.Dataset:
     def sessions(df: pd.DataFrame) -> pd.DataFrame:
         out = []
         for uid, g in df.groupby("user_id", sort=False):
-            t = np.sort(ts_epoch_us(g["ts"]) // 1_000_000)
-            n_sessions = 1 + int((np.diff(t) > gap_s).sum()) if len(t) else 0
+            # exact microsecond gaps: flooring to seconds first diverges
+            # from the oracle for fractional gaps in (gap_s, gap_s + 1)
+            t = np.sort(ts_epoch_us(g["ts"]))
+            n_sessions = (
+                1 + int((np.diff(t) > gap_s * 1_000_000).sum()) if len(t) else 0
+            )
             out.append((uid, len(t), n_sessions))
         return pd.DataFrame(out, columns=["user_id", "n_events", "n_sessions"]).astype(
             {"user_id": np.int64, "n_events": np.int64, "n_sessions": np.int64}
@@ -349,12 +353,14 @@ def sessionize(sf_dir: str, gap_s: int = 1800) -> ray.data.Dataset:
 
 SQL_SESSIONIZE = """
 WITH ordered AS (
-  SELECT user_id, epoch(ts) AS t,
-         lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_t
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t,
+         lag(CAST(epoch_us(ts) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts) AS prev_t
   FROM events
 )
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CASE WHEN prev_t IS NULL OR t - prev_t > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+       CAST(sum(CASE WHEN prev_t IS NULL OR t - prev_t > 1800000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
 FROM ordered GROUP BY 1
 """
 

@@ -30,15 +30,20 @@ import ray.data
 
 
 def _token_char_spans(text: str) -> tuple[list[str], dict[int, int], dict[int, int]]:
-    """Tokens + maps char_start->token_ix and char_end(exclusive)->token_ix."""
+    """Tokens + maps char_start->token_ix and char_end(exclusive)->token_ix.
+
+    Splits on ALL whitespace (\\s+): real brat .txt / abstracts are
+    multi-line, and a single-space split would merge tokens across
+    newlines/tabs — silently dropping every annotation after line 1 as
+    'misaligned' and emitting tokens with embedded newlines that the
+    engine's own ``semantics.tokenize`` never produces."""
+    import re
+
     tokens, starts, ends = [], {}, {}
-    pos = 0
-    for raw in text.split(" "):
-        if raw:
-            starts[pos] = len(tokens)
-            ends[pos + len(raw)] = len(tokens)
-            tokens.append(raw)
-        pos += len(raw) + 1
+    for m in re.finditer(r"\S+", text):
+        starts[m.start()] = len(tokens)
+        ends[m.end()] = len(tokens)
+        tokens.append(m.group())
     return tokens, starts, ends
 
 

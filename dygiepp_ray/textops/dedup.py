@@ -460,9 +460,12 @@ def connected_components(
 
     _EMPTY_NL = {"node": pd.Series(dtype=np.int64), "label": pd.Series(dtype=np.int64)}
 
-    def send(edg: pd.DataFrame, lab: pd.DataFrame) -> pd.DataFrame:
+    def send(lab: pd.DataFrame, edg: pd.DataFrame) -> pd.DataFrame:
         # edges co-partitioned with labels on the SOURCE node; each edge
-        # carries its source's current label to the destination
+        # carries its source's current label to the destination.  Edges
+        # are the B side so their split (split_refs) is paid ONCE and
+        # shared across every round — the exchange is eager, so passing
+        # the Dataset each round would re-split it per iteration.
         if (len(edg) == 0 or "src" not in edg.columns
                 or len(lab) == 0 or "node" not in lab.columns):
             return pd.DataFrame(_EMPTY_NL)
@@ -493,15 +496,28 @@ def connected_components(
         g["changed"] = changed.astype(np.int64)
         return g.astype({"node": np.int64, "label": np.int64})
 
+    from ..core import split_refs
+
+    esplits = split_refs(sym_edges, "src", num_buckets)
     for _ in range(max_iters):
         msgs = hash_coexchange(
-            sym_edges, labels, "src", "node", send, num_buckets
+            labels, sym_edges, "node", "src", send, num_buckets,
+            splits_b=esplits,
         )
         labels = hash_coexchange(
             msgs, labels, "node", "node", update, num_buckets
         ).materialize()
         if int(labels.sum("changed") or 0) == 0:
             break
+    else:
+        # Min-label propagation advances one hop per round; returning
+        # here would emit SPLIT components with no signal (the SQL
+        # closure oracle and curation semantics assume full
+        # convergence).  No silent caps: fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(a component's diameter exceeds max_iters); raise max_iters"
+        )
 
     return labels.map_batches(
         lambda df: df.rename(columns={"label": "component"})[["node", "component"]],

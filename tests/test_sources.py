@@ -162,3 +162,17 @@ def test_xml_standoff_reader(ray_session):
 
     counters = drop_counters(read_standoff_xml(rd.from_items([{"doc_key": "k", "xml": xml}])))
     assert counters == {"entities": 1, "relations": 1, "events": 0, "corefs": 0}
+
+
+def test_brat_multiline_annotations_align():
+    """Annotations beyond the first line must align: the tokenizer
+    splits on ALL whitespace, not just spaces (reader review r3)."""
+    from dygiepp_ray.sources.brat import parse_brat_doc
+
+    txt = "ab cd\nef gh\tij"
+    ann = "T1\tGENE 6 8\tef\nT2\tCHEM 12 14\tij"
+    doc = parse_brat_doc("d", txt, ann)
+    assert doc["tokens"] == ["ab", "cd", "ef", "gh", "ij"]
+    ner = {(m["start"], m["end"]): m["label"] for m in doc["ner"]}
+    assert ner == {(2, 2): "GENE", (4, 4): "CHEM"}
+    assert doc["dropped_entities"] == 0
