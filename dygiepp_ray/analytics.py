@@ -43,7 +43,7 @@ import pandas as pd
 import ray
 import ray.data
 
-from .core import hash_coexchange, partitioned_map_groups, ts_epoch_us
+from .core import hash_coexchange, partitioned_map_groups, split_refs, ts_epoch_us
 
 
 US = 1_000_000
@@ -659,8 +659,14 @@ def pagerank3(sf_dir: str, iters: int = 3) -> ray.data.Dataset:
 
     r = nodes.map_batches(init_r, batch_format="pandas")
 
+    # the static sides (edges, nodes) are split ONCE and shared across
+    # all rounds — the exchange is eager, so passing the Dataset each
+    # round would re-run its split tasks per iteration
+    esplits = split_refs(edges, "src", 8)
+    nsplits = split_refs(nodes, "node", 8)
+
     for _ in range(iters):
-        def scatter(e: pd.DataFrame, rd: pd.DataFrame) -> pd.DataFrame:
+        def scatter(rd: pd.DataFrame, e: pd.DataFrame) -> pd.DataFrame:
             if (len(e) == 0 or "src" not in e.columns
                     or len(rd) == 0 or "r" not in rd.columns):
                 return pd.DataFrame({"dst": pd.Series(dtype=object),
@@ -670,10 +676,10 @@ def pagerank3(sf_dir: str, iters: int = 3) -> ray.data.Dataset:
             g = j.groupby("dst", as_index=False).agg(s=("s", "sum"))
             return g.astype({"s": np.int64})
 
-        contribs = hash_coexchange(edges, r, "src", "node", scatter,
-                                   num_buckets=8)
+        contribs = hash_coexchange(r, edges, "node", "src", scatter,
+                                   num_buckets=8, splits_b=esplits)
 
-        def gather(nd: pd.DataFrame, c: pd.DataFrame) -> pd.DataFrame:
+        def gather(c: pd.DataFrame, nd: pd.DataFrame) -> pd.DataFrame:
             if len(nd) == 0 or "node" not in nd.columns:
                 return pd.DataFrame({"node": pd.Series(dtype=object),
                                      "deg": pd.Series(dtype=np.int64),
@@ -695,8 +701,8 @@ def pagerank3(sf_dir: str, iters: int = 3) -> ray.data.Dataset:
             )
             return out
 
-        r = hash_coexchange(nodes, contribs, "node", "dst", gather,
-                            num_buckets=8)
+        r = hash_coexchange(contribs, nodes, "dst", "node", gather,
+                            num_buckets=8, splits_b=nsplits)
 
     def project(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"node": df["node"], "r": df["r"].to_numpy(np.int64)})

@@ -97,7 +97,11 @@ class KGPipeline:
         self.relations = explode.relations_table(self.predicted)
         self.triggers = explode.triggers_table(self.predicted)
         self.event_args = explode.event_args_table(self.predicted)
-        self.clusters = explode.clusters_table(self.predicted)
+        # extraction emits no cluster_members column when coref is off
+        self.clusters = (
+            explode.clusters_table(self.predicted)
+            if "coref" in cfg.tasks else None
+        )
 
     def entities(self, num_salts: int = 16) -> ray.data.Dataset:
         return canonicalize(self.mentions, num_salts=num_salts)
@@ -140,7 +144,8 @@ class KGPipeline:
         self.relations = explode.relations_table(self.predicted)
         self.triggers = explode.triggers_table(self.predicted)
         self.event_args = explode.event_args_table(self.predicted)
-        self.clusters = explode.clusters_table(self.predicted)
+        if "coref" in self.cfg.tasks:
+            self.clusters = explode.clusters_table(self.predicted)
         return self
 
     def write_graph(self, out_dir: str, num_partitions: int = 32) -> dict:
@@ -165,10 +170,14 @@ class KGPipeline:
                 self.entities(), os.path.join(out_dir, "entities"), "surface",
                 max(4, num_partitions // 8),
             ),
-            "clusters": write_partitioned(
-                self.clusters, os.path.join(out_dir, "clusters"), "doc_key", num_partitions
-            ),
         }
+        # clusters is None when 'coref' is not in cfg.tasks (both the
+        # collated and direct paths) — skip the manifest, don't crash a
+        # run whose triples/entities already landed
+        if self.clusters is not None:
+            manifests["clusters"] = write_partitioned(
+                self.clusters, os.path.join(out_dir, "clusters"), "doc_key", num_partitions
+            )
         return manifests
 
 

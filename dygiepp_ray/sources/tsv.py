@@ -7,22 +7,32 @@ char->token alignment dropping misaligned entities
 (``:24-59``), label rewrites like ``GENE-Y -> GENE`` (``:25-28,66-67``)
 and ``Arg1:`` prefix stripping (F9).
 
-Ray-Data-first shape: three ``read_csv`` Datasets; the entity/relation
-sides are grouped per doc and joined against abstracts with a
-``partitioned_map_groups`` exchange on ``doc_key`` (both sides can be
-large); label normalization is a vectorized string op.
+Ray-Data-first shape: three ``read_csv`` Datasets joined with TWO
+``hash_coexchange`` keyed exchanges on ``doc_key`` (entities into
+abstracts, then relations into the aligned docs).  Each side keeps its
+own schema — no tagged union, so entity int offsets never get
+null-padded/float-promoted on the abstract rows.  The resolved entity
+map rides between the exchanges as one JSON string column per doc
+(scalar columns only across an exchange).
 """
 
 from __future__ import annotations
+
+import json
 
 import pandas as pd
 
 import ray.data
 
-from ..core import partitioned_map_groups
+from ..core import hash_coexchange
 from .brat import _token_char_spans
 
 LABEL_MAP = {"GENE-Y": "GENE", "GENE-N": "GENE"}
+
+_FINAL_COLS = [
+    "doc_key", "tokens", "ner", "relations",
+    "dropped_entities", "dropped_relations",
+]
 
 
 def read_chemprot_style(
@@ -40,68 +50,86 @@ def read_chemprot_style(
     and counted.
     """
 
-    def tag(name):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["__side"] = name
-            return df
-
-        return fn
-
-    a = abstracts.map_batches(tag("a"), batch_format="pandas")
-    e = entities.map_batches(tag("e"), batch_format="pandas")
-    r = relations.map_batches(tag("r"), batch_format="pandas")
-    all_rows = a.union(e).union(r)
-
-    def build(df: pd.DataFrame) -> pd.DataFrame:
+    def join_ents(ab: pd.DataFrame, ent: pd.DataFrame) -> pd.DataFrame:
+        if len(ab) == 0 or "doc_key" not in ab.columns:
+            return pd.DataFrame(
+                columns=["doc_key", "tokens", "ner", "ents", "dropped_entities"]
+            )
+        ent_by = (
+            {k: g for k, g in ent.groupby("doc_key", sort=False)}
+            if len(ent) and "doc_key" in ent.columns
+            else {}
+        )
         rows = []
-        for doc_key, g in df.groupby("doc_key", sort=False):
-            ab = g[g["__side"] == "a"]
-            if len(ab) == 0:
-                continue
-            text = ab.iloc[0]["text"]
-            tokens, starts, ends = _token_char_spans(text)
+        for _, ar in ab.iterrows():
+            doc_key = ar["doc_key"]
+            tokens, starts, ends = _token_char_spans(ar["text"])
             ents, dropped = {}, 0
-            ge = g[g["__side"] == "e"]
-            for _, er in ge.iterrows():
-                s, t = int(er["start"]), int(er["end"])
-                if s in starts and t in ends:
-                    lab = LABEL_MAP.get(er["label"], er["label"])
-                    ents[er["ent_id"]] = (starts[s], ends[t], lab)
-                else:
-                    dropped += 1
-            ner = sorted(v for v in ents.values())
-            rels, dropped_rels = [], 0
-            gr = g[g["__side"] == "r"]
-            for _, rr in gr.iterrows():
-                a1 = str(rr["arg1"]).split(":")[-1]
-                a2 = str(rr["arg2"]).split(":")[-1]
-                if a1 in ents and a2 in ents:
-                    s1, e1, _ = ents[a1]
-                    s2, e2, _ = ents[a2]
-                    rels.append((s1, e1, s2, e2, rr["label"]))
-                else:
-                    dropped_rels += 1
+            ge = ent_by.get(doc_key)
+            if ge is not None:
+                for _, er in ge.iterrows():
+                    s, t = int(er["start"]), int(er["end"])
+                    if s in starts and t in ends:
+                        lab = LABEL_MAP.get(er["label"], er["label"])
+                        ents[er["ent_id"]] = (starts[s], ends[t], lab)
+                    else:
+                        dropped += 1
             rows.append(
                 {
                     "doc_key": doc_key,
                     "tokens": tokens,
                     "ner": [
-                        {"start": s, "end": e, "label": lab} for (s, e, lab) in ner
+                        {"start": s, "end": e, "label": lab}
+                        for (s, e, lab) in sorted(ents.values())
                     ],
+                    "ents": json.dumps({k: list(v) for k, v in ents.items()}),
+                    "dropped_entities": dropped,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    docs = hash_coexchange(
+        abstracts, entities, "doc_key", "doc_key", join_ents, num_buckets
+    )
+
+    def join_rels(de: pd.DataFrame, rel: pd.DataFrame) -> pd.DataFrame:
+        if len(de) == 0 or "doc_key" not in de.columns:
+            return pd.DataFrame(columns=_FINAL_COLS)
+        rel_by = (
+            {k: g for k, g in rel.groupby("doc_key", sort=False)}
+            if len(rel) and "doc_key" in rel.columns
+            else {}
+        )
+        rows = []
+        for _, dr in de.iterrows():
+            ents = json.loads(dr["ents"])
+            rels, dropped_rels = [], 0
+            gr = rel_by.get(dr["doc_key"])
+            if gr is not None:
+                for _, rr in gr.iterrows():
+                    a1 = str(rr["arg1"]).split(":")[-1]
+                    a2 = str(rr["arg2"]).split(":")[-1]
+                    if a1 in ents and a2 in ents:
+                        s1, e1, _ = ents[a1]
+                        s2, e2, _ = ents[a2]
+                        rels.append((s1, e1, s2, e2, rr["label"]))
+                    else:
+                        dropped_rels += 1
+            rows.append(
+                {
+                    "doc_key": dr["doc_key"],
+                    "tokens": dr["tokens"],
+                    "ner": dr["ner"],
                     "relations": [
                         {"s1": s1, "e1": e1, "s2": s2, "e2": e2, "label": lab}
                         for (s1, e1, s2, e2, lab) in sorted(rels)
                     ],
-                    "dropped_entities": dropped,
+                    "dropped_entities": dr["dropped_entities"],
                     "dropped_relations": dropped_rels,
                 }
             )
-        if not rows:
-            return pd.DataFrame(
-                columns=["doc_key", "tokens", "ner", "relations",
-                         "dropped_entities", "dropped_relations"]
-            )
         return pd.DataFrame(rows)
 
-    return partitioned_map_groups(all_rows, "doc_key", build, num_buckets)
+    return hash_coexchange(
+        docs, relations, "doc_key", "doc_key", join_rels, num_buckets
+    )

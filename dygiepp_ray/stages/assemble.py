@@ -57,8 +57,13 @@ def _assemble_bucket(tbl: pa.Table, cfg: ExtractionConfig) -> pa.Table:
     tbl = tbl.take(order)
     n = tbl.num_rows
 
-    # tokenize + normalize, all Arrow C kernels
-    text = pc.utf8_trim_whitespace(_combine(tbl["text"]).cast(pa.string()))
+    # tokenize + normalize, all Arrow C kernels.  Null text folds into
+    # the empty-turn path: unguarded, list_value_length(null) -> null
+    # -> INT64_MIN under asarray(int64), corrupting every cumulative
+    # offset after it.
+    text = pc.fill_null(
+        pc.utf8_trim_whitespace(_combine(tbl["text"]).cast(pa.string())), ""
+    )
     toks = _combine(pc.split_pattern_regex(text, pattern=r"\s+"))
     lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
     flat = toks.flatten()

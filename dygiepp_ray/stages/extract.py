@@ -497,6 +497,10 @@ class ReferenceModeExtract:
     def __call__(self, tbl: pa.Table) -> pa.Table:
         from ..oracle import OracleDoc, extract_document
 
+        # honor cfg.tasks like ExtractStage: disabled tasks are neither
+        # built nor emitted (the oracle forward pass still scores them
+        # internally — parity path, not the hot path)
+        tasks = self.cfg.tasks
         rows = tbl.to_pylist()
         anns = {"ner": [], "relations": [], "triggers": [], "event_args": [], "cluster_members": []}
         for r in rows:
@@ -507,51 +511,61 @@ class ReferenceModeExtract:
             )
             extract_document(d, self.cfg)
             flat = [t for s in d.sentences for t in s]
-            anns["ner"].append(
+            if "ner" in tasks:
+                anns["ner"].append(
                 [
                     {"sent_ix": si, "start": a, "end": b, "label": lab,
                      "raw": raw, "softmax": soft, "surface": " ".join(flat[a : b + 1])}
-                    for si, sent in enumerate(d.ner) for (a, b, lab, raw, soft) in sent
-                ]
-            )
-            anns["relations"].append(
+                        for si, sent in enumerate(d.ner) for (a, b, lab, raw, soft) in sent
+                    ]
+                )
+            if "relations" in tasks:
+                anns["relations"].append(
                 [
                     {"sent_ix": si, "s1": s1, "e1": e1, "s2": s2, "e2": e2, "label": lab,
                      "raw": raw, "softmax": soft,
                      "subj": " ".join(flat[s1 : e1 + 1]), "obj": " ".join(flat[s2 : e2 + 1])}
-                    for si, sent in enumerate(d.relations)
-                    for (s1, e1, s2, e2, lab, raw, soft) in sent
-                ]
-            )
-            anns["triggers"].append(
+                        for si, sent in enumerate(d.relations)
+                        for (s1, e1, s2, e2, lab, raw, soft) in sent
+                    ]
+                )
+            if "events" in tasks:
+                anns["triggers"].append(
                 [
                     {"sent_ix": si, "tok": ev["trigger"][0], "label": ev["trigger"][1],
                      "raw": ev["trigger"][2], "softmax": ev["trigger"][3]}
-                    for si, sent in enumerate(d.events) for ev in sent
-                ]
-            )
-            arg_raw, arg_soft = self.arg_raw, self.arg_soft
-            anns["event_args"].append(
+                        for si, sent in enumerate(d.events) for ev in sent
+                    ]
+                )
+                arg_raw, arg_soft = self.arg_raw, self.arg_soft
+                anns["event_args"].append(
                 [
                     {"sent_ix": si, "trig_tok": ev["trigger"][0], "event_type": ev["trigger"][1],
                      "start": a, "end": b, "role": role,
                      "raw": arg_raw, "softmax": arg_soft,
                      "surface": " ".join(flat[a : b + 1])}
-                    for si, sent in enumerate(d.events) for ev in sent
-                    for (a, b, role) in ev["args"]
-                ]
-            )
-            anns["cluster_members"].append(
+                        for si, sent in enumerate(d.events) for ev in sent
+                        for (a, b, role) in ev["args"]
+                    ]
+                )
+            if "coref" in tasks:
+                anns["cluster_members"].append(
                 [
                     {"cluster_ix": ci, "start": a, "end": b,
                      "surface": " ".join(flat[a : b + 1])}
-                    for ci, members in enumerate(d.clusters) for (a, b) in members
-                ]
-            )
+                        for ci, members in enumerate(d.clusters) for (a, b) in members
+                    ]
+                )
         out = tbl
+        enabled = {
+            "ner": "ner" in tasks, "relations": "relations" in tasks,
+            "triggers": "events" in tasks, "event_args": "events" in tasks,
+            "cluster_members": "coref" in tasks,
+        }
         for name, typ in [
             ("ner", MENTION_T), ("relations", RELATION_T), ("triggers", TRIGGER_T),
             ("event_args", ARGUMENT_T), ("cluster_members", CLUSTER_MEMBER_T),
         ]:
-            out = out.append_column(name, pa.array(anns[name], pa.list_(typ)))
+            if enabled[name]:
+                out = out.append_column(name, pa.array(anns[name], pa.list_(typ)))
         return out

@@ -41,10 +41,21 @@ class _BatchTopK:
         ids = df["vec_id"].to_numpy()
         k = min(self.k, len(ids))
         out_q, out_id, out_sim = [], [], []
-        # per-query local top-k (argpartition, vectorized per column)
+        # per-query local top-k (argpartition, vectorized per column).
+        # Ties at the k-th boundary must break by vec_id ASC — a bare
+        # argpartition keeps an arbitrary subset of the tied rows, and
+        # the driver merge can only rank candidates that survived here.
         for qi in range(sims.shape[1]):
             col = sims[:, qi]
-            top = np.argpartition(-col, k - 1)[:k] if len(col) > k else np.arange(len(col))
+            if len(col) > k:
+                part = np.argpartition(-col, k - 1)
+                kth = col[part[k - 1]]
+                better = np.flatnonzero(col > kth)
+                tied = np.flatnonzero(col == kth)
+                tied = tied[np.argsort(ids[tied], kind="stable")][: k - len(better)]
+                top = np.concatenate([better, tied])
+            else:
+                top = np.arange(len(col))
             out_q.append(np.full(len(top), self.qids[qi]))
             out_id.append(ids[top])
             out_sim.append(col[top])

@@ -489,7 +489,7 @@ WITH aug AS (
 )
 SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b
 FROM aug a JOIN aug b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.e, b.e) >= 0.9
+WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.9
 """
 
 

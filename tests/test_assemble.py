@@ -64,6 +64,18 @@ def test_empty_and_single_token_turns(ray_session):
     assert list(d["sentence_start"]) == [0, 1, 1]
 
 
+def test_null_text_turn_treated_as_empty(ray_session):
+    # null text must fold into the empty-turn path, not poison the
+    # cumulative token offsets (reader review r3: list_value_length of
+    # a null row became INT64_MIN under asarray(int64))
+    rows = [("c1", 0, "spark"), ("c1", 1, None), ("c1", 2, "a b")]
+    docs = assemble_documents(rd.from_arrow(_mk(rows)), num_buckets=1).to_pandas()
+    d = docs.iloc[0]
+    assert [list(s) for s in d["sentences"]] == [["spark"], [], ["a", "b"]]
+    assert list(d["sentence_start"]) == [0, 1, 1]
+    assert d["n_tokens"] == 3
+
+
 def test_matches_oracle_assembly(ray_session):
     tbl = make_transcripts(25, seed=3)
     eng = assemble_documents(rd.from_arrow(tbl), num_buckets=4).to_pandas()

@@ -87,6 +87,34 @@ def test_decode_score_constants(ray_session):
     assert abs(float(m["softmax"]) - S.round_score(soft)) < 1e-6
 
 
+def test_reference_mode_honors_task_toggles(ray_session):
+    # the reference-control-flow path must skip disabled tasks like
+    # ExtractStage does (reader review r3): tasks=('ner',) with top-k
+    # pruning routes to ReferenceModeExtract and must emit ONLY ner
+    from dataclasses import replace
+
+    from dygiepp_ray.semantics import DEFAULT_CONFIG
+    from dygiepp_ray.stages.assemble import assemble_documents
+    from dygiepp_ray.stages.extract import extract
+
+    tbl = pa.table(
+        {
+            "conv_id": ["c1"],
+            "turn_idx": pa.array([0], pa.int32()),
+            "role": ["user"],
+            "text": ["spark join table"],
+        }
+    )
+    cfg = replace(DEFAULT_CONFIG, entity_beam=False, tasks=("ner",))
+    docs = assemble_documents(rd.from_arrow(tbl), cfg, num_buckets=1)
+    out = extract(docs, cfg).to_pandas()
+    assert "ner" in out.columns
+    for col in ("relations", "triggers", "event_args", "cluster_members"):
+        assert col not in out.columns
+    ner = [(m["start"], m["end"], m["label"]) for m in out.iloc[0]["ner"]]
+    assert ner == [(0, 0, "TOOL"), (2, 2, "DATA")]
+
+
 def test_extract_clamps_oversized_actor_pool(ray_session):
     """An actor pool as wide as the CPU budget deadlocks the streaming
     executor (starves the read stage); extract() must clamp and finish.

@@ -55,6 +55,25 @@ def test_run_all_graph_store_and_resume(ray_session, tmp_path):
     assert len(t1) == len(t2)
 
 
+def test_run_all_without_coref_skips_clusters(ray_session, tmp_path):
+    # clusters is None when 'coref' is disabled — run_all must skip the
+    # clusters manifest, not crash after triples/entities landed
+    # (reader review r3)
+    from dataclasses import replace
+
+    from dygiepp_ray.semantics import DEFAULT_CONFIG
+
+    tbl = make_transcripts(8, seed=7)
+    cfg = replace(DEFAULT_CONFIG, tasks=("ner", "relations", "events"))
+    out = str(tmp_path / "graph_nocoref")
+    pipe = KGPipeline(rd.from_arrow(tbl), cfg, num_buckets=2)
+    assert pipe.clusters is None
+    manifests = pipe.run_all(out, num_partitions=2)
+    assert manifests["triples"]["rows_written"] > 0
+    assert "clusters" not in manifests
+    assert not os.path.exists(os.path.join(out, "clusters"))
+
+
 def test_embedding_near_dups_finds_planted_pair(ray_session):
     rs = np.random.RandomState(3)
     vecs = rs.normal(size=(100, 16))

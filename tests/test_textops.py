@@ -133,6 +133,20 @@ def test_ann_brute_force_matches_numpy(ray_session):
         assert got == expect
 
 
+def test_ann_brute_force_tied_scores_break_by_vec_id(ray_session):
+    # k+2 identical vectors tie at the k-th boundary: the per-batch
+    # selection must keep the LOWEST vec_ids (sim DESC, vec_id ASC),
+    # not an arbitrary argpartition subset (reader review r3)
+    base = np.array([1.0, 0.0, 0.0, 0.0])
+    vecs = np.tile(base, (8, 1))  # all cosine 1.0 with each other
+    df = pd.DataFrame(
+        {"vec_id": np.arange(8, dtype=np.int64), "embedding": list(vecs)}
+    )
+    out = ann.brute_force_topk(rd.from_pandas(df), [7], k=3)
+    got = out[out.query_id == 7].sort_values("rank")["vec_id"].tolist()
+    assert got == [0, 1, 2]
+
+
 def test_ann_lsh_recall(ray_session):
     rs = np.random.RandomState(1)
     vecs = rs.normal(size=(200, 16))
