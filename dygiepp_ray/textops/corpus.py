@@ -1,0 +1,261 @@
+"""Corpus-level curation operators a training-data pipeline needs on top
+of dedup/quality: benchmark decontamination (n-gram overlap against a
+broadcast eval set), Gopher-style intra-document repetition signals, and
+a deterministic global shuffle (hash-rank) for reproducible training
+order.
+
+Reference parity: these extend the reference's preprocessing family
+(dwadden/dygiepp ``scripts/data/shared`` normalizes + filters documents
+before modeling) with the curation steps a 100 TB pretraining corpus
+additionally requires; none exist in the reference, so semantics are
+pinned by the DuckDB twins in ``textops/queries.py``.
+
+Scale shapes:
+
+* ``decontaminate`` — the eval side of a decontamination job is a FIXED,
+  small benchmark suite (thousands of documents) regardless of corpus
+  size, so its distinct n-grams are collected once on the driver and
+  broadcast via ``ray.put``; every corpus batch then does a vectorized
+  membership check (no shuffle at all — the corpus side streams).
+* ``repetition_scores`` — per-document statistics, embarrassingly
+  parallel ``map_batches`` (a document never spans rows).
+* ``shuffle_rank`` — a global sort-rank without a global sort: hash
+  values are range-partitioned by their first ``prefix_bytes`` bytes
+  (the hash IS uniform, so ranges are balanced by construction), a tiny
+  per-bucket histogram (256 or 65,536 ints on the driver) yields each
+  bucket's starting offset, and ranks are assigned bucket-locally in one
+  keyed exchange.  No stage ever holds more than one bucket.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+from ..core import hash_exchange
+
+DECONTAM_NGRAM = 4
+EVAL_MOD = 23  # deterministic stand-in for "the benchmark suite": doc_id % EVAL_MOD == 0
+
+
+def _token_lists(texts: pd.Series) -> pd.Series:
+    """Whitespace tokenization matching quality.token_counts / the SQL
+    twins (trim -> split on \\s+; empty/null text -> [])."""
+    toks = texts.str.strip().str.split(r"\s+", regex=True)
+    return toks.map(lambda t: [] if not isinstance(t, list) or t == [""] else t)
+
+
+def _doc_ngrams(df: pd.DataFrame, n: int, text_col: str, id_col: str) -> pd.DataFrame:
+    """(doc_id, gram) for every space-joined ``n``-gram occurrence, built
+    from flat shifted token arrays (one vectorized string concat per
+    shift, no per-row loop)."""
+    toks = _token_lists(df[text_col])
+    lens = toks.map(len).to_numpy(np.int64)
+    ids = np.repeat(df[id_col].to_numpy(), lens)
+    if len(ids) == 0:
+        return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                             "gram": pd.Series(dtype=object)})
+    flat = pd.Series(np.concatenate([np.asarray(t, dtype=object) for t in toks if t]))
+    gram = flat
+    for k in range(1, n):
+        gram = gram + " " + flat.shift(-k)
+    # a gram starting at i is valid iff token i+n-1 exists in the SAME doc
+    valid = np.zeros(len(ids), dtype=bool)
+    if len(ids) >= n:
+        valid[: len(ids) - (n - 1)] = ids[: len(ids) - (n - 1)] == ids[n - 1:]
+    return pd.DataFrame({id_col: ids[valid], "gram": gram.to_numpy()[valid]})
+
+
+def eval_ngram_set(
+    ds: ray.data.Dataset,
+    n: int = DECONTAM_NGRAM,
+    eval_mod: int = EVAL_MOD,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> frozenset:
+    """Distinct ``n``-grams of the eval subset (doc_id % eval_mod == 0).
+
+    Per-batch distinct first, tiny union on the driver — benchmark
+    suites are fixed-size, so this is the broadcast-small-side shape."""
+
+    def grams(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df[id_col] % eval_mod == 0]
+        g = _doc_ngrams(sub, n, text_col, id_col)
+        return pd.DataFrame({"gram": g["gram"].drop_duplicates().to_numpy()})
+
+    got = ds.map_batches(grams, batch_format="pandas").to_pandas()
+    return frozenset(got["gram"])
+
+
+class _ContaminationCheck:
+    """Actor-pool stage: the broadcast eval-gram set is fetched ONCE per
+    actor in ``__init__`` (zero-copy from the local object store), each
+    batch is a vectorized distinct-gram membership count."""
+
+    def __init__(self, grams_ref, n: int, eval_mod: int, text_col: str, id_col: str):
+        self.grams = ray.get(grams_ref) if isinstance(grams_ref, ray.ObjectRef) else grams_ref
+        self.n, self.eval_mod = n, eval_mod
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        id_col = self.id_col
+        g = _doc_ngrams(df, self.n, self.text_col, id_col)
+        g = g.drop_duplicates()
+        hit = g[g["gram"].isin(self.grams)]
+        n_hits = hit.groupby(id_col, sort=False).size()
+        ids = df[id_col].to_numpy()
+        hits = n_hits.reindex(ids, fill_value=0).to_numpy(np.int64)
+        is_eval = (ids % self.eval_mod == 0).astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "is_eval": is_eval,
+                "n_hits": hits,
+                "contaminated": ((is_eval == 0) & (hits > 0)).astype(np.int64),
+            }
+        )
+
+
+def decontaminate(
+    ds: ray.data.Dataset,
+    n: int = DECONTAM_NGRAM,
+    eval_mod: int = EVAL_MOD,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency: int | None = 2,
+) -> ray.data.Dataset:
+    """-> (doc_id, is_eval, n_hits, contaminated).
+
+    ``n_hits`` = distinct ``n``-grams of the document also present in the
+    eval subset's gram set; ``contaminated`` = non-eval doc with >= 1
+    hit (the drop set of an eval-decontamination pass, Brown et al. 2020
+    style but exact-match).  The corpus side streams; the eval side is
+    broadcast (see module docstring)."""
+    grams_ref = ray.put(eval_ngram_set(ds, n, eval_mod, text_col, id_col))
+    if concurrency:
+        return ds.map_batches(
+            _ContaminationCheck,
+            fn_constructor_args=(grams_ref, n, eval_mod, text_col, id_col),
+            batch_format="pandas",
+            concurrency=concurrency,
+        )
+    return ds.map_batches(
+        _ContaminationCheck(grams_ref, n, eval_mod, text_col, id_col),
+        batch_format="pandas",
+    )
+
+
+def repetition_scores(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """-> (doc_id, top2_count, top2_gram, dup3_occurrences, n_3grams).
+
+    Gopher-style intra-document repetition signals (Rae et al. 2021 §A1.1
+    "repetitious text" filters), integer-valued for hash-stable oracles:
+
+    * ``top2_count`` / ``top2_gram`` — occurrence count and identity of
+      the most frequent 2-gram (ties -> lexicographically smallest gram;
+      0 / '' when the doc has < 2 tokens);
+    * ``dup3_occurrences`` — total occurrences of 3-grams that appear
+      >= 2 times in the doc (the numerator of the duplicate-n-gram
+      fraction);
+    * ``n_3grams`` — total 3-gram occurrences (its denominator).
+    """
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        g2 = _doc_ngrams(df, 2, text_col, id_col)
+        c2 = g2.groupby([id_col, "gram"], sort=False).size().reset_index(name="c")
+        top2 = (
+            c2.sort_values([id_col, "c", "gram"], ascending=[True, False, True],
+                           kind="mergesort")
+            .drop_duplicates(id_col)
+            .set_index(id_col)
+        )
+        g3 = _doc_ngrams(df, 3, text_col, id_col)
+        c3 = g3.groupby([id_col, "gram"], sort=False).size().reset_index(name="c")
+        c3["dup"] = np.where(c3["c"] >= 2, c3["c"], 0)
+        d3 = c3.groupby(id_col, sort=False).agg(dup3=("dup", "sum"), n3=("c", "sum"))
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "top2_count": top2["c"].reindex(ids, fill_value=0).to_numpy(np.int64),
+                "top2_gram": top2["gram"].reindex(ids, fill_value="").to_numpy(),
+                "dup3_occurrences": d3["dup3"].reindex(ids, fill_value=0).to_numpy(np.int64),
+                "n_3grams": d3["n3"].reindex(ids, fill_value=0).to_numpy(np.int64),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def shuffle_rank(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    prefix_bytes: int = 1,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """-> (doc_id, shuffle_pos): deterministic, seed-free global shuffle.
+
+    ``shuffle_pos`` is the rank of ``md5(str(id))`` (hex, ties broken by
+    id) — a reproducible random permutation for training-order shuffling
+    that any engine can recompute.  Distributed as range-partitioned
+    ranking: md5 is uniform, so the first ``prefix_bytes`` bytes of the
+    hash ARE balanced range boundaries; a per-range histogram (one tiny
+    columnar collect of 256**prefix_bytes partial counts) gives each
+    range's global starting offset, then one keyed exchange sorts each
+    range locally and adds its offset.  No global sort, no stage holds
+    more than one range.  Use ``prefix_bytes=2`` (65,536 ranges) at the
+    100 TB scale.
+    """
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        h = df[id_col].map(lambda i: hashlib.md5(str(i).encode()).hexdigest())
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "h": h.to_numpy(),
+                "hrange": h.str[: 2 * prefix_bytes].map(lambda s: int(s, 16)).to_numpy(np.int64),
+            }
+        )
+
+    hashed = ds.map_batches(add_hash, batch_format="pandas").materialize()
+
+    def range_counts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["hrange"].value_counts()
+        return pd.DataFrame(
+            {"hrange": vc.index.to_numpy(np.int64), "c": vc.to_numpy(np.int64)}
+        )
+
+    counts = hashed.map_batches(range_counts, batch_format="pandas").to_pandas()
+    n_ranges = 256 ** prefix_bytes
+    totals = counts.groupby("hrange")["c"].sum().reindex(range(n_ranges), fill_value=0)
+    offsets = totals.cumsum().shift(1, fill_value=0).astype(np.int64).to_dict()
+
+    def rank_ranges(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "h" not in df.columns:
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype=np.int64),
+                 "shuffle_pos": pd.Series(dtype=np.int64)}
+            )
+        # a bucket task may own several hash ranges; rank each independently
+        out = []
+        for r, sub in df.groupby("hrange", sort=False):
+            sub = sub.sort_values(["h", id_col], kind="mergesort")
+            out.append(
+                pd.DataFrame(
+                    {
+                        id_col: sub[id_col].to_numpy(),
+                        "shuffle_pos": offsets[int(r)]
+                        + np.arange(len(sub), dtype=np.int64),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return hash_exchange(hashed, "hrange", rank_ranges, num_buckets=num_buckets)

@@ -611,6 +611,88 @@ FROM q JOIN ex USING (doc_id) JOIN nd USING (doc_id)
 """
 
 
+from . import corpus as _corpus  # noqa: E402
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag corpus docs sharing any 4-gram
+    with the (broadcast) eval subset — see textops/corpus.py."""
+    return _corpus.decontaminate(_docs(sf_dir))
+
+
+SQL_DECONTAMINATE = _SQL_ARR + f""",
+grams AS (
+  SELECT doc_id, array_to_string(arr[i:i+{_corpus.DECONTAM_NGRAM - 1}], ' ') AS g
+  FROM base, unnest(range(1, len(arr) - {_corpus.DECONTAM_NGRAM - 2})) AS r(i)
+),
+dg AS (SELECT DISTINCT doc_id, g FROM grams),
+eval_grams AS (SELECT DISTINCT g FROM dg WHERE doc_id % {_corpus.EVAL_MOD} = 0),
+hits AS (
+  SELECT doc_id, count(*) AS n_hits FROM dg
+  WHERE g IN (SELECT g FROM eval_grams) GROUP BY 1
+)
+SELECT b.doc_id,
+       CAST(CASE WHEN b.doc_id % {_corpus.EVAL_MOD} = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_eval,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(CASE WHEN b.doc_id % {_corpus.EVAL_MOD} <> 0 AND COALESCE(h.n_hits, 0) > 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM base b LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def q_repetition_scores(sf_dir: str):
+    """Gopher-style intra-document repetition signals (integer-valued)."""
+    return _corpus.repetition_scores(_docs(sf_dir))
+
+
+SQL_REPETITION_SCORES = _SQL_ARR + """,
+g2 AS (
+  SELECT doc_id, array_to_string(arr[i:i+1], ' ') AS g
+  FROM base, unnest(range(1, len(arr))) AS r(i)
+),
+c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+top2 AS (
+  SELECT doc_id, g, c,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+  FROM c2
+),
+g3 AS (
+  SELECT doc_id, array_to_string(arr[i:i+2], ' ') AS g
+  FROM base, unnest(range(1, len(arr) - 1)) AS r(i)
+),
+c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+d3 AS (
+  SELECT doc_id,
+         sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup3,
+         sum(c) AS n3
+  FROM c3 GROUP BY 1
+)
+SELECT b.doc_id,
+       CAST(COALESCE(t.c, 0) AS BIGINT) AS top2_count,
+       COALESCE(t.g, '') AS top2_gram,
+       CAST(COALESCE(d.dup3, 0) AS BIGINT) AS dup3_occurrences,
+       CAST(COALESCE(d.n3, 0) AS BIGINT) AS n_3grams
+FROM base b
+LEFT JOIN (SELECT doc_id, g, c FROM top2 WHERE rn = 1) t USING (doc_id)
+LEFT JOIN d3 d USING (doc_id)
+"""
+
+
+def q_shuffle_rank(sf_dir: str):
+    """Deterministic global shuffle: rank of md5(doc_id) via
+    range-partitioned ranking (no global sort) — textops/corpus.py."""
+    ids = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return _corpus.shuffle_rank(ids)
+
+
+SQL_SHUFFLE_RANK = """
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+            AS BIGINT) AS shuffle_pos
+FROM documents
+"""
+
+
 # Recall assumptions for the LSH-based rows below (their oracles are
 # EXACT all-pairs joins, so a green row also certifies recall on that
 # input; a new scale factor or threshold could in principle fail the
@@ -646,4 +728,7 @@ TEXTOPS_QUERIES = {
     "curate_corpus": (q_curate, SQL_CURATE),
     "chunk_documents": (_chunks.q_chunk_documents, _chunks.SQL_CHUNK_DOCUMENTS),
     "tfidf_top_terms": (_chunks.q_tfidf_top_terms, _chunks.SQL_TFIDF_TOP_TERMS),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "repetition_scores": (q_repetition_scores, SQL_REPETITION_SCORES),
+    "shuffle_rank": (q_shuffle_rank, SQL_SHUFFLE_RANK),
 }

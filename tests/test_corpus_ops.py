@@ -1,0 +1,118 @@
+"""Corpus curation ops (textops/corpus.py): decontamination, repetition
+signals, deterministic shuffle rank."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from dygiepp_ray.textops import corpus
+
+
+def _docs_ds(rows):
+    return rd.from_pandas(
+        pd.DataFrame({"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]})
+    )
+
+
+def test_doc_ngrams_hand_case():
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a b c d", "x y", "  "]})
+    g = corpus._doc_ngrams(df, 2, "text", "doc_id")
+    got = sorted(map(tuple, g.to_numpy()))
+    assert got == [(1, "a b"), (1, "b c"), (1, "c d"), (2, "x y")]
+    g3 = corpus._doc_ngrams(df, 3, "text", "doc_id")
+    assert sorted(g3["gram"]) == ["a b c", "b c d"]
+
+
+def test_doc_ngrams_no_cross_document_grams():
+    # adjacent docs must not produce grams spanning their boundary
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["p q", "r s"]})
+    g = corpus._doc_ngrams(df, 2, "text", "doc_id")
+    assert "q r" not in set(g["gram"])
+
+
+def test_decontaminate_flags_overlap(ray_session):
+    # doc 0 is the eval set (0 % 23 == 0); doc 5 shares its 4-gram,
+    # doc 7 does not, doc 9 is too short to have any 4-gram.
+    ds = _docs_ds(
+        [
+            (0, "the quick brown fox jumps"),
+            (5, "xx the quick brown fox yy"),
+            (7, "совершенно other words here entirely"),
+            (9, "too short"),
+        ]
+    )
+    out = (
+        corpus.decontaminate(ds, concurrency=None)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "is_eval"] == 1 and out.loc[0, "contaminated"] == 0
+    # eval doc hits its own grams: "the quick brown fox" + "quick brown fox jumps"
+    assert out.loc[0, "n_hits"] == 2
+    assert out.loc[5, "contaminated"] == 1 and out.loc[5, "n_hits"] == 1
+    assert out.loc[7, "contaminated"] == 0 and out.loc[7, "n_hits"] == 0
+    assert out.loc[9, "contaminated"] == 0
+
+
+def test_decontaminate_counts_distinct_grams(ray_session):
+    # the contaminated gram occurs twice in doc 3 but counts once
+    ds = _docs_ds(
+        [(0, "a b c d"), (3, "a b c d z a b c d")]
+    )
+    out = corpus.decontaminate(ds, concurrency=None).to_pandas().set_index("doc_id")
+    assert out.loc[3, "n_hits"] == 1
+
+
+def test_repetition_scores_hand_case(ray_session):
+    ds = _docs_ds(
+        [
+            # 2-grams: "a b" x2, "b a" x1, "b b" x1 -> top2 = ("a b", 2)
+            # 3-grams: "a b b","b b a","b a b","a b a"? tokens: a b b a b
+            (1, "a b b a b"),
+            # tie between "x y" and "y x" (1 each) -> lexicographically
+            # smallest wins: "x y"
+            (2, "x y x"),
+            (3, "solo"),
+        ]
+    )
+    out = corpus.repetition_scores(ds).to_pandas().set_index("doc_id")
+    assert out.loc[1, "top2_count"] == 2 and out.loc[1, "top2_gram"] == "a b"
+    assert out.loc[2, "top2_count"] == 1 and out.loc[2, "top2_gram"] == "x y"
+    assert out.loc[3, "top2_count"] == 0 and out.loc[3, "top2_gram"] == ""
+    # doc 1 3-grams: "a b b", "b b a", "b a b" — all distinct
+    assert out.loc[1, "dup3_occurrences"] == 0 and out.loc[1, "n_3grams"] == 3
+    assert out.loc[3, "n_3grams"] == 0
+
+
+def test_repetition_dup3_counts_occurrences(ray_session):
+    # "a b c" occurs twice -> dup3_occurrences counts BOTH occurrences
+    ds = _docs_ds([(1, "a b c a b c")])
+    out = corpus.repetition_scores(ds).to_pandas().set_index("doc_id")
+    assert out.loc[1, "dup3_occurrences"] == 2
+    assert out.loc[1, "n_3grams"] == 4
+
+
+def _expected_rank(ids):
+    keyed = sorted((hashlib.md5(str(i).encode()).hexdigest(), i) for i in ids)
+    return {i: pos for pos, (_h, i) in enumerate(keyed)}
+
+
+@pytest.mark.parametrize("prefix_bytes", [1, 2])
+def test_shuffle_rank_matches_global_sort(ray_session, prefix_bytes):
+    ids = list(range(200))
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids})).repartition(7)
+    out = (
+        corpus.shuffle_rank(ds, prefix_bytes=prefix_bytes)
+        .to_pandas()
+        .set_index("doc_id")["shuffle_pos"]
+    )
+    exp = _expected_rank(ids)
+    assert len(out) == len(ids)
+    assert sorted(out) == list(range(len(ids)))  # a permutation
+    for i in ids:
+        assert out[i] == exp[i]
