@@ -74,17 +74,19 @@ def _doc_ngrams(df: pd.DataFrame, n: int, text_col: str, id_col: str) -> pd.Data
 def eval_ngram_set(
     ds: ray.data.Dataset,
     n: int = DECONTAM_NGRAM,
-    eval_mod: int = EVAL_MOD,
+    eval_mod: int | None = EVAL_MOD,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> frozenset:
-    """Distinct ``n``-grams of the eval subset (doc_id % eval_mod == 0).
+    """Distinct ``n``-grams of the eval subset (doc_id % eval_mod == 0;
+    ``eval_mod=None`` takes ALL of ``ds`` — pass the benchmark table
+    itself).
 
     Per-batch distinct first, tiny union on the driver — benchmark
     suites are fixed-size, so this is the broadcast-small-side shape."""
 
     def grams(df: pd.DataFrame) -> pd.DataFrame:
-        sub = df[df[id_col] % eval_mod == 0]
+        sub = df if eval_mod is None else df[df[id_col] % eval_mod == 0]
         g = _doc_ngrams(sub, n, text_col, id_col)
         return pd.DataFrame({"gram": g["gram"].drop_duplicates().to_numpy()})
 
@@ -128,6 +130,7 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     concurrency: int | None = 2,
+    eval_ds: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """-> (doc_id, is_eval, n_hits, contaminated).
 
@@ -135,8 +138,19 @@ def decontaminate(
     eval subset's gram set; ``contaminated`` = non-eval doc with >= 1
     hit (the drop set of an eval-decontamination pass, Brown et al. 2020
     style but exact-match).  The corpus side streams; the eval side is
-    broadcast (see module docstring)."""
-    grams_ref = ray.put(eval_ngram_set(ds, n, eval_mod, text_col, id_col))
+    broadcast (see module docstring).
+
+    Pass ``eval_ds`` (the benchmark table itself, same text/id columns)
+    to skip the corpus scan for eval members — the real deployment
+    shape, where the suite is a separate small input; ``is_eval`` then
+    still marks doc_id % eval_mod == 0 rows, so keep ``eval_mod``
+    consistent with how ``eval_ds`` was derived (or ignore the column).
+    """
+    if eval_ds is not None:
+        gram_set = eval_ngram_set(eval_ds, n, None, text_col, id_col)
+    else:
+        gram_set = eval_ngram_set(ds, n, eval_mod, text_col, id_col)
+    grams_ref = ray.put(gram_set)
     if concurrency:
         return ds.map_batches(
             _ContaminationCheck,

@@ -116,3 +116,68 @@ def test_shuffle_rank_matches_global_sort(ray_session, prefix_bytes):
     assert sorted(out) == list(range(len(ids)))  # a permutation
     for i in ids:
         assert out[i] == exp[i]
+
+
+def test_decontaminate_with_separate_eval_ds(ray_session):
+    corpus_ds = _docs_ds([(1, "w x y z tail"), (2, "none of these")])
+    eval_ds = _docs_ds([(100, "w x y z")])
+    out = (
+        corpus.decontaminate(corpus_ds, concurrency=None, eval_ds=eval_ds)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "n_hits"] == 1 and out.loc[1, "contaminated"] == 1
+    assert out.loc[2, "n_hits"] == 0 and out.loc[2, "contaminated"] == 0
+
+
+# ---------------------------------------------------------------------------
+# property-based: _doc_ngrams vs brute force (Ray-free)
+# ---------------------------------------------------------------------------
+
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_words = st.lists(
+    st.sampled_from(["a", "b", "cc", "ddd"]), min_size=0, max_size=12
+)
+_corpora = st.lists(_words, min_size=1, max_size=5)
+
+
+def _brute_ngrams(tokens, n):
+    return [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+
+
+@given(_corpora, st.integers(2, 4))
+@settings(max_examples=60, deadline=None)
+def test_doc_ngrams_matches_brute_force(docs, n):
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(docs), dtype=np.int64),
+            "text": [" ".join(t) for t in docs],
+        }
+    )
+    got = corpus._doc_ngrams(df, n, "text", "doc_id")
+    got_counts = Counter(map(tuple, got.to_numpy()))
+    exp = Counter(
+        (i, g) for i, toks in enumerate(docs) for g in _brute_ngrams(toks, n)
+    )
+    assert got_counts == exp
+
+
+@given(st.lists(st.integers(-(2**40), 2**40), min_size=1, max_size=60, unique=True))
+@settings(max_examples=30, deadline=None)
+def test_shuffle_rank_offsets_partition_the_hash_space(ids):
+    # Ray-free check of the range/offset arithmetic: ranks restricted to
+    # any hash range must form a contiguous block starting at its offset
+    keyed = sorted((hashlib.md5(str(i).encode()).hexdigest(), i) for i in ids)
+    pos = {i: p for p, (_h, i) in enumerate(keyed)}
+    by_range = {}
+    for h, i in keyed:
+        by_range.setdefault(int(h[:2], 16), []).append(pos[i])
+    start = 0
+    for r in sorted(by_range):
+        block = sorted(by_range[r])
+        assert block == list(range(start, start + len(block)))
+        start += len(block)
