@@ -208,6 +208,54 @@ def repetition_scores(
     return ds.map_batches(fn, batch_format="pandas")
 
 
+FREQ_NGRAM = 3
+FREQ_TOPK = 100
+
+
+def frequent_ngrams(
+    ds: ray.data.Dataset,
+    n: int = FREQ_NGRAM,
+    k: int = FREQ_TOPK,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """-> (gram, n_occurrences): the ``k`` most frequent ``n``-grams
+    across the whole corpus (ties -> lexicographically smallest gram) —
+    the heavy-hitters pass of boilerplate detection.
+
+    Global top-k without a global sort: per-batch partial counts
+    (combiner — shuffle bytes are O(distinct grams per batch), not
+    O(occurrences)), one keyed exchange totals each gram in exactly one
+    bucket, each bucket emits only ITS top ``k`` (safe: a gram lives
+    wholly in one bucket), and the driver merges the <= buckets x k
+    survivors.  No stage holds the full gram vocabulary."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = _doc_ngrams(df, n, text_col, id_col)
+        c = g.groupby("gram", sort=False).size().reset_index(name="c")
+        return pd.DataFrame({"gram": c["gram"].to_numpy(), "c": c["c"].to_numpy(np.int64)})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "gram" not in df.columns:
+            return pd.DataFrame({"gram": pd.Series(dtype=object),
+                                 "n_occurrences": pd.Series(dtype=np.int64)})
+        tot = df.groupby("gram", sort=False)["c"].sum().reset_index(name="n_occurrences")
+        tot = tot.sort_values(["n_occurrences", "gram"], ascending=[False, True],
+                              kind="mergesort")
+        return tot.head(k).reset_index(drop=True)
+
+    cands = hash_exchange(partials, "gram", bucket_topk, num_buckets=num_buckets)
+    out = cands.to_pandas().sort_values(
+        ["n_occurrences", "gram"], ascending=[False, True], kind="mergesort"
+    )
+    out = out.head(k).reset_index(drop=True)
+    out["n_occurrences"] = out["n_occurrences"].astype(np.int64)
+    return out
+
+
 def shuffle_rank(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",

@@ -678,6 +678,24 @@ LEFT JOIN d3 d USING (doc_id)
 """
 
 
+def q_frequent_ngrams(sf_dir: str):
+    """Corpus-global heavy-hitter n-grams (boilerplate detection):
+    partial-count combiner -> one keyed exchange -> per-bucket top-k ->
+    bounded driver merge — textops/corpus.py."""
+    return _corpus.frequent_ngrams(_docs(sf_dir))
+
+
+SQL_FREQUENT_NGRAMS = _SQL_ARR + f""",
+g AS (
+  SELECT array_to_string(arr[i:i+{_corpus.FREQ_NGRAM - 1}], ' ') AS gram
+  FROM base, unnest(range(1, len(arr) - {_corpus.FREQ_NGRAM - 2})) AS r(i)
+),
+c AS (SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences FROM g GROUP BY 1)
+SELECT gram, n_occurrences FROM c
+ORDER BY n_occurrences DESC, gram ASC LIMIT {_corpus.FREQ_TOPK}
+"""
+
+
 def q_shuffle_rank(sf_dir: str):
     """Deterministic global shuffle: rank of md5(doc_id) via
     range-partitioned ranking (no global sort) — textops/corpus.py."""
@@ -731,4 +749,5 @@ TEXTOPS_QUERIES = {
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "repetition_scores": (q_repetition_scores, SQL_REPETITION_SCORES),
     "shuffle_rank": (q_shuffle_rank, SQL_SHUFFLE_RANK),
+    "frequent_ngrams": (q_frequent_ngrams, SQL_FREQUENT_NGRAMS),
 }

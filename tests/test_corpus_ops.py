@@ -181,3 +181,26 @@ def test_shuffle_rank_offsets_partition_the_hash_space(ids):
         block = sorted(by_range[r])
         assert block == list(range(start, start + len(block)))
         start += len(block)
+
+
+def test_frequent_ngrams_global_topk(ray_session):
+    # gram "p q r" x3 across docs; "a b c" x2; many singletons
+    ds = _docs_ds(
+        [
+            (1, "p q r s p q r"),
+            (2, "p q r a b c"),
+            (3, "a b c d e f"),
+        ]
+    ).repartition(3)
+    out = corpus.frequent_ngrams(ds, n=3, k=4, num_buckets=4)
+    assert list(out.columns) == ["gram", "n_occurrences"]
+    assert out.iloc[0]["gram"] == "p q r" and out.iloc[0]["n_occurrences"] == 3
+    assert out.iloc[1]["gram"] == "a b c" and out.iloc[1]["n_occurrences"] == 2
+    # remaining slots: count-1 ties resolve to lexicographically smallest
+    brute = Counter()
+    for _d, text in [(1, "p q r s p q r"), (2, "p q r a b c"), (3, "a b c d e f")]:
+        toks = text.split()
+        for i in range(len(toks) - 2):
+            brute[" ".join(toks[i : i + 3])] += 1
+    exp = sorted(brute.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    assert list(map(tuple, out.to_numpy())) == exp
