@@ -658,6 +658,46 @@ FROM documents
 """
 
 
+def hll_users(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog register vector over events.user_id (p=8) — the
+    distinct-count sketch; see functions/hll.py for the topology."""
+    from .functions.hll import hll_registers
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return hll_registers(ev, "user_id")
+
+
+def _sql_hexval_huge(expr: str, nchars: int) -> str:
+    """HUGEINT value of the first ``nchars`` hex chars of ``expr``
+    (big-endian; BIGINT would overflow beyond 15 chars)."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {1 + i}, 1)) - 1)"
+        f" * {16 ** (nchars - 1 - i)}::HUGEINT"
+        for i in range(nchars)
+    ) + ")"
+
+
+# p=8: register = top 8 of 64 hash bits, rho over the low 56 bits;
+# length(bin(w)) is w's bit_length (bin() strips leading zeros), so
+# rho = 57 - bit_length(w), with the w=0 case pinned to 57.
+SQL_HLL_USERS = f"""
+WITH h AS (
+  SELECT {_sql_hexval_huge("md5(CAST(user_id AS VARCHAR))", 16)} AS val
+  FROM events
+),
+rr AS (
+  SELECT CAST(val >> 56 AS BIGINT) AS register,
+         CAST(CASE WHEN (val % (1::HUGEINT << 56)) = 0 THEN 57
+              ELSE 57 - length(bin(val % (1::HUGEINT << 56))) END AS BIGINT) AS rho
+  FROM h
+),
+mx AS (SELECT register, max(rho) AS rho_max FROM rr GROUP BY 1)
+SELECT r.register, CAST(COALESCE(mx.rho_max, 0) AS BIGINT) AS rho_max
+FROM (SELECT CAST(range AS BIGINT) AS register FROM range(0, 256)) r
+LEFT JOIN mx USING (register)
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -672,4 +712,5 @@ RELATIONAL_QUERIES = {
     "pack_sequences": (pack_training_sequences, SQL_PACK_SEQUENCES),
     "top_docs_per_source": (top_docs_per_source, SQL_TOP_DOCS_PER_SOURCE),
     "docs_embedding_join": (docs_embedding_join, SQL_DOCS_EMBEDDING_JOIN),
+    "hll_users": (hll_users, SQL_HLL_USERS),
 }

@@ -183,3 +183,40 @@ def test_pagerank3_matches_duckdb_and_conserves_mass(ray_session):
     total = got["r"].sum()
     assert 0.999 * 10**12 < total <= 10**12
     assert (got["r"] > 0).all()
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog sketch (functions/hll.py)
+# ---------------------------------------------------------------------------
+
+
+def test_hll_estimate_accuracy_and_partition_invariance(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from dygiepp_ray.functions import hll
+
+    for true_n in (100, 5000):
+        vals = pd.DataFrame({"v": np.arange(true_n, dtype=np.int64) * 7 + 3})
+        # duplicate every value 3x — HLL must be insensitive to multiplicity
+        vals = pd.concat([vals] * 3, ignore_index=True)
+        one = hll.hll_registers(rd.from_pandas(vals), "v")
+        many = hll.hll_registers(rd.from_pandas(vals).repartition(13), "v")
+        # register vector is a pure function of the value SET
+        assert one.equals(many)
+        est = hll.estimate(one)
+        assert abs(est - true_n) / true_n < 0.15, (true_n, est)
+
+
+def test_hll_rho_convention():
+    import pandas as pd
+
+    from dygiepp_ray.functions import hll
+
+    reg, rho = hll.register_rho(pd.Series([42]))
+    import hashlib
+
+    h = int(hashlib.md5(b"42").hexdigest()[:16], 16)
+    assert reg[0] == h >> 56
+    w = h & ((1 << 56) - 1)
+    assert rho[0] == 57 - w.bit_length()
