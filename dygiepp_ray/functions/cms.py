@@ -1,0 +1,93 @@
+"""Count-Min sketch (Cormode & Muthukrishnan 2005) as a distributed
+Ray Data aggregate — the frequency-estimation companion to the
+HyperLogLog sketch in ``functions/hll.py``.
+
+Topology: each batch computes a SPARSE partial of the d x w counter
+matrix (at most d x distinct-values-in-batch cells, capped at d x w),
+partials merge by cell-wise SUM, and the driver holds only the final
+matrix.  No row-level shuffle; merge traffic is O(d x w) per batch
+regardless of row count — the mergeable-sketch shape that survives
+100 TB.
+
+Hash convention (pinned by the SQL twin in ``relational.py``): row ``j``
+hashes value ``v`` to ``int(md5(f"{j}:{v}").hexdigest()[:16], 16) % w``.
+Counters are integers, so the driver-level oracle compares bit-for-bit;
+the point-estimate helper (``estimate``) implements the standard
+min-over-rows upper bound and is tested separately.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cell(j: int, values: pd.Series, width: int) -> np.ndarray:
+    return np.array(
+        [
+            int(hashlib.md5(f"{j}:{v}".encode()).hexdigest()[:16], 16) % width
+            for v in values
+        ],
+        dtype=np.int64,
+    )
+
+
+def cms_counters(
+    ds: ray.data.Dataset, col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> pd.DataFrame:
+    """-> (row, col, count): the NONZERO cells of the d x w counter
+    matrix after one pass over ``ds[col]``."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "row": pd.Series(dtype=np.int64),
+                    "col": pd.Series(dtype=np.int64),
+                    "count": pd.Series(dtype=np.int64),
+                }
+            )
+        # hash each DISTINCT value once, then weight by its multiplicity
+        vc = df[col].value_counts()
+        vals, mult = vc.index.to_series(), vc.to_numpy(np.int64)
+        outs = []
+        for j in range(depth):
+            cells = _cell(j, vals, width)
+            cnt = np.zeros(width, dtype=np.int64)
+            np.add.at(cnt, cells, mult)
+            nz = np.flatnonzero(cnt)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "row": np.full(len(nz), j, dtype=np.int64),
+                        "col": nz.astype(np.int64),
+                        "count": cnt[nz],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    merged = (
+        partials.groupby(["row", "col"], sort=True)["count"].sum().reset_index()
+    )
+    merged["count"] = merged["count"].astype(np.int64)
+    return merged
+
+
+def estimate(counters: pd.DataFrame, value, depth: int = CMS_DEPTH,
+             width: int = CMS_WIDTH) -> int:
+    """Point frequency estimate: min over rows of the value's cell —
+    an upper bound on the true count (never an underestimate)."""
+    lut = {(int(r), int(c)): int(n) for r, c, n in counters.to_numpy()}
+    return min(
+        lut.get((j, int(_cell(j, pd.Series([value]), width)[0])), 0)
+        for j in range(depth)
+    )

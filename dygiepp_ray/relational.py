@@ -698,6 +698,29 @@ LEFT JOIN mx USING (register)
 """
 
 
+def cms_users(sf_dir: str) -> pd.DataFrame:
+    """Count-Min sketch counters over events.user_id (4 x 1024) — the
+    frequency-estimation sketch; see functions/cms.py."""
+    from .functions.cms import cms_counters
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return cms_counters(ev, "user_id")
+
+
+SQL_CMS_USERS = f"""
+WITH rows_ AS (SELECT CAST(range AS BIGINT) AS row FROM range(0, 4)),
+h AS (
+  SELECT r.row,
+         {_sql_hexval_huge(
+             "md5(CAST(r.row AS VARCHAR) || ':' || CAST(user_id AS VARCHAR))", 16
+         )} % 1024 AS col
+  FROM events, rows_ r
+)
+SELECT row, CAST(col AS BIGINT) AS col, CAST(count(*) AS BIGINT) AS "count"
+FROM h GROUP BY 1, 2
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -713,4 +736,5 @@ RELATIONAL_QUERIES = {
     "top_docs_per_source": (top_docs_per_source, SQL_TOP_DOCS_PER_SOURCE),
     "docs_embedding_join": (docs_embedding_join, SQL_DOCS_EMBEDDING_JOIN),
     "hll_users": (hll_users, SQL_HLL_USERS),
+    "cms_users": (cms_users, SQL_CMS_USERS),
 }

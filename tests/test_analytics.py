@@ -220,3 +220,24 @@ def test_hll_rho_convention():
     assert reg[0] == h >> 56
     w = h & ((1 << 56) - 1)
     assert rho[0] == 57 - w.bit_length()
+
+
+def test_cms_overestimate_property_and_partition_invariance(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from dygiepp_ray.functions import cms
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 300, size=4000)
+    df = pd.DataFrame({"v": vals.astype(np.int64)})
+    one = cms.cms_counters(rd.from_pandas(df), "v")
+    many = cms.cms_counters(rd.from_pandas(df).repartition(11), "v")
+    assert one.equals(many)  # pure function of the multiset
+    true = pd.Series(vals).value_counts()
+    for v in true.index[:50]:
+        est = cms.estimate(one, int(v))
+        assert est >= true[v]  # never underestimates
+        assert est <= true[v] + 4000 * 2.0 / 1024 * 4  # crude eps bound
+    # a value never inserted: estimate bounded by collision mass only
+    assert cms.estimate(one, 999_999) <= 4000 * 2.0 / 1024 * 4
