@@ -137,6 +137,11 @@ def main() -> None:
             ("asof_join_purchase", A.asof_join_purchase),
             ("range_join_error_window", A.range_join_error_window),
             ("quantiles_price", A.quantiles_price),
+            ("decontaminate", TQ.q_decontaminate),
+            ("shuffle_rank", TQ.q_shuffle_rank),
+            ("frequent_ngrams", TQ.q_frequent_ngrams),
+            ("hll_users", R.hll_users),
+            ("cms_users", R.cms_users),
         ]:
             t0 = time.perf_counter()
             res = fn(SF_DIR)
