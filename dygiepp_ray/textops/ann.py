@@ -274,6 +274,10 @@ def kmeans_centroids(
     Deterministic: seeds are the vectors of the ``k`` smallest vec_ids
     unless ``seed_ids`` is given (no RNG, so results are stable across
     runs and parallelism)."""
+    # iterative consumer: iters+1 full passes — pin the (pruned) input
+    # blocks in the object store once instead of re-decoding parquet
+    # per pass (spill-managed at scale; measured ~2x on ivf_topk)
+    embeddings = embeddings.materialize()
     if seed_ids is None:
         small = embeddings.map_batches(
             lambda df: df.nsmallest(k, "vec_id"), batch_format="pandas"
@@ -330,6 +334,10 @@ def ivf_topk(
     and equals ``brute_force_topk`` exactly (the correctness oracle);
     smaller nprobe trades recall for a 1/(nlist/nprobe) scan fraction —
     the 100 TB shape, since each list is an independent partition."""
+    # multi-pass consumer (k-means training + query filter + list
+    # assignment): materialize once; kmeans_centroids re-uses the
+    # already-materialized blocks (second materialize is a no-op)
+    embeddings = embeddings.materialize()
     centroids = kmeans_centroids(embeddings, k=nlist, iters=iters)
     cref = ray.put(centroids)
 
