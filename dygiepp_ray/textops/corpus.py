@@ -38,25 +38,22 @@ import ray
 import ray.data
 
 from ..core import hash_exchange
+from .chunks import _doc_tokens
 
 DECONTAM_NGRAM = 4
 EVAL_MOD = 23  # deterministic stand-in for "the benchmark suite": doc_id % EVAL_MOD == 0
 
 
-def _token_lists(texts: pd.Series) -> pd.Series:
-    """Whitespace tokenization matching quality.token_counts / the SQL
-    twins (trim -> split on \\s+; empty/null text -> [])."""
-    toks = texts.str.strip().str.split(r"\s+", regex=True)
-    return toks.map(lambda t: [] if not isinstance(t, list) or t == [""] else t)
-
-
 def _doc_ngrams(df: pd.DataFrame, n: int, text_col: str, id_col: str) -> pd.DataFrame:
     """(doc_id, gram) for every space-joined ``n``-gram occurrence, built
     from flat shifted token arrays (one vectorized string concat per
-    shift, no per-row loop)."""
-    toks = _token_lists(df[text_col])
+    shift, no per-row loop).  Row boundaries (not doc_id equality) gate
+    gram validity, so duplicate doc_ids across rows cannot fabricate
+    cross-row grams."""
+    toks = _doc_tokens(df, text_col)
     lens = toks.map(len).to_numpy(np.int64)
     ids = np.repeat(df[id_col].to_numpy(), lens)
+    rows = np.repeat(np.arange(len(df), dtype=np.int64), lens)
     if len(ids) == 0:
         return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
                              "gram": pd.Series(dtype=object)})
@@ -64,10 +61,11 @@ def _doc_ngrams(df: pd.DataFrame, n: int, text_col: str, id_col: str) -> pd.Data
     gram = flat
     for k in range(1, n):
         gram = gram + " " + flat.shift(-k)
-    # a gram starting at i is valid iff token i+n-1 exists in the SAME doc
+    # a gram starting at i is valid iff token i+n-1 exists in the SAME
+    # row (rows is non-decreasing, so endpoint equality covers the span)
     valid = np.zeros(len(ids), dtype=bool)
     if len(ids) >= n:
-        valid[: len(ids) - (n - 1)] = ids[: len(ids) - (n - 1)] == ids[n - 1:]
+        valid[: len(ids) - (n - 1)] = rows[: len(ids) - (n - 1)] == rows[n - 1:]
     return pd.DataFrame({id_col: ids[valid], "gram": gram.to_numpy()[valid]})
 
 
@@ -99,7 +97,7 @@ class _ContaminationCheck:
     actor in ``__init__`` (zero-copy from the local object store), each
     batch is a vectorized distinct-gram membership count."""
 
-    def __init__(self, grams_ref, n: int, eval_mod: int, text_col: str, id_col: str):
+    def __init__(self, grams_ref, n: int, eval_mod: int | None, text_col: str, id_col: str):
         self.grams = ray.get(grams_ref) if isinstance(grams_ref, ray.ObjectRef) else grams_ref
         self.n, self.eval_mod = n, eval_mod
         self.text_col, self.id_col = text_col, id_col
@@ -112,7 +110,10 @@ class _ContaminationCheck:
         n_hits = hit.groupby(id_col, sort=False).size()
         ids = df[id_col].to_numpy()
         hits = n_hits.reindex(ids, fill_value=0).to_numpy(np.int64)
-        is_eval = (ids % self.eval_mod == 0).astype(np.int64)
+        if self.eval_mod is None:  # eval set is external: no corpus doc is eval
+            is_eval = np.zeros(len(ids), dtype=np.int64)
+        else:
+            is_eval = (ids % self.eval_mod == 0).astype(np.int64)
         return pd.DataFrame(
             {
                 id_col: ids,
@@ -126,7 +127,7 @@ class _ContaminationCheck:
 def decontaminate(
     ds: ray.data.Dataset,
     n: int = DECONTAM_NGRAM,
-    eval_mod: int = EVAL_MOD,
+    eval_mod: int | None = EVAL_MOD,
     text_col: str = "text",
     id_col: str = "doc_id",
     concurrency: int | None = 2,
@@ -142,12 +143,13 @@ def decontaminate(
 
     Pass ``eval_ds`` (the benchmark table itself, same text/id columns)
     to skip the corpus scan for eval members — the real deployment
-    shape, where the suite is a separate small input; ``is_eval`` then
-    still marks doc_id % eval_mod == 0 rows, so keep ``eval_mod``
-    consistent with how ``eval_ds`` was derived (or ignore the column).
+    shape, where the suite is a separate small input.  ``eval_mod`` is
+    then ignored: NO corpus doc is treated as eval (``is_eval`` = 0
+    everywhere), so every doc with a hit is flagged contaminated.
     """
     if eval_ds is not None:
         gram_set = eval_ngram_set(eval_ds, n, None, text_col, id_col)
+        eval_mod = None  # corpus and eval sets are disjoint inputs
     else:
         gram_set = eval_ngram_set(ds, n, eval_mod, text_col, id_col)
     grams_ref = ray.put(gram_set)

@@ -204,3 +204,28 @@ def test_frequent_ngrams_global_topk(ray_session):
             brute[" ".join(toks[i : i + 3])] += 1
     exp = sorted(brute.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
     assert list(map(tuple, out.to_numpy())) == exp
+
+
+def test_doc_ngrams_duplicate_doc_id_rows_stay_row_local():
+    # same doc_id in two rows separated by another doc: no gram may span rows
+    df = pd.DataFrame(
+        {"doc_id": [1, 2, 1], "text": ["a b", "z", "c d"]}
+    )
+    g = corpus._doc_ngrams(df, 3, "text", "doc_id")
+    assert len(g) == 0  # no row has 3 tokens; nothing may leak across rows
+    g2 = corpus._doc_ngrams(df, 2, "text", "doc_id")
+    assert sorted(g2["gram"]) == ["a b", "c d"]
+
+
+def test_decontaminate_eval_ds_ignores_eval_mod(ray_session):
+    # doc 23 (a multiple of EVAL_MOD) must still be flagged when the
+    # eval set is a separate input
+    corpus_ds = _docs_ds([(23, "w x y z tail"), (24, "none of these")])
+    eval_ds = _docs_ds([(0, "w x y z")])
+    out = (
+        corpus.decontaminate(corpus_ds, concurrency=None, eval_ds=eval_ds)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[23, "is_eval"] == 0 and out.loc[23, "contaminated"] == 1
+    assert out.loc[24, "contaminated"] == 0
