@@ -658,6 +658,83 @@ FROM documents
 """
 
 
+_DAY_US = 86_400_000_000
+
+
+def cohort_retention(sf_dir: str) -> pd.DataFrame:
+    """-> (cohort_day, days_since, n_users): classic retention matrix —
+    users grouped by first-activity day, distinct active users counted
+    at each day offset.
+
+    One keyed exchange on user_id computes each user's first day AND the
+    distinct (cohort, offset, user) rows in the same bucket pass (a user
+    lives wholly in one bucket, so the per-bucket distinct-user counts
+    are exact partials); the driver merges only the tiny cohort x offset
+    grid.  Batch-local (user, day) dedup runs before the exchange to cut
+    shuffle bytes to active-days, not events."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def days(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy().astype(np.int64),
+                "day": (ts_epoch_us(df["ts"]) // _DAY_US).astype(np.int64),
+            }
+        )
+        return out.drop_duplicates()
+
+    active = ev.map_batches(days, batch_format="pandas")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "day" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "cohort_day": pd.Series(dtype=np.int64),
+                    "days_since": pd.Series(dtype=np.int64),
+                    "n_users": pd.Series(dtype=np.int64),
+                }
+            )
+        first = df.groupby("user_id")["day"].transform("min")
+        distinct = pd.DataFrame(
+            {
+                "cohort_day": first.to_numpy(np.int64),
+                "days_since": (df["day"] - first).to_numpy(np.int64),
+                "user_id": df["user_id"].to_numpy(np.int64),
+            }
+        ).drop_duplicates()
+        return (
+            distinct.groupby(["cohort_day", "days_since"], sort=False)
+            .size()
+            .reset_index(name="n_users")
+        )
+
+    partials = partitioned_map_groups(active, "user_id", per_bucket).to_pandas()
+    out = (
+        partials.groupby(["cohort_day", "days_since"], sort=True)["n_users"]
+        .sum()
+        .reset_index()
+    )
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out
+
+
+SQL_COHORT_RETENTION = f"""
+WITH w AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // {_DAY_US} AS BIGINT) AS day
+  FROM events
+),
+f AS (SELECT user_id, min(day) AS first_day FROM w GROUP BY 1),
+a AS (
+  SELECT DISTINCT w.user_id, f.first_day AS cohort_day,
+         w.day - f.first_day AS days_since
+  FROM w JOIN f USING (user_id)
+)
+SELECT cohort_day, days_since, CAST(count(*) AS BIGINT) AS n_users
+FROM a GROUP BY 1, 2
+"""
+
+
 def hll_users(sf_dir: str) -> pd.DataFrame:
     """HyperLogLog register vector over events.user_id (p=8) — the
     distinct-count sketch; see functions/hll.py for the topology."""
@@ -737,4 +814,5 @@ RELATIONAL_QUERIES = {
     "docs_embedding_join": (docs_embedding_join, SQL_DOCS_EMBEDDING_JOIN),
     "hll_users": (hll_users, SQL_HLL_USERS),
     "cms_users": (cms_users, SQL_CMS_USERS),
+    "cohort_retention": (cohort_retention, SQL_COHORT_RETENTION),
 }

@@ -241,3 +241,36 @@ def test_cms_overestimate_property_and_partition_invariance(ray_session):
         assert est <= true[v] + 4000 * 2.0 / 1024 * 4  # crude eps bound
     # a value never inserted: estimate bounded by collision mass only
     assert cms.estimate(one, 999_999) <= 4000 * 2.0 / 1024 * 4
+
+
+def test_cohort_retention_hand_computed(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dygiepp_ray import relational as R
+
+    day = 86_400_000_000
+    rows = [
+        # user 1: first day 0, active days 0, 1, 3
+        (1, 0), (1, 0), (1, 1), (1, 3),
+        # user 2: first day 1, active days 1, 3
+        (2, 1), (2, 3),
+        # user 3: first day 0 only
+        (3, 0),
+    ]
+    ts = pd.to_datetime([d * day * 1000 for _u, d in rows]).values  # ns
+    tbl = pa.table(
+        {
+            "user_id": pa.array([u for u, _d in rows], pa.int64()),
+            "ts": pa.array(pd.Series(ts).dt.to_pydatetime(), pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = R.cohort_retention(str(tmp_path)).set_index(["cohort_day", "days_since"])
+    assert out.loc[(0, 0), "n_users"] == 2  # users 1, 3
+    assert out.loc[(0, 1), "n_users"] == 1
+    assert out.loc[(0, 3), "n_users"] == 1
+    assert out.loc[(1, 0), "n_users"] == 1  # user 2
+    assert out.loc[(1, 2), "n_users"] == 1
+    assert len(out) == 5
