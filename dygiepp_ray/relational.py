@@ -658,6 +658,98 @@ FROM documents
 """
 
 
+def revenue_rollup(sf_dir: str) -> pd.DataFrame:
+    """-> (region, nation, revenue_cents, n_orders) at THREE grouping
+    levels — (region, nation), (region, ALL), (ALL, ALL) — the GROUP BY
+    ROLLUP pattern.
+
+    The fact scan computes finest-level partials only (broadcast dim
+    join + per-batch combiner, same shape as region_revenue); the
+    coarser levels are derived from the <= |region x nation| finest rows
+    on the driver, so the rollup costs ONE pass regardless of level
+    count.  Revenue is summed in integer CENTS (each price rounded once
+    per row) so every level is hash-exact vs SQL under any partitioning
+    or summation order — the fixed-point trick from pagerank3 applied to
+    money."""
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    ).to_pandas()
+    region = ray.data.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    dim = (
+        cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    )[["c_custkey", "n_name", "r_name"]]
+    dim_ref = ray.put(dim)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    class JoinCents:
+        def __init__(self):
+            self.dim = ray.get(dim_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            j = df.merge(self.dim, left_on="o_custkey", right_on="c_custkey",
+                         how="inner")
+            j["cents"] = np.round(j["o_totalprice"].to_numpy() * 100).astype(np.int64)
+            g = j.groupby(["r_name", "n_name"], sort=False).agg(
+                revenue_cents=("cents", "sum"), n_orders=("cents", "size")
+            )
+            return g.reset_index()
+
+    partials = orders.map_batches(
+        JoinCents, batch_format="pandas", concurrency=2
+    ).to_pandas()
+    finest = (
+        partials.groupby(["r_name", "n_name"], sort=True)[["revenue_cents", "n_orders"]]
+        .sum()
+        .reset_index()
+        .rename(columns={"r_name": "region", "n_name": "nation"})
+    )
+    by_region = (
+        finest.groupby("region", sort=True)[["revenue_cents", "n_orders"]]
+        .sum()
+        .reset_index()
+        .assign(nation="ALL")
+    )
+    grand = pd.DataFrame(
+        {
+            "region": ["ALL"],
+            "nation": ["ALL"],
+            "revenue_cents": [finest["revenue_cents"].sum()],
+            "n_orders": [finest["n_orders"].sum()],
+        }
+    )
+    out = pd.concat([finest, by_region, grand], ignore_index=True)[
+        ["region", "nation", "revenue_cents", "n_orders"]
+    ]
+    out["revenue_cents"] = out["revenue_cents"].astype(np.int64)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out
+
+
+SQL_REVENUE_ROLLUP = """
+WITH j AS (
+  SELECT r_name, n_name, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+)
+SELECT CASE WHEN GROUPING(r_name) = 1 THEN 'ALL' ELSE r_name END AS region,
+       CASE WHEN GROUPING(n_name) = 1 THEN 'ALL' ELSE n_name END AS nation,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM j GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
 _DAY_US = 86_400_000_000
 
 
@@ -815,4 +907,5 @@ RELATIONAL_QUERIES = {
     "hll_users": (hll_users, SQL_HLL_USERS),
     "cms_users": (cms_users, SQL_CMS_USERS),
     "cohort_retention": (cohort_retention, SQL_COHORT_RETENTION),
+    "revenue_rollup": (revenue_rollup, SQL_REVENUE_ROLLUP),
 }

@@ -274,3 +274,22 @@ def test_cohort_retention_hand_computed(ray_session, tmp_path):
     assert out.loc[(1, 0), "n_users"] == 1  # user 2
     assert out.loc[(1, 2), "n_users"] == 1
     assert len(out) == 5
+
+
+def test_revenue_rollup_levels_consistent(ray_session):
+    from dygiepp_ray import relational as R
+
+    out = R.revenue_rollup("/root/testdata/sf0.001")
+    finest = out[(out["region"] != "ALL") & (out["nation"] != "ALL")]
+    by_region = out[(out["region"] != "ALL") & (out["nation"] == "ALL")]
+    grand = out[(out["region"] == "ALL") & (out["nation"] == "ALL")]
+    assert len(grand) == 1
+    # levels are internally consistent (exact integer arithmetic)
+    assert finest["revenue_cents"].sum() == grand["revenue_cents"].iloc[0]
+    assert by_region["revenue_cents"].sum() == grand["revenue_cents"].iloc[0]
+    for region, g in finest.groupby("region"):
+        assert (
+            g["revenue_cents"].sum()
+            == by_region.set_index("region").loc[region, "revenue_cents"]
+        )
+    assert finest["n_orders"].sum() == grand["n_orders"].iloc[0]
