@@ -658,6 +658,93 @@ FROM documents
 """
 
 
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+def funnel_steps(sf_dir: str, steps: tuple[str, ...] = FUNNEL_STEPS) -> pd.DataFrame:
+    """-> (step, step_name, n_users): strict-sequence funnel — a user
+    completes step k at the earliest event of type ``steps[k]`` strictly
+    after their step-(k-1) completion time (greedy earliest-completion,
+    the standard funnel semantics).
+
+    One keyed exchange on user_id; inside a bucket each step is a
+    vectorized filter + per-user min against the previous step's
+    completion times, and the bucket emits only per-step user counts
+    (len(steps) rows), so the driver merges a constant-size grid."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["event_type"].isin(steps)]
+        return pd.DataFrame(
+            {
+                "user_id": keep["user_id"].to_numpy().astype(np.int64),
+                "event_type": keep["event_type"].to_numpy(),
+                "t": ts_epoch_us(keep["ts"]),
+            }
+        )
+
+    slim = ev.map_batches(prep, batch_format="pandas")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "step": pd.Series(dtype=np.int64),
+                "step_name": pd.Series(dtype=object),
+                "n_users": pd.Series(dtype=np.int64),
+            }
+        )
+        if len(df) == 0 or "event_type" not in df.columns:
+            return empty
+        rows = []
+        prev: pd.Series | None = None  # user -> completion time of prior step
+        for k, name in enumerate(steps):
+            sub = df[df["event_type"] == name]
+            if prev is not None:
+                tp = prev.reindex(sub["user_id"]).to_numpy()
+                sub = sub[(~np.isnan(tp)) & (sub["t"].to_numpy() > tp)]
+            cur = sub.groupby("user_id")["t"].min()
+            rows.append((k + 1, name, len(cur)))
+            prev = cur
+        return pd.DataFrame(rows, columns=["step", "step_name", "n_users"])
+
+    partials = partitioned_map_groups(slim, "user_id", per_bucket).to_pandas()
+    out = (
+        partials.groupby(["step", "step_name"], sort=True)["n_users"]
+        .sum()
+        .reset_index()
+    )
+    out["step"] = out["step"].astype(np.int64)
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out
+
+
+def _sql_funnel(steps: tuple[str, ...]) -> str:
+    ctes = ["e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events)"]
+    sels = []
+    for k, name in enumerate(steps, start=1):
+        if k == 1:
+            ctes.append(
+                f"s1 AS (SELECT user_id, min(t) AS t1 FROM e"
+                f" WHERE event_type = '{name}' GROUP BY 1)"
+            )
+        else:
+            ctes.append(
+                f"s{k} AS (SELECT e.user_id, min(t) AS t{k} FROM e"
+                f" JOIN s{k - 1} USING (user_id)"
+                f" WHERE event_type = '{name}' AND t > t{k - 1} GROUP BY 1)"
+            )
+        sels.append(
+            f"SELECT CAST({k} AS BIGINT) AS step, '{name}' AS step_name,"
+            f" CAST(count(*) AS BIGINT) AS n_users FROM s{k}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(sels)
+
+
+SQL_FUNNEL_STEPS = _sql_funnel(FUNNEL_STEPS)
+
+
 def revenue_rollup(sf_dir: str) -> pd.DataFrame:
     """-> (region, nation, revenue_cents, n_orders) at THREE grouping
     levels — (region, nation), (region, ALL), (ALL, ALL) — the GROUP BY
@@ -908,4 +995,5 @@ RELATIONAL_QUERIES = {
     "cms_users": (cms_users, SQL_CMS_USERS),
     "cohort_retention": (cohort_retention, SQL_COHORT_RETENTION),
     "revenue_rollup": (revenue_rollup, SQL_REVENUE_ROLLUP),
+    "funnel_steps": (funnel_steps, SQL_FUNNEL_STEPS),
 }

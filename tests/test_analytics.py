@@ -293,3 +293,33 @@ def test_revenue_rollup_levels_consistent(ray_session):
             == by_region.set_index("region").loc[region, "revenue_cents"]
         )
     assert finest["n_orders"].sum() == grand["n_orders"].iloc[0]
+
+
+def test_funnel_steps_hand_computed(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dygiepp_ray import relational as R
+
+    # u1 completes all 3; u2 does B before A (stops at step 1);
+    # u3 never signs up (counts nowhere)
+    rows = [
+        (1, "signup", 10), (1, "view", 20), (1, "click", 30),
+        (2, "view", 5), (2, "signup", 15), (2, "click", 12),
+        (3, "view", 1), (3, "click", 2),
+    ]
+    ts = pd.to_datetime([t * 1_000_000_000 for _u, _e, t in rows])
+    tbl = pa.table(
+        {
+            "user_id": pa.array([u for u, _e, _t in rows], pa.int64()),
+            "event_type": pa.array([e for _u, e, _t in rows]),
+            "ts": pa.array(pd.Series(ts.values).dt.to_pydatetime(),
+                           pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = R.funnel_steps(str(tmp_path), steps=("signup", "view", "click")).set_index("step")
+    assert out.loc[1, "n_users"] == 2  # u1, u2
+    assert out.loc[2, "n_users"] == 1  # only u1 views after signup
+    assert out.loc[3, "n_users"] == 1
