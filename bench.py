@@ -142,6 +142,9 @@ def main() -> None:
             ("frequent_ngrams", TQ.q_frequent_ngrams),
             ("hll_users", R.hll_users),
             ("cms_users", R.cms_users),
+            ("cohort_retention", R.cohort_retention),
+            ("revenue_rollup", R.revenue_rollup),
+            ("funnel_steps", R.funnel_steps),
         ]:
             t0 = time.perf_counter()
             res = fn(SF_DIR)
