@@ -127,12 +127,10 @@ GROUP BY 1
 """
 
 
-def region_revenue(sf_dir: str) -> ray.data.Dataset:
-    """Four-table star join: orders x customer x nation x region ->
-    revenue per region.  The three dimension tables are pre-joined on
-    the driver (they are tiny) and broadcast once; the fact scan does a
-    single vectorized merge per batch — the canonical
-    broadcast-the-small-side pattern at any scale."""
+def _star_dim_and_orders(sf_dir: str):
+    """Shared star-join inputs for region_revenue / revenue_rollup: the
+    customer->nation->region dimension pre-joined on the driver (tiny)
+    and broadcast once, plus the pruned orders fact scan."""
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     ).to_pandas()
@@ -146,11 +144,19 @@ def region_revenue(sf_dir: str) -> ray.data.Dataset:
         cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
         .merge(region, left_on="n_regionkey", right_on="r_regionkey")
     )[["c_custkey", "n_name", "r_name"]]
-    dim_ref = ray.put(dim)
-
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
+    return ray.put(dim), orders
+
+
+def region_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Four-table star join: orders x customer x nation x region ->
+    revenue per region.  The three dimension tables are pre-joined on
+    the driver (they are tiny) and broadcast once; the fact scan does a
+    single vectorized merge per batch — the canonical
+    broadcast-the-small-side pattern at any scale."""
+    dim_ref, orders = _star_dim_and_orders(sf_dir)
 
     class JoinAgg:
         def __init__(self):
@@ -702,8 +708,12 @@ def funnel_steps(sf_dir: str, steps: tuple[str, ...] = FUNNEL_STEPS) -> pd.DataF
         for k, name in enumerate(steps):
             sub = df[df["event_type"] == name]
             if prev is not None:
-                tp = prev.reindex(sub["user_id"]).to_numpy()
-                sub = sub[(~np.isnan(tp)) & (sub["t"].to_numpy() > tp)]
+                # keep the comparison in int64: reindex-with-missing
+                # promotes to float64, losing exactness beyond 2^53 us
+                tp = prev.reindex(sub["user_id"])
+                present = tp.notna().to_numpy()
+                tpv = tp.fillna(0).astype(np.int64).to_numpy()
+                sub = sub[present & (sub["t"].to_numpy() > tpv)]
             cur = sub.groupby("user_id")["t"].min()
             rows.append((k + 1, name, len(cur)))
             prev = cur
@@ -758,24 +768,7 @@ def revenue_rollup(sf_dir: str) -> pd.DataFrame:
     per row) so every level is hash-exact vs SQL under any partitioning
     or summation order — the fixed-point trick from pagerank3 applied to
     money."""
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).to_pandas()
-    nation = ray.data.read_parquet(
-        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
-    ).to_pandas()
-    region = ray.data.read_parquet(
-        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
-    ).to_pandas()
-    dim = (
-        cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
-    )[["c_custkey", "n_name", "r_name"]]
-    dim_ref = ray.put(dim)
-
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
-    )
+    dim_ref, orders = _star_dim_and_orders(sf_dir)
 
     class JoinCents:
         def __init__(self):
@@ -784,7 +777,10 @@ def revenue_rollup(sf_dir: str) -> pd.DataFrame:
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             j = df.merge(self.dim, left_on="o_custkey", right_on="c_custkey",
                          how="inner")
-            j["cents"] = np.round(j["o_totalprice"].to_numpy() * 100).astype(np.int64)
+            # half-AWAY-from-zero to match DuckDB round() (np.round is
+            # half-even — the CLAUDE.md .5-boundary hazard)
+            p = j["o_totalprice"].to_numpy() * 100
+            j["cents"] = np.trunc(p + np.sign(p) * 0.5).astype(np.int64)
             g = j.groupby(["r_name", "n_name"], sort=False).agg(
                 revenue_cents=("cents", "sum"), n_orders=("cents", "size")
             )
@@ -831,7 +827,7 @@ WITH j AS (
 )
 SELECT CASE WHEN GROUPING(r_name) = 1 THEN 'ALL' ELSE r_name END AS region,
        CASE WHEN GROUPING(n_name) = 1 THEN 'ALL' ELSE n_name END AS nation,
-       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+       CAST(COALESCE(sum(cents), 0) AS BIGINT) AS revenue_cents,
        CAST(count(*) AS BIGINT) AS n_orders
 FROM j GROUP BY ROLLUP(r_name, n_name)
 """

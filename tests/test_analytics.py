@@ -279,7 +279,7 @@ def test_cohort_retention_hand_computed(ray_session, tmp_path):
 def test_revenue_rollup_levels_consistent(ray_session):
     from dygiepp_ray import relational as R
 
-    out = R.revenue_rollup("/root/testdata/sf0.001")
+    out = R.revenue_rollup(SF)
     finest = out[(out["region"] != "ALL") & (out["nation"] != "ALL")]
     by_region = out[(out["region"] != "ALL") & (out["nation"] == "ALL")]
     grand = out[(out["region"] == "ALL") & (out["nation"] == "ALL")]
