@@ -89,6 +89,8 @@ def eval_ngram_set(
         return pd.DataFrame({"gram": g["gram"].drop_duplicates().to_numpy()})
 
     got = ds.map_batches(grams, batch_format="pandas").to_pandas()
+    if got.empty or "gram" not in got.columns:  # no eval docs / all short
+        return frozenset()
     return frozenset(got["gram"])
 
 
@@ -208,6 +210,159 @@ def repetition_scores(
         )
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+PACK_BUDGET = 4096
+
+
+class _PrepFeats:
+    """Actor-pool stage for prepare_training_set: one pass computing the
+    quality gate, contamination hits, content hash and shuffle-hash per
+    document (eval gram set fetched once per actor)."""
+
+    def __init__(self, grams_ref, n, eval_mod, min_tokens, diversity,
+                 prefix_bytes, text_col, id_col):
+        self.grams = ray.get(grams_ref) if isinstance(grams_ref, ray.ObjectRef) else grams_ref
+        self.n, self.eval_mod = n, eval_mod
+        self.min_tokens, self.diversity = min_tokens, diversity
+        self.prefix_bytes = prefix_bytes
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        id_col, text_col = self.id_col, self.text_col
+        from .chunks import _doc_tokens
+
+        toks = _doc_tokens(df, text_col)
+        n_tok = toks.map(len).to_numpy(np.int64)
+        n_dist = toks.map(lambda t: len(set(t))).to_numpy(np.int64)
+        quality_ok = (n_tok >= self.min_tokens) & (self.diversity * n_dist >= n_tok)
+        g = _doc_ngrams(df, self.n, text_col, id_col).drop_duplicates()
+        hit_counts = g[g["gram"].isin(self.grams)].groupby(id_col, sort=False).size()
+        ids = df[id_col].to_numpy()
+        hits = hit_counts.reindex(ids, fill_value=0).to_numpy(np.int64)
+        h = df[id_col].map(lambda i: hashlib.md5(str(i).encode()).hexdigest())
+        keep_cand = quality_ok & (ids % self.eval_mod != 0) & (hits == 0)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "n_chars": df["n_chars"].to_numpy().astype(np.int64),
+                "text_hash": df[text_col].fillna("").map(
+                    lambda t: hashlib.md5(t.encode()).hexdigest()
+                ).to_numpy(),
+                "h": h.to_numpy(),
+                "hrange": h.str[: 2 * self.prefix_bytes]
+                .map(lambda s: int(s, 16))
+                .to_numpy(np.int64),
+                "keep_cand": keep_cand.astype(np.int64),
+            }
+        )
+
+
+def prepare_training_set(
+    ds: ray.data.Dataset,
+    pack_budget: int = PACK_BUDGET,
+    n: int = DECONTAM_NGRAM,
+    eval_mod: int = EVAL_MOD,
+    prefix_bytes: int = 1,
+    num_buckets: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency: int | None = 2,
+) -> ray.data.Dataset:
+    """-> (doc_id, shuffle_pos, pack_id) for every KEPT document — the
+    whole pretraining prep DAG in one pipeline:
+
+        quality gate x exact dedup x eval decontamination
+        -> deterministic global shuffle -> sequence packing
+
+    ``kept`` = quality_ok AND exact-dup representative (dedup over the
+    FULL corpus, dedup-before-filter like curation.curate) AND not an
+    eval doc AND zero eval-gram hits.  Kept docs get ``shuffle_pos`` =
+    rank of md5(doc_id) among kept docs and ``pack_id`` = floor(prefix
+    chars in shuffle order / pack_budget) — the training-order manifest.
+
+    Scale shape: ONE feature pass (eval grams broadcast), ONE exchange
+    on text_hash (exact-rep + filter), a tiny per-range histogram whose
+    cumsums give each hash range BOTH its global rank offset and char
+    offset, and ONE exchange on hrange assigning positions and pack ids
+    range-locally.  The driver holds two 256/65,536-int cumsums; no
+    global sort, no driver-side packing loop."""
+    from .curation import DIVERSITY_NUM, MIN_TOKENS
+
+    grams_ref = ray.put(eval_ngram_set(ds, n, eval_mod, text_col, id_col))
+    args = (grams_ref, n, eval_mod, MIN_TOKENS, DIVERSITY_NUM,
+            prefix_bytes, text_col, id_col)
+    if concurrency:
+        feats = ds.map_batches(
+            _PrepFeats, fn_constructor_args=args, batch_format="pandas",
+            concurrency=concurrency,
+        )
+    else:
+        feats = ds.map_batches(_PrepFeats(*args), batch_format="pandas")
+
+    def exact_and_filter(df: pd.DataFrame) -> pd.DataFrame:
+        cols = [id_col, "n_chars", "h", "hrange"]
+        if len(df) == 0 or "text_hash" not in df.columns:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype=np.int64),
+                    "n_chars": pd.Series(dtype=np.int64),
+                    "h": pd.Series(dtype=object),
+                    "hrange": pd.Series(dtype=np.int64),
+                }
+            )
+        rep = df.groupby("text_hash")[id_col].transform("min")
+        kept = df[(df[id_col] == rep) & (df["keep_cand"] == 1)]
+        return kept[cols].reset_index(drop=True)
+
+    kept = hash_exchange(feats, "text_hash", exact_and_filter,
+                         num_buckets=num_buckets).materialize()
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("hrange").agg(cnt=(id_col, "size"), chars=("n_chars", "sum"))
+        return g.reset_index()
+
+    hist_df = kept.map_batches(hist, batch_format="pandas").to_pandas()
+    n_ranges = 256 ** prefix_bytes
+    if hist_df.empty or "cnt" not in hist_df.columns:
+        rank_off = {r: 0 for r in range(n_ranges)}
+        char_off = {r: 0 for r in range(n_ranges)}
+    else:
+        tot = (
+            hist_df.groupby("hrange")[["cnt", "chars"]]
+            .sum()
+            .reindex(range(n_ranges), fill_value=0)
+        )
+        rank_off = tot["cnt"].cumsum().shift(1, fill_value=0).astype(np.int64).to_dict()
+        char_off = tot["chars"].cumsum().shift(1, fill_value=0).astype(np.int64).to_dict()
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "h" not in df.columns:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype=np.int64),
+                    "shuffle_pos": pd.Series(dtype=np.int64),
+                    "pack_id": pd.Series(dtype=np.int64),
+                }
+            )
+        out = []
+        for r, sub in df.groupby("hrange", sort=False):
+            sub = sub.sort_values(["h", id_col], kind="mergesort")
+            nch = sub["n_chars"].to_numpy(np.int64)
+            prefix = char_off[int(r)] + np.cumsum(nch) - nch
+            out.append(
+                pd.DataFrame(
+                    {
+                        id_col: sub[id_col].to_numpy(),
+                        "shuffle_pos": rank_off[int(r)]
+                        + np.arange(len(sub), dtype=np.int64),
+                        "pack_id": prefix // pack_budget,
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return hash_exchange(kept, "hrange", assign, num_buckets=num_buckets)
 
 
 FREQ_NGRAM = 3

@@ -678,6 +678,67 @@ LEFT JOIN d3 d USING (doc_id)
 """
 
 
+def q_prepare_training_set(sf_dir: str):
+    """Flagship curation composite: quality x exact dedup x
+    decontamination -> deterministic shuffle -> sequence packing, one
+    training-order manifest — textops/corpus.prepare_training_set."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    return _corpus.prepare_training_set(docs)
+
+
+SQL_PREPARE_TRAINING_SET = _SQL_ARR + f""",
+agg AS (
+  SELECT doc_id, len(arr) AS n_tokens, len(list_distinct(arr)) AS n_distinct
+  FROM base
+),
+q AS (
+  SELECT doc_id,
+         CASE WHEN n_tokens >= {_CUR_MIN_TOKENS}
+                   AND {_CUR_DIVERSITY} * n_distinct >= n_tokens
+              THEN 1 ELSE 0 END AS quality_ok
+  FROM agg
+),
+ex AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+              THEN 1 ELSE 0 END AS exact_rep
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(arr[i:i+{_corpus.DECONTAM_NGRAM - 1}], ' ') AS g
+  FROM base, unnest(range(1, len(arr) - {_corpus.DECONTAM_NGRAM - 2})) AS r(i)
+),
+dg AS (SELECT DISTINCT doc_id, g FROM grams),
+eval_grams AS (SELECT DISTINCT g FROM dg WHERE doc_id % {_corpus.EVAL_MOD} = 0),
+hits AS (
+  SELECT doc_id, count(*) AS n_hits FROM dg
+  WHERE g IN (SELECT g FROM eval_grams) GROUP BY 1
+),
+k AS (
+  SELECT d.doc_id, d.n_chars
+  FROM documents d
+  JOIN q USING (doc_id) JOIN ex USING (doc_id)
+  LEFT JOIN hits h USING (doc_id)
+  WHERE q.quality_ok = 1 AND ex.exact_rep = 1
+    AND d.doc_id % {_corpus.EVAL_MOD} <> 0 AND COALESCE(h.n_hits, 0) = 0
+),
+r AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+           AS shuffle_pos
+  FROM k
+)
+SELECT doc_id, CAST(shuffle_pos AS BIGINT) AS shuffle_pos,
+       CAST(COALESCE(SUM(n_chars) OVER (
+              ORDER BY shuffle_pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // {_corpus.PACK_BUDGET} AS BIGINT) AS pack_id
+FROM r
+"""
+
+
 def q_frequent_ngrams(sf_dir: str):
     """Corpus-global heavy-hitter n-grams (boilerplate detection):
     partial-count combiner -> one keyed exchange -> per-bucket top-k ->
@@ -750,4 +811,5 @@ TEXTOPS_QUERIES = {
     "repetition_scores": (q_repetition_scores, SQL_REPETITION_SCORES),
     "shuffle_rank": (q_shuffle_rank, SQL_SHUFFLE_RANK),
     "frequent_ngrams": (q_frequent_ngrams, SQL_FREQUENT_NGRAMS),
+    "prepare_training_set": (q_prepare_training_set, SQL_PREPARE_TRAINING_SET),
 }

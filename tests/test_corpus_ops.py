@@ -229,3 +229,55 @@ def test_decontaminate_eval_ds_ignores_eval_mod(ray_session):
     )
     assert out.loc[23, "is_eval"] == 0 and out.loc[23, "contaminated"] == 1
     assert out.loc[24, "contaminated"] == 0
+
+
+def test_prepare_training_set_end_to_end(ray_session):
+    # docs: 0 = eval (mod 23); 5 = contaminated by doc 0's grams;
+    # 30/31 = exact dups (31 dropped); 7 = too short (quality);
+    # the rest kept.  Long texts to pass the 20-token quality gate.
+    base = " ".join(f"tok{i}" for i in range(25))
+    other = " ".join(f"w{i}" for i in range(25))
+    rows = [
+        (0, "the quick brown fox " + base),
+        (5, "xx the quick brown fox " + other),
+        (7, "too short"),
+        (30, other + " tail"),
+        (31, other + " tail"),
+        (8, " ".join(f"a{i}" for i in range(30))),
+        (9, " ".join(f"b{i}" for i in range(30))),
+    ]
+    df = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    )
+    ds = rd.from_pandas(df).repartition(3)
+    out = (
+        corpus.prepare_training_set(ds, pack_budget=150, concurrency=None)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_values("shuffle_pos")
+    )
+    assert set(out.index) == {30, 8, 9}  # kept: dup-rep 30, clean 8, 9
+    assert sorted(out["shuffle_pos"]) == [0, 1, 2]
+    # shuffle order matches md5 rank over the kept set
+    exp = _expected_rank([30, 8, 9])
+    for i in out.index:
+        assert out.loc[i, "shuffle_pos"] == exp[i]
+    # pack ids: prefix chars in shuffle order // budget, non-decreasing
+    chars = df.set_index("doc_id")["n_chars"]
+    prefix = 0
+    for i in out.index:  # already sorted by shuffle_pos
+        assert out.loc[i, "pack_id"] == prefix // 150
+        prefix += chars[i]
+
+
+def test_prepare_training_set_empty_corpus(ray_session):
+    ds = _docs_ds([(7, "too short")])  # nothing survives the gate
+    ds = ds.map_batches(
+        lambda df: df.assign(n_chars=df["text"].str.len()), batch_format="pandas"
+    )
+    out = corpus.prepare_training_set(ds, concurrency=None).to_pandas()
+    assert len(out) == 0
