@@ -145,6 +145,7 @@ def main() -> None:
             ("cohort_retention", R.cohort_retention),
             ("revenue_rollup", R.revenue_rollup),
             ("funnel_steps", R.funnel_steps),
+            ("prepare_training_set", TQ.q_prepare_training_set),
         ]:
             t0 = time.perf_counter()
             res = fn(SF_DIR)
