@@ -94,6 +94,48 @@ def eval_ngram_set(
     return frozenset(got["gram"])
 
 
+def _eval_hit_counts(
+    df: pd.DataFrame, grams: frozenset, n: int, text_col: str, id_col: str
+) -> np.ndarray:
+    """Distinct ``n``-grams of each row present in ``grams`` — the single
+    home of the contamination-count semantics (used by decontaminate AND
+    prepare_training_set; keep them in lockstep)."""
+    g = _doc_ngrams(df, n, text_col, id_col).drop_duplicates()
+    hit = g[g["gram"].isin(grams)]
+    n_hits = hit.groupby(id_col, sort=False).size()
+    return n_hits.reindex(df[id_col].to_numpy(), fill_value=0).to_numpy(np.int64)
+
+
+def _md5_rank_cols(ids: pd.Series, prefix_bytes: int) -> tuple[np.ndarray, np.ndarray]:
+    """(h, hrange) per id under the shuffle-rank hash convention: h =
+    md5(str(id)) hex, hrange = integer of its first ``prefix_bytes``
+    bytes.  Fixed-width lowercase hex is order-preserving, so ranking
+    range-locally by (h, id) with per-range offsets equals the global
+    ORDER BY md5 — the single home of that convention (shuffle_rank and
+    prepare_training_set both ride it)."""
+    h = ids.map(lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    hrange = h.str[: 2 * prefix_bytes].map(lambda s: int(s, 16)).to_numpy(np.int64)
+    return h.to_numpy(), hrange
+
+
+def _range_offsets(
+    hist_df: pd.DataFrame, n_ranges: int, cols: tuple[str, ...]
+) -> dict[str, dict[int, int]]:
+    """Exclusive cumsums per hash range for each histogram column —
+    e.g. rank offsets from a count column, char offsets from a char-sum
+    column.  Tolerates the empty/column-less frame an all-empty Dataset
+    collect produces."""
+    if hist_df.empty or any(c not in hist_df.columns for c in cols):
+        return {c: {r: 0 for r in range(n_ranges)} for c in cols}
+    tot = hist_df.groupby("hrange")[list(cols)].sum().reindex(
+        range(n_ranges), fill_value=0
+    )
+    return {
+        c: tot[c].cumsum().shift(1, fill_value=0).astype(np.int64).to_dict()
+        for c in cols
+    }
+
+
 class _ContaminationCheck:
     """Actor-pool stage: the broadcast eval-gram set is fetched ONCE per
     actor in ``__init__`` (zero-copy from the local object store), each
@@ -106,12 +148,8 @@ class _ContaminationCheck:
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         id_col = self.id_col
-        g = _doc_ngrams(df, self.n, self.text_col, id_col)
-        g = g.drop_duplicates()
-        hit = g[g["gram"].isin(self.grams)]
-        n_hits = hit.groupby(id_col, sort=False).size()
         ids = df[id_col].to_numpy()
-        hits = n_hits.reindex(ids, fill_value=0).to_numpy(np.int64)
+        hits = _eval_hit_counts(df, self.grams, self.n, self.text_col, id_col)
         if self.eval_mod is None:  # eval set is external: no corpus doc is eval
             is_eval = np.zeros(len(ids), dtype=np.int64)
         else:
@@ -230,29 +268,28 @@ class _PrepFeats:
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         id_col, text_col = self.id_col, self.text_col
-        from .chunks import _doc_tokens
 
         toks = _doc_tokens(df, text_col)
         n_tok = toks.map(len).to_numpy(np.int64)
         n_dist = toks.map(lambda t: len(set(t))).to_numpy(np.int64)
         quality_ok = (n_tok >= self.min_tokens) & (self.diversity * n_dist >= n_tok)
-        g = _doc_ngrams(df, self.n, text_col, id_col).drop_duplicates()
-        hit_counts = g[g["gram"].isin(self.grams)].groupby(id_col, sort=False).size()
         ids = df[id_col].to_numpy()
-        hits = hit_counts.reindex(ids, fill_value=0).to_numpy(np.int64)
-        h = df[id_col].map(lambda i: hashlib.md5(str(i).encode()).hexdigest())
+        hits = _eval_hit_counts(df, self.grams, self.n, text_col, id_col)
+        h, hrange = _md5_rank_cols(df[id_col], self.prefix_bytes)
+        if "n_chars" in df.columns:
+            n_chars = df["n_chars"].to_numpy().astype(np.int64)
+        else:  # raw-corpus shape without a precomputed length column
+            n_chars = df[text_col].fillna("").str.len().to_numpy(np.int64)
         keep_cand = quality_ok & (ids % self.eval_mod != 0) & (hits == 0)
         return pd.DataFrame(
             {
                 id_col: ids,
-                "n_chars": df["n_chars"].to_numpy().astype(np.int64),
+                "n_chars": n_chars,
                 "text_hash": df[text_col].fillna("").map(
                     lambda t: hashlib.md5(t.encode()).hexdigest()
                 ).to_numpy(),
-                "h": h.to_numpy(),
-                "hrange": h.str[: 2 * self.prefix_bytes]
-                .map(lambda s: int(s, 16))
-                .to_numpy(np.int64),
+                "h": h,
+                "hrange": hrange,
                 "keep_cand": keep_cand.astype(np.int64),
             }
         )
@@ -323,46 +360,11 @@ def prepare_training_set(
         return g.reset_index()
 
     hist_df = kept.map_batches(hist, batch_format="pandas").to_pandas()
-    n_ranges = 256 ** prefix_bytes
-    if hist_df.empty or "cnt" not in hist_df.columns:
-        rank_off = {r: 0 for r in range(n_ranges)}
-        char_off = {r: 0 for r in range(n_ranges)}
-    else:
-        tot = (
-            hist_df.groupby("hrange")[["cnt", "chars"]]
-            .sum()
-            .reindex(range(n_ranges), fill_value=0)
-        )
-        rank_off = tot["cnt"].cumsum().shift(1, fill_value=0).astype(np.int64).to_dict()
-        char_off = tot["chars"].cumsum().shift(1, fill_value=0).astype(np.int64).to_dict()
-
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0 or "h" not in df.columns:
-            return pd.DataFrame(
-                {
-                    id_col: pd.Series(dtype=np.int64),
-                    "shuffle_pos": pd.Series(dtype=np.int64),
-                    "pack_id": pd.Series(dtype=np.int64),
-                }
-            )
-        out = []
-        for r, sub in df.groupby("hrange", sort=False):
-            sub = sub.sort_values(["h", id_col], kind="mergesort")
-            nch = sub["n_chars"].to_numpy(np.int64)
-            prefix = char_off[int(r)] + np.cumsum(nch) - nch
-            out.append(
-                pd.DataFrame(
-                    {
-                        id_col: sub[id_col].to_numpy(),
-                        "shuffle_pos": rank_off[int(r)]
-                        + np.arange(len(sub), dtype=np.int64),
-                        "pack_id": prefix // pack_budget,
-                    }
-                )
-            )
-        return pd.concat(out, ignore_index=True)
-
-    return hash_exchange(kept, "hrange", assign, num_buckets=num_buckets)
+    offs = _range_offsets(hist_df, 256 ** prefix_bytes, ("cnt", "chars"))
+    return _assign_range_ranks(
+        kept, offs["cnt"], id_col, num_buckets,
+        char_off=offs["chars"], pack_budget=pack_budget,
+    )
 
 
 FREQ_NGRAM = 3
@@ -434,13 +436,9 @@ def shuffle_rank(
     """
 
     def add_hash(df: pd.DataFrame) -> pd.DataFrame:
-        h = df[id_col].map(lambda i: hashlib.md5(str(i).encode()).hexdigest())
+        h, hrange = _md5_rank_cols(df[id_col], prefix_bytes)
         return pd.DataFrame(
-            {
-                id_col: df[id_col].to_numpy(),
-                "h": h.to_numpy(),
-                "hrange": h.str[: 2 * prefix_bytes].map(lambda s: int(s, 16)).to_numpy(np.int64),
-            }
+            {id_col: df[id_col].to_numpy(), "h": h, "hrange": hrange}
         )
 
     hashed = ds.map_batches(add_hash, batch_format="pandas").materialize()
@@ -448,33 +446,54 @@ def shuffle_rank(
     def range_counts(df: pd.DataFrame) -> pd.DataFrame:
         vc = df["hrange"].value_counts()
         return pd.DataFrame(
-            {"hrange": vc.index.to_numpy(np.int64), "c": vc.to_numpy(np.int64)}
+            {"hrange": vc.index.to_numpy(np.int64), "cnt": vc.to_numpy(np.int64)}
         )
 
     counts = hashed.map_batches(range_counts, batch_format="pandas").to_pandas()
-    n_ranges = 256 ** prefix_bytes
-    totals = counts.groupby("hrange")["c"].sum().reindex(range(n_ranges), fill_value=0)
-    offsets = totals.cumsum().shift(1, fill_value=0).astype(np.int64).to_dict()
+    offs = _range_offsets(counts, 256 ** prefix_bytes, ("cnt",))
+    return _assign_range_ranks(hashed, offs["cnt"], id_col, num_buckets)
 
-    def rank_ranges(df: pd.DataFrame) -> pd.DataFrame:
+
+def _assign_range_ranks(
+    ds: ray.data.Dataset,
+    rank_off: dict[int, int],
+    id_col: str,
+    num_buckets: int | None,
+    char_off: dict[int, int] | None = None,
+    pack_budget: int | None = None,
+) -> ray.data.Dataset:
+    """ONE keyed exchange on ``hrange``: each range is sorted by (h, id)
+    and its global offset added — the shared tail of shuffle_rank and
+    prepare_training_set.  With ``char_off``/``pack_budget``, also
+    assigns pack ids from the exclusive char prefix.  The offset tables
+    ship once via ``ray.put`` (at prefix_bytes=2 they are 65,536-entry
+    dicts — too big to pickle into every merge-task spec)."""
+    offs_ref = ray.put({"rank": rank_off, "chars": char_off})
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        cols: dict = {
+            id_col: pd.Series(dtype=np.int64),
+            "shuffle_pos": pd.Series(dtype=np.int64),
+        }
+        if pack_budget:
+            cols["pack_id"] = pd.Series(dtype=np.int64)
         if len(df) == 0 or "h" not in df.columns:
-            return pd.DataFrame(
-                {id_col: pd.Series(dtype=np.int64),
-                 "shuffle_pos": pd.Series(dtype=np.int64)}
-            )
-        # a bucket task may own several hash ranges; rank each independently
+            return pd.DataFrame(cols)
+        offs = ray.get(offs_ref)
         out = []
+        # a bucket task may own several hash ranges; rank each independently
         for r, sub in df.groupby("hrange", sort=False):
             sub = sub.sort_values(["h", id_col], kind="mergesort")
-            out.append(
-                pd.DataFrame(
-                    {
-                        id_col: sub[id_col].to_numpy(),
-                        "shuffle_pos": offsets[int(r)]
-                        + np.arange(len(sub), dtype=np.int64),
-                    }
-                )
-            )
+            row = {
+                id_col: sub[id_col].to_numpy(),
+                "shuffle_pos": offs["rank"][int(r)]
+                + np.arange(len(sub), dtype=np.int64),
+            }
+            if pack_budget:
+                nch = sub["n_chars"].to_numpy(np.int64)
+                prefix = offs["chars"][int(r)] + np.cumsum(nch) - nch
+                row["pack_id"] = prefix // pack_budget
+            out.append(pd.DataFrame(row))
         return pd.concat(out, ignore_index=True)
 
-    return hash_exchange(hashed, "hrange", rank_ranges, num_buckets=num_buckets)
+    return hash_exchange(ds, "hrange", assign, num_buckets=num_buckets)
