@@ -77,6 +77,46 @@ def hll_registers(
     )
 
 
+def hll_registers_by(
+    ds: ray.data.Dataset, col: str, group_col: str, p: int = HLL_P
+) -> pd.DataFrame:
+    """-> (group, register, rho_max): one HLL sketch PER GROUP — the
+    grouped distinct-count aggregate (e.g. distinct users per event
+    type).  Sparse partials: each batch emits only its observed
+    (group, register) cells, merged by max; driver holds at most
+    n_groups x 2**p small ints.  Zero-hit registers are omitted (the
+    natural GROUP BY shape, mirrored by the SQL twin)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    group_col: pd.Series(dtype=object),
+                    "register": pd.Series(dtype=np.int64),
+                    "rho_max": pd.Series(dtype=np.int64),
+                }
+            )
+        reg, rho = register_rho(df[col], p)
+        out = pd.DataFrame(
+            {group_col: df[group_col].to_numpy(), "register": reg, "rho": rho}
+        )
+        return (
+            out.groupby([group_col, "register"], sort=False)["rho"]
+            .max()
+            .reset_index(name="rho_max")
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    merged = (
+        partials.groupby([group_col, "register"], sort=True)["rho_max"]
+        .max()
+        .reset_index()
+    )
+    merged["register"] = merged["register"].astype(np.int64)
+    merged["rho_max"] = merged["rho_max"].astype(np.int64)
+    return merged
+
+
 def estimate(registers: pd.DataFrame, p: int = HLL_P) -> float:
     """Cardinality estimate from a register vector, with the standard
     small-range (linear counting) correction."""

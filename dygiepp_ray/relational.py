@@ -950,6 +950,34 @@ LEFT JOIN mx USING (register)
 """
 
 
+def hll_users_by_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped HLL: one distinct-user sketch per event_type."""
+    from .functions.hll import hll_registers_by
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return hll_registers_by(ev, "user_id", "event_type")
+
+
+SQL_HLL_USERS_BY_TYPE = f"""
+WITH h AS (
+  SELECT event_type,
+         {_sql_hexval_huge("md5(CAST(user_id AS VARCHAR))", 16)} AS val
+  FROM events
+),
+rr AS (
+  SELECT event_type,
+         CAST(val >> 56 AS BIGINT) AS register,
+         CAST(CASE WHEN (val % (1::HUGEINT << 56)) = 0 THEN 57
+              ELSE 57 - length(bin(val % (1::HUGEINT << 56))) END AS BIGINT) AS rho
+  FROM h
+)
+SELECT event_type, register, CAST(max(rho) AS BIGINT) AS rho_max
+FROM rr GROUP BY 1, 2
+"""
+
+
 def cms_users(sf_dir: str) -> pd.DataFrame:
     """Count-Min sketch counters over events.user_id (4 x 1024) — the
     frequency-estimation sketch; see functions/cms.py."""
@@ -992,4 +1020,5 @@ RELATIONAL_QUERIES = {
     "cohort_retention": (cohort_retention, SQL_COHORT_RETENTION),
     "revenue_rollup": (revenue_rollup, SQL_REVENUE_ROLLUP),
     "funnel_steps": (funnel_steps, SQL_FUNNEL_STEPS),
+    "hll_users_by_type": (hll_users_by_type, SQL_HLL_USERS_BY_TYPE),
 }

@@ -323,3 +323,31 @@ def test_funnel_steps_hand_computed(ray_session, tmp_path):
     assert out.loc[1, "n_users"] == 2  # u1, u2
     assert out.loc[2, "n_users"] == 1  # only u1 views after signup
     assert out.loc[3, "n_users"] == 1
+
+
+def test_hll_grouped_matches_per_group_sketch(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from dygiepp_ray.functions import hll
+
+    df = pd.DataFrame(
+        {
+            "v": np.concatenate([np.arange(500), np.arange(100)]).astype(np.int64),
+            "g": ["a"] * 500 + ["b"] * 100,
+        }
+    )
+    grouped = hll.hll_registers_by(rd.from_pandas(df).repartition(7), "v", "g")
+    for g, true_n in (("a", 500), ("b", 100)):
+        regs = grouped[grouped["g"] == g][["register", "rho_max"]]
+        # pad to the full register vector for the estimator
+        full = regs.set_index("register").reindex(range(256), fill_value=0)
+        full = full.reset_index()
+        est = hll.estimate(full)
+        assert abs(est - true_n) / true_n < 0.2, (g, est)
+        # grouped sketch == standalone sketch over that group's values
+        solo = hll.hll_registers(
+            rd.from_pandas(df[df["g"] == g][["v"]]), "v"
+        )
+        nz = solo[solo["rho_max"] > 0].reset_index(drop=True)
+        assert nz.equals(regs.sort_values("register").reset_index(drop=True))
