@@ -415,6 +415,48 @@ def frequent_ngrams(
     return out
 
 
+RARE_TOPK = 200
+
+
+def rare_bigram_scores(
+    ds: ray.data.Dataset,
+    k: int = RARE_TOPK,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """-> (doc_id, n_bigrams, n_rare): the LM-quality-filter shape using
+    the engine's own statistics — pass 1 computes the corpus-global
+    top-``k`` bigrams (:func:`frequent_ngrams`), pass 2 broadcasts that
+    set and counts each document's bigram occurrences outside it.  A
+    high rare fraction marks gibberish / OOV-heavy text (the integer
+    stand-in for perplexity scoring; swap the frequency set for a real
+    LM in the same two-stage DAG)."""
+    top = frequent_ngrams(ds, n=2, k=k, text_col=text_col, id_col=id_col,
+                          num_buckets=num_buckets)
+    top_set = frozenset(top["gram"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        g = _doc_ngrams(df, 2, text_col, id_col)
+        ids = df[id_col].to_numpy()
+        n_bi = g.groupby(id_col, sort=False).size().reindex(ids, fill_value=0)
+        rare = (
+            g[~g["gram"].isin(top_set)]
+            .groupby(id_col, sort=False)
+            .size()
+            .reindex(ids, fill_value=0)
+        )
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "n_bigrams": n_bi.to_numpy(np.int64),
+                "n_rare": rare.to_numpy(np.int64),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 def shuffle_rank(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",

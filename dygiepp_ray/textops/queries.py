@@ -757,6 +757,31 @@ ORDER BY n_occurrences DESC, gram ASC LIMIT {_corpus.FREQ_TOPK}
 """
 
 
+def q_rare_bigram_scores(sf_dir: str):
+    """Two-stage LM-quality signal: global top-k bigrams -> broadcast ->
+    per-doc out-of-vocabulary bigram counts — textops/corpus.py."""
+    return _corpus.rare_bigram_scores(_docs(sf_dir))
+
+
+SQL_RARE_BIGRAM_SCORES = _SQL_ARR + f""",
+g2 AS (
+  SELECT doc_id, array_to_string(arr[i:i+1], ' ') AS g
+  FROM base, unnest(range(1, len(arr))) AS r(i)
+),
+c AS (SELECT g, count(*) AS cnt FROM g2 GROUP BY 1),
+top AS (SELECT g FROM c ORDER BY cnt DESC, g ASC LIMIT {_corpus.RARE_TOPK}),
+s AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         sum(CASE WHEN g IN (SELECT g FROM top) THEN 0 ELSE 1 END) AS n_rare
+  FROM g2 GROUP BY 1
+)
+SELECT b.doc_id,
+       CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(s.n_rare, 0) AS BIGINT) AS n_rare
+FROM base b LEFT JOIN s USING (doc_id)
+"""
+
+
 def q_shuffle_rank(sf_dir: str):
     """Deterministic global shuffle: rank of md5(doc_id) via
     range-partitioned ranking (no global sort) — textops/corpus.py."""
@@ -812,4 +837,5 @@ TEXTOPS_QUERIES = {
     "shuffle_rank": (q_shuffle_rank, SQL_SHUFFLE_RANK),
     "frequent_ngrams": (q_frequent_ngrams, SQL_FREQUENT_NGRAMS),
     "prepare_training_set": (q_prepare_training_set, SQL_PREPARE_TRAINING_SET),
+    "rare_bigram_scores": (q_rare_bigram_scores, SQL_RARE_BIGRAM_SCORES),
 }

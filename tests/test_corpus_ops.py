@@ -281,3 +281,22 @@ def test_prepare_training_set_empty_corpus(ray_session):
     )
     out = corpus.prepare_training_set(ds, concurrency=None).to_pandas()
     assert len(out) == 0
+
+
+def test_rare_bigram_scores_hand_case(ray_session):
+    # "a b" dominates; with k=1 only "a b" is in-vocab
+    ds = _docs_ds(
+        [
+            (1, "a b a b a b"),   # bigrams: ab,ba,ab,ba,ab -> 3 in-vocab, 2 rare
+            (2, "z z"),           # 1 bigram, rare
+            (3, "solo"),          # none
+        ]
+    )
+    out = (
+        corpus.rare_bigram_scores(ds, k=1)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "n_bigrams"] == 5 and out.loc[1, "n_rare"] == 2
+    assert out.loc[2, "n_bigrams"] == 1 and out.loc[2, "n_rare"] == 1
+    assert out.loc[3, "n_bigrams"] == 0 and out.loc[3, "n_rare"] == 0
