@@ -708,26 +708,35 @@ def funnel_steps(sf_dir: str, steps: tuple[str, ...] = FUNNEL_STEPS) -> pd.DataF
         for k, name in enumerate(steps):
             sub = df[df["event_type"] == name]
             if prev is not None:
-                # keep the comparison in int64: reindex-with-missing
-                # promotes to float64, losing exactness beyond 2^53 us
-                tp = prev.reindex(sub["user_id"])
-                present = tp.notna().to_numpy()
-                tpv = tp.fillna(0).astype(np.int64).to_numpy()
-                sub = sub[present & (sub["t"].to_numpy() > tpv)]
+                if len(prev) == 0:
+                    sub = sub.iloc[0:0]
+                else:
+                    # int64 end to end: reindex would promote through
+                    # float64 on any missing label (inexact beyond
+                    # 2^53 us), so look up positions and mask instead
+                    idx = prev.index.get_indexer(sub["user_id"])
+                    present = idx >= 0
+                    tpv = prev.to_numpy()[np.clip(idx, 0, None)]
+                    sub = sub[present & (sub["t"].to_numpy() > tpv)]
             cur = sub.groupby("user_id")["t"].min()
             rows.append((k + 1, name, len(cur)))
             prev = cur
         return pd.DataFrame(rows, columns=["step", "step_name", "n_users"])
 
     partials = partitioned_map_groups(slim, "user_id", per_bucket).to_pandas()
-    out = (
-        partials.groupby(["step", "step_name"], sort=True)["n_users"]
-        .sum()
-        .reset_index()
+    # always emit one row per step (the SQL twin's count(*) over an
+    # empty CTE is a 0 row, never an absent row)
+    totals = {name: 0 for name in steps}
+    if not partials.empty and "step_name" in partials.columns:
+        for name, n in partials.groupby("step_name")["n_users"].sum().items():
+            totals[name] = int(n)
+    return pd.DataFrame(
+        {
+            "step": np.arange(1, len(steps) + 1, dtype=np.int64),
+            "step_name": list(steps),
+            "n_users": np.array([totals[s] for s in steps], dtype=np.int64),
+        }
     )
-    out["step"] = out["step"].astype(np.int64)
-    out["n_users"] = out["n_users"].astype(np.int64)
-    return out
 
 
 def _sql_funnel(steps: tuple[str, ...]) -> str:

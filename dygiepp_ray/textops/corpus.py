@@ -44,13 +44,18 @@ DECONTAM_NGRAM = 4
 EVAL_MOD = 23  # deterministic stand-in for "the benchmark suite": doc_id % EVAL_MOD == 0
 
 
-def _doc_ngrams(df: pd.DataFrame, n: int, text_col: str, id_col: str) -> pd.DataFrame:
+def _doc_ngrams(
+    df: pd.DataFrame, n: int, text_col: str, id_col: str,
+    toks: pd.Series | None = None,
+) -> pd.DataFrame:
     """(doc_id, gram) for every space-joined ``n``-gram occurrence, built
     from flat shifted token arrays (one vectorized string concat per
     shift, no per-row loop).  Row boundaries (not doc_id equality) gate
     gram validity, so duplicate doc_ids across rows cannot fabricate
-    cross-row grams."""
-    toks = _doc_tokens(df, text_col)
+    cross-row grams.  Pass precomputed ``toks`` (from ``_doc_tokens``)
+    to skip re-tokenizing when the caller already has them."""
+    if toks is None:
+        toks = _doc_tokens(df, text_col)
     lens = toks.map(len).to_numpy(np.int64)
     ids = np.repeat(df[id_col].to_numpy(), lens)
     rows = np.repeat(np.arange(len(df), dtype=np.int64), lens)
@@ -95,12 +100,13 @@ def eval_ngram_set(
 
 
 def _eval_hit_counts(
-    df: pd.DataFrame, grams: frozenset, n: int, text_col: str, id_col: str
+    df: pd.DataFrame, grams: frozenset, n: int, text_col: str, id_col: str,
+    toks: pd.Series | None = None,
 ) -> np.ndarray:
     """Distinct ``n``-grams of each row present in ``grams`` — the single
     home of the contamination-count semantics (used by decontaminate AND
     prepare_training_set; keep them in lockstep)."""
-    g = _doc_ngrams(df, n, text_col, id_col).drop_duplicates()
+    g = _doc_ngrams(df, n, text_col, id_col, toks=toks).drop_duplicates()
     hit = g[g["gram"].isin(grams)]
     n_hits = hit.groupby(id_col, sort=False).size()
     return n_hits.reindex(df[id_col].to_numpy(), fill_value=0).to_numpy(np.int64)
@@ -142,11 +148,18 @@ class _ContaminationCheck:
     batch is a vectorized distinct-gram membership count."""
 
     def __init__(self, grams_ref, n: int, eval_mod: int | None, text_col: str, id_col: str):
-        self.grams = ray.get(grams_ref) if isinstance(grams_ref, ray.ObjectRef) else grams_ref
+        # keep the REF until first use: resolving in __init__ on the
+        # driver (task-pool path) would pickle the whole gram set into
+        # every task spec instead of a zero-copy object-store fetch
+        self._grams_src = grams_ref
+        self.grams: frozenset | None = None
         self.n, self.eval_mod = n, eval_mod
         self.text_col, self.id_col = text_col, id_col
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if self.grams is None:
+            src = self._grams_src
+            self.grams = ray.get(src) if isinstance(src, ray.ObjectRef) else src
         id_col = self.id_col
         ids = df[id_col].to_numpy()
         hits = _eval_hit_counts(df, self.grams, self.n, self.text_col, id_col)
@@ -225,7 +238,8 @@ def repetition_scores(
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         ids = df[id_col].to_numpy()
-        g2 = _doc_ngrams(df, 2, text_col, id_col)
+        toks = _doc_tokens(df, text_col)  # tokenize once for both gram sizes
+        g2 = _doc_ngrams(df, 2, text_col, id_col, toks=toks)
         c2 = g2.groupby([id_col, "gram"], sort=False).size().reset_index(name="c")
         top2 = (
             c2.sort_values([id_col, "c", "gram"], ascending=[True, False, True],
@@ -233,7 +247,7 @@ def repetition_scores(
             .drop_duplicates(id_col)
             .set_index(id_col)
         )
-        g3 = _doc_ngrams(df, 3, text_col, id_col)
+        g3 = _doc_ngrams(df, 3, text_col, id_col, toks=toks)
         c3 = g3.groupby([id_col, "gram"], sort=False).size().reset_index(name="c")
         c3["dup"] = np.where(c3["c"] >= 2, c3["c"], 0)
         d3 = c3.groupby(id_col, sort=False).agg(dup3=("dup", "sum"), n3=("c", "sum"))
@@ -260,13 +274,17 @@ class _PrepFeats:
 
     def __init__(self, grams_ref, n, eval_mod, min_tokens, diversity,
                  prefix_bytes, text_col, id_col):
-        self.grams = ray.get(grams_ref) if isinstance(grams_ref, ray.ObjectRef) else grams_ref
+        self._grams_src = grams_ref  # lazy: see _ContaminationCheck
+        self.grams: frozenset | None = None
         self.n, self.eval_mod = n, eval_mod
         self.min_tokens, self.diversity = min_tokens, diversity
         self.prefix_bytes = prefix_bytes
         self.text_col, self.id_col = text_col, id_col
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if self.grams is None:
+            src = self._grams_src
+            self.grams = ray.get(src) if isinstance(src, ray.ObjectRef) else src
         id_col, text_col = self.id_col, self.text_col
 
         toks = _doc_tokens(df, text_col)
@@ -274,7 +292,7 @@ class _PrepFeats:
         n_dist = toks.map(lambda t: len(set(t))).to_numpy(np.int64)
         quality_ok = (n_tok >= self.min_tokens) & (self.diversity * n_dist >= n_tok)
         ids = df[id_col].to_numpy()
-        hits = _eval_hit_counts(df, self.grams, self.n, text_col, id_col)
+        hits = _eval_hit_counts(df, self.grams, self.n, text_col, id_col, toks=toks)
         h, hrange = _md5_rank_cols(df[id_col], self.prefix_bytes)
         if "n_chars" in df.columns:
             n_chars = df["n_chars"].to_numpy().astype(np.int64)
@@ -432,6 +450,9 @@ def rare_bigram_scores(
     high rare fraction marks gibberish / OOV-heavy text (the integer
     stand-in for perplexity scoring; swap the frequency set for a real
     LM in the same two-stage DAG)."""
+    # two-pass consumer: pin the pruned input once (same materialize
+    # rationale as the iterative ANN consumers in textops/ann.py)
+    ds = ds.materialize()
     top = frequent_ngrams(ds, n=2, k=k, text_col=text_col, id_col=id_col,
                           num_buckets=num_buckets)
     top_set = frozenset(top["gram"])

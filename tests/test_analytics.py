@@ -351,3 +351,25 @@ def test_hll_grouped_matches_per_group_sketch(ray_session):
         )
         nz = solo[solo["rho_max"] > 0].reset_index(drop=True)
         assert nz.equals(regs.sort_values("register").reset_index(drop=True))
+
+
+def test_funnel_emits_all_steps_when_empty(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dygiepp_ray import relational as R
+
+    tbl = pa.table(
+        {
+            "user_id": pa.array([1], pa.int64()),
+            "event_type": pa.array(["view"]),
+            "ts": pa.array([pd.Timestamp("2024-01-01").to_pydatetime()],
+                           pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    # first step 'signup' never occurs -> every step must still emit a row
+    out = R.funnel_steps(str(tmp_path), steps=("signup", "view")).set_index("step")
+    assert len(out) == 2
+    assert out.loc[1, "n_users"] == 0 and out.loc[2, "n_users"] == 0
