@@ -82,6 +82,56 @@ def cms_counters(
     return merged
 
 
+def cms_counters_by(
+    ds: ray.data.Dataset, col: str, group_col: str,
+    depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
+) -> pd.DataFrame:
+    """-> (group, row, col, count): one Count-Min sketch PER GROUP
+    (e.g. per-event-type user frequencies).  Sparse partials as in
+    :func:`cms_counters`, keyed additionally by the group; merge is a
+    cell-wise sum, driver holds at most n_groups x d x w ints."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                group_col: pd.Series(dtype=object),
+                "row": pd.Series(dtype=np.int64),
+                "col": pd.Series(dtype=np.int64),
+                "count": pd.Series(dtype=np.int64),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        vc = df.groupby([group_col, col], sort=False).size().reset_index(name="m")
+        outs = []
+        for j in range(depth):
+            cells = _cell(j, vc[col], width)
+            sub = pd.DataFrame(
+                {
+                    group_col: vc[group_col].to_numpy(),
+                    "row": np.full(len(vc), j, dtype=np.int64),
+                    "col": cells,
+                    "count": vc["m"].to_numpy(np.int64),
+                }
+            )
+            outs.append(
+                sub.groupby([group_col, "row", "col"], sort=False)["count"]
+                .sum()
+                .reset_index()
+            )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    merged = (
+        partials.groupby([group_col, "row", "col"], sort=True)["count"]
+        .sum()
+        .reset_index()
+    )
+    for c in ("row", "col", "count"):
+        merged[c] = merged[c].astype(np.int64)
+    return merged
+
+
 def estimate(counters: pd.DataFrame, value, depth: int = CMS_DEPTH,
              width: int = CMS_WIDTH) -> int:
     """Point frequency estimate: min over rows of the value's cell —

@@ -1010,6 +1010,31 @@ FROM h GROUP BY 1, 2
 """
 
 
+def cms_users_by_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped Count-Min: one per-event-type user-frequency sketch."""
+    from .functions.cms import cms_counters_by
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return cms_counters_by(ev, "user_id", "event_type")
+
+
+SQL_CMS_USERS_BY_TYPE = f"""
+WITH rows_ AS (SELECT CAST(range AS BIGINT) AS row FROM range(0, 4)),
+h AS (
+  SELECT event_type, r.row,
+         {_sql_hexval_huge(
+             "md5(CAST(r.row AS VARCHAR) || ':' || CAST(user_id AS VARCHAR))", 16
+         )} % 1024 AS col
+  FROM events, rows_ r
+)
+SELECT event_type, row, CAST(col AS BIGINT) AS col,
+       CAST(count(*) AS BIGINT) AS "count"
+FROM h GROUP BY 1, 2, 3
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -1030,4 +1055,5 @@ RELATIONAL_QUERIES = {
     "revenue_rollup": (revenue_rollup, SQL_REVENUE_ROLLUP),
     "funnel_steps": (funnel_steps, SQL_FUNNEL_STEPS),
     "hll_users_by_type": (hll_users_by_type, SQL_HLL_USERS_BY_TYPE),
+    "cms_users_by_type": (cms_users_by_type, SQL_CMS_USERS_BY_TYPE),
 }

@@ -373,3 +373,27 @@ def test_funnel_emits_all_steps_when_empty(ray_session, tmp_path):
     out = R.funnel_steps(str(tmp_path), steps=("signup", "view")).set_index("step")
     assert len(out) == 2
     assert out.loc[1, "n_users"] == 0 and out.loc[2, "n_users"] == 0
+
+
+def test_cms_grouped_matches_per_group_sketch(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from dygiepp_ray.functions import cms
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "v": rng.integers(0, 50, size=1000).astype(np.int64),
+            "g": np.where(np.arange(1000) % 3 == 0, "x", "y"),
+        }
+    )
+    grouped = cms.cms_counters_by(rd.from_pandas(df).repartition(5), "v", "g")
+    for g in ("x", "y"):
+        solo = cms.cms_counters(rd.from_pandas(df[df["g"] == g][["v"]]), "v")
+        sub = (
+            grouped[grouped["g"] == g][["row", "col", "count"]]
+            .sort_values(["row", "col"])
+            .reset_index(drop=True)
+        )
+        assert sub.equals(solo.sort_values(["row", "col"]).reset_index(drop=True))
