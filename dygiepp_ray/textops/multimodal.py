@@ -135,6 +135,84 @@ def decode_features(
     )
 
 
+WAV_SEED = 9
+WAV_RATE = 8000
+
+
+def synth_wav(n: int = 32, seed: int = WAV_SEED) -> pa.Table:
+    """(media_id, payload): REAL RIFF/WAV files (mono, 16-bit,
+    ``WAV_RATE`` Hz) written with the stdlib ``wave`` module.  Sample
+    bytes are an md5 hex chain (``unhexlify(md5('wav:seed:i:j')...)``),
+    so the DuckDB oracle regenerates every int16 sample from hex-pair
+    arithmetic — unlike ``synth_media``'s opaque payloads, this decode
+    path parses an actual container format."""
+    import io
+    import wave
+
+    ids, payloads = [], []
+    for i in range(n):
+        base = hashlib.md5(f"wav:{seed}:{i}".encode()).hexdigest()
+        n_samples = 64 + int(base[0:4], 16) % 448
+        hexchain = []
+        j = 0
+        while 32 * j < 4 * n_samples:
+            hexchain.append(hashlib.md5(f"wav:{seed}:{i}:{j}".encode()).hexdigest())
+            j += 1
+        sample_bytes = bytes.fromhex("".join(hexchain)[: 4 * n_samples])
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(WAV_RATE)
+            w.writeframes(sample_bytes)
+        ids.append(i)
+        payloads.append(buf.getvalue())
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+class WavDecoder:
+    """Actor-pool stage: REAL audio decode via the stdlib ``wave``
+    module — parses the RIFF container (header fields come from the
+    FILE, not from metadata columns) and reduces the int16 PCM stream
+    vectorized."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        import io
+        import wave
+
+        rates, counts, sums = [], [], []
+        for payload in df["payload"]:
+            with wave.open(io.BytesIO(payload), "rb") as w:
+                rates.append(w.getframerate())
+                nf = w.getnframes()
+                counts.append(nf)
+                pcm = np.frombuffer(w.readframes(nf), dtype="<i2")
+            sums.append(int(np.abs(pcm.astype(np.int64)).sum()))
+        return pd.DataFrame(
+            {
+                "media_id": df["media_id"].to_numpy().astype(np.int64),
+                "sample_rate": np.array(rates, dtype=np.int64),
+                "n_samples": np.array(counts, dtype=np.int64),
+                "sum_abs": np.array(sums, dtype=np.int64),
+            }
+        )
+
+
+def wav_features(
+    media: ray.data.Dataset, concurrency: int = 2, batch_size: int = 16
+) -> ray.data.Dataset:
+    """Real-decode audio features: small batches (binary payloads)."""
+    return media.map_batches(
+        WavDecoder, batch_format="pandas",
+        batch_size=batch_size, concurrency=concurrency,
+    )
+
+
 def frame_sample(
     media: ray.data.Dataset, every_ms: int = 1000, concurrency: int = 2
 ) -> ray.data.Dataset:

@@ -544,6 +544,51 @@ FROM pay
 """
 
 
+def q_wav_features(sf_dir: str):
+    """REAL audio decode: stdlib-wave parse of genuine RIFF/WAV payloads
+    (synthesized from an md5 sample chain so SQL regenerates every int16
+    sample) — header fields and the PCM reduction both come from the
+    decoded FILE."""
+    media = ray.data.from_arrow(multimodal.synth_wav(32))
+    return multimodal.wav_features(media)
+
+
+_HEXNIB = "strpos('0123456789abcdef', substr(chunk, off + {o}, 1)) - 1"
+
+SQL_WAV_FEATURES = f"""
+WITH m AS (
+  SELECT i AS media_id, md5('wav:{multimodal.WAV_SEED}:' || i) AS base
+  FROM range(0, 32) t(i)
+),
+p AS (
+  SELECT media_id, 64 + {_sql_hexval('base', 1, 4)} % 448 AS n_samples FROM m
+),
+raw AS (
+  SELECT media_id, n_samples,
+         md5('wav:{multimodal.WAV_SEED}:' || media_id || ':'
+             || CAST(k // 8 AS VARCHAR)) AS chunk,
+         (k % 8) * 4 AS off
+  FROM p, unnest(range(0, n_samples)) r(k)
+),
+sv AS (
+  SELECT media_id, n_samples,
+         (({_HEXNIB.format(o=1)}) * 16 + ({_HEXNIB.format(o=2)}))
+       + 256 * (({_HEXNIB.format(o=3)}) * 16 + ({_HEXNIB.format(o=4)})) AS u
+  FROM raw
+),
+sgn AS (
+  SELECT media_id, n_samples,
+         CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+  FROM sv
+)
+SELECT media_id,
+       CAST({multimodal.WAV_RATE} AS BIGINT) AS sample_rate,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(sum(abs(v)) AS BIGINT) AS sum_abs
+FROM sgn GROUP BY media_id, n_samples
+"""
+
+
 def q_curate(sf_dir: str):
     """Composite curation pipeline (quality gate x exact dedup x
     near dedup), end-to-end oracle-checked — see textops/curation.py."""
@@ -829,6 +874,7 @@ TEXTOPS_QUERIES = {
     "near_dup_components": (q_near_dup_components, SQL_NEAR_DUP_COMPONENTS),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
+    "wav_features": (q_wav_features, SQL_WAV_FEATURES),
     "curate_corpus": (q_curate, SQL_CURATE),
     "chunk_documents": (_chunks.q_chunk_documents, _chunks.SQL_CHUNK_DOCUMENTS),
     "tfidf_top_terms": (_chunks.q_tfidf_top_terms, _chunks.SQL_TFIDF_TOP_TERMS),

@@ -458,3 +458,32 @@ def test_chunks_and_tfidf_match_duckdb(ray_session):
                 want[c] = want[c].astype("int64")
         assert len(got) > 0
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_wav_synth_is_real_riff_and_decoder_matches_numpy(ray_session):
+    import io
+    import wave
+
+    import numpy as np
+    import ray.data as rd
+
+    from dygiepp_ray.textops import multimodal as M
+
+    tbl = M.synth_wav(8)
+    # payloads are genuine RIFF/WAV containers the stdlib can open
+    p0 = tbl["payload"][0].as_py()
+    assert p0[:4] == b"RIFF" and p0[8:12] == b"WAVE"
+    with wave.open(io.BytesIO(p0), "rb") as w:
+        assert w.getframerate() == M.WAV_RATE
+        assert w.getnchannels() == 1 and w.getsampwidth() == 2
+        pcm = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    out = (
+        M.wav_features(rd.from_arrow(tbl))
+        .to_pandas()
+        .set_index("media_id")
+        .sort_index()
+    )
+    assert out.loc[0, "sample_rate"] == M.WAV_RATE
+    assert out.loc[0, "n_samples"] == len(pcm)
+    assert out.loc[0, "sum_abs"] == int(np.abs(pcm.astype(np.int64)).sum())
+    assert len(out) == 8
