@@ -589,6 +589,74 @@ FROM sgn GROUP BY media_id, n_samples
 """
 
 
+def q_ppm_features(sf_dir: str):
+    """REAL image decode: binary-PPM (P6) container parse — width/height
+    read from the file header, per-channel sums reduce the RGB matrix.
+    Pixel bytes are an md5 hex chain, so the SQL twin regenerates every
+    byte and reduces it with hex-nibble arithmetic."""
+    media = ray.data.from_arrow(multimodal.synth_ppm(16))
+    return multimodal.ppm_features(media)
+
+
+# Shared pixel-regeneration prefix: byte k of image i lives in hex chunk
+# md5('ppm:SEED:i:' || k // 16) at 0-based hex offset (k % 16) * 2;
+# channel = k % 3, pixel index = k // 3.
+_SQL_PPM_PIXELS = f"""
+WITH m AS (
+  SELECT i AS media_id, md5('ppm:{multimodal.PPM_SEED}:' || i) AS base
+  FROM range(0, 16) t(i)
+),
+d AS (
+  SELECT media_id,
+         8 + {_sql_hexval('base', 1, 4)} % 56 AS w,
+         8 + {_sql_hexval('base', 5, 4)} % 56 AS h
+  FROM m
+),
+raw AS (
+  SELECT media_id, w, h,
+         md5('ppm:{multimodal.PPM_SEED}:' || media_id || ':'
+             || CAST(k // 16 AS VARCHAR)) AS chunk,
+         (k % 16) * 2 AS off, k % 3 AS ch,
+         (k // 3) // w AS r, (k // 3) % w AS c
+  FROM d, unnest(range(0, w * h * 3)) u(k)
+),
+bv AS (
+  SELECT media_id, w, h, ch, r, c,
+         ({_HEXNIB.format(o=1)}) * 16 + ({_HEXNIB.format(o=2)}) AS b
+  FROM raw
+)
+"""
+
+SQL_PPM_FEATURES = _SQL_PPM_PIXELS + """
+SELECT media_id,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(sum(CASE WHEN ch = 0 THEN b ELSE 0 END) AS BIGINT) AS sum_r,
+       CAST(sum(CASE WHEN ch = 1 THEN b ELSE 0 END) AS BIGINT) AS sum_g,
+       CAST(sum(CASE WHEN ch = 2 THEN b ELSE 0 END) AS BIGINT) AS sum_b
+FROM bv GROUP BY media_id, w, h
+"""
+
+
+def q_ppm_resize(sf_dir: str):
+    """REAL image resize: nearest-neighbor 2x downsample of the P6
+    payload (numpy striding), then the same real decode — the SQL twin
+    keeps pixels at even (row, col) and recomputes the header dims."""
+    media = ray.data.from_arrow(multimodal.synth_ppm(16))
+    return multimodal.ppm_features(multimodal.resize_images(media, factor=2))
+
+
+SQL_PPM_RESIZE = _SQL_PPM_PIXELS + """
+SELECT media_id,
+       CAST((w + 1) // 2 AS BIGINT) AS width,
+       CAST((h + 1) // 2 AS BIGINT) AS height,
+       CAST(sum(CASE WHEN ch = 0 THEN b ELSE 0 END) AS BIGINT) AS sum_r,
+       CAST(sum(CASE WHEN ch = 1 THEN b ELSE 0 END) AS BIGINT) AS sum_g,
+       CAST(sum(CASE WHEN ch = 2 THEN b ELSE 0 END) AS BIGINT) AS sum_b
+FROM bv WHERE r % 2 = 0 AND c % 2 = 0
+GROUP BY media_id, w, h
+"""
+
+
 def q_curate(sf_dir: str):
     """Composite curation pipeline (quality gate x exact dedup x
     near dedup), end-to-end oracle-checked — see textops/curation.py."""
@@ -875,6 +943,8 @@ TEXTOPS_QUERIES = {
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "wav_features": (q_wav_features, SQL_WAV_FEATURES),
+    "ppm_features": (q_ppm_features, SQL_PPM_FEATURES),
+    "ppm_resize": (q_ppm_resize, SQL_PPM_RESIZE),
     "curate_corpus": (q_curate, SQL_CURATE),
     "chunk_documents": (_chunks.q_chunk_documents, _chunks.SQL_CHUNK_DOCUMENTS),
     "tfidf_top_terms": (_chunks.q_tfidf_top_terms, _chunks.SQL_TFIDF_TOP_TERMS),

@@ -487,3 +487,48 @@ def test_wav_synth_is_real_riff_and_decoder_matches_numpy(ray_session):
     assert out.loc[0, "n_samples"] == len(pcm)
     assert out.loc[0, "sum_abs"] == int(np.abs(pcm.astype(np.int64)).sum())
     assert len(out) == 8
+
+
+def test_ppm_synth_is_real_p6_and_decoder_matches_numpy(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from dygiepp_ray.textops import multimodal as M
+
+    tbl = M.synth_ppm(6)
+    p0 = tbl["payload"][0].as_py()
+    assert p0.startswith(b"P6\n")
+    w, h, px = M._parse_ppm(p0)
+    assert px.shape == (w * h, 3)
+    out = (
+        M.ppm_features(rd.from_arrow(tbl))
+        .to_pandas()
+        .set_index("media_id")
+        .sort_index()
+    )
+    assert len(out) == 6
+    assert out.loc[0, "width"] == w and out.loc[0, "height"] == h
+    sums = px.astype(np.int64).sum(axis=0)
+    assert out.loc[0, "sum_r"] == sums[0]
+    assert out.loc[0, "sum_g"] == sums[1]
+    assert out.loc[0, "sum_b"] == sums[2]
+
+
+def test_ppm_resize_nearest_matches_reference(ray_session):
+    import numpy as np
+
+    from dygiepp_ray.textops import multimodal as M
+
+    tbl = M.synth_ppm(4)
+    for payload in tbl["payload"].to_pylist():
+        w, h, px = M._parse_ppm(payload)
+        for factor in (2, 3):
+            small = M.resize_nearest(payload, factor)
+            nw, nh, npx = M._parse_ppm(small)
+            # reference: explicit index_select on the full image
+            img = px.reshape(h, w, 3)
+            rows = list(range(0, h, factor))
+            cols = list(range(0, w, factor))
+            ref = img[np.ix_(rows, cols)].reshape(-1, 3)
+            assert (nh, nw) == (len(rows), len(cols))
+            assert np.array_equal(npx, ref)
