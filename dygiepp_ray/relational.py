@@ -1035,6 +1035,101 @@ FROM h GROUP BY 1, 2, 3
 """
 
 
+def price_histogram(sf_dir: str, bin_cents: int = 25_000_00) -> ray.data.Dataset:
+    """Mergeable equi-width histogram sketch over orders.o_totalprice
+    (the third sketch family next to HLL and CMS): each batch folds to
+    its local (bin -> n, sum_cents) partial, partials merge by integer
+    addition in a tiny keyed exchange — the distributed-histogram shape
+    where shuffle bytes are O(n_bins x n_blocks) regardless of row
+    count.  Prices are floored to integer cents before binning so the
+    DuckDB twin is bit-exact (no float-boundary drift at bin edges)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["o_totalprice"].to_numpy(np.float64) * 100.0).astype(
+            np.int64
+        )
+        bins = cents // bin_cents
+        g = pd.DataFrame({"bin": bins, "cents": cents}).groupby("bin", sort=False)
+        out = g.agg(n=("cents", "size"), sum_cents=("cents", "sum")).reset_index()
+        return out.astype({"bin": np.int64, "n": np.int64, "sum_cents": np.int64})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bin", sort=False).agg(
+            n=("n", "sum"), sum_cents=("sum_cents", "sum")
+        ).reset_index()
+        return g.astype({"bin": np.int64, "n": np.int64, "sum_cents": np.int64})
+
+    return partitioned_map_groups(partials, "bin", merge, num_buckets=4)
+
+
+SQL_PRICE_HISTOGRAM = """
+SELECT CAST(floor(o_totalprice * 100.0) AS BIGINT) // 2500000 AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM orders GROUP BY 1
+"""
+
+
+def events_moving_sum(sf_dir: str, window: int = 3) -> ray.data.Dataset:
+    """Per-key moving-window aggregate (the lead/lag window-function
+    family): for every event, the sum of the last ``window`` values of
+    its user's stream ordered by (ts, event_id) — realized as ONE keyed
+    exchange on user_id with a vectorized prefix-sum difference per
+    bucket (no per-row loop; a user's history never spans buckets).
+    Values are floored to integer cents per row BEFORE summation so the
+    window sum is order-independent and the DuckDB ROWS-BETWEEN twin
+    hashes identically."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def moving(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype=np.int64),
+                    "user_id": pd.Series(dtype=np.int64),
+                    "mov_cents": pd.Series(dtype=np.int64),
+                }
+            )
+        t = ts_epoch_us(df["ts"])
+        order = np.lexsort(
+            (df["event_id"].to_numpy(np.int64), t, df["user_id"].to_numpy(np.int64))
+        )
+        uid = df["user_id"].to_numpy(np.int64)[order]
+        eid = df["event_id"].to_numpy(np.int64)[order]
+        cents = np.floor(df["value"].to_numpy(np.float64)[order] * 100.0).astype(
+            np.int64
+        )
+        pref = np.concatenate([[0], np.cumsum(cents)])
+        idx = np.arange(len(cents))
+        lo = np.maximum(idx - (window - 1), 0)
+        # clamp the window start to the first row of each user's run
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        run_start = np.maximum.accumulate(np.where(new_user, idx, 0))
+        lo = np.maximum(lo, run_start)
+        mov = pref[idx + 1] - pref[lo]
+        return pd.DataFrame(
+            {"event_id": eid, "user_id": uid, "mov_cents": mov.astype(np.int64)}
+        )
+
+    return partitioned_map_groups(ds, "user_id", moving, num_buckets=16)
+
+
+SQL_EVENTS_MOVING_SUM = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_cents
+FROM events
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -1056,4 +1151,6 @@ RELATIONAL_QUERIES = {
     "funnel_steps": (funnel_steps, SQL_FUNNEL_STEPS),
     "hll_users_by_type": (hll_users_by_type, SQL_HLL_USERS_BY_TYPE),
     "cms_users_by_type": (cms_users_by_type, SQL_CMS_USERS_BY_TYPE),
+    "price_histogram": (price_histogram, SQL_PRICE_HISTOGRAM),
+    "events_moving_sum": (events_moving_sum, SQL_EVENTS_MOVING_SUM),
 }

@@ -37,7 +37,7 @@ import pandas as pd
 import ray
 import ray.data
 
-from ..core import hash_exchange
+from ..core import hash_exchange, partitioned_map_groups
 from .chunks import _doc_tokens
 
 DECONTAM_NGRAM = 4
@@ -515,6 +515,54 @@ def shuffle_rank(
     counts = hashed.map_batches(range_counts, batch_format="pandas").to_pandas()
     offs = _range_offsets(counts, 256 ** prefix_bytes, ("cnt",))
     return _assign_range_ranks(hashed, offs["cnt"], id_col, num_buckets)
+
+
+TRAIN_HEX, VAL_HEX = "cc", "e6"  # first md5 byte: <0xcc train, <0xe6 val, else test
+
+
+def train_split(
+    ds: ray.data.Dataset, id_col: str = "doc_id", source_col: str = "source",
+    chars_col: str = "n_chars",
+) -> ray.data.Dataset:
+    """-> (source, split, n_docs, sum_chars): deterministic ~80/10/10
+    train/val/test assignment, the reproducible-split primitive of a
+    training-data pipeline (the reference ships fixed train/dev/test
+    JSONL folds — ``dwadden/dygiepp doc/data.md``; at corpus scale the
+    fold must be a pure function of the document key so it is stable
+    across engines, reruns and parallelism).  Membership = first byte of
+    ``md5(str(id))`` against fixed hex fences (the orders_sample trade:
+    per-key md5 is the documented price of an engine-reproducible
+    split).  Embarrassingly parallel: per-batch (source, split) partials
+    integer-merge in a tiny keyed exchange — no shuffle of the corpus
+    itself."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = df[id_col].map(
+            lambda k: hashlib.md5(str(k).encode()).hexdigest()[:2]
+        )
+        split = np.where(
+            b.to_numpy() < TRAIN_HEX, "train",
+            np.where(b.to_numpy() < VAL_HEX, "val", "test"),
+        )
+        g = pd.DataFrame(
+            {
+                "source": df[source_col].to_numpy(),
+                "split": split,
+                "chars": df[chars_col].to_numpy(np.int64),
+            }
+        ).groupby(["source", "split"], sort=False)
+        out = g.agg(n_docs=("chars", "size"), sum_chars=("chars", "sum")).reset_index()
+        return out.astype({"n_docs": np.int64, "sum_chars": np.int64})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "split"], sort=False).agg(
+            n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum")
+        ).reset_index()
+        return g.astype({"n_docs": np.int64, "sum_chars": np.int64})
+
+    return partitioned_map_groups(partials, "source", merge, num_buckets=4)
 
 
 def _assign_range_ranks(

@@ -32,11 +32,15 @@ def token_counts(ds: ray.data.Dataset, text_col="text", id_col="doc_id") -> ray.
     return ds.map_batches(fn, batch_format="pandas")
 
 
-def quality_scores(ds: ray.data.Dataset, text_col="text", id_col="doc_id") -> ray.data.Dataset:
+def quality_scores(
+    ds: ray.data.Dataset, text_col="text", id_col="doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> ray.data.Dataset:
     """(doc_id, n_tokens, n_stopwords, n_distinct, mean_token_len_x100)
 
     All integer-valued (mean scaled x100 and floored) so the DuckDB
-    oracle hashes identically — no float drift.
+    oracle hashes identically — no float drift.  ``keep_cols`` are
+    copied through unchanged (e.g. ``source`` for downstream grouping).
     """
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -48,15 +52,16 @@ def quality_scores(ds: ray.data.Dataset, text_col="text", id_col="doc_id") -> ra
         n_dist = toks.map(lambda t: len(set(t))).to_numpy().astype(np.int64)
         tot_len = toks.map(lambda t: sum(len(w) for w in t)).to_numpy().astype(np.int64)
         mean100 = np.where(n > 0, (tot_len * 100) // np.maximum(n, 1), 0)
-        return pd.DataFrame(
-            {
-                "doc_id": df[id_col].to_numpy(),
-                "n_tokens": n,
-                "n_stopwords": n_stop,
-                "n_distinct": n_dist,
-                "mean_token_len_x100": mean100.astype(np.int64),
-            }
-        )
+        cols = {
+            "doc_id": df[id_col].to_numpy(),
+            "n_tokens": n,
+            "n_stopwords": n_stop,
+            "n_distinct": n_dist,
+            "mean_token_len_x100": mean100.astype(np.int64),
+        }
+        for c in keep_cols:
+            cols[c] = df[c].to_numpy()
+        return pd.DataFrame(cols)
 
     return ds.map_batches(fn, batch_format="pandas")
 

@@ -925,6 +925,85 @@ FROM documents
 #   keeps every positive pair at cosine 1.0 with sign-identical
 #   hyperplane signatures -> recall exact by construction (see
 #   q_embedding_near_dups docstring).
+def q_train_split(sf_dir: str):
+    """Deterministic ~80/10/10 train/val/test fold assignment (md5 hex
+    fences per doc key) folded to per-(source, split) counts —
+    textops/corpus.py."""
+    from . import corpus as _c
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    return _c.train_split(ds)
+
+
+SQL_TRAIN_SPLIT = """
+WITH s AS (
+  SELECT source, n_chars,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_quality_gate(sf_dir: str):
+    """Percentile quality gate: keep documents whose distinct-token
+    count clears the corpus-global p25 (exact distributed quantile,
+    driver holds one scalar), then per-source survivor counts.  The
+    two-phase global-threshold-then-filter shape every corpus-pruning
+    job uses (threshold pass + broadcast scalar + streaming filter)."""
+    from ..analytics import exact_quantiles
+    from ..core import partitioned_map_groups
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    scores = quality.quality_scores(ds, keep_cols=("source",)).materialize()
+    thr = float(exact_quantiles(scores, "n_distinct", [0.25])["value"].iloc[0])
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["n_distinct"] >= thr]
+        g = keep.groupby("source", sort=False).agg(
+            n_docs=("n_distinct", "size"), sum_distinct=("n_distinct", "sum")
+        ).reset_index()
+        return g.astype({"n_docs": np.int64, "sum_distinct": np.int64})
+
+    partials = scores.map_batches(gate, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", sort=False).agg(
+            n_docs=("n_docs", "sum"), sum_distinct=("sum_distinct", "sum")
+        ).reset_index()
+        return g.astype({"n_docs": np.int64, "sum_distinct": np.int64})
+
+    return partitioned_map_groups(partials, "source", merge, num_buckets=4)
+
+
+SQL_QUALITY_GATE = """
+WITH base AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS arr
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(arr) AS tok FROM base),
+agg AS (SELECT doc_id, count(DISTINCT tok) AS n_distinct FROM toks GROUP BY 1),
+s AS (
+  SELECT b.doc_id, b.source, COALESCE(a.n_distinct, 0) AS n_distinct
+  FROM base b LEFT JOIN agg a USING (doc_id)
+),
+q AS (SELECT quantile_disc(n_distinct, 0.25) AS thr FROM s)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_distinct) AS BIGINT) AS sum_distinct
+FROM s, q WHERE n_distinct >= thr GROUP BY 1
+"""
+
+
 TEXTOPS_QUERIES = {
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "bpe_token_count": (q_bpe_token_count, SQL_BPE_TOKEN_COUNT),
@@ -954,4 +1033,6 @@ TEXTOPS_QUERIES = {
     "frequent_ngrams": (q_frequent_ngrams, SQL_FREQUENT_NGRAMS),
     "prepare_training_set": (q_prepare_training_set, SQL_PREPARE_TRAINING_SET),
     "rare_bigram_scores": (q_rare_bigram_scores, SQL_RARE_BIGRAM_SCORES),
+    "train_split": (q_train_split, SQL_TRAIN_SPLIT),
+    "quality_gate": (q_quality_gate, SQL_QUALITY_GATE),
 }

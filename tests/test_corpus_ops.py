@@ -300,3 +300,34 @@ def test_rare_bigram_scores_hand_case(ray_session):
     assert out.loc[1, "n_bigrams"] == 5 and out.loc[1, "n_rare"] == 2
     assert out.loc[2, "n_bigrams"] == 1 and out.loc[2, "n_rare"] == 1
     assert out.loc[3, "n_bigrams"] == 0 and out.loc[3, "n_rare"] == 0
+
+
+def test_train_split_fences_and_totals(ray_session):
+    # membership is a pure function of the key: recompute expected
+    # folds with the same md5-first-byte fences and compare aggregates
+    n = 200
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "source": ["s" + str(i % 3) for i in range(n)],
+            "n_chars": np.arange(n, dtype=np.int64) * 7 + 1,
+        }
+    )
+    got = corpus.train_split(rd.from_pandas(df)).to_pandas()
+    b = df["doc_id"].map(lambda k: hashlib.md5(str(k).encode()).hexdigest()[:2])
+    exp_split = np.where(b < "cc", "train", np.where(b < "e6", "val", "test"))
+    exp = (
+        df.assign(split=exp_split)
+        .groupby(["source", "split"])
+        .agg(n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"))
+        .reset_index()
+    )
+    m = got.sort_values(["source", "split"]).reset_index(drop=True)
+    e = exp.sort_values(["source", "split"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        m[["source", "split", "n_docs", "sum_chars"]],
+        e.astype({"n_docs": np.int64, "sum_chars": np.int64}),
+    )
+    # the fences actually produce a ~80/10/10 split on 200 uniform keys
+    frac = m.groupby("split")["n_docs"].sum() / n
+    assert 0.6 < frac["train"] < 0.95 and frac["val"] < 0.25 and frac["test"] < 0.25

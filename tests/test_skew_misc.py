@@ -172,3 +172,83 @@ def test_task_retry_through_pipeline(ray_session, tmp_path):
     ).to_pandas()
     assert flag.exists()
     assert sorted(got["y"]) == [2 * i for i in range(100)]
+
+
+def test_events_moving_sum_window_clamps_at_user_boundary(ray_session):
+    """3-row window sums never reach across users, ties break on
+    event_id, and singleton users get their own value back."""
+    import pandas as pd
+    import ray.data as rd
+    from dygiepp_ray.relational import events_moving_sum
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00"] * 2 + ["2024-01-01 00:00:05", "2024-01-01 00:00:09"]
+        + ["2024-01-01 00:00:01"],
+    )
+    df = pd.DataFrame(
+        {
+            "event_id": np.int64([2, 1, 3, 4, 9]),
+            "user_id": np.int64([7, 7, 7, 7, 8]),
+            "ts": ts,
+            "value": [1.0, 2.0, 4.0, 8.0, 16.0],
+        }
+    )
+    import tempfile, os, pyarrow as pa, pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as tmp:
+        pq.write_table(pa.Table.from_pandas(df), os.path.join(tmp, "events.parquet"))
+        out = events_moving_sum(tmp).to_pandas().set_index("event_id")["mov_cents"]
+    # user 7 order: (t0,e1)=200, (t0,e2)=100, (t5,e3)=400, (t9,e4)=800
+    assert out[1] == 200
+    assert out[2] == 300
+    assert out[3] == 700       # 200+100+400
+    assert out[4] == 1300      # 100+400+800 (window slides, 200 dropped)
+    assert out[9] == 1600      # singleton user: no bleed from user 7
+
+
+def test_price_histogram_partials_merge_exactly(ray_session):
+    """Partial-then-merge equals a direct single-pass groupby, including
+    the floor-to-cents bin edges."""
+    import pandas as pd
+    import tempfile, os, pyarrow as pa, pyarrow.parquet as pq
+    from dygiepp_ray.relational import price_histogram
+
+    prices = [0.0, 24999.99, 25000.0, 25000.01, 99999.995, 1.005]
+    df = pd.DataFrame({"o_totalprice": prices})
+    with tempfile.TemporaryDirectory() as tmp:
+        pq.write_table(pa.Table.from_pandas(df), os.path.join(tmp, "orders.parquet"))
+        got = price_histogram(tmp).to_pandas().sort_values("bin").reset_index(drop=True)
+    cents = np.floor(np.array(prices) * 100.0).astype(np.int64)
+    exp = (
+        pd.DataFrame({"bin": cents // 2_500_000, "cents": cents})
+        .groupby("bin")
+        .agg(n=("cents", "size"), sum_cents=("cents", "sum"))
+        .reset_index()
+        .astype({"bin": np.int64, "n": np.int64, "sum_cents": np.int64})
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_quality_gate_percentile_threshold(ray_session):
+    """Docs below the global p25 distinct-token count are dropped; the
+    quantile convention is the ceil(q*n)-th smallest (quantile_disc)."""
+    import pandas as pd
+    import tempfile, os, pyarrow as pa, pyarrow.parquet as pq
+    from dygiepp_ray.textops.queries import q_quality_gate
+
+    # distinct counts 1..8 -> p25 = 2nd smallest = 2; docs with 1 drop
+    texts = [" ".join(f"w{j}" for j in range(i)) for i in range(1, 9)]
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(8, dtype=np.int64),
+            "text": texts,
+            "source": ["a"] * 4 + ["b"] * 4,
+        }
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        pq.write_table(pa.Table.from_pandas(df), os.path.join(tmp, "documents.parquet"))
+        got = q_quality_gate(tmp).to_pandas().sort_values("source").reset_index(drop=True)
+    assert got.loc[got["source"] == "a", "n_docs"].iloc[0] == 3   # 2,3,4 survive
+    assert got.loc[got["source"] == "b", "n_docs"].iloc[0] == 4   # 5..8 survive
+    assert got.loc[got["source"] == "a", "sum_distinct"].iloc[0] == 9
+    assert got.loc[got["source"] == "b", "sum_distinct"].iloc[0] == 26
