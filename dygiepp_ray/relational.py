@@ -1035,6 +1035,45 @@ FROM h GROUP BY 1, 2, 3
 """
 
 
+def weighted_sample_docs(sf_dir: str, factor: int = 40) -> ray.data.Dataset:
+    """Deterministic size-weighted sample of documents (O7 family,
+    probability-proportional-to-size): keep a document when the 16-bit
+    value of its md5 prefix is below ``n_chars * factor`` — i.e.
+    p = min(1, n_chars * factor / 65536), so longer documents are
+    proportionally more likely to survive (the usual up-weighting of
+    long/high-token documents when subsampling a corpus).  Membership
+    is a pure function of (key, n_chars): stable across engines,
+    parallelism and reruns, embarrassingly parallel, and the DuckDB
+    twin recomputes the identical predicate."""
+    import hashlib
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["doc_id"].map(
+            lambda k: int(hashlib.md5(str(k).encode()).hexdigest()[:4], 16)
+        ).to_numpy(np.int64)
+        keep = df[u < df["n_chars"].to_numpy(np.int64) * factor]
+        return pd.DataFrame(
+            {
+                "doc_id": keep["doc_id"].to_numpy(np.int64),
+                "source": keep["source"].to_numpy(),
+                "n_chars": keep["n_chars"].to_numpy(np.int64),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+SQL_WEIGHTED_SAMPLE_DOCS = f"""
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE {_sql_hexval_huge("md5(CAST(doc_id AS VARCHAR))", 4)} < n_chars * 40
+"""
+
+
 def price_histogram(sf_dir: str, bin_cents: int = 25_000_00) -> ray.data.Dataset:
     """Mergeable equi-width histogram sketch over orders.o_totalprice
     (the third sketch family next to HLL and CMS): each batch folds to
@@ -1152,5 +1191,6 @@ RELATIONAL_QUERIES = {
     "hll_users_by_type": (hll_users_by_type, SQL_HLL_USERS_BY_TYPE),
     "cms_users_by_type": (cms_users_by_type, SQL_CMS_USERS_BY_TYPE),
     "price_histogram": (price_histogram, SQL_PRICE_HISTOGRAM),
+    "weighted_sample_docs": (weighted_sample_docs, SQL_WEIGHTED_SAMPLE_DOCS),
     "events_moving_sum": (events_moving_sum, SQL_EVENTS_MOVING_SUM),
 }

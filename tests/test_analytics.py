@@ -397,3 +397,35 @@ def test_cms_grouped_matches_per_group_sketch(ray_session):
             .reset_index(drop=True)
         )
         assert sub.equals(solo.sort_values(["row", "col"]).reset_index(drop=True))
+
+
+def test_semi_join_partitions_orders_with_anti(ray_session):
+    """semi ∪ anti = all orders, semi ∩ anti = ∅, and both Bloom paths
+    agree with the plain coexchange."""
+    from dygiepp_ray.analytics import SQL_ORDERS_SEMI_JOIN, orders_semi_join
+
+    semi = norm(run(orders_semi_join(SF)))
+    plain = norm(run(orders_semi_join(SF, bloom_prefilter=False)))
+    pd.testing.assert_frame_equal(semi, plain)
+    want = norm(duck(SF, SQL_ORDERS_SEMI_JOIN))
+    pd.testing.assert_frame_equal(semi, want)
+    anti = norm(run(orders_anti_join(SF)))
+    assert set(semi["o_orderkey"]).isdisjoint(set(anti["o_orderkey"]))
+    n_orders = duck(SF, "SELECT count(*) AS n FROM orders")["n"].iloc[0]
+    assert len(semi) + len(anti) == n_orders
+
+
+def test_weighted_sample_proportional_to_size(ray_session):
+    """Longer docs survive more often; membership is key-deterministic."""
+    from dygiepp_ray.relational import weighted_sample_docs
+
+    a = weighted_sample_docs(SF).to_pandas().sort_values("doc_id", ignore_index=True)
+    b = weighted_sample_docs(SF).to_pandas().sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT n_chars FROM '{SF}/documents.parquet'"
+    ).fetchdf()
+    # survivors skew long: sampled mean length exceeds the corpus mean
+    assert len(a) > 0
+    assert a["n_chars"].mean() > docs["n_chars"].mean()
