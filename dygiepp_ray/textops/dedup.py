@@ -731,3 +731,208 @@ def simhash_near_dups(
 
 # Back-compat alias: the bucketed exchange verify IS the default now.
 ngram_jaccard_verify_bucketed = ngram_jaccard_verify
+
+
+# ---------------------------------------------------------------------------
+# prefix-filter (AllPairs / PPJoin family) exact-recall similarity join
+# ---------------------------------------------------------------------------
+
+
+def _empty_pairs() -> pd.DataFrame:
+    return pd.DataFrame(
+        {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64)}
+    )
+
+
+def prefix_filter_pairs(
+    docs: ray.data.Dataset,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """FULL-RECALL candidate pairs for Jaccard >= ``threshold`` via
+    prefix filtering (the AllPairs / PPJoin family, Bayardo et al.
+    WWW'07; Chaudhuri et al. ICDE'06) — the exact complement to the
+    probabilistic LSH paths: every qualifying pair is guaranteed to be
+    emitted, so downstream verification yields the exact join.
+
+    Under any single GLOBAL total order of shingles, if J(a, b) >= t
+    then the first ``|x| - ceil(t*|x|) + 1`` shingles of each side (its
+    *prefix*) must intersect — so grouping prefix entries by shingle
+    recalls every true pair.  The global order used is (document
+    frequency ASC, shingle hash): rare shingles land in prefixes, which
+    keeps per-shingle candidate groups small on real corpora.
+
+    Distributed shape — four keyed exchanges, all linear in the
+    exploded (doc, shingle) table, nothing on the driver:
+
+      1. explode per-doc shingle sets -> (shingle, doc_id, size);
+         exchange on ``shingle``: every occurrence of a shingle lands
+         in one bucket, so its global df is computed AND attached in
+         the same task (no separate df join);
+      2. exchange on ``doc_id``: re-gather each doc's (shingle, df)
+         rows, sort by the global order, cut the prefix;
+      3. exchange on ``shingle`` over prefix rows only: all-pairs
+         within a shingle group, pruned by the size filter
+         (J >= t forces min(|a|,|b|) >= t * max(|a|,|b|));
+      4. global pair dedup (same pkey exchange the LSH paths use).
+
+    Unlike the LSH paths this stage must NOT cap group membership —
+    a cap would break the exactness guarantee — so mega-groups (a
+    rare-by-construction event: a prefix shingle shared by many docs
+    is by definition high-df and sorts out of prefixes) are logged
+    but fully expanded.  Use the LSH paths when approximate recall
+    is acceptable and the corpus is adversarially skewed.
+    """
+    sets = shingle_sets(docs, shingle_k, text_col, id_col)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"shingle": pd.Series(dtype=np.int64),
+             "doc_id": pd.Series(dtype=np.int64),
+             "size": pd.Series(dtype=np.int64)}
+        )
+        if len(df) == 0 or "shingles" not in df.columns:
+            return empty
+        hs, ids, sizes = [], [], []
+        for d, b in zip(df["doc_id"].to_numpy(np.int64), df["shingles"]):
+            h = np.frombuffer(b, dtype=np.uint64)
+            if len(h) == 0:
+                continue
+            # >>1 keeps the id inside int64 for the exchange key; the
+            # shingle hash is only an identifier + order tie-break, so
+            # the dropped bit is harmless (same convention as bkey)
+            hs.append((h >> np.uint64(1)).astype(np.int64))
+            ids.append(np.full(len(h), d, dtype=np.int64))
+            sizes.append(np.full(len(h), len(h), dtype=np.int64))
+        if not hs:
+            return empty
+        return pd.DataFrame(
+            {"shingle": np.concatenate(hs), "doc_id": np.concatenate(ids),
+             "size": np.concatenate(sizes)}
+        )
+
+    exploded = sets.map_batches(explode, batch_format="pandas")
+
+    def attach_df(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "shingle" not in df.columns:
+            out = pd.DataFrame(
+                {c: pd.Series(dtype=np.int64)
+                 for c in ("shingle", "doc_id", "size", "df")}
+            )
+            return out
+        out = df.copy()
+        out["df"] = df.groupby("shingle", sort=False)["doc_id"].transform(
+            "size"
+        ).astype(np.int64)
+        return out
+
+    with_df = partitioned_map_groups(exploded, "shingle", attach_df, num_buckets)
+
+    def prefixes(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "doc_id" not in df.columns:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=np.int64)
+                 for c in ("shingle", "doc_id", "size")}
+            )
+        d = df.sort_values(["doc_id", "df", "shingle"], kind="mergesort")
+        n = d["size"].to_numpy(np.int64)
+        plen = n - np.ceil(threshold * n).astype(np.int64) + 1
+        rank = d.groupby("doc_id", sort=False).cumcount().to_numpy()
+        return d.loc[rank < plen, ["shingle", "doc_id", "size"]].reset_index(
+            drop=True
+        )
+
+    pref = partitioned_map_groups(with_df, "doc_id", prefixes, num_buckets)
+
+    def candidates(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "shingle" not in df.columns:
+            return _empty_pairs()
+        sizes = df.groupby("shingle", sort=False)["doc_id"].transform("size")
+        d = df[sizes >= 2]
+        outs = []
+        for _, g in d.groupby("shingle", sort=False):
+            order = np.argsort(g["doc_id"].to_numpy(), kind="stable")
+            ids = g["doc_id"].to_numpy(np.int64)[order]
+            sz = g["size"].to_numpy(np.int64)[order]
+            if len(ids) > 4096:
+                _LOG.warning(
+                    "prefix_filter_pairs: %d docs share prefix shingle "
+                    "%d — expanding all pairs (exactness forbids a cap)",
+                    len(ids), int(g["shingle"].iloc[0]),
+                )
+            a, b = np.triu_indices(len(ids), k=1)
+            # size filter: a true pair needs min >= t*max (strictly a
+            # *pruning* step — kept slightly permissive so float
+            # rounding can only ADD candidates, never drop a true pair)
+            ok = np.minimum(sz[a], sz[b]) >= threshold * np.maximum(sz[a], sz[b]) - 1e-9
+            if ok.any():
+                outs.append(pd.DataFrame({"id_a": ids[a][ok], "id_b": ids[b][ok]}))
+        if not outs:
+            return _empty_pairs()
+        return pd.concat(outs, ignore_index=True).drop_duplicates(ignore_index=True)
+
+    cand = partitioned_map_groups(pref, "shingle", candidates, num_buckets)
+
+    return partitioned_map_groups(
+        cand.map_batches(_add_pair_key, batch_format="pandas"),
+        "pkey",
+        lambda df: df.drop_duplicates(["id_a", "id_b"], ignore_index=True).drop(columns="pkey"),
+        num_buckets,
+    )
+
+
+def prefix_near_dups(
+    docs: ray.data.Dataset,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """EXACT similarity self-join: all pairs with shingle-Jaccard >=
+    ``threshold_num/threshold_den``, full recall (prefix-filter
+    candidates + exact verify with an INTEGER threshold predicate
+    ``den*|inter| >= num*|union|`` so engine and SQL twin agree
+    bit-for-bit at the boundary).
+
+    Output (id_a, id_b, jac_pct) with id_a < id_b and
+    ``jac_pct = (100*|inter|) // |union|`` (floored integer percent —
+    cross-engine stable where a float ratio is not).
+    """
+    t = threshold_num / threshold_den
+    pairs = prefix_filter_pairs(
+        docs, t, shingle_k, text_col, id_col, num_buckets
+    )
+    sets_ds = shingle_sets(docs, shingle_k, text_col, id_col)
+    import pyarrow as pa
+
+    withboth = attach_pair_values(
+        pairs, sets_ds, "shingles", "sh_a", "sh_b", num_buckets,
+        value_dtype=pa.binary(),
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64),
+             "jac_pct": pd.Series(dtype=np.int64)}
+        )
+        if len(df) == 0 or "sh_a" not in df.columns:
+            return empty
+        inter = np.empty(len(df), dtype=np.int64)
+        union = np.empty(len(df), dtype=np.int64)
+        for i, (sa, sb) in enumerate(zip(df["sh_a"], df["sh_b"])):
+            A = np.frombuffer(sa, dtype=np.uint64)
+            B = np.frombuffer(sb, dtype=np.uint64)
+            ni = len(np.intersect1d(A, B, assume_unique=True))
+            inter[i] = ni
+            union[i] = len(A) + len(B) - ni
+        keep = (threshold_den * inter >= threshold_num * union) & (union > 0)
+        out = df.loc[keep, ["id_a", "id_b"]].astype(np.int64).reset_index(drop=True)
+        out["jac_pct"] = (100 * inter[keep]) // union[keep]
+        return out
+
+    return withboth.map_batches(verify, batch_format="pandas")

@@ -315,6 +315,43 @@ WHERE len(list_distinct(a.sh || b.sh)) > 0
 """
 
 
+def q_prefix_near_dups(sf_dir: str):
+    """Prefix-filter (AllPairs/PPJoin) EXACT similarity self-join at
+    Jaccard >= 4/5 — full recall by construction (no LSH probability),
+    so matching the all-pairs SQL twin is a theorem, not a seed
+    artifact.  The integer predicate 5*|inter| >= 4*|union| and the
+    floored jac_pct = (100*|inter|) // |union| are computed identically
+    on both sides (engine on shingle-hash sets, SQL on shingle strings;
+    cardinalities agree absent 64-bit collisions)."""
+    out = dedup.prefix_near_dups(_docs(sf_dir), threshold_num=4, threshold_den=5)
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        if "id_a" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64)
+                                 for c in ("id_a", "id_b", "jac_pct")})
+        return df.astype({"id_a": np.int64, "id_b": np.int64, "jac_pct": np.int64})
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+SQL_PREFIX_NEAR_DUPS = _SQL_ARR + """,
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(arr) = 0 THEN []::VARCHAR[]
+         WHEN len(arr) < 3 THEN [array_to_string(arr, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(arr) - 1),
+              i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) END AS sh
+  FROM base
+)
+SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+       CAST((100 * len(list_intersect(a.sh, b.sh)))
+            // len(list_distinct(a.sh || b.sh)) AS BIGINT) AS jac_pct
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_distinct(a.sh || b.sh)) > 0
+  AND 5 * len(list_intersect(a.sh, b.sh)) >= 4 * len(list_distinct(a.sh || b.sh))
+"""
+
+
 def q_simhash_near_dups(sf_dir: str):
     """SimHash near-dup pairs (hamming <= 3).  The 4x16-bit pigeonhole
     bands give EXACT recall (distance <= 3 forces an equal band), so the
@@ -1017,6 +1054,7 @@ TEXTOPS_QUERIES = {
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH_NEAR_DUPS),
+    "prefix_near_dups": (q_prefix_near_dups, SQL_PREFIX_NEAR_DUPS),
     "fuzzy_join_docs": (q_fuzzy_join_docs, SQL_FUZZY_JOIN_DOCS),
     "near_dup_components": (q_near_dup_components, SQL_NEAR_DUP_COMPONENTS),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),

@@ -47,6 +47,69 @@ def test_minhash_lsh_finds_near_dups(dup_docs):
     assert all(verified.loc[(verified.id_a == 0) & (verified.id_b == 1), "jaccard"] == 1.0)
 
 
+def test_prefix_near_dups_exact_recall(ray_session):
+    """Prefix-filter join must equal the brute-force all-pairs join —
+    including a pair sitting EXACTLY on the threshold boundary
+    (J(0,1)=1/2: shingles {abc,bcd,cde} vs {abc,bcd,cdf})."""
+    texts = [
+        "a b c d e",                          # 0
+        "a b c d f",                          # 1  J(0,1) = 2/4 exactly
+        "a b c d e",                          # 2  exact dup of 0
+        "x y",                                # 3  short (<k tokens)
+        "",                                   # 4  empty
+        "p q r s t u v w",                    # 5
+        "p q r s t u v w",                    # 6  dup of 5
+        "completely different words here ok",  # 7
+    ]
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    out = dedup.prefix_near_dups(
+        rd.from_pandas(df), threshold_num=1, threshold_den=2, num_buckets=4
+    ).to_pandas()
+    got = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+
+    sets = {
+        i: set(dedup._shingle_hashes(t.split(), 3).tolist())
+        for i, t in enumerate(texts)
+    }
+    exp = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            u = sets[i] | sets[j]
+            if u and 2 * len(sets[i] & sets[j]) >= len(u):
+                exp.add((i, j))
+    assert got == exp
+    assert (0, 1) in got  # boundary pair must be recalled (inclusive >=)
+    assert int(out.set_index(["id_a", "id_b"]).loc[(0, 1), "jac_pct"]) == 50
+    assert int(out.set_index(["id_a", "id_b"]).loc[(0, 2), "jac_pct"]) == 100
+
+
+def test_prefix_filter_pairs_superset_of_truth(ray_session):
+    """Candidate generation alone (before verify) must contain every
+    qualifying pair — the full-recall guarantee the LSH paths lack."""
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, size=12)) for _ in range(40)]
+    texts += [texts[0], texts[1] + " extra"]  # planted dup + near-dup
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    cand = dedup.prefix_filter_pairs(
+        rd.from_pandas(df), threshold=0.5, num_buckets=4
+    ).to_pandas()
+    got = set(map(tuple, cand[["id_a", "id_b"]].to_numpy()))
+    sets = {
+        i: set(dedup._shingle_hashes(t.split(), 3).tolist())
+        for i, t in enumerate(texts)
+    }
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            u = sets[i] | sets[j]
+            if u and len(sets[i] & sets[j]) / len(u) >= 0.5:
+                assert (i, j) in got, (i, j)
+
+
 def test_minhash_jaccard_estimate_quality(ray_session):
     # signature agreement rate approximates true jaccard
     m = dedup.MinHasher(n_perm=128, shingle_k=3)
