@@ -219,6 +219,131 @@ def decontaminate(
     )
 
 
+def _shingle_rows(
+    df: pd.DataFrame, shingle_k: int, text_col: str, id_col: str,
+    id_out: str = "doc_id",
+) -> pd.DataFrame:
+    """Exploded (id, shingle, size) rows per document — the int64
+    shingle-id convention shared with ``dedup.prefix_filter_pairs``
+    (hash >> 1; the dropped bit is harmless, ids only need to match
+    between the two sides of the SAME job)."""
+    from .dedup import _shingle_hashes
+
+    toks = df[text_col].str.strip().str.split(r"\s+", regex=True)
+    hs, ids, sizes = [], [], []
+    for d, t in zip(df[id_col].to_numpy(np.int64), toks):
+        h = _shingle_hashes(t if t != [""] else [], shingle_k)
+        if len(h) == 0:
+            continue
+        hs.append((h >> np.uint64(1)).astype(np.int64))
+        ids.append(np.full(len(h), d, dtype=np.int64))
+        sizes.append(np.full(len(h), len(h), dtype=np.int64))
+    if not hs:
+        return pd.DataFrame({id_out: pd.Series(dtype=np.int64),
+                             "shingle": pd.Series(dtype=np.int64),
+                             "size": pd.Series(dtype=np.int64)})
+    return pd.DataFrame(
+        {id_out: np.concatenate(ids), "shingle": np.concatenate(hs),
+         "size": np.concatenate(sizes)}
+    )
+
+
+class _FuzzyContaminationCheck:
+    """Actor-pool stage: broadcast eval shingle table fetched once per
+    actor; each corpus batch is ONE vectorized hash-join (pandas merge
+    on shingle) + groupby — no per-(doc, eval-doc) Python loop."""
+
+    def __init__(self, eval_ref, num: int, den: int, shingle_k: int,
+                 eval_mod: int | None, text_col: str, id_col: str):
+        self._src = eval_ref
+        self.eval_df: pd.DataFrame | None = None
+        self.num, self.den, self.k = num, den, shingle_k
+        self.eval_mod = eval_mod
+        self.text_col, self.id_col = text_col, id_col
+
+    _EMPTY = {"doc_id": np.int64, "eval_id": np.int64, "jac_pct": np.int64}
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if self.eval_df is None:
+            src = self._src
+            self.eval_df = ray.get(src) if isinstance(src, ray.ObjectRef) else src
+        empty = pd.DataFrame({c: pd.Series(dtype=t) for c, t in self._EMPTY.items()})
+        if self.eval_mod is not None:
+            df = df[df[self.id_col] % self.eval_mod != 0]
+        if len(df) == 0 or len(self.eval_df) == 0:
+            return empty
+        corpus = _shingle_rows(df, self.k, self.text_col, self.id_col)
+        j = corpus.merge(self.eval_df, on="shingle", how="inner")
+        if len(j) == 0:
+            return empty
+        g = j.groupby(["doc_id", "eval_id"], sort=False).agg(
+            inter=("shingle", "size"), size=("size", "first"),
+            esize=("esize", "first"),
+        ).reset_index()
+        union = g["size"].to_numpy(np.int64) + g["esize"].to_numpy(np.int64) \
+            - g["inter"].to_numpy(np.int64)
+        keep = (self.den * g["inter"].to_numpy(np.int64) >= self.num * union) \
+            & (union > 0)
+        out = g.loc[keep, ["doc_id", "eval_id"]].astype(np.int64).reset_index(drop=True)
+        out["jac_pct"] = (100 * g["inter"].to_numpy(np.int64)[keep]) // union[keep]
+        return out
+
+
+def fuzzy_decontaminate(
+    ds: ray.data.Dataset,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    shingle_k: int = 3,
+    eval_mod: int | None = EVAL_MOD,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency: int | None = 2,
+    eval_ds: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """NEAR-DUP decontamination: every (corpus doc, eval doc) pair with
+    word-shingle Jaccard >= ``threshold_num/threshold_den`` — catches
+    paraphrased / lightly-edited benchmark leakage that the exact
+    n-gram membership check (:func:`decontaminate`) misses.
+
+    -> (doc_id, eval_id, jac_pct); ``jac_pct = (100*|inter|)//|union|``
+    and the integer predicate ``den*|inter| >= num*|union|`` keep the
+    SQL twin bit-exact at the boundary.
+
+    Scale shape: same as :func:`decontaminate` — the eval suite is
+    fixed-size, so its exploded shingle table is built once and
+    broadcast (``ray.put``); the corpus streams through an actor pool
+    whose per-batch work is one pandas hash-join on shingle id (the
+    inverted-index form of all-pairs Jaccard against a small side).
+    Corpus docs that ARE eval members (``eval_mod`` convention) are
+    excluded from the corpus side; with an external ``eval_ds`` the
+    inputs are disjoint and every corpus doc is checked.
+    """
+    src = eval_ds if eval_ds is not None else ds
+    sub_mod = None if eval_ds is not None else eval_mod
+
+    def eval_rows(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df if sub_mod is None else df[df[id_col] % sub_mod == 0]
+        out = _shingle_rows(sub, shingle_k, text_col, id_col, id_out="eval_id")
+        return out.rename(columns={"size": "esize"})
+
+    eval_df = src.map_batches(eval_rows, batch_format="pandas").to_pandas()
+    if eval_df.empty or "eval_id" not in eval_df.columns:
+        eval_df = pd.DataFrame({"eval_id": pd.Series(dtype=np.int64),
+                                "shingle": pd.Series(dtype=np.int64),
+                                "esize": pd.Series(dtype=np.int64)})
+    eval_ref = ray.put(eval_df)
+    args = (eval_ref, threshold_num, threshold_den, shingle_k,
+            eval_mod if eval_ds is None else None, text_col, id_col)
+    if concurrency:
+        return ds.map_batches(
+            _FuzzyContaminationCheck, fn_constructor_args=args,
+            batch_format="pandas", concurrency=concurrency,
+        )
+    return ds.map_batches(
+        _FuzzyContaminationCheck(*args), batch_format="pandas"
+    )
+
+
 def repetition_scores(
     ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:

@@ -299,7 +299,9 @@ def q_minhash_near_dups(sf_dir: str):
 # 5*inter >= 4*union is the exact integer form of jaccard >= 0.8 (the
 # float division can't cross the 0.8 boundary at these set sizes); the
 # union > 0 guard matches the engine's max(1, |union|) denominator.
-SQL_MINHASH_NEAR_DUPS = _SQL_ARR + """,
+# distinct word-3-shingle sets per doc — shared by every shingle-Jaccard
+# oracle (minhash / prefix-filter / fuzzy decontamination)
+_SQL_SH3 = _SQL_ARR + """,
 sh AS (
   SELECT doc_id,
     CASE WHEN len(arr) = 0 THEN []::VARCHAR[]
@@ -307,7 +309,9 @@ sh AS (
          ELSE list_distinct(list_transform(range(1, len(arr) - 1),
               i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) END AS sh
   FROM base
-)
+)"""
+
+SQL_MINHASH_NEAR_DUPS = _SQL_SH3 + """
 SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE len(list_distinct(a.sh || b.sh)) > 0
@@ -334,21 +338,43 @@ def q_prefix_near_dups(sf_dir: str):
     return out.map_batches(cast, batch_format="pandas")
 
 
-SQL_PREFIX_NEAR_DUPS = _SQL_ARR + """,
-sh AS (
-  SELECT doc_id,
-    CASE WHEN len(arr) = 0 THEN []::VARCHAR[]
-         WHEN len(arr) < 3 THEN [array_to_string(arr, ' ')]
-         ELSE list_distinct(list_transform(range(1, len(arr) - 1),
-              i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) END AS sh
-  FROM base
-)
+SQL_PREFIX_NEAR_DUPS = _SQL_SH3 + """
 SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
        CAST((100 * len(list_intersect(a.sh, b.sh)))
             // len(list_distinct(a.sh || b.sh)) AS BIGINT) AS jac_pct
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE len(list_distinct(a.sh || b.sh)) > 0
   AND 5 * len(list_intersect(a.sh, b.sh)) >= 4 * len(list_distinct(a.sh || b.sh))
+"""
+
+
+def q_fuzzy_decontaminate(sf_dir: str):
+    """Near-dup decontamination (corpus x eval shingle-Jaccard >= 1/2;
+    eval subset = doc_id %% 23 == 0).  The inverted-index broadcast join
+    in the engine is exhaustive over shared shingles, so the all-pairs
+    SQL twin is exact — no recall assumption."""
+    from .corpus import fuzzy_decontaminate
+
+    out = fuzzy_decontaminate(_docs(sf_dir), threshold_num=1, threshold_den=2)
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64)
+                                 for c in ("doc_id", "eval_id", "jac_pct")})
+        return df.astype({"doc_id": np.int64, "eval_id": np.int64,
+                          "jac_pct": np.int64})
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+SQL_FUZZY_DECONTAMINATE = _SQL_SH3 + """
+SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+       CAST(e.doc_id AS BIGINT) AS eval_id,
+       CAST((100 * len(list_intersect(c.sh, e.sh)))
+            // len(list_distinct(c.sh || e.sh)) AS BIGINT) AS jac_pct
+FROM sh c JOIN sh e ON c.doc_id % 23 <> 0 AND e.doc_id % 23 = 0
+WHERE len(list_distinct(c.sh || e.sh)) > 0
+  AND 2 * len(list_intersect(c.sh, e.sh)) >= len(list_distinct(c.sh || e.sh))
 """
 
 
@@ -1066,6 +1092,7 @@ TEXTOPS_QUERIES = {
     "chunk_documents": (_chunks.q_chunk_documents, _chunks.SQL_CHUNK_DOCUMENTS),
     "tfidf_top_terms": (_chunks.q_tfidf_top_terms, _chunks.SQL_TFIDF_TOP_TERMS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "fuzzy_decontaminate": (q_fuzzy_decontaminate, SQL_FUZZY_DECONTAMINATE),
     "repetition_scores": (q_repetition_scores, SQL_REPETITION_SCORES),
     "shuffle_rank": (q_shuffle_rank, SQL_SHUFFLE_RANK),
     "frequent_ngrams": (q_frequent_ngrams, SQL_FREQUENT_NGRAMS),

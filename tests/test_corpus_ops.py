@@ -59,6 +59,58 @@ def test_decontaminate_flags_overlap(ray_session):
     assert out.loc[9, "contaminated"] == 0
 
 
+def test_fuzzy_decontaminate_matches_brute_force(ray_session):
+    """Engine pairs == brute-force all-pairs Jaccard (eval_mod path),
+    incl. the inclusive boundary and self-exclusion of eval members."""
+    from dygiepp_ray.textops.dedup import _shingle_hashes
+
+    texts = {
+        0: "the quick brown fox jumps over dog",      # eval (0 % 23 == 0)
+        23: "p q r s t u v w",                        # eval
+        5: "the quick brown fox jumps over cat",      # near-dup of 0
+        7: "entirely different content here now ok",  # clean
+        9: "p q r s t u v w",                         # exact dup of 23
+        11: "",                                       # empty
+    }
+    ds = _docs_ds(list(texts.items()))
+    out = corpus.fuzzy_decontaminate(
+        ds, threshold_num=1, threshold_den=2, concurrency=None
+    ).to_pandas()
+    got = set(map(tuple, out[["doc_id", "eval_id"]].to_numpy()))
+
+    sets = {i: set(_shingle_hashes(t.split(), 3).tolist()) for i, t in texts.items()}
+    exp = set()
+    for c in texts:
+        if c % 23 == 0:
+            continue
+        for e in texts:
+            if e % 23 != 0:
+                continue
+            u = sets[c] | sets[e]
+            if u and 2 * len(sets[c] & sets[e]) >= len(u):
+                exp.add((c, e))
+    assert got == exp
+    assert (9, 23) in got  # exact dup found
+    assert int(out.set_index(["doc_id", "eval_id"]).loc[(9, 23), "jac_pct"]) == 100
+    assert (5, 0) in got   # near-dup found
+    assert all(out["doc_id"] % 23 != 0)  # eval members never on corpus side
+
+
+def test_fuzzy_decontaminate_external_eval_ds(ray_session):
+    """External eval_ds: disjoint inputs, every corpus doc checked
+    (eval_mod ignored), actor-pool path."""
+    corpus_ds = _docs_ds(
+        [(0, "alpha beta gamma delta eps"), (1, "totally unrelated words here")]
+    )
+    eval_ds = _docs_ds([(100, "alpha beta gamma delta zeta")])
+    out = corpus.fuzzy_decontaminate(
+        corpus_ds, threshold_num=1, threshold_den=2, eval_ds=eval_ds,
+        concurrency=2,
+    ).to_pandas()
+    # doc 0 (eval_mod would exclude it) IS checked against eval_id 100
+    assert set(map(tuple, out[["doc_id", "eval_id"]].to_numpy())) == {(0, 100)}
+
+
 def test_decontaminate_counts_distinct_grams(ray_session):
     # the contaminated gram occurs twice in doc 3 but counts once
     ds = _docs_ds(
