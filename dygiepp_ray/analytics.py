@@ -804,6 +804,152 @@ SELECT node, CAST(r AS BIGINT) AS r FROM r3
 """
 
 
+# ---------------------------------------------------------------------------
+# triangle counting
+# ---------------------------------------------------------------------------
+
+
+def triangle_count(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
+    """Distributed triangle count over the co-purchase graph (parts
+    appearing in the same order are adjacent) — the classic
+    degree-oriented wedge-join algorithm (Cohen's MapReduce form /
+    Suri-Vassilvitskii WWW'11), the graph analytic beyond PageRank and
+    connected components:
+
+      1. per-order part pairs (one keyed exchange on orderkey; the
+         in-bucket pair merge is bounded by order size), global pair
+         dedup on the pkey exchange;
+      2. degrees (one exchange on node), attached to both edge
+         endpoints via ``attach_pair_values``;
+      3. each edge oriented from its (degree, id)-smaller endpoint —
+         every node's out-degree is O(sqrt(m)), so per-source wedge
+         generation is bounded even on power-law graphs (the reason
+         for degree orientation instead of id orientation);
+      4. wedges (out-neighbor pairs per source) joined back against
+         the undirected edge set on the pair key — each triangle
+         closes at exactly one pivot, so the sum of matches IS the
+         triangle count.
+
+    The driver holds two scalars.  Output: one row
+    (n_edges, n_triangles) — both constrained by the SQL twin.
+    """
+    from .textops.dedup import _add_pair_key, attach_pair_values
+    import pyarrow as pa
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    _EP = {"id_a": np.int64, "id_b": np.int64}
+
+    def order_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "l_orderkey" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _EP.items()})
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        j = d.merge(d, on="l_orderkey")
+        j = j[j["l_partkey_x"] < j["l_partkey_y"]]
+        return pd.DataFrame(
+            {"id_a": j["l_partkey_x"].to_numpy(np.int64),
+             "id_b": j["l_partkey_y"].to_numpy(np.int64)}
+        ).drop_duplicates(ignore_index=True)
+
+    raw = partitioned_map_groups(li, "l_orderkey", order_pairs, num_buckets)
+
+    def dedup_keep_key(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "id_a" not in df.columns:
+            out = pd.DataFrame({c: pd.Series(dtype=t) for c, t in _EP.items()})
+            out["pkey"] = pd.Series(dtype=np.int64)
+            return out
+        return df.drop_duplicates(["id_a", "id_b"], ignore_index=True)
+
+    edges = partitioned_map_groups(
+        raw.map_batches(_add_pair_key, batch_format="pandas"),
+        "pkey", dedup_keep_key, num_buckets,
+    ).materialize()
+
+    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "id_a" not in df.columns:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64)})
+        return pd.DataFrame(
+            {"doc_id": np.concatenate(
+                [df["id_a"].to_numpy(np.int64), df["id_b"].to_numpy(np.int64)]
+            )}
+        )
+
+    def degree(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "doc_id" not in df.columns:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "degree": pd.Series(dtype=np.int64)})
+        g = df.groupby("doc_id", as_index=False).size()
+        return g.rename(columns={"size": "degree"}).astype({"degree": np.int64})
+
+    degrees = partitioned_map_groups(
+        edges.map_batches(endpoints, batch_format="pandas"),
+        "doc_id", degree, num_buckets,
+    )
+
+    withdeg = attach_pair_values(
+        edges, degrees, "degree", "deg_a", "deg_b", num_buckets,
+        value_dtype=pa.int64(),
+    )
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "deg_a" not in df.columns:
+            return pd.DataFrame({"src": pd.Series(dtype=np.int64),
+                                 "dst": pd.Series(dtype=np.int64)})
+        a, b = df["id_a"].to_numpy(np.int64), df["id_b"].to_numpy(np.int64)
+        da, db = df["deg_a"].to_numpy(np.int64), df["deg_b"].to_numpy(np.int64)
+        a_first = (da < db) | ((da == db) & (a < b))
+        return pd.DataFrame(
+            {"src": np.where(a_first, a, b), "dst": np.where(a_first, b, a)}
+        )
+
+    oriented = withdeg.map_batches(orient, batch_format="pandas")
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "src" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _EP.items()})
+        sizes = df.groupby("src", sort=False)["dst"].transform("size")
+        d = df[sizes >= 2]
+        outs = []
+        for _, g in d.groupby("src", sort=False):
+            nb = np.sort(g["dst"].to_numpy(np.int64))
+            i, j = np.triu_indices(len(nb), k=1)
+            outs.append(pd.DataFrame({"id_a": nb[i], "id_b": nb[j]}))
+        if not outs:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _EP.items()})
+        return pd.concat(outs, ignore_index=True)
+
+    wedge_ds = partitioned_map_groups(oriented, "src", wedges, num_buckets)
+    wedge_keyed = wedge_ds.map_batches(_add_pair_key, batch_format="pandas")
+
+    def close_count(w: pd.DataFrame, e: pd.DataFrame) -> pd.DataFrame:
+        if (len(w) == 0 or "id_a" not in w.columns
+                or len(e) == 0 or "id_a" not in e.columns):
+            return pd.DataFrame({"cnt": pd.Series(dtype=np.int64)})
+        m = w.merge(e[["id_a", "id_b"]], on=["id_a", "id_b"], how="inner")
+        return pd.DataFrame({"cnt": np.asarray([len(m)], dtype=np.int64)})
+
+    closed = hash_coexchange(
+        wedge_keyed, edges, "pkey", "pkey", close_count, num_buckets
+    )
+    n_tri = int(closed.sum("cnt") or 0)
+    n_edges = edges.count()
+    return pd.DataFrame(
+        {"n_edges": np.asarray([n_edges], dtype=np.int64),
+         "n_triangles": np.asarray([n_tri], dtype=np.int64)}
+    )
+
+
+SQL_TRIANGLE_COUNT = """
+WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a JOIN li b ON a.o = b.o AND a.p < b.p)
+SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*) FROM e e1 JOIN e e2 ON e2.u = e1.v
+             JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS BIGINT) AS n_triangles
+"""
+
+
 ANALYTICS_QUERIES = {
     "asof_join_purchase": (asof_join_purchase, SQL_ASOF_JOIN_PURCHASE),
     "range_join_error_window": (range_join_error_window,
@@ -814,4 +960,5 @@ ANALYTICS_QUERIES = {
     "orders_semi_join": (orders_semi_join, SQL_ORDERS_SEMI_JOIN),
     "json_props_sum": (json_props_sum, SQL_JSON_PROPS_SUM),
     "pagerank3": (pagerank3, SQL_PAGERANK3),
+    "triangle_count": (triangle_count, SQL_TRIANGLE_COUNT),
 }

@@ -429,3 +429,30 @@ def test_weighted_sample_proportional_to_size(ray_session):
     # survivors skew long: sampled mean length exceeds the corpus mean
     assert len(a) > 0
     assert a["n_chars"].mean() > docs["n_chars"].mean()
+
+
+def test_triangle_count_planted_graph(ray_session, tmp_path):
+    """Hand-built co-purchase graph: orders {1,2,3}, {3,4}, {1,2}(dup
+    edge), {2,3,5} -> 6 distinct edges, triangles {1,2,3} and {2,3,5}."""
+    from dygiepp_ray.analytics import triangle_count
+
+    rows = [(10, 1), (10, 2), (10, 3),
+            (20, 3), (20, 4),
+            (30, 1), (30, 2),
+            (40, 2), (40, 3), (40, 5),
+            (40, 5)]  # duplicate lineitem within an order
+    pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"]).astype(
+        np.int64
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    got = triangle_count(str(tmp_path), num_buckets=4)
+    assert int(got["n_edges"].iloc[0]) == 6
+    assert int(got["n_triangles"].iloc[0]) == 2
+
+
+def test_triangle_count_matches_duckdb(ray_session):
+    from dygiepp_ray.analytics import SQL_TRIANGLE_COUNT, triangle_count
+
+    got = norm(run(triangle_count(SF)))
+    want = norm(duck(SF, SQL_TRIANGLE_COUNT))
+    assert int(got["n_triangles"].iloc[0]) > 0
+    pd.testing.assert_frame_equal(got, want)
