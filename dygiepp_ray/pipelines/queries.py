@@ -166,6 +166,162 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_kg_cooccurrence(sf_dir: str, min_co: int = 2) -> ray.data.Dataset:
+    """Entity co-occurrence lift over conversations: for every pair of
+    canonical entities appearing in >= ``min_co`` common conversations,
+    ``lift = P(a,b) / (P(a) * P(b))`` in fixed point
+    (``lift_x1e6 = (1e6 * n_co * N) // (c_a * c_b)`` — floored BIGINT
+    arithmetic, the same trick pagerank3 uses to keep an otherwise-
+    float statistic hash-exact; at corpus scale beyond ~1e9
+    conversations lower the 1e6 scale to stay inside int64).
+
+    Distributed shape: the distinct (conv, entity) table is built once
+    (one exchange, materialized), then pairs are generated conv-locally
+    with per-bucket partial counts, summed on a pair-key exchange;
+    per-entity conversation counts ride a surface-keyed exchange and
+    are attached to the pairs with two co-partitioned exchanges (the
+    attach_pair_values pattern for string keys).  The driver holds one
+    scalar (N)."""
+    from ..core import hash_coexchange, partitioned_map_groups
+
+    pipe = from_documents_table(sf_dir)
+
+    _CE = {"conv_id": object, "surface": object}
+
+    def conv_ent(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "conv_id" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _CE.items()})
+        return df[["conv_id", "surface"]].drop_duplicates(ignore_index=True)
+
+    ce = partitioned_map_groups(
+        pipe.mentions.map_batches(conv_ent, batch_format="pandas"),
+        "conv_id", conv_ent, num_buckets=16,
+    ).materialize()
+
+    n_convs = int(
+        partitioned_map_groups(
+            ce, "conv_id",
+            lambda df: pd.DataFrame(
+                {"nc": np.asarray(
+                    [df["conv_id"].nunique() if len(df) and "conv_id" in df.columns else 0],
+                    dtype=np.int64)}
+            ),
+            num_buckets=16,
+        ).sum("nc") or 0
+    )
+
+    _PAIRS = {"pair": object, "sa": object, "sb": object, "n": np.int64}
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: pd.Series(dtype=t) for c, t in _PAIRS.items()})
+        if len(df) == 0 or "conv_id" not in df.columns:
+            return empty
+        outs = []
+        for _, g in df.groupby("conv_id", sort=False):
+            s = np.sort(g["surface"].to_numpy(object))
+            if len(s) < 2:
+                continue
+            i, j = np.triu_indices(len(s), k=1)
+            outs.append(pd.DataFrame({"sa": s[i], "sb": s[j]}))
+        if not outs:
+            return empty
+        cat = pd.concat(outs, ignore_index=True)
+        g = cat.groupby(["sa", "sb"], sort=False).size().rename("n").reset_index()
+        g["pair"] = g["sa"] + "\x1f" + g["sb"]
+        return g[["pair", "sa", "sb", "n"]].astype({"n": np.int64})
+
+    pair_parts = partitioned_map_groups(ce, "conv_id", pairs, num_buckets=16)
+
+    def sum_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "pair" not in df.columns:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in _PAIRS.items() if c != "pair"}
+            )
+        g = df.groupby(["sa", "sb"], sort=False).agg(n=("n", "sum")).reset_index()
+        return g[g["n"] >= min_co].astype({"n": np.int64}).reset_index(drop=True)
+
+    co = partitioned_map_groups(pair_parts, "pair", sum_pairs, num_buckets=16)
+
+    def surf_count(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "surface" not in df.columns:
+            import pyarrow as pa
+            return pd.DataFrame(
+                {"surface": pd.Series(dtype=pd.ArrowDtype(pa.string())),
+                 "c": pd.Series(dtype=np.int64)}
+            )
+        g = df.groupby("surface", as_index=False).size()
+        return g.rename(columns={"size": "c"}).astype({"c": np.int64})
+
+    cx = partitioned_map_groups(ce, "surface", surf_count, num_buckets=16)
+
+    def attach(side: str, out_col: str):
+        # empty buckets emit the EXACT non-empty schema (arrow strings,
+        # int64 counts) so Ray's block-schema unification stays clean
+        import pyarrow as pa
+
+        def empty(cols) -> pd.DataFrame:
+            out = pd.DataFrame()
+            for c in cols:
+                out[c] = pd.Series(
+                    dtype=pd.ArrowDtype(pa.string()) if c in ("sa", "sb")
+                    else np.int64
+                )
+            return out
+
+        def fn(p: pd.DataFrame, v: pd.DataFrame) -> pd.DataFrame:
+            if (len(p) == 0 or side not in p.columns
+                    or len(v) == 0 or "surface" not in v.columns):
+                cols = ["sa", "sb", "n", "ca"] if out_col == "ca" else \
+                    ["sa", "sb", "n", "ca", "cb"]
+                return empty(cols)
+            return p.merge(
+                v.rename(columns={"surface": side, "c": out_col}), on=side
+            )
+
+        return fn
+
+    withca = hash_coexchange(co, cx, "sa", "surface", attach("sa", "ca"), 16)
+    withboth = hash_coexchange(withca, cx, "sb", "surface", attach("sb", "cb"), 16)
+
+    def lift(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "ca" not in df.columns:
+            import pyarrow as pa
+            return pd.DataFrame(
+                {"surface_a": pd.Series(dtype=pd.ArrowDtype(pa.string())),
+                 "surface_b": pd.Series(dtype=pd.ArrowDtype(pa.string())),
+                 "n_co": pd.Series(dtype=np.int64),
+                 "lift_x1e6": pd.Series(dtype=np.int64)}
+            )
+        n = df["n"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"surface_a": df["sa"], "surface_b": df["sb"], "n_co": n,
+             "lift_x1e6": (1_000_000 * n * n_convs)
+             // (df["ca"].to_numpy(np.int64) * df["cb"].to_numpy(np.int64))}
+        )
+
+    return withboth.map_batches(lift, batch_format="pandas")
+
+
+SQL_KG_COOCCURRENCE = SQL_TOKS + """,
+ce AS (SELECT DISTINCT 'doc' || doc_id AS conv_id, surface FROM ents),
+cx AS (SELECT surface, CAST(count(*) AS BIGINT) AS c FROM ce GROUP BY 1),
+nn AS (SELECT CAST(count(DISTINCT conv_id) AS BIGINT) AS n FROM ce),
+co AS (
+  SELECT a.surface AS surface_a, b.surface AS surface_b,
+         CAST(count(*) AS BIGINT) AS n_co
+  FROM ce a JOIN ce b ON a.conv_id = b.conv_id AND a.surface < b.surface
+  GROUP BY 1, 2
+)
+SELECT co.surface_a, co.surface_b, co.n_co,
+       CAST((1000000 * co.n_co * nn.n) // (ca.c * cb.c) AS BIGINT) AS lift_x1e6
+FROM co
+JOIN cx ca ON ca.surface = co.surface_a
+JOIN cx cb ON cb.surface = co.surface_b
+CROSS JOIN nn
+WHERE co.n_co >= 2
+"""
+
+
 def q_kg_triples(sf_dir: str) -> ray.data.Dataset:
     """The flagship output: deduped (conv, subj, pred, obj) triples with
     content-addressed entity ids."""
@@ -444,6 +600,7 @@ KG_QUERIES = {
     "kg_mentions": (q_kg_mentions, SQL_KG_MENTIONS),
     "kg_mention_counts": (q_kg_mention_counts, SQL_KG_MENTION_COUNTS),
     "kg_entities": (q_kg_entities, SQL_KG_ENTITIES),
+    "kg_cooccurrence": (q_kg_cooccurrence, SQL_KG_COOCCURRENCE),
     "kg_relations": (q_kg_relations, SQL_KG_RELATIONS),
     "kg_triples": (q_kg_triples, SQL_KG_TRIPLES),
     "kg_triggers": (q_kg_triggers, SQL_KG_TRIGGERS),

@@ -117,3 +117,28 @@ def test_embedding_near_dups_matches_all_pairs(ray_session):
     pairs = ann.embedding_near_dups(rd.from_pandas(df), threshold=0.95)
     got = set(zip(pairs["id_a"].astype(int), pairs["id_b"].astype(int)))
     assert got == truth
+
+
+def test_kg_cooccurrence_matches_duckdb(ray_session):
+    """Entity co-occurrence lift vs its SQL twin at sf0.001 (integer
+    fixed-point lift must match bit-for-bit)."""
+    import duckdb
+
+    from dygiepp_ray.pipelines.queries import (
+        SQL_KG_COOCCURRENCE,
+        q_kg_cooccurrence,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_kg_cooccurrence(sf).to_pandas()
+    got = got.sort_values(["surface_a", "surface_b"], ignore_index=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = con.execute(SQL_KG_COOCCURRENCE).fetchdf().sort_values(
+        ["surface_a", "surface_b"], ignore_index=True
+    )
+    assert len(got) > 0
+    got = got.astype({"surface_a": object, "surface_b": object})
+    pd.testing.assert_frame_equal(got, want)
