@@ -1114,6 +1114,83 @@ FROM orders GROUP BY 1
 """
 
 
+def histogram_quantiles(
+    sf_dir: str, bin_cents: int = 10_000_00
+) -> ray.data.Dataset:
+    """Approximate per-group quantiles FROM the mergeable histogram
+    sketch (the one-pass, fixed-memory alternative to
+    ``analytics.exact_quantiles``' multi-pass selection): per
+    (group, bin) integer partials merge in a tiny keyed exchange, then
+    each group's quantile estimate is the upper edge of the first bin
+    whose cumulative count reaches ``ceil(q*n)`` — error bounded by the
+    bin width, deterministic, so the window-cumsum SQL twin is
+    bit-exact.  Shuffle bytes are O(groups x bins x blocks) regardless
+    of row count — the sketch shape for percentile dashboards at
+    100 TB.  -> (flag, n, p50_cents, p95_cents)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64) * 100.0
+        ).astype(np.int64)
+        g = pd.DataFrame(
+            {"flag": df["l_returnflag"].to_numpy(), "bin": cents // bin_cents}
+        ).groupby(["flag", "bin"], sort=False).size().rename("n").reset_index()
+        return g.astype({"bin": np.int64, "n": np.int64})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def quantiles(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"flag": pd.Series(dtype=object), "n": pd.Series(dtype=np.int64),
+             "p50_cents": pd.Series(dtype=np.int64),
+             "p95_cents": pd.Series(dtype=np.int64)}
+        )
+        if len(df) == 0 or "flag" not in df.columns:
+            return empty
+        h = df.groupby(["flag", "bin"], sort=False)["n"].sum().reset_index()
+        h = h.sort_values(["flag", "bin"], kind="mergesort")
+        rows = []
+        for flag, g in h.groupby("flag", sort=False):
+            n = int(g["n"].sum())
+            cum = g["n"].cumsum().to_numpy(np.int64)
+            bins = g["bin"].to_numpy(np.int64)
+            t50 = (n + 1) // 2                  # ceil(0.5 * n)
+            t95 = (95 * n + 99) // 100          # ceil(0.95 * n)
+            b50 = bins[np.searchsorted(cum, t50)]
+            b95 = bins[np.searchsorted(cum, t95)]
+            rows.append((flag, n, (b50 + 1) * bin_cents, (b95 + 1) * bin_cents))
+        return pd.DataFrame(
+            rows, columns=["flag", "n", "p50_cents", "p95_cents"]
+        ).astype({"n": np.int64, "p50_cents": np.int64, "p95_cents": np.int64})
+
+    return partitioned_map_groups(partials, "flag", quantiles, num_buckets=4)
+
+
+SQL_HISTOGRAM_QUANTILES = """
+WITH h AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(l_extendedprice * 100.0) AS BIGINT) // 1000000 AS bin,
+         count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT flag, bin, c,
+         sum(c) OVER (PARTITION BY flag ORDER BY bin) AS cum,
+         sum(c) OVER (PARTITION BY flag) AS n
+  FROM h
+)
+SELECT flag, CAST(any_value(n) AS BIGINT) AS n,
+       CAST((min(CASE WHEN cum >= (n + 1) // 2 THEN bin END) + 1)
+            * 1000000 AS BIGINT) AS p50_cents,
+       CAST((min(CASE WHEN cum >= (95 * n + 99) // 100 THEN bin END) + 1)
+            * 1000000 AS BIGINT) AS p95_cents
+FROM cum GROUP BY flag
+"""
+
+
 def events_moving_sum(sf_dir: str, window: int = 3) -> ray.data.Dataset:
     """Per-key moving-window aggregate (the lead/lag window-function
     family): for every event, the sum of the last ``window`` values of
@@ -1191,6 +1268,7 @@ RELATIONAL_QUERIES = {
     "hll_users_by_type": (hll_users_by_type, SQL_HLL_USERS_BY_TYPE),
     "cms_users_by_type": (cms_users_by_type, SQL_CMS_USERS_BY_TYPE),
     "price_histogram": (price_histogram, SQL_PRICE_HISTOGRAM),
+    "histogram_quantiles": (histogram_quantiles, SQL_HISTOGRAM_QUANTILES),
     "weighted_sample_docs": (weighted_sample_docs, SQL_WEIGHTED_SAMPLE_DOCS),
     "events_moving_sum": (events_moving_sum, SQL_EVENTS_MOVING_SUM),
 }

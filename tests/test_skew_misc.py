@@ -229,6 +229,36 @@ def test_price_histogram_partials_merge_exactly(ray_session):
     pd.testing.assert_frame_equal(got, exp)
 
 
+def test_histogram_quantiles_error_bounded_by_bin(ray_session):
+    """The sketch estimate must sit within one bin width above the exact
+    quantile (upper-edge convention), per group."""
+    import tempfile, os
+    import pandas as pd
+    import pyarrow as pa, pyarrow.parquet as pq
+    from dygiepp_ray.relational import histogram_quantiles
+
+    rng = np.random.RandomState(3)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "l_returnflag": np.where(rng.rand(n) < 0.5, "A", "B"),
+            "l_extendedprice": rng.gamma(2.0, 20000.0, size=n).round(2),
+        }
+    )
+    bin_cents = 10_000_00
+    with tempfile.TemporaryDirectory() as tmp:
+        pq.write_table(pa.Table.from_pandas(df), os.path.join(tmp, "lineitem.parquet"))
+        got = histogram_quantiles(tmp, bin_cents=bin_cents).to_pandas()
+    got = got.set_index("flag").sort_index()
+    for flag, g in df.groupby("l_returnflag"):
+        cents = np.sort(np.floor(g["l_extendedprice"].to_numpy() * 100.0).astype(np.int64))
+        for q, col in ((0.5, "p50_cents"), (0.95, "p95_cents")):
+            exact = cents[int(np.ceil(q * len(cents))) - 1]
+            est = int(got.loc[flag, col])
+            assert exact <= est <= exact + bin_cents, (flag, col, exact, est)
+        assert int(got.loc[flag, "n"]) == len(g)
+
+
 def test_quality_gate_percentile_threshold(ray_session):
     """Docs below the global p25 distinct-token count are dropped; the
     quantile convention is the ceil(q*n)-th smallest (quantile_disc)."""
