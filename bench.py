@@ -124,6 +124,7 @@ def main() -> None:
         from dygiepp_ray import analytics as A
         from dygiepp_ray import relational as R
         from dygiepp_ray.textops import queries as TQ
+        from dygiepp_ray.pipelines import queries as KQ
 
         for name, fn in [
             ("q1_pricing_summary", R.q1_pricing_summary),
@@ -146,6 +147,11 @@ def main() -> None:
             ("revenue_rollup", R.revenue_rollup),
             ("funnel_steps", R.funnel_steps),
             ("prepare_training_set", TQ.q_prepare_training_set),
+            ("prefix_near_dups", TQ.q_prefix_near_dups),
+            ("fuzzy_decontaminate", TQ.q_fuzzy_decontaminate),
+            ("triangle_count", A.triangle_count),
+            ("kg_cooccurrence", KQ.q_kg_cooccurrence),
+            ("histogram_quantiles", R.histogram_quantiles),
         ]:
             t0 = time.perf_counter()
             res = fn(SF_DIR)
