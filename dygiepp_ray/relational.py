@@ -1246,6 +1246,48 @@ FROM events
 """
 
 
+def events_lag(sf_dir: str) -> ray.data.Dataset:
+    """LAG window function: microseconds since the user's previous event
+    (-1 for the first event of a stream) — the explicit lag/lead family
+    member next to the moving-window sum.  Same single keyed exchange on
+    user_id; in-bucket work is one lexsort + one vectorized diff."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def lag(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype=np.int64),
+                 "user_id": pd.Series(dtype=np.int64),
+                 "gap_us": pd.Series(dtype=np.int64)}
+            )
+        t = ts_epoch_us(df["ts"])
+        order = np.lexsort(
+            (df["event_id"].to_numpy(np.int64), t, df["user_id"].to_numpy(np.int64))
+        )
+        uid = df["user_id"].to_numpy(np.int64)[order]
+        eid = df["event_id"].to_numpy(np.int64)[order]
+        ts = t[order]
+        gap = np.empty(len(ts), dtype=np.int64)
+        gap[0] = -1
+        gap[1:] = ts[1:] - ts[:-1]
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        gap[new_user] = -1
+        return pd.DataFrame({"event_id": eid, "user_id": uid, "gap_us": gap})
+
+    return partitioned_map_groups(ds, "user_id", lag, num_buckets=16)
+
+
+SQL_EVENTS_LAG = """
+SELECT event_id, user_id,
+       CAST(COALESCE(epoch_us(ts) - epoch_us(
+            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)), -1)
+            AS BIGINT) AS gap_us
+FROM events
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -1271,4 +1313,5 @@ RELATIONAL_QUERIES = {
     "histogram_quantiles": (histogram_quantiles, SQL_HISTOGRAM_QUANTILES),
     "weighted_sample_docs": (weighted_sample_docs, SQL_WEIGHTED_SAMPLE_DOCS),
     "events_moving_sum": (events_moving_sum, SQL_EVENTS_MOVING_SUM),
+    "events_lag": (events_lag, SQL_EVENTS_LAG),
 }

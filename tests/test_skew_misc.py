@@ -229,6 +229,36 @@ def test_price_histogram_partials_merge_exactly(ray_session):
     pd.testing.assert_frame_equal(got, exp)
 
 
+def test_events_lag_gaps_and_stream_starts(ray_session):
+    """Gap = microseconds since the user's previous event; stream starts
+    (and the tie-broken first of equal timestamps) get -1; no bleed
+    across users."""
+    import tempfile, os
+    import pandas as pd
+    import pyarrow as pa, pyarrow.parquet as pq
+    from dygiepp_ray.relational import events_lag
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00"] * 2 + ["2024-01-01 00:00:05", "2024-01-01 00:00:09"]
+        + ["2024-01-01 00:00:01"]
+    )
+    df = pd.DataFrame(
+        {
+            "event_id": np.int64([2, 1, 3, 4, 9]),
+            "user_id": np.int64([7, 7, 7, 7, 8]),
+            "ts": ts,
+        }
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        pq.write_table(pa.Table.from_pandas(df), os.path.join(tmp, "events.parquet"))
+        out = events_lag(tmp).to_pandas().set_index("event_id")["gap_us"]
+    assert out[1] == -1          # first of user 7 (ts tie, event_id order)
+    assert out[2] == 0           # same timestamp as event 1
+    assert out[3] == 5_000_000
+    assert out[4] == 4_000_000
+    assert out[9] == -1          # singleton user 8
+
+
 def test_histogram_quantiles_error_bounded_by_bin(ray_session):
     """The sketch estimate must sit within one bin width above the exact
     quantile (upper-edge convention), per group."""
