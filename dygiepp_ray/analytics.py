@@ -809,32 +809,12 @@ SELECT node, CAST(r AS BIGINT) AS r FROM r3
 # ---------------------------------------------------------------------------
 
 
-def triangle_count(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
-    """Distributed triangle count over the co-purchase graph (parts
-    appearing in the same order are adjacent) — the classic
-    degree-oriented wedge-join algorithm (Cohen's MapReduce form /
-    Suri-Vassilvitskii WWW'11), the graph analytic beyond PageRank and
-    connected components:
-
-      1. per-order part pairs (one keyed exchange on orderkey; the
-         in-bucket pair merge is bounded by order size), global pair
-         dedup on the pkey exchange;
-      2. degrees (one exchange on node), attached to both edge
-         endpoints via ``attach_pair_values``;
-      3. each edge oriented from its (degree, id)-smaller endpoint —
-         every node's out-degree is O(sqrt(m)), so per-source wedge
-         generation is bounded even on power-law graphs (the reason
-         for degree orientation instead of id orientation);
-      4. wedges (out-neighbor pairs per source) joined back against
-         the undirected edge set on the pair key — each triangle
-         closes at exactly one pivot, so the sum of matches IS the
-         triangle count.
-
-    The driver holds two scalars.  Output: one row
-    (n_edges, n_triangles) — both constrained by the SQL twin.
-    """
-    from .textops.dedup import _add_pair_key, attach_pair_values
-    import pyarrow as pa
+def _copurchase_edges(sf_dir: str, num_buckets: int = 16) -> ray.data.Dataset:
+    """Distinct undirected co-purchase edges (id_a < id_b, + pkey) —
+    parts appearing in the same order are adjacent.  One exchange on
+    orderkey for pair generation (bounded by order size), one pkey
+    exchange for global dedup.  Shared by triangle_count and kcore."""
+    from .textops.dedup import _add_pair_key
 
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
@@ -862,10 +842,41 @@ def triangle_count(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
             return out
         return df.drop_duplicates(["id_a", "id_b"], ignore_index=True)
 
-    edges = partitioned_map_groups(
+    return partitioned_map_groups(
         raw.map_batches(_add_pair_key, batch_format="pandas"),
         "pkey", dedup_keep_key, num_buckets,
     ).materialize()
+
+
+def triangle_count(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
+    """Distributed triangle count over the co-purchase graph (parts
+    appearing in the same order are adjacent) — the classic
+    degree-oriented wedge-join algorithm (Cohen's MapReduce form /
+    Suri-Vassilvitskii WWW'11), the graph analytic beyond PageRank and
+    connected components:
+
+      1. per-order part pairs (one keyed exchange on orderkey; the
+         in-bucket pair merge is bounded by order size), global pair
+         dedup on the pkey exchange;
+      2. degrees (one exchange on node), attached to both edge
+         endpoints via ``attach_pair_values``;
+      3. each edge oriented from its (degree, id)-smaller endpoint —
+         every node's out-degree is O(sqrt(m)), so per-source wedge
+         generation is bounded even on power-law graphs (the reason
+         for degree orientation instead of id orientation);
+      4. wedges (out-neighbor pairs per source) joined back against
+         the undirected edge set on the pair key — each triangle
+         closes at exactly one pivot, so the sum of matches IS the
+         triangle count.
+
+    The driver holds two scalars.  Output: one row
+    (n_edges, n_triangles) — both constrained by the SQL twin.
+    """
+    from .textops.dedup import _add_pair_key, attach_pair_values
+    import pyarrow as pa
+
+    _EP = {"id_a": np.int64, "id_b": np.int64}
+    edges = _copurchase_edges(sf_dir, num_buckets)
 
     def endpoints(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0 or "id_a" not in df.columns:
@@ -941,6 +952,98 @@ def triangle_count(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
     )
 
 
+def kcore(
+    sf_dir: str, k: int = 80, rounds: int = 3, num_buckets: int = 16
+) -> ray.data.Dataset:
+    """``rounds`` rounds of k-core peeling over the co-purchase graph
+    (iterative graph op #3 next to PageRank and connected components):
+    each round recomputes every surviving node's degree within the
+    surviving-node-induced subgraph and drops nodes below ``k``.
+
+    A FIXED round count (like ``pagerank3``) instead of
+    run-to-convergence makes the iteration SQL-expressible as chained
+    CTEs — recursive CTEs can only grow a set, and peeling shrinks one.
+
+    Per round: two coexchanges in the connected-components pattern —
+    (1) alive x edges on the SOURCE node: every alive node sends 1 along
+    its out-edges; (2) messages x alive on the TARGET: induced degree =
+    incoming count, keep deg >= k.  The symmetrized edge table is split
+    once (``splits_b``) and shared by every round; the driver holds
+    nothing.  -> (node, deg) of the survivors after ``rounds`` peels."""
+    edges = _copurchase_edges(sf_dir, num_buckets)
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "id_a" not in df.columns:
+            return pd.DataFrame({"src": pd.Series(dtype=np.int64),
+                                 "dst": pd.Series(dtype=np.int64)})
+        return pd.DataFrame(
+            {"src": np.concatenate([df["id_a"].to_numpy(np.int64),
+                                    df["id_b"].to_numpy(np.int64)]),
+             "dst": np.concatenate([df["id_b"].to_numpy(np.int64),
+                                    df["id_a"].to_numpy(np.int64)])}
+        )
+
+    es = edges.map_batches(sym, batch_format="pandas").materialize()
+
+    _NODE = {"node": np.int64, "deg": np.int64}
+
+    def init_alive(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "src" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _NODE.items()})
+        g = df.groupby("src", as_index=False).size()
+        return g.rename(columns={"src": "node", "size": "deg"}).astype(
+            {"node": np.int64, "deg": np.int64}
+        )
+
+    alive = partitioned_map_groups(es, "src", init_alive, num_buckets)
+
+    esplits = split_refs(es, "src", num_buckets)
+
+    def send(al: pd.DataFrame, e: pd.DataFrame) -> pd.DataFrame:
+        if (len(al) == 0 or "node" not in al.columns
+                or len(e) == 0 or "src" not in e.columns):
+            return pd.DataFrame({"dst": pd.Series(dtype=np.int64)})
+        j = e.merge(al[["node"]].rename(columns={"node": "src"}), on="src")
+        return j[["dst"]]
+
+    def recv(m: pd.DataFrame, al: pd.DataFrame) -> pd.DataFrame:
+        if (len(m) == 0 or "dst" not in m.columns
+                or len(al) == 0 or "node" not in al.columns):
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _NODE.items()})
+        deg = m.groupby("dst", as_index=False).size().rename(
+            columns={"dst": "node", "size": "deg"}
+        )
+        j = al[["node"]].merge(deg, on="node", how="inner")
+        out = j[j["deg"] >= k].reset_index(drop=True)
+        return out.astype({"node": np.int64, "deg": np.int64})
+
+    for _ in range(rounds):
+        msgs = hash_coexchange(alive, es, "node", "src", send,
+                               num_buckets, splits_b=esplits)
+        alive = hash_coexchange(msgs, alive, "dst", "node", recv,
+                                num_buckets).materialize()
+
+    return alive
+
+
+def _sql_kcore(k: int, rounds: int) -> str:
+    ctes = ["""
+WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+es0 AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0)"""]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""
+d{i} AS (SELECT u AS node, count(*) AS deg FROM es{i-1} GROUP BY 1),
+a{i} AS (SELECT node, deg FROM d{i} WHERE deg >= {k}),
+es{i} AS (SELECT es{i-1}.u, es{i-1}.v FROM es{i-1}
+          JOIN a{i} x ON es{i-1}.u = x.node JOIN a{i} y ON es{i-1}.v = y.node)""")
+    return (",".join(ctes)
+            + f"\nSELECT node, CAST(deg AS BIGINT) AS deg FROM a{rounds}")
+
+
+SQL_KCORE = _sql_kcore(80, 3)
+
+
 SQL_TRIANGLE_COUNT = """
 WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
 e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a JOIN li b ON a.o = b.o AND a.p < b.p)
@@ -961,4 +1064,5 @@ ANALYTICS_QUERIES = {
     "json_props_sum": (json_props_sum, SQL_JSON_PROPS_SUM),
     "pagerank3": (pagerank3, SQL_PAGERANK3),
     "triangle_count": (triangle_count, SQL_TRIANGLE_COUNT),
+    "kcore": (kcore, SQL_KCORE),
 }

@@ -456,3 +456,31 @@ def test_triangle_count_matches_duckdb(ray_session):
     want = norm(duck(SF, SQL_TRIANGLE_COUNT))
     assert int(got["n_triangles"].iloc[0]) > 0
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_kcore_planted_peeling(ray_session, tmp_path):
+    """Triangle {1,2,3} + pendant 4: k=2 peeling drops the pendant in
+    round 1, the triangle survives with induced degree 2."""
+    from dygiepp_ray.analytics import kcore
+
+    rows = [(10, 1), (10, 2), (10, 3), (20, 1), (20, 4)]
+    pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"]).astype(
+        np.int64
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    got = kcore(str(tmp_path), k=2, rounds=3, num_buckets=4).to_pandas()
+    got = got.sort_values("node", ignore_index=True)
+    assert got["node"].tolist() == [1, 2, 3]
+    assert got["deg"].tolist() == [2, 2, 2]
+
+
+def test_kcore_matches_duckdb(ray_session):
+    from dygiepp_ray.analytics import _sql_kcore, kcore
+
+    k, rounds = 3, 2
+    got = norm(run(kcore(SF, k=k, rounds=rounds)))
+    want = norm(duck(SF, _sql_kcore(k, rounds)))
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(
+        got.sort_values("node", ignore_index=True),
+        want.sort_values("node", ignore_index=True),
+    )
