@@ -213,3 +213,84 @@ FROM (
 )
 WHERE rk <= 3
 """
+
+
+# ---------------------------------------------------------------------------
+# multi-term boolean search (retrieval beyond ANN: exact term matching)
+# ---------------------------------------------------------------------------
+
+
+def term_search(
+    ds: "ray.data.Dataset",
+    terms: tuple[str, ...],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Boolean-AND retrieval: documents containing EVERY query term,
+    ranked by total query-term frequency (ties broken by doc_id) —
+    top-``k``.
+
+    Scale shape: scoring is embarrassingly parallel (a document carries
+    all its tokens, so no shuffle — each batch filters its token stream
+    to the tiny broadcast term set and aggregates per doc), each block
+    emits at most ``k`` survivors, and the global top-k is a
+    sort().limit(k) over blocks x k rows.  The selective-retrieval
+    complement to the ANN family: same contract as a posting-list
+    lookup, realized as a streaming scan because the engine's inputs
+    are column stores, not a served index."""
+    tset = frozenset(terms)
+    n_terms = len(tset)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                              "tf": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or text_col not in df.columns:
+            return empty
+        toks = _doc_tokens(df, text_col)
+        lens = toks.map(len).to_numpy(np.int64)
+        if lens.sum() == 0:
+            return empty
+        ids = np.repeat(df[id_col].to_numpy(np.int64), lens)
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
+        hit = pd.DataFrame({"id": ids, "tok": flat})
+        hit = hit[hit["tok"].isin(tset)]
+        if not len(hit):
+            return empty
+        g = hit.groupby("id").agg(tf=("tok", "size"), nt=("tok", "nunique"))
+        g = g[g["nt"] == n_terms].reset_index()
+        g = g.sort_values(["tf", "id"], ascending=[False, True]).head(k)
+        return pd.DataFrame({id_col: g["id"].to_numpy(np.int64),
+                             "tf": g["tf"].to_numpy(np.int64)})
+
+    parts = ds.map_batches(score, batch_format="pandas")
+    return parts.sort(["tf", id_col], descending=[True, False]).limit(k)
+
+
+SEARCH_TERMS = ("join", "hash", "scan")
+
+
+def q_term_search(sf_dir: str):
+    import ray.data as _rd
+
+    docs = _rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return term_search(docs, SEARCH_TERMS, k=10)
+
+
+SQL_TERM_SEARCH = r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS arr
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(arr) AS tok FROM base),
+m AS (SELECT doc_id, tok FROM toks WHERE tok IN ('join', 'hash', 'scan')),
+s AS (SELECT doc_id, count(*) AS tf, count(DISTINCT tok) AS nt FROM m GROUP BY 1)
+SELECT doc_id, CAST(tf AS BIGINT) AS tf
+FROM s WHERE nt = 3
+ORDER BY tf DESC, doc_id
+LIMIT 10
+"""

@@ -1091,6 +1091,7 @@ TEXTOPS_QUERIES = {
     "curate_corpus": (q_curate, SQL_CURATE),
     "chunk_documents": (_chunks.q_chunk_documents, _chunks.SQL_CHUNK_DOCUMENTS),
     "tfidf_top_terms": (_chunks.q_tfidf_top_terms, _chunks.SQL_TFIDF_TOP_TERMS),
+    "term_search": (_chunks.q_term_search, _chunks.SQL_TERM_SEARCH),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "fuzzy_decontaminate": (q_fuzzy_decontaminate, SQL_FUZZY_DECONTAMINATE),
     "repetition_scores": (q_repetition_scores, SQL_REPETITION_SCORES),

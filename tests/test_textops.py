@@ -595,3 +595,27 @@ def test_ppm_resize_nearest_matches_reference(ray_session):
             ref = img[np.ix_(rows, cols)].reshape(-1, 3)
             assert (nh, nw) == (len(rows), len(cols))
             assert np.array_equal(npx, ref)
+
+
+def test_term_search_and_semantics_and_ranking(ray_session):
+    """Boolean AND (docs missing any term excluded), rank by total tf,
+    ties by doc_id, global top-k across blocks."""
+    from dygiepp_ray.textops.chunks import term_search
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.int64([1, 2, 3, 4, 5]),
+            "text": [
+                "join hash scan join",        # tf 4
+                "join hash",                  # missing scan -> excluded
+                "scan hash join scan scan",   # tf 5
+                "join join hash scan",        # tf 4 (tie -> doc 1 first)
+                "",
+            ],
+        }
+    )
+    out = term_search(
+        rd.from_pandas(df).repartition(3), ("join", "hash", "scan"), k=2
+    ).to_pandas()
+    assert out["doc_id"].tolist() == [3, 1]
+    assert out["tf"].tolist() == [5, 4]
