@@ -809,6 +809,35 @@ SELECT node, CAST(r AS BIGINT) AS r FROM r3
 # ---------------------------------------------------------------------------
 
 
+def _pairs_within_sorted_groups(
+    values: np.ndarray, group_ids: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """All positional pairs (i < j) within runs of equal ``group_ids``
+    — fully vectorized (no per-group Python loop; the loop version cost
+    triangle_count ~150 s at sf0.1 building ~30M wedges).  Inputs must
+    be sorted by (group, value); returns (values[i], values[j]) with
+    i-value < j-value inside each run when values ascend."""
+    n = len(values)
+    if n == 0:
+        e = np.empty(0, dtype=values.dtype)
+        return e, e
+    new = np.concatenate([[True], group_ids[1:] != group_ids[:-1]])
+    starts = np.flatnonzero(new)
+    run_len = np.diff(np.concatenate([starts, [n]]))
+    pos = np.arange(n, dtype=np.int64) - np.repeat(starts, run_len)
+    run_id = np.cumsum(new) - 1
+    left_rep = run_len[run_id] - pos - 1
+    total = int(left_rep.sum())
+    if total == 0:
+        e = np.empty(0, dtype=values.dtype)
+        return e, e
+    li = np.repeat(np.arange(n, dtype=np.int64), left_rep)
+    cum = np.concatenate([[0], np.cumsum(left_rep)])
+    rj = (np.arange(total, dtype=np.int64)
+          - np.repeat(cum[:-1], left_rep) + li + 1)
+    return values[li], values[rj]
+
+
 def _copurchase_edges(sf_dir: str, num_buckets: int = 16) -> ray.data.Dataset:
     """Distinct undirected co-purchase edges (id_a < id_b, + pkey) —
     parts appearing in the same order are adjacent.  One exchange on
@@ -848,7 +877,9 @@ def _copurchase_edges(sf_dir: str, num_buckets: int = 16) -> ray.data.Dataset:
     ).materialize()
 
 
-def triangle_count(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
+def triangle_count(
+    sf_dir: str, num_buckets: int = 16, broadcast_edges: bool = True
+) -> pd.DataFrame:
     """Distributed triangle count over the co-purchase graph (parts
     appearing in the same order are adjacent) — the classic
     degree-oriented wedge-join algorithm (Cohen's MapReduce form /
@@ -864,13 +895,24 @@ def triangle_count(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
          every node's out-degree is O(sqrt(m)), so per-source wedge
          generation is bounded even on power-law graphs (the reason
          for degree orientation instead of id orientation);
-      4. wedges (out-neighbor pairs per source) joined back against
-         the undirected edge set on the pair key — each triangle
-         closes at exactly one pivot, so the sum of matches IS the
-         triangle count.
+      4. wedges (out-neighbor pairs per source) closed against the
+         undirected edge set — each triangle closes at exactly one
+         pivot, so the sum of matches IS the triangle count.
 
-    The driver holds two scalars.  Output: one row
-    (n_edges, n_triangles) — both constrained by the SQL twin.
+    Closing has two shapes.  ``broadcast_edges=True`` (default): the
+    edge-key set (8 B/edge, sorted uint64) is ``ray.put`` once and
+    wedges are closed IN PLACE with a vectorized searchsorted — wedges
+    (Θ(Σ outdeg²), ~40M at sf0.1, the dominant volume) never enter an
+    exchange; measured 60 s → ~12 s at sf0.1.  For graphs whose edge
+    set exceeds worker memory (≳10⁹ edges), ``broadcast_edges=False``
+    keeps everything distributed: wedges ride a pair-key coexchange
+    against the edge table (both paths equivalence-tested).  Node ids
+    must fit 32 bits for the packed broadcast key; larger ids fall
+    back to the exchange path automatically.
+
+    The driver holds two scalars (plus the broadcast keys in the small
+    -side path).  Output: one row (n_edges, n_triangles) — both
+    constrained by the SQL twin.
     """
     from .textops.dedup import _add_pair_key, attach_pair_values
     import pyarrow as pa
@@ -917,33 +959,59 @@ def triangle_count(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
 
     oriented = withdeg.map_batches(orient, batch_format="pandas")
 
-    def wedges(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0 or "src" not in df.columns:
-            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _EP.items()})
-        sizes = df.groupby("src", sort=False)["dst"].transform("size")
-        d = df[sizes >= 2]
-        outs = []
-        for _, g in d.groupby("src", sort=False):
-            nb = np.sort(g["dst"].to_numpy(np.int64))
-            i, j = np.triu_indices(len(nb), k=1)
-            outs.append(pd.DataFrame({"id_a": nb[i], "id_b": nb[j]}))
-        if not outs:
-            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _EP.items()})
-        return pd.concat(outs, ignore_index=True)
+    def _wedge_pairs(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        src = df["src"].to_numpy(np.int64)
+        dst = df["dst"].to_numpy(np.int64)
+        order = np.lexsort((dst, src))
+        return _pairs_within_sorted_groups(dst[order], src[order])
 
-    wedge_ds = partitioned_map_groups(oriented, "src", wedges, num_buckets)
-    wedge_keyed = wedge_ds.map_batches(_add_pair_key, batch_format="pandas")
+    ekeys = None
+    if broadcast_edges:
+        epd = edges.to_pandas()  # small side by contract: 16 B/edge
+        if len(epd) and int(epd[["id_a", "id_b"]].to_numpy().max()) >= (1 << 32):
+            ekeys = None  # ids too wide for the packed key: exchange path
+        else:
+            ekeys = ray.put(np.sort(
+                (epd["id_a"].to_numpy(np.uint64) << np.uint64(32))
+                | epd["id_b"].to_numpy(np.uint64)
+            ))
 
-    def close_count(w: pd.DataFrame, e: pd.DataFrame) -> pd.DataFrame:
-        if (len(w) == 0 or "id_a" not in w.columns
-                or len(e) == 0 or "id_a" not in e.columns):
-            return pd.DataFrame({"cnt": pd.Series(dtype=np.int64)})
-        m = w.merge(e[["id_a", "id_b"]], on=["id_a", "id_b"], how="inner")
-        return pd.DataFrame({"cnt": np.asarray([len(m)], dtype=np.int64)})
+    if ekeys is not None:
+        keys_ref = ekeys
 
-    closed = hash_coexchange(
-        wedge_keyed, edges, "pkey", "pkey", close_count, num_buckets
-    )
+        def wedge_close(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0 or "src" not in df.columns:
+                return pd.DataFrame({"cnt": pd.Series(dtype=np.int64)})
+            a, b = _wedge_pairs(df)
+            if len(a) == 0:
+                return pd.DataFrame({"cnt": np.asarray([0], dtype=np.int64)})
+            keys = ray.get(keys_ref)  # zero-copy object-store fetch
+            k = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
+            idx = np.searchsorted(keys, k)
+            hits = (idx < len(keys)) & (keys[np.minimum(idx, len(keys) - 1)] == k)
+            return pd.DataFrame({"cnt": np.asarray([int(hits.sum())], dtype=np.int64)})
+
+        closed = partitioned_map_groups(oriented, "src", wedge_close, num_buckets)
+    else:
+        def wedges(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0 or "src" not in df.columns:
+                return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _EP.items()})
+            a, b = _wedge_pairs(df)
+            return pd.DataFrame({"id_a": a, "id_b": b})
+
+        wedge_ds = partitioned_map_groups(oriented, "src", wedges, num_buckets)
+        wedge_keyed = wedge_ds.map_batches(_add_pair_key, batch_format="pandas")
+
+        def close_count(w: pd.DataFrame, e: pd.DataFrame) -> pd.DataFrame:
+            if (len(w) == 0 or "id_a" not in w.columns
+                    or len(e) == 0 or "id_a" not in e.columns):
+                return pd.DataFrame({"cnt": pd.Series(dtype=np.int64)})
+            m = w.merge(e[["id_a", "id_b"]], on=["id_a", "id_b"], how="inner")
+            return pd.DataFrame({"cnt": np.asarray([len(m)], dtype=np.int64)})
+
+        closed = hash_coexchange(
+            wedge_keyed, edges, "pkey", "pkey", close_count, num_buckets
+        )
     n_tri = int(closed.sum("cnt") or 0)
     n_edges = edges.count()
     return pd.DataFrame(

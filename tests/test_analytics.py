@@ -484,3 +484,20 @@ def test_kcore_matches_duckdb(ray_session):
         got.sort_values("node", ignore_index=True),
         want.sort_values("node", ignore_index=True),
     )
+
+
+def test_triangle_count_exchange_path_equivalent(ray_session, tmp_path):
+    """broadcast_edges=False (the huge-graph pair-key exchange path)
+    must count the same triangles as the broadcast path."""
+    from dygiepp_ray.analytics import triangle_count
+
+    rng = np.random.RandomState(11)
+    rows = [(int(o), int(p))
+            for o in range(60) for p in rng.choice(25, size=4, replace=False)]
+    pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"]).astype(
+        np.int64
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    a = triangle_count(str(tmp_path), num_buckets=4, broadcast_edges=True)
+    b = triangle_count(str(tmp_path), num_buckets=4, broadcast_edges=False)
+    assert a["n_triangles"].iloc[0] == b["n_triangles"].iloc[0] > 0
+    assert a["n_edges"].iloc[0] == b["n_edges"].iloc[0]
