@@ -1246,6 +1246,51 @@ FROM events
 """
 
 
+def window_distinct_users(
+    sf_dir: str, window_s: int = 3600
+) -> ray.data.Dataset:
+    """EXACT count-distinct per tumbling window (the sketch-free twin of
+    the windowed-HLL family): per-batch distinct (window, user) pairs
+    are the combiner — shuffle bytes are O(distinct pairs), never O(rows)
+    — then one keyed exchange on the window counts uniques.  A window's
+    pairs all land in one bucket, so the count is exact; at 100 TB the
+    per-window distinct set must fit a task (true for hourly windows;
+    beyond that, switch to the HLL sketch or salt users and sum
+    per-salt distinct counts)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        win = (ts_epoch_us(df["ts"]) // 1_000_000 // window_s) * window_s
+        out = pd.DataFrame(
+            {"window_start": win, "user_id": df["user_id"].to_numpy(np.int64)}
+        ).drop_duplicates(ignore_index=True)
+        return out.astype({"window_start": np.int64})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "window_start" not in df.columns:
+            return pd.DataFrame({"window_start": pd.Series(dtype=np.int64),
+                                 "n_users": pd.Series(dtype=np.int64)})
+        g = df.drop_duplicates(["window_start", "user_id"]).groupby(
+            "window_start", as_index=False
+        ).size()
+        return g.rename(columns={"size": "n_users"}).astype(
+            {"window_start": np.int64, "n_users": np.int64}
+        )
+
+    return partitioned_map_groups(partials, "window_start", final, num_buckets=8)
+
+
+SQL_WINDOW_DISTINCT_USERS = """
+SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+"""
+
+
 def events_lag(sf_dir: str) -> ray.data.Dataset:
     """LAG window function: microseconds since the user's previous event
     (-1 for the first event of a stream) — the explicit lag/lead family
@@ -1314,4 +1359,5 @@ RELATIONAL_QUERIES = {
     "weighted_sample_docs": (weighted_sample_docs, SQL_WEIGHTED_SAMPLE_DOCS),
     "events_moving_sum": (events_moving_sum, SQL_EVENTS_MOVING_SUM),
     "events_lag": (events_lag, SQL_EVENTS_LAG),
+    "window_distinct_users": (window_distinct_users, SQL_WINDOW_DISTINCT_USERS),
 }
