@@ -49,6 +49,35 @@ def stable_bucket(values, num_buckets: int) -> np.ndarray:
     return (h % np.uint64(num_buckets)).astype(np.int32)
 
 
+def grouped_pair_indices(group_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All positional index pairs (i < j) within runs of equal
+    ``group_ids`` (which must be sorted / run-grouped) — the shared
+    vectorized all-pairs-within-group expansion.  A per-group Python
+    loop with ``np.triu_indices`` costs ~150 s building ~40M triangle
+    wedges at sf0.1; this form is pure numpy.  Returns (li, rj) index
+    arrays into the input's positions; callers index their value
+    columns with them."""
+    n = len(group_ids)
+    if n == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    new = np.concatenate([[True], group_ids[1:] != group_ids[:-1]])
+    starts = np.flatnonzero(new)
+    run_len = np.diff(np.concatenate([starts, [n]]))
+    pos = np.arange(n, dtype=np.int64) - np.repeat(starts, run_len)
+    run_id = np.cumsum(new) - 1
+    left_rep = run_len[run_id] - pos - 1
+    total = int(left_rep.sum())
+    if total == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    li = np.repeat(np.arange(n, dtype=np.int64), left_rep)
+    cum = np.concatenate([[0], np.cumsum(left_rep)])
+    rj = (np.arange(total, dtype=np.int64)
+          - np.repeat(cum[:-1], left_rep) + li + 1)
+    return li, rj
+
+
 # Max ObjectRef arguments per concat/merge task.  At 100 TB / 128 MiB
 # blocks the upstream is ~800k blocks; a flat merge would put every one
 # of them in ONE task spec.  The tree-reduce below caps task fan-in at

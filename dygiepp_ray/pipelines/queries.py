@@ -198,15 +198,16 @@ def q_kg_cooccurrence(sf_dir: str, min_co: int = 2) -> ray.data.Dataset:
         "conv_id", conv_ent, num_buckets=16,
     ).materialize()
 
+    # ce is conv_id-partitioned by the exchange above (a conv never
+    # spans blocks), so the distinct-conv count needs NO second shuffle
     n_convs = int(
-        partitioned_map_groups(
-            ce, "conv_id",
+        ce.map_batches(
             lambda df: pd.DataFrame(
                 {"nc": np.asarray(
                     [df["conv_id"].nunique() if len(df) and "conv_id" in df.columns else 0],
                     dtype=np.int64)}
             ),
-            num_buckets=16,
+            batch_format="pandas", batch_size=None,
         ).sum("nc") or 0
     )
 
@@ -216,16 +217,15 @@ def q_kg_cooccurrence(sf_dir: str, min_co: int = 2) -> ray.data.Dataset:
         empty = pd.DataFrame({c: pd.Series(dtype=t) for c, t in _PAIRS.items()})
         if len(df) == 0 or "conv_id" not in df.columns:
             return empty
-        outs = []
-        for _, g in df.groupby("conv_id", sort=False):
-            s = np.sort(g["surface"].to_numpy(object))
-            if len(s) < 2:
-                continue
-            i, j = np.triu_indices(len(s), k=1)
-            outs.append(pd.DataFrame({"sa": s[i], "sb": s[j]}))
-        if not outs:
+        from ..core import grouped_pair_indices
+
+        d = df.sort_values(["conv_id", "surface"], kind="mergesort")
+        conv = pd.factorize(d["conv_id"])[0]
+        li, rj = grouped_pair_indices(conv)
+        if len(li) == 0:
             return empty
-        cat = pd.concat(outs, ignore_index=True)
+        surf = d["surface"].to_numpy(object)
+        cat = pd.DataFrame({"sa": surf[li], "sb": surf[rj]})
         g = cat.groupby(["sa", "sb"], sort=False).size().rename("n").reset_index()
         g["pair"] = g["sa"] + "\x1f" + g["sb"]
         return g[["pair", "sa", "sb", "n"]].astype({"n": np.int64})

@@ -26,7 +26,7 @@ import pandas as pd
 
 import ray.data
 
-from ..core import partitioned_map_groups
+from ..core import grouped_pair_indices, partitioned_map_groups
 
 _LOG = logging.getLogger(__name__)
 
@@ -745,12 +745,14 @@ def _empty_pairs() -> pd.DataFrame:
 
 
 def prefix_filter_pairs(
-    docs: ray.data.Dataset,
-    threshold: float = 0.8,
+    docs: ray.data.Dataset | None,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
     shingle_k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_buckets: int = 32,
+    sets_ds: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """FULL-RECALL candidate pairs for Jaccard >= ``threshold`` via
     prefix filtering (the AllPairs / PPJoin family, Bayardo et al.
@@ -785,8 +787,18 @@ def prefix_filter_pairs(
     is by definition high-df and sorts out of prefixes) are logged
     but fully expanded.  Use the LSH paths when approximate recall
     is acceptable and the corpus is adversarially skewed.
+
+    The threshold is a RATIONAL ``threshold_num/threshold_den``: the
+    prefix length uses the exact integer ceiling
+    ``n - ceil(num*n/den) + 1`` — a float ``np.ceil(t*n)`` overshoots
+    the true ceiling for many rational t (double rounding), silently
+    shortening the prefix by one and breaking full recall.  Pass
+    ``sets_ds`` (a materialized :func:`shingle_sets` output) to share
+    the tokenize+hash pass with a downstream verify.
     """
-    sets = shingle_sets(docs, shingle_k, text_col, id_col)
+    sets = (shingle_sets(docs, shingle_k, text_col, id_col)
+            if sets_ds is None else sets_ds)
+    t_float = threshold_num / threshold_den  # pruning only (slack below)
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -839,7 +851,9 @@ def prefix_filter_pairs(
             )
         d = df.sort_values(["doc_id", "df", "shingle"], kind="mergesort")
         n = d["size"].to_numpy(np.int64)
-        plen = n - np.ceil(threshold * n).astype(np.int64) + 1
+        # exact integer ceil(num*n/den) — float np.ceil(t*n) overshoots
+        # for many rational thresholds and would break full recall
+        plen = n - (threshold_num * n + threshold_den - 1) // threshold_den + 1
         rank = d.groupby("doc_id", sort=False).cumcount().to_numpy()
         return d.loc[rank < plen, ["shingle", "doc_id", "size"]].reset_index(
             drop=True
@@ -850,29 +864,37 @@ def prefix_filter_pairs(
     def candidates(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0 or "shingle" not in df.columns:
             return _empty_pairs()
-        sizes = df.groupby("shingle", sort=False)["doc_id"].transform("size")
-        d = df[sizes >= 2]
-        outs = []
-        for _, g in d.groupby("shingle", sort=False):
-            order = np.argsort(g["doc_id"].to_numpy(), kind="stable")
-            ids = g["doc_id"].to_numpy(np.int64)[order]
-            sz = g["size"].to_numpy(np.int64)[order]
-            if len(ids) > 4096:
+        sh = df["shingle"].to_numpy(np.int64)
+        ids = df["doc_id"].to_numpy(np.int64)
+        sz = df["size"].to_numpy(np.int64)
+        order = np.lexsort((ids, sh))
+        sh, ids, sz = sh[order], ids[order], sz[order]
+        # mega-group logging (no cap — exactness): run lengths once
+        new = np.concatenate([[True], sh[1:] != sh[:-1]]) if len(sh) else np.array([], bool)
+        if len(sh):
+            starts = np.flatnonzero(new)
+            run_len = np.diff(np.concatenate([starts, [len(sh)]]))
+            big = run_len[run_len > 4096]
+            if len(big):
                 _LOG.warning(
-                    "prefix_filter_pairs: %d docs share prefix shingle "
-                    "%d — expanding all pairs (exactness forbids a cap)",
-                    len(ids), int(g["shingle"].iloc[0]),
+                    "prefix_filter_pairs: %d prefix-shingle groups exceed "
+                    "4096 members (max %d) — expanding all pairs "
+                    "(exactness forbids a cap)", len(big), int(big.max()),
                 )
-            a, b = np.triu_indices(len(ids), k=1)
-            # size filter: a true pair needs min >= t*max (strictly a
-            # *pruning* step — kept slightly permissive so float
-            # rounding can only ADD candidates, never drop a true pair)
-            ok = np.minimum(sz[a], sz[b]) >= threshold * np.maximum(sz[a], sz[b]) - 1e-9
-            if ok.any():
-                outs.append(pd.DataFrame({"id_a": ids[a][ok], "id_b": ids[b][ok]}))
-        if not outs:
+        li, rj = grouped_pair_indices(sh)
+        if len(li) == 0:
             return _empty_pairs()
-        return pd.concat(outs, ignore_index=True).drop_duplicates(ignore_index=True)
+        a_ids, b_ids = ids[li], ids[rj]
+        sa, sb = sz[li], sz[rj]
+        # size filter: a true pair needs min >= t*max (strictly a
+        # *pruning* step — kept slightly permissive so float rounding
+        # can only ADD candidates, never drop a true pair)
+        ok = np.minimum(sa, sb) >= t_float * np.maximum(sa, sb) - 1e-9
+        if not ok.any():
+            return _empty_pairs()
+        return pd.DataFrame(
+            {"id_a": a_ids[ok], "id_b": b_ids[ok]}
+        ).drop_duplicates(ignore_index=True)
 
     cand = partitioned_map_groups(pref, "shingle", candidates, num_buckets)
 
@@ -903,11 +925,13 @@ def prefix_near_dups(
     ``jac_pct = (100*|inter|) // |union|`` (floored integer percent —
     cross-engine stable where a float ratio is not).
     """
-    t = threshold_num / threshold_den
+    # ONE tokenize+hash pass shared by candidate generation and verify
+    # (two independent shingle_sets lineages would scan the corpus twice)
+    sets_ds = shingle_sets(docs, shingle_k, text_col, id_col).materialize()
     pairs = prefix_filter_pairs(
-        docs, t, shingle_k, text_col, id_col, num_buckets
+        None, threshold_num, threshold_den, shingle_k, text_col, id_col,
+        num_buckets, sets_ds=sets_ds,
     )
-    sets_ds = shingle_sets(docs, shingle_k, text_col, id_col)
     import pyarrow as pa
 
     withboth = attach_pair_values(

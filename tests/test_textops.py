@@ -96,7 +96,7 @@ def test_prefix_filter_pairs_superset_of_truth(ray_session):
         {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
     )
     cand = dedup.prefix_filter_pairs(
-        rd.from_pandas(df), threshold=0.5, num_buckets=4
+        rd.from_pandas(df), threshold_num=1, threshold_den=2, num_buckets=4
     ).to_pandas()
     got = set(map(tuple, cand[["id_a", "id_b"]].to_numpy()))
     sets = {
@@ -108,6 +108,19 @@ def test_prefix_filter_pairs_superset_of_truth(ray_session):
             u = sets[i] | sets[j]
             if u and len(sets[i] & sets[j]) / len(u) >= 0.5:
                 assert (i, j) in got, (i, j)
+
+
+def test_prefix_length_integer_ceiling():
+    """The prefix cut must use the exact integer ceiling: float
+    np.ceil(t*n) overshoots for many rational thresholds (e.g.
+    t=9/11, n=77: float gives 64, exact is 63), which would shorten
+    the prefix by one and silently break full recall."""
+    num, den, n = 9, 11, 77
+    exact = (num * n + den - 1) // den
+    assert exact == 63
+    assert int(np.ceil((num / den) * n)) == 64  # the float trap
+    # plen convention: n - ceil(t*n) + 1
+    assert n - exact + 1 == 15
 
 
 def test_minhash_jaccard_estimate_quality(ray_session):
