@@ -1333,6 +1333,81 @@ FROM events
 """
 
 
+def profile_orders(sf_dir: str) -> ray.data.Dataset:
+    """Column profiling (the data-quality sweep run before any pipeline
+    is trusted): per-column row count, null count, min and max over the
+    orders table, as one long-format table.  Values are encoded to
+    BIGINT (floor-cents for money, epoch microseconds for timestamps)
+    so every column shares one schema and the SQL twin hashes exactly.
+
+    Shape: per-batch partials (a few rows per batch per column) merge
+    by min/max/sum in a tiny keyed exchange — profiling 100 TB costs
+    one streaming pass and O(columns x blocks) shuffle bytes."""
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        enc = {
+            "o_orderkey": lambda s: s.to_numpy(np.float64),
+            "o_custkey": lambda s: s.to_numpy(np.float64),
+            "o_totalprice": lambda s: np.floor(s.to_numpy(np.float64) * 100.0),
+            "o_orderdate": lambda s: ts_epoch_us(s).astype(np.float64),
+        }
+        for c in cols:
+            s = df[c]
+            null = s.isna()
+            v = enc[c](s[~null]) if (~null).any() else np.empty(0)
+            rows.append(
+                (c, len(s), int(null.sum()),
+                 int(v.min()) if len(v) else np.iinfo(np.int64).max,
+                 int(v.max()) if len(v) else np.iinfo(np.int64).min)
+            )
+        return pd.DataFrame(
+            rows, columns=["column", "n", "n_null", "min_v", "max_v"]
+        ).astype({"n": np.int64, "n_null": np.int64,
+                  "min_v": np.int64, "max_v": np.int64})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "column" not in df.columns:
+            return pd.DataFrame(
+                {"column": pd.Series(dtype=object),
+                 **{c: pd.Series(dtype=np.int64)
+                    for c in ("n", "n_null", "min_v", "max_v")}}
+            )
+        g = df.groupby("column", as_index=False).agg(
+            n=("n", "sum"), n_null=("n_null", "sum"),
+            min_v=("min_v", "min"), max_v=("max_v", "max"),
+        )
+        return g.astype({c: np.int64 for c in ("n", "n_null", "min_v", "max_v")})
+
+    return partitioned_map_groups(partials, "column", merge, num_buckets=4)
+
+
+SQL_PROFILE_ORDERS = """
+SELECT 'o_orderkey' AS "column", CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null,
+       CAST(min(o_orderkey) AS BIGINT) AS min_v,
+       CAST(max(o_orderkey) AS BIGINT) AS max_v FROM orders
+UNION ALL
+SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(o_custkey) AS BIGINT),
+       CAST(min(o_custkey) AS BIGINT), CAST(max(o_custkey) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(o_totalprice) AS BIGINT),
+       CAST(min(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT),
+       CAST(max(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(o_orderdate) AS BIGINT),
+       CAST(min(epoch_us(o_orderdate)) AS BIGINT),
+       CAST(max(epoch_us(o_orderdate)) AS BIGINT) FROM orders
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -1360,4 +1435,5 @@ RELATIONAL_QUERIES = {
     "events_moving_sum": (events_moving_sum, SQL_EVENTS_MOVING_SUM),
     "events_lag": (events_lag, SQL_EVENTS_LAG),
     "window_distinct_users": (window_distinct_users, SQL_WINDOW_DISTINCT_USERS),
+    "profile_orders": (profile_orders, SQL_PROFILE_ORDERS),
 }

@@ -344,6 +344,41 @@ def fuzzy_decontaminate(
     )
 
 
+def cap_docs_per_source(
+    ds: ray.data.Dataset,
+    k: int = 50,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Per-source document cap (the per-domain cap of web-corpus
+    curation: no single domain may contribute more than ``k`` docs):
+    keep the ``k`` docs with the smallest md5(id) per source — the
+    deterministic stand-in for 'a uniform random k' that is stable
+    across partitioning and reruns (same md5-of-id convention as
+    shuffle_rank).  One keyed exchange on source; a source's docs never
+    span buckets, so the rank is exact.  -> (doc_id, source, rk) for
+    kept docs, rk = 1-based rank within the source."""
+
+    def cap(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or source_col not in df.columns:
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype=np.int64),
+                 source_col: pd.Series(dtype=object),
+                 "rk": pd.Series(dtype=np.int64)}
+            )
+        d = df[[id_col, source_col]].copy()
+        d["__h"] = d[id_col].map(
+            lambda i: hashlib.md5(str(i).encode()).hexdigest()
+        )
+        d = d.sort_values([source_col, "__h", id_col], kind="mergesort")
+        d["rk"] = d.groupby(source_col, sort=False).cumcount().astype(np.int64) + 1
+        d = d[d["rk"] <= k]
+        return d[[id_col, source_col, "rk"]].reset_index(drop=True)
+
+    return partitioned_map_groups(ds, source_col, cap, num_buckets)
+
+
 def repetition_scores(
     ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:

@@ -958,6 +958,26 @@ FROM base b LEFT JOIN s USING (doc_id)
 """
 
 
+def q_cap_per_source(sf_dir: str):
+    """Per-source (per-domain) document cap: smallest-md5 k docs kept
+    per source — textops/corpus.py."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return _corpus.cap_docs_per_source(ds, k=18)
+
+
+SQL_CAP_PER_SOURCE = """
+SELECT doc_id, source, rk FROM (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+              PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+  FROM documents
+) WHERE rk <= 18
+"""
+
+
 def q_shuffle_rank(sf_dir: str):
     """Deterministic global shuffle: rank of md5(doc_id) via
     range-partitioned ranking (no global sort) — textops/corpus.py."""
@@ -1096,6 +1116,7 @@ TEXTOPS_QUERIES = {
     "fuzzy_decontaminate": (q_fuzzy_decontaminate, SQL_FUZZY_DECONTAMINATE),
     "repetition_scores": (q_repetition_scores, SQL_REPETITION_SCORES),
     "shuffle_rank": (q_shuffle_rank, SQL_SHUFFLE_RANK),
+    "cap_per_source": (q_cap_per_source, SQL_CAP_PER_SOURCE),
     "frequent_ngrams": (q_frequent_ngrams, SQL_FREQUENT_NGRAMS),
     "prepare_training_set": (q_prepare_training_set, SQL_PREPARE_TRAINING_SET),
     "rare_bigram_scores": (q_rare_bigram_scores, SQL_RARE_BIGRAM_SCORES),

@@ -383,3 +383,34 @@ def test_train_split_fences_and_totals(ray_session):
     # the fences actually produce a ~80/10/10 split on 200 uniform keys
     frac = m.groupby("split")["n_docs"].sum() / n
     assert 0.6 < frac["train"] < 0.95 and frac["val"] < 0.25 and frac["test"] < 0.25
+
+
+def test_cap_docs_per_source_binds_and_is_deterministic(ray_session):
+    """Sources above the cap keep exactly k smallest-md5 docs; sources
+    below keep all; two runs agree (hash order, not arrival order)."""
+    import hashlib
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(30, dtype=np.int64),
+            "source": ["big"] * 25 + ["small"] * 5,
+        }
+    )
+    import ray.data as rd
+
+    out1 = corpus.cap_docs_per_source(
+        rd.from_pandas(df).repartition(4), k=10, num_buckets=4
+    ).to_pandas()
+    out2 = corpus.cap_docs_per_source(
+        rd.from_pandas(df.sample(frac=1.0, random_state=1)), k=10, num_buckets=4
+    ).to_pandas()
+    for out in (out1, out2):
+        counts = out.groupby("source").size()
+        assert counts["big"] == 10 and counts["small"] == 5
+    a = out1.sort_values(["source", "rk"], ignore_index=True)
+    b = out2.sort_values(["source", "rk"], ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+    # kept "big" ids are the 10 smallest by md5(str(id))
+    big = df[df.source == "big"]["doc_id"]
+    want = set(sorted(big, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:10])
+    assert set(out1[out1.source == "big"]["doc_id"]) == want

@@ -312,3 +312,32 @@ def test_quality_gate_percentile_threshold(ray_session):
     assert got.loc[got["source"] == "b", "n_docs"].iloc[0] == 4   # 5..8 survive
     assert got.loc[got["source"] == "a", "sum_distinct"].iloc[0] == 9
     assert got.loc[got["source"] == "b", "sum_distinct"].iloc[0] == 26
+
+
+def test_profile_orders_counts_nulls(ray_session):
+    """Null rows counted per column; min/max over non-null only."""
+    import tempfile, os
+    import pandas as pd
+    import pyarrow as pa, pyarrow.parquet as pq
+    from dygiepp_ray.relational import profile_orders
+
+    df = pd.DataFrame(
+        {
+            "o_orderkey": np.int64([1, 2, 3]),
+            "o_custkey": pd.array([10, None, 30], dtype="Int64"),
+            "o_totalprice": [1.005, None, 2.5],
+            "o_orderdate": pd.to_datetime(
+                ["2024-01-01", "2024-06-01", None]
+            ),
+        }
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        pq.write_table(pa.Table.from_pandas(df), os.path.join(tmp, "orders.parquet"))
+        out = profile_orders(tmp).to_pandas().set_index("column")
+    assert out.loc["o_custkey", "n"] == 3
+    assert out.loc["o_custkey", "n_null"] == 1
+    assert out.loc["o_custkey", "min_v"] == 10
+    assert out.loc["o_custkey", "max_v"] == 30
+    assert out.loc["o_totalprice", "min_v"] == 100  # floor(1.005*100)
+    assert out.loc["o_totalprice", "max_v"] == 250
+    assert out.loc["o_orderdate", "n_null"] == 1
