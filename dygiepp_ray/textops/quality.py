@@ -179,6 +179,56 @@ def content_flags(
     return ds.map_batches(fn, batch_format="pandas")
 
 
+class Redactor:
+    """Actor-pool stage: the alternation regex over the deny terms is
+    compiled ONCE per actor (the PII-scrub shape — swap the term list
+    for heavy PII patterns and raise concurrency).  Each batch is two
+    vectorized str ops (count + replace)."""
+
+    def __init__(self, terms: tuple[str, ...] = DENY_TERMS,
+                 replacement: str = "[REDACTED]",
+                 text_col: str = "text", id_col: str = "doc_id"):
+        import re
+
+        self.pat = re.compile("|".join(re.escape(t) for t in terms))
+        self.replacement = replacement
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        s = df[self.text_col].fillna("")
+        n = s.str.count(self.pat).astype(np.int64)
+        clean = s.str.replace(self.pat, self.replacement, regex=True)
+        return pd.DataFrame(
+            {
+                self.id_col: df[self.id_col].to_numpy(),
+                "n_redactions": n.to_numpy(np.int64),
+                "clean_len": clean.str.len().to_numpy(np.int64),
+            }
+        )
+
+
+def redact_terms(
+    ds: ray.data.Dataset, terms: tuple[str, ...] = DENY_TERMS,
+    replacement: str = "[REDACTED]",
+    text_col: str = "text", id_col: str = "doc_id",
+    concurrency: int | None = 2,
+) -> ray.data.Dataset:
+    """(doc_id, n_redactions, clean_len): deny-term redaction — the
+    content-REWRITE member of the moderation family (content_flags only
+    flags).  Non-overlapping left-to-right replacement, the same
+    convention as SQL ``regexp_replace(..., 'g')``, so the twin hashes
+    exactly.  Embarrassingly parallel; regex compiled per actor."""
+    if concurrency:
+        return ds.map_batches(
+            Redactor,
+            fn_constructor_args=(terms, replacement, text_col, id_col),
+            batch_format="pandas", concurrency=concurrency,
+        )
+    return ds.map_batches(
+        Redactor(terms, replacement, text_col, id_col), batch_format="pandas"
+    )
+
+
 def fingerprints(ds: ray.data.Dataset, text_col="text", id_col="doc_id") -> ray.data.Dataset:
     """(doc_id, fingerprint): polynomial rolling hash of the token stream
     modulo 2^61-1 (content fingerprint; deterministic)."""

@@ -87,6 +87,26 @@ FROM documents
 """
 
 
+# terms chosen so the driver check redacts REAL occurrences (the
+# default DENY_TERMS never appear in the synthetic corpus — a green row
+# that proves nothing, per the embedding_near_dups round-2 lesson)
+_REDACT_TERMS = ("hash join", "slow", "drop table")
+
+
+def q_redact_terms(sf_dir: str):
+    return quality.redact_terms(_docs(sf_dir), terms=_REDACT_TERMS)
+
+
+_REDACT_PAT = "|".join(t.replace("'", "''") for t in _REDACT_TERMS)
+
+SQL_REDACT_TERMS = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_REDACT_PAT}')) AS BIGINT) AS n_redactions,
+       CAST(length(regexp_replace(text, '{_REDACT_PAT}', '[REDACTED]', 'g')) AS BIGINT) AS clean_len
+FROM documents
+"""
+
+
 def q_dedup_exact(sf_dir: str):
     return dedup.exact_dedup(_docs(sf_dir))
 
@@ -1093,6 +1113,7 @@ TEXTOPS_QUERIES = {
     "quality_scores": (q_quality, SQL_QUALITY),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "content_filter": (q_content_filter, SQL_CONTENT_FILTER),
+    "redact_terms": (q_redact_terms, SQL_REDACT_TERMS),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ivf_topk": (q_ivf_topk, SQL_ANN_TOPK),
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),

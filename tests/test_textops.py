@@ -632,3 +632,22 @@ def test_term_search_and_semantics_and_ranking(ray_session):
     ).to_pandas()
     assert out["doc_id"].tolist() == [3, 1]
     assert out["tf"].tolist() == [5, 4]
+
+
+def test_redact_terms_counts_and_rewrites(ray_session):
+    """Non-overlapping left-to-right replacement; multi-word terms;
+    null text tolerated."""
+    df = pd.DataFrame(
+        {
+            "doc_id": np.int64([1, 2, 3]),
+            "text": ["a drop table b drop table", "clean text here", None],
+        }
+    )
+    out = quality.redact_terms(
+        rd.from_pandas(df), terms=("drop table",), replacement="[X]",
+        concurrency=None,
+    ).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_redactions"] == 2
+    assert out.loc[1, "clean_len"] == len("a [X] b [X]")
+    assert out.loc[2, "n_redactions"] == 0
+    assert out.loc[3, "n_redactions"] == 0 and out.loc[3, "clean_len"] == 0
