@@ -276,3 +276,31 @@ def test_grouped_split_bounds_driver_refs(ray_session, monkeypatch):
 
     out = hash_exchange(ds, "k", fn, num_buckets=4).to_pandas()
     assert dict(zip(out["k"], out["v"])) == df.groupby("k")["v"].sum().to_dict()
+
+
+def test_grouped_pair_indices_matches_triu_bruteforce():
+    """Property: the vectorized within-group expansion equals per-group
+    np.triu_indices for random run structures, including empty input,
+    all-singletons, and one giant run."""
+    from dygiepp_ray.core import grouped_pair_indices
+
+    rs = np.random.RandomState(5)
+    cases = [np.array([], dtype=np.int64),
+             np.array([7], dtype=np.int64),
+             np.arange(10, dtype=np.int64),          # all singletons
+             np.zeros(40, dtype=np.int64)]           # one giant run
+    for _ in range(20):
+        runs = rs.randint(1, 6, size=rs.randint(1, 8))
+        cases.append(np.repeat(np.arange(len(runs)), runs))
+    for g in cases:
+        li, rj = grouped_pair_indices(g)
+        got = set(zip(li.tolist(), rj.tolist()))
+        exp = set()
+        start = 0
+        for k in range(len(g) + 1):
+            if k == len(g) or (k > 0 and g[k] != g[k - 1]):
+                n = k - start
+                a, b = np.triu_indices(n, k=1)
+                exp |= {(int(i) + start, int(j) + start) for i, j in zip(a, b)}
+                start = k
+        assert got == exp, g
