@@ -733,6 +733,77 @@ def simhash_near_dups(
 ngram_jaccard_verify_bucketed = ngram_jaccard_verify
 
 
+def incremental_exact_dedup(
+    new_ds: ray.data.Dataset,
+    old_ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Ingestion-shape dedup: which NEW documents should be ingested,
+    given an already-ingested corpus?  The continuous-crawl pattern —
+    each incoming shard is deduped against everything seen before
+    WITHOUT reshuffling the old corpus per run:
+
+      1. content hashes on both sides (old side reduced to per-batch
+         distinct hash partials — the only thing that leaves the old
+         corpus);
+      2. a distributed Bloom filter over the old hashes (tree-OR'd,
+         ``ray.put``-broadcast, `functions/bloom.py`);
+      3. Bloom-NEGATIVE new rows provably have no old duplicate and
+         bypass the exchange entirely (at real dup rates that is
+         almost all of the shard);
+      4. Bloom-positive rows ride one keyed coexchange against the old
+         hashes for the exact anti-join (false positives recovered);
+      5. survivors dedup among THEMSELVES (min-id per hash — the
+         shard can carry internal dups too).
+
+    -> (doc_id) of new docs to ingest.
+    """
+    from ..core import hash_coexchange
+    from ..functions.bloom import build_bloom, split_by_bloom
+
+    def hash_side(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or text_col not in df.columns:
+            return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                                 "h": pd.Series(dtype=object)})
+        return pd.DataFrame(
+            {id_col: df[id_col].to_numpy(np.int64),
+             "h": _md5_series(df[text_col])}
+        )
+
+    def hash_old(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or text_col not in df.columns:
+            return pd.DataFrame({"h": pd.Series(dtype=object)})
+        return pd.DataFrame({"h": _md5_series(df[text_col]).drop_duplicates()})
+
+    newh = new_ds.map_batches(hash_side, batch_format="pandas")
+    oldh = old_ds.map_batches(hash_old, batch_format="pandas").materialize()
+
+    bloom = build_bloom(oldh, "h")
+    pos, neg = split_by_bloom(newh, "h", bloom)
+
+    def anti(p: pd.DataFrame, o: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                              "h": pd.Series(dtype=object)})
+        if len(p) == 0 or "h" not in p.columns:
+            return empty
+        if len(o) == 0 or "h" not in o.columns:
+            return p[[id_col, "h"]].reset_index(drop=True)
+        keep = ~p["h"].isin(frozenset(o["h"]))
+        return p.loc[keep, [id_col, "h"]].reset_index(drop=True)
+
+    survivors = hash_coexchange(pos, oldh, "h", "h", anti, num_buckets).union(neg)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "h" not in df.columns:
+            return pd.DataFrame({id_col: pd.Series(dtype=np.int64)})
+        g = df.groupby("h", sort=False)[id_col].min().reset_index()
+        return pd.DataFrame({id_col: g[id_col].to_numpy(np.int64)})
+
+    return partitioned_map_groups(survivors, "h", pick, num_buckets)
+
+
 # ---------------------------------------------------------------------------
 # prefix-filter (AllPairs / PPJoin family) exact-recall similarity join
 # ---------------------------------------------------------------------------

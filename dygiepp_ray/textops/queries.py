@@ -107,6 +107,47 @@ FROM documents
 """
 
 
+def q_incremental_dedup(sf_dir: str):
+    """Incremental ingestion dedup: even-id docs are the already-
+    ingested corpus; the incoming shard = odd-id docs PLUS re-crawled
+    copies of the even docs under new ids (+10000).  The re-crawls must
+    be dropped (they duplicate the old corpus), the odd docs kept —
+    so the check exercises both the Bloom-negative bypass and the
+    exact anti-join on Bloom positives."""
+    docs = _docs(sf_dir)
+
+    def parity(p):
+        return lambda df: df[df["doc_id"] % 2 == p].reset_index(drop=True)
+
+    old = docs.map_batches(parity(0), batch_format="pandas")
+    odd = docs.map_batches(parity(1), batch_format="pandas")
+    recrawl = old.map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": df["doc_id"] + 10000, "text": df["text"]}
+        ),
+        batch_format="pandas",
+    )
+    out = dedup.incremental_exact_dedup(odd.union(recrawl), old)
+    return out.map_batches(
+        lambda df: df.astype({"doc_id": np.int64})
+        if "doc_id" in df.columns
+        else pd.DataFrame({"doc_id": pd.Series(dtype=np.int64)}),
+        batch_format="pandas",
+    )
+
+
+SQL_INCREMENTAL_DEDUP = """
+WITH old AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+new AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 10000, md5(text) FROM documents WHERE doc_id % 2 = 0
+)
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM new
+WHERE h NOT IN (SELECT h FROM old) GROUP BY h
+"""
+
+
 def q_dedup_exact(sf_dir: str):
     return dedup.exact_dedup(_docs(sf_dir))
 
@@ -1112,6 +1153,7 @@ TEXTOPS_QUERIES = {
     "bpe_token_count": (q_bpe_token_count, SQL_BPE_TOKEN_COUNT),
     "quality_scores": (q_quality, SQL_QUALITY),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "content_filter": (q_content_filter, SQL_CONTENT_FILTER),
     "redact_terms": (q_redact_terms, SQL_REDACT_TERMS),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),

@@ -651,3 +651,22 @@ def test_redact_terms_counts_and_rewrites(ray_session):
     assert out.loc[1, "clean_len"] == len("a [X] b [X]")
     assert out.loc[2, "n_redactions"] == 0
     assert out.loc[3, "n_redactions"] == 0 and out.loc[3, "clean_len"] == 0
+
+
+def test_incremental_exact_dedup_planted(ray_session):
+    """New shard vs already-ingested corpus: re-crawled old content is
+    dropped (even via the Bloom-positive exact path), shard-internal
+    dups keep only the min id, fresh content passes."""
+    old = rd.from_pandas(
+        pd.DataFrame({"doc_id": np.int64([0, 2]), "text": ["seen one", "seen two"]})
+    )
+    new = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": np.int64([11, 13, 15, 17]),
+                "text": ["seen one", "fresh a", "fresh a", "fresh b"],
+            }
+        )
+    )
+    out = dedup.incremental_exact_dedup(new, old, num_buckets=4).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [13, 17]
