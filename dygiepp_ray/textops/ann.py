@@ -508,3 +508,57 @@ def lsh_topk(
     return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
         columns=["query_id", "vec_id", "rank"]
     )
+
+
+def label_centroids(
+    emb: ray.data.Dataset, scale: int = 1_000_000, num_buckets: int = 4
+) -> ray.data.Dataset:
+    """Per-label embedding centroid sums in FIXED POINT — the vector
+    aggregate behind cluster-balanced sampling / per-source embedding
+    statistics.  Each component is floored to ``scale`` BEFORE summing
+    (floor(e*scale) as int64), so the sum is order- and
+    partition-independent and the unnest SQL twin hashes exactly;
+    callers divide sum/n themselves when they need the float centroid.
+
+    Shape: per-batch partials are one (label, dim) long-format frame
+    built by vectorized scatter-add (labels x dims rows per batch —
+    independent of row count), merged by integer addition in a tiny
+    keyed exchange.  -> (label, dim, sum_x1e6, n)."""
+    from ..core import partitioned_map_groups
+
+    _EMPTY = {"label": object, "dim": np.int64, "sum_x1e6": np.int64, "n": np.int64}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "embedding" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _EMPTY.items()})
+        # promote float32 storage to float64 BEFORE scaling — float32
+        # multiply rounds differently from SQL's double promotion and
+        # shifts floor() by one on ~1-per-1e3 components
+        vecs = np.floor(
+            np.stack(df["embedding"].to_numpy()).astype(np.float64) * scale
+        ).astype(np.int64)
+        d = vecs.shape[1]
+        labels, inv = np.unique(df["label"].to_numpy(), return_inverse=True)
+        sums = np.zeros((len(labels), d), dtype=np.int64)
+        np.add.at(sums, inv, vecs)
+        counts = np.bincount(inv, minlength=len(labels)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "label": np.repeat(labels, d),
+                "dim": np.tile(np.arange(d, dtype=np.int64), len(labels)),
+                "sum_x1e6": sums.ravel(),
+                "n": np.repeat(counts, d),
+            }
+        )
+
+    partials = emb.map_batches(partial, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "label" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _EMPTY.items()})
+        g = df.groupby(["label", "dim"], as_index=False).agg(
+            sum_x1e6=("sum_x1e6", "sum"), n=("n", "sum")
+        )
+        return g.astype({"dim": np.int64, "sum_x1e6": np.int64, "n": np.int64})
+
+    return partitioned_map_groups(partials, "label", merge, num_buckets)

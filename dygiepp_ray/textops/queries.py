@@ -223,6 +223,23 @@ _SQL_TH = """
 """
 
 
+def q_label_centroids(sf_dir: str):
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["embedding", "label"])
+    return ann.label_centroids(emb)
+
+
+SQL_LABEL_CENTROIDS = """
+SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+       CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                     AS BIGINT)) AS BIGINT) AS sum_x1e6,
+       CAST(count(*) AS BIGINT) AS n
+FROM embeddings,
+     LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s
+GROUP BY 1, 2
+"""
+
+
 def q_ivf_topk(sf_dir: str):
     """IVF ANN with exhaustive probing (nprobe == nlist): the k-means
     quantizer + inverted-list exchange machinery runs for real, and the
@@ -1158,6 +1175,7 @@ TEXTOPS_QUERIES = {
     "redact_terms": (q_redact_terms, SQL_REDACT_TERMS),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ivf_topk": (q_ivf_topk, SQL_ANN_TOPK),
+    "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "simhash_signatures": (q_simhash, SQL_SIMHASH),
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),

@@ -670,3 +670,21 @@ def test_incremental_exact_dedup_planted(ray_session):
     )
     out = dedup.incremental_exact_dedup(new, old, num_buckets=4).to_pandas()
     assert sorted(out["doc_id"].tolist()) == [13, 17]
+
+
+def test_label_centroids_fixed_point_exact(ray_session):
+    """Fixed-point component sums equal brute force regardless of
+    partitioning; counts per label correct."""
+    rng = np.random.RandomState(2)
+    vecs = rng.normal(size=(30, 4)).astype(np.float32)
+    labels = np.array(["a", "b", "a"] * 10)
+    df = pd.DataFrame({"embedding": list(vecs), "label": labels})
+    out = ann.label_centroids(
+        rd.from_pandas(df).repartition(5), num_buckets=2
+    ).to_pandas().set_index(["label", "dim"]).sort_index()
+    for lab in ("a", "b"):
+        sub = vecs[labels == lab].astype(np.float64)
+        want = np.floor(sub * 1_000_000.0).astype(np.int64).sum(axis=0)
+        for d in range(4):
+            assert out.loc[(lab, d), "sum_x1e6"] == want[d]
+            assert out.loc[(lab, d), "n"] == len(sub)
