@@ -1333,6 +1333,72 @@ FROM events
 """
 
 
+def event_transitions(sf_dir: str) -> ray.data.Dataset:
+    """Markov transition counts over per-user event streams: how often
+    does event type A immediately precede event type B for the same
+    user (the sequence-mining primitive behind funnel discovery /
+    next-event models)?  One keyed exchange on user_id, vectorized
+    lexsort + shift inside the bucket, per-bucket partial counts, and a
+    tiny second exchange summing the |types|² transition matrix.
+    -> (from_type, to_type, n)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    _OUT = {"from_type": object, "to_type": object, "n": np.int64}
+
+    def transitions(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "user_id" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT.items()})
+        t = ts_epoch_us(df["ts"])
+        order = np.lexsort(
+            (df["event_id"].to_numpy(np.int64), t, df["user_id"].to_numpy(np.int64))
+        )
+        uid = df["user_id"].to_numpy(np.int64)[order]
+        et = df["event_type"].to_numpy(object)[order]
+        same = uid[1:] == uid[:-1]
+        if not same.any():
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT.items()})
+        g = pd.DataFrame(
+            {"from_type": et[:-1][same], "to_type": et[1:][same]}
+        ).groupby(["from_type", "to_type"], as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype({"n": np.int64})
+
+    parts = partitioned_map_groups(ds, "user_id", transitions, num_buckets=16)
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if not len(df) or "from_type" not in df.columns:
+            df["__tkey"] = pd.Series(dtype=object)
+            return df
+        df["__tkey"] = df["from_type"].str.cat(df["to_type"], sep="|")
+        return df
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "from_type" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT.items()})
+        g = df.groupby(["from_type", "to_type"], as_index=False).agg(n=("n", "sum"))
+        return g.astype({"n": np.int64})
+
+    return partitioned_map_groups(
+        parts.map_batches(keyed, batch_format="pandas"),
+        "__tkey",
+        lambda df: final(df.drop(columns="__tkey", errors="ignore")),
+        num_buckets=4,
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type AS from_type, nxt AS to_type, CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+"""
+
+
 def profile_orders(sf_dir: str) -> ray.data.Dataset:
     """Column profiling (the data-quality sweep run before any pipeline
     is trusted): per-column row count, null count, min and max over the
@@ -1436,4 +1502,5 @@ RELATIONAL_QUERIES = {
     "events_lag": (events_lag, SQL_EVENTS_LAG),
     "window_distinct_users": (window_distinct_users, SQL_WINDOW_DISTINCT_USERS),
     "profile_orders": (profile_orders, SQL_PROFILE_ORDERS),
+    "event_transitions": (event_transitions, SQL_EVENT_TRANSITIONS),
 }

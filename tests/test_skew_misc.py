@@ -341,3 +341,29 @@ def test_profile_orders_counts_nulls(ray_session):
     assert out.loc["o_totalprice", "min_v"] == 100  # floor(1.005*100)
     assert out.loc["o_totalprice", "max_v"] == 250
     assert out.loc["o_orderdate", "n_null"] == 1
+
+
+def test_event_transitions_hand_case(ray_session):
+    """Adjacent-only pairs, same-user only, ts-then-event_id order."""
+    import tempfile, os
+    import pandas as pd
+    import pyarrow as pa, pyarrow.parquet as pq
+    from dygiepp_ray.relational import event_transitions
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:00:01", "2024-01-01 00:00:02",
+         "2024-01-01 00:00:00"]
+    )
+    df = pd.DataFrame(
+        {
+            "event_id": np.int64([1, 2, 3, 9]),
+            "user_id": np.int64([7, 7, 7, 8]),
+            "ts": ts,
+            "event_type": ["view", "cart", "view", "view"],
+        }
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        pq.write_table(pa.Table.from_pandas(df), os.path.join(tmp, "events.parquet"))
+        out = event_transitions(tmp).to_pandas()
+    got = {(r.from_type, r.to_type): int(r.n) for r in out.itertuples()}
+    assert got == {("view", "cart"): 1, ("cart", "view"): 1}
