@@ -75,6 +75,14 @@ def cms_counters(
         return pd.concat(outs, ignore_index=True)
 
     partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    # empty dataset -> column-less collect (Ray skips UDFs on zero-row
+    # blocks); the empty sketch has no nonzero cells
+    if partials.empty or "row" not in partials.columns:
+        return pd.DataFrame(
+            {"row": pd.Series(dtype=np.int64),
+             "col": pd.Series(dtype=np.int64),
+             "count": pd.Series(dtype=np.int64)}
+        )
     merged = (
         partials.groupby(["row", "col"], sort=True)["count"].sum().reset_index()
     )
@@ -122,6 +130,13 @@ def cms_counters_by(
         return pd.concat(outs, ignore_index=True) if outs else empty
 
     partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if partials.empty or "row" not in partials.columns:
+        return pd.DataFrame(
+            {group_col: pd.Series(dtype=object),
+             "row": pd.Series(dtype=np.int64),
+             "col": pd.Series(dtype=np.int64),
+             "count": pd.Series(dtype=np.int64)}
+        )
     merged = (
         partials.groupby([group_col, "row", "col"], sort=True)["count"]
         .sum()

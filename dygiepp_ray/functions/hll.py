@@ -66,6 +66,15 @@ def hll_registers(
         )
 
     partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    # Ray passes zero-row blocks through WITHOUT calling the UDF, so an
+    # empty dataset collects to a column-less frame; the sketch of the
+    # empty set is the all-zero register vector (== the SQL twin's
+    # LEFT JOIN over generate_series)
+    if partials.empty or "register" not in partials.columns:
+        return pd.DataFrame(
+            {"register": np.arange(m, dtype=np.int64),
+             "rho_max": np.zeros(m, dtype=np.int64)}
+        )
     merged = (
         partials.groupby("register")["rho_max"].max().reindex(range(m), fill_value=0)
     )
@@ -107,6 +116,13 @@ def hll_registers_by(
         )
 
     partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if partials.empty or "register" not in partials.columns:
+        # empty input -> no observed (group, register) cells
+        return pd.DataFrame(
+            {group_col: pd.Series(dtype=object),
+             "register": pd.Series(dtype=np.int64),
+             "rho_max": pd.Series(dtype=np.int64)}
+        )
     merged = (
         partials.groupby([group_col, "register"], sort=True)["rho_max"]
         .max()

@@ -585,7 +585,11 @@ def frequent_ngrams(
         return tot.head(k).reset_index(drop=True)
 
     cands = hash_exchange(partials, "gram", bucket_topk, num_buckets=num_buckets)
-    out = cands.to_pandas().sort_values(
+    out = cands.to_pandas()
+    if out.empty or "n_occurrences" not in out.columns:
+        return pd.DataFrame({"gram": pd.Series(dtype=object),
+                             "n_occurrences": pd.Series(dtype=np.int64)})
+    out = out.sort_values(
         ["n_occurrences", "gram"], ascending=[False, True], kind="mergesort"
     )
     out = out.head(k).reset_index(drop=True)
