@@ -338,7 +338,15 @@ def exact_quantiles(
             return pd.DataFrame({"cand": np.unique(np.concatenate(out))})
 
         cand_df = ds.map_batches(candidates, batch_format="pandas").to_pandas()
-        cands = np.unique(cand_df["cand"].to_numpy(np.float64))
+        if cand_df.empty or "cand" not in cand_df.columns:
+            if brackets is None:
+                # zero-row input: quantiles of the empty set are no rows
+                # (matches quantile_disc over an empty table)
+                return pd.DataFrame({"q": pd.Series(dtype=np.float64),
+                                     "value": pd.Series(dtype=np.float64)})
+            cands = np.empty(0, dtype=np.float64)
+        else:
+            cands = np.unique(cand_df["cand"].to_numpy(np.float64))
         if len(cands) == 0:
             raise ValueError(f"no values of {col!r} in any open bracket")
 
@@ -711,6 +719,11 @@ def pagerank3(sf_dir: str, iters: int = 3) -> ray.data.Dataset:
 
     nodes = partitioned_map_groups(edges, "src", degree, num_buckets=8).materialize()
     n = nodes.count()
+    if n == 0:  # empty graph: no nodes, no ranks
+        return ray.data.from_pandas(
+            pd.DataFrame({"node": pd.Series(dtype=object),
+                          "r": pd.Series(dtype=np.int64)})
+        )
     base = (15 * (_PR_SCALE // n)) // 100
 
     def init_r(df: pd.DataFrame) -> pd.DataFrame:
@@ -954,7 +967,9 @@ def triangle_count(
     ekeys = None
     if broadcast_edges:
         epd = edges.to_pandas()  # small side by contract: 16 B/edge
-        if len(epd) and int(epd[["id_a", "id_b"]].to_numpy().max()) >= (1 << 32):
+        if len(epd) == 0 or "id_a" not in epd.columns:
+            ekeys = ray.put(np.empty(0, dtype=np.uint64))
+        elif int(epd[["id_a", "id_b"]].to_numpy().max()) >= (1 << 32):
             ekeys = None  # ids too wide for the packed key: exchange path
         else:
             ekeys = ray.put(np.sort(
@@ -972,6 +987,8 @@ def triangle_count(
             if len(a) == 0:
                 return pd.DataFrame({"cnt": np.asarray([0], dtype=np.int64)})
             keys = ray.get(keys_ref)  # zero-copy object-store fetch
+            if len(keys) == 0:
+                return pd.DataFrame({"cnt": np.asarray([0], dtype=np.int64)})
             k = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
             idx = np.searchsorted(keys, k)
             hits = (idx < len(keys)) & (keys[np.minimum(idx, len(keys) - 1)] == k)

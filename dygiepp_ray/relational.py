@@ -131,15 +131,22 @@ def _star_dim_and_orders(sf_dir: str):
     """Shared star-join inputs for region_revenue / revenue_rollup: the
     customer->nation->region dimension pre-joined on the driver (tiny)
     and broadcast once, plus the pruned orders fact scan."""
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).to_pandas()
-    nation = ray.data.read_parquet(
-        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
-    ).to_pandas()
-    region = ray.data.read_parquet(
-        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
-    ).to_pandas()
+    def collect(table: str, cols: list[str]) -> pd.DataFrame:
+        df = ray.data.read_parquet(
+            f"{sf_dir}/{table}.parquet", columns=cols
+        ).to_pandas()
+        if df.empty and not all(c in df.columns for c in cols):
+            # zero-row collect loses columns (Ray skips UDFs on empty
+            # blocks); rebuild the typed empty frame
+            return pd.DataFrame(
+                {c: pd.Series(dtype=object if c.endswith("name") else np.int64)
+                 for c in cols}
+            )
+        return df
+
+    cust = collect("customer", ["c_custkey", "c_nationkey"])
+    nation = collect("nation", ["n_nationkey", "n_name", "n_regionkey"])
+    region = collect("region", ["r_regionkey", "r_name"])
     dim = (
         cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
         .merge(region, left_on="n_regionkey", right_on="r_regionkey")
@@ -798,6 +805,13 @@ def revenue_rollup(sf_dir: str) -> pd.DataFrame:
     partials = orders.map_batches(
         JoinCents, batch_format="pandas", concurrency=2
     ).to_pandas()
+    if partials.empty or "r_name" not in partials.columns:
+        return pd.DataFrame(
+            {"region": pd.Series(dtype=object),
+             "nation": pd.Series(dtype=object),
+             "revenue_cents": pd.Series(dtype=np.int64),
+             "n_orders": pd.Series(dtype=np.int64)}
+        )
     finest = (
         partials.groupby(["r_name", "n_name"], sort=True)[["revenue_cents", "n_orders"]]
         .sum()
@@ -893,6 +907,11 @@ def cohort_retention(sf_dir: str) -> pd.DataFrame:
         )
 
     partials = partitioned_map_groups(active, "user_id", per_bucket).to_pandas()
+    if partials.empty or "cohort_day" not in partials.columns:
+        return pd.DataFrame(
+            {c: pd.Series(dtype=np.int64)
+             for c in ("cohort_day", "days_since", "n_users")}
+        )
     out = (
         partials.groupby(["cohort_day", "days_since"], sort=True)["n_users"]
         .sum()

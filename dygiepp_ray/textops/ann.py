@@ -80,13 +80,16 @@ def brute_force_topk(
     from the same dataset (filtered scan), broadcast via ray.put.
     """
     qset = set(query_ids)
-    qdf = (
-        embeddings.map_batches(
-            lambda df: df[df["vec_id"].isin(qset)], batch_format="pandas"
+    qdf = embeddings.map_batches(
+        lambda df: df[df["vec_id"].isin(qset)], batch_format="pandas"
+    ).to_pandas()
+    if qdf.empty or "vec_id" not in qdf.columns:
+        # no query vectors exist (e.g. empty table): no neighbors
+        return pd.DataFrame(
+            {c: pd.Series(dtype=np.int64)
+             for c in ("query_id", "vec_id", "rank")}
         )
-        .to_pandas()
-        .sort_values("vec_id", ignore_index=True)
-    )
+    qdf = qdf.sort_values("vec_id", ignore_index=True)
     query_ref = ray.put({"ids": qdf["vec_id"].to_numpy(), "vecs": _stack(qdf["embedding"])})
 
     # pool sized below the CPU budget so the read stage never starves
@@ -338,13 +341,24 @@ def ivf_topk(
     # assignment): materialize once; kmeans_centroids re-uses the
     # already-materialized blocks (second materialize is a no-op)
     embeddings = embeddings.materialize()
+    if embeddings.count() == 0:  # nothing to quantize or probe
+        return pd.DataFrame(
+            {c: pd.Series(dtype=np.int64)
+             for c in ("query_id", "vec_id", "rank")}
+        )
     centroids = kmeans_centroids(embeddings, k=nlist, iters=iters)
     cref = ray.put(centroids)
 
     qset = set(query_ids)
     qdf = embeddings.map_batches(
         lambda df: df[df["vec_id"].isin(qset)], batch_format="pandas"
-    ).to_pandas().sort_values("vec_id", ignore_index=True)
+    ).to_pandas()
+    if qdf.empty or "vec_id" not in qdf.columns:
+        return pd.DataFrame(
+            {c: pd.Series(dtype=np.int64)
+             for c in ("query_id", "vec_id", "rank")}
+        )
+    qdf = qdf.sort_values("vec_id", ignore_index=True)
     qvecs = _stack(qdf["embedding"])
     qd = ((qvecs[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
     qlists = np.argsort(qd, axis=1)[:, :nprobe]          # (Q, nprobe)

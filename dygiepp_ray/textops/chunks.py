@@ -143,9 +143,17 @@ def tfidf_top_terms(
     def n_docs_partial(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"n": [df["doc_id"].nunique()]})
 
-    n_docs = int(
-        tf.map_batches(n_docs_partial, batch_format="pandas").to_pandas()["n"].sum()
-    )
+    n_counts = tf.map_batches(n_docs_partial, batch_format="pandas").to_pandas()
+    n_docs = int(n_counts["n"].sum()) if "n" in n_counts.columns else 0
+    if n_docs == 0:  # empty corpus: no terms, no rankings
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {"doc_id": pd.Series(dtype=np.int64),
+                 "term": pd.Series(dtype=object),
+                 "rk": pd.Series(dtype=np.int64),
+                 "score": pd.Series(dtype=np.float64)}
+            )
+        )
 
     def attach(t: pd.DataFrame, d: pd.DataFrame) -> pd.DataFrame:
         if len(t) == 0 or "tf" not in t.columns:

@@ -1125,7 +1125,16 @@ def q_quality_gate(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
     )
     scores = quality.quality_scores(ds, keep_cols=("source",)).materialize()
-    thr = float(exact_quantiles(scores, "n_distinct", [0.25])["value"].iloc[0])
+    q = exact_quantiles(scores, "n_distinct", [0.25])
+    if q.empty:  # empty corpus: nothing clears any threshold
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {"source": pd.Series(dtype=object),
+                 "n_docs": pd.Series(dtype=np.int64),
+                 "sum_distinct": pd.Series(dtype=np.int64)}
+            )
+        )
+    thr = float(q["value"].iloc[0])
 
     def gate(df: pd.DataFrame) -> pd.DataFrame:
         keep = df[df["n_distinct"] >= thr]

@@ -36,6 +36,11 @@ _SAMPLE = [
     "term_search", "q1_pricing_summary", "top_docs_per_source",
     "orders_anti_join", "json_props_sum", "shuffle_rank",
     "frequent_ngrams", "decontaminate",
+    # formerly-crashing driver-side collects (each had a KeyError /
+    # ZeroDivision on the column-less empty collect):
+    "region_revenue", "revenue_rollup", "cohort_retention", "ann_topk",
+    "ivf_topk", "tfidf_top_terms", "quality_gate", "quantiles_price",
+    "pagerank3",
 ]
 
 
@@ -46,6 +51,17 @@ def test_query_tolerates_empty_tables(empty_sf, name):
     res = entry.queries()[name](empty_sf)
     df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
     assert len(df) == 0, f"{name} fabricated {len(df)} rows from nothing"
+
+
+def test_triangle_count_of_empty_graph_is_zero_row(empty_sf):
+    """Scalar-summary queries keep their one-row shape on empty input
+    (the SQL twin's SELECT count(*) also yields one zero row)."""
+    import __ray_entry__ as entry
+
+    df = entry.queries()["triangle_count"](empty_sf)
+    assert len(df) == 1
+    assert int(df["n_edges"].iloc[0]) == 0
+    assert int(df["n_triangles"].iloc[0]) == 0
 
 
 def test_hll_of_empty_set_is_zero_registers(empty_sf):
