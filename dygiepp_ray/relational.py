@@ -1418,6 +1418,105 @@ FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
 """
 
 
+def events_within_window(
+    sf_dir: str, window_s: int = 3600
+) -> ray.data.Dataset:
+    """Stream-stream interval self-join: ordered pairs of SAME-USER
+    events at most ``window_s`` apart (strictly later), aggregated to
+    transition-pair counts — the bounded-time correlation join (the
+    family between the as-of join and the range join: both sides are
+    streams, the predicate is a time band plus an equi-key).
+
+    In-bucket expansion is fully vectorized: rows sort by (user, ts,
+    event_id), each user run is lifted onto a disjoint virtual time
+    axis (run_id * 2^41 + in-run offset, so one global searchsorted
+    window can never cross users), and the [i+1, hi_i] windows expand
+    with the same repeat/cumsum arithmetic as grouped pair expansion.
+    -> (from_type, to_type, n)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    w_us = np.int64(window_s) * np.int64(1_000_000)
+
+    _OUT = {"from_type": object, "to_type": object, "n": np.int64}
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT.items()})
+        if not len(df) or "user_id" not in df.columns:
+            return empty
+        t = ts_epoch_us(df["ts"])
+        order = np.lexsort(
+            (df["event_id"].to_numpy(np.int64), t, df["user_id"].to_numpy(np.int64))
+        )
+        uid = df["user_id"].to_numpy(np.int64)[order]
+        ts = t[order]
+        et = df["event_type"].to_numpy(object)[order]
+        n = len(ts)
+        new = np.concatenate([[True], uid[1:] != uid[:-1]])
+        starts = np.flatnonzero(new)
+        run_len = np.diff(np.concatenate([starts, [n]]))
+        run_id = np.cumsum(new) - 1
+        ts_rel = ts - np.repeat(ts[starts], run_len)
+        # run stride: beyond the longest in-run span + window, so a
+        # searchsorted window can never cross runs; overflow-checked
+        stride = np.int64(int(ts_rel.max()) + int(w_us) + 1)
+        if int(run_id[-1]) * int(stride) + int(ts_rel.max()) >= (1 << 62):
+            raise OverflowError(
+                "events_within_window: run span x run count exceeds the "
+                "int64 virtual axis; shrink buckets or the window"
+            )
+        virt = run_id.astype(np.int64) * stride + ts_rel
+        # strictly-later partners within the window, same virtual run
+        lo = np.searchsorted(virt, virt, side="right")
+        hi = np.searchsorted(virt, virt + w_us, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        li = np.repeat(np.arange(n, dtype=np.int64), cnt)
+        cum = np.concatenate([[0], np.cumsum(cnt)])
+        rj = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], cnt) + lo[li]
+        g = pd.DataFrame({"from_type": et[li], "to_type": et[rj]}).groupby(
+            ["from_type", "to_type"], as_index=False
+        ).size()
+        return g.rename(columns={"size": "n"}).astype({"n": np.int64})
+
+    parts = partitioned_map_groups(ds, "user_id", pairs, num_buckets=16)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "from_type" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT.items()})
+        g = df.groupby(["from_type", "to_type"], as_index=False).agg(n=("n", "sum"))
+        return g.astype({"n": np.int64})
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if not len(df) or "from_type" not in df.columns:
+            df["__tkey"] = pd.Series(dtype=object)
+            return df
+        df["__tkey"] = df["from_type"].str.cat(df["to_type"], sep="|")
+        return df
+
+    return partitioned_map_groups(
+        parts.map_batches(keyed, batch_format="pandas"),
+        "__tkey",
+        lambda df: final(df.drop(columns="__tkey", errors="ignore")),
+        num_buckets=4,
+    )
+
+
+SQL_EVENTS_WITHIN_WINDOW = """
+SELECT a.event_type AS from_type, b.event_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND epoch_us(b.ts) > epoch_us(a.ts)
+ AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600000000
+GROUP BY 1, 2
+"""
+
+
 def profile_orders(sf_dir: str) -> ray.data.Dataset:
     """Column profiling (the data-quality sweep run before any pipeline
     is trusted): per-column row count, null count, min and max over the
@@ -1522,4 +1621,5 @@ RELATIONAL_QUERIES = {
     "window_distinct_users": (window_distinct_users, SQL_WINDOW_DISTINCT_USERS),
     "profile_orders": (profile_orders, SQL_PROFILE_ORDERS),
     "event_transitions": (event_transitions, SQL_EVENT_TRANSITIONS),
+    "events_within_window": (events_within_window, SQL_EVENTS_WITHIN_WINDOW),
 }

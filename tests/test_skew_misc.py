@@ -367,3 +367,32 @@ def test_event_transitions_hand_case(ray_session):
         out = event_transitions(tmp).to_pandas()
     got = {(r.from_type, r.to_type): int(r.n) for r in out.itertuples()}
     assert got == {("view", "cart"): 1, ("cart", "view"): 1}
+
+
+def test_events_within_window_hand_case(ray_session):
+    """Pairs strictly later and within the window, same user only;
+    equal timestamps never pair (strict >)."""
+    import tempfile, os
+    import pandas as pd
+    import pyarrow as pa, pyarrow.parquet as pq
+    from dygiepp_ray.relational import events_within_window
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:00:00",  # tie: no pair
+         "2024-01-01 00:30:00", "2024-01-01 02:00:00",  # 30min in, 2h out
+         "2024-01-01 00:10:00"]                          # other user
+    )
+    df = pd.DataFrame(
+        {
+            "event_id": np.int64([1, 2, 3, 4, 9]),
+            "user_id": np.int64([7, 7, 7, 7, 8]),
+            "ts": ts,
+            "event_type": ["a", "b", "c", "d", "a"],
+        }
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        pq.write_table(pa.Table.from_pandas(df), os.path.join(tmp, "events.parquet"))
+        out = events_within_window(tmp, window_s=3600).to_pandas()
+    got = {(r.from_type, r.to_type): int(r.n) for r in out.itertuples()}
+    # a->c and b->c (both within 1h); c->d is 90min (out); ties excluded
+    assert got == {("a", "c"): 1, ("b", "c"): 1}
