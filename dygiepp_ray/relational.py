@@ -806,11 +806,12 @@ def revenue_rollup(sf_dir: str) -> pd.DataFrame:
         JoinCents, batch_format="pandas", concurrency=2
     ).to_pandas()
     if partials.empty or "r_name" not in partials.columns:
+        # GROUP BY ROLLUP over empty input still yields the grand-total
+        # row — match the SQL twin exactly
         return pd.DataFrame(
-            {"region": pd.Series(dtype=object),
-             "nation": pd.Series(dtype=object),
-             "revenue_cents": pd.Series(dtype=np.int64),
-             "n_orders": pd.Series(dtype=np.int64)}
+            {"region": ["ALL"], "nation": ["ALL"],
+             "revenue_cents": np.asarray([0], dtype=np.int64),
+             "n_orders": np.asarray([0], dtype=np.int64)}
         )
     finest = (
         partials.groupby(["r_name", "n_name"], sort=True)[["revenue_cents", "n_orders"]]
@@ -1352,6 +1353,36 @@ FROM events
 """
 
 
+_TYPE_PAIRS = {"from_type": object, "to_type": object, "n": np.int64}
+
+
+def _sum_type_pairs(parts: ray.data.Dataset, num_buckets: int = 4) -> ray.data.Dataset:
+    """Sum per-bucket (from_type, to_type, n) partials into the global
+    |types|² matrix via one tiny string-keyed exchange — shared by
+    event_transitions and events_within_window."""
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if not len(df) or "from_type" not in df.columns:
+            df["__tkey"] = pd.Series(dtype=object)
+            return df
+        df["__tkey"] = df["from_type"].str.cat(df["to_type"], sep="|")
+        return df
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "from_type" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _TYPE_PAIRS.items()})
+        g = df.groupby(["from_type", "to_type"], as_index=False).agg(n=("n", "sum"))
+        return g.astype({"n": np.int64})
+
+    return partitioned_map_groups(
+        parts.map_batches(keyed, batch_format="pandas"),
+        "__tkey",
+        lambda df: final(df.drop(columns="__tkey", errors="ignore")),
+        num_buckets,
+    )
+
+
 def event_transitions(sf_dir: str) -> ray.data.Dataset:
     """Markov transition counts over per-user event streams: how often
     does event type A immediately precede event type B for the same
@@ -1364,7 +1395,7 @@ def event_transitions(sf_dir: str) -> ray.data.Dataset:
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
     )
 
-    _OUT = {"from_type": object, "to_type": object, "n": np.int64}
+    _OUT = _TYPE_PAIRS
 
     def transitions(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df) or "user_id" not in df.columns:
@@ -1384,27 +1415,7 @@ def event_transitions(sf_dir: str) -> ray.data.Dataset:
         return g.rename(columns={"size": "n"}).astype({"n": np.int64})
 
     parts = partitioned_map_groups(ds, "user_id", transitions, num_buckets=16)
-
-    def keyed(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        if not len(df) or "from_type" not in df.columns:
-            df["__tkey"] = pd.Series(dtype=object)
-            return df
-        df["__tkey"] = df["from_type"].str.cat(df["to_type"], sep="|")
-        return df
-
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df) or "from_type" not in df.columns:
-            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT.items()})
-        g = df.groupby(["from_type", "to_type"], as_index=False).agg(n=("n", "sum"))
-        return g.astype({"n": np.int64})
-
-    return partitioned_map_groups(
-        parts.map_batches(keyed, batch_format="pandas"),
-        "__tkey",
-        lambda df: final(df.drop(columns="__tkey", errors="ignore")),
-        num_buckets=4,
-    )
+    return _sum_type_pairs(parts)
 
 
 SQL_EVENT_TRANSITIONS = """
@@ -1439,7 +1450,7 @@ def events_within_window(
     )
     w_us = np.int64(window_s) * np.int64(1_000_000)
 
-    _OUT = {"from_type": object, "to_type": object, "n": np.int64}
+    _OUT = _TYPE_PAIRS
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT.items()})
@@ -1483,27 +1494,7 @@ def events_within_window(
         return g.rename(columns={"size": "n"}).astype({"n": np.int64})
 
     parts = partitioned_map_groups(ds, "user_id", pairs, num_buckets=16)
-
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df) or "from_type" not in df.columns:
-            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT.items()})
-        g = df.groupby(["from_type", "to_type"], as_index=False).agg(n=("n", "sum"))
-        return g.astype({"n": np.int64})
-
-    def keyed(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        if not len(df) or "from_type" not in df.columns:
-            df["__tkey"] = pd.Series(dtype=object)
-            return df
-        df["__tkey"] = df["from_type"].str.cat(df["to_type"], sep="|")
-        return df
-
-    return partitioned_map_groups(
-        parts.map_batches(keyed, batch_format="pandas"),
-        "__tkey",
-        lambda df: final(df.drop(columns="__tkey", errors="ignore")),
-        num_buckets=4,
-    )
+    return _sum_type_pairs(parts)
 
 
 SQL_EVENTS_WITHIN_WINDOW = """
@@ -1565,30 +1556,52 @@ def profile_orders(sf_dir: str) -> ray.data.Dataset:
             n=("n", "sum"), n_null=("n_null", "sum"),
             min_v=("min_v", "min"), max_v=("max_v", "max"),
         )
+        # a column with NO non-null values still carries the +/-inf
+        # sentinels here: report 0/0 (the COALESCE convention the SQL
+        # twin uses — fabricated extrema would be worse than a zero)
+        no_vals = g["n"] - g["n_null"] == 0
+        g.loc[no_vals, ["min_v", "max_v"]] = 0
         return g.astype({c: np.int64 for c in ("n", "n_null", "min_v", "max_v")})
 
-    return partitioned_map_groups(partials, "column", merge, num_buckets=4)
+    out = partitioned_map_groups(partials, "column", merge, num_buckets=4)
+
+    def ensure_all_columns(df: pd.DataFrame) -> pd.DataFrame:
+        # zero-row input never runs the partials: emit the 4 all-zero
+        # rows the SQL twin's aggregate-per-column UNION still produces
+        if len(df) == 0 or "column" not in df.columns:
+            return pd.DataFrame(
+                {"column": cols,
+                 **{c: np.zeros(len(cols), dtype=np.int64)
+                    for c in ("n", "n_null", "min_v", "max_v")}}
+            )
+        return df
+
+    # the exchange is eager; counting is cheap on its materialized output
+    if out.count() == 0:
+        return ray.data.from_pandas(ensure_all_columns(pd.DataFrame()))
+    return out
 
 
 SQL_PROFILE_ORDERS = """
 SELECT 'o_orderkey' AS "column", CAST(count(*) AS BIGINT) AS n,
        CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null,
-       CAST(min(o_orderkey) AS BIGINT) AS min_v,
-       CAST(max(o_orderkey) AS BIGINT) AS max_v FROM orders
+       CAST(COALESCE(min(o_orderkey), 0) AS BIGINT) AS min_v,
+       CAST(COALESCE(max(o_orderkey), 0) AS BIGINT) AS max_v FROM orders
 UNION ALL
 SELECT 'o_custkey', CAST(count(*) AS BIGINT),
        CAST(count(*) - count(o_custkey) AS BIGINT),
-       CAST(min(o_custkey) AS BIGINT), CAST(max(o_custkey) AS BIGINT) FROM orders
+       CAST(COALESCE(min(o_custkey), 0) AS BIGINT),
+       CAST(COALESCE(max(o_custkey), 0) AS BIGINT) FROM orders
 UNION ALL
 SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
        CAST(count(*) - count(o_totalprice) AS BIGINT),
-       CAST(min(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT),
-       CAST(max(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) FROM orders
+       CAST(COALESCE(min(CAST(floor(o_totalprice * 100.0) AS BIGINT)), 0) AS BIGINT),
+       CAST(COALESCE(max(CAST(floor(o_totalprice * 100.0) AS BIGINT)), 0) AS BIGINT) FROM orders
 UNION ALL
 SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
        CAST(count(*) - count(o_orderdate) AS BIGINT),
-       CAST(min(epoch_us(o_orderdate)) AS BIGINT),
-       CAST(max(epoch_us(o_orderdate)) AS BIGINT) FROM orders
+       CAST(COALESCE(min(epoch_us(o_orderdate)), 0) AS BIGINT),
+       CAST(COALESCE(max(epoch_us(o_orderdate)), 0) AS BIGINT) FROM orders
 """
 
 

@@ -368,9 +368,8 @@ def cap_docs_per_source(
                  "rk": pd.Series(dtype=np.int64)}
             )
         d = df[[id_col, source_col]].copy()
-        d["__h"] = d[id_col].map(
-            lambda i: hashlib.md5(str(i).encode()).hexdigest()
-        )
+        # the single home of the md5(str(id)) ranking convention
+        d["__h"], _ = _md5_rank_cols(d[id_col], 1)
         d = d.sort_values([source_col, "__h", id_col], kind="mergesort")
         d["rk"] = d.groupby(source_col, sort=False).cumcount().astype(np.int64) + 1
         d = d[d["rk"] <= k]

@@ -97,12 +97,19 @@ def q_redact_terms(sf_dir: str):
     return quality.redact_terms(_docs(sf_dir), terms=_REDACT_TERMS)
 
 
-_REDACT_PAT = "|".join(t.replace("'", "''") for t in _REDACT_TERMS)
+# mirror the engine's re.escape (terms are matched LITERALLY on both
+# sides — a raw 'c++' would be a different/invalid regex in DuckDB);
+# COALESCE mirrors the engine's fillna('') for null text
+import re as _re
+
+_REDACT_PAT = "|".join(
+    _re.escape(t).replace("'", "''") for t in _REDACT_TERMS
+)
 
 SQL_REDACT_TERMS = f"""
 SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '{_REDACT_PAT}')) AS BIGINT) AS n_redactions,
-       CAST(length(regexp_replace(text, '{_REDACT_PAT}', '[REDACTED]', 'g')) AS BIGINT) AS clean_len
+       CAST(len(regexp_extract_all(COALESCE(text, ''), '{_REDACT_PAT}')) AS BIGINT) AS n_redactions,
+       CAST(length(regexp_replace(COALESCE(text, ''), '{_REDACT_PAT}', '[REDACTED]', 'g')) AS BIGINT) AS clean_len
 FROM documents
 """
 

@@ -31,14 +31,14 @@ _SAMPLE = [
     "events_lag", "window_distinct_users", "sessionize",
     "cms_users", "cms_users_by_type", "hll_users_by_type",
     "price_histogram", "histogram_quantiles",
-    "cap_per_source", "profile_orders", "redact_terms",
+    "cap_per_source", "redact_terms",
     "incremental_dedup", "label_centroids", "event_transitions",
     "term_search", "q1_pricing_summary", "top_docs_per_source",
     "orders_anti_join", "json_props_sum", "shuffle_rank",
     "frequent_ngrams", "decontaminate",
     # formerly-crashing driver-side collects (each had a KeyError /
     # ZeroDivision on the column-less empty collect):
-    "region_revenue", "revenue_rollup", "cohort_retention", "ann_topk",
+    "region_revenue", "cohort_retention", "ann_topk",
     "ivf_topk", "tfidf_top_terms", "quality_gate", "quantiles_price",
     "pagerank3",
 ]
@@ -62,6 +62,29 @@ def test_triangle_count_of_empty_graph_is_zero_row(empty_sf):
     assert len(df) == 1
     assert int(df["n_edges"].iloc[0]) == 0
     assert int(df["n_triangles"].iloc[0]) == 0
+
+
+def test_rollup_of_empty_input_is_grand_total_row(empty_sf):
+    """GROUP BY ROLLUP over empty input still yields the grand-total
+    row — the engine matches the SQL twin's shape."""
+    import __ray_entry__ as entry
+
+    df = entry.queries()["revenue_rollup"](empty_sf)
+    df = df if isinstance(df, pd.DataFrame) else df.to_pandas()
+    assert len(df) == 1
+    assert df["region"].iloc[0] == "ALL" and df["nation"].iloc[0] == "ALL"
+    assert int(df["revenue_cents"].iloc[0]) == 0
+
+
+def test_profile_of_empty_table_is_zero_rows_per_column(empty_sf):
+    """Aggregate-per-column profiling yields one zero row per column on
+    empty input (the SQL twin's UNION of aggregates does too)."""
+    import __ray_entry__ as entry
+
+    df = entry.queries()["profile_orders"](empty_sf)
+    df = df if isinstance(df, pd.DataFrame) else df.to_pandas()
+    assert len(df) == 4
+    assert (df["n"] == 0).all() and (df["min_v"] == 0).all()
 
 
 def test_hll_of_empty_set_is_zero_registers(empty_sf):

@@ -343,6 +343,30 @@ def test_profile_orders_counts_nulls(ray_session):
     assert out.loc["o_orderdate", "n_null"] == 1
 
 
+def test_profile_orders_all_null_column_reports_zero_extrema(ray_session):
+    """A column with NO non-null values must report 0/0 (the COALESCE
+    convention), never the int64 +/-inf sentinels."""
+    import tempfile, os
+    import pandas as pd
+    import pyarrow as pa, pyarrow.parquet as pq
+    from dygiepp_ray.relational import profile_orders
+
+    df = pd.DataFrame(
+        {
+            "o_orderkey": np.int64([1, 2]),
+            "o_custkey": pd.array([None, None], dtype="Int64"),
+            "o_totalprice": [1.0, 2.0],
+            "o_orderdate": pd.to_datetime(["2024-01-01", "2024-01-02"]),
+        }
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        pq.write_table(pa.Table.from_pandas(df), os.path.join(tmp, "orders.parquet"))
+        out = profile_orders(tmp).to_pandas().set_index("column")
+    assert out.loc["o_custkey", "n_null"] == 2
+    assert out.loc["o_custkey", "min_v"] == 0
+    assert out.loc["o_custkey", "max_v"] == 0
+
+
 def test_event_transitions_hand_case(ray_session):
     """Adjacent-only pairs, same-user only, ts-then-event_id order."""
     import tempfile, os
