@@ -876,6 +876,24 @@ def _copurchase_edges(sf_dir: str, num_buckets: int = 16) -> ray.data.Dataset:
     ).materialize()
 
 
+# Broadcast the edge-key set only while the edge table stays below this
+# metadata byte count (~24 B/edge -> ~45M edges at the default).  Above
+# it the closing stage stays fully distributed: at 100x scale a
+# co-purchase graph's edge set can exceed driver/worker memory long
+# before node ids exceed 32 bits, so id width alone is the wrong guard.
+_BROADCAST_EDGE_BYTES = 1 << 30
+
+
+def _triangle_close_path(size_bytes: int, max_id: int | None) -> str:
+    """Closing-path decision: 'broadcast' only when the edge set is both
+    small enough to ship (metadata bytes) AND id-packable into uint64."""
+    if size_bytes > _BROADCAST_EDGE_BYTES:
+        return "exchange"
+    if max_id is not None and int(max_id) >= (1 << 32):
+        return "exchange"
+    return "broadcast"
+
+
 def triangle_count(
     sf_dir: str, num_buckets: int = 16, broadcast_edges: bool = True
 ) -> pd.DataFrame:
@@ -966,16 +984,40 @@ def triangle_count(
 
     ekeys = None
     if broadcast_edges:
-        epd = edges.to_pandas()  # small side by contract: 16 B/edge
-        if len(epd) == 0 or "id_a" not in epd.columns:
-            ekeys = ray.put(np.empty(0, dtype=np.uint64))
-        elif int(epd[["id_a", "id_b"]].to_numpy().max()) >= (1 << 32):
-            ekeys = None  # ids too wide for the packed key: exchange path
-        else:
-            ekeys = ray.put(np.sort(
-                (epd["id_a"].to_numpy(np.uint64) << np.uint64(32))
-                | epd["id_b"].to_numpy(np.uint64)
-            ))
+        import logging
+
+        # id_a < id_b by construction, so max(id_b) is the max node id;
+        # both probes are metadata/aggregate-cheap on the materialized
+        # edge table (no driver-side row materialization)
+        size_bytes = edges.size_bytes() or 0
+        try:
+            max_id = edges.max("id_b")
+        except Exception:
+            max_id = None  # zero-row edge set
+        path = _triangle_close_path(size_bytes, max_id)
+        logging.getLogger(__name__).info(
+            "triangle_count closing path: %s (edges=%d bytes, max_id=%s)",
+            path, size_bytes, max_id,
+        )
+        if path == "broadcast":
+            if max_id is None:
+                ekeys = ray.put(np.empty(0, dtype=np.uint64))
+            else:
+                # pack the 8 B/edge uint64 keys INSIDE map_batches and
+                # collect only the key column — the driver never holds
+                # the 24 B/edge (id_a, id_b, pkey) rows (ADVICE r3)
+                def pack(df: pd.DataFrame) -> pd.DataFrame:
+                    if len(df) == 0 or "id_a" not in df.columns:
+                        return pd.DataFrame({"k": pd.Series(dtype=np.uint64)})
+                    return pd.DataFrame(
+                        {"k": (df["id_a"].to_numpy(np.uint64) << np.uint64(32))
+                         | df["id_b"].to_numpy(np.uint64)}
+                    )
+
+                kcol = edges.map_batches(pack, batch_format="pandas")
+                ekeys = ray.put(
+                    np.sort(kcol.to_pandas()["k"].to_numpy(np.uint64))
+                )
 
     if ekeys is not None:
         keys_ref = ekeys

@@ -293,6 +293,14 @@ def q_kg_cooccurrence(sf_dir: str, min_co: int = 2) -> ray.data.Dataset:
                  "lift_x1e6": pd.Series(dtype=np.int64)}
             )
         n = df["n"].to_numpy(np.int64)
+        # numpy int64 wraps silently on overflow while the BIGINT SQL
+        # twin raises — fail loudly at the same bound instead (ADVICE
+        # r3): 1e6 * n_co * n_convs must fit int64
+        if len(n) and int(n.max()) * int(n_convs) > (1 << 63) // 1_000_000 - 1:
+            raise OverflowError(
+                f"lift_x1e6 would overflow int64: n_co_max={int(n.max())}, "
+                f"n_convs={int(n_convs)} (use a wider fixed-point scale)"
+            )
         return pd.DataFrame(
             {"surface_a": df["sa"], "surface_b": df["sb"], "n_co": n,
              "lift_x1e6": (1_000_000 * n * n_convs)

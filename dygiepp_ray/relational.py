@@ -1523,11 +1523,16 @@ def profile_orders(sf_dir: str) -> ray.data.Dataset:
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
+        # integer keys stay on int64 end to end (a float64 round-trip
+        # loses exactness above 2^53 — ADVICE r3); only money needs the
+        # float encode, and timestamps are already integral epoch-us
         enc = {
-            "o_orderkey": lambda s: s.to_numpy(np.float64),
-            "o_custkey": lambda s: s.to_numpy(np.float64),
-            "o_totalprice": lambda s: np.floor(s.to_numpy(np.float64) * 100.0),
-            "o_orderdate": lambda s: ts_epoch_us(s).astype(np.float64),
+            "o_orderkey": lambda s: s.to_numpy(np.int64),
+            "o_custkey": lambda s: s.to_numpy(np.int64),
+            "o_totalprice": lambda s: np.floor(
+                s.to_numpy(np.float64) * 100.0
+            ).astype(np.int64),
+            "o_orderdate": lambda s: ts_epoch_us(s),
         }
         for c in cols:
             s = df[c]

@@ -458,6 +458,46 @@ def test_triangle_count_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_triangle_close_path_decision():
+    """Broadcast only when the edge set is BOTH byte-small and
+    id-packable (VERDICT r3: size, not just id width, must gate the
+    driver-side path)."""
+    from dygiepp_ray.analytics import _BROADCAST_EDGE_BYTES, _triangle_close_path
+
+    assert _triangle_close_path(1000, 42) == "broadcast"
+    assert _triangle_close_path(_BROADCAST_EDGE_BYTES + 1, 42) == "exchange"
+    assert _triangle_close_path(1000, 1 << 32) == "exchange"
+    assert _triangle_close_path(1000, None) == "broadcast"  # empty graph
+
+
+def test_triangle_count_over_threshold_routes_to_exchange(
+    ray_session, tmp_path, monkeypatch
+):
+    """An over-threshold edge set must route to the distributed closing
+    path — no driver-side row materialization anywhere — and still
+    count correctly."""
+    import ray.data
+
+    import dygiepp_ray.analytics as A
+
+    rows = [(10, 1), (10, 2), (10, 3),
+            (20, 3), (20, 4),
+            (30, 1), (30, 2),
+            (40, 2), (40, 3), (40, 5)]
+    pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"]).astype(
+        np.int64
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    monkeypatch.setattr(A, "_BROADCAST_EDGE_BYTES", 0)
+
+    def banned(self, *a, **k):
+        raise AssertionError("to_pandas() on the exchange closing path")
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", banned)
+    got = A.triangle_count(str(tmp_path), num_buckets=4)
+    assert int(got["n_edges"].iloc[0]) == 6
+    assert int(got["n_triangles"].iloc[0]) == 2
+
+
 def test_kcore_planted_peeling(ray_session, tmp_path):
     """Triangle {1,2,3} + pendant 4: k=2 peeling drops the pendant in
     round 1, the triangle survives with induced degree 2."""
