@@ -86,13 +86,16 @@ def grouped_pair_indices(group_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]
 # multi-level trees with small inputs).
 MERGE_FANIN = 512
 
-# Exchange sizing rules (VERDICT r2 findings #3/#4).
+# Exchange sizing rules (VERDICT r2 findings #3/#4, r3 #3).
 #
 # * Auto bucket count: when the caller does not pass ``num_buckets``,
-#   derive it from the upstream's metadata byte size so the root merge
-#   task of each bucket concatenates <= ~TARGET_BUCKET_BYTES — at
-#   100 TB that yields the MAX_AUTO_BUCKETS ceiling instead of a fixed
-#   64 buckets x ~1.5 TB merges.
+#   splitting starts IMMEDIATELY at MIN_AUTO_BUCKETS and the bucket
+#   count doubles whenever the bytes seen so far exceed
+#   ``bucket_count x TARGET_BUCKET_BYTES`` (so each root merge
+#   concatenates ~<= TARGET_BUCKET_BYTES at any scale) — no
+#   collect-all-metadata pass, splits overlap upstream execution, and
+#   earlier coarse generations are reconciled with one extra re-split
+#   pass over their already-resident outputs (geometrically bounded).
 # * Bounded driver ref inventory: split outputs are folded into the
 #   per-bucket concat tree INCREMENTALLY as they are launched (a
 #   binary-carry ladder of fan-in MERGE_FANIN), so the driver holds
@@ -112,17 +115,6 @@ MIN_AUTO_BUCKETS = 8
 MAX_AUTO_BUCKETS = 1024
 
 
-def _auto_buckets(total_bytes: int) -> int:
-    import math
-
-    return int(
-        min(
-            MAX_AUTO_BUCKETS,
-            max(MIN_AUTO_BUCKETS, math.ceil(total_bytes / TARGET_BUCKET_BYTES)),
-        )
-    )
-
-
 def _iter_blocks(ds: ray.data.Dataset):
     """Execute ``ds`` (the exchange is eager) and yield its blocks as
     ``(ObjectRef, size_bytes)`` pairs AS THEY ARE PRODUCED, so split
@@ -140,59 +132,158 @@ def _iter_split_groups(blocks_iter):
     """Group upstream blocks for shared split tasks: normal blocks get
     their own task (preserving split parallelism and upstream overlap);
     only micro-block floods coalesce, bounded by MAX_SPLIT_GROUP_BLOCKS
-    refs or TARGET_SPLIT_BYTES bytes per task.  Single home of the
-    coalescing policy for both the streaming exchange and
-    :func:`split_refs`."""
+    refs or TARGET_SPLIT_BYTES bytes per task.  Yields ``(group,
+    group_bytes)``.  Single home of the coalescing policy for both the
+    streaming exchange and :func:`split_refs`."""
     group: list = []
     gbytes = 0
     for ref, sz in blocks_iter:
         group.append(ref)
         gbytes += sz
         if len(group) >= MAX_SPLIT_GROUP_BLOCKS or gbytes >= TARGET_SPLIT_BYTES:
-            yield group
+            yield group, gbytes
             group, gbytes = [], 0
     if group:
-        yield group
+        yield group, gbytes
+
+
+def _new_levels(num_buckets: int) -> list:
+    return [[[]] for _ in range(num_buckets)]
+
+
+def _ladder_add(levels: list, concat, b: int, ref, lvl: int = 0):
+    """Incremental binary-carry concat ladder: when a level accumulates
+    MERGE_FANIN refs they collapse into one concat task and carry to the
+    next level — every row passes through O(log_F n_blocks) concats and
+    the driver's ref inventory stays bounded at any block count."""
+    L = levels[b]
+    if len(L) <= lvl:
+        L.append([])
+    L[lvl].append(ref)
+    if len(L[lvl]) >= MERGE_FANIN:
+        folded = concat.remote(*L[lvl])
+        L[lvl] = []
+        _ladder_add(levels, concat, b, folded, lvl + 1)
+
+
+def _ladder_refs(levels: list, b: int) -> list:
+    return [r for lvl in levels[b] for r in lvl]
 
 
 def _stream_split_merge(blocks_iter, key: str, num_buckets: int, concat):
     """Launch split tasks as upstream blocks arrive and fold each
-    bucket's split outputs through an incremental concat tree (a
-    binary-carry ladder: when a level accumulates MERGE_FANIN refs they
-    collapse into one concat task and carry to the next level).  Every
-    row passes through O(log_F n_blocks) concats and the driver's ref
-    inventory peaks at O(num_buckets x MERGE_FANIN x levels) no matter
-    the block count.  Returns one ref list per bucket (ready for the
-    root merge), or None if the upstream produced zero blocks."""
+    bucket's split outputs through the incremental concat ladder.
+    Returns one ref list per bucket (ready for the root merge), or None
+    if the upstream produced zero blocks."""
     split = _make_split(key, num_buckets)
-    levels: list[list[list]] = [[[]] for _ in range(num_buckets)]
-
-    def add(b: int, ref, lvl: int = 0):
-        L = levels[b]
-        if len(L) <= lvl:
-            L.append([])
-        L[lvl].append(ref)
-        if len(L[lvl]) >= MERGE_FANIN:
-            folded = concat.remote(*L[lvl])
-            L[lvl] = []
-            add(b, folded, lvl + 1)
-
+    levels = _new_levels(num_buckets)
     n_groups = 0
-    for group in _iter_split_groups(blocks_iter):
+    for group, _gbytes in _iter_split_groups(blocks_iter):
         n_groups += 1
         refs = split.options(num_returns=num_buckets).remote(*group)
         refs = (refs,) if num_buckets == 1 else refs
         for b in range(num_buckets):
-            add(b, refs[b])
+            _ladder_add(levels, concat, b, refs[b])
     if n_groups == 0:
         return None
     # Leftovers across ladder levels can total up to (MERGE_FANIN-1) x
     # levels refs; fold them so the ROOT merge also honors the fan-in
     # cap (its task spec must stay bounded at any block count).
     return [
-        _tree_reduce([r for lvl in levels[b] for r in lvl], concat)
+        _tree_reduce(_ladder_refs(levels, b), concat)
         for b in range(num_buckets)
     ]
+
+
+@ray.remote
+def _resplit(key: str, num_buckets: int, b_old: int, old_buckets: int, *tables):
+    """Re-split an earlier-generation bucket (built with ``old_buckets``)
+    into its ``num_buckets // old_buckets`` final buckets.  Valid because
+    bucket counts only ever double: ``h % B_old == (h % B_new) % B_old``
+    whenever ``B_old`` divides ``B_new``, so every row of old bucket
+    ``b_old`` lands in a final bucket ``b_old + i * B_old``."""
+    fan = num_buckets // old_buckets
+    nonempty = [t for t in tables if t.num_rows]
+    tbl = pa.concat_tables(
+        nonempty if nonempty else list(tables[:1]), promote_options="default"
+    )
+    if key not in tbl.schema.names or tbl.num_rows == 0:
+        empty = tbl.slice(0, 0)
+        return empty if fan == 1 else tuple(empty for _ in range(fan))
+    col = tbl[key].to_pandas().to_numpy()
+    b = stable_bucket(col, num_buckets)
+    # positions of the fan final buckets for this old bucket
+    sub = (b - b_old) // old_buckets  # in [0, fan): exact since b % old == b_old
+    order = np.argsort(sub, kind="stable")
+    tbl = tbl.take(pa.array(order))
+    ss = sub[order]
+    offs = np.searchsorted(ss, np.arange(fan + 1))
+    out = [tbl.slice(offs[i], offs[i + 1] - offs[i]) for i in range(fan)]
+    return out[0] if fan == 1 else tuple(out)
+
+
+def _stream_gens(blocks_iter, key: str, concat):
+    """Auto-sized streaming split: start splitting IMMEDIATELY at
+    MIN_AUTO_BUCKETS and double the bucket count whenever the bytes seen
+    so far exceed ``bucket_count x TARGET_BUCKET_BYTES`` — no
+    collect-all-metadata pass, so split tasks overlap upstream execution
+    on the auto path too (VERDICT r3 #3).  Each bucket-count change
+    closes a *generation*; earlier generations are reconciled by
+    :func:`_gens_to_buckets` with one extra split pass over their
+    (already object-store-resident) outputs.  Returns ``(B_final,
+    generations)`` where generations is a list of ``(B_g, levels)``
+    with the final generation last, or ``(None, None)`` on zero
+    blocks."""
+    B = MIN_AUTO_BUCKETS
+    split = _make_split(key, B)
+    gens: list[tuple[int, list]] = []
+    levels = _new_levels(B)
+    seen = 0
+    n_groups = 0
+    for group, gbytes in _iter_split_groups(blocks_iter):
+        if seen > B * TARGET_BUCKET_BYTES and B < MAX_AUTO_BUCKETS:
+            gens.append((B, levels))
+            while seen > B * TARGET_BUCKET_BYTES and B < MAX_AUTO_BUCKETS:
+                B *= 2
+            B = min(B, MAX_AUTO_BUCKETS)
+            split = _make_split(key, B)
+            levels = _new_levels(B)
+        n_groups += 1
+        seen += gbytes
+        refs = split.options(num_returns=B).remote(*group)
+        refs = (refs,) if B == 1 else refs
+        for b in range(B):
+            _ladder_add(levels, concat, b, refs[b])
+    if n_groups == 0:
+        return None, None
+    gens.append((B, levels))
+    return B, gens
+
+
+def _gens_to_buckets(gens: list, num_buckets: int, key: str, concat) -> list:
+    """Fold generations into per-bucket ref lists at ``num_buckets``
+    (which every generation's bucket count must divide).  The final
+    generation's refs route directly; earlier (coarser) generations pay
+    one re-split task per folded ref — bounded extra work over data
+    that is already in the object store."""
+    per_bucket: list[list] = [[] for _ in range(num_buckets)]
+    for B_g, levels in gens:
+        if B_g == num_buckets:
+            for b in range(num_buckets):
+                per_bucket[b].extend(_ladder_refs(levels, b))
+            continue
+        fan = num_buckets // B_g
+        for b_old in range(B_g):
+            refs = _tree_reduce(_ladder_refs(levels, b_old), concat)
+            if not refs:
+                continue
+            outs = _resplit.options(num_returns=fan).remote(
+                key, num_buckets, b_old, B_g, *refs
+            )
+            outs = (outs,) if fan == 1 else outs
+            for i in range(fan):
+                per_bucket[b_old + i * B_g].append(outs[i])
+    return [_tree_reduce(refs, concat) for refs in per_bucket]
 
 
 def _empty_like(ds: ray.data.Dataset) -> ray.data.Dataset:
@@ -277,14 +368,13 @@ def hash_exchange(
         return out
 
     if num_buckets is None:
-        # auto-sizing needs the total byte size before splitting — the
-        # only path that collects blocks before launching splits;
-        # explicit num_buckets keeps full upstream/split overlap
-        blocks = _collect_blocks(ds)
-        if not blocks:
+        # streaming auto-sizing: splits launch as upstream blocks arrive
+        # (doubling generations, reconciled at the end) — same overlap
+        # as the explicit-bucket path
+        num_buckets, gens = _stream_gens(_iter_blocks(ds), key, concat)
+        if gens is None:
             return _empty_like(ds)
-        num_buckets = _auto_buckets(sum(sz for _, sz in blocks))
-        per_bucket = _stream_split_merge(iter(blocks), key, num_buckets, concat)
+        per_bucket = _gens_to_buckets(gens, num_buckets, key, concat)
     else:
         per_bucket = _stream_split_merge(_iter_blocks(ds), key, num_buckets, concat)
     if per_bucket is None:
@@ -338,7 +428,7 @@ def _split_refs(ds: ray.data.Dataset, key: str, num_buckets: int) -> list:
 def _launch_group_splits(blocks: list, key: str, num_buckets: int) -> list:
     split = _make_split(key, num_buckets)
     out = []
-    for group in _iter_split_groups(blocks):
+    for group, _gbytes in _iter_split_groups(blocks):
         refs = split.options(num_returns=num_buckets).remote(*group)
         out.append((refs,) if num_buckets == 1 else refs)
     return out
@@ -425,16 +515,21 @@ def hash_coexchange(
                 "num_buckets must be explicit when reusing splits_b "
                 "(the pre-split side fixed the bucket count)"
             )
-        blocks_a = _collect_blocks(ds_a)
-        blocks_b = _collect_blocks(ds_b)
-        num_buckets = _auto_buckets(
-            max(
-                sum(sz for _, sz in blocks_a),
-                sum(sz for _, sz in blocks_b),
-            )
+        # both sides stream independently (each doubling on its own
+        # byte count); the final bucket count is the max of the two —
+        # a multiple of every generation on both sides, so the
+        # generation reconciler aligns them
+        B_a, gens_a = _stream_gens(_iter_blocks(ds_a), key_a, concat)
+        B_b, gens_b = _stream_gens(_iter_blocks(ds_b), key_b, concat)
+        num_buckets = max(B_a or MIN_AUTO_BUCKETS, B_b or MIN_AUTO_BUCKETS)
+        pb_a = (
+            _gens_to_buckets(gens_a, num_buckets, key_a, concat)
+            if gens_a is not None else None
         )
-        pb_a = _stream_split_merge(iter(blocks_a), key_a, num_buckets, concat)
-        pb_b = _stream_split_merge(iter(blocks_b), key_b, num_buckets, concat)
+        pb_b = (
+            _gens_to_buckets(gens_b, num_buckets, key_b, concat)
+            if gens_b is not None else None
+        )
     else:
         pb_a = _stream_split_merge(_iter_blocks(ds_a), key_a, num_buckets, concat)
         if splits_b is None:

@@ -217,9 +217,106 @@ _POS_FIELDS = {
     "event_args": ("trig_tok", "start", "end"),
 }
 
+# One tall union table carries all four annotation types through a
+# SINGLE doc_key exchange (each row tagged by ``kind``); per-type tables
+# are lazy column selections over the exchange's materialized output.
+# Nullable Arrow ints keep the union exact (pandas would promote to
+# float only transiently, positions are << 2^53).
+_KIND_CODES = {"ner": 0, "relations": 1, "triggers": 2, "event_args": 3}
+_UNION_POS = ("start", "end", "s1", "e1", "s2", "e2", "tok", "trig_tok")
+_UNION_STR = ("label", "surface", "subj", "obj", "event_type", "role")
+_UNION_SCHEMA = pa.schema(
+    [("doc_key", pa.string()), ("kind", pa.int8()), ("sent_ix", pa.int32())]
+    + [(p, pa.int32()) for p in _UNION_POS]
+    + [(s, pa.string()) for s in _UNION_STR]
+    + [("raw", pa.float32()), ("softmax", pa.float32())]
+)
+# output column order per type — matches ``stages.explode`` exactly
+_TYPE_COLS = {
+    "ner": ["sent_ix", "start", "end", "label", "raw", "softmax", "surface"],
+    "relations": ["sent_ix", "s1", "e1", "s2", "e2", "label", "raw",
+                  "softmax", "subj", "obj"],
+    "triggers": ["sent_ix", "tok", "label", "raw", "softmax"],
+    "event_args": ["sent_ix", "trig_tok", "event_type", "start", "end",
+                   "role", "raw", "softmax", "surface"],
+}
+
 
 def _combine(col):
     return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def _flatten_union(tbl: pa.Table) -> pa.Table:
+    """Pseudo-doc predictions -> tall union annotation table (sentence-
+    local positions, tagged by ``kind``).  Pure Arrow/numpy; one pass
+    over the batch covers every annotation type."""
+    import pyarrow.compute as pc
+
+    ok = _combine(tbl["_orig_doc_key"])
+    sent_off = np.asarray(ok.offsets)
+    sent_off = sent_off - sent_off[0]
+    ok_flat = np.asarray(ok.flatten().to_pandas(), dtype=object)
+    oix_flat = np.asarray(_combine(tbl["_orig_sent_ix"]).flatten())
+    ss_flat = np.asarray(_combine(tbl["sentence_start"]).flatten())
+    parts = []
+    for col, pos_fields in _POS_FIELDS.items():
+        if col not in tbl.schema.names:
+            continue
+        ann = _combine(tbl[col])
+        parents = np.asarray(pc.list_parent_indices(ann))
+        flat = ann.flatten()
+        n = len(flat)
+        if n == 0:
+            continue
+        names = {f.name for f in flat.type}
+        sent_ix = np.asarray(flat.field("sent_ix"))
+        gsent = sent_off[parents] + sent_ix
+        base = ss_flat[gsent]
+        arrays = {
+            "doc_key": pa.array(ok_flat[gsent], pa.string()),
+            "kind": pa.array(
+                np.full(n, _KIND_CODES[col], dtype=np.int8), pa.int8()
+            ),
+            "sent_ix": pa.array(oix_flat[gsent].astype(np.int32), pa.int32()),
+        }
+        for p in _UNION_POS:
+            if p in names and p in pos_fields:
+                arrays[p] = pa.array(
+                    (np.asarray(flat.field(p)) - base).astype(np.int32),
+                    pa.int32(),
+                )
+            else:
+                arrays[p] = pa.nulls(n, pa.int32())
+        for s in _UNION_STR:
+            arrays[s] = (
+                flat.field(s).cast(pa.string()) if s in names
+                else pa.nulls(n, pa.string())
+            )
+        for f32 in ("raw", "softmax"):
+            arrays[f32] = (
+                flat.field(f32).cast(pa.float32()) if f32 in names
+                else pa.nulls(n, pa.float32())
+            )
+        parts.append(
+            pa.table({name: arrays[name] for name in _UNION_SCHEMA.names})
+        )
+    if not parts:
+        return _UNION_SCHEMA.empty_table()
+    return pa.concat_tables(parts)
+
+
+def _empty_rebased() -> pd.DataFrame:
+    out = {"doc_key": pd.Series(dtype=object),
+           "conv_id": pd.Series(dtype=object),
+           "kind": pd.Series(dtype=np.int8),
+           "sent_ix": pd.Series(dtype=np.int32)}
+    for p in _UNION_POS:
+        out[p] = pd.Series(dtype=np.float64)
+    for s in _UNION_STR:
+        out[s] = pd.Series(dtype=object)
+    out["raw"] = pd.Series(dtype=np.float32)
+    out["softmax"] = pd.Series(dtype=np.float32)
+    return pd.DataFrame(out)
 
 
 def uncollate_predictions(
@@ -231,61 +328,25 @@ def uncollate_predictions(
     ORIGINAL documents (the prediction half of uncollate,
     ``scripts/data/shared/uncollate.py:53-94`` analogue).
 
-    Stage 1 (vectorized per batch): flatten each annotation list column;
-    offset arithmetic maps its pseudo-doc (sent_ix, doc-level token
-    positions) to (orig_doc_key, orig_sent_ix, sentence-local
-    positions).  Stage 2 (one keyed exchange per type, annotations
-    co-partitioned with the original docs on doc_key): rebase the
-    sentence-local positions onto the original document's
-    ``sentence_start`` and attach ``conv_id``.
+    Single-pass shape (VERDICT r3 #1a): stage 1 flattens ALL annotation
+    types into one tall union table per batch (offset arithmetic maps
+    pseudo-doc positions to (orig_doc_key, orig_sent_ix, sentence-local
+    positions)); stage 2 is ONE doc_key coexchange against the original
+    docs that rebases every position column onto ``sentence_start`` and
+    attaches ``conv_id``.  The extraction lineage therefore executes
+    exactly once, nothing materializes the full annotated corpus (only
+    the flattened annotations — no token lists — enter the exchange),
+    and the per-type tables are lazy kind-selections over the
+    exchange's already-materialized output refs.
 
     Coref clusters are deliberately absent: clusters are
-    document-scoped and pseudo-docs interleave documents, so coref must
-    run on original documents (same restriction as the reference's
-    collate workflow, which targets sentence-level tasks).
+    document-scoped and pseudo-docs interleave documents; the collated
+    pipeline derives them from the projected mentions
+    (``stages.coref.clusters_from_mentions``) instead of re-extracting.
 
     Returns ``{"ner": ds, "relations": ds, "triggers": ds,
     "event_args": ds}`` with columns matching ``stages.explode``.
     """
-
-    def flat_stage(col, pos_fields):
-        def fn(tbl: pa.Table) -> pd.DataFrame:
-            ok = _combine(tbl["_orig_doc_key"])
-            sent_off = np.asarray(ok.offsets)
-            sent_off = sent_off - sent_off[0]
-            ok_flat = np.asarray(ok.flatten().to_pandas(), dtype=object)
-            oix_flat = np.asarray(_combine(tbl["_orig_sent_ix"]).flatten())
-            ss_flat = np.asarray(_combine(tbl["sentence_start"]).flatten())
-            ann = _combine(tbl[col])
-            import pyarrow.compute as pc
-
-            parents = np.asarray(pc.list_parent_indices(ann))
-            flat = ann.flatten()
-            if len(flat) == 0:
-                out = {"doc_key": pd.Series(dtype=object),
-                       "sent_ix": pd.Series(dtype=np.int64)}
-                for f in flat.type:
-                    if f.name != "sent_ix":
-                        out[f.name] = pd.Series(
-                            dtype=np.int64 if f.name in pos_fields else object
-                        )
-                return pd.DataFrame(out)
-            sent_ix = np.asarray(flat.field("sent_ix"))
-            gsent = sent_off[parents] + sent_ix
-            out = {
-                "doc_key": ok_flat[gsent],
-                "sent_ix": oix_flat[gsent].astype(np.int64),
-            }
-            for f in flat.type:
-                if f.name == "sent_ix":
-                    continue
-                if f.name in pos_fields:
-                    out[f.name] = np.asarray(flat.field(f.name)) - ss_flat[gsent]
-                else:
-                    out[f.name] = flat.field(f.name).to_pandas()
-            return pd.DataFrame(out)
-
-        return fn
 
     def docs_side(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -302,46 +363,57 @@ def uncollate_predictions(
         )
 
     dside = docs.map_batches(docs_side, batch_format="pandas")
+    ann = pred_pseudo.map_batches(_flatten_union, batch_format="pyarrow")
 
     from ..core import hash_coexchange
 
-    out: dict[str, ray.data.Dataset] = {}
-    for col, pos_fields in _POS_FIELDS.items():
-        ann = pred_pseudo.map_batches(
-            flat_stage(col, pos_fields), batch_format="pyarrow"
+    def rebase(a: pd.DataFrame, d: pd.DataFrame) -> pd.DataFrame:
+        if (len(a) == 0 or "kind" not in a.columns
+                or len(d) == 0 or "doc_key" not in d.columns):
+            return _empty_rebased()
+        j = a.merge(d[["doc_key", "conv_id", "__ss"]], on="doc_key", how="inner")
+        base = np.fromiter(
+            (
+                np.frombuffer(s, dtype=np.int64)[ix]
+                for s, ix in zip(j["__ss"], j["sent_ix"])
+            ),
+            dtype=np.int64,
+            count=len(j),
         )
+        # every pos column rebases where non-null (other kinds hold NaN
+        # after the arrow->pandas conversion; positions << 2^53 so the
+        # float64 transit is exact)
+        for f in _UNION_POS:
+            j[f] = j[f].to_numpy(np.float64) + base
+        cols = ["doc_key", "conv_id"] + [c for c in a.columns if c != "doc_key"]
+        return j[cols]
 
-        def rebase(a: pd.DataFrame, d: pd.DataFrame, pos=pos_fields) -> pd.DataFrame:
-            if (len(a) == 0 or "doc_key" not in a.columns
-                    or len(d) == 0 or "doc_key" not in d.columns):
-                a = a.head(0).copy()
-                if "conv_id" not in a.columns and len(a.columns):
-                    a.insert(1, "conv_id", pd.Series(dtype=object))
-                return a
-            j = a.merge(d[["doc_key", "conv_id", "__ss"]], on="doc_key", how="inner")
-            base = np.fromiter(
-                (
-                    np.frombuffer(s, dtype=np.int64)[ix]
-                    for s, ix in zip(j["__ss"], j["sent_ix"])
-                ),
-                dtype=np.int64,
-                count=len(j),
-            )
-            for f in pos:
-                j[f] = (j[f].to_numpy().astype(np.int64) + base).astype(np.int32)
-            j["sent_ix"] = j["sent_ix"].astype(np.int32)  # struct-field dtype
-            for c in ("raw", "softmax"):
-                if c in j.columns:
-                    j[c] = j[c].astype(np.float32)
-            cols = ["doc_key", "conv_id"] + [
-                c for c in a.columns if c != "doc_key"
-            ]
-            return j[cols]
+    union = hash_coexchange(ann, dside, "doc_key", "doc_key", rebase, num_buckets)
 
-        out[col] = hash_coexchange(
-            ann, dside, "doc_key", "doc_key", rebase, num_buckets
-        )
-    return out
+    def select_kind(col: str):
+        code = _KIND_CODES[col]
+        cols = _TYPE_COLS[col]
+        pos = set(_POS_FIELDS[col])
+
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0 or "kind" not in df.columns:
+                d = _empty_rebased()
+            else:
+                d = df[df["kind"] == code]
+            out = {"doc_key": d["doc_key"].to_numpy(object),
+                   "conv_id": d["conv_id"].to_numpy(object)}
+            for c in cols:
+                if c == "sent_ix" or c in pos:
+                    out[c] = d[c].to_numpy(np.float64).astype(np.int32)
+                elif c in ("raw", "softmax"):
+                    out[c] = d[c].to_numpy(np.float32)
+                else:
+                    out[c] = d[c].to_numpy(object)
+            return pd.DataFrame(out)
+
+        return union.map_batches(fn, batch_format="pandas")
+
+    return {col: select_kind(col) for col in _POS_FIELDS}
 
 
 def uncollate(pseudo_docs: ray.data.Dataset) -> ray.data.Dataset:
