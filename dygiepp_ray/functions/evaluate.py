@@ -83,6 +83,94 @@ def evaluate(
     }
 
 
+def _keyify_weighted(
+    ds: ray.data.Dataset, cols: list[str], weight_col: str
+) -> ray.data.Dataset:
+    import numpy as np
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        key = df[cols[0]].astype(str)
+        for c in cols[1:]:
+            key = key.str.cat(df[c].astype(str), sep="\x00")
+        d = pd.DataFrame(
+            {"key": key, "w": df[weight_col].to_numpy(np.float64)}
+        )
+        g = d.groupby("key", as_index=False).agg(n=("w", "size"), w=("w", "first"))
+        return g.astype({"n": np.int64})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def evaluate_weighted(
+    pred: ray.data.Dataset,
+    gold: ray.data.Dataset,
+    task: str,
+    weight_col: str = "weight",
+) -> dict[str, float]:
+    """Weighted micro P/R/F1: every annotation counts with its document
+    ``weight`` (the reference's per-document weight,
+    ``document.py:95-104``, used as a loss multiplier at
+    ``models/dygie.py:257-264`` — here the evaluation-side analogue).
+
+    Same distributed shape as :func:`evaluate` (per-batch key partials
+    -> one keyed coexchange -> tiny sums): predicted_w = Σ w over
+    predicted keys, gold_w = Σ w over gold keys, matched_w =
+    Σ min(pred_n, gold_n) × w per key.  The weight must be constant per
+    match key's document (all ``_KEYS`` lead with doc_key/conv_id, so a
+    per-doc weight satisfies this; conv-keyed tasks need
+    conversation-constant weights)."""
+    import numpy as np
+
+    cols = _KEYS[task]
+    p = _keyify_weighted(pred, cols, weight_col)
+    g = _keyify_weighted(gold, cols, weight_col)
+
+    from ..core import hash_coexchange
+
+    def reduce_keys(pdf: pd.DataFrame, gdf: pd.DataFrame) -> pd.DataFrame:
+        def per_key(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0 or "key" not in df.columns:
+                return pd.DataFrame(
+                    {"n": pd.Series(dtype=np.int64),
+                     "w": pd.Series(dtype=np.float64)}
+                )
+            return df.groupby("key", sort=False).agg(
+                n=("n", "sum"), w=("w", "first")
+            )
+
+        pk, gk = per_key(pdf), per_key(gdf)
+        j = pk.join(gk, how="outer", lsuffix="_p", rsuffix="_g")
+        if len(j):
+            n_p = j["n_p"].fillna(0).to_numpy(np.float64)
+            n_g = j["n_g"].fillna(0).to_numpy(np.float64)
+            w = j["w_p"].fillna(j["w_g"]).to_numpy(np.float64)
+            matched = float((np.minimum(n_p, n_g) * w).sum())
+        else:
+            matched = 0.0
+        return pd.DataFrame(
+            {
+                "predicted_w": [float((pk["n"] * pk["w"]).sum()) if len(pk) else 0.0],
+                "gold_w": [float((gk["n"] * gk["w"]).sum()) if len(gk) else 0.0],
+                "matched_w": [matched],
+            }
+        )
+
+    parts = hash_coexchange(p, g, "key", "key", reduce_keys, num_buckets=16).to_pandas()
+    predicted = float(parts["predicted_w"].sum())
+    gold_n = float(parts["gold_w"].sum())
+    matched = float(parts["matched_w"].sum())
+    precision, recall, f1 = compute_f1(predicted, gold_n, matched)
+    return {
+        "task": task,
+        "predicted_w": predicted,
+        "gold_w": gold_n,
+        "matched_w": matched,
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+    }
+
+
 def evaluate_coref(
     pred: ray.data.Dataset, gold: ray.data.Dataset, num_buckets: int = 16
 ) -> dict[str, float]:

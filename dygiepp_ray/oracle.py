@@ -194,6 +194,16 @@ def extract_document(doc: OracleDoc, cfg: ExtractionConfig = DEFAULT_CONFIG) -> 
     # ---- coref: antecedent scoring over doc-level mention sequence ----
     # (coref.py:161-330; antecedent window max_antecedents; best antecedent
     # by score; chains unioned into clusters, coref.py:388-459)
+    # gated propagation first (coref.py:114-157): cfg.coref_prop
+    # iterations refine the mention representations the antecedent
+    # scorer consumes — a fixed point under the exact-surface scorer
+    # (test-enforced), but the loop defines the semantics a learned
+    # scorer inherits
+    rep_surfaces = [s for (_, _, s) in doc_mentions]
+    if cfg.coref_prop > 0:
+        rep_surfaces = S.coref_propagate(
+            rep_surfaces, cfg.max_antecedents, cfg.coref_prop
+        )
     parent = list(range(len(doc_mentions)))
 
     def find(x):
@@ -202,11 +212,12 @@ def extract_document(doc: OracleDoc, cfg: ExtractionConfig = DEFAULT_CONFIG) -> 
             x = parent[x]
         return x
 
-    for m, (_, _, surf) in enumerate(doc_mentions):
+    for m in range(len(doc_mentions)):
+        surf = rep_surfaces[m]
         lo = max(0, m - cfg.max_antecedents)
         best, best_score = None, 0.0  # dummy antecedent score = 0 (coref.py)
         for a in range(lo, m):
-            sc = S.coref_antecedent_score(surf, doc_mentions[a][2], m - a)
+            sc = S.coref_antecedent_score(surf, rep_surfaces[a], m - a)
             if sc > best_score:
                 best, best_score = a, sc
         if best is not None:

@@ -591,6 +591,53 @@ FROM ents
 """
 
 
+def q_ner_eval_weighted(sf_dir: str) -> pd.DataFrame:
+    """Weighted NER evaluation (A7 / reference document.py:95-104 weight
+    passthrough): transcripts carry a per-turn weight
+    (doc_id % 5 + 1, conversation-constant), assembly stamps it onto
+    each document window, the explode repeats it onto every mention,
+    and ``evaluate_weighted`` aggregates weighted
+    predicted/gold/matched counts with the same perturbed-gold scheme
+    as ``ner_eval``.  Weights are integer-valued so the counts hash as
+    BIGINT."""
+    from ..functions.evaluate import evaluate_weighted
+    from ..sources.transcripts import documents_as_transcripts
+    from .kg import KGPipeline
+
+    ts = documents_as_transcripts(sf_dir)
+
+    def add_weight(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["weight"] = (
+            df["conv_id"].str.removeprefix("doc").astype(np.int64) % 5 + 1
+        ).astype(np.float64)
+        return df
+
+    pipe = KGPipeline(ts.map_batches(add_weight, batch_format="pandas"))
+    pred = pipe.mentions.materialize()
+
+    def perturb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        flip = (df["start"].astype(np.int64) + df["end"].astype(np.int64)) % 5 == 0
+        df.loc[flip, "label"] = "X"
+        return df
+
+    gold = pred.map_batches(perturb, batch_format="pandas")
+    r = evaluate_weighted(pred, gold, "ner")
+    return pd.DataFrame(
+        [{k: np.int64(r[k]) for k in ("predicted_w", "gold_w", "matched_w")}]
+    )
+
+
+SQL_NER_EVAL_WEIGHTED = SQL_TOKS + f"""
+SELECT CAST(sum(doc_id % 5 + 1) AS BIGINT) AS predicted_w,
+       CAST(sum(doc_id % 5 + 1) AS BIGINT) AS gold_w,
+       CAST(sum(CASE WHEN (pos % {WIN} + e_end % {WIN}) % 5 != 0
+                     THEN doc_id % 5 + 1 ELSE 0 END) AS BIGINT) AS matched_w
+FROM ents
+"""
+
+
 def all_queries() -> dict:
     """KG + relational + textops registries (name -> (fn, sql|None))."""
     from ..analytics import ANALYTICS_QUERIES
@@ -617,5 +664,6 @@ KG_QUERIES = {
     "doc_assembly": (q_doc_assembly, SQL_DOC_ASSEMBLY),
     "transcript_turns": (q_transcript_turns, SQL_TRANSCRIPT_TURNS),
     "ner_eval": (q_ner_eval, SQL_NER_EVAL),
+    "ner_eval_weighted": (q_ner_eval_weighted, SQL_NER_EVAL_WEIGHTED),
     "multi_namespace_mentions": (q_multi_namespace_mentions, SQL_MULTI_NAMESPACE_MENTIONS),
 }

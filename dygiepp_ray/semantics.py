@@ -125,6 +125,12 @@ class ExtractionConfig:
     trigger_cap: int = 15                # events.py:143-147 (top-k mode only)
     argument_cap: int = 30               # events.py:158-162 (top-k mode only)
     dataset: str = "synth"
+    # gated coref propagation iterations (reference coref.py:114-157 /
+    # template.libsonnet coref_prop).  Under the deterministic
+    # exact-surface scorer the propagation is a fixed point (test-
+    # enforced), but the control flow runs so a learned scorer plugged
+    # into EncoderExtractStage inherits correct semantics.
+    coref_prop: int = 0
     labels: tuple[str, ...] = ENTITY_LABELS
     preds: tuple[str, ...] = PRED_WORDS
     # task toggles — the reference enables modules via loss_weights[task] > 0
@@ -233,6 +239,67 @@ def coref_antecedent_score(surface: str, antecedent_surface: str, mention_gap: i
     if surface == antecedent_surface:
         return LEX_RAW - 1e-3 * mention_gap
     return NEG_RAW
+
+
+# Gate value of the propagation mix (the reference's gate is a learned
+# sigmoid over [span; entity] features, coref.py:150-155; the
+# deterministic stand-in uses a constant mix, which preserves the
+# fixed-point property the parity tests pin down).
+COREF_PROP_GATE = 0.5
+
+
+def coref_propagate(
+    surfaces: list[str], max_antecedents: int, iterations: int
+) -> list[str]:
+    """Gated coref propagation (reference ``coref.py:114-157``).
+
+    Each iteration: (1) antecedent scores over the window from the
+    CURRENT mention representations, (2) softmax with the dummy null
+    column prepended (``coref.py:125-133``), (3) entity representation
+    = attention-weighted sum of antecedent representations (the dummy
+    keeps the mention's own), (4) gated mix
+    ``f·span + (1-f)·entity`` (``coref.py:150-155``).
+
+    Representations here are distributions over surface forms (one-hot
+    init — the deterministic analogue of span embeddings); the emitted
+    representation is the dominant surface, which downstream antecedent
+    scoring consumes.  Under the exact-surface scorer same-surface
+    antecedents dominate the attention, so the dominant surface is a
+    FIXED POINT of the iteration: any ``iterations >= 0`` emits the
+    input surfaces unchanged (test-enforced).  The loop still executes
+    so a learned scorer dropped into ``EncoderExtractStage`` inherits
+    the reference's propagation control flow."""
+    reps: list[dict[str, float]] = [{s: 1.0} for s in surfaces]
+
+    def dominant(d: dict[str, float]) -> str:
+        # max weight, ties broken by surface string (deterministic)
+        return max(d.items(), key=lambda kv: (kv[1], kv[0]))[0]
+
+    for _ in range(max(0, iterations)):
+        doms = [dominant(r) for r in reps]
+        new: list[dict[str, float]] = []
+        for m in range(len(surfaces)):
+            lo = max(0, m - max_antecedents)
+            raw = [
+                coref_antecedent_score(doms[m], doms[a], m - a)
+                for a in range(lo, m)
+            ]
+            mx = max([0.0] + raw)
+            exps = [math.exp(0.0 - mx)] + [math.exp(s - mx) for s in raw]
+            z = sum(exps)
+            ent: dict[str, float] = {}
+            for s, w in reps[m].items():  # dummy column keeps own rep
+                ent[s] = ent.get(s, 0.0) + w * exps[0] / z
+            for i, a in enumerate(range(lo, m)):
+                for s, w in reps[a].items():
+                    ent[s] = ent.get(s, 0.0) + w * exps[i + 1] / z
+            f = COREF_PROP_GATE
+            mixed = {s: f * w for s, w in reps[m].items()}
+            for s, w in ent.items():
+                mixed[s] = mixed.get(s, 0.0) + (1.0 - f) * w
+            new.append(mixed)
+        reps = new
+    return [dominant(r) for r in reps]
 
 
 def normalize_surface(surface: str) -> str:

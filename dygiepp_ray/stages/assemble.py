@@ -156,6 +156,14 @@ def _assemble_bucket(tbl: pa.Table, cfg: ExtractionConfig) -> pa.Table:
         cols["ts_us"] = pa.ListArray.from_arrays(outer_arr, ts)
     if "tool" in tbl.schema.names:
         cols["tools"] = window_list(tbl["tool"], pa.string())
+    # optional per-document weight (reference document.py:95-104 carries a
+    # doc-level ``weight`` read from the corpus; loss weighting
+    # models/dygie.py:257-264).  Transcript inputs provide it per turn;
+    # the document window takes its FIRST turn's weight (turn weights
+    # are conversation-constant by convention).
+    if "weight" in tbl.schema.names:
+        w = _combine(tbl["weight"]).cast(pa.float64())
+        cols["weight"] = w.take(pa.array(outer[:-1], pa.int64()))
     return pa.table(cols)
 
 

@@ -15,16 +15,21 @@ import ray.data
 from ..core import flatten_with_parent
 
 _PARENTS = ["doc_key", "conv_id"]
+# optional doc-level columns repeated onto annotations when present
+# (``weight``: reference document.py:95-104 passthrough for weighted
+# evaluation — empty blocks never invoke the UDF, so per-batch presence
+# is consistent across all non-empty blocks of a run)
+_OPT_PARENTS = ["weight"]
 
 
 def _explode(docs: ray.data.Dataset, col: str) -> ray.data.Dataset:
     # batch_size=None: one batch per block, preserving conv-completeness
     # per block for downstream local dedup (stages/triples.py invariant)
-    return docs.map_batches(
-        lambda t, c=col: flatten_with_parent(t, c, _PARENTS),
-        batch_format="pyarrow",
-        batch_size=None,
-    )
+    def fn(t, c=col):
+        parents = _PARENTS + [p for p in _OPT_PARENTS if p in t.schema.names]
+        return flatten_with_parent(t, c, parents)
+
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 def mentions_table(docs: ray.data.Dataset) -> ray.data.Dataset:

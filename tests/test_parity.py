@@ -117,6 +117,42 @@ def test_coref_cluster_parity(engine, oracle_docs):
     assert all(eng[k] == ora[k] for k in ora)
 
 
+def test_coref_prop_fixed_point_and_parity(engine, corpus, oracle_docs):
+    """Gated coref propagation (reference coref.py:114-157): the loop
+    must run and CONVERGE under the deterministic exact-surface scorer
+    — emitted representations are the input surfaces for any iteration
+    count — and clusters must be unchanged vs coref_prop=0, matching
+    the engine's vectorized path."""
+    from dygiepp_ray import semantics as S
+
+    # convergence of the propagation operator itself
+    surfs = ["spark", "table", "spark", "row", "table", "spark"]
+    for iters in (0, 1, 2, 5):
+        assert S.coref_propagate(surfs, max_antecedents=100, iterations=iters) == surfs
+    # window-limited propagation also converges
+    assert S.coref_propagate(surfs, max_antecedents=2, iterations=3) == surfs
+
+    # cluster parity: oracle WITH propagation == oracle without ==
+    # engine vectorized path
+    cfg = ExtractionConfig(coref_prop=2)
+    ora_prop = oracle.extract_all(corpus.to_pylist(), cfg)
+    ora = {
+        d.doc_key: frozenset(frozenset(c) for c in d.clusters) for d in oracle_docs
+    }
+    prop = {
+        d.doc_key: frozenset(frozenset(c) for c in d.clusters) for d in ora_prop
+    }
+    assert prop == ora
+    _, pdf = engine
+    eng = {}
+    for _, r in pdf.iterrows():
+        cl = {}
+        for m in r["cluster_members"]:
+            cl.setdefault(m["cluster_ix"], set()).add((m["start"], m["end"]))
+        eng[r["doc_key"]] = frozenset(frozenset(v) for v in cl.values())
+    assert all(eng[k] == prop[k] for k in prop)
+
+
 def test_triple_parity(engine, oracle_docs):
     pipe, _ = engine
     etr = pipe.triples().to_pandas()

@@ -135,6 +135,62 @@ def test_evaluate_distributed(ray_session):
     assert means["MEAN__precision"] == r["precision"]
 
 
+def test_evaluate_weighted_hand_computed(ray_session):
+    """Weighted counts: matched_w = Σ min(pred_n, gold_n) × doc weight.
+    pred doc A (w=2): k1,k1,k2; doc B (w=3): k3.
+    gold doc A: k1,k2,k2; doc B: k3.
+    predicted_w = gold_w = 3·2 + 1·3 = 9; matched_w = 2 + 2 + 3 = 7."""
+    import ray.data as _rd
+
+    from dygiepp_ray.functions.evaluate import evaluate_weighted
+
+    pred = pd.DataFrame(
+        {"doc_key": ["A", "A", "A", "B"],
+         "start": [0, 0, 1, 5], "end": [0, 0, 1, 5],
+         "label": ["X", "X", "Y", "Z"],
+         "weight": [2.0, 2.0, 2.0, 3.0]}
+    )
+    gold = pd.DataFrame(
+        {"doc_key": ["A", "A", "A", "B"],
+         "start": [0, 1, 1, 5], "end": [0, 1, 1, 5],
+         "label": ["X", "Y", "Y", "Z"],
+         "weight": [2.0, 2.0, 2.0, 3.0]}
+    )
+    r = evaluate_weighted(
+        _rd.from_pandas(pred).repartition(2),
+        _rd.from_pandas(gold).repartition(3), "ner",
+    )
+    assert r["predicted_w"] == 9.0
+    assert r["gold_w"] == 9.0
+    assert r["matched_w"] == 7.0
+    assert r["precision"] == pytest.approx(7 / 9)
+
+
+def test_weight_passthrough_assembly_to_mentions(ray_session):
+    """Optional transcript weight -> document window weight (first
+    turn's) -> repeated onto every exploded mention."""
+    import ray.data as _rd
+
+    from dygiepp_ray.pipelines.kg import KGPipeline
+
+    rows = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 2 + ["c2"],
+            "turn_idx": [0, 1, 0],
+            "role": ["user", "assistant", "user"],
+            "text": ["spark join table", "batch merge row", "customer scan stream"],
+            "weight": [4.0, 4.0, 7.0],
+        }
+    )
+    pipe = KGPipeline(_rd.from_pandas(rows), num_buckets=2)
+    docs = pipe.documents.to_pandas()
+    assert dict(zip(docs["conv_id"], docs["weight"])) == {"c1": 4.0, "c2": 7.0}
+    m = pipe.mentions.to_pandas()
+    assert "weight" in m.columns and len(m) > 0
+    assert set(m.loc[m["conv_id"] == "c1", "weight"]) == {4.0}
+    assert set(m.loc[m["conv_id"] == "c2", "weight"]) == {7.0}
+
+
 def test_evaluate_self_is_perfect(ray_session):
     tbl = make_transcripts(10, seed=5)
     pipe = KGPipeline(rd.from_arrow(tbl), num_buckets=2)
