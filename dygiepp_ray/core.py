@@ -235,17 +235,21 @@ def _stream_gens(blocks_iter, key: str, concat):
     with the final generation last, or ``(None, None)`` on zero
     blocks."""
     B = MIN_AUTO_BUCKETS
+    # generation reconciliation requires every B_g | B_final — doubling
+    # from MIN preserves it iff the ceiling is MIN x a power of two
+    cap = MIN_AUTO_BUCKETS
+    while cap * 2 <= MAX_AUTO_BUCKETS:
+        cap *= 2
     split = _make_split(key, B)
     gens: list[tuple[int, list]] = []
     levels = _new_levels(B)
     seen = 0
     n_groups = 0
     for group, gbytes in _iter_split_groups(blocks_iter):
-        if seen > B * TARGET_BUCKET_BYTES and B < MAX_AUTO_BUCKETS:
+        if seen > B * TARGET_BUCKET_BYTES and B < cap:
             gens.append((B, levels))
-            while seen > B * TARGET_BUCKET_BYTES and B < MAX_AUTO_BUCKETS:
+            while seen > B * TARGET_BUCKET_BYTES and B < cap:
                 B *= 2
-            B = min(B, MAX_AUTO_BUCKETS)
             split = _make_split(key, B)
             levels = _new_levels(B)
         n_groups += 1
