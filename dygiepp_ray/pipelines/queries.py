@@ -645,7 +645,8 @@ FROM ents
 # round) — front-load them so round 4's sample completes the union of
 # driver-checked coverage (VERDICT r3 #7).
 _DRIVER_SAMPLE_FIRST = (
-    "ner_eval_weighted", "label_centroids", "prefix_near_dups",
+    "ner_eval_weighted", "dup_ngram_fraction", "label_centroids",
+    "prefix_near_dups",
     "wav_features", "ppm_features", "ppm_resize", "chunk_documents",
     "tfidf_top_terms", "term_search", "decontaminate",
     "fuzzy_decontaminate", "repetition_scores", "shuffle_rank",

@@ -42,6 +42,7 @@ from .chunks import _doc_tokens
 
 DECONTAM_NGRAM = 4
 EVAL_MOD = 23  # deterministic stand-in for "the benchmark suite": doc_id % EVAL_MOD == 0
+DUP_NGRAM = 4  # duplicated-substring shingle width (non-trivial on testdata)
 
 
 def _doc_ngrams(
@@ -470,6 +471,73 @@ class _PrepFeats:
                 "keep_cand": keep_cand.astype(np.int64),
             }
         )
+
+
+def duplicated_ngram_fraction(
+    ds: ray.data.Dataset,
+    n: int = DUP_NGRAM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Cross-document duplicated-substring measure: per document, the
+    fraction of its DISTINCT ``n``-gram shingles that also occur in
+    >= 2 distinct documents — the exact-substring-dedup signal of Lee
+    et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), the cross-doc complement to the intra-doc
+    ``repetition_scores``.
+
+    Shape: per-batch distinct ``(doc, gram)`` rows (a document never
+    spans rows, so batch-local distinct is global) -> ONE keyed
+    exchange on gram, whose bucket sees every holder of its grams:
+    duplicated grams are marked IN PLACE (``transform('nunique') >= 2``)
+    and immediately pre-aggregated to per-doc partial counts -> one
+    small doc-keyed exchange sums the partials.  Shuffle bytes are
+    O(distinct (doc, gram) pairs) on the first exchange and
+    O(docs x buckets) on the second; nothing is broadcast or
+    driver-materialized.  Fraction is emitted as floored fixed-point
+    ``x1e6`` BIGINT so the DuckDB twin hashes exactly.
+
+    Output: ``(doc_id, n_grams, n_dup, dup_fraction_x1e6)``; documents
+    shorter than ``n`` tokens have no shingles and emit no row (the SQL
+    twin's join does the same)."""
+
+    def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return _doc_ngrams(df, n, text_col, id_col).drop_duplicates()
+
+    rows = ds.map_batches(gram_rows, batch_format="pandas")
+
+    _P = {id_col: np.int64, "n_grams": np.int64, "n_dup": np.int64}
+
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "gram" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _P.items()})
+        nd = df.groupby("gram", sort=False)[id_col].transform("nunique")
+        part = pd.DataFrame(
+            {id_col: df[id_col].to_numpy(np.int64),
+             "dup": (nd >= 2).to_numpy().astype(np.int64)}
+        )
+        agg = part.groupby(id_col, as_index=False).agg(
+            n_grams=("dup", "size"), n_dup=("dup", "sum")
+        )
+        return agg.astype(_P)
+
+    partials = partitioned_map_groups(rows, "gram", mark, num_buckets)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "n_grams" not in df.columns:
+            out = pd.DataFrame({c: pd.Series(dtype=t) for c, t in _P.items()})
+            out["dup_fraction_x1e6"] = pd.Series(dtype=np.int64)
+            return out
+        g = df.groupby(id_col, as_index=False).agg(
+            n_grams=("n_grams", "sum"), n_dup=("n_dup", "sum")
+        )
+        g["dup_fraction_x1e6"] = (
+            1_000_000 * g["n_dup"].to_numpy(np.int64)
+        ) // g["n_grams"].to_numpy(np.int64)
+        return g.astype({**_P, "dup_fraction_x1e6": np.int64})
+
+    return partitioned_map_groups(partials, id_col, finalize, num_buckets)
 
 
 def prepare_training_set(

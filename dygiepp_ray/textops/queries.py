@@ -901,6 +901,28 @@ FROM base b LEFT JOIN hits h USING (doc_id)
 """
 
 
+def q_dup_ngram_fraction(sf_dir: str):
+    """Cross-document duplicated-substring fraction per doc (exact
+    substring-dedup signal; Lee et al. 2022) — see textops/corpus.py."""
+    return _corpus.duplicated_ngram_fraction(_docs(sf_dir))
+
+
+SQL_DUP_NGRAM_FRACTION = _SQL_ARR + f""",
+grams AS (
+  SELECT doc_id, array_to_string(arr[i:i+{_corpus.DUP_NGRAM - 1}], ' ') AS g
+  FROM base, unnest(range(1, len(arr) - {_corpus.DUP_NGRAM - 2})) AS r(i)
+),
+dg AS (SELECT DISTINCT doc_id, g FROM grams),
+cnt AS (SELECT g, count(DISTINCT doc_id) AS nd FROM dg GROUP BY 1)
+SELECT dg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN cnt.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(1000000 * sum(CASE WHEN cnt.nd >= 2 THEN 1 ELSE 0 END)
+            // count(*) AS BIGINT) AS dup_fraction_x1e6
+FROM dg JOIN cnt USING (g) GROUP BY 1
+"""
+
+
 def q_repetition_scores(sf_dir: str):
     """Gopher-style intra-document repetition signals (integer-valued)."""
     return _corpus.repetition_scores(_docs(sf_dir))
@@ -1212,6 +1234,7 @@ TEXTOPS_QUERIES = {
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "fuzzy_decontaminate": (q_fuzzy_decontaminate, SQL_FUZZY_DECONTAMINATE),
     "repetition_scores": (q_repetition_scores, SQL_REPETITION_SCORES),
+    "dup_ngram_fraction": (q_dup_ngram_fraction, SQL_DUP_NGRAM_FRACTION),
     "shuffle_rank": (q_shuffle_rank, SQL_SHUFFLE_RANK),
     "cap_per_source": (q_cap_per_source, SQL_CAP_PER_SOURCE),
     "frequent_ngrams": (q_frequent_ngrams, SQL_FREQUENT_NGRAMS),

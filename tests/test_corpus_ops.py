@@ -120,6 +120,37 @@ def test_decontaminate_counts_distinct_grams(ray_session):
     assert out.loc[3, "n_hits"] == 1
 
 
+def test_duplicated_ngram_fraction_hand_case(ray_session):
+    """Planted corpus, n=2: doc 1 'a b c d' (grams ab,bc,cd), doc 2
+    'a b x' (ab,bx), doc 3 'c d y c d' (cd,dy,yc — dc? no: grams cd,dy,
+    yc,cd -> distinct cd,dy,yc).  Cross-doc duplicated grams: ab (docs
+    1,2), cd (docs 1,3).  Fractions: doc1 2/3, doc2 1/2, doc3 1/3."""
+    docs = pd.DataFrame(
+        {"doc_id": np.int64([1, 2, 3]),
+         "text": ["a b c d", "a b x", "c d y c d"]}
+    )
+    out = (
+        corpus.duplicated_ngram_fraction(rd.from_pandas(docs), n=2, num_buckets=4)
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    assert out["n_grams"].tolist() == [3, 2, 3]
+    assert out["n_dup"].tolist() == [2, 1, 1]
+    assert out["dup_fraction_x1e6"].tolist() == [666666, 500000, 333333]
+
+
+def test_duplicated_ngram_fraction_short_docs_absent(ray_session):
+    """Documents shorter than n tokens emit no row (SQL-twin parity)."""
+    docs = pd.DataFrame(
+        {"doc_id": np.int64([1, 2]), "text": ["a", "a b c a b"]}
+    )
+    out = corpus.duplicated_ngram_fraction(
+        rd.from_pandas(docs), n=3, num_buckets=2
+    ).to_pandas()
+    assert out["doc_id"].tolist() == [2]
+    assert out["n_dup"].tolist() == [0]
+
+
 def test_repetition_scores_hand_case(ray_session):
     ds = _docs_ds(
         [
