@@ -626,7 +626,7 @@ def assert_unique(ds: ray.data.Dataset, cols: list[str], num_buckets: int = 16) 
         df = df.copy()
         key = df[cols[0]].astype(str)
         for c in cols[1:]:
-            key = key.str.cat(df[c].astype(str), sep="\x00")
+            key = key.str.cat(df[c].astype(str), sep="\x1f")
         df["__ukey"] = key
         return df
 

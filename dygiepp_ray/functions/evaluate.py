@@ -27,7 +27,7 @@ def _keyify(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         key = df[cols[0]].astype(str)
         for c in cols[1:]:
-            key = key.str.cat(df[c].astype(str), sep="\x00")
+            key = key.str.cat(df[c].astype(str), sep="\x1f")
         g = key.value_counts()
         return pd.DataFrame({"key": g.index, "n": g.to_numpy()})
 
@@ -91,7 +91,7 @@ def _keyify_weighted(
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         key = df[cols[0]].astype(str)
         for c in cols[1:]:
-            key = key.str.cat(df[c].astype(str), sep="\x00")
+            key = key.str.cat(df[c].astype(str), sep="\x1f")
         d = pd.DataFrame(
             {"key": key, "w": df[weight_col].to_numpy(np.float64)}
         )

@@ -103,7 +103,7 @@ def canonicalize(
 
     def add_skey(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["__skey"] = df["surface"].str.cat(df["salt"].astype(str), sep="\x00")
+        df["__skey"] = df["surface"].str.cat(df["salt"].astype(str), sep="\x1f")
         return df
 
     salted = partials.map_batches(add_skey, batch_format="pandas")

@@ -135,6 +135,30 @@ def test_evaluate_distributed(ray_session):
     assert means["MEAN__precision"] == r["precision"]
 
 
+def test_evaluate_key_join_no_collisions(ray_session):
+    """Regression: pandas 2.x ``str.cat(sep="\\x00")`` silently DROPS
+    the NUL separator, so ('doc10', 33, 33) and ('doc1033', 3, 3) once
+    collided into one match key (caught by the sf0.1 weighted sweep).
+    The \\x1f separator must keep them distinct."""
+    import ray.data as _rd
+
+    from dygiepp_ray.functions.evaluate import evaluate, evaluate_weighted
+
+    pred = pd.DataFrame(
+        {"doc_key": ["doc10", "doc1033"], "start": [33, 3], "end": [33, 3],
+         "label": ["DATA", "DATA"], "weight": [1.0, 4.0]}
+    )
+    # gold holds ONLY the first mention: with collided keys, matched
+    # would count both (min(2,1)=1 at the merged key ≠ per-key truth)
+    gold = pred.head(1).copy()
+    r = evaluate(_rd.from_pandas(pred), _rd.from_pandas(gold), "ner")
+    assert (r["predicted"], r["gold"], r["matched"]) == (2, 1, 1)
+    rw = evaluate_weighted(
+        _rd.from_pandas(pred), _rd.from_pandas(gold), "ner"
+    )
+    assert (rw["predicted_w"], rw["gold_w"], rw["matched_w"]) == (5.0, 1.0, 1.0)
+
+
 def test_evaluate_weighted_hand_computed(ray_session):
     """Weighted counts: matched_w = Σ min(pred_n, gold_n) × doc weight.
     pred doc A (w=2): k1,k1,k2; doc B (w=3): k3.
