@@ -479,6 +479,7 @@ def duplicated_ngram_fraction(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_buckets: int = 16,
+    fingerprint: bool = False,
 ) -> ray.data.Dataset:
     """Cross-document duplicated-substring measure: per document, the
     fraction of its DISTINCT ``n``-gram shingles that also occur in
@@ -500,10 +501,23 @@ def duplicated_ngram_fraction(
 
     Output: ``(doc_id, n_grams, n_dup, dup_fraction_x1e6)``; documents
     shorter than ``n`` tokens have no shingles and emit no row (the SQL
-    twin's join does the same)."""
+    twin's join does the same).
+
+    ``fingerprint=True`` is the 100-TB lever: the exchange key becomes
+    a vectorized 64-bit siphash of the gram (``pd.util.hash_array``,
+    ~8 B/row vs the full gram string), cutting shuffle bytes ~5x; a
+    64-bit collision falsely marks a gram duplicated with probability
+    ~m/2^64 per gram (negligible as a curation SIGNAL, and
+    equivalence-tested against the exact form at test scale).  The
+    default stays exact-string so the DuckDB twin hashes bit-for-bit."""
 
     def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
-        return _doc_ngrams(df, n, text_col, id_col).drop_duplicates()
+        g = _doc_ngrams(df, n, text_col, id_col).drop_duplicates()
+        if fingerprint and len(g):
+            g["gram"] = pd.util.hash_array(
+                g["gram"].to_numpy(object), categorize=False
+            ).astype(np.uint64)
+        return g
 
     rows = ds.map_batches(gram_rows, batch_format="pandas")
 

@@ -139,6 +139,28 @@ def test_duplicated_ngram_fraction_hand_case(ray_session):
     assert out["dup_fraction_x1e6"].tolist() == [666666, 500000, 333333]
 
 
+def test_duplicated_ngram_fraction_fingerprint_equivalent(ray_session):
+    """The 64-bit-fingerprint exchange key (the 100-TB shuffle-bytes
+    lever) must reproduce the exact-string result at collision-free
+    scale — here on the real sf0.001 documents table."""
+    docs = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    docs2 = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    exact = (
+        corpus.duplicated_ngram_fraction(docs, num_buckets=4)
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    fp = (
+        corpus.duplicated_ngram_fraction(docs2, num_buckets=4, fingerprint=True)
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    assert len(exact) > 0
+    pd.testing.assert_frame_equal(exact, fp)
+
+
 def test_duplicated_ngram_fraction_short_docs_absent(ray_session):
     """Documents shorter than n tokens emit no row (SQL-twin parity)."""
     docs = pd.DataFrame(
