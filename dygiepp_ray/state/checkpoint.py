@@ -29,6 +29,7 @@ import os
 import shutil
 import time
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -84,11 +85,19 @@ def write_partitioned(
         pq.write_table(tbl, os.path.join(tmp, "data.parquet"))
         shutil.rmtree(pdir, ignore_errors=True)
         os.replace(tmp, pdir)
+        # order-insensitive content fingerprint (xor of per-row hashes):
+        # resume/audit can verify a partition's integrity without
+        # re-reading upstream lineage
+        row_hashes = pd.util.hash_pandas_object(
+            df.astype(str), index=False
+        ).to_numpy(np.uint64)
+        fingerprint = format(int(np.bitwise_xor.reduce(row_hashes)), "016x")
         manifest = {
             "bucket": bucket,
             "key": key,
             "rows": len(df),
             "n_keys": int(df[key].nunique()),
+            "fingerprint": fingerprint,
             "ts": time.time(),
         }
         mpath = _part_manifest(out_dir, bucket)

@@ -66,7 +66,22 @@ def test_manifest_lineage_fields(small_ds, tmp_path):
     out = str(tmp_path / "graph")
     C.write_partitioned(ds, out, "conv_id", num_partitions=2)
     m = json.load(open(C._part_manifest(out, sorted(C.completed_partitions(out))[0])))
-    assert {"bucket", "key", "rows", "n_keys", "ts"} <= set(m)
+    assert {"bucket", "key", "rows", "n_keys", "fingerprint", "ts"} <= set(m)
+
+
+def test_manifest_fingerprint_deterministic(small_ds, tmp_path):
+    """Content fingerprint is order-insensitive and stable across
+    identical rewrites (the resume-audit contract)."""
+    ds, df = small_ds
+    out1, out2 = str(tmp_path / "g1"), str(tmp_path / "g2")
+    C.write_partitioned(ds, out1, "conv_id", num_partitions=2)
+    shuffled = rd.from_pandas(df.sample(frac=1.0, random_state=7))
+    C.write_partitioned(shuffled, out2, "conv_id", num_partitions=2)
+    for b in sorted(C.completed_partitions(out1)):
+        m1 = json.load(open(C._part_manifest(out1, b)))
+        m2 = json.load(open(C._part_manifest(out2, b)))
+        assert m1["fingerprint"] == m2["fingerprint"]
+        assert len(m1["fingerprint"]) == 16
 
 
 def test_kill_resume_two_stage_pipeline(ray_session, tmp_path):
