@@ -395,21 +395,27 @@ def uncollate_predictions(
         cols = _TYPE_COLS[col]
         pos = set(_POS_FIELDS[col])
 
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
+        # emit Arrow with an explicit schema: empty pandas blocks lose
+        # their columns through Ray's to_pandas, Arrow blocks don't
+        def fn(df: pd.DataFrame) -> pa.Table:
             if len(df) == 0 or "kind" not in df.columns:
                 d = _empty_rebased()
             else:
                 d = df[df["kind"] == code]
-            out = {"doc_key": d["doc_key"].to_numpy(object),
-                   "conv_id": d["conv_id"].to_numpy(object)}
+            out = {
+                "doc_key": pa.array(d["doc_key"].to_numpy(object), pa.string()),
+                "conv_id": pa.array(d["conv_id"].to_numpy(object), pa.string()),
+            }
             for c in cols:
                 if c == "sent_ix" or c in pos:
-                    out[c] = d[c].to_numpy(np.float64).astype(np.int32)
+                    out[c] = pa.array(
+                        d[c].to_numpy(np.float64).astype(np.int32), pa.int32()
+                    )
                 elif c in ("raw", "softmax"):
-                    out[c] = d[c].to_numpy(np.float32)
+                    out[c] = pa.array(d[c].to_numpy(np.float32), pa.float32())
                 else:
-                    out[c] = d[c].to_numpy(object)
-            return pd.DataFrame(out)
+                    out[c] = pa.array(d[c].to_numpy(object), pa.string())
+            return pa.table(out)
 
         return union.map_batches(fn, batch_format="pandas")
 

@@ -412,6 +412,46 @@ def test_kg_clusters_query_through_collated_path(ray_session):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_collated_union_with_task_subset(ray_session):
+    """Task toggles through the single-pass union uncollate: with events
+    disabled, the triggers/event_args selections are empty but
+    well-formed, and the enabled tables still match the direct path."""
+    from dataclasses import replace
+
+    from dygiepp_ray.pipelines.kg import KGPipeline
+    from dygiepp_ray.semantics import DEFAULT_CONFIG
+    from dygiepp_ray.sources.transcripts import documents_as_transcripts
+
+    cfg = replace(DEFAULT_CONFIG, tasks=("ner", "relations"))
+    direct = KGPipeline(
+        documents_as_transcripts("/root/testdata/sf0.001"), cfg=cfg, num_buckets=4
+    )
+    collated = KGPipeline(
+        documents_as_transcripts("/root/testdata/sf0.001"), cfg=cfg,
+        num_buckets=4, collate_extract=True, extract_concurrency=2,
+    )
+    assert collated.clusters is None  # coref not in tasks
+    assert collated.triggers.count() == 0
+    assert collated.event_args.count() == 0
+    # schema survives empty selections (Ray's to_pandas drops columns
+    # on fully-empty datasets, so assert on the dataset schema)
+    assert "tok" in collated.triggers.schema().names
+    assert "role" in collated.event_args.schema().names
+
+    def canon(ds, cols):
+        df = ds.to_pandas()
+        return df[cols].sort_values(cols, ignore_index=True)
+
+    m_cols = ["doc_key", "conv_id", "sent_ix", "start", "end", "label", "surface"]
+    pd.testing.assert_frame_equal(
+        canon(direct.mentions, m_cols), canon(collated.mentions, m_cols)
+    )
+    r_cols = ["doc_key", "conv_id", "sent_ix", "s1", "e1", "s2", "e2", "label"]
+    pd.testing.assert_frame_equal(
+        canon(direct.relations, r_cols), canon(collated.relations, r_cols)
+    )
+
+
 def test_collate_packs_in_tasks_not_driver(ray_session, monkeypatch):
     """The packer must not stream the corpus through the driver: collate
     completes even when Dataset.iter_batches is forbidden."""
