@@ -372,14 +372,20 @@ def uncollate_predictions(
                 or len(d) == 0 or "doc_key" not in d.columns):
             return _empty_rebased()
         j = a.merge(d[["doc_key", "conv_id", "__ss"]], on="doc_key", how="inner")
-        base = np.fromiter(
-            (
-                np.frombuffer(s, dtype=np.int64)[ix]
-                for s, ix in zip(j["__ss"], j["sent_ix"])
-            ),
-            dtype=np.int64,
-            count=len(j),
+        # decode each doc's sentence_start buffer ONCE (Python work is
+        # O(unique docs)), then one vectorized gather over all
+        # annotation rows — the per-row frombuffer loop this replaces
+        # was the only row-wise Python in the uncollate exchange
+        codes, _uniq = pd.factorize(j["doc_key"], sort=False)
+        first = np.zeros(len(_uniq), dtype=np.int64)
+        first[codes[::-1]] = np.arange(len(j) - 1, -1, -1)
+        bufs = [np.frombuffer(j["__ss"].iat[i], dtype=np.int64) for i in first]
+        lens = np.asarray([len(b) for b in bufs], dtype=np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        flat = (
+            np.concatenate(bufs) if bufs else np.empty(0, dtype=np.int64)
         )
+        base = flat[offs[codes] + j["sent_ix"].to_numpy(np.int64)]
         # every pos column rebases where non-null (other kinds hold NaN
         # after the arrow->pandas conversion; positions << 2^53 so the
         # float64 transit is exact)
