@@ -645,8 +645,8 @@ FROM ents
 # round) — front-load them so round 4's sample completes the union of
 # driver-checked coverage (VERDICT r3 #7).
 _DRIVER_SAMPLE_FIRST = (
-    "ner_eval_weighted", "dup_ngram_fraction", "label_centroids",
-    "prefix_near_dups",
+    "ner_eval_weighted", "dup_ngram_fraction", "tool_usage",
+    "label_centroids", "prefix_near_dups",
     "wav_features", "ppm_features", "ppm_resize", "chunk_documents",
     "tfidf_top_terms", "term_search", "decontaminate",
     "fuzzy_decontaminate", "repetition_scores", "shuffle_rank",
@@ -656,6 +656,66 @@ _DRIVER_SAMPLE_FIRST = (
     "quantiles_by_flag", "orders_anti_join", "orders_semi_join",
     "json_props_sum", "pagerank3", "triangle_count", "kcore",
 )
+
+
+def q_tool_usage(sf_dir: str) -> ray.data.Dataset:
+    """Agent-transcript tool-usage stats through the FULL assembly path
+    (input_hint ``tool`` column -> conv_id exchange -> per-document
+    ``tools`` list -> flatten): per tool, number of tool turns and
+    distinct conversations.  Exercises the transcript metadata
+    passthrough (reference ``_``-metadata carry-through analogue,
+    doc/data.md:94-106) at the driver-hash level."""
+    from ..core import partitioned_map_groups
+    from ..sources.transcripts import documents_as_transcripts
+    from .kg import KGPipeline
+
+    pipe = KGPipeline(
+        documents_as_transcripts(sf_dir, with_tool=True), num_buckets=16
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        conv = np.repeat(df["conv_id"].to_numpy(object), df["tools"].map(len))
+        tool = np.concatenate(
+            [np.asarray(t, dtype=object) for t in df["tools"] if len(t)]
+        ) if len(df) else np.empty(0, object)
+        d = pd.DataFrame({"tool": tool, "conv_id": conv})
+        d = d[d["tool"] != ""]
+        g = d.groupby(["tool", "conv_id"], as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype({"n": np.int64})
+
+    partials = pipe.documents.map_batches(partial, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "tool" not in df.columns:
+            return pd.DataFrame(
+                {"tool": pd.Series(dtype=object),
+                 "n_turns": pd.Series(dtype=np.int64),
+                 "n_convs": pd.Series(dtype=np.int64)}
+            )
+        g = df.groupby("tool", as_index=False).agg(
+            n_turns=("n", "sum"), n_convs=("conv_id", "nunique")
+        )
+        return g.astype({"n_turns": np.int64, "n_convs": np.int64})
+
+    return partitioned_map_groups(partials, "tool", final, num_buckets=4)
+
+
+SQL_TOOL_USAGE = f"""
+WITH base AS (
+  SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n FROM documents
+),
+turns AS (
+  SELECT doc_id, t.t AS t
+  FROM base, LATERAL (
+    SELECT unnest(generate_series(0, CAST(ceil(n / {TT}.0) AS BIGINT) - 1)) AS t
+  ) t
+)
+SELECT 't' || CAST(t % 4 AS VARCHAR) AS tool,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_convs
+FROM turns WHERE t % 3 = 2
+GROUP BY 1
+"""
 
 
 def all_queries() -> dict:
@@ -688,5 +748,6 @@ KG_QUERIES = {
     "transcript_turns": (q_transcript_turns, SQL_TRANSCRIPT_TURNS),
     "ner_eval": (q_ner_eval, SQL_NER_EVAL),
     "ner_eval_weighted": (q_ner_eval_weighted, SQL_NER_EVAL_WEIGHTED),
+    "tool_usage": (q_tool_usage, SQL_TOOL_USAGE),
     "multi_namespace_mentions": (q_multi_namespace_mentions, SQL_MULTI_NAMESPACE_MENTIONS),
 }

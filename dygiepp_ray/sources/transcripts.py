@@ -40,8 +40,9 @@ class _DocsToTurns:
     chunks (turns).  Stateless but kept as a class so the chunk size is
     bound once."""
 
-    def __init__(self, turn_tokens: int):
+    def __init__(self, turn_tokens: int, with_tool: bool = False):
         self.turn_tokens = turn_tokens
+        self.with_tool = with_tool
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         tt = self.turn_tokens
@@ -56,7 +57,7 @@ class _DocsToTurns:
                 turn_idxs.append(t)
                 texts.append(" ".join(words[lo : lo + tt]))
                 roles.append(("user", "assistant", "tool")[t % 3])
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "conv_id": conv_ids,
                 "turn_idx": np.asarray(turn_idxs, dtype=np.int32),
@@ -64,13 +65,26 @@ class _DocsToTurns:
                 "text": texts,
             }
         )
+        if self.with_tool:
+            # deterministic input_hint ``tool`` column: tool turns
+            # (role == 'tool', i.e. turn_idx % 3 == 2) invoke tool
+            # 't{turn_idx % 4}'; other turns carry ''
+            ti = out["turn_idx"].to_numpy(np.int64)
+            out["tool"] = np.where(
+                ti % 3 == 2, "t" + pd.Series(ti % 4).astype(str), ""
+            )
+        return out
 
 
 def documents_as_transcripts(
-    sf_dir: str, cfg: ExtractionConfig = DEFAULT_CONFIG
+    sf_dir: str, cfg: ExtractionConfig = DEFAULT_CONFIG,
+    with_tool: bool = False,
 ) -> ray.data.Dataset:
-    """Driver ``documents`` table -> transcript-shaped Dataset."""
+    """Driver ``documents`` table -> transcript-shaped Dataset.
+    ``with_tool=True`` also synthesizes the input_hint ``tool`` column
+    (deterministic, SQL-reproducible)."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(
-        _DocsToTurns(cfg.turn_tokens), batch_format="pandas", batch_size=2048
+        _DocsToTurns(cfg.turn_tokens, with_tool), batch_format="pandas",
+        batch_size=2048,
     )
