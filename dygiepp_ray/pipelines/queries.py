@@ -645,7 +645,7 @@ FROM ents
 # round) — front-load them so round 4's sample completes the union of
 # driver-checked coverage (VERDICT r3 #7).
 _DRIVER_SAMPLE_FIRST = (
-    "ner_eval_weighted", "dup_ngram_fraction", "tool_usage",
+    "ner_eval_weighted", "dup_ngram_fraction", "tool_usage", "turn_spans",
     "label_centroids", "prefix_near_dups",
     "wav_features", "ppm_features", "ppm_resize", "chunk_documents",
     "tfidf_top_terms", "term_search", "decontaminate",
@@ -718,6 +718,76 @@ GROUP BY 1
 """
 
 
+def q_turn_spans(sf_dir: str) -> ray.data.Dataset:
+    """Per-window conversation timing stats through the FULL assembly
+    path (input_hint ``ts`` column -> conv_id exchange -> per-document
+    ``ts_us`` list): turns, total span, max inter-turn gap.  With
+    tool_usage this gives every input_hint column a driver-hash-checked
+    surface."""
+    from ..sources.transcripts import documents_as_transcripts
+    from .kg import KGPipeline
+
+    pipe = KGPipeline(
+        documents_as_transcripts(sf_dir, with_ts=True), num_buckets=16
+    )
+
+    def per_window(tbl) -> pd.DataFrame:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        ts = tbl["ts_us"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        lens = np.asarray(pc.list_value_length(ts), dtype=np.int64)
+        flat = np.asarray(ts.flatten(), dtype=np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        first = flat[offs[:-1]]
+        last = flat[offs[1:] - 1]
+        # max inter-turn gap, vectorized over the flattened stream:
+        # diffs within a window = diffs of the flat stream minus the
+        # cross-window positions
+        gaps = np.zeros(len(lens), dtype=np.int64)
+        if len(flat) > 1:
+            d = flat[1:] - flat[:-1]
+            win_of = np.repeat(np.arange(len(lens)), lens)[1:]
+            valid = win_of == np.repeat(np.arange(len(lens)), lens)[:-1]
+            np.maximum.at(gaps, win_of[valid], d[valid])
+        return pd.DataFrame(
+            {
+                "doc_key": tbl["doc_key"].to_pandas(),
+                "n_turns": lens,
+                "span_us": last - first,
+                "max_gap_us": gaps,
+            }
+        )
+
+    return pipe.documents.map_batches(per_window, batch_format="pyarrow")
+
+
+SQL_TURN_SPANS = f"""
+WITH base AS (
+  SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n FROM documents
+),
+wins AS (
+  SELECT doc_id, n, CAST(ceil(n / {TT}.0) AS BIGINT) AS n_turns, w.w AS w
+  FROM base, LATERAL (
+    SELECT unnest(generate_series(0, CAST(ceil(n / {WIN}.0) AS BIGINT) - 1)) AS w
+  ) w
+),
+b AS (
+  SELECT doc_id, n, w, {WIN // TT} * w AS t_lo,
+         least(n_turns, {WIN // TT} * w + {WIN // TT}) - 1 AS t_hi
+  FROM wins
+)
+SELECT
+  'doc' || doc_id || CASE WHEN n > {WIN} THEN '_SPLIT_' || CAST(w AS VARCHAR) ELSE '' END AS doc_key,
+  CAST(t_hi - t_lo + 1 AS BIGINT) AS n_turns,
+  CAST((t_hi * (t_hi + 1) // 2 - t_lo * (t_lo + 1) // 2) * 1000000 AS BIGINT) AS span_us,
+  CAST(CASE WHEN t_hi > t_lo THEN t_hi * 1000000 ELSE 0 END AS BIGINT) AS max_gap_us
+FROM b
+"""
+
+
 def all_queries() -> dict:
     """KG + relational + textops registries (name -> (fn, sql|None)),
     ordered so never-driver-sampled entries come first."""
@@ -749,5 +819,6 @@ KG_QUERIES = {
     "ner_eval": (q_ner_eval, SQL_NER_EVAL),
     "ner_eval_weighted": (q_ner_eval_weighted, SQL_NER_EVAL_WEIGHTED),
     "tool_usage": (q_tool_usage, SQL_TOOL_USAGE),
+    "turn_spans": (q_turn_spans, SQL_TURN_SPANS),
     "multi_namespace_mentions": (q_multi_namespace_mentions, SQL_MULTI_NAMESPACE_MENTIONS),
 }

@@ -40,9 +40,15 @@ class _DocsToTurns:
     chunks (turns).  Stateless but kept as a class so the chunk size is
     bound once."""
 
-    def __init__(self, turn_tokens: int, with_tool: bool = False):
+    # synthetic-ts epoch (2024-01-01 UTC, microseconds)
+    TS0_US = 1_704_067_200_000_000
+
+    def __init__(
+        self, turn_tokens: int, with_tool: bool = False, with_ts: bool = False
+    ):
         self.turn_tokens = turn_tokens
         self.with_tool = with_tool
+        self.with_ts = with_ts
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         tt = self.turn_tokens
@@ -73,18 +79,26 @@ class _DocsToTurns:
             out["tool"] = np.where(
                 ti % 3 == 2, "t" + pd.Series(ti % 4).astype(str), ""
             )
+        if self.with_ts:
+            # deterministic input_hint ``ts`` column: turn t lands at
+            # TS0 + tri(t) seconds (tri = t(t+1)/2 — growing gaps, so
+            # span/gap stats are non-trivial and SQL-reproducible)
+            ti = out["turn_idx"].to_numpy(np.int64)
+            us = self.TS0_US + (ti * (ti + 1) // 2) * 1_000_000
+            out["ts"] = pd.to_datetime(us, unit="us")
         return out
 
 
 def documents_as_transcripts(
     sf_dir: str, cfg: ExtractionConfig = DEFAULT_CONFIG,
-    with_tool: bool = False,
+    with_tool: bool = False, with_ts: bool = False,
 ) -> ray.data.Dataset:
     """Driver ``documents`` table -> transcript-shaped Dataset.
-    ``with_tool=True`` also synthesizes the input_hint ``tool`` column
-    (deterministic, SQL-reproducible)."""
+    ``with_tool=True`` / ``with_ts=True`` also synthesize the
+    input_hint ``tool`` / ``ts`` columns (deterministic,
+    SQL-reproducible)."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(
-        _DocsToTurns(cfg.turn_tokens, with_tool), batch_format="pandas",
-        batch_size=2048,
+        _DocsToTurns(cfg.turn_tokens, with_tool, with_ts),
+        batch_format="pandas", batch_size=2048,
     )
