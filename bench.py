@@ -185,11 +185,16 @@ def main() -> None:
         os.environ.get("RAY_GRAFT_HEADLINE_ONLY") != "1"
         and os.environ.get("RAY_GRAFT_EFF", "1") == "1"
     ):
-        r2, r8 = _run_pinned(2, trials=2), _run_pinned(8, trials=2)
-        t2, t8 = r2["value"], r8["value"]
-        out["sec_2_pinned"] = t2
-        out["sec_8_pinned"] = t8
-        out["eff_2_8"] = round((t2 / t8) / 4, 3)
+        # never lose the completed headline measurements to an eff
+        # subprocess failure (review r4)
+        try:
+            r2, r8 = _run_pinned(2, trials=2), _run_pinned(8, trials=2)
+            t2, t8 = r2["value"], r8["value"]
+            out["sec_2_pinned"] = t2
+            out["sec_8_pinned"] = t8
+            out["eff_2_8"] = round((t2 / t8) / 4, 3)
+        except Exception as e:  # noqa: BLE001 — report, don't discard
+            out["eff_2_8_error"] = str(e)[:200]
     print(json.dumps(out))
 
 

@@ -988,12 +988,13 @@ def triangle_count(
 
         # id_a < id_b by construction, so max(id_b) is the max node id;
         # both probes are metadata/aggregate-cheap on the materialized
-        # edge table (no driver-side row materialization)
+        # edge table (no driver-side row materialization).  The
+        # zero-row case is probed explicitly — a blanket except here
+        # would turn a transient aggregation failure into a silent
+        # 0-triangle answer (review r4)
         size_bytes = edges.size_bytes() or 0
-        try:
-            max_id = edges.max("id_b")
-        except Exception:
-            max_id = None  # zero-row edge set
+        n_edge_rows = edges.count()
+        max_id = edges.max("id_b") if n_edge_rows else None
         path = _triangle_close_path(size_bytes, max_id)
         logging.getLogger(__name__).info(
             "triangle_count closing path: %s (edges=%d bytes, max_id=%s)",

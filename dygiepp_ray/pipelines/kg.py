@@ -66,9 +66,14 @@ class KGPipeline:
             pseudo = collate(
                 explode_sentences(self.documents), dataset=cfg.dataset
             )
-            sent_cfg = _cfg_replace(
-                cfg, tasks=tuple(t for t in cfg.tasks if t != "coref")
-            )
+            sent_tasks = tuple(t for t in cfg.tasks if t != "coref")
+            # clusters derive from projected MENTIONS, so coref forces
+            # ner extraction even when the caller didn't request it
+            # (the direct path computes mentions unconditionally inside
+            # ExtractStage.__call__ — same semantics)
+            if "coref" in cfg.tasks and "ner" not in sent_tasks:
+                sent_tasks = ("ner",) + sent_tasks
+            sent_cfg = _cfg_replace(cfg, tasks=sent_tasks)
             self.predicted = extract(
                 pseudo, sent_cfg,
                 concurrency=extract_concurrency or 2,

@@ -749,8 +749,9 @@ def q_turn_spans(sf_dir: str) -> ray.data.Dataset:
         gaps = np.zeros(len(lens), dtype=np.int64)
         if len(flat) > 1:
             d = flat[1:] - flat[:-1]
-            win_of = np.repeat(np.arange(len(lens)), lens)[1:]
-            valid = win_of == np.repeat(np.arange(len(lens)), lens)[:-1]
+            rep = np.repeat(np.arange(len(lens)), lens)
+            win_of = rep[1:]
+            valid = win_of == rep[:-1]
             np.maximum.at(gaps, win_of[valid], d[valid])
         return pd.DataFrame(
             {

@@ -305,7 +305,7 @@ def _flatten_union(tbl: pa.Table) -> pa.Table:
     return pa.concat_tables(parts)
 
 
-def _empty_rebased() -> pd.DataFrame:
+def _empty_rebased(has_weight: bool = False) -> pd.DataFrame:
     out = {"doc_key": pd.Series(dtype=object),
            "conv_id": pd.Series(dtype=object),
            "kind": pd.Series(dtype=np.int8),
@@ -316,6 +316,8 @@ def _empty_rebased() -> pd.DataFrame:
         out[s] = pd.Series(dtype=object)
     out["raw"] = pd.Series(dtype=np.float32)
     out["softmax"] = pd.Series(dtype=np.float32)
+    if has_weight:
+        out["weight"] = pd.Series(dtype=np.float64)
     return pd.DataFrame(out)
 
 
@@ -348,30 +350,39 @@ def uncollate_predictions(
     "event_args": ds}`` with columns matching ``stages.explode``.
     """
 
+    # the optional per-document weight rides the DOCS side of the
+    # exchange (pseudo-docs interleave documents and never carry it) so
+    # collated-path annotation tables match the direct path's
+    # explode._OPT_PARENTS passthrough
+    has_weight = "weight" in docs.schema().names
+
     def docs_side(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_key": df["doc_key"].to_numpy(),
-                "conv_id": df["conv_id"].to_numpy(),
-                # serialized starts: a scalar binary column concats
-                # cleanly across Arrow blocks
-                "__ss": [
-                    np.asarray(s, dtype=np.int64).tobytes()
-                    for s in df["sentence_start"]
-                ],
-            }
-        )
+        out = {
+            "doc_key": df["doc_key"].to_numpy(),
+            "conv_id": df["conv_id"].to_numpy(),
+            # serialized starts: a scalar binary column concats
+            # cleanly across Arrow blocks
+            "__ss": [
+                np.asarray(s, dtype=np.int64).tobytes()
+                for s in df["sentence_start"]
+            ],
+        }
+        if has_weight:
+            out["weight"] = df["weight"].to_numpy(np.float64)
+        return pd.DataFrame(out)
 
     dside = docs.map_batches(docs_side, batch_format="pandas")
     ann = pred_pseudo.map_batches(_flatten_union, batch_format="pyarrow")
 
     from ..core import hash_coexchange
 
+    d_cols = ["doc_key", "conv_id", "__ss"] + (["weight"] if has_weight else [])
+
     def rebase(a: pd.DataFrame, d: pd.DataFrame) -> pd.DataFrame:
         if (len(a) == 0 or "kind" not in a.columns
                 or len(d) == 0 or "doc_key" not in d.columns):
-            return _empty_rebased()
-        j = a.merge(d[["doc_key", "conv_id", "__ss"]], on="doc_key", how="inner")
+            return _empty_rebased(has_weight)
+        j = a.merge(d[d_cols], on="doc_key", how="inner")
         # decode each doc's sentence_start buffer ONCE (Python work is
         # O(unique docs)), then one vectorized gather over all
         # annotation rows — the per-row frombuffer loop this replaces
@@ -392,6 +403,8 @@ def uncollate_predictions(
         for f in _UNION_POS:
             j[f] = j[f].to_numpy(np.float64) + base
         cols = ["doc_key", "conv_id"] + [c for c in a.columns if c != "doc_key"]
+        if has_weight:
+            cols.append("weight")
         return j[cols]
 
     union = hash_coexchange(ann, dside, "doc_key", "doc_key", rebase, num_buckets)
@@ -405,7 +418,7 @@ def uncollate_predictions(
         # their columns through Ray's to_pandas, Arrow blocks don't
         def fn(df: pd.DataFrame) -> pa.Table:
             if len(df) == 0 or "kind" not in df.columns:
-                d = _empty_rebased()
+                d = _empty_rebased(has_weight)
             else:
                 d = df[df["kind"] == code]
             out = {
@@ -421,6 +434,10 @@ def uncollate_predictions(
                     out[c] = pa.array(d[c].to_numpy(np.float32), pa.float32())
                 else:
                     out[c] = pa.array(d[c].to_numpy(object), pa.string())
+            if has_weight:
+                out["weight"] = pa.array(
+                    d["weight"].to_numpy(np.float64), pa.float64()
+                )
             return pa.table(out)
 
         return union.map_batches(fn, batch_format="pandas")

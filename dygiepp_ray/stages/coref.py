@@ -31,6 +31,32 @@ from ..core import partitioned_map_groups
 _OUT_COLS = ["doc_key", "conv_id", "cluster_ix", "start", "end", "surface"]
 
 
+def same_surface_reduction(m: pd.DataFrame, doc_col: str) -> pd.DataFrame:
+    """The single home of the cluster decode convention shared by the
+    in-extraction path (``ExtractStage._clusters``, ``doc_col='doc_ix'``)
+    and the mention-derived path (``clusters_from_mentions``,
+    ``doc_col='doc_key'``): groups of >= 2 same-surface mentions per
+    document become clusters, ``cluster_ix`` ordered by first-mention
+    appearance.  ``m`` must already be in span-enumeration order
+    (``dygie.py:121-126``); callers own that sort."""
+    m = m.reset_index(drop=True)
+    m["__ord"] = np.arange(len(m))
+    sizes = m.groupby([doc_col, "surface"], sort=False)["__ord"].transform("size")
+    cl = m.loc[sizes >= 2].copy()
+    if len(cl) == 0:
+        return pd.DataFrame(
+            columns=[doc_col, "cluster_ix", "start", "end", "surface"]
+        )
+    cl["__first"] = cl.groupby([doc_col, "surface"], sort=False)[
+        "__ord"
+    ].transform("min")
+    cl = cl.sort_values([doc_col, "__first", "__ord"], kind="stable")
+    uniq = cl[[doc_col, "__first"]].drop_duplicates()
+    uniq["cluster_ix"] = uniq.groupby(doc_col).cumcount()
+    cl = cl.merge(uniq, on=[doc_col, "__first"], how="left")
+    return cl[[doc_col, "cluster_ix", "start", "end", "surface"]]
+
+
 def _empty_clusters() -> pd.DataFrame:
     return pd.DataFrame(
         {
@@ -67,20 +93,13 @@ def clusters_from_mentions(
             ["doc_key", "sent_ix", "start", "end"], kind="stable",
             ignore_index=True,
         )
-        m["__ord"] = np.arange(len(m))
-        sizes = m.groupby(["doc_key", "surface"], sort=False)["__ord"].transform("size")
-        cl = m.loc[sizes >= 2].copy()
+        cl = same_surface_reduction(m, "doc_key")
         if len(cl) == 0:
             return _empty_clusters()
-        cl["__first"] = cl.groupby(["doc_key", "surface"], sort=False)[
-            "__ord"
-        ].transform("min")
-        cl = cl.sort_values(["doc_key", "__first", "__ord"], kind="stable")
-        uniq = cl[["doc_key", "__first"]].drop_duplicates()
-        uniq["cluster_ix"] = uniq.groupby("doc_key").cumcount()
-        cl = cl.merge(uniq, on=["doc_key", "__first"], how="left")
-        out = cl[_OUT_COLS].reset_index(drop=True)
-        return out.astype(
+        # conv_id rides along: doc_key -> conv_id is functional
+        conv = m.drop_duplicates("doc_key")[["doc_key", "conv_id"]]
+        out = cl.merge(conv, on="doc_key", how="left")[_OUT_COLS]
+        return out.reset_index(drop=True).astype(
             {"cluster_ix": np.int32, "start": np.int32, "end": np.int32}
         )
 

@@ -310,23 +310,13 @@ class ExtractStage:
     # -- coref clusters (T6, flagship vectorized reduction) -----------------
 
     def _clusters(self, m: pd.DataFrame) -> pd.DataFrame:
+        # shared decode convention with the mention-derived collated
+        # path — one implementation, two group keys (stages/coref.py)
+        from .coref import same_surface_reduction
+
         if len(m) == 0:
             return pd.DataFrame(columns=["doc_ix", "cluster_ix", "start", "end", "surface"])
-        m = m.reset_index(drop=True)
-        m["__ord"] = np.arange(len(m))
-        grp = m.groupby(["doc_ix", "surface"], sort=False)
-        sizes = grp["__ord"].transform("size")
-        cl = m.loc[sizes >= 2].copy()
-        if len(cl) == 0:
-            return pd.DataFrame(columns=["doc_ix", "cluster_ix", "start", "end", "surface"])
-        first = cl.groupby(["doc_ix", "surface"], sort=False)["__ord"].transform("min")
-        cl["__first"] = first
-        # cluster_ix: order clusters by first-mention appearance within doc
-        cl = cl.sort_values(["doc_ix", "__first", "__ord"], kind="stable")
-        uniq = cl[["doc_ix", "__first"]].drop_duplicates()
-        uniq["cluster_ix"] = uniq.groupby("doc_ix").cumcount()
-        cl = cl.merge(uniq, on=["doc_ix", "__first"], how="left")
-        return cl[["doc_ix", "cluster_ix", "start", "end", "surface"]]
+        return same_surface_reduction(m, "doc_ix")
 
     # -- batch entry --------------------------------------------------------
 

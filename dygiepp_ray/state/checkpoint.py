@@ -85,13 +85,16 @@ def write_partitioned(
         pq.write_table(tbl, os.path.join(tmp, "data.parquet"))
         shutil.rmtree(pdir, ignore_errors=True)
         os.replace(tmp, pdir)
-        # order-insensitive content fingerprint (xor of per-row hashes):
-        # resume/audit can verify a partition's integrity without
-        # re-reading upstream lineage
+        # order-insensitive content fingerprint (SUM of per-row hashes
+        # mod 2^64 — unlike XOR, duplicate rows accumulate instead of
+        # cancelling, so equal-row-count multisets can't trivially
+        # collide; review r4): resume/audit can verify a partition's
+        # integrity without re-reading upstream lineage
         row_hashes = pd.util.hash_pandas_object(
             df.astype(str), index=False
         ).to_numpy(np.uint64)
-        fingerprint = format(int(np.bitwise_xor.reduce(row_hashes)), "016x")
+        with np.errstate(over="ignore"):
+            fingerprint = format(int(np.add.reduce(row_hashes)), "016x")
         manifest = {
             "bucket": bucket,
             "key": key,

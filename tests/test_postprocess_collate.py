@@ -452,6 +452,67 @@ def test_collated_union_with_task_subset(ray_session):
     )
 
 
+def test_collated_coref_without_ner_task(ray_session):
+    """Review r4 regression: tasks=('relations','coref') through the
+    collated path must still produce the direct path's clusters (coref
+    forces mention extraction even when 'ner' isn't requested — the
+    direct path computes mentions unconditionally)."""
+    from dataclasses import replace
+
+    from dygiepp_ray.pipelines.kg import KGPipeline
+    from dygiepp_ray.semantics import DEFAULT_CONFIG
+    from dygiepp_ray.sources.transcripts import documents_as_transcripts
+
+    cfg = replace(DEFAULT_CONFIG, tasks=("relations", "coref"))
+    direct = KGPipeline(
+        documents_as_transcripts("/root/testdata/sf0.001"), cfg=cfg, num_buckets=4
+    )
+    collated = KGPipeline(
+        documents_as_transcripts("/root/testdata/sf0.001"), cfg=cfg,
+        num_buckets=4, collate_extract=True, extract_concurrency=2,
+    )
+    cols = ["doc_key", "conv_id", "cluster_ix", "start", "end", "surface"]
+    want = direct.clusters.to_pandas()[cols].sort_values(cols, ignore_index=True)
+    got = collated.clusters.to_pandas()[cols].sort_values(cols, ignore_index=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_collated_path_carries_weight(ray_session):
+    """Review r4 regression: the optional weight column must ride the
+    union uncollate exchange so the collated path's tables match the
+    direct path's explode passthrough (weighted evaluation works on
+    both)."""
+    import numpy as np
+
+    import ray.data as _rd
+
+    from dygiepp_ray.functions.evaluate import evaluate_weighted
+    from dygiepp_ray.pipelines.kg import KGPipeline
+    from dygiepp_ray.sources.transcripts import documents_as_transcripts
+
+    def add_weight(df):
+        df = df.copy()
+        df["weight"] = (
+            df["conv_id"].str.removeprefix("doc").astype(np.int64) % 3 + 1
+        ).astype(np.float64)
+        return df
+
+    ts = documents_as_transcripts("/root/testdata/sf0.001").map_batches(
+        add_weight, batch_format="pandas"
+    )
+    pipe = KGPipeline(ts, num_buckets=4, collate_extract=True,
+                      extract_concurrency=2)
+    m = pipe.mentions.to_pandas()
+    assert "weight" in m.columns and len(m) > 0
+    expected = (
+        m["conv_id"].str.removeprefix("doc").astype(np.int64) % 3 + 1
+    ).astype(np.float64)
+    assert (m["weight"].to_numpy() == expected.to_numpy()).all()
+    r = evaluate_weighted(pipe.mentions, pipe.mentions, "ner")
+    assert r["precision"] == 1.0 and r["matched_w"] == r["predicted_w"] > 0
+
+
 def test_collate_packs_in_tasks_not_driver(ray_session, monkeypatch):
     """The packer must not stream the corpus through the driver: collate
     completes even when Dataset.iter_batches is forbidden."""
