@@ -1610,6 +1610,196 @@ SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
 """
 
 
+def ddsketch_quantiles(sf_dir: str, sub_bits: int = 3) -> ray.data.Dataset:
+    """Relative-error quantile sketch (DDSketch-style log buckets,
+    Masson et al., VLDB 2019) — the heavy-tail complement to the
+    equi-width ``histogram_quantiles``: bucket = (bit_length(v),
+    top ``sub_bits`` mantissa bits), so relative error is bounded by
+    2^-sub_bits per bucket while the sketch stays O(log(max) * 2^sub_bits)
+    registers REGARDLESS of the value range (an equi-width histogram
+    needs O(range/width) bins and collapses on heavy-tailed data).
+    All-integer bucket math (bit_length + shifts, no float log) keeps
+    the DuckDB twin bit-exact via length(bin(v)).  Same mergeable shape
+    as the other sketches: per-batch (type, bucket) partials -> tiny
+    keyed exchange -> per-group cumulative scan.  Values are event
+    ``value`` floored to cents and clamped to >= 1 (log buckets need
+    positive support; the clamp is applied on BOTH sides).
+    -> (event_type, n, p50_ub_cents, p95_ub_cents, p99_ub_cents) where
+    each quantile is the exclusive upper edge of its bucket."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    sub = 1 << sub_bits
+
+    def bucketize(cents: np.ndarray) -> np.ndarray:
+        # bit_length via float64 log2 is UNSAFE at powers of two;
+        # derive it by searchsorted against exact power-of-2 edges
+        bl = np.searchsorted(
+            2 ** np.arange(1, 64, dtype=np.uint64), cents.astype(np.uint64),
+            side="right",
+        ) + 1  # bit_length(v) for v >= 1
+        shift = np.maximum(bl - 1 - sub_bits, 0)
+        mant = cents >> shift  # in [2^sub_bits, 2^(sub_bits+1)) for bl > sub_bits
+        return bl * (2 * sub) + mant
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.maximum(
+            np.floor(df["value"].to_numpy(np.float64) * 100.0).astype(np.int64), 1
+        )
+        g = pd.DataFrame(
+            {"event_type": df["event_type"].to_numpy(), "bucket": bucketize(cents)}
+        ).groupby(["event_type", "bucket"], sort=False).size().rename("n")
+        return g.reset_index().astype({"bucket": np.int64, "n": np.int64})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def quantiles(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"event_type": pd.Series(dtype=object),
+             "n": pd.Series(dtype=np.int64),
+             **{c: pd.Series(dtype=np.int64)
+                for c in ("p50_ub_cents", "p95_ub_cents", "p99_ub_cents")}}
+        )
+        if len(df) == 0 or "event_type" not in df.columns:
+            return empty
+        h = df.groupby(["event_type", "bucket"], sort=False)["n"].sum().reset_index()
+        h = h.sort_values(["event_type", "bucket"], kind="mergesort")
+        rows = []
+        for et, g in h.groupby("event_type", sort=False):
+            n = int(g["n"].sum())
+            cum = g["n"].cumsum().to_numpy(np.int64)
+            bk = g["bucket"].to_numpy(np.int64)
+            ubs = []
+            for num, den in ((1, 2), (95, 100), (99, 100)):
+                b = int(bk[np.searchsorted(cum, (num * n + den - 1) // den)])
+                bl, mant = b // (2 * sub), b % (2 * sub)
+                ubs.append((mant + 1) << max(bl - 1 - sub_bits, 0))
+            rows.append((et, n, *ubs))
+        return pd.DataFrame(
+            rows,
+            columns=["event_type", "n", "p50_ub_cents", "p95_ub_cents",
+                     "p99_ub_cents"],
+        ).astype({c: np.int64 for c in
+                  ("n", "p50_ub_cents", "p95_ub_cents", "p99_ub_cents")})
+
+    return partitioned_map_groups(partials, "event_type", quantiles, num_buckets=4)
+
+
+# length(bin(v)) == bit_length for v >= 1; shifts/masks mirror the
+# engine's integer bucket math exactly (no float log anywhere)
+SQL_DDSKETCH_QUANTILES = """
+WITH vals AS (
+  SELECT event_type,
+         greatest(CAST(floor(value * 100.0) AS BIGINT), 1) AS cents
+  FROM events
+), bk AS (
+  SELECT event_type,
+         length(bin(cents)) * 16
+           + (cents >> greatest(length(bin(cents)) - 1 - 3, 0)) AS bucket,
+         count(*) AS c
+  FROM vals GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, bucket, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM bk
+)
+SELECT event_type, CAST(any_value(n) AS BIGINT) AS n,
+       CAST(((min(CASE WHEN cum >= (n + 1) // 2 THEN bucket END) % 16) + 1)
+            * power(2, greatest(min(CASE WHEN cum >= (n + 1) // 2
+                                    THEN bucket END) // 16 - 4, 0)) AS BIGINT)
+         AS p50_ub_cents,
+       CAST(((min(CASE WHEN cum >= (95 * n + 99) // 100 THEN bucket END) % 16) + 1)
+            * power(2, greatest(min(CASE WHEN cum >= (95 * n + 99) // 100
+                                    THEN bucket END) // 16 - 4, 0)) AS BIGINT)
+         AS p95_ub_cents,
+       CAST(((min(CASE WHEN cum >= (99 * n + 99) // 100 THEN bucket END) % 16) + 1)
+            * power(2, greatest(min(CASE WHEN cum >= (99 * n + 99) // 100
+                                    THEN bucket END) // 16 - 4, 0)) AS BIGINT)
+         AS p99_ub_cents
+FROM cum GROUP BY event_type
+"""
+
+
+def key_skew_profile(sf_dir: str, top_k: int = 20) -> ray.data.Dataset:
+    """Hot-key profiler — the measurement tool behind every 'skew
+    handled explicitly' decision in this engine (salted
+    canonicalization, conv_id assembly): per-block combiner counts on
+    events.user_id, one tiny keyed exchange to merge, per-bucket top-K,
+    then a final single-block reduce over the K x num_buckets survivors
+    (per-bucket top-K is a safe prefilter: the global top-K by count is
+    a subset of the per-bucket top-Ks since buckets partition keys).
+    Emits rank, count and share in parts-per-million so a planner (or
+    an operator choosing a salt factor) can read skew directly.
+    -> (rank, user_id, n, share_ppm) ordered by (n DESC, user_id ASC)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", sort=False).size().rename("n").reset_index()
+        return g.astype({"user_id": np.int64, "n": np.int64})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"user_id": pd.Series(dtype=np.int64),
+             "n": pd.Series(dtype=np.int64)}
+        )
+        if len(df) == 0 or "user_id" not in df.columns:
+            return empty
+        g = df.groupby("user_id", sort=False)["n"].sum().reset_index()
+        total = int(g["n"].sum())
+        g = g.sort_values(["n", "user_id"], ascending=[False, True],
+                          kind="mergesort").head(top_k)
+        # sentinel row carries this bucket's TOTAL count downstream
+        # (user_id is a non-negative key in the input; -1 can't collide)
+        g = pd.concat(
+            [g, pd.DataFrame({"user_id": [-1], "n": [total]})],
+            ignore_index=True,
+        )
+        return g.astype({"user_id": np.int64, "n": np.int64})
+
+    survivors = partitioned_map_groups(partials, "user_id", merge_topk,
+                                       num_buckets=8)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "user_id" not in df.columns:
+            return pd.DataFrame(
+                {"rank": pd.Series(dtype=np.int64),
+                 "user_id": pd.Series(dtype=np.int64),
+                 "n": pd.Series(dtype=np.int64),
+                 "share_ppm": pd.Series(dtype=np.int64)}
+            )
+        sentinel = df["user_id"].to_numpy(np.int64) == -1
+        total = int(df.loc[sentinel, "n"].to_numpy(np.int64).sum())
+        df = df.loc[~sentinel].sort_values(
+            ["n", "user_id"], ascending=[False, True], kind="mergesort"
+        ).head(top_k)
+        return pd.DataFrame(
+            {"rank": np.arange(1, len(df) + 1, dtype=np.int64),
+             "user_id": df["user_id"].to_numpy(np.int64),
+             "n": df["n"].to_numpy(np.int64),
+             "share_ppm": df["n"].to_numpy(np.int64) * 1_000_000 // max(total, 1)}
+        )
+
+    # survivors is <= top_k x num_buckets rows: a single-block global
+    # reduce is O(K) driver-free work
+    return survivors.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None
+    )
+
+
+SQL_KEY_SKEW_PROFILE = """
+WITH c AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY 1
+), t AS (SELECT sum(n) AS total FROM c)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, user_id ASC) AS BIGINT) AS "rank",
+       user_id, CAST(n AS BIGINT) AS n,
+       CAST(n * 1000000 // (SELECT total FROM t) AS BIGINT) AS share_ppm
+FROM c ORDER BY n DESC, user_id ASC LIMIT 20
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -1640,4 +1830,6 @@ RELATIONAL_QUERIES = {
     "profile_orders": (profile_orders, SQL_PROFILE_ORDERS),
     "event_transitions": (event_transitions, SQL_EVENT_TRANSITIONS),
     "events_within_window": (events_within_window, SQL_EVENTS_WITHIN_WINDOW),
+    "ddsketch_quantiles": (ddsketch_quantiles, SQL_DDSKETCH_QUANTILES),
+    "key_skew_profile": (key_skew_profile, SQL_KEY_SKEW_PROFILE),
 }

@@ -36,7 +36,7 @@ _SAMPLE = [
     "term_search", "q1_pricing_summary", "top_docs_per_source",
     "orders_anti_join", "json_props_sum", "shuffle_rank",
     "frequent_ngrams", "decontaminate", "dup_ngram_fraction", "tool_usage",
-    "turn_spans",
+    "turn_spans", "ddsketch_quantiles", "key_skew_profile",
     # NOT sampled: ner_eval / ner_eval_weighted — global aggregates whose
     # natural empty output is one zero row (like their SQL twins)
     # formerly-crashing driver-side collects (each had a KeyError /

@@ -420,3 +420,66 @@ def test_events_within_window_hand_case(ray_session):
     got = {(r.from_type, r.to_type): int(r.n) for r in out.itertuples()}
     # a->c and b->c (both within 1h); c->d is 90min (out); ties excluded
     assert got == {("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_ddsketch_relative_error_bound(ray_session):
+    """DDSketch-style log buckets: each quantile estimate is the
+    exclusive upper edge of its bucket, so exact < est <= exact * (1 +
+    2^-sub_bits) + 1 — a RELATIVE bound that holds across five orders
+    of magnitude (where an equi-width histogram would need ~10^7 bins).
+    Exercises power-of-two boundary values explicitly (the float-log2
+    trap the searchsorted bit_length avoids)."""
+    import tempfile, os
+    import pyarrow as pa, pyarrow.parquet as pq
+    from dygiepp_ray.relational import ddsketch_quantiles
+
+    rng = np.random.RandomState(7)
+    vals = np.concatenate([
+        rng.lognormal(3.0, 2.0, size=4000),       # heavy tail, ~5 decades
+        np.array([0.01, 0.02, 0.04, 2.56, 163.84, 655.36]),  # 2^k cents
+    ])
+    df = pd.DataFrame({
+        "event_type": np.where(np.arange(len(vals)) % 2 == 0, "a", "b"),
+        "value": np.round(vals, 2),
+    })
+    with tempfile.TemporaryDirectory() as tmp:
+        pq.write_table(pa.Table.from_pandas(df), os.path.join(tmp, "events.parquet"))
+        got = ddsketch_quantiles(tmp).to_pandas().set_index("event_type")
+    for et, g in df.groupby("event_type"):
+        cents = np.maximum(
+            np.floor(g["value"].to_numpy(np.float64) * 100.0).astype(np.int64), 1
+        )
+        cents.sort()
+        assert int(got.loc[et, "n"]) == len(g)
+        for q, col in ((0.5, "p50_ub_cents"), (0.95, "p95_ub_cents"),
+                       (0.99, "p99_ub_cents")):
+            exact = int(cents[int(np.ceil(q * len(cents))) - 1])
+            est = int(got.loc[et, col])
+            assert exact < est <= int(exact * 1.125) + 1, (et, col, exact, est)
+
+
+def test_key_skew_profile_matches_bruteforce(ray_session):
+    """Hot-key profiler: rank/count/share must equal the brute-force
+    answer on a skewed distribution, including the (n DESC, user_id ASC)
+    tie order and the per-bucket-top-K prefilter not losing a global
+    survivor."""
+    import tempfile, os
+    import pyarrow as pa, pyarrow.parquet as pq
+    from dygiepp_ray.relational import key_skew_profile
+
+    rng = np.random.RandomState(11)
+    # zipf-ish: key k appears ~1000/k times -> heavy head, long tie tail
+    uid = np.repeat(np.arange(1, 200), (1000 // np.arange(1, 200)).clip(1))
+    rng.shuffle(uid)
+    df = pd.DataFrame({"user_id": uid.astype(np.int64)})
+    with tempfile.TemporaryDirectory() as tmp:
+        pq.write_table(pa.Table.from_pandas(df), os.path.join(tmp, "events.parquet"))
+        got = key_skew_profile(tmp, top_k=10).to_pandas()
+    counts = df.groupby("user_id").size().reset_index(name="n")
+    counts = counts.sort_values(["n", "user_id"], ascending=[False, True],
+                                kind="mergesort").head(10)
+    assert got["user_id"].tolist() == counts["user_id"].tolist()
+    assert got["n"].tolist() == counts["n"].tolist()
+    assert got["rank"].tolist() == list(range(1, 11))
+    assert (got["share_ppm"].to_numpy()
+            == counts["n"].to_numpy() * 1_000_000 // len(df)).all()
