@@ -1800,6 +1800,144 @@ FROM c ORDER BY n DESC, user_id ASC LIMIT 20
 """
 
 
+def join_size_estimate(sf_dir: str) -> pd.DataFrame:
+    """Join-cardinality estimation WITHOUT running the join — the
+    planner primitive behind broadcast-vs-exchange decisions like
+    ``analytics._triangle_close_path``: |A join B on k| =
+    sum_k count_A(k) * count_B(k) is estimated by the inner product of
+    the two sides' Count-Min sketches (Cormode & Muthukrishnan 2005,
+    §4.2), min over the d hash rows — an upper bound that needs one
+    streaming pass per side and O(d x w) driver state, never the join
+    itself.  Sides: events.user_id x customer.c_custkey (key domains
+    align by construction).  Rows missing from the per-row cell match
+    contribute inner product 0, so the min is taken over ALL d rows.
+    -> one row (est_join_rows)."""
+    from .functions.cms import CMS_DEPTH, cms_counters
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    cu = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    a = cms_counters(ev, "user_id")
+    b = cms_counters(cu, "c_custkey")
+    j = a.merge(b, on=["row", "col"], suffixes=("_a", "_b"))
+    inner = (
+        (j["count_a"].to_numpy(np.int64) * j["count_b"].to_numpy(np.int64))
+        .astype(np.int64)
+    )
+    per_row = np.zeros(CMS_DEPTH, dtype=np.int64)
+    if len(j):
+        np.add.at(per_row, j["row"].to_numpy(np.int64), inner)
+    return pd.DataFrame({"est_join_rows": [np.int64(per_row.min())]})
+
+
+SQL_JOIN_SIZE_ESTIMATE = f"""
+WITH rows_ AS (SELECT CAST(range AS BIGINT) AS row FROM range(0, 4)),
+ha AS (
+  SELECT r.row,
+         {_sql_hexval_huge(
+             "md5(CAST(r.row AS VARCHAR) || ':' || CAST(user_id AS VARCHAR))", 16
+         )} % 1024 AS col, count(*) AS c
+  FROM events, rows_ r GROUP BY 1, 2
+),
+hb AS (
+  SELECT r.row,
+         {_sql_hexval_huge(
+             "md5(CAST(r.row AS VARCHAR) || ':' || CAST(c_custkey AS VARCHAR))", 16
+         )} % 1024 AS col, count(*) AS c
+  FROM customer, rows_ r GROUP BY 1, 2
+),
+ip AS (
+  SELECT r.row, COALESCE(sum(a.c * b.c), 0) AS inner_
+  FROM rows_ r
+  LEFT JOIN ha a ON a.row = r.row
+  LEFT JOIN hb b ON b.row = a.row AND b.col = a.col
+  GROUP BY r.row
+)
+SELECT CAST(min(inner_) AS BIGINT) AS est_join_rows FROM ip
+"""
+
+
+def customer_upsert(sf_dir: str) -> ray.data.Dataset:
+    """MERGE INTO (latest-wins upsert): apply a change stream to a base
+    table — customer balances overridden by each customer's most recent
+    'purchase' event value (ties on ts broken by event_id, both
+    descending).  The CDC/delta-apply shape every warehouse engine
+    needs: ONE two-sided keyed exchange (base x deltas co-partitioned on
+    the key), per-bucket latest-delta selection by vectorized lexsort,
+    left-merge, no broadcast and no driver materialization — at 100 TB
+    the delta side is typically small but this path never assumes it.
+    -> (c_custkey, acctbal_cents, updated)."""
+    from .core import hash_coexchange
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    )
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type", "value"],
+    ).filter(expr="event_type == 'purchase'")
+
+    def apply_deltas(c: pd.DataFrame, d: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"c_custkey": pd.Series(dtype=np.int64),
+             "acctbal_cents": pd.Series(dtype=np.int64),
+             "updated": pd.Series(dtype=np.int64)}
+        )
+        if len(c) == 0 or "c_custkey" not in c.columns:
+            return empty
+        base_cents = np.floor(
+            c["c_acctbal"].to_numpy(np.float64) * 100.0
+        ).astype(np.int64)
+        out = pd.DataFrame(
+            {"c_custkey": c["c_custkey"].to_numpy(np.int64),
+             "acctbal_cents": base_cents,
+             "updated": np.zeros(len(c), dtype=np.int64)}
+        )
+        if len(d) and "user_id" in d.columns:
+            t = ts_epoch_us(d["ts"])
+            order = np.lexsort(
+                (d["event_id"].to_numpy(np.int64), t,
+                 d["user_id"].to_numpy(np.int64))
+            )
+            uid = d["user_id"].to_numpy(np.int64)[order]
+            cents = np.floor(
+                d["value"].to_numpy(np.float64)[order] * 100.0
+            ).astype(np.int64)
+            last = np.concatenate([uid[1:] != uid[:-1], [True]])
+            latest = pd.DataFrame(
+                {"c_custkey": uid[last], "__new": cents[last]}
+            )
+            out = out.merge(latest, on="c_custkey", how="left")
+            hit = out["__new"].notna().to_numpy()
+            out.loc[hit, "acctbal_cents"] = out.loc[hit, "__new"].astype(np.int64)
+            out.loc[hit, "updated"] = 1
+            out = out.drop(columns="__new")
+        return out.astype({"acctbal_cents": np.int64, "updated": np.int64})
+
+    return hash_coexchange(
+        cust, ev, "c_custkey", "user_id", apply_deltas, num_buckets=8
+    )
+
+
+SQL_CUSTOMER_UPSERT = """
+WITH d AS (
+  SELECT user_id, CAST(floor(value * 100.0) AS BIGINT) AS cents,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(COALESCE(d.cents,
+                     CAST(floor(c_acctbal * 100.0) AS BIGINT)) AS BIGINT)
+         AS acctbal_cents,
+       CAST(CASE WHEN d.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS updated
+FROM customer LEFT JOIN (SELECT * FROM d WHERE rn = 1) d
+  ON c_custkey = d.user_id
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -1832,4 +1970,6 @@ RELATIONAL_QUERIES = {
     "events_within_window": (events_within_window, SQL_EVENTS_WITHIN_WINDOW),
     "ddsketch_quantiles": (ddsketch_quantiles, SQL_DDSKETCH_QUANTILES),
     "key_skew_profile": (key_skew_profile, SQL_KEY_SKEW_PROFILE),
+    "join_size_estimate": (join_size_estimate, SQL_JOIN_SIZE_ESTIMATE),
+    "customer_upsert": (customer_upsert, SQL_CUSTOMER_UPSERT),
 }

@@ -37,6 +37,7 @@ _SAMPLE = [
     "orders_anti_join", "json_props_sum", "shuffle_rank",
     "frequent_ngrams", "decontaminate", "dup_ngram_fraction", "tool_usage",
     "turn_spans", "ddsketch_quantiles", "key_skew_profile",
+    "customer_upsert",
     # NOT sampled: ner_eval / ner_eval_weighted — global aggregates whose
     # natural empty output is one zero row (like their SQL twins)
     # formerly-crashing driver-side collects (each had a KeyError /
@@ -99,3 +100,13 @@ def test_hll_of_empty_set_is_zero_registers(empty_sf):
     df = df if isinstance(df, pd.DataFrame) else df.to_pandas()
     assert len(df) == 256
     assert (df["rho_max"] == 0).all()
+
+
+def test_join_size_estimate_of_empty_tables_is_zero(empty_sf):
+    """CMS inner product over empty sketches: one row, estimate 0 (the
+    SQL twin's min over LEFT-JOINed all-zero rows is 0 too)."""
+    import __ray_entry__ as entry
+
+    df = entry.queries()["join_size_estimate"](empty_sf)
+    assert len(df) == 1
+    assert int(df["est_join_rows"].iloc[0]) == 0

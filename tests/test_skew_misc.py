@@ -483,3 +483,62 @@ def test_key_skew_profile_matches_bruteforce(ray_session):
     assert got["rank"].tolist() == list(range(1, 11))
     assert (got["share_ppm"].to_numpy()
             == counts["n"].to_numpy() * 1_000_000 // len(df)).all()
+
+
+def test_join_size_estimate_upper_bounds_true_join(ray_session):
+    """CMS inner-product estimate: never below the true equi-join
+    cardinality (collisions only ADD), and tight at small key
+    cardinality vs the 4x1024 sketch."""
+    import tempfile, os
+    import pyarrow as pa, pyarrow.parquet as pq
+    from dygiepp_ray.relational import join_size_estimate
+
+    rng = np.random.RandomState(5)
+    ev_keys = rng.zipf(1.5, size=3000).clip(0, 400).astype(np.int64)
+    cu_keys = np.arange(0, 500, dtype=np.int64).repeat(2)
+    true = int(
+        pd.Series(ev_keys).value_counts()
+        .mul(pd.Series(cu_keys).value_counts(), fill_value=0).sum()
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        pq.write_table(pa.table({"user_id": ev_keys}),
+                       os.path.join(tmp, "events.parquet"))
+        pq.write_table(pa.table({"c_custkey": cu_keys}),
+                       os.path.join(tmp, "customer.parquet"))
+        est = int(join_size_estimate(tmp)["est_join_rows"].iloc[0])
+    assert est >= true
+    assert est <= int(true * 1.5) + 1
+
+
+def test_customer_upsert_latest_wins_and_untouched_rows(ray_session):
+    """MERGE INTO hand case: ts DESC then event_id DESC picks the
+    winning delta; customers without deltas keep their base balance
+    with updated=0."""
+    import tempfile, os
+    import pyarrow as pa, pyarrow.parquet as pq
+    from dygiepp_ray.relational import customer_upsert
+
+    cust = pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_acctbal": pa.array([10.00, 20.00, 30.00], pa.float64()),
+    })
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-02 00:00:00",
+         "2024-01-02 00:00:00", "2024-01-01 00:00:00"]
+    )
+    ev = pa.table({
+        "event_id": pa.array([7, 5, 6, 9], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 2, 2, 3], pa.int64()),
+        "event_type": ["purchase", "purchase", "purchase", "click"],
+        "value": pa.array([111.11, 222.22, 333.33, 999.99], pa.float64()),
+    })
+    with tempfile.TemporaryDirectory() as tmp:
+        pq.write_table(cust, os.path.join(tmp, "customer.parquet"))
+        pq.write_table(ev, os.path.join(tmp, "events.parquet"))
+        got = customer_upsert(tmp).to_pandas().sort_values(
+            "c_custkey", ignore_index=True
+        )
+    # user 2: two purchases at the SAME ts -> higher event_id (6) wins
+    assert got["acctbal_cents"].tolist() == [11111, 33333, 3000]
+    assert got["updated"].tolist() == [1, 1, 0]  # user 3's click is no delta
