@@ -645,6 +645,8 @@ FROM ents
 # round) — front-load them so round 4's sample completes the union of
 # driver-checked coverage (VERDICT r3 #7).
 _DRIVER_SAMPLE_FIRST = (
+    "customer_order_dist", "large_volume_orders", "pivot_events",
+    "segment_rank",
     "ddsketch_quantiles", "key_skew_profile", "join_size_estimate",
     "customer_upsert",
     "ner_eval_weighted", "dup_ngram_fraction", "tool_usage", "turn_spans",

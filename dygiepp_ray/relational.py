@@ -1938,6 +1938,341 @@ FROM customer LEFT JOIN (SELECT * FROM d WHERE rn = 1) d
 """
 
 
+def customer_order_dist(sf_dir: str) -> ray.data.Dataset:
+    """Order-count distribution per customer (TPC-H Q13 shape): LEFT
+    join customer x orders, count orders per customer (zero-order
+    customers kept), then the distribution of those counts.  Shape: the
+    fact side pre-aggregates to one row per custkey inside map_batches,
+    the left join is ONE two-sided keyed exchange (customer x partial
+    counts co-partitioned on the key), and each bucket emits its LOCAL
+    count distribution — the second shuffle moves O(distinct counts)
+    rows per bucket, never O(customers).  -> (n_orders, n_customers)."""
+    from .core import hash_coexchange
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", sort=False).size().rename("n")
+        return g.reset_index().astype({"n": np.int64})
+
+    partials = orders.map_batches(partial, batch_format="pandas")
+
+    def local_dist(c: pd.DataFrame, o: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"n_orders": pd.Series(dtype=np.int64),
+             "n_customers": pd.Series(dtype=np.int64)}
+        )
+        if len(c) == 0 or "c_custkey" not in c.columns:
+            return empty
+        per = pd.DataFrame({"c_custkey": c["c_custkey"].to_numpy(np.int64)})
+        if len(o) and "o_custkey" in o.columns:
+            counts = (
+                o.groupby("o_custkey", sort=False)["n"].sum().rename("n_orders")
+            )
+            per = per.merge(
+                counts, left_on="c_custkey", right_index=True, how="left"
+            )
+            per["n_orders"] = per["n_orders"].fillna(0).astype(np.int64)
+        else:
+            per["n_orders"] = np.zeros(len(per), dtype=np.int64)
+        g = per.groupby("n_orders", sort=False).size().rename("n_customers")
+        return g.reset_index().astype(np.int64)
+
+    dist_partials = hash_coexchange(
+        cust, partials, "c_custkey", "o_custkey", local_dist, num_buckets=8
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_orders", sort=False)["n_customers"].sum()
+        return g.reset_index().astype(np.int64)
+
+    return partitioned_map_groups(dist_partials, "n_orders", final, num_buckets=2)
+
+
+SQL_CUSTOMER_ORDER_DIST = """
+WITH pc AS (
+  SELECT c_custkey, count(o_custkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1
+)
+SELECT CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM pc GROUP BY 1
+"""
+
+
+def large_volume_orders(sf_dir: str, min_qty: int = 250, k: int = 100) -> ray.data.Dataset:
+    """Large-volume orders (TPC-H Q18 shape): orders whose total line
+    quantity exceeds ``min_qty``, joined back to orders + customer,
+    top-k by price.  HAVING realized as filter-after-exchange on the
+    pre-aggregated quantity totals; both joins are two-sided keyed
+    exchanges (never broadcast — the surviving set is small at this
+    threshold but the path must not assume it); price is integer cents
+    so the top-k boundary is exact.  -> top-k rows
+    (o_orderkey, o_custkey, c_name, orderdate_s, price_cents, total_qty)."""
+    from .core import hash_exchange, hash_coexchange
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+
+    def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = df["l_quantity"].to_numpy(np.float64).astype(np.int64)
+        g = (
+            pd.DataFrame({"l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                          "total_qty": q})
+            .groupby("l_orderkey", sort=False)["total_qty"].sum()
+        )
+        return g.reset_index().astype(np.int64)
+
+    partials = li.map_batches(qty_partial, batch_format="pandas")
+
+    def qty_total(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "l_orderkey" not in df.columns:
+            return pd.DataFrame(
+                {"l_orderkey": pd.Series(dtype=np.int64),
+                 "total_qty": pd.Series(dtype=np.int64)}
+            )
+        g = df.groupby("l_orderkey", sort=False)["total_qty"].sum().reset_index()
+        return g[g["total_qty"] > min_qty].astype(np.int64)
+
+    big = hash_exchange(partials, "l_orderkey", qty_total, num_buckets=8)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+    )
+
+    def attach_order(o: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"o_orderkey": pd.Series(dtype=np.int64),
+             "o_custkey": pd.Series(dtype=np.int64),
+             "orderdate_s": pd.Series(dtype=np.int64),
+             "price_cents": pd.Series(dtype=np.int64),
+             "total_qty": pd.Series(dtype=np.int64)}
+        )
+        if len(o) == 0 or len(b) == 0 or "o_orderkey" not in o.columns \
+                or "l_orderkey" not in b.columns:
+            return empty
+        j = o.merge(b, left_on="o_orderkey", right_on="l_orderkey", how="inner")
+        if len(j) == 0:
+            return empty
+        return pd.DataFrame(
+            {"o_orderkey": j["o_orderkey"].to_numpy(np.int64),
+             "o_custkey": j["o_custkey"].to_numpy(np.int64),
+             "orderdate_s": ts_epoch_us(j["o_orderdate"]) // 1_000_000,
+             "price_cents": np.floor(
+                 j["o_totalprice"].to_numpy(np.float64) * 100.0
+             ).astype(np.int64),
+             "total_qty": j["total_qty"].to_numpy(np.int64)}
+        )
+
+    joined = hash_coexchange(
+        orders, big, "o_orderkey", "l_orderkey", attach_order, num_buckets=8
+    )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+
+    def attach_cust(j: pd.DataFrame, c: pd.DataFrame) -> pd.DataFrame:
+        if len(j) == 0 or "o_custkey" not in j.columns:
+            return pd.DataFrame(
+                {"o_orderkey": pd.Series(dtype=np.int64),
+                 "o_custkey": pd.Series(dtype=np.int64),
+                 "c_name": pd.Series(dtype=object),
+                 "orderdate_s": pd.Series(dtype=np.int64),
+                 "price_cents": pd.Series(dtype=np.int64),
+                 "total_qty": pd.Series(dtype=np.int64)}
+            )
+        out = j.merge(c, left_on="o_custkey", right_on="c_custkey", how="inner")
+        return out[["o_orderkey", "o_custkey", "c_name", "orderdate_s",
+                    "price_cents", "total_qty"]]
+
+    named = hash_coexchange(
+        joined, cust, "o_custkey", "c_custkey", attach_cust, num_buckets=8
+    )
+    return named.sort(
+        ["price_cents", "o_orderkey"], descending=[True, False]
+    ).limit(k)
+
+
+SQL_LARGE_VOLUME_ORDERS = """
+WITH t AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(l_quantity AS BIGINT)) > 250
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey, c_name,
+       CAST(epoch(o_orderdate) AS BIGINT) AS orderdate_s,
+       CAST(floor(o_totalprice * 100.0) AS BIGINT) AS price_cents,
+       t.total_qty
+FROM orders
+JOIN t ON o_orderkey = t.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY price_cents DESC, o_orderkey LIMIT 100
+"""
+
+
+def pivot_events(sf_dir: str) -> ray.data.Dataset:
+    """Crosstab / PIVOT: one row per day with per-event-type count
+    columns plus purchase revenue (integer cents).  The pivot happens
+    INSIDE map_batches (long -> wide partials with a fixed column set),
+    so the shuffle moves one wide row per (batch, day) — never the long
+    table.  -> (day, n_click, n_error, n_purchase, n_signup, n_view,
+    purchase_cents)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    cols = [f"n_{t}" for t in types]
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = ts_epoch_us(df["ts"]) // 86_400_000_000
+        cents = np.floor(df["value"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        long = pd.DataFrame(
+            {"day": day, "event_type": df["event_type"].to_numpy(object),
+             "cents": cents}
+        )
+        wide = (
+            long.pivot_table(index="day", columns="event_type",
+                             values="cents", aggfunc="size", fill_value=0)
+            .reindex(columns=types, fill_value=0)
+        )
+        wide.columns = cols
+        pur = long[long["event_type"] == "purchase"]
+        pc = pur.groupby("day", sort=False)["cents"].sum()
+        wide["purchase_cents"] = pc.reindex(wide.index, fill_value=0)
+        return wide.reset_index().astype(np.int64)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("day", sort=False)[cols + ["purchase_cents"]].sum()
+        return g.reset_index().astype(np.int64)
+
+    return partitioned_map_groups(partials, "day", final, num_buckets=4)
+
+
+SQL_PIVOT_EVENTS = """
+SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+       CAST(COALESCE(sum(CAST(floor(value * 100.0) AS BIGINT))
+                     FILTER (event_type = 'purchase'), 0) AS BIGINT)
+         AS purchase_cents
+FROM events GROUP BY 1
+"""
+
+
+def segment_rank(sf_dir: str, k: int = 5) -> ray.data.Dataset:
+    """Per-group window function: dense_rank() of customers by total
+    order revenue within each market segment, keeping rank <= k.
+    Revenue pre-aggregates to one row per custkey; the custkey->segment
+    attach is a two-sided keyed exchange whose buckets ALSO prune to the
+    local top-k distinct revenues per segment (global top-k distinct is
+    contained in the union of local top-k distinct), so the final
+    per-segment exchange ranks O(k x buckets) rows per segment — the
+    segment key's low cardinality never concentrates the full table.
+    -> (c_mktsegment, c_custkey, revenue_cents, rk)."""
+    from .core import hash_exchange, hash_coexchange
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def rev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(np.float64) * 100.0
+        ).astype(np.int64)
+        g = (
+            pd.DataFrame({"o_custkey": df["o_custkey"].to_numpy(np.int64),
+                          "revenue_cents": cents})
+            .groupby("o_custkey", sort=False)["revenue_cents"].sum()
+        )
+        return g.reset_index().astype(np.int64)
+
+    partials = orders.map_batches(rev_partial, batch_format="pandas")
+
+    def attach_prune(c: pd.DataFrame, o: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"c_mktsegment": pd.Series(dtype=object),
+             "c_custkey": pd.Series(dtype=np.int64),
+             "revenue_cents": pd.Series(dtype=np.int64)}
+        )
+        if len(c) == 0 or len(o) == 0 or "c_custkey" not in c.columns \
+                or "o_custkey" not in o.columns:
+            return empty
+        rev = o.groupby("o_custkey", sort=False)["revenue_cents"].sum().reset_index()
+        j = c.merge(rev, left_on="c_custkey", right_on="o_custkey", how="inner")
+        if len(j) == 0:
+            return empty
+        # local prune: keep rows whose revenue is among this bucket's
+        # top-k DISTINCT revenues for the segment
+        rk = j.groupby("c_mktsegment", sort=False)["revenue_cents"].rank(
+            method="dense", ascending=False
+        )
+        j = j[rk <= k]
+        return j[["c_mktsegment", "c_custkey", "revenue_cents"]].astype(
+            {"c_custkey": np.int64, "revenue_cents": np.int64}
+        )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    pruned = hash_coexchange(
+        cust, partials, "c_custkey", "o_custkey", attach_prune, num_buckets=8
+    )
+
+    def rank_seg(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "c_mktsegment" not in df.columns:
+            return pd.DataFrame(
+                {"c_mktsegment": pd.Series(dtype=object),
+                 "c_custkey": pd.Series(dtype=np.int64),
+                 "revenue_cents": pd.Series(dtype=np.int64),
+                 "rk": pd.Series(dtype=np.int64)}
+            )
+        df = df.copy()
+        df["rk"] = (
+            df.groupby("c_mktsegment", sort=False)["revenue_cents"]
+            .rank(method="dense", ascending=False)
+            .astype(np.int64)
+        )
+        return df[df["rk"] <= k]
+
+    return hash_exchange(pruned, "c_mktsegment", rank_seg, num_buckets=4)
+
+
+SQL_SEGMENT_RANK = """
+WITH r AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders GROUP BY 1
+), d AS (
+  SELECT c_mktsegment, c_custkey, revenue_cents,
+         dense_rank() OVER (
+           PARTITION BY c_mktsegment ORDER BY revenue_cents DESC
+         ) AS rk
+  FROM customer JOIN r ON c_custkey = o_custkey
+)
+SELECT c_mktsegment, CAST(c_custkey AS BIGINT) AS c_custkey,
+       revenue_cents, CAST(rk AS BIGINT) AS rk
+FROM d WHERE rk <= 5
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -1972,4 +2307,8 @@ RELATIONAL_QUERIES = {
     "key_skew_profile": (key_skew_profile, SQL_KEY_SKEW_PROFILE),
     "join_size_estimate": (join_size_estimate, SQL_JOIN_SIZE_ESTIMATE),
     "customer_upsert": (customer_upsert, SQL_CUSTOMER_UPSERT),
+    "customer_order_dist": (customer_order_dist, SQL_CUSTOMER_ORDER_DIST),
+    "large_volume_orders": (large_volume_orders, SQL_LARGE_VOLUME_ORDERS),
+    "pivot_events": (pivot_events, SQL_PIVOT_EVENTS),
+    "segment_rank": (segment_rank, SQL_SEGMENT_RANK),
 }

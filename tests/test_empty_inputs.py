@@ -37,7 +37,8 @@ _SAMPLE = [
     "orders_anti_join", "json_props_sum", "shuffle_rank",
     "frequent_ngrams", "decontaminate", "dup_ngram_fraction", "tool_usage",
     "turn_spans", "ddsketch_quantiles", "key_skew_profile",
-    "customer_upsert",
+    "customer_upsert", "customer_order_dist", "large_volume_orders",
+    "pivot_events", "segment_rank",
     # NOT sampled: ner_eval / ner_eval_weighted — global aggregates whose
     # natural empty output is one zero row (like their SQL twins)
     # formerly-crashing driver-side collects (each had a KeyError /
