@@ -1167,6 +1167,82 @@ SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
 """
 
 
+def _skyline_2d(df: pd.DataFrame) -> pd.DataFrame:
+    """2-D skyline (minimize price_cents, maximize p_size) of one
+    frame, vectorized: a row survives iff its size equals the max size
+    at its exact price AND strictly exceeds the max size over all
+    strictly cheaper prices.  Ties on (price, size) all survive
+    (neither dominates the other)."""
+    cols = ("p_partkey", "price_cents", "p_size")
+    if len(df) == 0 or "price_cents" not in df.columns:
+        return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
+    g = df.groupby("price_cents", sort=True)["p_size"].max()
+    # max size over strictly cheaper price groups (-1 sentinel: sizes >= 0;
+    # TPC-H p_size is 1..50)
+    prevmax = g.cummax().shift(1, fill_value=-1)
+    gmax = df["price_cents"].map(g).to_numpy(np.int64)
+    pmax = df["price_cents"].map(prevmax).to_numpy(np.int64)
+    size = df["p_size"].to_numpy(np.int64)
+    keep = (size == gmax) & (size > pmax)
+    out = df.loc[keep, list(cols)]
+    return out.astype(np.int64)
+
+
+def part_skyline(sf_dir: str) -> pd.DataFrame:
+    """Pareto frontier (skyline) of parts: cheapest price for each
+    dominating size — parts not dominated on (price_cents min, p_size
+    max).  Distributed via the skyline-of-skylines identity: each block
+    computes its local skyline in one vectorized pass (the global
+    skyline is a subset of the union of local skylines), then one final
+    pass merges the candidates.  On value-random data a block's skyline
+    is O(log block_rows), so the merged candidate set stays tiny at any
+    scale; a price-sorted pathological layout can inflate local
+    skylines, in which case the final pass itself is the same
+    map_batches fn over a re-blocked candidate Dataset (the candidate
+    table here is driver-merged because it is provably small).
+    -> (p_partkey, price_cents, p_size)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_retailprice", "p_size"]
+    )
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "p_partkey": df["p_partkey"].to_numpy(np.int64),
+                "price_cents": np.floor(
+                    df["p_retailprice"].to_numpy(np.float64) * 100.0
+                ).astype(np.int64),
+                "p_size": df["p_size"].to_numpy(np.int64),
+            }
+        )
+        return _skyline_2d(d)
+
+    cand = ds.map_batches(local, batch_format="pandas").to_pandas()
+    return _skyline_2d(cand)
+
+
+SQL_PART_SKYLINE = """
+WITH p2 AS (
+  SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+         CAST(floor(p_retailprice * 100.0) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS p_size
+  FROM part
+), g AS (
+  SELECT price_cents, max(p_size) AS gmax FROM p2 GROUP BY 1
+), s AS (
+  SELECT price_cents, gmax,
+         COALESCE(max(gmax) OVER (
+           ORDER BY price_cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), -1) AS prevmax
+  FROM g
+)
+SELECT p2.p_partkey, p2.price_cents, p2.p_size
+FROM p2 JOIN s USING (price_cents)
+WHERE p2.p_size = s.gmax AND p2.p_size > s.prevmax
+"""
+
+
 ANALYTICS_QUERIES = {
     "asof_join_purchase": (asof_join_purchase, SQL_ASOF_JOIN_PURCHASE),
     "range_join_error_window": (range_join_error_window,
@@ -1179,4 +1255,5 @@ ANALYTICS_QUERIES = {
     "pagerank3": (pagerank3, SQL_PAGERANK3),
     "triangle_count": (triangle_count, SQL_TRIANGLE_COUNT),
     "kcore": (kcore, SQL_KCORE),
+    "part_skyline": (part_skyline, SQL_PART_SKYLINE),
 }

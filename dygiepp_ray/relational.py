@@ -2273,6 +2273,80 @@ FROM d WHERE rk <= 5
 """
 
 
+def balance_ntile(sf_dir: str, tiles: int = 10) -> pd.DataFrame:
+    """NTILE(10) decile bucketing of customers by account balance,
+    reported as per-tile aggregates — the distributed window-bucketing
+    op without a global sort.  Each batch folds to a (cents -> n)
+    histogram partial (a combiner: shuffle bytes are O(distinct cents
+    per batch), and distinct cents is bounded by the VALUE DOMAIN —
+    ~1.1M for TPC-H acctbal — not the row count, so the merged
+    histogram the driver holds is bounded at any data scale).  The
+    driver converts cumulative counts to global rank ranges and splits
+    each value's range across NTILE boundaries; because rows with equal
+    cents are interchangeable, per-tile aggregates are invariant to the
+    intra-tie order SQL leaves unspecified.  NTILE sizing matches the
+    SQL-standard rule: the first n % tiles buckets get one extra row.
+    -> (tile, n_customers, min_cents, max_cents, sum_cents)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_acctbal"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            df["c_acctbal"].to_numpy(np.float64) * 100.0
+        ).astype(np.int64)
+        g = pd.Series(cents).value_counts()
+        return pd.DataFrame(
+            {"cents": g.index.to_numpy(np.int64),
+             "n": g.to_numpy(np.int64)}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    cols = ("tile", "n_customers", "min_cents", "max_cents", "sum_cents")
+    if partials.empty or "cents" not in partials.columns:
+        return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
+    hist = partials.groupby("cents", sort=True)["n"].sum()
+    cents = hist.index.to_numpy(np.int64)
+    cnt = hist.to_numpy(np.int64)
+    lo = np.concatenate([[0], np.cumsum(cnt)[:-1]])  # 0-based rank range start
+    hi = lo + cnt
+    n = int(cnt.sum())
+    q, rem = divmod(n, tiles)
+    # tile i (0-based) covers ranks [start[i], start[i+1])
+    sizes = np.full(tiles, q, dtype=np.int64)
+    sizes[:rem] += 1
+    start = np.concatenate([[0], np.cumsum(sizes)])
+    out = {c: [] for c in cols}
+    for i in range(tiles):
+        a, b = start[i], start[i + 1]
+        if b <= a:
+            continue
+        ov = np.minimum(hi, b) - np.maximum(lo, a)
+        ov = np.clip(ov, 0, None)
+        m = ov > 0
+        out["tile"].append(i + 1)
+        out["n_customers"].append(int(ov.sum()))
+        out["min_cents"].append(int(cents[m].min()))
+        out["max_cents"].append(int(cents[m].max()))
+        out["sum_cents"].append(int((cents * ov).sum()))
+    return pd.DataFrame(out).astype(np.int64)
+
+
+SQL_BALANCE_NTILE = """
+WITH c AS (
+  SELECT CAST(floor(c_acctbal * 100.0) AS BIGINT) AS cents FROM customer
+), t AS (
+  SELECT cents, NTILE(10) OVER (ORDER BY cents) AS tile FROM c
+)
+SELECT CAST(tile AS BIGINT) AS tile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(min(cents) AS BIGINT) AS min_cents,
+       CAST(max(cents) AS BIGINT) AS max_cents,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM t GROUP BY 1
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -2311,4 +2385,5 @@ RELATIONAL_QUERIES = {
     "large_volume_orders": (large_volume_orders, SQL_LARGE_VOLUME_ORDERS),
     "pivot_events": (pivot_events, SQL_PIVOT_EVENTS),
     "segment_rank": (segment_rank, SQL_SEGMENT_RANK),
+    "balance_ntile": (balance_ntile, SQL_BALANCE_NTILE),
 }

@@ -541,3 +541,83 @@ def test_triangle_count_exchange_path_equivalent(ray_session, tmp_path):
     b = triangle_count(str(tmp_path), num_buckets=4, broadcast_edges=False)
     assert a["n_triangles"].iloc[0] == b["n_triangles"].iloc[0] > 0
     assert a["n_edges"].iloc[0] == b["n_edges"].iloc[0]
+
+
+def test_skyline_matches_bruteforce():
+    """_skyline_2d vs the O(n^2) dominance definition on random data
+    with planted (price, size) ties."""
+    from dygiepp_ray.analytics import _skyline_2d
+
+    rng = np.random.RandomState(7)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "p_partkey": np.arange(n, dtype=np.int64),
+            "price_cents": rng.randint(0, 40, n).astype(np.int64),
+            "p_size": rng.randint(0, 15, n).astype(np.int64),
+        }
+    )
+    got = set(_skyline_2d(df)["p_partkey"])
+    pc, sz = df["price_cents"].to_numpy(), df["p_size"].to_numpy()
+    want = set()
+    for i in range(n):
+        dominated = np.any(
+            (pc <= pc[i]) & (sz >= sz[i]) & ((pc < pc[i]) | (sz > sz[i]))
+        )
+        if not dominated:
+            want.add(int(df["p_partkey"][i]))
+    assert got == want and len(want) > 0
+
+
+def test_skyline_of_skylines_identity():
+    """Global skyline == skyline of the union of block-local skylines
+    (the merge step part_skyline relies on), under arbitrary splits."""
+    from dygiepp_ray.analytics import _skyline_2d
+
+    rng = np.random.RandomState(13)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "p_partkey": np.arange(n, dtype=np.int64),
+            "price_cents": rng.randint(0, 1000, n).astype(np.int64),
+            "p_size": rng.randint(0, 50, n).astype(np.int64),
+        }
+    )
+    parts = np.array_split(df.sample(frac=1, random_state=1), 7)
+    cand = pd.concat([_skyline_2d(p) for p in parts], ignore_index=True)
+    merged = _skyline_2d(cand).sort_values("p_partkey", ignore_index=True)
+    direct = _skyline_2d(df).sort_values("p_partkey", ignore_index=True)
+    pd.testing.assert_frame_equal(merged, direct)
+
+
+def test_balance_ntile_matches_rank_arithmetic(ray_session, tmp_path):
+    """balance_ntile's histogram-range split must equal row-level
+    NTILE (first n%B buckets one larger), including when tie groups
+    straddle tile boundaries."""
+    from dygiepp_ray.relational import balance_ntile
+
+    rng = np.random.RandomState(3)
+    bal = rng.randint(-50, 50, 137) / 1.0  # many ties across boundaries
+    pd.DataFrame({"c_acctbal": bal}).to_parquet(tmp_path / "customer.parquet")
+    got = balance_ntile(str(tmp_path), tiles=10)
+
+    cents = np.sort(np.floor(bal * 100.0).astype(np.int64))
+    n = len(cents)
+    q, rem = divmod(n, 10)
+    tile = np.empty(n, dtype=np.int64)
+    pos = 0
+    for i in range(10):
+        size = q + 1 if i < rem else q
+        tile[pos:pos + size] = i + 1
+        pos += size
+    want = (
+        pd.DataFrame({"tile": tile, "cents": cents})
+        .groupby("tile")
+        .agg(n_customers=("cents", "size"), min_cents=("cents", "min"),
+             max_cents=("cents", "max"), sum_cents=("cents", "sum"))
+        .reset_index()
+        .astype(np.int64)
+    )
+    pd.testing.assert_frame_equal(
+        got.sort_values("tile", ignore_index=True), want
+    )
