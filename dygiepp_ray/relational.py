@@ -2347,6 +2347,98 @@ FROM t GROUP BY 1
 """
 
 
+def heavy_hitters(sf_dir: str, phi_inv: int = 4096) -> pd.DataFrame:
+    """EXACT frequent items over events.user_id via the Misra-Gries
+    two-pass topology (candidates sketch + broadcast verify — see
+    functions/mg.py): users with count * phi_inv > n.  The MG superset
+    guarantee makes the output identical to plain GROUP BY ... HAVING,
+    which is the SQL twin.  At this synthetic SF the distinct-user
+    count sits under the capacity so the sketch never prunes; the
+    pruning path is pinned by a Zipf unit test
+    (tests/test_analytics.py::test_mg_*)."""
+    from .functions.mg import heavy_hitters_exact
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    out = heavy_hitters_exact(ev, "user_id", phi_inv)
+    return out.rename(columns={"key": "user_id", "count": "n_events"})
+
+
+SQL_HEAVY_HITTERS = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+HAVING count(*) * 4096 > (SELECT count(*) FROM events)
+"""
+
+
+def kmv_intersection(sf_dir: str, k: int = 64) -> pd.DataFrame:
+    """KMV (bottom-k / theta) sketch set-intersection: estimated
+    distinct-user overlap for every event-type pair — the sketch
+    composition HLL cannot do (see functions/kmv.py for the integer
+    estimator pinned by the SQL twin).
+    -> (type_a, type_b, matches, union_est, inter_est)."""
+    from .functions.kmv import kmv_intersections, kmv_sketch_by
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    sketches = kmv_sketch_by(ev, "user_id", "event_type", k)
+    return kmv_intersections(sketches, k)
+
+
+SQL_KMV_INTERSECTION = f"""
+WITH d AS (
+  SELECT DISTINCT event_type,
+         CAST({_sql_hexval_huge("md5(CAST(user_id AS VARCHAR))", 15)}
+              AS BIGINT) AS val
+  FROM events
+),
+r AS (
+  SELECT event_type, val,
+         row_number() OVER (PARTITION BY event_type ORDER BY val) AS rn
+  FROM d
+),
+sk AS (SELECT event_type, val FROM r WHERE rn <= 64),
+ty AS (SELECT DISTINCT event_type FROM events),
+pr AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM ty a JOIN ty b ON a.event_type < b.event_type
+),
+uni AS (
+  SELECT pr.ta, pr.tb, s.val,
+         max(CASE WHEN s.event_type = pr.ta THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN s.event_type = pr.tb THEN 1 ELSE 0 END) AS in_b
+  FROM pr JOIN sk s ON s.event_type = pr.ta OR s.event_type = pr.tb
+  GROUP BY 1, 2, 3
+),
+ru AS (
+  SELECT ta, tb, val, in_a, in_b,
+         row_number() OVER (PARTITION BY ta, tb ORDER BY val) AS rn,
+         count(*) OVER (PARTITION BY ta, tb) AS n_union
+  FROM uni
+),
+agg AS (
+  SELECT ta, tb, least(max(n_union), 64) AS ku, max(n_union) AS n_union,
+         max(val) FILTER (WHERE rn <= 64) AS kth,
+         count(*) FILTER (WHERE rn <= 64 AND in_a = 1 AND in_b = 1)
+           AS matches
+  FROM ru GROUP BY 1, 2
+),
+est AS (
+  SELECT ta, tb, ku, matches,
+         CASE WHEN n_union < 64 THEN n_union
+              ELSE (ku - 1) * (1152921504606846976::HUGEINT) // kth
+         END AS union_est
+  FROM agg
+)
+SELECT ta AS type_a, tb AS type_b,
+       CAST(matches AS BIGINT) AS matches,
+       CAST(union_est AS BIGINT) AS union_est,
+       CAST(matches * union_est // ku AS BIGINT) AS inter_est
+FROM est
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -2386,4 +2478,6 @@ RELATIONAL_QUERIES = {
     "pivot_events": (pivot_events, SQL_PIVOT_EVENTS),
     "segment_rank": (segment_rank, SQL_SEGMENT_RANK),
     "balance_ntile": (balance_ntile, SQL_BALANCE_NTILE),
+    "heavy_hitters": (heavy_hitters, SQL_HEAVY_HITTERS),
+    "kmv_intersection": (kmv_intersection, SQL_KMV_INTERSECTION),
 }

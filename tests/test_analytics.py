@@ -621,3 +621,84 @@ def test_balance_ntile_matches_rank_arithmetic(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got.sort_values("tile", ignore_index=True), want
     )
+
+
+def test_mg_superset_guarantee_under_pruning(ray_session, tmp_path):
+    """Misra-Gries with capacity << distinct (so pruning really runs)
+    must (a) keep candidate summaries <= capacity, (b) retain every
+    item with true count > n/(capacity+1), (c) make the two-pass exact
+    output identical to the true heavy hitters."""
+    from dygiepp_ray.functions.mg import heavy_hitters_exact, mg_candidates
+
+    rng = np.random.RandomState(5)
+    # Zipf-ish: a few hot keys + a long uniform tail of 2000 distinct
+    hot = np.repeat(np.arange(5, dtype=np.int64), 400)
+    tail = rng.randint(100, 2100, 6000).astype(np.int64)
+    vals = np.concatenate([hot, tail])
+    rng.shuffle(vals)
+    pd.DataFrame({"user_id": vals}).to_parquet(tmp_path / "events.parquet")
+    ds = ray.data.read_parquet(str(tmp_path / "events.parquet"))
+
+    capacity = 32
+    cand = mg_candidates(ds, "user_id", capacity)
+    assert len(cand) <= capacity
+    n = len(vals)
+    true = pd.Series(vals).value_counts()
+    guaranteed = set(true[true > n / (capacity + 1)].index)
+    assert guaranteed, "test corpus must actually have heavy items"
+    assert guaranteed <= set(cand.tolist())
+
+    out = heavy_hitters_exact(ds, "user_id", phi_inv=32)
+    want = true[true * 32 > n].sort_index()
+    assert out["key"].tolist() == list(want.index)
+    assert out["count"].tolist() == list(want.values)
+
+
+def test_mg_capacity_below_phi_inv_rejected(ray_session):
+    from dygiepp_ray.functions.mg import heavy_hitters_exact
+
+    ds = ray.data.from_pandas(pd.DataFrame({"x": np.arange(10)}))
+    with pytest.raises(ValueError):
+        heavy_hitters_exact(ds, "x", phi_inv=64, capacity=16)
+
+
+def test_kmv_exact_when_union_small(ray_session, tmp_path):
+    """When the union sketch saw every distinct value (n_union < k)
+    the estimator must return EXACT distinct counts, and matches must
+    equal the exact intersection."""
+    from dygiepp_ray.functions.kmv import kmv_intersections, kmv_sketch_by
+
+    rows = []
+    for u in range(20):
+        rows.append(("a", u))
+    for u in range(10, 35):
+        rows.append(("b", u))
+    df = pd.DataFrame(rows, columns=["event_type", "user_id"])
+    ds = ray.data.from_pandas(df)
+    sk = kmv_sketch_by(ds, "user_id", "event_type", k=64)
+    out = kmv_intersections(sk, k=64)
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["union_est"] == 35  # |0..34|
+    assert r["matches"] == 10    # |10..19|
+    assert r["inter_est"] == 10 * 35 // 35
+
+
+def test_kmv_estimate_within_error(ray_session, tmp_path):
+    """At n_union >> k the KMV union estimate must land within the
+    ~1/sqrt(k) relative-error band and the intersection estimate near
+    the true overlap."""
+    from dygiepp_ray.functions.kmv import kmv_intersections, kmv_sketch_by
+
+    na, nb, overlap = 3000, 3000, 1500
+    rows = [("a", u) for u in range(na)]
+    rows += [("b", u) for u in range(na - overlap, na - overlap + nb)]
+    df = pd.DataFrame(rows, columns=["event_type", "user_id"])
+    ds = ray.data.from_pandas(df)
+    k = 256
+    sk = kmv_sketch_by(ds, "user_id", "event_type", k=k)
+    out = kmv_intersections(sk, k=k)
+    r = out.iloc[0]
+    true_union = na + nb - overlap
+    assert abs(r["union_est"] - true_union) / true_union < 4 / np.sqrt(k)
+    assert abs(r["inter_est"] - overlap) / overlap < 8 / np.sqrt(k)
