@@ -853,3 +853,79 @@ def _assign_range_ranks(
         return pd.concat(out, ignore_index=True)
 
     return hash_exchange(ds, "hrange", assign, num_buckets=num_buckets)
+
+
+def bpe_learn(
+    ds: ray.data.Dataset, n_merges: int = 6, text_col: str = "text"
+) -> pd.DataFrame:
+    """Learn byte-pair-encoding merges from a corpus — tokenizer
+    training as a data pipeline (Sennrich et al. 2016; the
+    subword-nmt / HuggingFace-tokenizers topology: word counting is
+    the distributed pass, merge learning runs on the word-count table,
+    which is bounded by the VOCABULARY, not the corpus size).
+
+    Pass 1 (distributed): per-batch word counts (combiner — shuffle
+    bytes are O(batch vocabulary)), merged into one (word -> n) table.
+    Pass 2 (driver, vocab-bounded): words become sentinel-spaced symbol
+    strings (`` a b c ``); each round counts adjacent symbol pairs
+    weighted by word count (overlapping occurrences all count, the
+    textbook convention), picks the most frequent pair (ties ->
+    lexicographically smallest), and applies it via non-overlapping
+    left-to-right replace of `` l r `` with `` lr `` — a semantic
+    shared bit-for-bit by the SQL twin's replace() (NOTE: on an
+    odd-length run of identical symbols this merges floor(run/2) pairs
+    with a consumed separator, a deliberate, documented divergence from
+    lookbehind-based BPE, which RE2/DuckDB cannot express).
+
+    -> (merge_rank, left_sym, right_sym, freq), one row per learned
+    merge, freq = the pair's weighted count when it was chosen."""
+    cols = ("merge_rank", "left_sym", "right_sym", "freq")
+
+    def wc(df: pd.DataFrame) -> pd.DataFrame:
+        words = df[text_col].str.split().explode().dropna()
+        vc = words.value_counts()
+        return pd.DataFrame(
+            {"w": vc.index.to_numpy(object), "n": vc.to_numpy(np.int64)}
+        )
+
+    parts = ds.map_batches(wc, batch_format="pandas").to_pandas()
+    empty = pd.DataFrame(
+        {c: pd.Series(dtype=object if c.endswith("_sym") else np.int64)
+         for c in cols}
+    )
+    if parts.empty or "w" not in parts.columns:
+        return empty
+    g = parts.groupby("w", sort=False)["n"].sum()
+    reps = np.array([" " + " ".join(w) + " " for w in g.index], dtype=object)
+    counts = g.to_numpy(np.int64)
+
+    rows = []
+    for k in range(n_merges):
+        # vectorized adjacent-pair count over the flattened symbol stream
+        syms = [r.split() for r in reps]
+        lens = np.array([len(s) for s in syms], dtype=np.int64)
+        if not len(lens) or lens.max() < 2:
+            break
+        flat = np.concatenate([np.asarray(s, dtype=object) for s in syms])
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        word_of = np.repeat(np.arange(len(lens)), lens)
+        valid = word_of[1:] == word_of[:-1]  # pair stays inside one word
+        pair_l = flat[:-1][valid]
+        pair_r = flat[1:][valid]
+        pair_n = counts[word_of[1:][valid]]
+        pc = (
+            pd.DataFrame({"l": pair_l, "r": pair_r, "n": pair_n})
+            .groupby(["l", "r"], sort=True)["n"].sum()
+        )
+        if not len(pc):
+            break
+        best_f = int(pc.max())
+        l, r = pc[pc == best_f].index[0]  # sort=True -> lexicographic min
+        rows.append((k + 1, l, r, best_f))
+        old, new = f" {l} {r} ", f" {l}{r} "
+        reps = np.array([s.replace(old, new) for s in reps], dtype=object)
+
+    if not rows:
+        return empty
+    out = pd.DataFrame(rows, columns=list(cols))
+    return out.astype({"merge_rank": np.int64, "freq": np.int64})

@@ -1203,7 +1203,59 @@ FROM s, q WHERE n_distinct >= thr GROUP BY 1
 """
 
 
+def q_bpe_learn(sf_dir: str):
+    """BPE tokenizer training over the corpus: distributed word-count
+    combiner -> vocab-bounded merge loop (textops/corpus.bpe_learn);
+    oracle = the same merge recursion unrolled stage-by-stage in SQL."""
+    return _corpus.bpe_learn(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    )
+
+
+def _sql_bpe(n_merges: int) -> str:
+    """Unrolled SQL twin of bpe_learn: one (pairs -> best -> replace)
+    CTE block per merge round, sharing the engine's sentinel-space
+    replace semantics exactly."""
+    sql = """
+WITH base AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents WHERE trim(text) <> ''
+),
+wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1),
+rep0 AS (
+  SELECT n, ' ' || array_to_string(
+    list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)), ' ')
+    || ' ' AS rep
+  FROM wc
+)"""
+    for k in range(n_merges):
+        sql += f""",
+p{k} AS (
+  SELECT pr.l AS l, pr.r AS r, CAST(sum(n) AS BIGINT) AS f FROM (
+    SELECT n, unnest(list_transform(range(1, len(arr)),
+           i -> {{'l': arr[i], 'r': arr[i + 1]}})) AS pr
+    FROM (SELECT n, string_split(trim(rep), ' ') AS arr FROM rep{k})
+  ) GROUP BY 1, 2
+),
+b{k} AS (SELECT l, r, f FROM p{k} ORDER BY f DESC, l, r LIMIT 1),
+rep{k + 1} AS (
+  SELECT n, replace(rep, (SELECT ' ' || l || ' ' || r || ' ' FROM b{k}),
+                    (SELECT ' ' || l || r || ' ' FROM b{k})) AS rep
+  FROM rep{k}
+)"""
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({k + 1} AS BIGINT) AS merge_rank, l AS left_sym,"
+        f" r AS right_sym, f AS freq FROM b{k}"
+        for k in range(n_merges)
+    )
+    return sql + "\n" + sel
+
+
+SQL_BPE_LEARN = _sql_bpe(6)
+
+
 TEXTOPS_QUERIES = {
+    "bpe_learn": (q_bpe_learn, SQL_BPE_LEARN),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "bpe_token_count": (q_bpe_token_count, SQL_BPE_TOKEN_COUNT),
     "quality_scores": (q_quality, SQL_QUALITY),

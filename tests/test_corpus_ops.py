@@ -467,3 +467,41 @@ def test_cap_docs_per_source_binds_and_is_deterministic(ray_session):
     big = df[df.source == "big"]["doc_id"]
     want = set(sorted(big, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:10])
     assert set(out1[out1.source == "big"]["doc_id"]) == want
+
+
+def test_bpe_learn_hand_computed(ray_session):
+    """Hand-traced BPE merges: corpus = 'low low lower', so pass 1
+    word counts are {low: 2, lower: 1}.  Round 1 pairs: (l,o)=3,
+    (o,w)=3, (w,e)=1, (e,r)=1 -> tie at 3 broken lexicographically to
+    (l,o).  Round 2: (lo,w)=3 wins.  Round 3: (low,e)=1 vs (e,r)=1 ->
+    (e,r).  Round 4: (low,er)=1."""
+    ds = rd.from_pandas(
+        pd.DataFrame({"text": ["low low", "lower"]})
+    ).repartition(2)
+    out = corpus.bpe_learn(ds, n_merges=4)
+    got = list(out.itertuples(index=False, name=None))
+    assert got == [
+        (1, "l", "o", 3),
+        (2, "lo", "w", 3),
+        (3, "e", "r", 1),
+        (4, "low", "er", 1),
+    ]
+
+
+def test_bpe_learn_identical_run_semantics(ray_session):
+    """The documented non-overlapping left-to-right replace on an
+    identical-symbol run: 'aaa' -> pairs (a,a)=2 choose (a,a); replace
+    ' a a '->' aa ' consumes the separator, leaving 'aa a' -> next
+    round pair (aa,a)."""
+    ds = rd.from_pandas(pd.DataFrame({"text": ["aaa"]}))
+    out = corpus.bpe_learn(ds, n_merges=2)
+    got = list(out.itertuples(index=False, name=None))
+    assert got == [(1, "a", "a", 2), (2, "aa", "a", 1)]
+
+
+def test_bpe_learn_empty(ray_session):
+    out = corpus.bpe_learn(
+        rd.from_pandas(pd.DataFrame({"text": pd.Series(dtype=object)}))
+    )
+    assert len(out) == 0
+    assert list(out.columns) == ["merge_rank", "left_sym", "right_sym", "freq"]
