@@ -880,6 +880,24 @@ def bpe_learn(
     -> (merge_rank, left_sym, right_sym, freq), one row per learned
     merge, freq = the pair's weighted count when it was chosen."""
     cols = ("merge_rank", "left_sym", "right_sym", "freq")
+    empty = pd.DataFrame(
+        {c: pd.Series(dtype=object if c.endswith("_sym") else np.int64)
+         for c in cols}
+    )
+    g = _bpe_word_counts(ds, text_col)
+    if g is None:
+        return empty
+    rows, _ = _bpe_merge_loop(g, n_merges)
+    if not rows:
+        return empty
+    out = pd.DataFrame(rows, columns=list(cols))
+    return out.astype({"merge_rank": np.int64, "freq": np.int64})
+
+
+def _bpe_word_counts(ds: ray.data.Dataset, text_col: str):
+    """Distributed pass 1: corpus -> (word -> count) Series, or None on
+    an empty/column-less corpus.  Per-batch value_counts is the
+    combiner — shuffle bytes are O(batch vocabulary)."""
 
     def wc(df: pd.DataFrame) -> pd.DataFrame:
         words = df[text_col].str.split().explode().dropna()
@@ -889,13 +907,15 @@ def bpe_learn(
         )
 
     parts = ds.map_batches(wc, batch_format="pandas").to_pandas()
-    empty = pd.DataFrame(
-        {c: pd.Series(dtype=object if c.endswith("_sym") else np.int64)
-         for c in cols}
-    )
     if parts.empty or "w" not in parts.columns:
-        return empty
-    g = parts.groupby("w", sort=False)["n"].sum()
+        return None
+    return parts.groupby("w", sort=False)["n"].sum()
+
+
+def _bpe_merge_loop(g: pd.Series, n_merges: int):
+    """Vocab-bounded driver pass 2: the BPE merge recursion.  Takes the
+    (word -> count) Series; returns (merge rows, final sentinel-spaced
+    representation per word aligned with g.index)."""
     reps = np.array([" " + " ".join(w) + " " for w in g.index], dtype=object)
     counts = g.to_numpy(np.int64)
 
@@ -925,7 +945,60 @@ def bpe_learn(
         old, new = f" {l} {r} ", f" {l}{r} "
         reps = np.array([s.replace(old, new) for s in reps], dtype=object)
 
-    if not rows:
-        return empty
-    out = pd.DataFrame(rows, columns=list(cols))
-    return out.astype({"merge_rank": np.int64, "freq": np.int64})
+    return rows, reps
+
+
+def bpe_segment(
+    ds: ray.data.Dataset,
+    n_merges: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Tokenize the corpus with a BPE vocabulary learned from the
+    corpus itself (train + apply in one pipeline — the
+    subword-nmt `learn_bpe` -> `apply_bpe` sequence as Ray stages).
+
+    Pass 1 + merge loop are shared with :func:`bpe_learn` (distributed
+    word-count combiner, then a driver loop bounded by the VOCABULARY,
+    not the corpus).  The learned per-word segmentation (word ->
+    subtoken count, vocab-bounded) is broadcast once via ``ray.put``
+    and pass 3 streams the corpus through a stateless map_batches that
+    explodes words, maps counts, and re-sums per document — no
+    shuffle at all on the corpus side.
+
+    -> (doc_id, n_words, n_bpe_tokens) per document; whitespace-only
+    documents get zeros."""
+    g = _bpe_word_counts(ds, text_col)
+    if g is None:  # empty corpus -> typed empty frame (0 documents)
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(dtype=np.int64),
+                "n_words": pd.Series(dtype=np.int64),
+                "n_bpe_tokens": pd.Series(dtype=np.int64),
+            }
+        )
+    _, reps = _bpe_merge_loop(g, n_merges)
+    n_sub = pd.Series(
+        np.array([len(r.split()) for r in reps], dtype=np.int64),
+        index=g.index,
+    )
+    sub_ref = ray.put(n_sub)
+
+    def seg(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(sub_ref)
+        words = df[text_col].str.split()
+        nw = words.str.len().fillna(0).to_numpy(np.int64)
+        ex = words.explode().dropna()
+        per_row = (
+            ex.map(lut).groupby(level=0).sum()
+            .reindex(df.index, fill_value=0)
+        )
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(np.int64),
+                "n_words": nw,
+                "n_bpe_tokens": per_row.to_numpy(np.int64),
+            }
+        )
+
+    return ds.map_batches(seg, batch_format="pandas")

@@ -1212,18 +1212,21 @@ def q_bpe_learn(sf_dir: str):
     )
 
 
-def _sql_bpe(n_merges: int) -> str:
-    """Unrolled SQL twin of bpe_learn: one (pairs -> best -> replace)
-    CTE block per merge round, sharing the engine's sentinel-space
-    replace semantics exactly."""
+def _sql_bpe_ctes(n_merges: int, carry_w: bool = False) -> str:
+    """Shared CTE chain of the BPE twins: word counts, then one
+    (pairs -> best -> replace) block per merge round, matching the
+    engine's sentinel-space replace semantics exactly.  ``carry_w``
+    keeps the original word through the rep chain (the segment twin
+    joins documents back to the final segmentation)."""
+    wcol = "w, " if carry_w else ""
     sql = """
-WITH base AS (
-  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+WITH dw AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
   FROM documents WHERE trim(text) <> ''
 ),
-wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1),
+wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM dw GROUP BY 1),
 rep0 AS (
-  SELECT n, ' ' || array_to_string(
+  SELECT """ + wcol + """n, ' ' || array_to_string(
     list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)), ' ')
     || ' ' AS rep
   FROM wc
@@ -1239,23 +1242,63 @@ p{k} AS (
 ),
 b{k} AS (SELECT l, r, f FROM p{k} ORDER BY f DESC, l, r LIMIT 1),
 rep{k + 1} AS (
-  SELECT n, replace(rep, (SELECT ' ' || l || ' ' || r || ' ' FROM b{k}),
-                    (SELECT ' ' || l || r || ' ' FROM b{k})) AS rep
+  SELECT {wcol}n,
+         replace(rep, (SELECT ' ' || l || ' ' || r || ' ' FROM b{k}),
+                 (SELECT ' ' || l || r || ' ' FROM b{k})) AS rep
   FROM rep{k}
 )"""
+    return sql
+
+
+def _sql_bpe(n_merges: int) -> str:
+    """Unrolled SQL twin of bpe_learn: the shared CTE chain plus a
+    UNION of each round's winning pair."""
     sel = "\nUNION ALL\n".join(
         f"SELECT CAST({k + 1} AS BIGINT) AS merge_rank, l AS left_sym,"
         f" r AS right_sym, f AS freq FROM b{k}"
         for k in range(n_merges)
     )
-    return sql + "\n" + sel
+    return _sql_bpe_ctes(n_merges) + "\n" + sel
+
+
+def _sql_bpe_segment(n_merges: int) -> str:
+    """Twin of bpe_segment: learn the merges (shared CTEs, carrying the
+    word), then join every document's words to the final segmentation
+    and count subtokens; whitespace-only documents keep zero rows via
+    the LEFT JOIN."""
+    return _sql_bpe_ctes(n_merges, carry_w=True) + f""",
+seg AS (
+  SELECT w, CAST(len(string_split(trim(rep), ' ')) AS BIGINT) AS n_sub
+  FROM rep{n_merges}
+)
+SELECT d.doc_id,
+       CAST(count(dw.w) AS BIGINT) AS n_words,
+       CAST(coalesce(sum(s.n_sub), 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d
+LEFT JOIN dw ON dw.doc_id = d.doc_id
+LEFT JOIN seg s ON s.w = dw.w
+GROUP BY d.doc_id"""
+
+
+def q_bpe_segment(sf_dir: str):
+    """Train-and-apply BPE over the corpus: shared word-count combiner
+    + vocab-bounded merge loop, then a broadcast word->subtokens map
+    applied in one shuffle-free streaming pass
+    (textops/corpus.bpe_segment)."""
+    return _corpus.bpe_segment(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+    )
 
 
 SQL_BPE_LEARN = _sql_bpe(6)
+SQL_BPE_SEGMENT = _sql_bpe_segment(6)
 
 
 TEXTOPS_QUERIES = {
     "bpe_learn": (q_bpe_learn, SQL_BPE_LEARN),
+    "bpe_segment": (q_bpe_segment, SQL_BPE_SEGMENT),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "bpe_token_count": (q_bpe_token_count, SQL_BPE_TOKEN_COUNT),
     "quality_scores": (q_quality, SQL_QUALITY),

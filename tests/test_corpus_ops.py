@@ -505,3 +505,19 @@ def test_bpe_learn_empty(ray_session):
     )
     assert len(out) == 0
     assert list(out.columns) == ["merge_rank", "left_sym", "right_sym", "freq"]
+
+
+def test_bpe_segment_hand_computed(ray_session):
+    """Corpus 'low low / lower': the 4 merges are (l,o), (lo,w),
+    (e,r), (low,er), so low -> 'low' (1 subtoken) and lower ->
+    'lower' (1).  Doc 0 (two words) -> 2 subtokens; doc 1 -> 1.
+    Whitespace-only doc -> zeros."""
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {"doc_id": np.int64([0, 1, 2]), "text": ["low low", "lower", "  "]}
+        )
+    ).repartition(2)
+    out = corpus.bpe_segment(ds, n_merges=4).to_pandas()
+    out = out.sort_values("doc_id", ignore_index=True)
+    assert out["n_words"].tolist() == [2, 1, 0]
+    assert out["n_bpe_tokens"].tolist() == [2, 1, 0]

@@ -39,7 +39,7 @@ _SAMPLE = [
     "turn_spans", "ddsketch_quantiles", "key_skew_profile",
     "customer_upsert", "customer_order_dist", "large_volume_orders",
     "pivot_events", "segment_rank", "balance_ntile", "part_skyline",
-    "heavy_hitters", "kmv_intersection", "bpe_learn",
+    "heavy_hitters", "kmv_intersection", "bpe_learn", "bpe_segment",
     # NOT sampled: ner_eval / ner_eval_weighted — global aggregates whose
     # natural empty output is one zero row (like their SQL twins)
     # formerly-crashing driver-side collects (each had a KeyError /
