@@ -1031,3 +1031,74 @@ def prefix_near_dups(
         return out
 
     return withboth.map_batches(verify, batch_format="pandas")
+
+
+def keep_best_per_component(
+    scores: ray.data.Dataset,
+    comps: ray.data.Dataset,
+    id_col: str = "doc_id",
+    score_col: str = "n_distinct",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Cluster-dedup representative selection: every document gets its
+    near-dup component label (docs in no component are their own
+    singleton) and the best-scoring doc per component is kept (ties ->
+    lowest id) — the "keep one per duplicate cluster" step the big
+    corpus-curation pipelines run after MinHash clustering.
+
+    Two linear keyed exchanges, no broadcast and no driver
+    materialization: ``scores`` x ``comps`` co-partitioned on the doc
+    id (the component table is usually far smaller than the corpus —
+    only docs with at least one near-dup edge appear), then one
+    exchange on the component id for the per-group argmax.  All
+    arithmetic stays on int64 arrays (no float routing of ids,
+    ADVICE r3).
+
+    -> (doc_id, component, kept) one row per input doc, kept in {0,1}.
+    """
+    from ..core import hash_coexchange, hash_exchange
+
+    def attach(sc: pd.DataFrame, cp: pd.DataFrame) -> pd.DataFrame:
+        if len(sc) == 0 or id_col not in sc.columns:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=np.int64)
+                 for c in (id_col, "component", score_col)}
+            )
+        ids = sc[id_col].to_numpy(np.int64)
+        if len(cp) and "node" in cp.columns:
+            # int-exact lookup (a merge + fillna would route the label
+            # through float64 NaNs): indexer into the unique node list,
+            # -1 (absent) falls back to the doc's own id
+            lut = pd.Index(cp["node"].to_numpy(np.int64))
+            labels = cp["component"].to_numpy(np.int64)
+            pos = lut.get_indexer(ids)
+            comp = np.where(pos >= 0, labels[np.maximum(pos, 0)], ids)
+        else:
+            comp = ids
+        return pd.DataFrame(
+            {id_col: ids, "component": comp,
+             score_col: sc[score_col].to_numpy(np.int64)}
+        )
+
+    withcomp = hash_coexchange(scores, comps, id_col, "node", attach,
+                               num_buckets)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "component" not in df.columns:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=np.int64)
+                 for c in (id_col, "component", "kept")}
+            )
+        df = df.sort_values(
+            ["component", score_col, id_col],
+            ascending=[True, False, True], kind="mergesort",
+            ignore_index=True,
+        )
+        kept = (~df.duplicated("component")).to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {id_col: df[id_col].to_numpy(np.int64),
+             "component": df["component"].to_numpy(np.int64),
+             "kept": kept}
+        )
+
+    return hash_exchange(withcomp, "component", pick, num_buckets)

@@ -556,7 +556,9 @@ def q_near_dup_components(sf_dir: str):
     )
 
 
-SQL_NEAR_DUP_COMPONENTS = "WITH RECURSIVE " + _SQL_ARR[len("WITH "):] + """,
+# shared CTE chain: tokenized docs -> shingle sets -> verified near-dup
+# edges -> recursive transitive closure (reused by dedup_keep_best)
+_SQL_COMP_CTES = "WITH RECURSIVE " + _SQL_ARR[len("WITH "):] + """,
 sh AS (
   SELECT doc_id,
     CASE WHEN len(arr) = 0 THEN []::VARCHAR[]
@@ -581,9 +583,53 @@ closure(s, d) AS (
   SELECT s, d FROM edges
   UNION
   SELECT c.s, g.d FROM closure c JOIN edges g ON c.d = g.s
-)
+)"""
+
+SQL_NEAR_DUP_COMPONENTS = _SQL_COMP_CTES + """
 SELECT CAST(s AS BIGINT) AS node, CAST(min(d) AS BIGINT) AS component
 FROM closure GROUP BY s
+"""
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """Cluster dedup with representative selection: the minhash
+    near-dup components (same edges as near_dup_components) joined to
+    integer quality scores; the most-distinct-token doc per component
+    is kept (tie -> lowest doc_id), docs with no near-dup are their own
+    singleton and keep themselves — the RefinedWeb/Gopher-style
+    "keep one per duplicate cluster" curation step."""
+    docs = _docs(sf_dir)
+    sigs = dedup.minhash_signatures(docs)
+    pairs = dedup.lsh_candidate_pairs(sigs)
+    verified = dedup.ngram_jaccard_verify(pairs, docs, threshold=0.8)
+    comps = dedup.connected_components(verified)
+    scores = quality.quality_scores(docs)
+    return dedup.keep_best_per_component(scores, comps)
+
+
+SQL_DEDUP_KEEP_BEST = _SQL_COMP_CTES + """,
+comp AS (SELECT s AS node, min(d) AS component FROM closure GROUP BY s),
+q AS (
+  SELECT b.doc_id, COALESCE(a.n_distinct, 0) AS n_distinct
+  FROM base b LEFT JOIN (
+    SELECT doc_id, count(DISTINCT tok) AS n_distinct
+    FROM (SELECT doc_id, unnest(arr) AS tok FROM base) GROUP BY 1
+  ) a USING (doc_id)
+),
+j AS (
+  SELECT q.doc_id, COALESCE(c.component, q.doc_id) AS component, q.n_distinct
+  FROM q LEFT JOIN comp c ON c.node = q.doc_id
+),
+r AS (
+  SELECT doc_id, component,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY n_distinct DESC, doc_id) AS rk
+  FROM j
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(component AS BIGINT) AS component,
+       CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM r
 """
 
 
@@ -1317,6 +1363,7 @@ TEXTOPS_QUERIES = {
     "prefix_near_dups": (q_prefix_near_dups, SQL_PREFIX_NEAR_DUPS),
     "fuzzy_join_docs": (q_fuzzy_join_docs, SQL_FUZZY_JOIN_DOCS),
     "near_dup_components": (q_near_dup_components, SQL_NEAR_DUP_COMPONENTS),
+    "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "wav_features": (q_wav_features, SQL_WAV_FEATURES),

@@ -688,3 +688,23 @@ def test_label_centroids_fixed_point_exact(ray_session):
         for d in range(4):
             assert out.loc[(lab, d), "sum_x1e6"] == want[d]
             assert out.loc[(lab, d), "n"] == len(sub)
+
+
+def test_keep_best_per_component_hand_computed(ray_session):
+    """Components {0,1,2} (label 0) and {5,6} (label 5); doc 9 is a
+    singleton.  Doc 1 has the best score in its cluster; docs 5 and 6
+    tie, which breaks to the LOWEST id (5); doc 9 keeps itself."""
+    comps = rd.from_pandas(pd.DataFrame(
+        {"node": np.int64([0, 1, 2, 5, 6]),
+         "component": np.int64([0, 0, 0, 5, 5])}
+    )).repartition(2)
+    scores = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.int64([0, 1, 2, 5, 6, 9]),
+         "n_distinct": np.int64([3, 7, 5, 4, 4, 1])}
+    )).repartition(3)
+    out = (
+        dedup.keep_best_per_component(scores, comps, num_buckets=4)
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    assert out["component"].tolist() == [0, 0, 0, 5, 5, 9]
+    assert out["kept"].tolist() == [0, 1, 0, 1, 0, 1]
