@@ -2439,6 +2439,123 @@ FROM est
 """
 
 
+_Q3_CUTOFF_US = int(pd.Timestamp("1998-06-01").value // 1000)
+
+
+def shipping_priority(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """TPC-H Q3 shape: customer (filtered to one market segment,
+    broadcast once) x orders (date-filtered) x lineitem (date-filtered)
+    -> top-k not-yet-shipped orders by revenue.
+
+    The canonical mixed-join plan at any scale: the SMALL side (the
+    segment's custkeys, O(customers/5) int64s) rides ``ray.put`` into a
+    vectorized ``np.isin`` filter on the orders scan; the BIG-BIG
+    orders x lineitem join is ONE keyed coexchange on the orderkey with
+    a per-batch revenue combiner on the lineitem side (shuffle bytes =
+    one partial row per (batch, orderkey), not one per lineitem) and a
+    per-bucket top-k, so the final global sort sees <= k * num_buckets
+    rows no matter the corpus size."""
+    from .core import hash_coexchange
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    if len(cust) and "c_mktsegment" in cust.columns:
+        keys = np.sort(
+            cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"]
+            .to_numpy(np.int64)
+        )
+    else:
+        keys = np.empty(0, dtype=np.int64)
+    keys_ref = ray.put(keys)
+
+    _EMPTY_O = {"o_orderkey": np.int64, "o_orderdate_us": np.int64,
+                "o_orderpriority": object}
+
+    def ofilter(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_orderkey" not in df.columns:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in _EMPTY_O.items()}
+            )
+        t = ts_epoch_us(df["o_orderdate"])
+        keep = (t < _Q3_CUTOFF_US) & np.isin(
+            df["o_custkey"].to_numpy(np.int64), ray.get(keys_ref),
+            assume_unique=False,
+        )
+        return pd.DataFrame(
+            {"o_orderkey": df["o_orderkey"].to_numpy(np.int64)[keep],
+             "o_orderdate_us": t[keep],
+             "o_orderpriority": df["o_orderpriority"].to_numpy()[keep]}
+        )
+
+    ordf = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(ofilter, batch_format="pandas")
+
+    def lpart(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "l_orderkey" not in df.columns:
+            return pd.DataFrame({"l_orderkey": pd.Series(dtype=np.int64),
+                                 "rev": pd.Series(dtype=np.float64)})
+        sub = df.loc[ts_epoch_us(df["l_shipdate"]) > _Q3_CUTOFF_US]
+        rev = sub["l_extendedprice"] * (1 - sub["l_discount"])
+        g = rev.groupby(sub["l_orderkey"].to_numpy(np.int64)).sum()
+        return pd.DataFrame({"l_orderkey": g.index.to_numpy(np.int64),
+                             "rev": g.to_numpy(np.float64)})
+
+    lip = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(lpart, batch_format="pandas")
+
+    _OUT = ("l_orderkey", "revenue", "o_orderdate_us", "o_orderpriority")
+
+    def join_topk(o: pd.DataFrame, l: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"l_orderkey": pd.Series(dtype=np.int64),
+             "revenue": pd.Series(dtype=np.float64),
+             "o_orderdate_us": pd.Series(dtype=np.int64),
+             "o_orderpriority": pd.Series(dtype=object)}
+        )
+        if (len(o) == 0 or "o_orderkey" not in o.columns
+                or len(l) == 0 or "l_orderkey" not in l.columns):
+            return empty
+        g = l.groupby("l_orderkey", as_index=False)["rev"].sum()
+        j = g.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        if len(j) == 0:
+            return empty
+        j["revenue"] = j["rev"].round(2)
+        j = j.sort_values(["revenue", "l_orderkey"],
+                          ascending=[False, True], kind="mergesort").head(k)
+        return j[list(_OUT)].astype(
+            {"l_orderkey": np.int64, "o_orderdate_us": np.int64}
+        ).reset_index(drop=True)
+
+    per_bucket = hash_coexchange(
+        ordf, lip, "o_orderkey", "l_orderkey", join_topk, num_buckets=16
+    )
+    return per_bucket.sort(
+        ["revenue", "l_orderkey"], descending=[True, False]
+    ).limit(k)
+
+
+SQL_SHIPPING_PRIORITY = f"""
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND epoch_us(o_orderdate) < {_Q3_CUTOFF_US}
+  AND epoch_us(l_shipdate) > {_Q3_CUTOFF_US}
+GROUP BY 1, 3, 4
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -2480,4 +2597,5 @@ RELATIONAL_QUERIES = {
     "balance_ntile": (balance_ntile, SQL_BALANCE_NTILE),
     "heavy_hitters": (heavy_hitters, SQL_HEAVY_HITTERS),
     "kmv_intersection": (kmv_intersection, SQL_KMV_INTERSECTION),
+    "shipping_priority": (shipping_priority, SQL_SHIPPING_PRIORITY),
 }
