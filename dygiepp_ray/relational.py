@@ -2556,6 +2556,70 @@ LIMIT 10
 """
 
 
+def cheapest_supplier(sf_dir: str) -> ray.data.Dataset:
+    """Group-wise argmin with an ASSOCIATIVE combiner (TPC-H Q2
+    min-cost-supplier flavor over the lineitem fact): per part, the
+    supplier offering the lowest extended price (ties -> lowest
+    suppkey).
+
+    min-by is associative, so each batch reduces to ONE row per
+    (batch, part) before the exchange — shuffle bytes are O(parts x
+    batches), not O(lineitems); the final per-bucket pass re-runs the
+    same argmin on the partials.  Prices are compared as the exact
+    float64s read from parquet (no arithmetic before the comparison),
+    so engine and SQL order identically; round() applies only to the
+    output column on both sides."""
+
+    def argmin(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "l_partkey" not in df.columns:
+            return pd.DataFrame(
+                {"l_partkey": pd.Series(dtype=np.int64),
+                 "l_suppkey": pd.Series(dtype=np.int64),
+                 "l_extendedprice": pd.Series(dtype=np.float64)}
+            )
+        return (
+            df.sort_values(["l_partkey", "l_extendedprice", "l_suppkey"],
+                           kind="mergesort")
+            .drop_duplicates("l_partkey")
+            .reset_index(drop=True)
+        )
+
+    partials = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    ).map_batches(argmin, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = argmin(df)
+        if "l_extendedprice" not in df.columns:
+            return pd.DataFrame(
+                {"l_partkey": pd.Series(dtype=np.int64),
+                 "best_suppkey": pd.Series(dtype=np.int64),
+                 "min_price": pd.Series(dtype=np.float64)}
+            )
+        return pd.DataFrame(
+            {"l_partkey": df["l_partkey"].to_numpy(np.int64),
+             "best_suppkey": df["l_suppkey"].to_numpy(np.int64),
+             "min_price": df["l_extendedprice"].round(2).to_numpy()}
+        )
+
+    return partitioned_map_groups(partials, "l_partkey", final, num_buckets=8)
+
+
+SQL_CHEAPEST_SUPPLIER = """
+WITH r AS (
+  SELECT l_partkey, l_suppkey, l_extendedprice,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY l_extendedprice, l_suppkey) AS rk
+  FROM lineitem
+)
+SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+       CAST(l_suppkey AS BIGINT) AS best_suppkey,
+       round(l_extendedprice, 2) AS min_price
+FROM r WHERE rk = 1
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -2598,4 +2662,5 @@ RELATIONAL_QUERIES = {
     "heavy_hitters": (heavy_hitters, SQL_HEAVY_HITTERS),
     "kmv_intersection": (kmv_intersection, SQL_KMV_INTERSECTION),
     "shipping_priority": (shipping_priority, SQL_SHIPPING_PRIORITY),
+    "cheapest_supplier": (cheapest_supplier, SQL_CHEAPEST_SUPPLIER),
 }
