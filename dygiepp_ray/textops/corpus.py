@@ -894,10 +894,14 @@ def bpe_learn(
     return out.astype({"merge_rank": np.int64, "freq": np.int64})
 
 
-def _bpe_word_counts(ds: ray.data.Dataset, text_col: str):
+def _bpe_word_counts(ds: ray.data.Dataset, text_col: str,
+                     num_buckets: int = 8):
     """Distributed pass 1: corpus -> (word -> count) Series, or None on
     an empty/column-less corpus.  Per-batch value_counts is the
-    combiner — shuffle bytes are O(batch vocabulary)."""
+    combiner (shuffle bytes O(batch vocabulary)); partials then merge
+    to the GLOBAL vocabulary on a word-keyed exchange before the driver
+    collect, so the driver holds O(vocab) rows — not
+    O(batches x batch-vocab), which at corpus scale is much larger."""
 
     def wc(df: pd.DataFrame) -> pd.DataFrame:
         words = df[text_col].str.split().explode().dropna()
@@ -906,10 +910,21 @@ def _bpe_word_counts(ds: ray.data.Dataset, text_col: str):
             {"w": vc.index.to_numpy(object), "n": vc.to_numpy(np.int64)}
         )
 
-    parts = ds.map_batches(wc, batch_format="pandas").to_pandas()
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "w" not in df.columns:
+            return pd.DataFrame({"w": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})
+        g = df.groupby("w", sort=False, as_index=False)["n"].sum()
+        return g.astype({"n": np.int64})
+
+    from ..core import partitioned_map_groups
+
+    parts = partitioned_map_groups(
+        ds.map_batches(wc, batch_format="pandas"), "w", merge, num_buckets
+    ).to_pandas()
     if parts.empty or "w" not in parts.columns:
         return None
-    return parts.groupby("w", sort=False)["n"].sum()
+    return parts.set_index("w")["n"]
 
 
 def _bpe_merge_loop(g: pd.Series, n_merges: int):
