@@ -55,7 +55,23 @@ def kmv_sketch_by(
         d = d.groupby(by, sort=False).head(k)
         return d
 
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        # union + bottom-k per group (groups are whole within a bucket:
+        # the exchange hashes on ``by``) — bottom-k of unions is
+        # associative, so any merge tree yields the same sketch.  The
+        # driver reads back <= k rows per group, not per (group, batch).
+        if len(df) == 0 or "val" not in df.columns:
+            return pd.DataFrame({by: pd.Series(dtype=object),
+                                 "val": pd.Series(dtype=np.int64)})
+        d = df.drop_duplicates([by, "val"]).sort_values("val", kind="mergesort")
+        return d.groupby(by, sort=False).head(k).reset_index(drop=True)
+
+    from ..core import partitioned_map_groups
+
+    parts = partitioned_map_groups(
+        ds.map_batches(partial, batch_format="pandas"), by, merge,
+        num_buckets=8,
+    ).to_pandas()
     if parts.empty or "val" not in parts.columns:
         return {}
     out: dict[str, np.ndarray] = {}

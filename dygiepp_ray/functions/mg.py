@@ -8,9 +8,10 @@ MG-compresses to at most ``capacity`` counters (subtract the
 at most ``capacity`` rows each regardless of batch size — the combiner
 shape — and merge by the same rule (counter sum, then one decrement),
 which preserves the MG guarantee: every item with true count
-> n/(capacity+1) survives with a positive counter.  The driver holds
-only O(batches x capacity) candidate rows (tree-mergeable if that ever
-mattered; at 100 TB the per-batch summaries are a few KB each).
+> n/(capacity+1) survives with a positive counter.  Partials merge on
+a key-hashed exchange (per-bucket sum + compress — valid under any
+merge tree per the mergeable-summaries theorem), so the driver holds
+only O(capacity x buckets) candidate rows regardless of batch count.
 
 Pass 2 (verify): the candidate set (<= capacity keys) is broadcast via
 ``ray.put`` and exact-counted in one map_batches combiner; items whose
@@ -57,12 +58,34 @@ def mg_candidates(
         )
         return pd.DataFrame({"key": k, "count": c})
 
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        # per-bucket sum + compress: the mergeable-summaries theorem
+        # (Agarwal et al. 2013) keeps error <= n/(capacity+1) under ANY
+        # merge tree, so candidates stay a superset of the true heavy
+        # hitters; the verify pass makes the final output exact either
+        # way.  Driver holds <= capacity x buckets rows, not
+        # O(batches x capacity).
+        if len(df) == 0 or "key" not in df.columns:
+            return pd.DataFrame({"key": pd.Series(dtype=np.int64),
+                                 "count": pd.Series(dtype=np.int64)})
+        g = df.groupby("key", sort=False)["count"].sum()
+        k, c = mg_compress(
+            g.index.to_numpy(np.int64), g.to_numpy(np.int64), capacity
+        )
+        return pd.DataFrame({"key": k, "count": c})
+
+    from ..core import partitioned_map_groups
+
+    parts = partitioned_map_groups(
+        ds.map_batches(partial, batch_format="pandas"), "key", merge,
+        num_buckets=8,
+    ).to_pandas()
     if parts.empty or "key" not in parts.columns:
         return np.empty(0, dtype=np.int64)
-    g = parts.groupby("key", sort=False)["count"].sum()
+    # bucket keys are disjoint: one final compress over the survivors
     keys, counts = mg_compress(
-        g.index.to_numpy(np.int64), g.to_numpy(np.int64), capacity
+        parts["key"].to_numpy(np.int64), parts["count"].to_numpy(np.int64),
+        capacity,
     )
     return np.sort(keys)
 
@@ -99,7 +122,21 @@ def heavy_hitters_exact(
         k, c = np.unique(v, return_counts=True)
         return pd.DataFrame({"key": k, "count": c.astype(np.int64)})
 
-    parts = ds.map_batches(verify, batch_format="pandas").to_pandas()
+    def merge_exact(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "key" not in df.columns:
+            return pd.DataFrame({"key": pd.Series(dtype=np.int64),
+                                 "count": pd.Series(dtype=np.int64)})
+        g = df.groupby("key", sort=False, as_index=False)["count"].sum()
+        return g.astype(np.int64)
+
+    from ..core import partitioned_map_groups
+
+    # exact per-key sums merge on a keyed exchange; the driver reads
+    # back <= |candidates| rows total
+    parts = partitioned_map_groups(
+        ds.map_batches(verify, batch_format="pandas"), "key", merge_exact,
+        num_buckets=8,
+    ).to_pandas()
     if parts.empty or "key" not in parts.columns:
         return pd.DataFrame(
             {"key": pd.Series(dtype=np.int64),

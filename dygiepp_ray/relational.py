@@ -2301,7 +2301,20 @@ def balance_ntile(sf_dir: str, tiles: int = 10) -> pd.DataFrame:
              "n": g.to_numpy(np.int64)}
         )
 
-    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "cents" not in df.columns:
+            return pd.DataFrame({"cents": pd.Series(dtype=np.int64),
+                                 "n": pd.Series(dtype=np.int64)})
+        g = df.groupby("cents", sort=False, as_index=False)["n"].sum()
+        return g.astype(np.int64)
+
+    # per-batch partials merge to the global histogram on a keyed
+    # exchange BEFORE the driver collect: the driver holds O(domain)
+    # rows, not O(batches x batch-distinct-cents)
+    partials = partitioned_map_groups(
+        ds.map_batches(partial, batch_format="pandas"), "cents", merge,
+        num_buckets=8,
+    ).to_pandas()
     cols = ("tile", "n_customers", "min_cents", "max_cents", "sum_cents")
     if partials.empty or "cents" not in partials.columns:
         return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
