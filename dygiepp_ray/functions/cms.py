@@ -74,7 +74,22 @@ def cms_counters(
             )
         return pd.concat(outs, ignore_index=True)
 
-    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "row" not in df.columns:
+            return pd.DataFrame({"row": pd.Series(dtype=np.int64),
+                                 "col": pd.Series(dtype=np.int64),
+                                 "count": pd.Series(dtype=np.int64)})
+        g = df.groupby(["row", "col"], sort=False, as_index=False)["count"].sum()
+        return g.astype(np.int64)
+
+    from ..core import partitioned_map_groups
+
+    # cell-wise sums merge on a col-keyed exchange BEFORE the collect:
+    # driver holds <= d x w nonzero cells, not O(batches x d x w)
+    partials = partitioned_map_groups(
+        ds.map_batches(partial, batch_format="pandas"), "col", merge,
+        num_buckets=4,
+    ).to_pandas()
     # empty dataset -> column-less collect (Ray skips UDFs on zero-row
     # blocks); the empty sketch has no nonzero cells
     if partials.empty or "row" not in partials.columns:
@@ -129,7 +144,28 @@ def cms_counters_by(
             )
         return pd.concat(outs, ignore_index=True) if outs else empty
 
-    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "row" not in df.columns:
+            return pd.DataFrame(
+                {group_col: pd.Series(dtype=object),
+                 "row": pd.Series(dtype=np.int64),
+                 "col": pd.Series(dtype=np.int64),
+                 "count": pd.Series(dtype=np.int64)}
+            )
+        return (
+            df.groupby([group_col, "row", "col"], sort=False)["count"]
+            .sum()
+            .reset_index()
+        )
+
+    from ..core import partitioned_map_groups
+
+    # per-group cells merge on a col-keyed exchange first: driver reads
+    # back <= n_groups x d x w rows regardless of batch count
+    partials = partitioned_map_groups(
+        ds.map_batches(partial, batch_format="pandas"), "col", merge,
+        num_buckets=4,
+    ).to_pandas()
     if partials.empty or "row" not in partials.columns:
         return pd.DataFrame(
             {group_col: pd.Series(dtype=object),

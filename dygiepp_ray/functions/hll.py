@@ -65,7 +65,22 @@ def hll_registers(
             {"register": np.arange(m, dtype=np.int64), "rho_max": regs}
         )
 
-    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "register" not in df.columns:
+            return pd.DataFrame({"register": pd.Series(dtype=np.int64),
+                                 "rho_max": pd.Series(dtype=np.int64)})
+        g = df.groupby("register", sort=False, as_index=False)["rho_max"].max()
+        return g.astype(np.int64)
+
+    from ..core import partitioned_map_groups
+
+    # register-keyed exchange merges per-batch vectors element-wise
+    # BEFORE the collect: the driver holds exactly 2^p rows, not
+    # O(batches x 2^p)
+    partials = partitioned_map_groups(
+        ds.map_batches(partial, batch_format="pandas"), "register", merge,
+        num_buckets=4,
+    ).to_pandas()
     # Ray passes zero-row blocks through WITHOUT calling the UDF, so an
     # empty dataset collects to a column-less frame; the sketch of the
     # empty set is the all-zero register vector (== the SQL twin's
@@ -115,7 +130,27 @@ def hll_registers_by(
             .reset_index(name="rho_max")
         )
 
-    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "register" not in df.columns:
+            return pd.DataFrame(
+                {group_col: pd.Series(dtype=object),
+                 "register": pd.Series(dtype=np.int64),
+                 "rho_max": pd.Series(dtype=np.int64)}
+            )
+        return (
+            df.groupby([group_col, "register"], sort=False)["rho_max"]
+            .max()
+            .reset_index()
+        )
+
+    from ..core import partitioned_map_groups
+
+    # (group, register) cells merge on a register-keyed exchange first:
+    # driver reads back <= n_groups x 2^p rows regardless of batch count
+    partials = partitioned_map_groups(
+        ds.map_batches(partial, batch_format="pandas"), "register", merge,
+        num_buckets=4,
+    ).to_pandas()
     if partials.empty or "register" not in partials.columns:
         # empty input -> no observed (group, register) cells
         return pd.DataFrame(
