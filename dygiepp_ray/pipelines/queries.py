@@ -647,7 +647,7 @@ FROM ents
 _DRIVER_SAMPLE_FIRST = (
     "balance_ntile", "part_skyline", "heavy_hitters", "kmv_intersection",
     "bpe_learn", "bpe_segment", "dedup_keep_best", "shipping_priority",
-    "cheapest_supplier",
+    "cheapest_supplier", "user_paths",
     "customer_order_dist", "large_volume_orders", "pivot_events",
     "segment_rank",
     "ddsketch_quantiles", "key_skew_profile", "join_size_estimate",

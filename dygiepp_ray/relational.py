@@ -2633,6 +2633,69 @@ FROM r WHERE rk = 1
 """
 
 
+def user_paths(sf_dir: str, num_buckets: int = 16) -> ray.data.Dataset:
+    """Clickstream sequence mining: every user's full ordered
+    event-type path (by ts, event_id tie-break), then the frequency of
+    each distinct path — ordered string aggregation OVER a partition
+    plus a second count aggregate, the pattern behind funnel discovery
+    and session clustering.
+
+    Stage 1 is ONE user-keyed exchange: a bucket lexsorts its rows once
+    (user, ts, event_id) and joins each user's types in a single
+    groupby-agg — no per-user Python loop beyond the join itself, and a
+    user's path length is bounded by that user's event count, never the
+    corpus.  Stage 2 counts paths with a per-bucket combiner feeding a
+    path-keyed exchange (paths repeat across user buckets, so the
+    second exchange is required for exact counts).
+    -> (path, n_users)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id",
+                                             "event_type"],
+    )
+
+    def paths(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "user_id" not in df.columns:
+            return pd.DataFrame({"path": pd.Series(dtype=object)})
+        df = df.assign(t=ts_epoch_us(df["ts"]))
+        df = df.sort_values(["user_id", "t", "event_id"], kind="mergesort")
+        p = df.groupby("user_id", sort=False)["event_type"].agg(">".join)
+        return pd.DataFrame({"path": p.to_numpy(object)})
+
+    per_user = partitioned_map_groups(ds, "user_id", paths, num_buckets)
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "path" not in df.columns:
+            return pd.DataFrame({"path": pd.Series(dtype=object),
+                                 "n_users": pd.Series(dtype=np.int64)})
+        vc = df["path"].value_counts()
+        return pd.DataFrame({"path": vc.index.to_numpy(object),
+                             "n_users": vc.to_numpy(np.int64)})
+
+    def count_final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "path" not in df.columns:
+            return pd.DataFrame({"path": pd.Series(dtype=object),
+                                 "n_users": pd.Series(dtype=np.int64)})
+        g = df.groupby("path", sort=False, as_index=False)["n_users"].sum()
+        g["n_users"] = g["n_users"].astype(np.int64)
+        return g
+
+    return partitioned_map_groups(
+        per_user.map_batches(count_partial, batch_format="pandas"),
+        "path", count_final, num_buckets,
+    )
+
+
+SQL_USER_PATHS = """
+WITH p AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM events GROUP BY 1
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_users
+FROM p GROUP BY 1
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -2676,4 +2739,5 @@ RELATIONAL_QUERIES = {
     "kmv_intersection": (kmv_intersection, SQL_KMV_INTERSECTION),
     "shipping_priority": (shipping_priority, SQL_SHIPPING_PRIORITY),
     "cheapest_supplier": (cheapest_supplier, SQL_CHEAPEST_SUPPLIER),
+    "user_paths": (user_paths, SQL_USER_PATHS),
 }
