@@ -2696,6 +2696,180 @@ FROM p GROUP BY 1
 """
 
 
+def events_resample(
+    sf_dir: str, window_s: int = 3600, num_buckets: int = 8
+) -> pd.DataFrame:
+    """Gap-filled time-series resampling: (event_type, window_start) ->
+    count + rounded value sum over EVERY window in the global
+    [min, max] span, zero rows materialized for silent windows — the
+    resample/asfreq pattern behind rate dashboards and anomaly
+    detection, which a plain GROUP BY cannot express (missing windows
+    simply don't exist in the input).
+
+    Shape: per-batch combiner (O(types x windows) rows per batch, never
+    O(rows)) -> ONE event_type-keyed exchange for exact per-(type,
+    window) sums -> the driver densifies the grid.  Driver residency is
+    the OUTPUT (types x span windows) — bounded by calendar time x type
+    cardinality, independent of corpus size, which is exactly the
+    asymmetry a resample wants at 100 TB (a year of hourly windows x
+    1k types is ~9M rows)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "ts" not in df.columns:
+            return pd.DataFrame(
+                {"event_type": pd.Series(dtype=object),
+                 "window_start": pd.Series(dtype=np.int64),
+                 "n": pd.Series(dtype=np.int64),
+                 "sum_value": pd.Series(dtype=np.float64)}
+            )
+        win = (ts_epoch_us(df["ts"]) // 1_000_000 // window_s) * window_s
+        g = (
+            df.assign(window_start=win)
+            .groupby(["event_type", "window_start"], sort=False)
+            .agg(n=("value", "size"), sum_value=("value", "sum"))
+            .reset_index()
+        )
+        return g.astype({"window_start": np.int64, "n": np.int64})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "event_type" not in df.columns:
+            return partial(pd.DataFrame())
+        g = df.groupby(["event_type", "window_start"], sort=False).agg(
+            n=("n", "sum"), sum_value=("sum_value", "sum")
+        ).reset_index()
+        return g.astype({"window_start": np.int64, "n": np.int64})
+
+    # exact per-(type, window) aggregates: a (type, window) pair lives
+    # entirely in its type's bucket, so no further merge is needed
+    agg = partitioned_map_groups(partials, "event_type", final,
+                                 num_buckets).to_pandas()
+    if agg.empty or "window_start" not in agg.columns:
+        return partial(pd.DataFrame())
+    lo = int(agg["window_start"].min())
+    hi = int(agg["window_start"].max())
+    grid_w = np.arange(lo, hi + 1, window_s, dtype=np.int64)
+    types = np.sort(agg["event_type"].unique())
+    grid = pd.MultiIndex.from_product(
+        [types, grid_w], names=["event_type", "window_start"]
+    )
+    dense = (
+        agg.set_index(["event_type", "window_start"])
+        .reindex(grid)
+        .fillna({"n": 0, "sum_value": 0.0})
+        .reset_index()
+    )
+    dense["n"] = dense["n"].astype(np.int64)
+    dense["sum_value"] = dense["sum_value"].round(2)
+    return dense
+
+
+SQL_EVENTS_RESAMPLE = """
+WITH b AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS w, value
+  FROM events
+),
+span AS (SELECT min(w) AS lo, max(w) AS hi FROM b),
+grid AS (
+  SELECT t.event_type, g.w
+  FROM (SELECT DISTINCT event_type FROM b) t
+  CROSS JOIN (
+    SELECT unnest(generate_series((SELECT lo FROM span),
+                                  (SELECT hi FROM span), 3600)) AS w
+  ) g
+),
+agg AS (
+  SELECT event_type, w, count(*) AS n, sum(value) AS sv
+  FROM b GROUP BY 1, 2
+)
+SELECT grid.event_type, grid.w AS window_start,
+       CAST(coalesce(agg.n, 0) AS BIGINT) AS n,
+       round(coalesce(agg.sv, 0.0), 2) AS sum_value
+FROM grid LEFT JOIN agg ON grid.event_type = agg.event_type
+                       AND grid.w = agg.w
+"""
+
+
+def users_setop(
+    sf_dir: str, threshold: float = 90.0, num_buckets: int = 8
+) -> ray.data.Dataset:
+    """Distributed set algebra over two derived user sets — A = users
+    with a purchase over ``threshold``, B = users with an error over
+    ``threshold`` — classifying every member of A ∪ B as ``both``
+    (INTERSECT), ``a_only`` (A EXCEPT B) or ``b_only`` (B EXCEPT A) in
+    one pass.  The general INTERSECT/EXCEPT plan: per-batch DISTINCT
+    (user, membership-bit) pairs are the combiner (shuffle bytes are
+    O(distinct members), never O(rows)); one user-keyed exchange ORs
+    the bits per user; the label is a pure function of the OR.  A
+    full-outer-join-of-distincts in SQL, but shuffle-free on the fact
+    scan side here."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "value"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "user_id" not in df.columns:
+            return pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                                 "bit": pd.Series(dtype=np.int64)})
+        v = df["value"].to_numpy()
+        uid = df["user_id"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy(object)
+        out = []
+        for bit, typ in ((1, "purchase"), (2, "error")):
+            m = (et == typ) & (v > threshold)
+            if m.any():
+                out.append(pd.DataFrame(
+                    {"user_id": np.unique(uid[m]),
+                     "bit": np.int64(bit)}
+                ))
+        if not out:
+            return pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                                 "bit": pd.Series(dtype=np.int64)})
+        return pd.concat(out, ignore_index=True)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "user_id" not in df.columns:
+            return pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                                 "setop": pd.Series(dtype=object)})
+        # bits are distinct powers of two, so sum-of-deduped == bitwise OR
+        # (keeps the reduction a vectorized groupby-sum, no per-group lambda)
+        d = df.drop_duplicates(["user_id", "bit"])
+        g = d.groupby("user_id", sort=False)["bit"].sum()
+        lab = np.array(["", "a_only", "b_only", "both"], dtype=object)
+        return pd.DataFrame(
+            {"user_id": g.index.to_numpy(np.int64),
+             "setop": lab[g.to_numpy(np.int64)]}
+        )
+
+    return partitioned_map_groups(partials, "user_id", final, num_buckets)
+
+
+SQL_USERS_SETOP = """
+WITH a AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'purchase' AND value > 90
+),
+b AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'error' AND value > 90
+)
+SELECT CAST(coalesce(a.user_id, b.user_id) AS BIGINT) AS user_id,
+       CASE WHEN a.user_id IS NOT NULL AND b.user_id IS NOT NULL
+              THEN 'both'
+            WHEN a.user_id IS NOT NULL THEN 'a_only'
+            ELSE 'b_only' END AS setop
+FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -2740,4 +2914,6 @@ RELATIONAL_QUERIES = {
     "shipping_priority": (shipping_priority, SQL_SHIPPING_PRIORITY),
     "cheapest_supplier": (cheapest_supplier, SQL_CHEAPEST_SUPPLIER),
     "user_paths": (user_paths, SQL_USER_PATHS),
+    "events_resample": (events_resample, SQL_EVENTS_RESAMPLE),
+    "users_setop": (users_setop, SQL_USERS_SETOP),
 }

@@ -702,3 +702,67 @@ def test_kmv_estimate_within_error(ray_session, tmp_path):
     true_union = na + nb - overlap
     assert abs(r["union_est"] - true_union) / true_union < 4 / np.sqrt(k)
     assert abs(r["inter_est"] - overlap) / overlap < 8 / np.sqrt(k)
+
+
+def test_events_resample_hand_computed(ray_session, tmp_path):
+    """Gap windows must materialize as zero rows over the full
+    (type x global-span) grid."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dygiepp_ray import relational as R
+
+    # type x: windows 0 and 7200 (3600 silent); type y: window 3600 only
+    rows = [("x", 0, 1.0), ("x", 7210, 2.5), ("y", 3600, 4.0)]
+    tbl = pa.table(
+        {
+            "ts": pa.array(
+                pd.to_datetime([t * 1_000_000_000 for _e, t, _v in rows]),
+                pa.timestamp("us"),
+            ),
+            "event_type": pa.array([e for e, _t, _v in rows]),
+            "value": pa.array([v for _e, _t, v in rows], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = R.events_resample(str(tmp_path)).set_index(
+        ["event_type", "window_start"]
+    )
+    assert len(out) == 6  # 2 types x 3 windows, gaps included
+    assert out.loc[("x", 0)].tolist() == [1, 1.0]
+    assert out.loc[("x", 3600)].tolist() == [0, 0.0]
+    assert out.loc[("x", 7200)].tolist() == [1, 2.5]
+    assert out.loc[("y", 0)].tolist() == [0, 0.0]
+    assert out.loc[("y", 3600)].tolist() == [1, 4.0]
+    assert out.loc[("y", 7200)].tolist() == [0, 0.0]
+
+
+def test_users_setop_hand_computed(ray_session, tmp_path):
+    """INTERSECT / EXCEPT labels from one OR-of-bits exchange."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dygiepp_ray import relational as R
+
+    rows = [
+        (1, "purchase", 100.0), (1, "error", 95.0),   # both
+        (2, "purchase", 100.0),                        # a_only
+        (3, "error", 91.0),                            # b_only
+        (4, "purchase", 50.0), (4, "click", 200.0),    # below threshold /
+                                                       # wrong type: absent
+    ]
+    tbl = pa.table(
+        {
+            "user_id": pa.array([u for u, _e, _v in rows], pa.int64()),
+            "event_type": pa.array([e for _u, e, _v in rows]),
+            "value": pa.array([v for _u, _e, v in rows], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = (
+        R.users_setop(str(tmp_path))
+        .to_pandas()
+        .set_index("user_id")["setop"]
+        .to_dict()
+    )
+    assert out == {1: "both", 2: "a_only", 3: "b_only"}
