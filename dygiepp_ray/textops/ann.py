@@ -576,3 +576,63 @@ def label_centroids(
         return g.astype({"dim": np.int64, "sum_x1e6": np.int64, "n": np.int64})
 
     return partitioned_map_groups(partials, "label", merge, num_buckets)
+
+
+def embedding_gram(
+    emb: ray.data.Dataset, scale: int = 1000, num_buckets: int = 4
+) -> ray.data.Dataset:
+    """Distributed Gram-matrix reduction over the embedding column in
+    FIXED POINT — the one-pass X^T X + column-sum + count sufficient
+    statistics that feed PCA / whitening / covariance on the driver
+    (d x d leaves the cluster; the data never does).
+
+    Components quantize half-up (floor(x*scale + 0.5) after an explicit
+    float64 promotion — identical IEEE double math in the SQL twin), so
+    every partial is int64-exact and the merged sums are order- and
+    partition-independent.  Each batch contributes ONE d*(d+1)/2
+    upper-triangle partial (an int64 matmul, independent of row count)
+    plus column sums and a count row; partials merge by integer
+    addition on one keyed exchange.  Output is a tall table
+    (i, j, val): (i, j) gram entries for i <= j, (i, -1) column sums,
+    (-1, -1) the vector count.  Callers derive covariance as
+    n*gram - s_i*s_j (BIGINT-exact while n * (scale*|x|max)^2 < 2^63 —
+    ~1e12 rows at |x| <= 1, scale 1e3; the partial guards the
+    quantized magnitude so overflow raises instead of wrapping)."""
+    from ..core import partitioned_map_groups
+
+    _EMPTY = {"i": np.int64, "j": np.int64, "val": np.int64}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "embedding" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _EMPTY.items()})
+        X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        Q = np.floor(X * scale + 0.5).astype(np.int64)
+        if np.abs(Q).max(initial=0) > 1 << 20:
+            raise ValueError(
+                "embedding_gram: quantized magnitude exceeds the int64 "
+                "overflow budget — lower `scale` or normalize the vectors"
+            )
+        d = Q.shape[1]
+        G = Q.T @ Q
+        iu, ju = np.triu_indices(d)
+        return pd.DataFrame(
+            {
+                "i": np.concatenate([iu, np.arange(d), [-1]]).astype(np.int64),
+                "j": np.concatenate(
+                    [ju, np.full(d, -1), [-1]]
+                ).astype(np.int64),
+                "val": np.concatenate(
+                    [G[iu, ju], Q.sum(axis=0), [len(df)]]
+                ).astype(np.int64),
+            }
+        )
+
+    partials = emb.map_batches(partial, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "i" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _EMPTY.items()})
+        g = df.groupby(["i", "j"], as_index=False)["val"].sum()
+        return g.astype({"i": np.int64, "j": np.int64, "val": np.int64})
+
+    return partitioned_map_groups(partials, "i", merge, num_buckets)

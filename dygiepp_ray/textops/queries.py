@@ -247,6 +247,33 @@ GROUP BY 1, 2
 """
 
 
+def q_embedding_gram(sf_dir: str):
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["embedding"])
+    return ann.embedding_gram(emb)
+
+
+SQL_EMBEDDING_GRAM = """
+WITH q AS (
+  SELECT vec_id, CAST(s.i - 1 AS BIGINT) AS i,
+         CAST(floor(CAST(embedding[s.i] AS DOUBLE) * 1000.0 + 0.5)
+              AS BIGINT) AS qx
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s
+)
+SELECT a.i AS i, b.i AS j, CAST(sum(a.qx * b.qx) AS BIGINT) AS val
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2
+UNION ALL
+SELECT i, CAST(-1 AS BIGINT) AS j, CAST(sum(qx) AS BIGINT) AS val
+FROM q GROUP BY 1
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j,
+       CAST(count(DISTINCT vec_id) AS BIGINT) AS val
+FROM q HAVING count(*) > 0
+"""
+
+
 def q_ivf_topk(sf_dir: str):
     """IVF ANN with exhaustive probing (nprobe == nlist): the k-means
     quantizer + inverted-list exchange machinery runs for real, and the
@@ -1355,6 +1382,7 @@ TEXTOPS_QUERIES = {
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ivf_topk": (q_ivf_topk, SQL_ANN_TOPK),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
+    "embedding_gram": (q_embedding_gram, SQL_EMBEDDING_GRAM),
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "simhash_signatures": (q_simhash, SQL_SIMHASH),
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),

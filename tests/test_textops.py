@@ -708,3 +708,34 @@ def test_keep_best_per_component_hand_computed(ray_session):
     )
     assert out["component"].tolist() == [0, 0, 0, 5, 5, 9]
     assert out["kept"].tolist() == [0, 1, 0, 1, 0, 1]
+
+
+def test_embedding_gram_hand_computed(ray_session):
+    """X^T X, column sums and count in fixed point, one merge exchange."""
+    import numpy as np
+    import pandas as pd
+
+    import ray
+
+    from dygiepp_ray.textops.ann import embedding_gram
+
+    # q = floor(x*1000 + 0.5): rows (1, 2), (3, -4) -> q (1000, 2000),
+    # (3000, -4000).  G = [[1e7, -1e7], [-1e7, 2e7]]; sums (4000, -2000)
+    emb = ray.data.from_pandas(pd.DataFrame(
+        {"embedding": [np.array([1.0, 2.0], np.float32),
+                       np.array([3.0, -4.0], np.float32)]}
+    ))
+    out = embedding_gram(emb).to_pandas().set_index(["i", "j"])["val"]
+    assert out.loc[(0, 0)] == 1000 * 1000 + 3000 * 3000
+    assert out.loc[(0, 1)] == 1000 * 2000 + 3000 * -4000
+    assert out.loc[(1, 1)] == 2000 * 2000 + 4000 * 4000
+    assert out.loc[(0, -1)] == 4000
+    assert out.loc[(1, -1)] == -2000
+    assert out.loc[(-1, -1)] == 2
+    assert len(out) == 6
+    # covariance numerator derivable from the sufficient statistics
+    n = out.loc[(-1, -1)]
+    cov01 = n * out.loc[(0, 1)] - out.loc[(0, -1)] * out.loc[(1, -1)]
+    q = np.array([[1000, 2000], [3000, -4000]], np.int64)
+    expect = len(q) * (q[:, 0] * q[:, 1]).sum() - q[:, 0].sum() * q[:, 1].sum()
+    assert cov01 == expect
