@@ -2870,6 +2870,89 @@ FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
 """
 
 
+def zorder_layout(
+    sf_dir: str, shift: int = 16, num_buckets: int = 8
+) -> ray.data.Dataset:
+    """Z-order (Morton) layout keys over (o_custkey, o_orderdate-day)
+    with per-partition locality stats — the multidimensional clustering
+    primitive behind Delta/Iceberg OPTIMIZE ZORDER: interleaving the
+    bits of two coordinates gives ONE sort/partition key under which a
+    range predicate on EITHER dimension prunes most partitions, which
+    is exactly what a 100 TB fact table wants from its file layout.
+
+    The key is pure per-row arithmetic (16 vectorized shift/mask steps,
+    bit-identical to the unrolled SQL twin), so assignment is map-only;
+    the partition profile (count + min/max of both dims per
+    ``zkey >> shift`` range) is a per-batch combiner merged on one
+    keyed exchange — the output is O(partitions), and its min/max
+    spans ARE the pruning index a reader would consult.
+    -> (part_id, n, min_cust, max_cust, min_day, max_day)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+
+    _EMPTY = {c: np.int64 for c in
+              ["part_id", "n", "min_cust", "max_cust", "min_day", "max_day"]}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_custkey" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _EMPTY.items()})
+        cust = df["o_custkey"].to_numpy(np.int64)
+        day = ts_epoch_us(df["o_orderdate"]) // 1_000_000 // 86_400
+        x = cust % 65536
+        y = day % 65536
+        z = np.zeros(len(df), dtype=np.int64)
+        for b in range(16):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        g = (
+            pd.DataFrame({"part_id": z >> shift, "cust": cust, "day": day})
+            .groupby("part_id", sort=False)
+            .agg(n=("cust", "size"), min_cust=("cust", "min"),
+                 max_cust=("cust", "max"), min_day=("day", "min"),
+                 max_day=("day", "max"))
+            .reset_index()
+        )
+        return g.astype(_EMPTY)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "part_id" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _EMPTY.items()})
+        g = df.groupby("part_id", as_index=False).agg(
+            n=("n", "sum"), min_cust=("min_cust", "min"),
+            max_cust=("max_cust", "max"), min_day=("min_day", "min"),
+            max_day=("max_day", "max")
+        )
+        return g.astype(_EMPTY)
+
+    return partitioned_map_groups(partials, "part_id", merge, num_buckets)
+
+
+_Z_TERMS = " + ".join(
+    f"(((x >> {b}) & CAST(1 AS BIGINT)) << {2 * b})"
+    f" + (((y >> {b}) & CAST(1 AS BIGINT)) << {2 * b + 1})"
+    for b in range(16)
+)
+
+SQL_ZORDER_LAYOUT = f"""
+WITH c AS (
+  SELECT CAST(o_custkey AS BIGINT) AS cust,
+         CAST(o_custkey % 65536 AS BIGINT) AS x,
+         CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+         CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) % 65536 AS y
+  FROM orders
+),
+z AS (SELECT cust, day, ({_Z_TERMS}) AS zkey FROM c)
+SELECT CAST(zkey >> 16 AS BIGINT) AS part_id,
+       CAST(count(*) AS BIGINT) AS n,
+       min(cust) AS min_cust, max(cust) AS max_cust,
+       min(day) AS min_day, max(day) AS max_day
+FROM z GROUP BY 1
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -2916,4 +2999,5 @@ RELATIONAL_QUERIES = {
     "user_paths": (user_paths, SQL_USER_PATHS),
     "events_resample": (events_resample, SQL_EVENTS_RESAMPLE),
     "users_setop": (users_setop, SQL_USERS_SETOP),
+    "zorder_layout": (zorder_layout, SQL_ZORDER_LAYOUT),
 }

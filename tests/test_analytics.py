@@ -766,3 +766,34 @@ def test_users_setop_hand_computed(ray_session, tmp_path):
         .to_dict()
     )
     assert out == {1: "both", 2: "a_only", 3: "b_only"}
+
+
+def test_zorder_layout_hand_computed(ray_session, tmp_path):
+    """Morton interleave bit-exactness at shift=0 (part_id == zkey)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dygiepp_ray import relational as R
+
+    # (cust, day): (3, 0) -> z=0b101=5; (0, 1) -> z=0b10=2; (1, 1) -> z=3
+    tbl = pa.table(
+        {
+            "o_custkey": pa.array([3, 0, 1], pa.int64()),
+            "o_orderdate": pa.array(
+                pd.to_datetime(["1970-01-01", "1970-01-02", "1970-01-02"]),
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "orders.parquet")
+    out = (
+        R.zorder_layout(str(tmp_path), shift=0)
+        .to_pandas()
+        .set_index("part_id")
+        .sort_index()
+    )
+    assert list(out.index) == [2, 3, 5]
+    assert out.loc[5, "min_cust"] == 3 and out.loc[5, "min_day"] == 0
+    assert out.loc[2, "min_cust"] == 0 and out.loc[2, "min_day"] == 1
+    assert out.loc[3, "min_cust"] == 1 and out.loc[3, "min_day"] == 1
+    assert out["n"].tolist() == [1, 1, 1]
