@@ -282,11 +282,15 @@ def exact_quantiles(
     per_block_candidates: int = 128,
     collect_cap: int = 1_000_000,
     max_rounds: int = 8,
+    _ks_fn=None,
 ) -> pd.DataFrame:
     """Exact q-quantiles of ``ds[col]`` by distributed selection.
 
     Convention: the q-quantile is the ceil(q*n)-th smallest value
-    (matches DuckDB ``quantile_disc``).  Per round: (1) every block
+    (matches DuckDB ``quantile_disc``); ``_ks_fn(n) -> [rank...]``
+    (1-based, one per q) overrides that rank choice — the hook
+    :func:`exact_quantiles_cont` uses to fetch the two order statistics
+    an interpolated quantile needs.  Per round: (1) every block
     contributes ``per_block_candidates`` of its own order statistics
     within the current bracket (gap between adjacent global candidates
     <= n_bracket/(candidates-1)); (2) one counting pass returns packed
@@ -366,7 +370,9 @@ def exact_quantiles(
             n_total = int(abs_counts[-1])
             if n_total == 0:
                 raise ValueError(f"empty column {col!r}")
-            ks = [min(max(int(math.ceil(q * n_total)), 1), n_total) for q in qs]
+            raw_ks = (_ks_fn(n_total) if _ks_fn is not None
+                      else [int(math.ceil(q * n_total)) for q in qs])
+            ks = [min(max(int(k), 1), n_total) for k in raw_ks]
             brackets = [[-np.inf, np.inf, 0, n_total, False] for _ in qs]
 
         all_done = True
@@ -412,6 +418,45 @@ def exact_quantiles(
     return pd.DataFrame(out, columns=["q", "value"]).astype(np.float64)
 
 
+def exact_quantiles_cont(
+    ds: ray.data.Dataset, col: str, qs: list[float], **kw
+) -> pd.DataFrame:
+    """Exact INTERPOLATED quantiles (DuckDB ``quantile_cont`` /
+    SQL PERCENTILE_CONT): h = (n-1)*q, value = (ceil(h) - h) *
+    x[floor(h)] + (h - floor(h)) * x[ceil(h)] — the two-sided weighting
+    DuckDB uses (NOT the algebraically-equal ``lo + frac*(hi-lo)``,
+    which differs in the last ulp; planted tests assert bit-equality).
+    Rides :func:`exact_quantiles`' distributed selection once over the
+    UNION of the floor/ceil ranks (2 ranks per q, same two passes per
+    round), so the cont variant costs the same as disc."""
+    if not qs:
+        return pd.DataFrame({"q": pd.Series(dtype=np.float64),
+                             "value": pd.Series(dtype=np.float64)})
+    seen = {}
+
+    def ks_fn(n):
+        seen["n"] = n
+        lo = [int(math.floor((n - 1) * q)) + 1 for q in qs]
+        hi = [int(math.ceil((n - 1) * q)) + 1 for q in qs]
+        return lo + hi
+
+    res = exact_quantiles(ds, col, list(qs) + list(qs), _ks_fn=ks_fn, **kw)
+    if res.empty:
+        return res
+    n = seen["n"]
+    vals = res["value"].to_numpy(np.float64)
+    lo, hi = vals[: len(qs)], vals[len(qs):]
+    out = []
+    for i, q in enumerate(qs):
+        h = (n - 1) * q
+        frn, crn = math.floor(h), math.ceil(h)
+        if crn == frn:
+            out.append((q, lo[i]))
+        else:
+            out.append((q, (crn - h) * lo[i] + (h - frn) * hi[i]))
+    return pd.DataFrame(out, columns=["q", "value"]).astype(np.float64)
+
+
 def quantiles_price(sf_dir: str) -> pd.DataFrame:
     """Exact distributed quantiles of lineitem.l_extendedprice."""
     ds = ray.data.read_parquet(
@@ -426,6 +471,26 @@ SQL_QUANTILES_PRICE = """
 SELECT q, round(value, 2) AS value FROM (
   SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q,
          unnest(quantile_disc(l_extendedprice, [0.25, 0.5, 0.75, 0.95])) AS value
+  FROM lineitem
+)
+"""
+
+
+def quantiles_cont_price(sf_dir: str) -> pd.DataFrame:
+    """Exact interpolated (PERCENTILE_CONT) quantiles of
+    lineitem.l_extendedprice — raw doubles, bit-identical to DuckDB."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+    return exact_quantiles_cont(
+        ds, "l_extendedprice", [0.25, 0.5, 0.75, 0.95]
+    )
+
+
+SQL_QUANTILES_CONT_PRICE = """
+SELECT q, value FROM (
+  SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q,
+         unnest(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.95])) AS value
   FROM lineitem
 )
 """
@@ -1249,6 +1314,7 @@ ANALYTICS_QUERIES = {
                                 SQL_RANGE_JOIN_ERROR_WINDOW),
     "quantiles_price": (quantiles_price, SQL_QUANTILES_PRICE),
     "quantiles_by_flag": (quantiles_by_flag, SQL_QUANTILES_BY_FLAG),
+    "quantiles_cont_price": (quantiles_cont_price, SQL_QUANTILES_CONT_PRICE),
     "orders_anti_join": (orders_anti_join, SQL_ORDERS_ANTI_JOIN),
     "orders_semi_join": (orders_semi_join, SQL_ORDERS_SEMI_JOIN),
     "json_props_sum": (json_props_sum, SQL_JSON_PROPS_SUM),

@@ -797,3 +797,38 @@ def test_zorder_layout_hand_computed(ray_session, tmp_path):
     assert out.loc[2, "min_cust"] == 0 and out.loc[2, "min_day"] == 1
     assert out.loc[3, "min_cust"] == 1 and out.loc[3, "min_day"] == 1
     assert out["n"].tolist() == [1, 1, 1]
+
+
+@pytest.mark.parametrize("n", [2, 7, 101, 1000])
+def test_exact_quantiles_cont_vs_duckdb_planted(ray_session, n):
+    from dygiepp_ray.analytics import exact_quantiles_cont
+
+    rng = np.random.default_rng(n)
+    v = np.round(rng.uniform(0, 100, n), 1)
+    qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+    ds = ray.data.from_pandas(pd.DataFrame({"x": v})).repartition(3)
+    got = exact_quantiles_cont(ds, "x", qs)
+    qlist = ", ".join(str(q) for q in qs)
+    want = duckdb.connect().execute(
+        f"SELECT unnest(quantile_cont(x, [{qlist}])) AS value "
+        "FROM (SELECT unnest(?::DOUBLE[]) AS x)",
+        [v.tolist()],
+    ).fetchdf()
+    # bit-identical double interpolation, not just allclose
+    np.testing.assert_array_equal(
+        got["value"].to_numpy(), want["value"].to_numpy()
+    )
+
+
+def test_exact_quantiles_cont_multi_round(ray_session):
+    from dygiepp_ray.analytics import exact_quantiles_cont
+
+    rng = np.random.default_rng(1)
+    v = rng.normal(0, 1, 5000)
+    ds = ray.data.from_pandas(pd.DataFrame({"x": v})).repartition(8)
+    got = exact_quantiles_cont(
+        ds, "x", [0.5, 0.9], per_block_candidates=8, collect_cap=50
+    )
+    assert got["value"].to_numpy() == pytest.approx(
+        np.quantile(np.sort(v), [0.5, 0.9], method="linear")
+    )
