@@ -2930,6 +2930,164 @@ def zorder_layout(
     return partitioned_map_groups(partials, "part_id", merge, num_buckets)
 
 
+def purchase_attribution(
+    sf_dir: str, num_buckets: int = 16
+) -> ray.data.Dataset:
+    """Last-touch attribution: for every purchase, the timestamp of the
+    user's most recent PRECEDING touch event (click/view) — the
+    marketing-attribution join, a running max over a user's ordered
+    stream rather than an equi-join.
+
+    One user-keyed exchange; inside a bucket the rows are lexsorted
+    once by (user, ts, event_id) and the attribution is a shifted
+    segment-wise cummax (pure numpy, no per-user loop).  Semantics are
+    the window frame ROWS UNBOUNDED PRECEDING..1 PRECEDING in that
+    exact order on BOTH sides, so equal-timestamp ties resolve
+    identically to the SQL twin.  -> (event_id, attr_ts_us; -1 = no
+    preceding touch)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def attribute(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "user_id" not in df.columns:
+            return pd.DataFrame({"event_id": pd.Series(dtype=np.int64),
+                                 "attr_ts_us": pd.Series(dtype=np.int64)})
+        t = ts_epoch_us(df["ts"])
+        eid = df["event_id"].to_numpy(np.int64)
+        uid = df["user_id"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy(object)
+        order = np.lexsort((eid, t, uid))
+        uid, eid, t, et = uid[order], eid[order], t[order], et[order]
+        touch = np.where(
+            (et == "click") | (et == "view"), t, np.int64(-1)
+        ).astype(np.int64)
+        # shift by 1 (strictly preceding rows), reset at user boundaries
+        prev = np.empty_like(touch)
+        prev[0] = -1
+        prev[1:] = touch[:-1]
+        new_user = np.empty(len(uid), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        prev[new_user] = -1
+        # per-user running max of preceding touch timestamps (-1 = none;
+        # it compares below every real ts, so it IS the identity)
+        run = (
+            pd.Series(prev).groupby(pd.Series(uid)).cummax()
+            .to_numpy(np.int64)
+        )
+        keep = et == "purchase"
+        return pd.DataFrame(
+            {"event_id": eid[keep], "attr_ts_us": run[keep]}
+        )
+
+    return partitioned_map_groups(ds, "user_id", attribute, num_buckets)
+
+
+def contingency_table(sf_dir: str, num_buckets: int = 4) -> pd.DataFrame:
+    """Contingency table with independence-expected counts — the
+    observed-vs-expected crosstab behind chi-square tests and mutual-
+    information feature scoring: (o_orderstatus x o_orderpriority)
+    observed counts plus floor(1e6 * row_total * col_total /
+    grand_total) in exact integer arithmetic (Python bigint on the
+    driver, HUGEINT // in the twin), so the statistic is hash-stable
+    under any partitioning.
+
+    The fact scan is a per-batch combiner (cells-per-batch rows, never
+    O(rows)); one keyed exchange merges cells exactly; the driver holds
+    only the r x c table — marginals are driver-side math on the
+    OUTPUT, the right asymmetry at 100 TB (a cell table is bounded by
+    category cardinality).  Raises instead of wrapping if the
+    fixed-point expected count exceeds int64 (~3e6 rows per marginal
+    pair at 1e6 scale)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority"],
+    )
+
+    _EMPTY = {"o_orderstatus": object, "o_orderpriority": object,
+              "observed": np.int64}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_orderstatus" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _EMPTY.items()})
+        g = (
+            df.groupby(["o_orderstatus", "o_orderpriority"], sort=False)
+            .size().rename("observed").reset_index()
+        )
+        return g.astype({"observed": np.int64})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_orderstatus" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _EMPTY.items()})
+        g = df.groupby(["o_orderstatus", "o_orderpriority"], as_index=False)[
+            "observed"
+        ].sum()
+        return g.astype({"observed": np.int64})
+
+    cells = partitioned_map_groups(
+        ds.map_batches(partial, batch_format="pandas"),
+        "o_orderstatus", merge, num_buckets,
+    ).to_pandas()
+    if cells.empty or "o_orderstatus" not in cells.columns:
+        return pd.DataFrame(
+            {"o_orderstatus": pd.Series(dtype=object),
+             "o_orderpriority": pd.Series(dtype=object),
+             "observed": pd.Series(dtype=np.int64),
+             "expected_x1e6": pd.Series(dtype=np.int64)}
+        )
+    row_tot = cells.groupby("o_orderstatus")["observed"].sum().to_dict()
+    col_tot = cells.groupby("o_orderpriority")["observed"].sum().to_dict()
+    tot = int(cells["observed"].sum())
+    exp = []
+    for s, p in zip(cells["o_orderstatus"], cells["o_orderpriority"]):
+        e = 1_000_000 * int(row_tot[s]) * int(col_tot[p]) // tot
+        if e >= 1 << 63:
+            raise ValueError(
+                "contingency_table: expected_x1e6 exceeds int64 — "
+                "lower the fixed-point scale for this input size"
+            )
+        exp.append(e)
+    cells = cells.copy()
+    cells["expected_x1e6"] = np.asarray(exp, dtype=np.int64)
+    return cells
+
+
+SQL_CONTINGENCY_TABLE = """
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+t AS (
+  SELECT o_orderstatus, o_orderpriority, n,
+         sum(n) OVER (PARTITION BY o_orderstatus) AS rs,
+         sum(n) OVER (PARTITION BY o_orderpriority) AS cs,
+         sum(n) OVER () AS tot
+  FROM c
+)
+SELECT o_orderstatus, o_orderpriority,
+       CAST(n AS BIGINT) AS observed,
+       CAST((1000000 * rs * cs) // tot AS BIGINT) AS expected_x1e6
+FROM t
+"""
+
+
+SQL_PURCHASE_ATTRIBUTION = """
+WITH w AS (
+  SELECT event_id, event_type,
+         max(CASE WHEN event_type IN ('click', 'view')
+                  THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr
+  FROM events
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(coalesce(attr, -1) AS BIGINT) AS attr_ts_us
+FROM w WHERE event_type = 'purchase'
+"""
+
+
 _Z_TERMS = " + ".join(
     f"(((x >> {b}) & CAST(1 AS BIGINT)) << {2 * b})"
     f" + (((y >> {b}) & CAST(1 AS BIGINT)) << {2 * b + 1})"
@@ -3000,4 +3158,6 @@ RELATIONAL_QUERIES = {
     "events_resample": (events_resample, SQL_EVENTS_RESAMPLE),
     "users_setop": (users_setop, SQL_USERS_SETOP),
     "zorder_layout": (zorder_layout, SQL_ZORDER_LAYOUT),
+    "purchase_attribution": (purchase_attribution, SQL_PURCHASE_ATTRIBUTION),
+    "contingency_table": (contingency_table, SQL_CONTINGENCY_TABLE),
 }

@@ -832,3 +832,66 @@ def test_exact_quantiles_cont_multi_round(ray_session):
     assert got["value"].to_numpy() == pytest.approx(
         np.quantile(np.sort(v), [0.5, 0.9], method="linear")
     )
+
+
+def test_purchase_attribution_hand_computed(ray_session, tmp_path):
+    """Last preceding touch per user; ties resolve by ROWS frame order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dygiepp_ray import relational as R
+
+    # user 1: view@10, click@20, purchase@30 (attr=20),
+    #         purchase@5 (attr=-1, nothing precedes)
+    # user 2: purchase@50 with a click at the SAME ts but larger
+    #         event_id -> frame sees only strictly-preceding rows:
+    #         view@40 wins (attr=40)
+    rows = [
+        (100, 1, 10, "view"), (101, 1, 20, "click"),
+        (102, 1, 30, "purchase"), (99, 1, 5, "purchase"),
+        (200, 2, 40, "view"), (201, 2, 50, "purchase"),
+        (202, 2, 50, "click"),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array(
+                pd.to_datetime([r[2] * 1_000_000_000 for r in rows]),
+                pa.timestamp("us"),
+            ),
+            "event_type": pa.array([r[3] for r in rows]),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = (
+        R.purchase_attribution(str(tmp_path))
+        .to_pandas().set_index("event_id")["attr_ts_us"].to_dict()
+    )
+    assert out == {102: 20_000_000, 99: -1, 201: 40_000_000}
+
+
+def test_contingency_table_hand_computed(ray_session, tmp_path):
+    """Observed vs floor(1e6*row*col/total) independence expectation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dygiepp_ray import relational as R
+
+    # 2x2: rows (A: 3, B: 1); cols (X: 2, Y: 2); total 4
+    rows = [("A", "X"), ("A", "X"), ("A", "Y"), ("B", "Y")]
+    tbl = pa.table(
+        {
+            "o_orderstatus": pa.array([r[0] for r in rows]),
+            "o_orderpriority": pa.array([r[1] for r in rows]),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "orders.parquet")
+    out = R.contingency_table(str(tmp_path)).set_index(
+        ["o_orderstatus", "o_orderpriority"]
+    )
+    assert out.loc[("A", "X"), "observed"] == 2
+    assert out.loc[("A", "X"), "expected_x1e6"] == 1_000_000 * 3 * 2 // 4
+    assert out.loc[("A", "Y"), "expected_x1e6"] == 1_000_000 * 3 * 2 // 4
+    assert out.loc[("B", "Y"), "expected_x1e6"] == 1_000_000 * 1 * 2 // 4
+    assert len(out) == 3  # (B, X) never observed -> no cell row
