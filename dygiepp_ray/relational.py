@@ -2985,6 +2985,109 @@ def purchase_attribution(
     return partitioned_map_groups(ds, "user_id", attribute, num_buckets)
 
 
+def table_diff(
+    ds_a: ray.data.Dataset,
+    ds_b: ray.data.Dataset,
+    key: str,
+    value_cols: list[str],
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Snapshot diff / CDC between two keyed table versions: rows only
+    in B are ``added``, only in A ``removed``, in both with any
+    ``value_cols`` difference ``changed``; unchanged rows are omitted.
+    ONE two-sided keyed exchange (`hash_coexchange`) — equal keys meet
+    in one bucket, each side keeps its own schema, and the diff is a
+    per-bucket outer merge, so the operator streams at any table size
+    without a driver-side collect.  -> (key, change)."""
+    from .core import hash_coexchange
+
+    cols = [key] + list(value_cols)
+
+    def diff(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({key: pd.Series(dtype=np.int64),
+                              "change": pd.Series(dtype=object)})
+        a_ok = len(a) > 0 and key in a.columns
+        b_ok = len(b) > 0 and key in b.columns
+        if not a_ok and not b_ok:
+            return empty
+        a = a[cols] if a_ok else pd.DataFrame({c: pd.Series(dtype=np.float64)
+                                               for c in cols})
+        b = b[cols] if b_ok else pd.DataFrame({c: pd.Series(dtype=np.float64)
+                                               for c in cols})
+        m = a.merge(b, on=key, how="outer", suffixes=("_a", "_b"),
+                    indicator=True)
+        changed = np.zeros(len(m), dtype=bool)
+        for c in value_cols:
+            va, vb = m[f"{c}_a"], m[f"{c}_b"]
+            changed |= (va != vb).to_numpy() & va.notna().to_numpy() \
+                & vb.notna().to_numpy()
+        lab = np.where(
+            m["_merge"].to_numpy() == "right_only", "added",
+            np.where(m["_merge"].to_numpy() == "left_only", "removed",
+                     np.where(changed, "changed", "")),
+        )
+        keep = lab != ""
+        return pd.DataFrame(
+            {key: m[key].to_numpy()[keep].astype(np.int64),
+             "change": lab[keep].astype(object)}
+        )
+
+    return hash_coexchange(ds_a, ds_b, key, key, diff, num_buckets)
+
+
+def orders_snapshot_diff(sf_dir: str, num_buckets: int = 8) -> ray.data.Dataset:
+    """`table_diff` over two deterministically-derived versions of
+    orders — v1 excludes keys % 101 == 0 (so those read as ``added``),
+    v2 excludes keys % 97 == 0 (``removed``) and bumps o_totalprice on
+    keys % 13 == 0 (``changed``)."""
+    base_cols = ["o_orderkey", "o_totalprice"]
+
+    def v1(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_orderkey" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=np.float64)
+                                 for c in base_cols})
+        return df[df["o_orderkey"] % 101 != 0][base_cols]
+
+    def v2(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_orderkey" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=np.float64)
+                                 for c in base_cols})
+        df = df[df["o_orderkey"] % 97 != 0][base_cols].copy()
+        bump = (df["o_orderkey"] % 13 == 0).to_numpy()
+        df.loc[bump, "o_totalprice"] = df.loc[bump, "o_totalprice"] + 1.0
+        return df
+
+    def read():
+        return ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=base_cols
+        )
+
+    ds_a = read().map_batches(v1, batch_format="pandas")
+    ds_b = read().map_batches(v2, batch_format="pandas")
+    return table_diff(ds_a, ds_b, "o_orderkey", ["o_totalprice"],
+                      num_buckets)
+
+
+SQL_ORDERS_SNAPSHOT_DIFF = """
+WITH v1 AS (
+  SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+  WHERE o_orderkey % 101 <> 0
+),
+v2 AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1
+              ELSE o_totalprice END AS p
+  FROM orders WHERE o_orderkey % 97 <> 0
+)
+SELECT CAST(coalesce(v1.k, v2.k) AS BIGINT) AS o_orderkey,
+       CASE WHEN v1.k IS NULL THEN 'added'
+            WHEN v2.k IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+WHERE v1.k IS NULL OR v2.k IS NULL OR v1.p <> v2.p
+"""
+
+
 def contingency_table(sf_dir: str, num_buckets: int = 4) -> pd.DataFrame:
     """Contingency table with independence-expected counts — the
     observed-vs-expected crosstab behind chi-square tests and mutual-
@@ -3160,4 +3263,5 @@ RELATIONAL_QUERIES = {
     "zorder_layout": (zorder_layout, SQL_ZORDER_LAYOUT),
     "purchase_attribution": (purchase_attribution, SQL_PURCHASE_ATTRIBUTION),
     "contingency_table": (contingency_table, SQL_CONTINGENCY_TABLE),
+    "orders_snapshot_diff": (orders_snapshot_diff, SQL_ORDERS_SNAPSHOT_DIFF),
 }

@@ -895,3 +895,57 @@ def test_contingency_table_hand_computed(ray_session, tmp_path):
     assert out.loc[("A", "Y"), "expected_x1e6"] == 1_000_000 * 3 * 2 // 4
     assert out.loc[("B", "Y"), "expected_x1e6"] == 1_000_000 * 1 * 2 // 4
     assert len(out) == 3  # (B, X) never observed -> no cell row
+
+
+@pytest.mark.parametrize(
+    "fn_name",
+    ["events_resample", "users_setop", "zorder_layout",
+     "purchase_attribution", "contingency_table"],
+)
+def test_new_ops_bucket_count_invariant(ray_session, fn_name):
+    """Exchange bucket count must never change a result — the
+    partitioning-independence property every keyed op claims."""
+    from dygiepp_ray import relational as R
+
+    fn = getattr(R, fn_name)
+    sf = "/root/testdata/sf0.001"
+
+    def canon(res):
+        df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        return df.sort_values(list(df.columns), ignore_index=True)
+
+    a = canon(fn(sf, num_buckets=2))
+    b = canon(fn(sf, num_buckets=11))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_embedding_gram_bucket_count_invariant(ray_session):
+    from dygiepp_ray.textops.ann import embedding_gram
+
+    emb = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet", columns=["embedding"]
+    )
+    a = embedding_gram(emb, num_buckets=2).to_pandas().sort_values(
+        ["i", "j"], ignore_index=True
+    )
+    emb2 = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet", columns=["embedding"]
+    ).repartition(7)
+    b = embedding_gram(emb2, num_buckets=5).to_pandas().sort_values(
+        ["i", "j"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_table_diff_hand_computed(ray_session):
+    """added / removed / changed / unchanged-omitted over a coexchange."""
+    from dygiepp_ray.relational import table_diff
+
+    a = pd.DataFrame({"k": [1, 2, 3, 4], "v": [10.0, 20.0, 30.0, 40.0]})
+    b = pd.DataFrame({"k": [2, 3, 4, 5], "v": [20.0, 31.0, 40.0, 50.0]})
+    out = (
+        table_diff(ray.data.from_pandas(a), ray.data.from_pandas(b),
+                   "k", ["v"], num_buckets=3)
+        .to_pandas().set_index("k")["change"].to_dict()
+    )
+    assert out == {1: "removed", 3: "changed", 5: "added"}
