@@ -2985,6 +2985,104 @@ def purchase_attribution(
     return partitioned_map_groups(ds, "user_id", attribute, num_buckets)
 
 
+def events_ohlc(
+    sf_dir: str, window_s: int = 3600, num_buckets: int = 8
+) -> ray.data.Dataset:
+    """OHLC bars: per (event_type, window) the FIRST and LAST value in
+    (ts, event_id) order plus high/low/count — the ordered first/last
+    aggregate family (arg_min/arg_max by a composite time key) that a
+    plain groupby cannot express.
+
+    first/last are ASSOCIATIVE under lexicographic key comparison, so
+    each batch contributes one candidate row per (type, window) (open
+    and close representatives travel WITH their keys) and one keyed
+    exchange finishes the reduction — no sort of the full stream, and
+    every output value is an exact input value (no float summation to
+    drift).  The SQL twin packs the same (ts_us, event_id) order into a
+    HUGEINT arg_min/arg_max key (identical while event_id < 1e7 —
+    holds for this corpus; the engine side is pure lexicographic and
+    has no such bound)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_id", "event_type", "value"],
+    )
+
+    _EMPTY = {"event_type": object, "window_start": np.int64,
+              "o_ts": np.int64, "o_id": np.int64, "open_v": np.float64,
+              "c_ts": np.int64, "c_id": np.int64, "close_v": np.float64,
+              "high_v": np.float64, "low_v": np.float64, "n": np.int64}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "ts" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _EMPTY.items()})
+        t = ts_epoch_us(df["ts"])
+        d = pd.DataFrame(
+            {"event_type": df["event_type"].to_numpy(object),
+             "window_start": (t // 1_000_000 // window_s) * window_s,
+             "ts_us": t,
+             "event_id": df["event_id"].to_numpy(np.int64),
+             "value": df["value"].to_numpy(np.float64)}
+        ).sort_values(["ts_us", "event_id"], kind="mergesort")
+        g = d.groupby(["event_type", "window_start"], sort=False)
+        out = g.agg(
+            o_ts=("ts_us", "first"), c_ts=("ts_us", "last"),
+            o_id=("event_id", "first"), c_id=("event_id", "last"),
+            open_v=("value", "first"), close_v=("value", "last"),
+            high_v=("value", "max"), low_v=("value", "min"),
+            n=("value", "size"),
+        ).reset_index()
+        return out.astype({"window_start": np.int64, "n": np.int64})[
+            list(_EMPTY)
+        ]
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "event_type" not in df.columns:
+            return pd.DataFrame(
+                {"event_type": pd.Series(dtype=object),
+                 "window_start": pd.Series(dtype=np.int64),
+                 "open_v": pd.Series(dtype=np.float64),
+                 "high_v": pd.Series(dtype=np.float64),
+                 "low_v": pd.Series(dtype=np.float64),
+                 "close_v": pd.Series(dtype=np.float64),
+                 "n": pd.Series(dtype=np.int64)}
+            )
+        keys = ["event_type", "window_start"]
+        opens = (
+            df.sort_values(["o_ts", "o_id"], kind="mergesort")
+            .groupby(keys, sort=False)["open_v"].first()
+        )
+        closes = (
+            df.sort_values(["c_ts", "c_id"], kind="mergesort")
+            .groupby(keys, sort=False)["close_v"].last()
+        )
+        rest = df.groupby(keys, sort=False).agg(
+            high_v=("high_v", "max"), low_v=("low_v", "min"),
+            n=("n", "sum")
+        )
+        out = rest.join(opens).join(closes).reset_index()
+        out = out[["event_type", "window_start", "open_v", "high_v",
+                   "low_v", "close_v", "n"]]
+        return out.astype({"window_start": np.int64, "n": np.int64})
+
+    return partitioned_map_groups(partials, "event_type", merge, num_buckets)
+
+
+SQL_EVENTS_OHLC = """
+SELECT event_type,
+       CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start,
+       arg_min(value,
+               CAST(epoch_us(ts) AS HUGEINT) * 10000000 + event_id) AS open_v,
+       max(value) AS high_v,
+       min(value) AS low_v,
+       arg_max(value,
+               CAST(epoch_us(ts) AS HUGEINT) * 10000000 + event_id) AS close_v,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 def table_diff(
     ds_a: ray.data.Dataset,
     ds_b: ray.data.Dataset,
@@ -3264,4 +3362,5 @@ RELATIONAL_QUERIES = {
     "purchase_attribution": (purchase_attribution, SQL_PURCHASE_ATTRIBUTION),
     "contingency_table": (contingency_table, SQL_CONTINGENCY_TABLE),
     "orders_snapshot_diff": (orders_snapshot_diff, SQL_ORDERS_SNAPSHOT_DIFF),
+    "events_ohlc": (events_ohlc, SQL_EVENTS_OHLC),
 }

@@ -949,3 +949,49 @@ def test_table_diff_hand_computed(ray_session):
         .to_pandas().set_index("k")["change"].to_dict()
     )
     assert out == {1: "removed", 3: "changed", 5: "added"}
+
+
+def test_events_ohlc_hand_computed(ray_session, tmp_path):
+    """first/last by (ts, event_id) incl. an equal-ts tie, across
+    multiple partials (merge must re-reduce the representatives)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dygiepp_ray import relational as R
+
+    # one window, type x: open = id 1 @t10 (tie with id 2 broken by id),
+    # close = id 9 @t30; high 9.0 low 1.0
+    rows = [
+        (2, 10, "x", 5.0), (1, 10, "x", 1.0),
+        (5, 20, "x", 9.0), (9, 30, "x", 3.0),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                pd.to_datetime([r[1] * 1_000_000_000 for r in rows]),
+                pa.timestamp("us"),
+            ),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = R.events_ohlc(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["open_v"], r["high_v"], r["low_v"], r["close_v"], r["n"]) == (
+        1.0, 9.0, 1.0, 3.0, 4
+    )
+
+
+def test_events_ohlc_bucket_and_block_invariant(ray_session):
+    from dygiepp_ray import relational as R
+
+    a = R.events_ohlc("/root/testdata/sf0.001", num_buckets=2).to_pandas()
+    b = R.events_ohlc("/root/testdata/sf0.001", num_buckets=9).to_pandas()
+    key = ["event_type", "window_start"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key, ignore_index=True),
+        b.sort_values(key, ignore_index=True),
+    )
