@@ -2985,6 +2985,104 @@ def purchase_attribution(
     return partitioned_map_groups(ds, "user_id", attribute, num_buckets)
 
 
+def small_quantity_revenue(
+    sf_dir: str, brand: str = "Brand#23", num_buckets: int = 8
+) -> pd.DataFrame:
+    """TPC-H Q17 shape — aggregate-rejoin-to-detail with an inequality
+    filter: revenue from lineitems whose quantity is below 20% of
+    their part's average quantity, parts restricted to one brand.
+
+    Plan: the brand's partkeys broadcast once (``ray.put`` + np.isin —
+    the small side never shuffles); the FILTERED detail takes ONE
+    partkey-keyed exchange, which colocates each part's rows so the
+    per-part average and the below-threshold sum complete inside the
+    bucket — no second pass, no detail re-join.  Money sums in integer
+    cents (floor(p*100 + 0.5) per row on both sides); quantities are
+    integral so the float average is order-independent and the
+    inequality cannot flip across engines.  -> one row
+    (total_cents, avg_yearly_x100)."""
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).map_batches(
+        lambda df: df[df["p_brand"] == brand][["p_partkey"]],
+        batch_format="pandas",
+    ).to_pandas()
+    keys_ref = ray.put(
+        part["p_partkey"].to_numpy(np.int64) if len(part)
+        else np.empty(0, np.int64)
+    )
+
+    class BrandFilter:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0 or "l_partkey" not in df.columns:
+                return pd.DataFrame(
+                    {"l_partkey": pd.Series(dtype=np.int64),
+                     "l_quantity": pd.Series(dtype=np.float64),
+                     "l_extendedprice": pd.Series(dtype=np.float64)}
+                )
+            m = np.isin(df["l_partkey"].to_numpy(np.int64), self.keys)
+            return df[m]
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(BrandFilter, batch_format="pandas", concurrency=2)
+
+    def bucket_sum(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "l_partkey" not in df.columns:
+            return pd.DataFrame({"cents": pd.Series(dtype=np.int64)})
+        qty = df["l_quantity"].to_numpy(np.float64)
+        g = df.groupby("l_partkey", sort=False)["l_quantity"]
+        lim = 0.2 * (g.transform("sum").to_numpy(np.float64)
+                     / g.transform("size").to_numpy(np.float64))
+        keep = qty < lim
+        p = df["l_extendedprice"].to_numpy(np.float64)[keep]
+        cents = np.floor(p * 100 + 0.5).astype(np.int64).sum()
+        return pd.DataFrame(
+            {"cents": np.asarray([cents], dtype=np.int64),
+             "k": np.asarray([int(keep.sum())], dtype=np.int64)}
+        )
+
+    parts = partitioned_map_groups(
+        li, "l_partkey", bucket_sum, num_buckets
+    ).to_pandas()
+    if parts.empty or "cents" not in parts.columns or \
+            int(parts["k"].sum()) == 0:
+        # no qualifying row: match the twin's HAVING count(*) > 0
+        return pd.DataFrame(
+            {"total_cents": pd.Series(dtype=np.int64),
+             "avg_yearly_x100": pd.Series(dtype=np.int64)}
+        )
+    total = int(parts["cents"].sum())
+    return pd.DataFrame(
+        {"total_cents": np.asarray([total], dtype=np.int64),
+         "avg_yearly_x100": np.asarray([total // 7], dtype=np.int64)}
+    )
+
+
+SQL_SMALL_QUANTITY_REVENUE = """
+WITH li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#23'
+),
+a AS (
+  SELECT l_partkey, 0.2 * (sum(l_quantity) / count(*)) AS lim
+  FROM li GROUP BY 1
+)
+SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS total_cents,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) // 7
+            AS BIGINT) AS avg_yearly_x100
+FROM li JOIN a USING (l_partkey)
+WHERE l_quantity < lim
+HAVING count(*) > 0
+"""
+
+
 def events_ohlc(
     sf_dir: str, window_s: int = 3600, num_buckets: int = 8
 ) -> ray.data.Dataset:
@@ -3363,4 +3461,5 @@ RELATIONAL_QUERIES = {
     "contingency_table": (contingency_table, SQL_CONTINGENCY_TABLE),
     "orders_snapshot_diff": (orders_snapshot_diff, SQL_ORDERS_SNAPSHOT_DIFF),
     "events_ohlc": (events_ohlc, SQL_EVENTS_OHLC),
+    "small_quantity_revenue": (small_quantity_revenue, SQL_SMALL_QUANTITY_REVENUE),
 }

@@ -995,3 +995,47 @@ def test_events_ohlc_bucket_and_block_invariant(ray_session):
         a.sort_values(key, ignore_index=True),
         b.sort_values(key, ignore_index=True),
     )
+
+
+def test_small_quantity_revenue_hand_computed(ray_session, tmp_path):
+    """Below-20%-of-part-average filter with exact cents accounting."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dygiepp_ray import relational as R
+
+    # part 1 (Brand#23): qtys 1, 10, 10 -> avg 7, lim 1.4 -> only the
+    # qty-1 row (price 10.01 -> 1001 cents) qualifies.
+    # part 2 (other brand): filtered out before the exchange.
+    pq.write_table(pa.table(
+        {"p_partkey": pa.array([1, 2], pa.int64()),
+         "p_brand": pa.array(["Brand#23", "Brand#1"])}
+    ), tmp_path / "part.parquet")
+    pq.write_table(pa.table(
+        {"l_partkey": pa.array([1, 1, 1, 2], pa.int64()),
+         "l_quantity": pa.array([1.0, 10.0, 10.0, 1.0], pa.float64()),
+         "l_extendedprice": pa.array([10.01, 5.0, 5.0, 99.0], pa.float64())}
+    ), tmp_path / "lineitem.parquet")
+    out = R.small_quantity_revenue(str(tmp_path))
+    assert len(out) == 1
+    assert int(out["total_cents"].iloc[0]) == 1001
+    assert int(out["avg_yearly_x100"].iloc[0]) == 1001 // 7
+
+
+def test_small_quantity_revenue_no_qualifier_is_empty(ray_session, tmp_path):
+    """No row below the threshold -> zero rows (twin's HAVING shape)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dygiepp_ray import relational as R
+
+    pq.write_table(pa.table(
+        {"p_partkey": pa.array([1], pa.int64()),
+         "p_brand": pa.array(["Brand#23"])}
+    ), tmp_path / "part.parquet")
+    pq.write_table(pa.table(
+        {"l_partkey": pa.array([1, 1], pa.int64()),
+         "l_quantity": pa.array([10.0, 10.0], pa.float64()),
+         "l_extendedprice": pa.array([5.0, 5.0], pa.float64())}
+    ), tmp_path / "lineitem.parquet")
+    assert len(R.small_quantity_revenue(str(tmp_path))) == 0
