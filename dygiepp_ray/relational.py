@@ -2985,6 +2985,151 @@ def purchase_attribution(
     return partitioned_map_groups(ds, "user_id", attribute, num_buckets)
 
 
+def sales_opportunity(
+    sf_dir: str, nations=(0, 1, 2, 3, 4, 5, 6), num_buckets: int = 8
+) -> pd.DataFrame:
+    """TPC-H Q22 shape — global-aggregate threshold + anti-join
+    composition: customers in a nation cohort whose balance exceeds the
+    cohort's positive-balance average AND who have no orders, rolled up
+    per nation.
+
+    The above-average filter is INTEGER-EXACT: with S = sum of positive
+    cents and n their count, ``bal > S/n`` is evaluated as
+    ``bal_cents * n > S`` (no float division on either side — the twin
+    uses the same cross-multiplied BIGINT comparison, so boundary
+    customers cannot flip).  S and n come from one per-batch combiner
+    pass (two driver scalars); the anti-join is a custkey coexchange
+    against per-batch-DISTINCT order custkeys (shuffle bytes O(distinct
+    buyers), never O(orders)); the per-nation rollup merges
+    bucket-level partials on the driver (<= buckets x nations rows).
+    -> (c_nationkey, n_cust, total_bal_cents)."""
+    nation_set = np.asarray(sorted(nations), dtype=np.int64)
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "c_custkey" not in df.columns:
+            return pd.DataFrame(
+                {"c_custkey": pd.Series(dtype=np.int64),
+                 "c_nationkey": pd.Series(dtype=np.int64),
+                 "bc": pd.Series(dtype=np.int64)}
+            )
+        df = df[np.isin(df["c_nationkey"].to_numpy(np.int64), nation_set)]
+        b = df["c_acctbal"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {"c_custkey": df["c_custkey"].to_numpy(np.int64),
+             "c_nationkey": df["c_nationkey"].to_numpy(np.int64),
+             "bc": np.floor(b * 100 + 0.5).astype(np.int64)}
+        )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    ).map_batches(cents, batch_format="pandas")
+
+    def pos_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "bc" not in df.columns:
+            return pd.DataFrame({"s": pd.Series(dtype=np.int64),
+                                 "n": pd.Series(dtype=np.int64)})
+        p = df["bc"].to_numpy(np.int64)
+        p = p[p > 0]
+        return pd.DataFrame({"s": np.asarray([p.sum()], np.int64),
+                             "n": np.asarray([len(p)], np.int64)})
+
+    pos = cust.map_batches(pos_partial, batch_format="pandas").to_pandas()
+    _empty = pd.DataFrame(
+        {"c_nationkey": pd.Series(dtype=np.int64),
+         "n_cust": pd.Series(dtype=np.int64),
+         "total_bal_cents": pd.Series(dtype=np.int64)}
+    )
+    if pos.empty or "s" not in pos.columns or int(pos["n"].sum()) == 0:
+        return _empty
+    s_tot, n_tot = int(pos["s"].sum()), int(pos["n"].sum())
+
+    def eligible(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "bc" not in df.columns:
+            return df
+        return df[df["bc"].to_numpy(np.int64) * n_tot > s_tot]
+
+    elig = cust.map_batches(eligible, batch_format="pandas")
+
+    cutoff_us = 946_684_800_000_000  # 2000-01-01
+
+    def buyers(df: pd.DataFrame) -> pd.DataFrame:
+        # "recent urgent buyers": the anti-join side carries a predicate
+        # (priority + date) so the cohort is the lapsed customers
+        if len(df) == 0 or "o_custkey" not in df.columns:
+            return pd.DataFrame({"o_custkey": pd.Series(dtype=np.int64)})
+        m = (df["o_orderpriority"].to_numpy(object) == "1-URGENT") & (
+            ts_epoch_us(df["o_orderdate"]) >= cutoff_us
+        )
+        return pd.DataFrame(
+            {"o_custkey": np.unique(df["o_custkey"].to_numpy(np.int64)[m])}
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority", "o_orderdate"],
+    ).map_batches(buyers, batch_format="pandas")
+
+    from .core import hash_coexchange
+
+    def anti_rollup(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
+        if len(a) == 0 or "c_custkey" not in a.columns:
+            return _empty.copy()
+        bought = (b["o_custkey"].to_numpy(np.int64)
+                  if len(b) and "o_custkey" in b.columns
+                  else np.empty(0, np.int64))
+        keep = ~np.isin(a["c_custkey"].to_numpy(np.int64), bought)
+        a = a[keep]
+        if not len(a):
+            return _empty.copy()
+        g = a.groupby("c_nationkey", sort=False)["bc"].agg(["size", "sum"])
+        return pd.DataFrame(
+            {"c_nationkey": g.index.to_numpy(np.int64),
+             "n_cust": g["size"].to_numpy(np.int64),
+             "total_bal_cents": g["sum"].to_numpy(np.int64)}
+        )
+
+    parts = hash_coexchange(
+        elig, orders, "c_custkey", "o_custkey", anti_rollup, num_buckets
+    ).to_pandas()
+    if parts.empty or "c_nationkey" not in parts.columns:
+        return _empty
+    out = parts.groupby("c_nationkey", as_index=False).agg(
+        n_cust=("n_cust", "sum"), total_bal_cents=("total_bal_cents", "sum")
+    )
+    return out.astype(
+        {"c_nationkey": np.int64, "n_cust": np.int64,
+         "total_bal_cents": np.int64}
+    )
+
+
+SQL_SALES_OPPORTUNITY = """
+WITH cents AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bc
+  FROM customer WHERE c_nationkey IN (0, 1, 2, 3, 4, 5, 6)
+),
+pos AS (SELECT sum(bc) AS s, count(*) AS n FROM cents WHERE bc > 0),
+elig AS (
+  SELECT * FROM cents
+  WHERE bc * (SELECT n FROM pos) > (SELECT s FROM pos)
+),
+noord AS (
+  SELECT e.* FROM elig e
+  WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = e.c_custkey
+      AND o.o_orderpriority = '1-URGENT'
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+  )
+)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(bc) AS BIGINT) AS total_bal_cents
+FROM noord GROUP BY 1
+"""
+
+
 def small_quantity_revenue(
     sf_dir: str, brand: str = "Brand#23", num_buckets: int = 8
 ) -> pd.DataFrame:
@@ -3462,4 +3607,5 @@ RELATIONAL_QUERIES = {
     "orders_snapshot_diff": (orders_snapshot_diff, SQL_ORDERS_SNAPSHOT_DIFF),
     "events_ohlc": (events_ohlc, SQL_EVENTS_OHLC),
     "small_quantity_revenue": (small_quantity_revenue, SQL_SMALL_QUANTITY_REVENUE),
+    "sales_opportunity": (sales_opportunity, SQL_SALES_OPPORTUNITY),
 }

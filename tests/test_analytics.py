@@ -1039,3 +1039,35 @@ def test_small_quantity_revenue_no_qualifier_is_empty(ray_session, tmp_path):
          "l_extendedprice": pa.array([5.0, 5.0], pa.float64())}
     ), tmp_path / "lineitem.parquet")
     assert len(R.small_quantity_revenue(str(tmp_path))) == 0
+
+
+def test_sales_opportunity_hand_computed(ray_session, tmp_path):
+    """Integer-exact above-average filter + predicated anti-join."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dygiepp_ray import relational as R
+
+    # nation 0 cohort balances: 10.00, 20.00, 30.00 (+ one negative,
+    # excluded from the average): avg of positives = 20.00 -> only the
+    # 30.00 customer (key 3) is eligible.  Customer 3 has an URGENT
+    # 2001 order ONLY in the data for customer 4 (not eligible), so 3
+    # survives the anti-join.  Nation 99 is outside the cohort.
+    pq.write_table(pa.table(
+        {"c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+         "c_nationkey": pa.array([0, 0, 0, 0, 99], pa.int32()),
+         "c_acctbal": pa.array([10.0, 20.0, 30.0, -5.0, 1000.0],
+                               pa.float64())}
+    ), tmp_path / "customer.parquet")
+    pq.write_table(pa.table(
+        {"o_custkey": pa.array([4, 3], pa.int64()),
+         "o_orderpriority": pa.array(["1-URGENT", "3-MEDIUM"]),
+         "o_orderdate": pa.array(
+             pd.to_datetime(["2001-05-01", "2001-06-01"]),
+             pa.timestamp("us"))}
+    ), tmp_path / "orders.parquet")
+    out = R.sales_opportunity(str(tmp_path))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (int(r["c_nationkey"]), int(r["n_cust"]),
+            int(r["total_bal_cents"])) == (0, 1, 3000)
