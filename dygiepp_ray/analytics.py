@@ -496,6 +496,54 @@ SELECT q, value FROM (
 """
 
 
+def quantiles_cont_by_flag(sf_dir: str) -> ray.data.Dataset:
+    """Per-group interpolated quantiles (l_extendedprice by
+    l_returnflag): one keyed exchange, DuckDB's exact two-sided
+    interpolation weighting per group (see
+    :func:`exact_quantiles_cont`); assumes a group fits one bucket
+    task, like :func:`quantiles_by_flag`."""
+    qs = [0.25, 0.5, 0.75, 0.95]
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice"],
+    )
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        if len(df) == 0 or "l_returnflag" not in df.columns:
+            return pd.DataFrame(
+                {"l_returnflag": pd.Series(dtype=object),
+                 "q": pd.Series(dtype=np.float64),
+                 "value": pd.Series(dtype=np.float64)}
+            )
+        for flag, g in df.groupby("l_returnflag", sort=False):
+            v = np.sort(g["l_extendedprice"].to_numpy(np.float64))
+            n = len(v)
+            for q in qs:
+                h = (n - 1) * q
+                frn, crn = math.floor(h), math.ceil(h)
+                val = v[frn] if crn == frn else (
+                    (crn - h) * v[frn] + (h - frn) * v[crn]
+                )
+                out.append((flag, q, val))
+        return pd.DataFrame(
+            out, columns=["l_returnflag", "q", "value"]
+        ).astype({"q": np.float64, "value": np.float64})
+
+    return partitioned_map_groups(ds, "l_returnflag", per_group,
+                                  num_buckets=4)
+
+
+SQL_QUANTILES_CONT_BY_FLAG = """
+SELECT l_returnflag, q, value FROM (
+  SELECT l_returnflag,
+         unnest([0.25, 0.5, 0.75, 0.95]) AS q,
+         unnest(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.95])) AS value
+  FROM lineitem GROUP BY l_returnflag
+)
+"""
+
+
 def quantiles_by_flag(sf_dir: str) -> ray.data.Dataset:
     """Exact per-group quantiles (l_extendedprice by l_returnflag): one
     keyed exchange, np selection per group with the same ceil(q*n)-th
@@ -1315,6 +1363,7 @@ ANALYTICS_QUERIES = {
     "quantiles_price": (quantiles_price, SQL_QUANTILES_PRICE),
     "quantiles_by_flag": (quantiles_by_flag, SQL_QUANTILES_BY_FLAG),
     "quantiles_cont_price": (quantiles_cont_price, SQL_QUANTILES_CONT_PRICE),
+    "quantiles_cont_by_flag": (quantiles_cont_by_flag, SQL_QUANTILES_CONT_BY_FLAG),
     "orders_anti_join": (orders_anti_join, SQL_ORDERS_ANTI_JOIN),
     "orders_semi_join": (orders_semi_join, SQL_ORDERS_SEMI_JOIN),
     "json_props_sum": (json_props_sum, SQL_JSON_PROPS_SUM),
