@@ -3351,10 +3351,16 @@ def table_diff(
         b_ok = len(b) > 0 and key in b.columns
         if not a_ok and not b_ok:
             return empty
-        a = a[cols] if a_ok else pd.DataFrame({c: pd.Series(dtype=np.float64)
-                                               for c in cols})
-        b = b[cols] if b_ok else pd.DataFrame({c: pd.Series(dtype=np.float64)
-                                               for c in cols})
+        # the empty-side key placeholder must be int64: a float64 key
+        # would promote the merge's key column and corrupt ids > 2^53
+        def _side(df, ok):
+            if ok:
+                return df[cols]
+            out = {key: pd.Series(dtype=np.int64)}
+            out.update({c: pd.Series(dtype=np.float64) for c in value_cols})
+            return pd.DataFrame(out)
+
+        a, b = _side(a, a_ok), _side(b, b_ok)
         m = a.merge(b, on=key, how="outer", suffixes=("_a", "_b"),
                     indicator=True)
         changed = np.zeros(len(m), dtype=bool)

@@ -613,7 +613,15 @@ def embedding_gram(
                 "overflow budget — lower `scale` or normalize the vectors"
             )
         d = Q.shape[1]
-        G = Q.T @ Q
+        # BLAS float64 matmul is EXACT while every dot product stays
+        # under 2^53 (|q|max^2 * rows); int64 matmul (no BLAS, ~10-100x
+        # slower at wide d) is the overflow-proof fallback
+        qmax = int(np.abs(Q).max(initial=0))
+        if qmax * qmax * len(Q) < (1 << 53):
+            F = Q.astype(np.float64)
+            G = (F.T @ F).astype(np.int64)
+        else:
+            G = Q.T @ Q
         iu, ju = np.triu_indices(d)
         return pd.DataFrame(
             {

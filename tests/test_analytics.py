@@ -1071,3 +1071,19 @@ def test_sales_opportunity_hand_computed(ray_session, tmp_path):
     r = out.iloc[0]
     assert (int(r["c_nationkey"]), int(r["n_cust"]),
             int(r["total_bal_cents"])) == (0, 1, 3000)
+
+
+def test_table_diff_empty_side_keeps_big_keys_exact(ray_session):
+    """One empty side must not promote the key to float (ids > 2^53)."""
+    from dygiepp_ray.relational import table_diff
+
+    big = (1 << 62) + 1
+    a = pd.DataFrame({"k": [big, big + 2], "v": [1.0, 2.0]})
+    b = pd.DataFrame({"k": pd.Series(dtype=np.int64),
+                      "v": pd.Series(dtype=np.float64)})
+    out = table_diff(
+        ray.data.from_pandas(a), ray.data.from_pandas(b), "k", ["v"],
+        num_buckets=2,
+    ).to_pandas()
+    assert sorted(out["k"].tolist()) == [big, big + 2]  # bit-exact ids
+    assert set(out["change"]) == {"removed"}

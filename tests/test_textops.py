@@ -739,3 +739,25 @@ def test_embedding_gram_hand_computed(ray_session):
     q = np.array([[1000, 2000], [3000, -4000]], np.int64)
     expect = len(q) * (q[:, 0] * q[:, 1]).sum() - q[:, 0].sum() * q[:, 1].sum()
     assert cov01 == expect
+
+
+def test_embedding_gram_int64_fallback_matches_float_path(ray_session):
+    """Past the 2^53 dot-product bound the int64 matmul path must give
+    the same sums the float path gives on an equivalent smaller input."""
+    import numpy as np
+    import pandas as pd
+
+    import ray
+
+    from dygiepp_ray.textops.ann import embedding_gram
+
+    n = 16384  # q=1e6 per component -> q^2*n > 2^53: int64 branch
+    emb = ray.data.from_pandas(pd.DataFrame(
+        {"embedding": [np.array([1000.0, -1000.0], np.float32)] * n}
+    ))
+    out = embedding_gram(emb).to_pandas().set_index(["i", "j"])["val"]
+    q = 1_000_000
+    assert out.loc[(0, 0)] == n * q * q
+    assert out.loc[(0, 1)] == -n * q * q
+    assert out.loc[(0, -1)] == n * q
+    assert out.loc[(-1, -1)] == n
