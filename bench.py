@@ -152,6 +152,10 @@ def main() -> None:
             ("triangle_count", A.triangle_count),
             ("kg_cooccurrence", KQ.q_kg_cooccurrence),
             ("histogram_quantiles", R.histogram_quantiles),
+            ("orders_snapshot_diff", R.orders_snapshot_diff),
+            ("events_ohlc", R.events_ohlc),
+            ("purchase_attribution", R.purchase_attribution),
+            ("zorder_layout", R.zorder_layout),
         ]:
             t0 = time.perf_counter()
             res = fn(SF_DIR)
