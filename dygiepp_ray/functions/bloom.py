@@ -70,7 +70,17 @@ def _blocks_to_bits(n_words: int, *blocks) -> np.ndarray:
 
     out = np.zeros(n_words, dtype=np.uint64)
     for b in blocks:
-        col = b.column("bits").to_pylist() if isinstance(b, pa.Table) else b["bits"]
+        # Ray Data passes EMPTY blocks through UDFs untouched, so a
+        # zero-row upstream block arrives here with the INPUT schema
+        # (no "bits" column) — skip it instead of KeyError-ing the
+        # whole bloom build (reachable whenever a filter empties a
+        # block; latent-only on all-empty inputs where nothing ever
+        # ray.gets the bitmap)
+        if isinstance(b, pa.Table):
+            col = (b.column("bits").to_pylist()
+                   if "bits" in b.schema.names else [])
+        else:
+            col = b["bits"] if "bits" in b.columns else []
         for buf in col:
             np.bitwise_or(out, np.frombuffer(buf, dtype=np.uint64), out=out)
     return out

@@ -1087,3 +1087,24 @@ def test_table_diff_empty_side_keeps_big_keys_exact(ray_session):
     ).to_pandas()
     assert sorted(out["k"].tolist()) == [big, big + 2]  # bit-exact ids
     assert set(out["change"]) == {"removed"}
+
+
+def test_bloom_tolerates_empty_passthrough_blocks(ray_session):
+    """A filter that empties some blocks hands the bloom build raw
+    pass-through blocks without the 'bits' column — the OR tree must
+    skip them (Ray passes empty blocks through UDFs untouched)."""
+    from dygiepp_ray.functions.bloom import build_bloom, split_by_bloom
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"k": np.arange(40, dtype=np.int64)})
+    ).repartition(8).map_batches(
+        lambda df: df[df["k"] < 10], batch_format="pandas"
+    )  # most blocks now empty -> partial UDF skipped on them
+    bloom = build_bloom(ds, "k", m_bits=1 << 16)
+    probe = ray.data.from_pandas(
+        pd.DataFrame({"k": np.array([3, 7, 1000, 2000], np.int64)})
+    )
+    pos, neg = split_by_bloom(probe, "k", bloom)
+    got = set(pos.to_pandas()["k"])
+    assert {3, 7} <= got            # no false negatives
+    assert len(neg.to_pandas()) >= 1  # far keys mostly pruned
