@@ -2985,6 +2985,140 @@ def purchase_attribution(
     return partitioned_map_groups(ds, "user_id", attribute, num_buckets)
 
 
+def price_outliers(sf_dir: str) -> pd.DataFrame:
+    """Integer-exact statistical outlier detection: lineitems whose
+    price sits more than 1.7 standard deviations from their
+    l_returnflag group mean, WITHOUT any float in the test — with
+    diff = x*n - S and V = n*SSQ - S^2 (x in cents), ``|z| > t`` is the
+    pure-integer comparison ``(10*diff)^2 > 289*V``, evaluated as
+    ``|10*diff| > isqrt(289*V)`` (exact: a > isqrt(m) <=> a^2 > m for
+    nonneg ints), so a boundary row can never flip between engines.
+
+    Shape: the group key has cardinality 3, so an exchange would be a
+    skew disaster at 100 TB — instead TWO map-only passes: a per-batch
+    (n, S, SSQ) combiner merged to exact python-int group stats on the
+    driver (3 rows), then a broadcast filter whose per-batch outlier
+    aggregates merge the same way.  Per-batch SSQ uses int64 np.dot
+    under a checked bound and falls back to object-int summation past
+    it.  -> (l_returnflag, n_outliers, min_out_cents, max_out_cents);
+    groups with no outlier emit no row (the twin's WHERE+GROUP BY
+    shape)."""
+    import math as _math
+
+    def _cents(df: pd.DataFrame) -> tuple:
+        x = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        return df["l_returnflag"].to_numpy(object), x
+
+    def _ssq(x: np.ndarray) -> int:
+        mx = int(np.abs(x).max(initial=0))
+        if mx and len(x) * mx * mx < (1 << 63):
+            return int(np.dot(x, x))
+        return int(sum(int(v) * int(v) for v in x))
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "l_returnflag" not in df.columns:
+            return pd.DataFrame({"f": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64),
+                                 "s": pd.Series(dtype=object),
+                                 "ssq": pd.Series(dtype=object)})
+        f, x = _cents(df)
+        rows = []
+        for flag in np.unique(f):
+            xi = x[f == flag]
+            rows.append((flag, len(xi), str(int(xi.sum())), str(_ssq(xi))))
+        return pd.DataFrame(rows, columns=["f", "n", "s", "ssq"]).astype(
+            {"n": np.int64}
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice"],
+    )
+    parts = ds.map_batches(stats_partial, batch_format="pandas").to_pandas()
+    _empty = pd.DataFrame(
+        {"l_returnflag": pd.Series(dtype=object),
+         "n_outliers": pd.Series(dtype=np.int64),
+         "min_out_cents": pd.Series(dtype=np.int64),
+         "max_out_cents": pd.Series(dtype=np.int64)}
+    )
+    if parts.empty or "f" not in parts.columns:
+        return _empty
+    # exact python-int merge: S/SSQ travel as decimal strings so the
+    # partial frame never forces them through int64
+    stats = {}
+    for _, r in parts.iterrows():
+        n0, s0, q0 = stats.get(r["f"], (0, 0, 0))
+        stats[r["f"]] = (n0 + int(r["n"]), s0 + int(r["s"]), q0 + int(r["ssq"]))
+    thresh = {
+        flag: (n, s, _math.isqrt(289 * (n * q - s * s)))
+        for flag, (n, s, q) in stats.items()
+    }
+    thresh_ref = ray.put(thresh)
+
+    class OutlierAgg:
+        def __init__(self):
+            self.t = ray.get(thresh_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0 or "l_returnflag" not in df.columns:
+                return pd.DataFrame(
+                    {"f": pd.Series(dtype=object),
+                     "k": pd.Series(dtype=np.int64),
+                     "lo": pd.Series(dtype=np.int64),
+                     "hi": pd.Series(dtype=np.int64)}
+                )
+            f, x = _cents(df)
+            rows = []
+            for flag, (n, s, rt) in self.t.items():
+                xi = x[f == flag]
+                if not len(xi):
+                    continue
+                diff10 = np.abs(xi * n - s) * 10
+                m = diff10 > rt
+                if m.any():
+                    sel = xi[m]
+                    rows.append((flag, int(m.sum()), int(sel.min()),
+                                 int(sel.max())))
+            return pd.DataFrame(rows, columns=["f", "k", "lo", "hi"]).astype(
+                {"k": np.int64, "lo": np.int64, "hi": np.int64}
+            )
+
+    outs = ds.map_batches(
+        OutlierAgg, batch_format="pandas", concurrency=2
+    ).to_pandas()
+    if outs.empty or "f" not in outs.columns:
+        return _empty
+    g = outs.groupby("f", sort=True).agg(
+        n_outliers=("k", "sum"), min_out_cents=("lo", "min"),
+        max_out_cents=("hi", "max")
+    ).reset_index().rename(columns={"f": "l_returnflag"})
+    return g.astype({"n_outliers": np.int64, "min_out_cents": np.int64,
+                     "max_out_cents": np.int64})
+
+
+SQL_PRICE_OUTLIERS = """
+WITH c AS (
+  SELECT l_returnflag AS f,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS x
+  FROM lineitem
+),
+s AS (
+  SELECT f, count(*) AS n, sum(CAST(x AS HUGEINT)) AS sm,
+         sum(CAST(x AS HUGEINT) * x) AS ssq
+  FROM c GROUP BY 1
+)
+SELECT f AS l_returnflag, CAST(count(*) AS BIGINT) AS n_outliers,
+       CAST(min(x) AS BIGINT) AS min_out_cents,
+       CAST(max(x) AS BIGINT) AS max_out_cents
+FROM c JOIN s USING (f)
+WHERE 100 * (CAST(x AS HUGEINT) * n - sm) * (CAST(x AS HUGEINT) * n - sm)
+      > 289 * (n * ssq - sm * sm)
+GROUP BY 1
+"""
+
+
 def sales_opportunity(
     sf_dir: str, nations=(0, 1, 2, 3, 4, 5, 6), num_buckets: int = 8
 ) -> pd.DataFrame:
@@ -3614,4 +3748,5 @@ RELATIONAL_QUERIES = {
     "events_ohlc": (events_ohlc, SQL_EVENTS_OHLC),
     "small_quantity_revenue": (small_quantity_revenue, SQL_SMALL_QUANTITY_REVENUE),
     "sales_opportunity": (sales_opportunity, SQL_SALES_OPPORTUNITY),
+    "price_outliers": (price_outliers, SQL_PRICE_OUTLIERS),
 }

@@ -1108,3 +1108,26 @@ def test_bloom_tolerates_empty_passthrough_blocks(ray_session):
     got = set(pos.to_pandas()["k"])
     assert {3, 7} <= got            # no false negatives
     assert len(neg.to_pandas()) >= 1  # far keys mostly pruned
+
+
+def test_price_outliers_hand_computed(ray_session, tmp_path):
+    """|z| > 1.7 as a pure-integer comparison, exact at the boundary."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dygiepp_ray import relational as R
+
+    # flag A: cents (100, 100, 100, 100, 500): mean 180, the 500 row has
+    # z = 320/160 = 2.0 > 1.7 -> outlier; the 100 rows have z = 0.5.
+    # flag B: two equal values -> V = 0, nothing can exceed it.
+    vals = [1.0, 1.0, 1.0, 1.0, 5.0, 7.0, 7.0]
+    flags = ["A"] * 5 + ["B"] * 2
+    pq.write_table(pa.table(
+        {"l_returnflag": pa.array(flags),
+         "l_extendedprice": pa.array(vals, pa.float64())}
+    ), tmp_path / "lineitem.parquet")
+    out = R.price_outliers(str(tmp_path))
+    assert out["l_returnflag"].tolist() == ["A"]
+    r = out.iloc[0]
+    assert (int(r["n_outliers"]), int(r["min_out_cents"]),
+            int(r["max_out_cents"])) == (1, 500, 500)
