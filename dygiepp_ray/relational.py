@@ -2985,6 +2985,75 @@ def purchase_attribution(
     return partitioned_map_groups(ds, "user_id", attribute, num_buckets)
 
 
+def user_streaks(sf_dir: str, num_buckets: int = 16) -> ray.data.Dataset:
+    """Gaps-and-islands: each user's LONGEST run of consecutive active
+    days — the classic islands analytic (day minus dense rank = island
+    id) that needs ordered per-key state, not a plain aggregate.
+
+    Per-batch DISTINCT (user, day) pairs are the combiner (shuffle
+    bytes O(active user-days), never O(events)); one user-keyed
+    exchange; in-bucket the islands fall out of one lexsort + two
+    vectorized diffs (run starts where the user changes or the day gap
+    isn't 1), no per-user loop.  -> (user_id, longest_streak)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def days(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "user_id" not in df.columns:
+            return pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                                 "day": pd.Series(dtype=np.int64)})
+        d = ts_epoch_us(df["ts"]) // 1_000_000 // 86_400
+        return pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(np.int64), "day": d}
+        ).drop_duplicates(ignore_index=True)
+
+    pairs = ds.map_batches(days, batch_format="pandas")
+
+    def streaks(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "user_id" not in df.columns:
+            return pd.DataFrame(
+                {"user_id": pd.Series(dtype=np.int64),
+                 "longest_streak": pd.Series(dtype=np.int64)}
+            )
+        df = df.drop_duplicates(["user_id", "day"])
+        uid = df["user_id"].to_numpy(np.int64)
+        day = df["day"].to_numpy(np.int64)
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        new_run = np.ones(len(uid), dtype=bool)
+        new_run[1:] = (uid[1:] != uid[:-1]) | (day[1:] != day[:-1] + 1)
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        per_run_user = uid[new_run]
+        out = (
+            pd.DataFrame({"user_id": per_run_user, "len": run_len})
+            .groupby("user_id", as_index=False)["len"].max()
+            .rename(columns={"len": "longest_streak"})
+        )
+        return out.astype({"user_id": np.int64, "longest_streak": np.int64})
+
+    return partitioned_map_groups(pairs, "user_id", streaks, num_buckets)
+
+
+SQL_USER_STREAKS = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+),
+r AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS isl
+  FROM d
+),
+l AS (SELECT user_id, count(*) AS len FROM r GROUP BY user_id, isl)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(max(len) AS BIGINT) AS longest_streak
+FROM l GROUP BY 1
+"""
+
+
 def price_outliers(sf_dir: str) -> pd.DataFrame:
     """Integer-exact statistical outlier detection: lineitems whose
     price sits more than 1.7 standard deviations from their
@@ -3749,4 +3818,5 @@ RELATIONAL_QUERIES = {
     "small_quantity_revenue": (small_quantity_revenue, SQL_SMALL_QUANTITY_REVENUE),
     "sales_opportunity": (sales_opportunity, SQL_SALES_OPPORTUNITY),
     "price_outliers": (price_outliers, SQL_PRICE_OUTLIERS),
+    "user_streaks": (user_streaks, SQL_USER_STREAKS),
 }

@@ -1131,3 +1131,27 @@ def test_price_outliers_hand_computed(ray_session, tmp_path):
     r = out.iloc[0]
     assert (int(r["n_outliers"]), int(r["min_out_cents"]),
             int(r["max_out_cents"])) == (1, 500, 500)
+
+
+def test_user_streaks_hand_computed(ray_session, tmp_path):
+    """Islands: duplicate days collapse, gaps split runs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dygiepp_ray import relational as R
+
+    # user 1 active days: 0,1,2 (streak 3), 5,6 (streak 2), with a
+    # duplicate event on day 1; user 2: single day
+    days = [(1, 0), (1, 1), (1, 1), (1, 2), (1, 5), (1, 6), (2, 9)]
+    pq.write_table(pa.table(
+        {"user_id": pa.array([u for u, _d in days], pa.int64()),
+         "ts": pa.array(
+             pd.to_datetime([(d * 86_400 + 3_600) * 1_000_000_000
+                             for _u, d in days]),
+             pa.timestamp("us"))}
+    ), tmp_path / "events.parquet")
+    out = (
+        R.user_streaks(str(tmp_path))
+        .to_pandas().set_index("user_id")["longest_streak"].to_dict()
+    )
+    assert out == {1: 3, 2: 1}
