@@ -544,6 +544,75 @@ SELECT l_returnflag, q, value FROM (
 """
 
 
+def winsorized_revenue(sf_dir: str) -> pd.DataFrame:
+    """Winsorization — the outlier-robust cleaning transform: clip
+    l_extendedprice to its exact global [p05, p95] (distributed
+    selection, same ceil(q*n) rank as ``quantile_disc``), then sum the
+    CLIPPED prices per l_returnflag in integer cents.  Clipping happens
+    before the cents quantization on both sides, and the two clip
+    bounds are themselves input values, so the whole statistic is
+    hash-exact under any partitioning.  Two passes: the quantile
+    selection (driver holds two scalars) + one map-only combiner scan —
+    no exchange at all (3-value group key; see price_outliers).
+    -> (l_returnflag, n, clipped_cents)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice"],
+    )
+    qs = exact_quantiles(
+        ds.select_columns(["l_extendedprice"]), "l_extendedprice",
+        [0.05, 0.95],
+    )
+    _empty = pd.DataFrame(
+        {"l_returnflag": pd.Series(dtype=object),
+         "n": pd.Series(dtype=np.int64),
+         "clipped_cents": pd.Series(dtype=np.int64)}
+    )
+    if qs.empty:
+        return _empty
+    lo, hi = float(qs["value"].iloc[0]), float(qs["value"].iloc[1])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "l_returnflag" not in df.columns:
+            return _empty.copy()
+        v = np.clip(df["l_extendedprice"].to_numpy(np.float64), lo, hi)
+        cents = np.floor(v * 100 + 0.5).astype(np.int64)
+        g = (
+            pd.DataFrame({"l_returnflag": df["l_returnflag"].to_numpy(object),
+                          "cents": cents})
+            .groupby("l_returnflag", sort=False)["cents"]
+            .agg(["size", "sum"]).reset_index()
+        )
+        return pd.DataFrame(
+            {"l_returnflag": g["l_returnflag"],
+             "n": g["size"].to_numpy(np.int64),
+             "clipped_cents": g["sum"].to_numpy(np.int64)}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty or "l_returnflag" not in parts.columns:
+        return _empty
+    out = parts.groupby("l_returnflag", sort=True, as_index=False).agg(
+        n=("n", "sum"), clipped_cents=("clipped_cents", "sum")
+    )
+    return out.astype({"n": np.int64, "clipped_cents": np.int64})
+
+
+SQL_WINSORIZED_REVENUE = """
+WITH b AS (
+  SELECT unnest(quantile_disc(l_extendedprice, [0.05, 0.95])) AS v
+  FROM lineitem
+),
+lim AS (SELECT min(v) AS lo, max(v) AS hi FROM b)
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(
+         least(greatest(l_extendedprice, (SELECT lo FROM lim)),
+               (SELECT hi FROM lim)) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS clipped_cents
+FROM lineitem GROUP BY 1
+"""
+
+
 def quantiles_by_flag(sf_dir: str) -> ray.data.Dataset:
     """Exact per-group quantiles (l_extendedprice by l_returnflag): one
     keyed exchange, np selection per group with the same ceil(q*n)-th
@@ -1364,6 +1433,7 @@ ANALYTICS_QUERIES = {
     "quantiles_by_flag": (quantiles_by_flag, SQL_QUANTILES_BY_FLAG),
     "quantiles_cont_price": (quantiles_cont_price, SQL_QUANTILES_CONT_PRICE),
     "quantiles_cont_by_flag": (quantiles_cont_by_flag, SQL_QUANTILES_CONT_BY_FLAG),
+    "winsorized_revenue": (winsorized_revenue, SQL_WINSORIZED_REVENUE),
     "orders_anti_join": (orders_anti_join, SQL_ORDERS_ANTI_JOIN),
     "orders_semi_join": (orders_semi_join, SQL_ORDERS_SEMI_JOIN),
     "json_props_sum": (json_props_sum, SQL_JSON_PROPS_SUM),

@@ -1155,3 +1155,32 @@ def test_user_streaks_hand_computed(ray_session, tmp_path):
         .to_pandas().set_index("user_id")["longest_streak"].to_dict()
     )
     assert out == {1: 3, 2: 1}
+
+
+def test_winsorized_revenue_hand_computed(ray_session, tmp_path):
+    """Clip at exact [p05, p95] order statistics, then cents sums."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dygiepp_ray import relational  # noqa: F401  (engine imports)
+    from dygiepp_ray.analytics import winsorized_revenue
+
+    # 10 values 1..10: p05 = ceil(0.5)=1st smallest = 1.0,
+    # p95 = ceil(9.5)=10th = 10.0 -> nothing clips; shrink to check
+    # clipping with explicit construction instead: values 1..20 ->
+    # p05 = 1st = 1.0, p95 = 19th = 19.0, so only 20.0 clips to 19.0
+    vals = [float(i) for i in range(1, 21)]
+    flags = ["A"] * 10 + ["B"] * 10
+    pq.write_table(pa.table(
+        {"l_returnflag": pa.array(flags),
+         "l_extendedprice": pa.array(vals, pa.float64())}
+    ), tmp_path / "lineitem.parquet")
+    out = winsorized_revenue(str(tmp_path)).set_index("l_returnflag")
+    assert int(out.loc["A", "clipped_cents"]) == sum(
+        int(v * 100) for v in vals[:10]
+    )
+    # B's 20.0 clips to 19.0
+    assert int(out.loc["B", "clipped_cents"]) == sum(
+        int(min(v, 19.0) * 100) for v in vals[10:]
+    )
+    assert out["n"].tolist() == [10, 10]
