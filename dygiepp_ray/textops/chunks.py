@@ -302,3 +302,82 @@ FROM s WHERE nt = 3
 ORDER BY tf DESC, doc_id
 LIMIT 10
 """
+
+
+def phrase_search(
+    ds: "ray.data.Dataset",
+    phrase: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Positional phrase retrieval: documents containing the EXACT
+    token sequence ``phrase`` (whitespace tokenization, same as
+    :func:`term_search`), with the occurrence count — the adjacency
+    query a positional posting list answers, which boolean-AND
+    retrieval cannot (docs with both tokens NON-adjacent don't match).
+
+    Map-only: a document carries all its tokens, so the adjacency test
+    is a shifted equality AND over each batch's flattened token stream
+    (doc boundaries masked by comparing the repeated id array to its
+    own shift) — no shuffle, no per-doc loop.  -> (doc_id, n_hits),
+    matching docs only."""
+    import numpy as np
+
+    words = [str(w) for w in phrase]
+    L = len(words)
+    if L < 2:
+        raise ValueError("phrase_search needs a phrase of >= 2 tokens")
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                              "n_hits": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or text_col not in df.columns:
+            return empty
+        toks = _doc_tokens(df, text_col)
+        lens = toks.map(len).to_numpy(np.int64)
+        if lens.sum() == 0:
+            return empty
+        ids = np.repeat(df[id_col].to_numpy(np.int64), lens)
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
+        n = len(flat)
+        if n < L:
+            return empty
+        m = np.ones(n - L + 1, dtype=bool)
+        for j, w in enumerate(words):
+            m &= flat[j:n - L + 1 + j] == w
+        # the whole window must sit inside one document
+        m &= ids[:n - L + 1] == ids[L - 1:]
+        if not m.any():
+            return empty
+        hit_ids = ids[:n - L + 1][m]
+        u, c = np.unique(hit_ids, return_counts=True)
+        return pd.DataFrame({id_col: u.astype(np.int64),
+                             "n_hits": c.astype(np.int64)})
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+def q_phrase_search(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return phrase_search(ds, ("table", "hash"))
+
+
+SQL_PHRASE_SEARCH = r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS arr
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, arr[i] AS t1, arr[i + 1] AS t2
+  FROM base,
+       LATERAL (SELECT unnest(generate_series(1, len(arr) - 1)) AS i) s
+  WHERE len(arr) >= 2
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM pos WHERE t1 = 'table' AND t2 = 'hash'
+GROUP BY 1
+"""

@@ -1401,6 +1401,7 @@ TEXTOPS_QUERIES = {
     "chunk_documents": (_chunks.q_chunk_documents, _chunks.SQL_CHUNK_DOCUMENTS),
     "tfidf_top_terms": (_chunks.q_tfidf_top_terms, _chunks.SQL_TFIDF_TOP_TERMS),
     "term_search": (_chunks.q_term_search, _chunks.SQL_TERM_SEARCH),
+    "phrase_search": (_chunks.q_phrase_search, _chunks.SQL_PHRASE_SEARCH),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "fuzzy_decontaminate": (q_fuzzy_decontaminate, SQL_FUZZY_DECONTAMINATE),
     "repetition_scores": (q_repetition_scores, SQL_REPETITION_SCORES),

@@ -761,3 +761,25 @@ def test_embedding_gram_int64_fallback_matches_float_path(ray_session):
     assert out.loc[(0, 1)] == -n * q * q
     assert out.loc[(0, -1)] == n * q
     assert out.loc[(-1, -1)] == n
+
+
+def test_phrase_search_hand_computed(ray_session):
+    """Adjacency, multiplicity, and boolean-AND-but-not-adjacent
+    rejection."""
+    import pandas as pd
+
+    import ray
+
+    from dygiepp_ray.textops.chunks import phrase_search
+
+    df = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4],
+         "text": ["a b c a b", "b a", "a x b", "  "]}
+    )
+    out = (
+        phrase_search(ray.data.from_pandas(df), ("a", "b"))
+        .to_pandas().set_index("doc_id")["n_hits"].to_dict()
+    )
+    # doc 1: two adjacent occurrences; doc 2 reversed; doc 3 has both
+    # tokens but not adjacent; doc 4 blank
+    assert out == {1: 2}
