@@ -2985,6 +2985,112 @@ def purchase_attribution(
     return partitioned_map_groups(ds, "user_id", attribute, num_buckets)
 
 
+def events_rate_alert(
+    sf_dir: str, window_s: int = 3600, trail: int = 6, num_buckets: int = 8
+) -> ray.data.Dataset:
+    """Streaming rate-spike detection: (event_type, window) pairs whose
+    count exceeds 2x the average of the previous ``trail`` PRESENT
+    windows — the anomaly-alert pattern over a windowed stream.  The
+    threshold is the cross-multiplied integer comparison
+    ``n * trail > 2 * trailing_sum`` (no float average, no boundary
+    flips), and the frame is ROWS (previous present windows), applied
+    identically in the SQL twin; windows with fewer than ``trail``
+    predecessors never alert.
+
+    Per-batch (type, window) count combiner -> ONE type-keyed exchange;
+    in-bucket the trailing sum is a vectorized cumsum difference over
+    the type's sorted window series (each type's full series lives in
+    one bucket — window counts per type are bounded by calendar time,
+    the same asymmetry events_resample exploits).
+    -> (event_type, window_start, n, trail_sum)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "ts" not in df.columns:
+            return pd.DataFrame({"event_type": pd.Series(dtype=object),
+                                 "window_start": pd.Series(dtype=np.int64),
+                                 "n": pd.Series(dtype=np.int64)})
+        win = (ts_epoch_us(df["ts"]) // 1_000_000 // window_s) * window_s
+        g = (
+            df.assign(window_start=win)
+            .groupby(["event_type", "window_start"], sort=False)
+            .size().rename("n").reset_index()
+        )
+        return g.astype({"window_start": np.int64, "n": np.int64})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def alerts(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"event_type": pd.Series(dtype=object),
+             "window_start": pd.Series(dtype=np.int64),
+             "n": pd.Series(dtype=np.int64),
+             "trail_sum": pd.Series(dtype=np.int64)}
+        )
+        if len(df) == 0 or "event_type" not in df.columns:
+            return empty
+        g = df.groupby(["event_type", "window_start"], sort=False)[
+            "n"
+        ].sum().reset_index()
+        g = g.sort_values(["event_type", "window_start"],
+                          kind="mergesort", ignore_index=True)
+        et = g["event_type"].to_numpy(object)
+        n = g["n"].to_numpy(np.int64)
+        cs = np.concatenate([[0], np.cumsum(n)])
+        idx = np.arange(len(g))
+        # start index of each type's run
+        new_t = np.ones(len(g), dtype=bool)
+        new_t[1:] = et[1:] != et[:-1]
+        run_start = np.maximum.accumulate(np.where(new_t, idx, 0))
+        lo = np.maximum(idx - trail, run_start)
+        trail_sum = cs[idx] - cs[lo]
+        full = (idx - run_start) >= trail
+        alert = full & (n * trail > 2 * trail_sum)
+        out = g[alert].copy()
+        out["trail_sum"] = trail_sum[alert]
+        return out.astype({"window_start": np.int64, "n": np.int64,
+                           "trail_sum": np.int64})
+
+    out = partitioned_map_groups(
+        partials, "event_type", alerts, num_buckets
+    ).to_pandas()
+    # alerts are rare by construction (the output is the exception
+    # stream, not the data), so a driver collect is O(alerts); an
+    # all-empty exchange yields a COLUMN-LESS frame — restore the shape
+    if out.empty and "event_type" not in out.columns:
+        return pd.DataFrame(
+            {"event_type": pd.Series(dtype=object),
+             "window_start": pd.Series(dtype=np.int64),
+             "n": pd.Series(dtype=np.int64),
+             "trail_sum": pd.Series(dtype=np.int64)}
+        )
+    return out
+
+
+SQL_EVENTS_RATE_ALERT = """
+WITH c AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, window_start, n,
+         sum(n) OVER (PARTITION BY event_type ORDER BY window_start
+                      ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+           AS trail_sum,
+         count(*) OVER (PARTITION BY event_type ORDER BY window_start
+                        ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+           AS n_prev
+  FROM c
+)
+SELECT event_type, window_start, n, CAST(trail_sum AS BIGINT) AS trail_sum
+FROM w WHERE n_prev = 6 AND n * 6 > 2 * trail_sum
+"""
+
+
 def user_streaks(sf_dir: str, num_buckets: int = 16) -> ray.data.Dataset:
     """Gaps-and-islands: each user's LONGEST run of consecutive active
     days — the classic islands analytic (day minus dense rank = island
@@ -3819,4 +3925,5 @@ RELATIONAL_QUERIES = {
     "sales_opportunity": (sales_opportunity, SQL_SALES_OPPORTUNITY),
     "price_outliers": (price_outliers, SQL_PRICE_OUTLIERS),
     "user_streaks": (user_streaks, SQL_USER_STREAKS),
+    "events_rate_alert": (events_rate_alert, SQL_EVENTS_RATE_ALERT),
 }

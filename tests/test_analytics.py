@@ -1184,3 +1184,30 @@ def test_winsorized_revenue_hand_computed(ray_session, tmp_path):
         int(min(v, 19.0) * 100) for v in vals[10:]
     )
     assert out["n"].tolist() == [10, 10]
+
+
+def test_events_rate_alert_hand_computed(ray_session, tmp_path):
+    """Spike fires only with a full 6-window history and n*6 > 2*sum."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dygiepp_ray import relational as R
+
+    # type x: six windows of 1 event, then a window with 5 events
+    # (5*6=30 > 2*6=12 -> alert), then a window of 2 (2*6=12 > 2*
+    # (1*5+5)=20? no).  First 6 windows lack history -> never alert.
+    counts = [1, 1, 1, 1, 1, 1, 5, 2]
+    rows = []
+    for w, c in enumerate(counts):
+        rows += [(w * 3600 + i) for i in range(c)]
+    pq.write_table(pa.table(
+        {"ts": pa.array(pd.to_datetime([t * 1_000_000_000 for t in rows]),
+                        pa.timestamp("us")),
+         "event_type": pa.array(["x"] * len(rows))}
+    ), tmp_path / "events.parquet")
+    out = R.events_rate_alert(str(tmp_path))
+    out = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["event_type"], int(r["window_start"]), int(r["n"]),
+            int(r["trail_sum"])) == ("x", 6 * 3600, 5, 6)
