@@ -1,0 +1,115 @@
+"""Randomized differential testing: seeded random micro-tables ->
+engine result vs the query's OWN DuckDB oracle SQL, beyond the fixed
+testdata distributions.  Catches convention drift (tie-breaks, empty
+groups, boundary rounding) that a single frozen input can mask."""
+
+import hashlib
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray
+
+from dygiepp_ray import relational as R
+
+_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+           "lineitem", "events", "documents", "embeddings"]
+
+
+def _rand_events(rng: np.random.Generator, n: int) -> pa.Table:
+    # heavy ts ties + tiny user space: stress ordering tie-breaks
+    ts = rng.integers(0, 50, n) * 1_800 + rng.integers(0, 3, n)
+    return pa.table(
+        {
+            "event_id": pa.array(rng.permutation(n).astype(np.int64)),
+            "ts": pa.array(pd.to_datetime(ts * 1_000_000_000),
+                           pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, 7, n).astype(np.int64)),
+            "event_type": pa.array(
+                rng.choice(["click", "view", "purchase", "error"], n)
+            ),
+            "value": pa.array(
+                np.round(rng.uniform(0, 200, n), 2), pa.float64()
+            ),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+
+
+def _canon(df: pd.DataFrame) -> tuple:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(list(df.columns), ignore_index=True)
+    h = hashlib.md5()
+    for c in df.columns:
+        col = df[c]
+        if col.dtype.kind == "f":
+            col = col.round(6)
+        h.update(pd.util.hash_pandas_object(col, index=False)
+                 .to_numpy().tobytes())
+    return len(df), tuple(df.columns), h.hexdigest()
+
+
+def _compare(sf_dir: str, qname: str):
+    import __ray_entry__ as entry
+
+    res = entry.queries()[qname](sf_dir)
+    got = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    con = duckdb.connect()
+    for t in _TABLES:
+        try:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        except duckdb.IOException:
+            pass  # only the tables the query reads are written
+    want = con.execute(entry.oracle_sql()[qname]).df()
+    assert _canon(got) == _canon(want), qname
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+@pytest.mark.parametrize(
+    "qname",
+    ["events_ohlc", "user_streaks", "users_setop", "purchase_attribution",
+     "events_rate_alert", "events_tumbling", "user_paths"],
+)
+def test_event_queries_differential(ray_session, tmp_path, seed, qname):
+    rng = np.random.default_rng(seed * 1000 + len(qname))
+    pq.write_table(_rand_events(rng, int(rng.integers(50, 400))),
+                   tmp_path / "events.parquet")
+    _compare(str(tmp_path), qname)
+
+
+@pytest.mark.parametrize("seed", [5, 19])
+def test_orders_queries_differential(ray_session, tmp_path, seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(100, 600))
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(rng.permutation(n * 3)[:n].astype(np.int64)),
+            "o_custkey": pa.array(rng.integers(0, 40, n).astype(np.int64)),
+            "o_orderstatus": pa.array(rng.choice(["O", "F", "P"], n)),
+            "o_totalprice": pa.array(
+                np.round(rng.uniform(900, 400000, n), 2), pa.float64()
+            ),
+            "o_orderdate": pa.array(
+                pd.to_datetime(
+                    rng.integers(800_000_000, 1_000_000_000, n)
+                    * 1_000_000_000
+                ),
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(
+                rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM"], n)
+            ),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "orders.parquet")
+    for q in ["zorder_layout", "orders_snapshot_diff", "contingency_table"]:
+        _compare(str(tmp_path), q)
