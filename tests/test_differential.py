@@ -113,3 +113,74 @@ def test_orders_queries_differential(ray_session, tmp_path, seed):
     pq.write_table(tbl, tmp_path / "orders.parquet")
     for q in ["zorder_layout", "orders_snapshot_diff", "contingency_table"]:
         _compare(str(tmp_path), q)
+
+
+@pytest.mark.parametrize("seed", [3, 31])
+def test_lineitem_queries_differential(ray_session, tmp_path, seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(200, 900))
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array(rng.integers(0, n, n).astype(np.int64)),
+            "l_partkey": pa.array(rng.integers(0, 30, n).astype(np.int64)),
+            "l_suppkey": pa.array(rng.integers(0, 10, n).astype(np.int64)),
+            "l_linenumber": pa.array(rng.integers(1, 7, n).astype(np.int64)),
+            "l_quantity": pa.array(
+                rng.integers(1, 51, n).astype(np.float64), pa.float64()
+            ),
+            "l_extendedprice": pa.array(
+                np.round(rng.uniform(900, 100000, n), 2), pa.float64()
+            ),
+            "l_discount": pa.array(
+                np.round(rng.uniform(0, 0.1, n), 2), pa.float64()
+            ),
+            "l_tax": pa.array(
+                np.round(rng.uniform(0, 0.08, n), 2), pa.float64()
+            ),
+            "l_returnflag": pa.array(rng.choice(["A", "N", "R"], n)),
+            "l_linestatus": pa.array(rng.choice(["O", "F"], n)),
+            "l_shipdate": pa.array(
+                pd.to_datetime(
+                    rng.integers(800_000_000, 1_000_000_000, n)
+                    * 1_000_000_000
+                ),
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "lineitem.parquet")
+    pq.write_table(pa.table(
+        {"p_partkey": pa.array(np.arange(30, dtype=np.int64)),
+         "p_brand": pa.array(
+             np.random.default_rng(seed + 1).choice(
+                 ["Brand#23", "Brand#1"], 30
+             ))}
+    ), tmp_path / "part.parquet")
+    for q in ["quantiles_price", "quantiles_cont_price",
+              "quantiles_by_flag", "quantiles_cont_by_flag",
+              "price_outliers", "winsorized_revenue",
+              "cheapest_supplier", "small_quantity_revenue"]:
+        _compare(str(tmp_path), q)
+
+
+@pytest.mark.parametrize("seed", [13, 29])
+def test_document_queries_differential(ray_session, tmp_path, seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(40, 150))
+    vocab = np.array(["table", "hash", "join", "scan", "merge", "a", "b"])
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(0, 40)))
+        for _ in range(n)
+    ]
+    # plant blanks and whitespace-only rows (tokenizer edge cases)
+    for i in range(0, n, 17):
+        texts[i] = ""
+    for i in range(5, n, 23):
+        texts[i] = "   "
+    pq.write_table(pa.table(
+        {"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+         "source": pa.array(rng.choice(["web", "book"], n)),
+         "text": pa.array(texts)}
+    ), tmp_path / "documents.parquet")
+    for q in ["phrase_search", "term_search", "token_count"]:
+        _compare(str(tmp_path), q)
