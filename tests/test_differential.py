@@ -184,3 +184,29 @@ def test_document_queries_differential(ray_session, tmp_path, seed):
     ), tmp_path / "documents.parquet")
     for q in ["phrase_search", "term_search", "token_count"]:
         _compare(str(tmp_path), q)
+
+
+def test_per_user_ops_survive_hot_key(ray_session, tmp_path):
+    """One user owning ~all events (the skewed-conversation analogue):
+    per-user ops must stay vectorized in the hot bucket and still match
+    their oracles."""
+    rng = np.random.default_rng(99)
+    n = 30_000
+    uid = np.zeros(n, dtype=np.int64)  # user 0 owns everything...
+    uid[::997] = rng.integers(1, 5, len(uid[::997]))  # ...almost
+    ts = np.sort(rng.integers(0, 2_000_000, n)) * 1_000
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(pd.to_datetime(ts * 1000), pa.timestamp("us")),
+            "user_id": pa.array(uid),
+            "event_type": pa.array(
+                rng.choice(["click", "view", "purchase", "error"], n)
+            ),
+            "value": pa.array(np.round(rng.uniform(0, 200, n), 2)),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    for q in ["user_streaks", "purchase_attribution", "users_setop"]:
+        _compare(str(tmp_path), q)
