@@ -253,3 +253,42 @@ def fingerprints(ds: ray.data.Dataset, text_col="text", id_col="doc_id") -> ray.
         )
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def compression_ratio_scores(
+    ds: ray.data.Dataset, text_col="text", id_col="doc_id", level: int = 6
+) -> ray.data.Dataset:
+    """Compression-ratio quality signal (RefinedWeb/Dolma-style): the
+    zlib-compressed size of a document relative to its raw UTF-8 size,
+    in fixed point — highly repetitive or templated text compresses
+    far below natural prose, making the ratio a cheap dedup/quality
+    feature that needs no model.
+
+    Deterministic for a fixed zlib level, so downstream filters are
+    reproducible across runs and cluster sizes; NOT SQL-expressible
+    (no oracle twin — pytest pins exact values instead).  Map-only.
+    -> (doc_id, raw_len, ratio_x1e6); empty documents get ratio 0."""
+    import zlib
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or text_col not in df.columns:
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype=np.int64),
+                 "raw_len": pd.Series(dtype=np.int64),
+                 "ratio_x1e6": pd.Series(dtype=np.int64)}
+            )
+        texts = df[text_col].fillna("").to_numpy(object)
+        raw = np.fromiter((len(t.encode("utf-8")) for t in texts),
+                          dtype=np.int64, count=len(texts))
+        comp = np.fromiter(
+            (len(zlib.compress(t.encode("utf-8"), level)) for t in texts),
+            dtype=np.int64, count=len(texts),
+        )
+        ratio = np.where(raw > 0, 1_000_000 * comp // np.maximum(raw, 1), 0)
+        return pd.DataFrame(
+            {id_col: df[id_col].to_numpy(np.int64),
+             "raw_len": raw,
+             "ratio_x1e6": ratio.astype(np.int64)}
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -783,3 +783,30 @@ def test_phrase_search_hand_computed(ray_session):
     # doc 1: two adjacent occurrences; doc 2 reversed; doc 3 has both
     # tokens but not adjacent; doc 4 blank
     assert out == {1: 2}
+
+
+def test_compression_ratio_scores_pinned(ray_session):
+    """Deterministic zlib fixed-point ratios; repetitive text scores
+    far below high-entropy text."""
+    import zlib
+
+    import pandas as pd
+
+    import ray
+
+    from dygiepp_ray.textops.quality import compression_ratio_scores
+
+    rep = "spam " * 200
+    rnd = "k9#qZ1!vB7@xW3$eR5^tY2&uI8*oP4(aS6)dF0-gH"
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [rep, rnd, ""]})
+    out = (
+        compression_ratio_scores(ray.data.from_pandas(df))
+        .to_pandas().set_index("doc_id")
+    )
+    for i, t in [(1, rep), (2, rnd)]:
+        raw = len(t.encode())
+        want = 1_000_000 * len(zlib.compress(t.encode(), 6)) // raw
+        assert int(out.loc[i, "ratio_x1e6"]) == want
+        assert int(out.loc[i, "raw_len"]) == raw
+    assert int(out.loc[3, "ratio_x1e6"]) == 0
+    assert out.loc[1, "ratio_x1e6"] < out.loc[2, "ratio_x1e6"] / 5
