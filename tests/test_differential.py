@@ -210,3 +210,18 @@ def test_per_user_ops_survive_hot_key(ray_session, tmp_path):
     pq.write_table(tbl, tmp_path / "events.parquet")
     for q in ["user_streaks", "purchase_attribution", "users_setop"]:
         _compare(str(tmp_path), q)
+
+
+@pytest.mark.parametrize("seed", [7, 41])
+@pytest.mark.parametrize(
+    "qname",
+    ["events_resample", "events_lag", "sessionize",
+     "window_distinct_users", "event_transitions", "events_moving_sum",
+     "funnel_steps", "cohort_retention", "pivot_events",
+     "distinct_event_users"],
+)
+def test_event_window_queries_differential(ray_session, tmp_path, seed, qname):
+    rng = np.random.default_rng(seed * 7919 + len(qname))
+    pq.write_table(_rand_events(rng, int(rng.integers(60, 350))),
+                   tmp_path / "events.parquet")
+    _compare(str(tmp_path), qname)
