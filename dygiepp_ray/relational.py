@@ -2985,6 +2985,134 @@ def purchase_attribution(
     return partitioned_map_groups(ds, "user_id", attribute, num_buckets)
 
 
+def rfm_segments(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
+    """RFM customer segmentation — the classic marketing composite:
+    per customer Recency (last order day), Frequency (order count) and
+    Monetary (total cents), each cut into terciles at the EXACT global
+    1/3 and 2/3 order statistics (``quantile_disc`` convention), and
+    customers rolled up per 3-digit segment label ('111'..'333').
+
+    Thresholding by ORDER-STATISTIC VALUES (not NTILE row counts)
+    makes tied customers land deterministically on both engines — a
+    row-count NTILE would depend on sort tie-breaks.  Shape: per-batch
+    combiner -> one custkey exchange for exact per-user aggregates ->
+    three distributed quantile selections over the user table (six
+    driver scalars) -> broadcast bucket assignment with a per-batch
+    segment combiner (27 segments max on the driver).
+    -> (segment, n_users, total_m_cents)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_custkey" not in df.columns:
+            return pd.DataFrame({"o_custkey": pd.Series(dtype=np.int64),
+                                 "r": pd.Series(dtype=np.int64),
+                                 "f": pd.Series(dtype=np.int64),
+                                 "m": pd.Series(dtype=np.int64)})
+        day = ts_epoch_us(df["o_orderdate"]) // 1_000_000 // 86_400
+        p = df["o_totalprice"].to_numpy(np.float64)
+        cents = np.floor(p * 100 + 0.5).astype(np.int64)
+        g = (
+            pd.DataFrame({"o_custkey": df["o_custkey"].to_numpy(np.int64),
+                          "r": day, "m": cents})
+            .groupby("o_custkey", sort=False)
+            .agg(r=("r", "max"), f=("r", "size"), m=("m", "sum"))
+            .reset_index()
+        )
+        return g.astype({c: np.int64 for c in ["r", "f", "m"]})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_custkey" not in df.columns:
+            return partial(pd.DataFrame())
+        g = df.groupby("o_custkey", as_index=False).agg(
+            r=("r", "max"), f=("f", "sum"), m=("m", "sum")
+        )
+        return g.astype({c: np.int64 for c in ["r", "f", "m"]})
+
+    users = partitioned_map_groups(
+        ds.map_batches(partial, batch_format="pandas"),
+        "o_custkey", merge, num_buckets,
+    )
+    _empty = pd.DataFrame(
+        {"segment": pd.Series(dtype=object),
+         "n_users": pd.Series(dtype=np.int64),
+         "total_m_cents": pd.Series(dtype=np.int64)}
+    )
+    from .analytics import exact_quantiles
+
+    cuts = {}
+    for col in ["r", "f", "m"]:
+        try:
+            q = exact_quantiles(users, col, [1 / 3, 2 / 3])
+        except ValueError:  # empty column: no users at all
+            return _empty
+        if q.empty:
+            return _empty
+        cuts[col] = (int(q["value"].iloc[0]), int(q["value"].iloc[1]))
+    cuts_ref = ray.put(cuts)
+
+    class Assign:
+        def __init__(self):
+            self.cuts = ray.get(cuts_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0 or "r" not in df.columns:
+                return pd.DataFrame({"segment": pd.Series(dtype=object),
+                                     "n_users": pd.Series(dtype=np.int64),
+                                     "total_m_cents": pd.Series(dtype=np.int64)})
+            seg = np.full(len(df), "", dtype=object)
+            for col in ["r", "f", "m"]:
+                v = df[col].to_numpy(np.int64)
+                q1, q2 = self.cuts[col]
+                b = 1 + (v > q1).astype(np.int64) + (v > q2).astype(np.int64)
+                seg = np.char.add(seg.astype(str), b.astype(str)).astype(object)
+            g = (
+                pd.DataFrame({"segment": seg,
+                              "m": df["m"].to_numpy(np.int64)})
+                .groupby("segment", sort=False)
+                .agg(n_users=("m", "size"), total_m_cents=("m", "sum"))
+                .reset_index()
+            )
+            return g.astype({"n_users": np.int64, "total_m_cents": np.int64})
+
+    parts = users.map_batches(
+        Assign, batch_format="pandas", concurrency=2
+    ).to_pandas()
+    if parts.empty or "segment" not in parts.columns:
+        return _empty
+    out = parts.groupby("segment", sort=True, as_index=False).agg(
+        n_users=("n_users", "sum"), total_m_cents=("total_m_cents", "sum")
+    )
+    return out.astype({"n_users": np.int64, "total_m_cents": np.int64})
+
+
+SQL_RFM_SEGMENTS = """
+WITH u AS (
+  SELECT o_custkey,
+         max(CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)) AS r,
+         CAST(count(*) AS BIGINT) AS f,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS m
+  FROM orders GROUP BY 1
+),
+q AS (
+  SELECT quantile_disc(r, [1.0/3, 2.0/3]) AS qr,
+         quantile_disc(f, [1.0/3, 2.0/3]) AS qf,
+         quantile_disc(m, [1.0/3, 2.0/3]) AS qm
+  FROM u
+)
+SELECT
+  CAST(1 + CAST(r > qr[1] AS INT) + CAST(r > qr[2] AS INT) AS VARCHAR) ||
+  CAST(1 + CAST(f > qf[1] AS INT) + CAST(f > qf[2] AS INT) AS VARCHAR) ||
+  CAST(1 + CAST(m > qm[1] AS INT) + CAST(m > qm[2] AS INT) AS VARCHAR)
+    AS segment,
+  CAST(count(*) AS BIGINT) AS n_users,
+  CAST(sum(m) AS BIGINT) AS total_m_cents
+FROM u, q GROUP BY 1
+"""
+
+
 def events_rate_alert(
     sf_dir: str, window_s: int = 3600, trail: int = 6, num_buckets: int = 8
 ) -> ray.data.Dataset:
@@ -3926,4 +4054,5 @@ RELATIONAL_QUERIES = {
     "price_outliers": (price_outliers, SQL_PRICE_OUTLIERS),
     "user_streaks": (user_streaks, SQL_USER_STREAKS),
     "events_rate_alert": (events_rate_alert, SQL_EVENTS_RATE_ALERT),
+    "rfm_segments": (rfm_segments, SQL_RFM_SEGMENTS),
 }

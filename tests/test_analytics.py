@@ -1211,3 +1211,27 @@ def test_events_rate_alert_hand_computed(ray_session, tmp_path):
     r = out.iloc[0]
     assert (r["event_type"], int(r["window_start"]), int(r["n"]),
             int(r["trail_sum"])) == ("x", 6 * 3600, 5, 6)
+
+
+def test_rfm_segments_hand_computed(ray_session, tmp_path):
+    """Exact tercile thresholds by order-statistic VALUE (ties safe)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dygiepp_ray import relational as R
+
+    # 3 customers, 1 order each on days 0/1/2, prices 10/20/30:
+    # r terciles: q1=0, q2=1 -> buckets 1,2,3; f all ties (q1=q2=1 ->
+    # every f bucket = 1); m buckets 1,2,3.
+    pq.write_table(pa.table(
+        {"o_custkey": pa.array([1, 2, 3], pa.int64()),
+         "o_orderdate": pa.array(
+             pd.to_datetime(["1970-01-01", "1970-01-02", "1970-01-03"]),
+             pa.timestamp("us")),
+         "o_totalprice": pa.array([10.0, 20.0, 30.0], pa.float64())}
+    ), tmp_path / "orders.parquet")
+    out = R.rfm_segments(str(tmp_path)).set_index("segment")
+    assert sorted(out.index) == ["111", "212", "313"]
+    assert int(out.loc["111", "total_m_cents"]) == 1000
+    assert int(out.loc["313", "total_m_cents"]) == 3000
+    assert out["n_users"].tolist() == [1, 1, 1]
