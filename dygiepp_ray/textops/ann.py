@@ -644,3 +644,63 @@ def embedding_gram(
         return g.astype({"i": np.int64, "j": np.int64, "val": np.int64})
 
     return partitioned_map_groups(partials, "i", merge, num_buckets)
+
+
+def label_gram(
+    emb: ray.data.Dataset, scale: int = 1000, num_buckets: int = 4
+) -> ray.data.Dataset:
+    """Per-label Gram sufficient statistics — the class-conditioned
+    X^T X + sums + counts that feed LDA / Fisher discriminants and
+    per-class whitening, in the same fixed-point arithmetic as
+    :func:`embedding_gram` (half-up quantization, exact int64 merges,
+    BLAS float64 matmul under the 2^53 dot-product bound).  Each batch
+    contributes one tall partial per label present in it; ONE
+    label-keyed exchange merges by integer addition.
+    -> (label, i, j, val): (i, j) gram for i <= j, (i, -1) sums,
+    (-1, -1) count — per label."""
+    from ..core import partitioned_map_groups
+
+    _EMPTY = {"label": np.int64, "i": np.int64, "j": np.int64,
+              "val": np.int64}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "embedding" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _EMPTY.items()})
+        X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        Q = np.floor(X * scale + 0.5).astype(np.int64)
+        if np.abs(Q).max(initial=0) > 1 << 20:
+            raise ValueError(
+                "label_gram: quantized magnitude exceeds the int64 "
+                "overflow budget — lower `scale` or normalize"
+            )
+        d = Q.shape[1]
+        iu, ju = np.triu_indices(d)
+        labels = df["label"].to_numpy(np.int64)
+        out = []
+        qmax = int(np.abs(Q).max(initial=0))
+        for lab in np.unique(labels):
+            Ql = Q[labels == lab]
+            if qmax * qmax * len(Ql) < (1 << 53):
+                F = Ql.astype(np.float64)
+                G = (F.T @ F).astype(np.int64)
+            else:
+                G = Ql.T @ Ql
+            out.append(pd.DataFrame(
+                {"label": np.int64(lab),
+                 "i": np.concatenate([iu, np.arange(d), [-1]]).astype(np.int64),
+                 "j": np.concatenate([ju, np.full(d, -1), [-1]]).astype(np.int64),
+                 "val": np.concatenate(
+                     [G[iu, ju], Ql.sum(axis=0), [len(Ql)]]
+                 ).astype(np.int64)}
+            ))
+        return pd.concat(out, ignore_index=True)
+
+    partials = emb.map_batches(partial, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "label" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _EMPTY.items()})
+        g = df.groupby(["label", "i", "j"], as_index=False)["val"].sum()
+        return g.astype(_EMPTY)
+
+    return partitioned_map_groups(partials, "label", merge, num_buckets)

@@ -247,6 +247,35 @@ GROUP BY 1, 2
 """
 
 
+def q_label_gram(sf_dir: str):
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["embedding", "label"])
+    return ann.label_gram(emb)
+
+
+SQL_LABEL_GRAM = """
+WITH q AS (
+  SELECT CAST(label AS BIGINT) AS label, CAST(s.i - 1 AS BIGINT) AS i,
+         vec_id,
+         CAST(floor(CAST(embedding[s.i] AS DOUBLE) * 1000.0 + 0.5)
+              AS BIGINT) AS qx
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s
+)
+SELECT a.label, a.i AS i, b.i AS j,
+       CAST(sum(a.qx * b.qx) AS BIGINT) AS val
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2, 3
+UNION ALL
+SELECT label, i, CAST(-1 AS BIGINT) AS j, CAST(sum(qx) AS BIGINT) AS val
+FROM q GROUP BY 1, 2
+UNION ALL
+SELECT label, CAST(-1 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j,
+       CAST(count(DISTINCT vec_id) AS BIGINT) AS val
+FROM q GROUP BY 1
+"""
+
+
 def q_embedding_gram(sf_dir: str):
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                 columns=["embedding"])
@@ -1383,6 +1412,7 @@ TEXTOPS_QUERIES = {
     "ivf_topk": (q_ivf_topk, SQL_ANN_TOPK),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "embedding_gram": (q_embedding_gram, SQL_EMBEDDING_GRAM),
+    "label_gram": (q_label_gram, SQL_LABEL_GRAM),
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "simhash_signatures": (q_simhash, SQL_SIMHASH),
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),

@@ -810,3 +810,26 @@ def test_compression_ratio_scores_pinned(ray_session):
         assert int(out.loc[i, "raw_len"]) == raw
     assert int(out.loc[3, "ratio_x1e6"]) == 0
     assert out.loc[1, "ratio_x1e6"] < out.loc[2, "ratio_x1e6"] / 5
+
+
+def test_label_gram_consistent_with_global(ray_session):
+    """Per-label gram partials must sum exactly to the global gram."""
+    import numpy as np
+
+    import ray
+
+    from dygiepp_ray.textops.ann import embedding_gram, label_gram
+
+    emb = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["embedding", "label"],
+    )
+    per = label_gram(emb).to_pandas()
+    summed = per.groupby(["i", "j"], as_index=False)["val"].sum()
+    emb2 = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet", columns=["embedding"]
+    )
+    glob = embedding_gram(emb2).to_pandas()
+    m = summed.merge(glob, on=["i", "j"], suffixes=("_sum", "_glob"))
+    assert len(m) == len(glob)
+    assert (m["val_sum"].to_numpy() == m["val_glob"].to_numpy()).all()
