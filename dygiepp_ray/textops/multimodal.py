@@ -343,3 +343,106 @@ def frame_sample(
     return media.map_batches(
         Sampler, batch_format="pandas", batch_size=16, concurrency=concurrency
     )
+
+
+BMP_SEED = 11
+
+
+def synth_bmp(n: int = 16, seed: int = BMP_SEED) -> pa.Table:
+    """(media_id, payload): REAL 24-bpp uncompressed BMP files —
+    bottom-up row order and 4-byte row padding, the two quirks that
+    make BMP a genuine parser exercise beyond PPM.  The LOGICAL
+    top-down BGR pixel stream is an md5 hex chain (same convention as
+    :func:`synth_ppm`), so the DuckDB oracle regenerates every byte;
+    padding and row flipping exist only inside the file and must be
+    undone by the parser."""
+    import struct
+
+    ids, payloads = [], []
+    for i in range(n):
+        base = hashlib.md5(f"bmp:{seed}:{i}".encode()).hexdigest()
+        w = 8 + int(base[0:4], 16) % 33
+        h = 8 + int(base[4:8], 16) % 33
+        n_bytes = w * h * 3
+        hexchain = []
+        j = 0
+        while 32 * j < 2 * n_bytes:
+            hexchain.append(
+                hashlib.md5(f"bmp:{seed}:{i}:{j}".encode()).hexdigest()
+            )
+            j += 1
+        logical = bytes.fromhex("".join(hexchain)[: 2 * n_bytes])
+        stride = (w * 3 + 3) // 4 * 4
+        pad = b"\x00" * (stride - w * 3)
+        rows = [logical[r * w * 3:(r + 1) * w * 3] + pad
+                for r in range(h)]
+        body = b"".join(reversed(rows))  # bottom-up storage
+        size = 54 + len(body)
+        header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+        dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                          2835, 2835, 0, 0)
+        ids.append(i)
+        payloads.append(header + dib + body)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+def _parse_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL BMP parse: header offsets, 4-byte row stride, bottom-up
+    flip — returns the logical top-down (h*w, 3) BGR matrix."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    if bpp != 24 or h <= 0:
+        raise ValueError("only bottom-up 24-bpp BMP supported")
+    stride = (w * 3 + 3) // 4 * 4
+    body = np.frombuffer(payload, dtype=np.uint8,
+                         count=stride * h, offset=off)
+    rows = body.reshape(h, stride)[:, : w * 3]
+    logical = rows[::-1].reshape(-1, 3)  # flip to top-down
+    return w, h, logical
+
+
+class BmpDecoder:
+    """Actor-pool stage: real BMP decode (stride + flip undone in the
+    parser) -> per-channel sums plus the TOP row's byte sum — a
+    feature that is WRONG if the parser forgets the bottom-up flip."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ws, hs, sums, tops = [], [], [], []
+        for payload in df["payload"]:
+            w, h, px = _parse_bmp(payload)
+            ws.append(w)
+            hs.append(h)
+            sums.append(px.astype(np.int64).sum(axis=0))
+            tops.append(int(px[:w].astype(np.int64).sum()))
+        sums = np.stack(sums) if sums else np.zeros((0, 3), dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "media_id": df["media_id"].to_numpy().astype(np.int64),
+                "width": np.array(ws, dtype=np.int64),
+                "height": np.array(hs, dtype=np.int64),
+                "sum_b": sums[:, 0],
+                "sum_g": sums[:, 1],
+                "sum_r": sums[:, 2],
+                "top_row_sum": np.array(tops, dtype=np.int64),
+            }
+        )
+
+
+def bmp_features(
+    media: ray.data.Dataset, concurrency: int = 2, batch_size: int = 16
+) -> ray.data.Dataset:
+    """Real-decode BMP features (small batches: binary payloads)."""
+    return media.map_batches(
+        BmpDecoder, batch_format="pandas",
+        batch_size=batch_size, concurrency=concurrency,
+    )

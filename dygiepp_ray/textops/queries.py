@@ -839,6 +839,15 @@ FROM sgn GROUP BY media_id, n_samples
 """
 
 
+def q_bmp_features(sf_dir: str):
+    """REAL BMP decode: 24-bpp header offsets, 4-byte row stride, and
+    the bottom-up row flip all undone by the parser; the ``top_row_sum``
+    feature is only correct if the flip happened.  The logical BGR
+    stream is an md5 chain, so the twin regenerates every byte."""
+    media = ray.data.from_arrow(multimodal.synth_bmp(16))
+    return multimodal.bmp_features(media)
+
+
 def q_ppm_features(sf_dir: str):
     """REAL image decode: binary-PPM (P6) container parse — width/height
     read from the file header, per-channel sums reduce the RGB matrix.
@@ -875,6 +884,43 @@ bv AS (
          ({_HEXNIB.format(o=1)}) * 16 + ({_HEXNIB.format(o=2)}) AS b
   FROM raw
 )
+"""
+
+_SQL_BMP_PIXELS = f"""
+WITH m AS (
+  SELECT i AS media_id, md5('bmp:{multimodal.BMP_SEED}:' || i) AS base
+  FROM range(0, 16) t(i)
+),
+d AS (
+  SELECT media_id,
+         8 + {_sql_hexval('base', 1, 4)} % 33 AS w,
+         8 + {_sql_hexval('base', 5, 4)} % 33 AS h
+  FROM m
+),
+raw AS (
+  SELECT media_id, w, h,
+         md5('bmp:{multimodal.BMP_SEED}:' || media_id || ':'
+             || CAST(k // 16 AS VARCHAR)) AS chunk,
+         (k % 16) * 2 AS off, k % 3 AS ch,
+         (k // 3) // w AS r, (k // 3) % w AS c
+  FROM d, unnest(range(0, w * h * 3)) u(k)
+),
+bv AS (
+  SELECT media_id, w, h, ch, r, c,
+         ({_HEXNIB.format(o=1)}) * 16 + ({_HEXNIB.format(o=2)}) AS b
+  FROM raw
+)
+"""
+
+SQL_BMP_FEATURES = _SQL_BMP_PIXELS + """
+SELECT media_id,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(sum(CASE WHEN ch = 0 THEN b ELSE 0 END) AS BIGINT) AS sum_b,
+       CAST(sum(CASE WHEN ch = 1 THEN b ELSE 0 END) AS BIGINT) AS sum_g,
+       CAST(sum(CASE WHEN ch = 2 THEN b ELSE 0 END) AS BIGINT) AS sum_r,
+       CAST(sum(CASE WHEN r = 0 THEN b ELSE 0 END) AS BIGINT)
+         AS top_row_sum
+FROM bv GROUP BY media_id, w, h
 """
 
 SQL_PPM_FEATURES = _SQL_PPM_PIXELS + """
@@ -1426,6 +1472,7 @@ TEXTOPS_QUERIES = {
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "wav_features": (q_wav_features, SQL_WAV_FEATURES),
     "ppm_features": (q_ppm_features, SQL_PPM_FEATURES),
+    "bmp_features": (q_bmp_features, SQL_BMP_FEATURES),
     "ppm_resize": (q_ppm_resize, SQL_PPM_RESIZE),
     "curate_corpus": (q_curate, SQL_CURATE),
     "chunk_documents": (_chunks.q_chunk_documents, _chunks.SQL_CHUNK_DOCUMENTS),

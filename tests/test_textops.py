@@ -833,3 +833,33 @@ def test_label_gram_consistent_with_global(ray_session):
     m = summed.merge(glob, on=["i", "j"], suffixes=("_sum", "_glob"))
     assert len(m) == len(glob)
     assert (m["val_sum"].to_numpy() == m["val_glob"].to_numpy()).all()
+
+
+def test_bmp_parse_hand_computed(ray_session):
+    """Hand-built 2x2 24-bpp BMP: stride padding skipped, bottom-up
+    flip recovered (top_row_sum = the LAST stored row)."""
+    import struct
+
+    import pandas as pd
+
+    import ray
+
+    from dygiepp_ray.textops.multimodal import bmp_features
+
+    w, h = 2, 2
+    top = bytes([1, 2, 3, 4, 5, 6])        # logical row 0 (BGR x2)
+    bottom = bytes([10, 20, 30, 40, 50, 60])  # logical row 1
+    pad = b"\x00\x00"                      # stride 8 = 6 + 2 pad
+    body = bottom + pad + top + pad        # bottom-up storage
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+    media = ray.data.from_pandas(
+        pd.DataFrame({"media_id": [7], "payload": [header + dib + body]})
+    )
+    r = bmp_features(media).to_pandas().iloc[0]
+    assert (int(r["width"]), int(r["height"])) == (2, 2)
+    assert int(r["top_row_sum"]) == sum(top)       # flip happened
+    assert int(r["sum_b"]) == 1 + 4 + 10 + 40      # pad bytes excluded
+    assert int(r["sum_g"]) == 2 + 5 + 20 + 50
+    assert int(r["sum_r"]) == 3 + 6 + 30 + 60
