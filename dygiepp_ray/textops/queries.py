@@ -839,6 +839,37 @@ FROM sgn GROUP BY media_id, n_samples
 """
 
 
+def q_tar_members(sf_dir: str):
+    """REAL tar archive parse: 512-byte headers, octal sizes, block
+    padding — every member's (name, size, md5) must match the
+    generation rule the SQL twin computes without touching tar."""
+    from ..sources import tarball
+
+    return tarball.tar_members(ray.data.from_arrow(tarball.synth_tar(24)))
+
+
+def _sql_tar_members() -> str:
+    from ..sources.tarball import TAR_SEED
+
+    return f"""
+WITH m AS (
+  SELECT i, md5('tar:{TAR_SEED}:' || i) AS base FROM range(0, 24) t(i)
+),
+d AS (SELECT i, 30 + {_sql_hexval('base', 1, 3)} % 470 AS size FROM m),
+ch AS (
+  SELECT d.i, d.size,
+         string_agg(md5('tar:{TAR_SEED}:' || d.i || ':' || j.j), ''
+                    ORDER BY j.j) AS chain
+  FROM d, range(0, 16) j(j) GROUP BY d.i, d.size
+)
+SELECT CAST(0 AS BIGINT) AS archive_id,
+       'doc_' || i || '.txt' AS name,
+       CAST(size AS BIGINT) AS size,
+       md5(substring(chain, 1, size)) AS content_md5
+FROM ch
+"""
+
+
 def q_bmp_features(sf_dir: str):
     """REAL BMP decode: 24-bpp header offsets, 4-byte row stride, and
     the bottom-up row flip all undone by the parser; the ``top_row_sum``
@@ -1473,6 +1504,7 @@ TEXTOPS_QUERIES = {
     "wav_features": (q_wav_features, SQL_WAV_FEATURES),
     "ppm_features": (q_ppm_features, SQL_PPM_FEATURES),
     "bmp_features": (q_bmp_features, SQL_BMP_FEATURES),
+    "tar_members": (q_tar_members, _sql_tar_members()),
     "ppm_resize": (q_ppm_resize, SQL_PPM_RESIZE),
     "curate_corpus": (q_curate, SQL_CURATE),
     "chunk_documents": (_chunks.q_chunk_documents, _chunks.SQL_CHUNK_DOCUMENTS),

@@ -176,3 +176,35 @@ def test_brat_multiline_annotations_align():
     ner = {(m["start"], m["end"]): m["label"] for m in doc["ner"]}
     assert ner == {(2, 2): "GENE", (4, 4): "CHEM"}
     assert doc["dropped_entities"] == 0
+
+
+def test_tar_members_roundtrip(ray_session):
+    """Members written through stdlib tarfile come back with exact
+    names, sizes and content hashes through the Ray stage."""
+    import hashlib
+    import io
+    import tarfile as tf_mod
+
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+
+    from dygiepp_ray.sources.tarball import tar_members
+
+    buf = io.BytesIO()
+    contents = {"a.txt": b"hello tar", "deep/b.txt": b"x" * 513}
+    with tf_mod.open(fileobj=buf, mode="w") as tf:
+        for name, data in contents.items():
+            info = tf_mod.TarInfo(name=name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    ds = ray.data.from_arrow(pa.table(
+        {"archive_id": pa.array([3], pa.int64()),
+         "payload": pa.array([buf.getvalue()], pa.binary())}
+    ))
+    out = tar_members(ds).to_pandas().set_index("name")
+    assert len(out) == 2
+    for name, data in contents.items():
+        assert int(out.loc[name, "size"]) == len(data)
+        assert out.loc[name, "content_md5"] == hashlib.md5(data).hexdigest()
