@@ -84,3 +84,63 @@ def tar_members(
         TarMembers, batch_format="pandas",
         batch_size=batch_size, concurrency=concurrency,
     )
+
+
+GZ_SEED = 23
+
+
+def synth_gzip_docs(n: int = 24, seed: int = GZ_SEED) -> pa.Table:
+    """(doc_id, payload): REAL gzip-compressed text documents (the
+    .wet.gz / .jsonl.gz corpus shape).  Contents are ascii md5 chains;
+    compression happens here at runtime, so the reader's zlib
+    round-trip is exact regardless of zlib version, and the SQL twin
+    regenerates (size, md5) from the rule without gzip."""
+    import gzip
+
+    ids, payloads = [], []
+    for i in range(n):
+        base = hashlib.md5(f"gz:{seed}:{i}".encode()).hexdigest()
+        size = 30 + int(base[0:3], 16) % 470
+        chunks, j = [], 0
+        while 32 * j < size:
+            chunks.append(hashlib.md5(f"gz:{seed}:{i}:{j}".encode()).hexdigest())
+            j += 1
+        content = "".join(chunks)[:size].encode("ascii")
+        ids.append(i)
+        payloads.append(gzip.compress(content, mtime=0))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+class GzipDecode:
+    """Actor-pool stage: real gzip decompression -> (doc_id, raw_size,
+    compressed_size, content_md5)."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        import gzip
+
+        rows = {"doc_id": [], "raw_size": [], "compressed_size": [],
+                "content_md5": []}
+        for did, payload in zip(df["doc_id"], df["payload"]):
+            data = gzip.decompress(bytes(payload))
+            rows["doc_id"].append(int(did))
+            rows["raw_size"].append(len(data))
+            rows["compressed_size"].append(len(payload))
+            rows["content_md5"].append(hashlib.md5(data).hexdigest())
+        return pd.DataFrame(rows).astype(
+            {"doc_id": np.int64, "raw_size": np.int64,
+             "compressed_size": np.int64}
+        )
+
+
+def gzip_docs(
+    archives: ray.data.Dataset, concurrency: int = 2, batch_size: int = 8
+) -> ray.data.Dataset:
+    return archives.map_batches(
+        GzipDecode, batch_format="pandas",
+        batch_size=batch_size, concurrency=concurrency,
+    )

@@ -870,6 +870,41 @@ FROM ch
 """
 
 
+def q_gzip_docs(sf_dir: str):
+    """REAL gzip decompression in the pipeline (the .jsonl.gz corpus
+    shape); the twin regenerates (raw_size, md5) from the generation
+    rule.  ``compressed_size`` is zlib-version-dependent and therefore
+    excluded from the oracle-checked surface (kept on the library op)."""
+    from ..sources import tarball
+
+    out = tarball.gzip_docs(ray.data.from_arrow(tarball.synth_gzip_docs(24)))
+    return out.map_batches(
+        lambda df: df[["doc_id", "raw_size", "content_md5"]],
+        batch_format="pandas",
+    )
+
+
+def _sql_gzip_docs() -> str:
+    from ..sources.tarball import GZ_SEED
+
+    return f"""
+WITH m AS (
+  SELECT i, md5('gz:{GZ_SEED}:' || i) AS base FROM range(0, 24) t(i)
+),
+d AS (SELECT i, 30 + {_sql_hexval('base', 1, 3)} % 470 AS size FROM m),
+ch AS (
+  SELECT d.i, d.size,
+         string_agg(md5('gz:{GZ_SEED}:' || d.i || ':' || j.j), ''
+                    ORDER BY j.j) AS chain
+  FROM d, range(0, 16) j(j) GROUP BY d.i, d.size
+)
+SELECT CAST(i AS BIGINT) AS doc_id,
+       CAST(size AS BIGINT) AS raw_size,
+       md5(substring(chain, 1, size)) AS content_md5
+FROM ch
+"""
+
+
 def q_bmp_features(sf_dir: str):
     """REAL BMP decode: 24-bpp header offsets, 4-byte row stride, and
     the bottom-up row flip all undone by the parser; the ``top_row_sum``
@@ -1505,6 +1540,7 @@ TEXTOPS_QUERIES = {
     "ppm_features": (q_ppm_features, SQL_PPM_FEATURES),
     "bmp_features": (q_bmp_features, SQL_BMP_FEATURES),
     "tar_members": (q_tar_members, _sql_tar_members()),
+    "gzip_docs": (q_gzip_docs, _sql_gzip_docs()),
     "ppm_resize": (q_ppm_resize, SQL_PPM_RESIZE),
     "curate_corpus": (q_curate, SQL_CURATE),
     "chunk_documents": (_chunks.q_chunk_documents, _chunks.SQL_CHUNK_DOCUMENTS),

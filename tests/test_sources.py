@@ -208,3 +208,25 @@ def test_tar_members_roundtrip(ray_session):
     for name, data in contents.items():
         assert int(out.loc[name, "size"]) == len(data)
         assert out.loc[name, "content_md5"] == hashlib.md5(data).hexdigest()
+
+
+def test_gzip_docs_roundtrip(ray_session):
+    import gzip
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+
+    from dygiepp_ray.sources.tarball import gzip_docs
+
+    raw = b"the quick brown fox" * 40
+    ds = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([9], pa.int64()),
+         "payload": pa.array([gzip.compress(raw)], pa.binary())}
+    ))
+    r = gzip_docs(ds).to_pandas().iloc[0]
+    assert int(r["raw_size"]) == len(raw)
+    assert r["content_md5"] == hashlib.md5(raw).hexdigest()
+    assert int(r["compressed_size"]) < len(raw)  # it actually compressed
