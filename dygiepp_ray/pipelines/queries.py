@@ -640,11 +640,12 @@ FROM ents
 
 # The grading driver samples the FIRST ~50 registry entries in
 # iteration order (CORRECTNESS_r01-r03 are order-restricted prefixes).
-# These entries have never received a driver-emitted CORRECTNESS row
-# (they were verified by the judge / by scripts/check_queries.py each
-# round) — front-load them so round 4's sample completes the union of
-# driver-checked coverage (VERDICT r3 #7).
+# Priority order: (tier 1) queries added in round 4 — never seen by ANY
+# driver sample or judge sweep; (tier 2) queries the r3 judge verified
+# manually but that never received a driver-emitted CORRECTNESS row
+# (VERDICT r3 #7).  New queries added mid-round go at the very front.
 _DRIVER_SAMPLE_FIRST = (
+    # tier 1: round-4 additions (never driver- or judge-checked)
     "balance_ntile", "part_skyline", "heavy_hitters", "kmv_intersection",
     "bpe_learn", "bpe_segment", "dedup_keep_best", "shipping_priority",
     "cheapest_supplier", "user_paths",
@@ -653,6 +654,14 @@ _DRIVER_SAMPLE_FIRST = (
     "ddsketch_quantiles", "key_skew_profile", "join_size_estimate",
     "customer_upsert",
     "ner_eval_weighted", "dup_ngram_fraction", "tool_usage", "turn_spans",
+    "events_resample", "users_setop", "zorder_layout",
+    "purchase_attribution", "contingency_table", "orders_snapshot_diff",
+    "events_ohlc", "small_quantity_revenue", "sales_opportunity",
+    "price_outliers", "user_streaks", "events_rate_alert",
+    "rfm_segments", "embedding_gram", "label_gram", "bmp_features",
+    "tar_members", "gzip_docs", "phrase_search", "quantiles_cont_price",
+    "quantiles_cont_by_flag", "winsorized_revenue",
+    # tier 2: r3 entries judge-verified but never driver-sampled
     "label_centroids", "prefix_near_dups",
     "wav_features", "ppm_features", "ppm_resize", "chunk_documents",
     "tfidf_top_terms", "term_search", "decontaminate",
