@@ -446,3 +446,195 @@ def bmp_features(
         BmpDecoder, batch_format="pandas",
         batch_size=batch_size, concurrency=concurrency,
     )
+
+
+PNG_SEED = 13
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa_ <= pb and pa_ <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def synth_png(n: int = 12, seed: int = PNG_SEED) -> pa.Table:
+    """(media_id, payload): REAL 8-bit RGB PNG files — chunk layout with
+    CRC32s, zlib-compressed IDAT, and a per-scanline filter byte cycling
+    through ALL FIVE filter types (None/Sub/Up/Average/Paeth, row r uses
+    filter r % 5), so the decoder must implement every reversal.  The
+    LOGICAL top-down RGB pixel stream is an md5 hex chain (same
+    convention as :func:`synth_ppm`); filtering and compression exist
+    only inside the file and must be undone by the decoder."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ids, payloads = [], []
+    for i in range(n):
+        base = hashlib.md5(f"png:{seed}:{i}".encode()).hexdigest()
+        w = 8 + int(base[0:4], 16) % 25
+        h = 8 + int(base[4:8], 16) % 25
+        n_bytes = w * h * 3
+        hexchain = []
+        j = 0
+        while 32 * j < 2 * n_bytes:
+            hexchain.append(
+                hashlib.md5(f"png:{seed}:{i}:{j}".encode()).hexdigest()
+            )
+            j += 1
+        logical = np.frombuffer(
+            bytes.fromhex("".join(hexchain)[: 2 * n_bytes]), np.uint8
+        ).reshape(h, w * 3).astype(np.int64)
+        # forward-filter each scanline (filter type = r % 5)
+        out = []
+        prior = np.zeros(w * 3, dtype=np.int64)
+        for r in range(h):
+            raw = logical[r]
+            f = r % 5
+            filt = np.empty(w * 3, dtype=np.int64)
+            for k in range(w * 3):
+                a = raw[k - 3] if k >= 3 else 0
+                b = prior[k]
+                c = prior[k - 3] if k >= 3 else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    pred = _paeth(int(a), int(b), int(c))
+                filt[k] = (raw[k] - pred) % 256
+            out.append(bytes([f]) + filt.astype(np.uint8).tobytes())
+            prior = raw
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                   + chunk(b"IDAT", zlib.compress(b"".join(out)))
+                   + chunk(b"IEND", b""))
+        ids.append(i)
+        payloads.append(payload)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+def _parse_png(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL PNG decode for 8-bit RGB non-interlaced images: walk the
+    chunk stream verifying each CRC32, inflate the concatenated IDAT
+    zlib stream, and reverse the per-scanline filter (all five types).
+    Returns the logical top-down (h*w, 3) RGB matrix.
+
+    Sub/Average/Paeth reversal has a true left-neighbor dependency, so
+    reconstruction is per-byte within a scanline — payloads here are
+    small images decoded inside an actor pool, where the per-row loop
+    is bounded by the image width, not the dataset."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = []
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(typ + data) != crc:
+            raise ValueError(f"CRC mismatch in {typ!r} chunk")
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, ilace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctype, comp, filt, ilace) != (8, 2, 0, 0, 0):
+                raise ValueError("only 8-bit RGB non-interlaced supported")
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("missing IHDR")
+    stream = zlib.decompress(b"".join(idat))
+    rb = w * 3
+    if len(stream) != h * (rb + 1):
+        raise ValueError("IDAT length mismatch")
+    img = np.zeros((h, rb), dtype=np.int64)
+    prior = np.zeros(rb, dtype=np.int64)
+    for r in range(h):
+        f = stream[r * (rb + 1)]
+        filt = np.frombuffer(
+            stream, np.uint8, count=rb, offset=r * (rb + 1) + 1
+        ).astype(np.int64)
+        if f == 0:
+            raw = filt
+        elif f == 2:
+            raw = (filt + prior) % 256
+        else:
+            raw = np.empty(rb, dtype=np.int64)
+            for k in range(rb):
+                a = raw[k - 3] if k >= 3 else 0
+                b = prior[k]
+                c = prior[k - 3] if k >= 3 else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                elif f == 4:
+                    pred = _paeth(int(a), int(b), int(c))
+                else:
+                    raise ValueError(f"unknown filter {f}")
+                raw[k] = (filt[k] + pred) % 256
+        img[r] = raw
+        prior = raw
+    return w, h, img.reshape(-1, 3)
+
+
+class PngDecoder:
+    """Actor-pool stage: real PNG decode (CRC-verified chunk walk, zlib
+    inflate, all-five-filter reversal) -> per-channel sums plus the
+    BOTTOM row's byte sum — filters chain row-to-row (Up/Average/Paeth
+    reference the prior reconstructed scanline), so the bottom row is
+    wrong unless every earlier row reconstructed exactly."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ws, hs, sums, bots = [], [], [], []
+        for payload in df["payload"]:
+            w, h, px = _parse_png(payload)
+            ws.append(w)
+            hs.append(h)
+            sums.append(px.sum(axis=0))
+            bots.append(int(px[-w:].sum()))
+        sums = np.stack(sums) if sums else np.zeros((0, 3), dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "media_id": df["media_id"].to_numpy().astype(np.int64),
+                "width": np.array(ws, dtype=np.int64),
+                "height": np.array(hs, dtype=np.int64),
+                "sum_r": sums[:, 0],
+                "sum_g": sums[:, 1],
+                "sum_b": sums[:, 2],
+                "bottom_row_sum": np.array(bots, dtype=np.int64),
+            }
+        )
+
+
+def png_features(
+    media: ray.data.Dataset, concurrency: int = 2, batch_size: int = 16
+) -> ray.data.Dataset:
+    """Real-decode PNG features (small batches: binary payloads)."""
+    return media.map_batches(
+        PngDecoder, batch_format="pandas",
+        batch_size=batch_size, concurrency=concurrency,
+    )

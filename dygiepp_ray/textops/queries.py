@@ -989,6 +989,55 @@ SELECT media_id,
 FROM bv GROUP BY media_id, w, h
 """
 
+def q_png_features(sf_dir: str):
+    """REAL PNG decode: CRC-verified chunk walk, zlib inflate of the
+    IDAT stream, and reversal of ALL FIVE scanline filters (the synth
+    side cycles None/Sub/Up/Average/Paeth by row).  Filters chain
+    row-to-row, so ``bottom_row_sum`` is only right if every scanline
+    reconstructed exactly.  The logical RGB stream is an md5 chain, so
+    the twin regenerates every byte — compression and filtering exist
+    only inside the file."""
+    media = ray.data.from_arrow(multimodal.synth_png(12))
+    return multimodal.png_features(media)
+
+
+_SQL_PNG_PIXELS = f"""
+WITH m AS (
+  SELECT i AS media_id, md5('png:{multimodal.PNG_SEED}:' || i) AS base
+  FROM range(0, 12) t(i)
+),
+d AS (
+  SELECT media_id,
+         8 + {_sql_hexval('base', 1, 4)} % 25 AS w,
+         8 + {_sql_hexval('base', 5, 4)} % 25 AS h
+  FROM m
+),
+raw AS (
+  SELECT media_id, w, h,
+         md5('png:{multimodal.PNG_SEED}:' || media_id || ':'
+             || CAST(k // 16 AS VARCHAR)) AS chunk,
+         (k % 16) * 2 AS off, k % 3 AS ch,
+         (k // 3) // w AS r, (k // 3) % w AS c
+  FROM d, unnest(range(0, w * h * 3)) u(k)
+),
+bv AS (
+  SELECT media_id, w, h, ch, r, c,
+         ({_HEXNIB.format(o=1)}) * 16 + ({_HEXNIB.format(o=2)}) AS b
+  FROM raw
+)
+"""
+
+SQL_PNG_FEATURES = _SQL_PNG_PIXELS + """
+SELECT media_id,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(sum(CASE WHEN ch = 0 THEN b ELSE 0 END) AS BIGINT) AS sum_r,
+       CAST(sum(CASE WHEN ch = 1 THEN b ELSE 0 END) AS BIGINT) AS sum_g,
+       CAST(sum(CASE WHEN ch = 2 THEN b ELSE 0 END) AS BIGINT) AS sum_b,
+       CAST(sum(CASE WHEN r = h - 1 THEN b ELSE 0 END) AS BIGINT)
+         AS bottom_row_sum
+FROM bv GROUP BY media_id, w, h
+"""
+
 SQL_PPM_FEATURES = _SQL_PPM_PIXELS + """
 SELECT media_id,
        CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
@@ -1539,6 +1588,7 @@ TEXTOPS_QUERIES = {
     "wav_features": (q_wav_features, SQL_WAV_FEATURES),
     "ppm_features": (q_ppm_features, SQL_PPM_FEATURES),
     "bmp_features": (q_bmp_features, SQL_BMP_FEATURES),
+    "png_features": (q_png_features, SQL_PNG_FEATURES),
     "tar_members": (q_tar_members, _sql_tar_members()),
     "gzip_docs": (q_gzip_docs, _sql_gzip_docs()),
     "ppm_resize": (q_ppm_resize, SQL_PPM_RESIZE),

@@ -863,3 +863,58 @@ def test_bmp_parse_hand_computed(ray_session):
     assert int(r["sum_b"]) == 1 + 4 + 10 + 40      # pad bytes excluded
     assert int(r["sum_g"]) == 2 + 5 + 20 + 50
     assert int(r["sum_r"]) == 3 + 6 + 30 + 60
+
+
+def test_png_parse_hand_computed(ray_session):
+    """Hand-built 2x2 RGB PNG: row 0 unfiltered, row 1 Paeth-filtered —
+    the decoder must reverse the filter against the reconstructed prior
+    row for bottom_row_sum to come out right."""
+    import struct
+    import zlib
+
+    import pandas as pd
+
+    import ray
+
+    from dygiepp_ray.textops.multimodal import _paeth, png_features
+
+    top = [1, 2, 3, 4, 5, 6]       # logical row 0 (RGB x2)
+    bottom = [10, 20, 30, 40, 50, 60]  # logical row 1
+    filt1 = []
+    for k in range(6):
+        a = bottom[k - 3] if k >= 3 else 0
+        b = top[k]
+        c = top[k - 3] if k >= 3 else 0
+        filt1.append((bottom[k] - _paeth(a, b, c)) % 256)
+    stream = bytes([0] + top) + bytes([4] + filt1)
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(stream))
+               + chunk(b"IEND", b""))
+    media = ray.data.from_pandas(
+        pd.DataFrame({"media_id": [3], "payload": [payload]})
+    )
+    r = png_features(media).to_pandas().iloc[0]
+    assert (int(r["width"]), int(r["height"])) == (2, 2)
+    assert int(r["bottom_row_sum"]) == sum(bottom)
+    assert int(r["sum_r"]) == 1 + 4 + 10 + 40
+    assert int(r["sum_g"]) == 2 + 5 + 20 + 50
+    assert int(r["sum_b"]) == 3 + 6 + 30 + 60
+
+
+def test_png_corrupt_crc_rejected(ray_session):
+    """A flipped bit in the IDAT body must fail the CRC check."""
+    import pytest
+
+    from dygiepp_ray.textops.multimodal import _parse_png, synth_png
+
+    payload = bytearray(synth_png(1)["payload"].to_pylist()[0])
+    # IDAT body starts after sig(8) + IHDR chunk(12+13) + len/type(8)
+    payload[8 + 25 + 8 + 2] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        _parse_png(bytes(payload))
