@@ -845,17 +845,11 @@ FROM events GROUP BY 1
 _PR_SCALE = 1_000_000_000_000  # fixed-point unit: 1e-12 of total rank mass
 
 
-def pagerank3(sf_dir: str, iters: int = 3) -> ray.data.Dataset:
-    """3 power iterations of PageRank (damping 0.85) over the bipartite
-    customer-supplier graph (edge = customer ordered from supplier),
-    entirely in FIXED-POINT integer arithmetic: every multiply/divide
-    floors on BIGINTs, so the result is bit-exact under any partitioning
-    or summation order and the chained-CTE SQL twin hashes identically —
-    the same determinism trick the connected-components oracle uses for
-    floats-free iteration.  Per iteration: one coexchange scatters
-    r/deg along edges (batch-combined per destination), one coexchange
-    gathers sums back onto the node table.  The driver holds only the
-    node count."""
+def _customer_supplier_edges(sf_dir: str) -> ray.data.Dataset:
+    """Symmetric distinct edges of the bipartite customer-supplier
+    graph (edge = customer ordered from supplier; nodes 'c<k>'/'s<k>').
+    One coexchange on orderkey for pair generation, one pair-keyed
+    exchange for global dedup.  Shared by pagerank3 and bfs_hops."""
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     )
@@ -893,7 +887,21 @@ def pagerank3(sf_dir: str, iters: int = 3) -> ray.data.Dataset:
             }
         )
 
-    edges = pairs.map_batches(symmetrize, batch_format="pandas").materialize()
+    return pairs.map_batches(symmetrize, batch_format="pandas").materialize()
+
+
+def pagerank3(sf_dir: str, iters: int = 3) -> ray.data.Dataset:
+    """3 power iterations of PageRank (damping 0.85) over the bipartite
+    customer-supplier graph (edge = customer ordered from supplier),
+    entirely in FIXED-POINT integer arithmetic: every multiply/divide
+    floors on BIGINTs, so the result is bit-exact under any partitioning
+    or summation order and the chained-CTE SQL twin hashes identically —
+    the same determinism trick the connected-components oracle uses for
+    floats-free iteration.  Per iteration: one coexchange scatters
+    r/deg along edges (batch-combined per destination), one coexchange
+    gathers sums back onto the node table.  The driver holds only the
+    node count."""
+    edges = _customer_supplier_edges(sf_dir)
 
     def degree(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("src", as_index=False).size()
@@ -996,6 +1004,118 @@ r3 AS (SELECT r2.node, r2.deg,
                 + (85 * COALESCE(c3.s, 0)) // 100 AS r
        FROM r2 LEFT JOIN c3 USING (node), nn)
 SELECT node, CAST(r AS BIGINT) AS r FROM r3
+"""
+
+
+def bfs_hops(
+    sf_dir: str, max_hops: int = 3, seed_mod: int = 10
+) -> ray.data.Dataset:
+    """Bounded multi-source BFS: minimum hop distance (<= ``max_hops``)
+    from the seed set {supplier nodes with suppkey % ``seed_mod`` == 0}
+    over the bipartite customer-supplier graph — the reachability /
+    shortest-path family next to pagerank3's value propagation.
+
+    FRONTIER-based: iteration t scatters only nodes settled at t-1
+    (one coexchange bounded by frontier-adjacent edges), then an
+    anti-join settle coexchange adds unseen candidates at distance t —
+    settled nodes never re-enter the exchange, so total shuffle bytes
+    are O(edges touched), not O(nodes x iterations).  Distances are
+    BIGINTs (min of ints is order-free), so the unrolled-CTE SQL twin
+    hashes identically.  The driver holds no per-node state."""
+    edges = _customer_supplier_edges(sf_dir)
+    esplits = split_refs(edges, "src", 8)
+
+    _D = {"node": object, "hops": np.int64}
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _D.items()})
+
+    def seed_fn(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "src" not in df.columns:
+            return _empty()
+        s = df.drop_duplicates("src")["src"]
+        is_seed = s.str.startswith("s") & (
+            s.str[1:].astype(np.int64) % seed_mod == 0
+        )
+        return pd.DataFrame(
+            {"node": s[is_seed].to_numpy(object),
+             "hops": np.zeros(int(is_seed.sum()), dtype=np.int64)}
+        )
+
+    dist = partitioned_map_groups(edges, "src", seed_fn, num_buckets=8)
+
+    for t in range(1, max_hops + 1):
+
+        def scatter(dd: pd.DataFrame, e: pd.DataFrame, t=t) -> pd.DataFrame:
+            if (len(dd) == 0 or "hops" not in dd.columns
+                    or len(e) == 0 or "src" not in e.columns):
+                return pd.DataFrame({"node": pd.Series(dtype=object)})
+            f = dd[dd["hops"] == t - 1]
+            j = e.merge(f, left_on="src", right_on="node")
+            return pd.DataFrame({"node": j["dst"].unique().astype(object)})
+
+        cands = hash_coexchange(dist, edges, "node", "src", scatter,
+                                num_buckets=8, splits_b=esplits)
+
+        def settle(c: pd.DataFrame, dd: pd.DataFrame, t=t) -> pd.DataFrame:
+            old = dd if (len(dd) and "node" in dd.columns) else _empty()
+            if len(c) == 0 or "node" not in c.columns:
+                return old[["node", "hops"]].astype({"hops": np.int64})
+            fresh = c["node"].unique()
+            fresh = fresh[~pd.Series(fresh).isin(old["node"]).to_numpy()]
+            new = pd.DataFrame(
+                {"node": fresh.astype(object),
+                 "hops": np.full(len(fresh), t, dtype=np.int64)}
+            )
+            return pd.concat(
+                [old[["node", "hops"]], new], ignore_index=True
+            ).astype({"hops": np.int64})
+
+        dist = hash_coexchange(cands, dist, "node", "node", settle,
+                               num_buckets=8)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "node" not in df.columns:
+            return _empty()
+        return pd.DataFrame(
+            {"node": df["node"], "hops": df["hops"].to_numpy(np.int64)}
+        )
+
+    return dist.map_batches(project, batch_format="pandas")
+
+
+SQL_BFS_HOPS = """
+WITH pairs AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                  's' || CAST(l_suppkey AS VARCHAR) AS b
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs
+), d0 AS (
+  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS hops FROM edges
+  WHERE src LIKE 's%' AND CAST(substr(src, 2) AS BIGINT) % 10 = 0
+), n1 AS (
+  SELECT DISTINCT e.dst AS node FROM edges e JOIN d0 ON e.src = d0.node
+  WHERE e.dst NOT IN (SELECT node FROM d0)
+), d1 AS (
+  SELECT node, hops FROM d0
+  UNION ALL SELECT node, CAST(1 AS BIGINT) FROM n1
+), n2 AS (
+  SELECT DISTINCT e.dst AS node FROM edges e
+  JOIN d1 ON e.src = d1.node AND d1.hops = 1
+  WHERE e.dst NOT IN (SELECT node FROM d1)
+), d2 AS (
+  SELECT node, hops FROM d1
+  UNION ALL SELECT node, CAST(2 AS BIGINT) FROM n2
+), n3 AS (
+  SELECT DISTINCT e.dst AS node FROM edges e
+  JOIN d2 ON e.src = d2.node AND d2.hops = 2
+  WHERE e.dst NOT IN (SELECT node FROM d2)
+), d3 AS (
+  SELECT node, hops FROM d2
+  UNION ALL SELECT node, CAST(3 AS BIGINT) FROM n3
+)
+SELECT node, hops FROM d3
 """
 
 
@@ -1438,6 +1558,7 @@ ANALYTICS_QUERIES = {
     "orders_semi_join": (orders_semi_join, SQL_ORDERS_SEMI_JOIN),
     "json_props_sum": (json_props_sum, SQL_JSON_PROPS_SUM),
     "pagerank3": (pagerank3, SQL_PAGERANK3),
+    "bfs_hops": (bfs_hops, SQL_BFS_HOPS),
     "triangle_count": (triangle_count, SQL_TRIANGLE_COUNT),
     "kcore": (kcore, SQL_KCORE),
     "part_skyline": (part_skyline, SQL_PART_SKYLINE),

@@ -1235,3 +1235,33 @@ def test_rfm_segments_hand_computed(ray_session, tmp_path):
     assert int(out.loc["111", "total_m_cents"]) == 1000
     assert int(out.loc["313", "total_m_cents"]) == 3000
     assert out["n_users"].tolist() == [1, 1, 1]
+
+
+def test_bfs_hops_planted_graph(ray_session, tmp_path):
+    """Hand-built bipartite graph: supplier s10 is the only seed
+    (suppkey % 10 == 0).  c1 orders from s10 and s3; c2 orders from s3.
+    Hops: s10=0, c1=1, s3=2, c2=3; c9/s7 are unreachable within 3."""
+    from dygiepp_ray.analytics import bfs_hops
+
+    orders = pd.DataFrame(
+        {"o_orderkey": [100, 101, 102, 103],
+         "o_custkey": [1, 1, 2, 9]}
+    ).astype(np.int64)
+    li = pd.DataFrame(
+        {"l_orderkey": [100, 101, 102, 103],
+         "l_suppkey": [10, 3, 3, 7]}
+    ).astype(np.int64)
+    orders.to_parquet(tmp_path / "orders.parquet")
+    li.to_parquet(tmp_path / "lineitem.parquet")
+    got = bfs_hops(str(tmp_path)).to_pandas()
+    d = dict(zip(got["node"], got["hops"]))
+    assert d == {"s10": 0, "c1": 1, "s3": 2, "c2": 3}
+
+
+def test_bfs_hops_matches_duckdb(ray_session):
+    from dygiepp_ray.analytics import SQL_BFS_HOPS, bfs_hops
+
+    got = norm(run(bfs_hops(SF)))
+    want = norm(duck(SF, SQL_BFS_HOPS))
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want)
