@@ -3288,6 +3288,81 @@ FROM l GROUP BY 1
 """
 
 
+def user_active_time(
+    sf_dir: str, window_s: int = 300, num_buckets: int = 16
+) -> ray.data.Dataset:
+    """Interval-union sweep: each event opens a [ts, ts+window) activity
+    interval; report each user's TOTAL covered time in microseconds —
+    the classic sweep-line union-of-intervals analytic (distinct from
+    sessionize's gap-splitting and user_streaks' day islands: intervals
+    OVERLAP and the union length must not double-count).
+
+    For fixed-width intervals the union telescopes: with per-user
+    sorted timestamps, covered = sum(min(t[i+1]-t[i], W)) + W for the
+    last event.  Duplicate timestamps contribute min(0, W) = 0, so the
+    per-batch DISTINCT (user, t) combiner is exact and shuffle bytes
+    are O(distinct user-timestamps).  One user-keyed exchange; in-bucket
+    one lexsort + one clipped diff, no per-user loop.
+    -> (user_id, active_us)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    w_us = np.int64(window_s) * np.int64(1_000_000)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "user_id" not in df.columns:
+            return pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                                 "t": pd.Series(dtype=np.int64)})
+        return pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(np.int64),
+             "t": ts_epoch_us(df["ts"])}
+        ).drop_duplicates(ignore_index=True)
+
+    pairs = ds.map_batches(partial, batch_format="pandas")
+
+    def union_len(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "user_id" not in df.columns:
+            return pd.DataFrame(
+                {"user_id": pd.Series(dtype=np.int64),
+                 "active_us": pd.Series(dtype=np.int64)}
+            )
+        df = df.drop_duplicates(["user_id", "t"])
+        uid = df["user_id"].to_numpy(np.int64)
+        t = df["t"].to_numpy(np.int64)
+        order = np.lexsort((t, uid))
+        uid, t = uid[order], t[order]
+        n = len(t)
+        cover = np.full(n, w_us, dtype=np.int64)  # run-last keeps W
+        if n > 1:
+            same = uid[1:] == uid[:-1]
+            cover[:-1][same] = np.minimum(t[1:][same] - t[:-1][same], w_us)
+        out = (
+            pd.DataFrame({"user_id": uid, "c": cover})
+            .groupby("user_id", as_index=False)["c"].sum()
+            .rename(columns={"c": "active_us"})
+        )
+        return out.astype({"user_id": np.int64, "active_us": np.int64})
+
+    return partitioned_map_groups(pairs, "user_id", union_len, num_buckets)
+
+
+SQL_USER_ACTIVE_TIME = """
+WITH e AS (
+  SELECT DISTINCT user_id, epoch_us(ts) AS t FROM events
+),
+s AS (
+  SELECT user_id, t,
+         lead(t) OVER (PARTITION BY user_id ORDER BY t) AS nxt
+  FROM e
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(sum(CASE WHEN nxt IS NULL THEN 300000000
+                     ELSE least(nxt - t, 300000000) END) AS BIGINT)
+         AS active_us
+FROM s GROUP BY 1
+"""
+
+
 def price_outliers(sf_dir: str) -> pd.DataFrame:
     """Integer-exact statistical outlier detection: lineitems whose
     price sits more than 1.7 standard deviations from their
@@ -4053,6 +4128,7 @@ RELATIONAL_QUERIES = {
     "sales_opportunity": (sales_opportunity, SQL_SALES_OPPORTUNITY),
     "price_outliers": (price_outliers, SQL_PRICE_OUTLIERS),
     "user_streaks": (user_streaks, SQL_USER_STREAKS),
+    "user_active_time": (user_active_time, SQL_USER_ACTIVE_TIME),
     "events_rate_alert": (events_rate_alert, SQL_EVENTS_RATE_ALERT),
     "rfm_segments": (rfm_segments, SQL_RFM_SEGMENTS),
 }

@@ -1265,3 +1265,28 @@ def test_bfs_hops_matches_duckdb(ray_session):
     want = norm(duck(SF, SQL_BFS_HOPS))
     assert len(got) > 0
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_user_active_time_hand_computed(ray_session, tmp_path):
+    """Interval union with 300 s windows: overlaps must not
+    double-count, duplicates contribute nothing, gaps reopen."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dygiepp_ray import relational as R
+
+    # user 1: t=0 and t=100 overlap (union 100+300=400 s); t=1000 is a
+    # disjoint interval (+300 s); duplicate at t=1000 adds 0
+    # user 2: one event -> 300 s
+    evts = [(1, 0), (1, 100), (1, 1000), (1, 1000), (2, 50)]
+    pq.write_table(pa.table(
+        {"user_id": pa.array([u for u, _t in evts], pa.int64()),
+         "ts": pa.array(
+             pd.to_datetime([t * 1_000_000_000 for _u, t in evts]),
+             pa.timestamp("us"))}
+    ), tmp_path / "events.parquet")
+    out = (
+        R.user_active_time(str(tmp_path), num_buckets=4)
+        .to_pandas().set_index("user_id")["active_us"].to_dict()
+    )
+    assert out == {1: 700_000_000, 2: 300_000_000}
