@@ -144,3 +144,77 @@ def gzip_docs(
         GzipDecode, batch_format="pandas",
         batch_size=batch_size, concurrency=concurrency,
     )
+
+
+ZIP_SEED = 29
+
+
+def synth_zip(n_members: int = 24, seed: int = ZIP_SEED) -> pa.Table:
+    """One-row (archive_id, payload) table holding a REAL zip archive:
+    members alternate STORED / DEFLATED compression, so the reader must
+    honor the central directory's per-member codec (and zipfile's CRC32
+    check) to recover each content.  Contents are ascii md5 chains, so
+    the SQL oracle regenerates (name, size, md5) without unzipping."""
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for i in range(n_members):
+            base = hashlib.md5(f"zip:{seed}:{i}".encode()).hexdigest()
+            size = 30 + int(base[0:3], 16) % 470
+            chunks, j = [], 0
+            while 32 * j < size:
+                chunks.append(
+                    hashlib.md5(f"zip:{seed}:{i}:{j}".encode()).hexdigest()
+                )
+                j += 1
+            content = "".join(chunks)[:size].encode("ascii")
+            info = zipfile.ZipInfo(f"doc_{i}.txt", date_time=(1980, 1, 1, 0, 0, 0))
+            info.compress_type = (
+                zipfile.ZIP_STORED if i % 2 == 0 else zipfile.ZIP_DEFLATED
+            )
+            zf.writestr(info, content)
+    return pa.table(
+        {
+            "archive_id": pa.array([0], pa.int64()),
+            "payload": pa.array([buf.getvalue()], pa.binary()),
+        }
+    )
+
+
+class ZipMembers:
+    """Actor-pool stage: real zip parse (central directory walk,
+    per-member codec, CRC32 verified by the stdlib reader) -> one row
+    per member (archive_id, name, size, stored, content_md5)."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        import zipfile
+
+        rows = {"archive_id": [], "name": [], "size": [], "stored": [],
+                "content_md5": []}
+        for aid, payload in zip(df["archive_id"], df["payload"]):
+            with zipfile.ZipFile(io.BytesIO(bytes(payload))) as zf:
+                for info in zf.infolist():
+                    if info.is_dir():
+                        continue
+                    data = zf.read(info)  # CRC32-checked by zipfile
+                    rows["archive_id"].append(int(aid))
+                    rows["name"].append(info.filename)
+                    rows["size"].append(len(data))
+                    rows["stored"].append(
+                        np.int64(info.compress_type == zipfile.ZIP_STORED)
+                    )
+                    rows["content_md5"].append(hashlib.md5(data).hexdigest())
+        return pd.DataFrame(rows).astype(
+            {"archive_id": np.int64, "size": np.int64, "stored": np.int64}
+        )
+
+
+def zip_members(
+    archives: ray.data.Dataset, concurrency: int = 2, batch_size: int = 4
+) -> ray.data.Dataset:
+    """Real archive decode (small batches: whole-archive payloads)."""
+    return archives.map_batches(
+        ZipMembers, batch_format="pandas",
+        batch_size=batch_size, concurrency=concurrency,
+    )

@@ -870,6 +870,39 @@ FROM ch
 """
 
 
+def q_zip_members(sf_dir: str):
+    """REAL zip archive parse: central-directory walk with per-member
+    codec (members alternate STORED/DEFLATED) and stdlib CRC32 checks —
+    (name, size, stored, md5) must match the generation rule the SQL
+    twin computes without unzipping."""
+    from ..sources import tarball
+
+    return tarball.zip_members(ray.data.from_arrow(tarball.synth_zip(24)))
+
+
+def _sql_zip_members() -> str:
+    from ..sources.tarball import ZIP_SEED
+
+    return f"""
+WITH m AS (
+  SELECT i, md5('zip:{ZIP_SEED}:' || i) AS base FROM range(0, 24) t(i)
+),
+d AS (SELECT i, 30 + {_sql_hexval('base', 1, 3)} % 470 AS size FROM m),
+ch AS (
+  SELECT d.i, d.size,
+         string_agg(md5('zip:{ZIP_SEED}:' || d.i || ':' || j.j), ''
+                    ORDER BY j.j) AS chain
+  FROM d, range(0, 16) j(j) GROUP BY d.i, d.size
+)
+SELECT CAST(0 AS BIGINT) AS archive_id,
+       'doc_' || i || '.txt' AS name,
+       CAST(size AS BIGINT) AS size,
+       CAST(CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS stored,
+       md5(substring(chain, 1, size)) AS content_md5
+FROM ch
+"""
+
+
 def q_gzip_docs(sf_dir: str):
     """REAL gzip decompression in the pipeline (the .jsonl.gz corpus
     shape); the twin regenerates (raw_size, md5) from the generation
@@ -1590,6 +1623,7 @@ TEXTOPS_QUERIES = {
     "bmp_features": (q_bmp_features, SQL_BMP_FEATURES),
     "png_features": (q_png_features, SQL_PNG_FEATURES),
     "tar_members": (q_tar_members, _sql_tar_members()),
+    "zip_members": (q_zip_members, _sql_zip_members()),
     "gzip_docs": (q_gzip_docs, _sql_gzip_docs()),
     "ppm_resize": (q_ppm_resize, SQL_PPM_RESIZE),
     "curate_corpus": (q_curate, SQL_CURATE),
