@@ -1499,6 +1499,77 @@ FROM s, q WHERE n_distinct >= thr GROUP BY 1
 """
 
 
+def q_source_diversity(sf_dir: str):
+    """Distributional profiling: per-source Gini impurity of the
+    language mix, in EXACT fixed point — gini_x1e6 = 1e6 - (1e6 *
+    sum(c_lang^2)) // N^2, so a skewed source (one dominant language)
+    scores near 0 and a uniform mix approaches 1e6.  Gini avoids
+    entropy's float log entirely: the impurity is pure integer
+    arithmetic, bit-stable across engines.
+
+    Shape: per-batch (source, lang) count combiner (shuffle bytes
+    O(sources x langs), never O(docs)) -> one tiny source-keyed
+    exchange; the squares are computed with arbitrary-precision Python
+    ints inside the bucket (c^2 sums can pass 2^63 at corpus scale,
+    and the group table is tiny there)."""
+    from ..core import partitioned_map_groups
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang"]
+    )
+
+    _OUT = {"source": object, "n_langs": np.int64,
+            "n_docs": np.int64, "gini_x1e6": np.int64}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "source" not in df.columns:
+            return pd.DataFrame({"source": pd.Series(dtype=object),
+                                 "lang": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})
+        g = df.groupby(["source", "lang"], as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype({"n": np.int64})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def gini(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "source" not in df.columns:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in _OUT.items()}
+            )
+        g = df.groupby(["source", "lang"], as_index=False)["n"].sum()
+        rows = []
+        for src, grp in g.groupby("source"):
+            n_total = int(grp["n"].sum())
+            s2 = sum(int(c) * int(c) for c in grp["n"])
+            rows.append(
+                (src, len(grp), n_total,
+                 1_000_000 - (1_000_000 * s2) // (n_total * n_total))
+            )
+        return pd.DataFrame(
+            rows, columns=list(_OUT)
+        ).astype({k: v for k, v in _OUT.items() if k != "source"})
+
+    return partitioned_map_groups(partials, "source", gini, num_buckets=4)
+
+
+SQL_SOURCE_DIVERSITY = """
+WITH c AS (
+  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2
+),
+t AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
+         CAST(sum(n) AS BIGINT) AS n_docs,
+         sum(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS s2
+  FROM c GROUP BY 1
+)
+SELECT source, n_langs, n_docs,
+       CAST(1000000 - (1000000 * s2)
+            // (CAST(n_docs AS HUGEINT) * CAST(n_docs AS HUGEINT))
+         AS BIGINT) AS gini_x1e6
+FROM t
+"""
+
+
 def q_bpe_learn(sf_dir: str):
     """BPE tokenizer training over the corpus: distributed word-count
     combiner -> vocab-bounded merge loop (textops/corpus.bpe_learn);
@@ -1642,4 +1713,5 @@ TEXTOPS_QUERIES = {
     "rare_bigram_scores": (q_rare_bigram_scores, SQL_RARE_BIGRAM_SCORES),
     "train_split": (q_train_split, SQL_TRAIN_SPLIT),
     "quality_gate": (q_quality_gate, SQL_QUALITY_GATE),
+    "source_diversity": (q_source_diversity, SQL_SOURCE_DIVERSITY),
 }
