@@ -3346,6 +3346,82 @@ def user_active_time(
     return partitioned_map_groups(pairs, "user_id", union_len, num_buckets)
 
 
+def events_late_arrivals(
+    sf_dir: str, num_buckets: int = 16
+) -> ray.data.Dataset:
+    """Out-of-order ingest QA (the watermark / late-data profile every
+    streaming pipeline needs before picking a watermark delay): treat
+    ``event_id`` as arrival order; an event is LATE if its timestamp is
+    older than the running max timestamp of the user's earlier-arrived
+    events.  Per user: events, late events, and the worst backwards
+    skew in microseconds.
+
+    One user-keyed exchange; in-bucket one lexsort by (event_id) within
+    user runs + one ``np.maximum.accumulate`` running max — the
+    order-sensitive stateful scan that a plain aggregate can't express.
+    -> (user_id, n_events, n_late, max_skew_us)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    _OUT = {"user_id": np.int64, "n_events": np.int64,
+            "n_late": np.int64, "max_skew_us": np.int64}
+
+    def late(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "user_id" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT.items()})
+        uid = df["user_id"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        t = ts_epoch_us(df["ts"])
+        order = np.lexsort((eid, uid))
+        uid, t = uid[order], t[order]
+        n = len(t)
+        # running max within user runs: offset each run onto a disjoint
+        # value band so one global accumulate never crosses users
+        new = np.concatenate([[True], uid[1:] != uid[:-1]])
+        run_id = np.cumsum(new) - 1
+        span = np.int64(int(t.max()) - int(t.min()) + 1) if n else np.int64(1)
+        if n and int(run_id[-1]) * int(span) >= (1 << 62):
+            raise OverflowError(
+                "events_late_arrivals: run count x time span exceeds the "
+                "int64 virtual axis; shrink buckets"
+            )
+        virt = t - int(t.min()) + run_id * span if n else t
+        runmax = np.maximum.accumulate(virt)
+        # prior max BEFORE each event (first of a run has no prior)
+        prior = np.concatenate([[np.int64(0)], runmax[:-1]])
+        skew = np.where(new, 0, prior - virt)   # >0 means late
+        g = pd.DataFrame(
+            {"user_id": uid, "late": (skew > 0).astype(np.int64),
+             "skew": np.maximum(skew, 0)}
+        ).groupby("user_id", as_index=False).agg(
+            n_events=("late", "size"), n_late=("late", "sum"),
+            max_skew_us=("skew", "max"),
+        )
+        return g.astype(_OUT)
+
+    return partitioned_map_groups(ds, "user_id", late, num_buckets)
+
+
+SQL_EVENTS_LATE_ARRIVALS = """
+WITH s AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         max(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prior_max
+  FROM events
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN prior_max > t THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       CAST(COALESCE(max(CASE WHEN prior_max > t THEN prior_max - t
+                              ELSE 0 END), 0) AS BIGINT) AS max_skew_us
+FROM s GROUP BY 1
+"""
+
+
 SQL_USER_ACTIVE_TIME = """
 WITH e AS (
   SELECT DISTINCT user_id, epoch_us(ts) AS t FROM events
@@ -4129,6 +4205,7 @@ RELATIONAL_QUERIES = {
     "price_outliers": (price_outliers, SQL_PRICE_OUTLIERS),
     "user_streaks": (user_streaks, SQL_USER_STREAKS),
     "user_active_time": (user_active_time, SQL_USER_ACTIVE_TIME),
+    "events_late_arrivals": (events_late_arrivals, SQL_EVENTS_LATE_ARRIVALS),
     "events_rate_alert": (events_rate_alert, SQL_EVENTS_RATE_ALERT),
     "rfm_segments": (rfm_segments, SQL_RFM_SEGMENTS),
 }

@@ -1290,3 +1290,33 @@ def test_user_active_time_hand_computed(ray_session, tmp_path):
         .to_pandas().set_index("user_id")["active_us"].to_dict()
     )
     assert out == {1: 700_000_000, 2: 300_000_000}
+
+
+def test_events_late_arrivals_hand_computed(ray_session, tmp_path):
+    """Arrival order = event_id; an event older than the user's prior
+    running-max ts is late, skew measured against that max."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dygiepp_ray import relational as R
+
+    # user 1 arrivals: t=100, t=50 (late by 50), t=200, t=150 (late 50),
+    # t=90 (late 110); user 2: in order
+    rows = [(1, 1, 100), (2, 1, 50), (3, 1, 200), (4, 1, 150), (5, 1, 90),
+            (6, 2, 10), (7, 2, 20)]
+    pq.write_table(pa.table(
+        {"event_id": pa.array([e for e, _u, _t in rows], pa.int64()),
+         "user_id": pa.array([u for _e, u, _t in rows], pa.int64()),
+         "ts": pa.array(
+             pd.to_datetime([t * 1_000_000 for _e, _u, t in rows], unit="ns"),
+             pa.timestamp("us"))}
+    ), tmp_path / "events.parquet")
+    out = (
+        R.events_late_arrivals(str(tmp_path), num_buckets=4)
+        .to_pandas().set_index("user_id")
+    )
+    assert int(out.loc[1, "n_events"]) == 5
+    assert int(out.loc[1, "n_late"]) == 3
+    assert int(out.loc[1, "max_skew_us"]) == 110_000  # ts in ms -> us
+    assert int(out.loc[2, "n_late"]) == 0
+    assert int(out.loc[2, "max_skew_us"]) == 0
