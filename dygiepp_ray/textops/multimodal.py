@@ -638,3 +638,50 @@ def png_features(
         PngDecoder, batch_format="pandas",
         batch_size=batch_size, concurrency=concurrency,
     )
+
+
+def _dhash64(px: np.ndarray, w: int, h: int) -> int:
+    """64-bit perceptual difference hash from a (h*w, 3) pixel matrix,
+    all-integer so it is bit-stable across engines: brightness =
+    channel SUM (no /3, channel order irrelevant), 8x9 nearest-neighbor
+    grid sample (row (r*h)//8, col (c*w)//9), bit(r,c) = right sample
+    brighter than left.  Bit k = r*8 + c, packed little-endian."""
+    img = px.reshape(h, w, 3).sum(axis=2)
+    rows = (np.arange(8) * h) // 8
+    cols = (np.arange(9) * w) // 9
+    g = img[np.ix_(rows, cols)]
+    bits = (g[:, 1:] > g[:, :-1]).astype(np.uint64).reshape(-1)
+    return int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+
+class DhashDecoder:
+    """Actor-pool stage: real BMP decode -> 64-bit dHash split into
+    (hi, lo) 32-bit halves (both fit BIGINT)."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids, his, los = [], [], []
+        for mid, payload in zip(df["media_id"], df["payload"]):
+            w, h, px = _parse_bmp(payload)
+            d = _dhash64(px.astype(np.int64), w, h)
+            ids.append(int(mid))
+            his.append(d >> 32)
+            los.append(d & 0xFFFFFFFF)
+        return pd.DataFrame(
+            {
+                "media_id": np.array(ids, dtype=np.int64),
+                "dhash_hi": np.array(his, dtype=np.int64),
+                "dhash_lo": np.array(los, dtype=np.int64),
+            }
+        )
+
+
+def image_dhash(
+    media: ray.data.Dataset, concurrency: int = 2, batch_size: int = 16
+) -> ray.data.Dataset:
+    """Perceptual-hash signatures over real-decoded images — the
+    image-near-dup analogue of simhash_signatures (bucket by hash bands
+    to find visual near-duplicates at corpus scale)."""
+    return media.map_batches(
+        DhashDecoder, batch_format="pandas",
+        batch_size=batch_size, concurrency=concurrency,
+    )

@@ -1071,6 +1071,43 @@ SELECT media_id,
 FROM bv GROUP BY media_id, w, h
 """
 
+def q_image_dhash(sf_dir: str):
+    """Perceptual dHash over REAL decoded BMPs (the image analogue of
+    simhash: integer brightness, 8x9 nearest grid, gradient sign bits)
+    — the twin regenerates pixels from the md5 chain and packs the
+    same 64 bits with HUGEINT arithmetic."""
+    media = ray.data.from_arrow(multimodal.synth_bmp(16))
+    return multimodal.image_dhash(media)
+
+
+SQL_IMAGE_DHASH = _SQL_BMP_PIXELS + """,
+bright AS (
+  SELECT media_id, w, h, r, c, sum(b) AS lum
+  FROM bv GROUP BY media_id, w, h, r, c
+),
+grid AS (
+  SELECT media_id, rr.rr AS gr, cc.cc AS gc, lum
+  FROM bright, range(0, 8) rr(rr), range(0, 9) cc(cc)
+  WHERE r = (rr.rr * h) // 8 AND c = (cc.cc * w) // 9
+),
+bits AS (
+  SELECT a.media_id, a.gr * 8 + a.gc AS k,
+         CASE WHEN b.lum > a.lum THEN 1 ELSE 0 END AS bit
+  FROM grid a JOIN grid b
+    ON b.media_id = a.media_id AND b.gr = a.gr AND b.gc = a.gc + 1
+  WHERE a.gc < 8
+)
+SELECT media_id,
+  CAST(COALESCE(sum(CASE WHEN k >= 32
+       THEN bit::HUGEINT * (1::HUGEINT << (k - 32)) ELSE 0 END), 0)
+    AS BIGINT) AS dhash_hi,
+  CAST(COALESCE(sum(CASE WHEN k < 32
+       THEN bit::HUGEINT * (1::HUGEINT << k) ELSE 0 END), 0)
+    AS BIGINT) AS dhash_lo
+FROM bits GROUP BY media_id
+"""
+
+
 SQL_PPM_FEATURES = _SQL_PPM_PIXELS + """
 SELECT media_id,
        CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
@@ -1693,6 +1730,7 @@ TEXTOPS_QUERIES = {
     "ppm_features": (q_ppm_features, SQL_PPM_FEATURES),
     "bmp_features": (q_bmp_features, SQL_BMP_FEATURES),
     "png_features": (q_png_features, SQL_PNG_FEATURES),
+    "image_dhash": (q_image_dhash, SQL_IMAGE_DHASH),
     "tar_members": (q_tar_members, _sql_tar_members()),
     "zip_members": (q_zip_members, _sql_zip_members()),
     "gzip_docs": (q_gzip_docs, _sql_gzip_docs()),

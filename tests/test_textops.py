@@ -918,3 +918,26 @@ def test_png_corrupt_crc_rejected(ray_session):
     payload[8 + 25 + 8 + 2] ^= 0xFF
     with pytest.raises(ValueError, match="CRC"):
         _parse_png(bytes(payload))
+
+
+def test_image_dhash_invariances(ray_session):
+    """dHash is a function of brightness GRADIENTS: adding a constant
+    to every pixel must not change it; mirroring the image must."""
+    import pandas as pd
+
+    import ray
+
+    from dygiepp_ray.textops.multimodal import _dhash64
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 200, size=(24 * 16, 3)).astype(np.int64)
+    d0 = _dhash64(px, 16, 24)
+    d_shift = _dhash64(px + 40, 16, 24)
+    assert d0 == d_shift
+    mirrored = px.reshape(24, 16, 3)[:, ::-1].reshape(-1, 3)
+    assert _dhash64(mirrored, 16, 24) != d0
+    # hi/lo split is lossless
+    from dygiepp_ray.textops.multimodal import image_dhash, synth_bmp
+    out = image_dhash(ray.data.from_arrow(synth_bmp(4))).to_pandas()
+    assert ((out["dhash_hi"] >= 0) & (out["dhash_lo"] >= 0)).all()
+    assert (out["dhash_lo"] < (1 << 32)).all()
