@@ -226,3 +226,67 @@ def test_event_window_queries_differential(ray_session, tmp_path, seed, qname):
     pq.write_table(_rand_events(rng, int(rng.integers(60, 350))),
                    tmp_path / "events.parquet")
     _compare(str(tmp_path), qname)
+
+
+@pytest.mark.parametrize("seed", [13, 29, 61])
+@pytest.mark.parametrize(
+    "qname", ["user_active_time", "events_late_arrivals"]
+)
+def test_interval_queries_differential(ray_session, tmp_path, seed, qname):
+    """New interval-union / out-of-order scans under heavy ts ties and
+    shuffled arrival ids — the exact inputs that break tie handling."""
+    rng = np.random.default_rng(seed * 100 + len(qname))
+    pq.write_table(_rand_events(rng, int(rng.integers(50, 400))),
+                   tmp_path / "events.parquet")
+    _compare(str(tmp_path), qname)
+
+
+@pytest.mark.parametrize("seed", [7, 41])
+def test_bfs_hops_differential(ray_session, tmp_path, seed):
+    """Random bipartite order graphs: seed reachability must agree with
+    the unrolled-CTE oracle, including unreachable nodes and graphs
+    where the seed set is empty."""
+    rng = np.random.default_rng(seed)
+    n_orders = int(rng.integers(20, 120))
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(n_orders, dtype=np.int64)),
+            "o_custkey": pa.array(rng.integers(0, 15, n_orders).astype(np.int64)),
+        }
+    )
+    n_li = int(rng.integers(30, 250))
+    li = pa.table(
+        {
+            "l_orderkey": pa.array(rng.integers(0, n_orders, n_li).astype(np.int64)),
+            # seed set = suppkey % 10 == 0; a sparse supplier space makes
+            # some draws have no seeds at all (empty-result agreement)
+            "l_suppkey": pa.array(rng.integers(1, 25, n_li).astype(np.int64)),
+        }
+    )
+    pq.write_table(orders, tmp_path / "orders.parquet")
+    pq.write_table(li, tmp_path / "lineitem.parquet")
+    _compare(str(tmp_path), "bfs_hops")
+
+
+@pytest.mark.parametrize("seed", [17, 53])
+def test_source_diversity_differential(ray_session, tmp_path, seed):
+    """Random (source, lang) mixes incl. single-language sources
+    (gini must be exactly 0) and near-uniform ones."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(40, 300))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(["w"] * n),
+            "lang": pa.array(rng.choice(["en", "de", "fr", "zh"], n)),
+            "source": pa.array(
+                rng.choice(["web", "wiki", "mono"], n)
+            ),
+            "n_chars": pa.array(np.ones(n, dtype=np.int64)),
+        }
+    )
+    # force one single-language source: gini exactly 0
+    df = tbl.to_pandas()
+    df.loc[df["source"] == "mono", "lang"] = "en"
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "documents.parquet")
+    _compare(str(tmp_path), "source_diversity")
