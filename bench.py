@@ -156,6 +156,10 @@ def main() -> None:
             ("events_ohlc", R.events_ohlc),
             ("purchase_attribution", R.purchase_attribution),
             ("zorder_layout", R.zorder_layout),
+            ("bfs_hops", A.bfs_hops),
+            ("user_active_time", R.user_active_time),
+            ("events_late_arrivals", R.events_late_arrivals),
+            ("source_diversity", TQ.q_source_diversity),
         ]:
             t0 = time.perf_counter()
             res = fn(SF_DIR)
