@@ -648,6 +648,7 @@ _DRIVER_SAMPLE_FIRST = (
     # tier 0: added this session
     "png_features", "bfs_hops", "user_active_time", "zip_members",
     "source_diversity", "events_late_arrivals", "image_dhash",
+    "containment_dups",
     # tier 1: round-4 additions (never driver- or judge-checked)
     "balance_ntile", "part_skyline", "heavy_hitters", "kmv_intersection",
     "bpe_learn", "bpe_segment", "dedup_keep_best", "shipping_priority",

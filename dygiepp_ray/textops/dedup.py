@@ -815,6 +815,49 @@ def _empty_pairs() -> pd.DataFrame:
     )
 
 
+def _explode_shingles(df: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, shingles-blob) rows -> exploded (shingle, doc_id, size).
+    >>1 keeps the id inside int64 for the exchange key; the shingle
+    hash is only an identifier + order tie-break, so the dropped bit is
+    harmless (same convention as bkey)."""
+    empty = pd.DataFrame(
+        {"shingle": pd.Series(dtype=np.int64),
+         "doc_id": pd.Series(dtype=np.int64),
+         "size": pd.Series(dtype=np.int64)}
+    )
+    if len(df) == 0 or "shingles" not in df.columns:
+        return empty
+    hs, ids, sizes = [], [], []
+    for d, b in zip(df["doc_id"].to_numpy(np.int64), df["shingles"]):
+        h = np.frombuffer(b, dtype=np.uint64)
+        if len(h) == 0:
+            continue
+        hs.append((h >> np.uint64(1)).astype(np.int64))
+        ids.append(np.full(len(h), d, dtype=np.int64))
+        sizes.append(np.full(len(h), len(h), dtype=np.int64))
+    if not hs:
+        return empty
+    return pd.DataFrame(
+        {"shingle": np.concatenate(hs), "doc_id": np.concatenate(ids),
+         "size": np.concatenate(sizes)}
+    )
+
+
+def _attach_shingle_df(df: pd.DataFrame) -> pd.DataFrame:
+    """Within a shingle-keyed bucket: global df computed AND attached
+    in the same task (every occurrence of a shingle is co-located)."""
+    if len(df) == 0 or "shingle" not in df.columns:
+        return pd.DataFrame(
+            {c: pd.Series(dtype=np.int64)
+             for c in ("shingle", "doc_id", "size", "df")}
+        )
+    out = df.copy()
+    out["df"] = df.groupby("shingle", sort=False)["doc_id"].transform(
+        "size"
+    ).astype(np.int64)
+    return out
+
+
 def prefix_filter_pairs(
     docs: ray.data.Dataset | None,
     threshold_num: int = 4,
@@ -871,48 +914,10 @@ def prefix_filter_pairs(
             if sets_ds is None else sets_ds)
     t_float = threshold_num / threshold_den  # pruning only (slack below)
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"shingle": pd.Series(dtype=np.int64),
-             "doc_id": pd.Series(dtype=np.int64),
-             "size": pd.Series(dtype=np.int64)}
-        )
-        if len(df) == 0 or "shingles" not in df.columns:
-            return empty
-        hs, ids, sizes = [], [], []
-        for d, b in zip(df["doc_id"].to_numpy(np.int64), df["shingles"]):
-            h = np.frombuffer(b, dtype=np.uint64)
-            if len(h) == 0:
-                continue
-            # >>1 keeps the id inside int64 for the exchange key; the
-            # shingle hash is only an identifier + order tie-break, so
-            # the dropped bit is harmless (same convention as bkey)
-            hs.append((h >> np.uint64(1)).astype(np.int64))
-            ids.append(np.full(len(h), d, dtype=np.int64))
-            sizes.append(np.full(len(h), len(h), dtype=np.int64))
-        if not hs:
-            return empty
-        return pd.DataFrame(
-            {"shingle": np.concatenate(hs), "doc_id": np.concatenate(ids),
-             "size": np.concatenate(sizes)}
-        )
-
-    exploded = sets.map_batches(explode, batch_format="pandas")
-
-    def attach_df(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0 or "shingle" not in df.columns:
-            out = pd.DataFrame(
-                {c: pd.Series(dtype=np.int64)
-                 for c in ("shingle", "doc_id", "size", "df")}
-            )
-            return out
-        out = df.copy()
-        out["df"] = df.groupby("shingle", sort=False)["doc_id"].transform(
-            "size"
-        ).astype(np.int64)
-        return out
-
-    with_df = partitioned_map_groups(exploded, "shingle", attach_df, num_buckets)
+    exploded = sets.map_batches(_explode_shingles, batch_format="pandas")
+    with_df = partitioned_map_groups(
+        exploded, "shingle", _attach_shingle_df, num_buckets
+    )
 
     def prefixes(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0 or "doc_id" not in df.columns:
@@ -1028,6 +1033,148 @@ def prefix_near_dups(
         keep = (threshold_den * inter >= threshold_num * union) & (union > 0)
         out = df.loc[keep, ["id_a", "id_b"]].astype(np.int64).reset_index(drop=True)
         out["jac_pct"] = (100 * inter[keep]) // union[keep]
+        return out
+
+    return withboth.map_batches(verify, batch_format="pandas")
+
+
+def containment_dups(
+    docs: ray.data.Dataset,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """EXACT asymmetric containment self-join: ORDERED pairs (a, b)
+    with shingle containment C(a in b) = |A∩B| / |A| >= num/den — the
+    quote / sub-document duplication that Jaccard misses (a short doc
+    fully quoted inside a long one has low Jaccard but containment 1).
+
+    Prefix filter adapted to containment (the one-sided variant of the
+    AllPairs family): under the global (df ASC, hash) shingle order, if
+    C(a in b) >= t then among the first |A| - ceil(t*|A|) + 1 shingles
+    of A at least one is shared with B — so candidates join A-PREFIX
+    rows against B's FULL posting list (the container side cannot be
+    prefix-cut: containment is one-sided).  Size pruning is the exact
+    integer predicate den*|B| >= num*|A| (|B| >= |A∩B| >= ceil(t|A|)),
+    which only drops impossible pairs.  Posting lists are UNCAPPED
+    (exactness), mega-groups logged like prefix_filter_pairs.
+
+    Same distributed shape: explode -> df attach -> per-doc prefix cut
+    (prefix rows tagged role=1, full posting rows role=0) -> one
+    shingle exchange expanding the bipartite prefix x posting product
+    -> pkey dedup -> attach both sets -> integer verify.
+    -> (id_a, id_b, cont_pct) with cont_pct = (100*|A∩B|) // |A|,
+    id_a = the contained doc (both directions may appear)."""
+    import pyarrow as pa
+
+    sets_ds = shingle_sets(docs, shingle_k, text_col, id_col).materialize()
+    exploded = sets_ds.map_batches(_explode_shingles, batch_format="pandas")
+    with_df = partitioned_map_groups(
+        exploded, "shingle", _attach_shingle_df, num_buckets
+    )
+
+    _ROLE = {"shingle": np.int64, "doc_id": np.int64,
+             "size": np.int64, "role": np.int64}
+
+    def prefix_and_postings(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "doc_id" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in _ROLE.items()})
+        d = df.sort_values(["doc_id", "df", "shingle"], kind="mergesort")
+        n = d["size"].to_numpy(np.int64)
+        # exact integer ceil(num*n/den) — float ceil would overshoot
+        plen = n - (threshold_num * n + threshold_den - 1) // threshold_den + 1
+        rank = d.groupby("doc_id", sort=False).cumcount().to_numpy()
+        pref = d.loc[rank < plen, ["shingle", "doc_id", "size"]].assign(role=1)
+        post = d[["shingle", "doc_id", "size"]].assign(role=0)
+        return pd.concat([pref, post], ignore_index=True).astype(_ROLE)
+
+    tagged = partitioned_map_groups(
+        with_df, "doc_id", prefix_and_postings, num_buckets
+    )
+
+    def candidates(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "shingle" not in df.columns:
+            return _empty_pairs()
+        # sort by (shingle, role DESC) so each run is [prefix | posting]
+        d = df.sort_values(["shingle", "role"],
+                           ascending=[True, False], kind="mergesort")
+        sh = d["shingle"].to_numpy(np.int64)
+        ids = d["doc_id"].to_numpy(np.int64)
+        sz = d["size"].to_numpy(np.int64)
+        role = d["role"].to_numpy(np.int64)
+        new = np.concatenate([[True], sh[1:] != sh[:-1]])
+        starts = np.flatnonzero(new)
+        run_len = np.diff(np.concatenate([starts, [len(sh)]]))
+        run_id = np.cumsum(new) - 1
+        n_pref = np.bincount(run_id, weights=role).astype(np.int64)
+        n_post = run_len - n_pref
+        big = run_len[run_len > 4096]
+        if len(big):
+            _LOG.warning(
+                "containment_dups: %d shingle groups exceed 4096 members "
+                "(max %d) — expanding all pairs (exactness forbids a cap)",
+                len(big), int(big.max()),
+            )
+        tot = n_pref * n_post
+        total = int(tot.sum())
+        if total == 0:
+            return _empty_pairs()
+        k = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(tot)[:-1]]), tot
+        )
+        nq = np.repeat(n_post, tot)
+        p_start = np.repeat(starts, tot)
+        q_start = np.repeat(starts + n_pref, tot)
+        ai = p_start + k // nq
+        bi = q_start + k % nq
+        a_ids, b_ids = ids[ai], ids[bi]
+        sa, sb = sz[ai], sz[bi]
+        ok = (a_ids != b_ids) & (threshold_den * sb >= threshold_num * sa)
+        if not ok.any():
+            return _empty_pairs()
+        return pd.DataFrame(
+            {"id_a": a_ids[ok], "id_b": b_ids[ok]}
+        ).drop_duplicates(ignore_index=True)
+
+    cand = partitioned_map_groups(tagged, "shingle", candidates, num_buckets)
+    pairs = partitioned_map_groups(
+        cand.map_batches(_add_pair_key, batch_format="pandas"),
+        "pkey",
+        lambda df: df.drop_duplicates(
+            ["id_a", "id_b"], ignore_index=True
+        ).drop(columns="pkey"),
+        num_buckets,
+    )
+
+    withboth = attach_pair_values(
+        pairs, sets_ds, "shingles", "sh_a", "sh_b", num_buckets,
+        value_dtype=pa.binary(),
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype=np.int64),
+             "id_b": pd.Series(dtype=np.int64),
+             "cont_pct": pd.Series(dtype=np.int64)}
+        )
+        if len(df) == 0 or "sh_a" not in df.columns:
+            return empty
+        inter = np.empty(len(df), dtype=np.int64)
+        na = np.empty(len(df), dtype=np.int64)
+        for i, (sa_, sb_) in enumerate(zip(df["sh_a"], df["sh_b"])):
+            A = np.frombuffer(sa_, dtype=np.uint64)
+            B = np.frombuffer(sb_, dtype=np.uint64)
+            inter[i] = len(np.intersect1d(A, B, assume_unique=True))
+            na[i] = len(A)
+        keep = (na > 0) & (threshold_den * inter >= threshold_num * na)
+        out = df.loc[keep, ["id_a", "id_b"]].astype(np.int64).reset_index(
+            drop=True
+        )
+        out["cont_pct"] = (100 * inter[keep]) // na[keep]
         return out
 
     return withboth.map_batches(verify, batch_format="pandas")

@@ -489,6 +489,28 @@ WHERE len(list_distinct(a.sh || b.sh)) > 0
 """
 
 
+def q_containment_dups(sf_dir: str):
+    """Asymmetric containment self-join at C(a in b) >= 4/5 — ordered
+    pairs where >= 80% of a's shingles appear in b (quote/sub-document
+    duplication Jaccard misses).  Full recall by the one-sided prefix
+    filter, so the all-pairs twin is a theorem (engine on shingle-hash
+    sets, SQL on shingle strings; cardinalities agree absent 64-bit
+    collisions)."""
+    return dedup.containment_dups(
+        _docs(sf_dir), threshold_num=4, threshold_den=5
+    )
+
+
+SQL_CONTAINMENT_DUPS = _SQL_SH3 + """
+SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+       CAST((100 * len(list_intersect(a.sh, b.sh))) // len(a.sh)
+         AS BIGINT) AS cont_pct
+FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+WHERE len(a.sh) > 0
+  AND 5 * len(list_intersect(a.sh, b.sh)) >= 4 * len(a.sh)
+"""
+
+
 def q_fuzzy_decontaminate(sf_dir: str):
     """Near-dup decontamination (corpus x eval shingle-Jaccard >= 1/2;
     eval subset = doc_id %% 23 == 0).  The inverted-index broadcast join
@@ -1721,6 +1743,7 @@ TEXTOPS_QUERIES = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH_NEAR_DUPS),
     "prefix_near_dups": (q_prefix_near_dups, SQL_PREFIX_NEAR_DUPS),
+    "containment_dups": (q_containment_dups, SQL_CONTAINMENT_DUPS),
     "fuzzy_join_docs": (q_fuzzy_join_docs, SQL_FUZZY_JOIN_DOCS),
     "near_dup_components": (q_near_dup_components, SQL_NEAR_DUP_COMPONENTS),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),

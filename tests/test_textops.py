@@ -941,3 +941,30 @@ def test_image_dhash_invariances(ray_session):
     out = image_dhash(ray.data.from_arrow(synth_bmp(4))).to_pandas()
     assert ((out["dhash_hi"] >= 0) & (out["dhash_lo"] >= 0)).all()
     assert (out["dhash_lo"] < (1 << 32)).all()
+
+
+def test_containment_dups_asymmetric(ray_session):
+    """A short doc fully quoted inside a long one: containment 100 in
+    one direction only, while Jaccard is far below the threshold (the
+    case the symmetric joins miss)."""
+    import pandas as pd
+
+    import ray
+
+    from dygiepp_ray.textops.dedup import containment_dups
+
+    short = "alpha beta gamma delta epsilon"
+    long = (
+        "zero one two three four five six seven eight nine ten eleven "
+        "twelve thirteen fourteen fifteen " + short + " sixteen "
+        "seventeen eighteen nineteen twenty twentyone twentytwo"
+    )
+    other = "completely different words with no overlap at all here now"
+    docs = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": [short, long, other]}
+    ))
+    out = containment_dups(docs, threshold_num=4, threshold_den=5,
+                           num_buckets=4).to_pandas()
+    got = {(int(r.id_a), int(r.id_b)): int(r.cont_pct)
+           for r in out.itertuples()}
+    assert got == {(1, 2): 100}  # short in long only; never reversed
