@@ -360,11 +360,15 @@ def ivf_topk(
         )
     qdf = qdf.sort_values("vec_id", ignore_index=True)
     qvecs = _stack(qdf["embedding"])
-    qd = ((qvecs[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-    qlists = np.argsort(qd, axis=1)[:, :nprobe]          # (Q, nprobe)
-    queries_ref = ray.put(
-        {"ids": qdf["vec_id"].to_numpy(), "vecs": qvecs, "lists": qlists}
+    listed = _assign_lists(embeddings, cref)
+    return _ivf_query(
+        listed, centroids, qdf["vec_id"].to_numpy(), qvecs, k, nprobe
     )
+
+
+def _assign_lists(embeddings: ray.data.Dataset, cref) -> ray.data.Dataset:
+    """Inverted-list assignment: each vector to its nearest centroid
+    (list_id), payload serialized for the exchange."""
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
         c = ray.get(cref)
@@ -378,7 +382,23 @@ def ivf_topk(
             }
         )
 
-    listed = embeddings.map_batches(assign, batch_format="pandas")
+    return embeddings.map_batches(assign, batch_format="pandas")
+
+
+def _ivf_query(
+    listed: ray.data.Dataset,
+    centroids: np.ndarray,
+    qids: np.ndarray,
+    qvecs: np.ndarray,
+    k: int,
+    nprobe: int,
+) -> pd.DataFrame:
+    """Probe phase shared by the in-session and loaded-index paths:
+    each query scans only its ``nprobe`` nearest lists (one keyed
+    exchange on list id)."""
+    qd = ((qvecs[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    qlists = np.argsort(qd, axis=1)[:, :nprobe]          # (Q, nprobe)
+    queries_ref = ray.put({"ids": qids, "vecs": qvecs, "lists": qlists})
 
     from ..core import partitioned_map_groups
 
@@ -431,6 +451,79 @@ def ivf_topk(
             )
     return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
         columns=["query_id", "vec_id", "rank"]
+    )
+
+
+def save_ivf_index(
+    embeddings: ray.data.Dataset,
+    path: str,
+    nlist: int = 16,
+    iters: int = 5,
+) -> np.ndarray:
+    """Persist a trained IVF index: centroids (tiny, one driver-side
+    parquet) + inverted lists (distributed ``write_parquet``, one
+    directory partitioned by Ray blocks — the resumable-output shape).
+    A later run queries WITHOUT retraining or re-embedding: the index
+    is the artifact, not the session.  Returns the centroids."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    embeddings = embeddings.materialize()
+    centroids = kmeans_centroids(embeddings, k=nlist, iters=iters)
+    listed = _assign_lists(embeddings, ray.put(centroids))
+    listed.write_parquet(f"{path}/lists")
+    pq.write_table(
+        pa.table(
+            {
+                "list_id": pa.array(range(len(centroids)), pa.int64()),
+                "centroid": pa.array(
+                    [c.tobytes() for c in centroids], pa.binary()
+                ),
+            }
+        ),
+        f"{path}/centroids.parquet",
+    )
+    return centroids
+
+
+def load_ivf_index(path: str) -> tuple[np.ndarray, ray.data.Dataset]:
+    """Load a persisted IVF index: (centroids ndarray, inverted-list
+    Dataset).  The lists stay distributed (lazy parquet read)."""
+    import pyarrow.parquet as pq
+
+    ct = pq.read_table(f"{path}/centroids.parquet").sort_by("list_id")
+    centroids = np.stack(
+        [np.frombuffer(b, dtype=np.float64) for b in ct["centroid"].to_pylist()]
+    )
+    return centroids, ray.data.read_parquet(f"{path}/lists")
+
+
+def ivf_topk_from_index(
+    path: str,
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = 4,
+) -> pd.DataFrame:
+    """IVF cosine top-k against a PERSISTED index (see
+    :func:`save_ivf_index`): query vectors are pulled from the index's
+    own inverted lists (vec payloads are stored), so no access to the
+    original embedding table is needed.  Bit-identical to
+    :func:`ivf_topk` at equal (nlist, iters, nprobe) — pytest-pinned."""
+    centroids, listed = load_ivf_index(path)
+    qset = set(query_ids)
+    qdf = listed.map_batches(
+        lambda df: df[df["vec_id"].isin(qset)][["vec_id", "vec"]],
+        batch_format="pandas",
+    ).to_pandas()
+    if qdf.empty or "vec_id" not in qdf.columns:
+        return pd.DataFrame(
+            {c: pd.Series(dtype=np.int64)
+             for c in ("query_id", "vec_id", "rank")}
+        )
+    qdf = qdf.sort_values("vec_id", ignore_index=True)
+    qvecs = np.stack([np.frombuffer(v, dtype=np.float64) for v in qdf["vec"]])
+    return _ivf_query(
+        listed, centroids, qdf["vec_id"].to_numpy(), qvecs, k, nprobe
     )
 
 

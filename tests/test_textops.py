@@ -968,3 +968,27 @@ def test_containment_dups_asymmetric(ray_session):
     got = {(int(r.id_a), int(r.id_b)): int(r.cont_pct)
            for r in out.itertuples()}
     assert got == {(1, 2): 100}  # short in long only; never reversed
+
+
+def test_ivf_index_save_load_roundtrip(ray_session, tmp_path):
+    """A persisted IVF index answers queries bit-identically to the
+    in-session path at equal (nlist, iters, nprobe) — the index is the
+    artifact, retraining is not needed."""
+    import ray
+
+    from dygiepp_ray.textops.ann import (
+        ivf_topk, ivf_topk_from_index, save_ivf_index,
+    )
+
+    emb = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    )
+    qids = [0, 3, 17]
+    fresh = ivf_topk(emb, qids, k=5, nlist=4, nprobe=2, iters=2)
+    save_ivf_index(emb, str(tmp_path / "ivf"), nlist=4, iters=2)
+    loaded = ivf_topk_from_index(str(tmp_path / "ivf"), qids, k=5, nprobe=2)
+    a = fresh.sort_values(["query_id", "rank"], ignore_index=True)
+    b = loaded.sort_values(["query_id", "rank"], ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
