@@ -723,6 +723,91 @@ def rare_bigram_scores(
     return ds.map_batches(score, batch_format="pandas")
 
 
+SURPRISAL_CAP = 1_000_000  # per-token clip: bounds sums for BIGINT math
+
+
+def unigram_surprisal_scores(
+    ds: ray.data.Dataset,
+    cap: int = SURPRISAL_CAP,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """-> (doc_id, n_tokens, surprisal_sum, surprisal_avg_x1e6): the
+    CCNet-style LM perplexity filter with the corpus's own unigram model
+    and linear (log-free) surprisal so the score is integer-exact:
+    surprisal(t) = min(N // count(t), cap) where N is the corpus token
+    total — rare tokens score high, boilerplate scores low.  A high
+    per-token average marks OOV-heavy / gibberish documents; swap the
+    count table for a real LM's scores in the same two-stage DAG.
+
+    Shape: pass 1 is a per-batch count combiner (shuffle bytes are
+    O(distinct tokens per batch)) into one keyed exchange; the totaled
+    vocabulary is collected ONCE — the "model" is vocab-sized, the same
+    broadcast asymmetry a KenLM filter has, independent of corpus size —
+    and broadcast via ``ray.put``.  Pass 2 streams: one vectorized
+    map + groupby-sum per batch, no further shuffle."""
+    # two-pass consumer: pin the pruned input once (same rationale as
+    # rare_bigram_scores above)
+    ds = ds.materialize()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = _doc_ngrams(df, 1, text_col, id_col)
+        c = g.groupby("gram", sort=False).size().reset_index(name="c")
+        return pd.DataFrame(
+            {"gram": c["gram"].to_numpy(), "c": c["c"].to_numpy(np.int64)}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def totals(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "gram" not in df.columns:
+            return pd.DataFrame({"gram": pd.Series(dtype=object),
+                                 "cnt": pd.Series(dtype=np.int64)})
+        t = df.groupby("gram", sort=False)["c"].sum().reset_index(name="cnt")
+        t["cnt"] = t["cnt"].astype(np.int64)
+        return t
+
+    vocab = hash_exchange(partials, "gram", totals,
+                          num_buckets=num_buckets).to_pandas()
+    if vocab.empty or "cnt" not in vocab.columns:
+        surprisal_ref = ray.put({})
+    else:
+        n_total = int(vocab["cnt"].sum())
+        s = np.minimum(n_total // vocab["cnt"].to_numpy(np.int64),
+                       np.int64(cap))
+        surprisal_ref = ray.put(dict(zip(vocab["gram"], s.tolist())))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        out_cols = ("n_tokens", "surprisal_sum", "surprisal_avg_x1e6")
+        if len(df) == 0 or text_col not in df.columns:
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype=np.int64),
+                 **{c: pd.Series(dtype=np.int64) for c in out_cols}}
+            )
+        table = ray.get(surprisal_ref)
+        ids = df[id_col].to_numpy()
+        g = _doc_ngrams(df, 1, text_col, id_col)
+        g["s"] = g["gram"].map(table).astype(np.int64)
+        agg = g.groupby(id_col, sort=False)["s"].agg(["count", "sum"])
+        n_tok = agg["count"].reindex(ids, fill_value=0).to_numpy(np.int64)
+        ssum = agg["sum"].reindex(ids, fill_value=0).to_numpy(np.int64)
+        # the x1e6 average must not wrap int64 (the SQL twin's BIGINT
+        # would raise; a silent numpy wrap would diverge — ADVICE r3)
+        if len(ssum) and int(ssum.max()) > (2**63 - 1) // 1_000_000:
+            raise OverflowError(
+                "surprisal_avg_x1e6 would overflow int64: "
+                f"max surprisal_sum={int(ssum.max())}; lower `cap`"
+            )
+        avg = np.where(n_tok > 0, (1_000_000 * ssum) // np.maximum(n_tok, 1), 0)
+        return pd.DataFrame(
+            {id_col: ids, "n_tokens": n_tok, "surprisal_sum": ssum,
+             "surprisal_avg_x1e6": avg.astype(np.int64)}
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 def shuffle_rank(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",

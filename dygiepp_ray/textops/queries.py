@@ -1420,6 +1420,32 @@ FROM base b LEFT JOIN s USING (doc_id)
 """
 
 
+def q_unigram_surprisal(sf_dir: str):
+    """CCNet-shaped LM quality filter: corpus unigram model -> broadcast
+    -> per-doc clipped linear surprisal — textops/corpus.py."""
+    return _corpus.unigram_surprisal_scores(_docs(sf_dir))
+
+
+SQL_UNIGRAM_SURPRISAL = _SQL_ARR + f""",
+toks AS (SELECT doc_id, unnest(arr) AS tok FROM base),
+c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+n AS (SELECT count(*) AS total FROM toks),
+s AS (
+  SELECT t.doc_id, count(*) AS n_tokens,
+         sum(LEAST(n.total // c.cnt, {_corpus.SURPRISAL_CAP})) AS ssum
+  FROM toks t JOIN c ON t.tok = c.tok CROSS JOIN n
+  GROUP BY 1
+)
+SELECT b.doc_id,
+       CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(s.ssum, 0) AS BIGINT) AS surprisal_sum,
+       CAST(CASE WHEN COALESCE(s.n_tokens, 0) = 0 THEN 0
+            ELSE (1000000 * s.ssum) // s.n_tokens END AS BIGINT)
+         AS surprisal_avg_x1e6
+FROM base b LEFT JOIN s USING (doc_id)
+"""
+
+
 def q_cap_per_source(sf_dir: str):
     """Per-source (per-domain) document cap: smallest-md5 k docs kept
     per source — textops/corpus.py."""
@@ -1772,6 +1798,7 @@ TEXTOPS_QUERIES = {
     "frequent_ngrams": (q_frequent_ngrams, SQL_FREQUENT_NGRAMS),
     "prepare_training_set": (q_prepare_training_set, SQL_PREPARE_TRAINING_SET),
     "rare_bigram_scores": (q_rare_bigram_scores, SQL_RARE_BIGRAM_SCORES),
+    "unigram_surprisal": (q_unigram_surprisal, SQL_UNIGRAM_SURPRISAL),
     "train_split": (q_train_split, SQL_TRAIN_SPLIT),
     "quality_gate": (q_quality_gate, SQL_QUALITY_GATE),
     "source_diversity": (q_source_diversity, SQL_SOURCE_DIVERSITY),

@@ -407,6 +407,34 @@ def test_rare_bigram_scores_hand_case(ray_session):
     assert out.loc[3, "n_bigrams"] == 0 and out.loc[3, "n_rare"] == 0
 
 
+def test_unigram_surprisal_hand_case(ray_session):
+    # corpus: a x3, b x1, c x1 -> N=5; surprisal a=5//3=1, b=c=5
+    ds = _docs_ds([(1, "a a b"), (2, "a c"), (3, "")])
+    out = (
+        corpus.unigram_surprisal_scores(ds)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "n_tokens"] == 3
+    assert out.loc[1, "surprisal_sum"] == 1 + 1 + 5
+    assert out.loc[1, "surprisal_avg_x1e6"] == (1_000_000 * 7) // 3
+    assert out.loc[2, "surprisal_sum"] == 1 + 5
+    assert out.loc[2, "surprisal_avg_x1e6"] == 3_000_000
+    assert (out.loc[3] == 0).all()  # blank doc: zeros, not NaN
+
+
+def test_unigram_surprisal_cap_clips(ray_session):
+    # cap=2 clips b/c (raw 5) down to 2; a stays at 1
+    ds = _docs_ds([(1, "a a b"), (2, "a c")])
+    out = (
+        corpus.unigram_surprisal_scores(ds, cap=2)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "surprisal_sum"] == 1 + 1 + 2
+    assert out.loc[2, "surprisal_sum"] == 1 + 2
+
+
 def test_train_split_fences_and_totals(ray_session):
     # membership is a pure function of the key: recompute expected
     # folds with the same md5-first-byte fences and compare aggregates
