@@ -2569,6 +2569,175 @@ LIMIT 10
 """
 
 
+_Q5_LO_US = int(pd.Timestamp("1996-01-01").value // 1000)
+_Q5_HI_US = int(pd.Timestamp("1997-01-01").value // 1000)
+
+
+def local_supplier_volume(sf_dir: str, region: str = "ASIA") -> ray.data.Dataset:
+    """TPC-H Q5 shape: revenue per nation from orders where the item's
+    SUPPLIER sits in the same nation as the CUSTOMER (the "local
+    supplier" join that cannot be expressed as a chain of star lookups
+    — the equality crosses two different fact paths).
+
+    The canonical mixed plan at 100 TB: region x nation (tens of rows)
+    resolve on the driver; supplier (the SMALLEST big table, ~1/10th of
+    customer) reduces to a suppkey -> nationkey int64 pair array and
+    broadcasts via ``ray.put``; the two genuinely large joins are keyed
+    coexchanges — orders x customer on custkey, then (orderkey,
+    c_nationkey) x lineitem-partials on orderkey — with the lineitem
+    side pre-aggregated per (orderkey, s_nationkey) inside each batch
+    before shuffling.  Revenue is integer fixed-point (floor-cents x
+    floor-hundredths of the discount complement), so the sum is
+    order-independent and hashes exactly against the SQL twin.
+    -> (n_name, revenue_x1e4)."""
+    from .core import hash_coexchange
+
+    nat = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = ray.data.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    _OUT = {"n_name": object, "revenue_x1e4": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT.items()})
+    if (len(reg) == 0 or "r_name" not in reg.columns
+            or len(nat) == 0 or "n_regionkey" not in nat.columns):
+        return ray.data.from_pandas(empty_out)
+    rkeys = reg.loc[reg["r_name"] == region, "r_regionkey"].to_numpy(np.int64)
+    nats = nat[nat["n_regionkey"].isin(rkeys)]
+    names = dict(zip(nats["n_nationkey"].to_numpy(np.int64).tolist(),
+                     nats["n_name"]))
+    nset = np.sort(nats["n_nationkey"].to_numpy(np.int64))
+
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    if len(sup) and "s_suppkey" in sup.columns:
+        sup = sup[sup["s_nationkey"].isin(nset)].sort_values("s_suppkey")
+        sup_ref = ray.put((sup["s_suppkey"].to_numpy(np.int64),
+                           sup["s_nationkey"].to_numpy(np.int64)))
+    else:
+        sup_ref = ray.put((np.empty(0, np.int64), np.empty(0, np.int64)))
+
+    def ofilter(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_orderkey" not in df.columns:
+            return pd.DataFrame({"o_orderkey": pd.Series(dtype=np.int64),
+                                 "o_custkey": pd.Series(dtype=np.int64)})
+        t = ts_epoch_us(df["o_orderdate"])
+        keep = (t >= _Q5_LO_US) & (t < _Q5_HI_US)
+        return pd.DataFrame(
+            {"o_orderkey": df["o_orderkey"].to_numpy(np.int64)[keep],
+             "o_custkey": df["o_custkey"].to_numpy(np.int64)[keep]}
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(ofilter, batch_format="pandas")
+
+    def cfilter(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "c_custkey" not in df.columns:
+            return pd.DataFrame({"c_custkey": pd.Series(dtype=np.int64),
+                                 "c_nationkey": pd.Series(dtype=np.int64)})
+        keep = df["c_nationkey"].isin(nset).to_numpy()
+        return pd.DataFrame(
+            {"c_custkey": df["c_custkey"].to_numpy(np.int64)[keep],
+             "c_nationkey": df["c_nationkey"].to_numpy(np.int64)[keep]}
+        )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cfilter, batch_format="pandas")
+
+    def join_cust(o: pd.DataFrame, c: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"o_orderkey": pd.Series(dtype=np.int64),
+                              "c_nationkey": pd.Series(dtype=np.int64)})
+        if (len(o) == 0 or "o_custkey" not in o.columns
+                or len(c) == 0 or "c_custkey" not in c.columns):
+            return empty
+        j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+        return j[["o_orderkey", "c_nationkey"]]
+
+    ocn = hash_coexchange(orders, cust, "o_custkey", "c_custkey", join_cust)
+
+    def lpart(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"l_orderkey": pd.Series(dtype=np.int64),
+                              "s_nationkey": pd.Series(dtype=np.int64),
+                              "rev": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "l_orderkey" not in df.columns:
+            return empty
+        sk, sn = ray.get(sup_ref)
+        if len(sk) == 0:
+            return empty
+        lsk = df["l_suppkey"].to_numpy(np.int64)
+        pos = np.searchsorted(sk, lsk)
+        pos = np.minimum(pos, len(sk) - 1)
+        hit = sk[pos] == lsk
+        if not hit.any():
+            return empty
+        price_c = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64)[hit] * 100.0
+        ).astype(np.int64)
+        disc_c = np.floor(
+            (1.0 - df["l_discount"].to_numpy(np.float64)[hit]) * 100.0
+        ).astype(np.int64)
+        g = pd.DataFrame(
+            {"l_orderkey": df["l_orderkey"].to_numpy(np.int64)[hit],
+             "s_nationkey": sn[pos[hit]],
+             "rev": price_c * disc_c}
+        ).groupby(["l_orderkey", "s_nationkey"], as_index=False)["rev"].sum()
+        g["rev"] = g["rev"].astype(np.int64)
+        return g
+
+    lip = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(lpart, batch_format="pandas")
+
+    def join_local(o: pd.DataFrame, l: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"n_nationkey": pd.Series(dtype=np.int64),
+                              "rev": pd.Series(dtype=np.int64)})
+        if (len(o) == 0 or "o_orderkey" not in o.columns
+                or len(l) == 0 or "l_orderkey" not in l.columns):
+            return empty
+        j = l.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        j = j[j["s_nationkey"] == j["c_nationkey"]]
+        if len(j) == 0:
+            return empty
+        g = j.groupby("s_nationkey", as_index=False)["rev"].sum()
+        return pd.DataFrame(
+            {"n_nationkey": g["s_nationkey"].to_numpy(np.int64),
+             "rev": g["rev"].to_numpy(np.int64)}
+        )
+
+    parts = hash_coexchange(ocn, lip, "o_orderkey", "l_orderkey", join_local)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "n_nationkey" not in df.columns:
+            return empty_out
+        g = df.groupby("n_nationkey", as_index=False)["rev"].sum()
+        return pd.DataFrame(
+            {"n_name": g["n_nationkey"].map(names).to_numpy(object),
+             "revenue_x1e4": g["rev"].to_numpy(np.int64)}
+        )
+
+    return partitioned_map_groups(parts, "n_nationkey", final, num_buckets=4)
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = f"""
+SELECT n_name,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                * CAST(floor((1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_x1e4
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND epoch_us(o_orderdate) >= {_Q5_LO_US}
+  AND epoch_us(o_orderdate) < {_Q5_HI_US}
+GROUP BY 1
+"""
+
+
 def cheapest_supplier(sf_dir: str) -> ray.data.Dataset:
     """Group-wise argmin with an ASSOCIATIVE combiner (TPC-H Q2
     min-cost-supplier flavor over the lineitem fact): per part, the
@@ -4191,6 +4360,7 @@ RELATIONAL_QUERIES = {
     "heavy_hitters": (heavy_hitters, SQL_HEAVY_HITTERS),
     "kmv_intersection": (kmv_intersection, SQL_KMV_INTERSECTION),
     "shipping_priority": (shipping_priority, SQL_SHIPPING_PRIORITY),
+    "local_supplier_volume": (local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME),
     "cheapest_supplier": (cheapest_supplier, SQL_CHEAPEST_SUPPLIER),
     "user_paths": (user_paths, SQL_USER_PATHS),
     "events_resample": (events_resample, SQL_EVENTS_RESAMPLE),
