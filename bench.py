@@ -160,6 +160,8 @@ def main() -> None:
             ("user_active_time", R.user_active_time),
             ("events_late_arrivals", R.events_late_arrivals),
             ("source_diversity", TQ.q_source_diversity),
+            ("unigram_surprisal", TQ.q_unigram_surprisal),
+            ("local_supplier_volume", R.local_supplier_volume),
         ]:
             t0 = time.perf_counter()
             res = fn(SF_DIR)

@@ -2573,7 +2573,9 @@ _Q5_LO_US = int(pd.Timestamp("1996-01-01").value // 1000)
 _Q5_HI_US = int(pd.Timestamp("1997-01-01").value // 1000)
 
 
-def local_supplier_volume(sf_dir: str, region: str = "ASIA") -> ray.data.Dataset:
+def local_supplier_volume(
+    sf_dir: str, region: str = "ASIA"
+) -> "ray.data.Dataset | pd.DataFrame":
     """TPC-H Q5 shape: revenue per nation from orders where the item's
     SUPPLIER sits in the same nation as the CUSTOMER (the "local
     supplier" join that cannot be expressed as a chain of star lookups
@@ -2598,7 +2600,7 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA") -> ray.data.Dataset
     empty_out = pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT.items()})
     if (len(reg) == 0 or "r_name" not in reg.columns
             or len(nat) == 0 or "n_regionkey" not in nat.columns):
-        return ray.data.from_pandas(empty_out)
+        return empty_out
     rkeys = reg.loc[reg["r_name"] == region, "r_regionkey"].to_numpy(np.int64)
     nats = nat[nat["n_regionkey"].isin(rkeys)]
     names = dict(zip(nats["n_nationkey"].to_numpy(np.int64).tolist(),
@@ -2717,7 +2719,14 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA") -> ray.data.Dataset
              "revenue_x1e4": g["rev"].to_numpy(np.int64)}
         )
 
-    return partitioned_map_groups(parts, "n_nationkey", final, num_buckets=4)
+    out = partitioned_map_groups(parts, "n_nationkey", final, num_buckets=4)
+    # a fully-empty exchange passes column-less blocks through, and a
+    # 0-row Dataset's to_pandas() drops the schema entirely: hand back
+    # the typed empty frame itself (the exchange is eager, counting is
+    # cheap; pd.DataFrame is a supported queries() return type)
+    if out.count() == 0:
+        return empty_out
+    return out
 
 
 SQL_LOCAL_SUPPLIER_VOLUME = f"""

@@ -183,8 +183,70 @@ def test_document_queries_differential(ray_session, tmp_path, seed):
          "source": pa.array(rng.choice(["web", "book"], n)),
          "text": pa.array(texts)}
     ), tmp_path / "documents.parquet")
-    for q in ["phrase_search", "term_search", "token_count"]:
+    for q in ["phrase_search", "term_search", "token_count",
+              "unigram_surprisal"]:
         _compare(str(tmp_path), q)
+
+
+@pytest.mark.parametrize("seed", [7, 41])
+def test_local_supplier_volume_differential(ray_session, tmp_path, seed):
+    """TPC-H Q5 shape over a random 6-table micro-schema: the
+    supplier-nation = customer-nation equality and the date window must
+    match the SQL join plan under arbitrary key distributions."""
+    rng = np.random.default_rng(seed)
+    pq.write_table(pa.table(
+        {"r_regionkey": pa.array(np.arange(5, dtype=np.int64)),
+         "r_name": pa.array(["AFRICA", "AMERICA", "ASIA", "EUROPE",
+                             "MIDDLE EAST"])}
+    ), tmp_path / "region.parquet")
+    n_nat = 10
+    pq.write_table(pa.table(
+        {"n_nationkey": pa.array(np.arange(n_nat, dtype=np.int64)),
+         "n_name": pa.array([f"NATION_{i}" for i in range(n_nat)]),
+         "n_regionkey": pa.array(rng.integers(0, 5, n_nat).astype(np.int64))}
+    ), tmp_path / "nation.parquet")
+    n_cust, n_sup = 40, 12
+    pq.write_table(pa.table(
+        {"c_custkey": pa.array(np.arange(n_cust, dtype=np.int64)),
+         "c_name": pa.array([f"c{i}" for i in range(n_cust)]),
+         "c_nationkey": pa.array(rng.integers(0, n_nat, n_cust).astype(np.int64)),
+         "c_acctbal": pa.array(np.round(rng.uniform(0, 9999, n_cust), 2)),
+         "c_mktsegment": pa.array(rng.choice(["BUILDING", "AUTO"], n_cust))}
+    ), tmp_path / "customer.parquet")
+    pq.write_table(pa.table(
+        {"s_suppkey": pa.array(np.arange(n_sup, dtype=np.int64)),
+         "s_name": pa.array([f"s{i}" for i in range(n_sup)]),
+         "s_nationkey": pa.array(rng.integers(0, n_nat, n_sup).astype(np.int64)),
+         "s_acctbal": pa.array(np.round(rng.uniform(0, 9999, n_sup), 2))}
+    ), tmp_path / "supplier.parquet")
+    n_ord = int(rng.integers(80, 300))
+    pq.write_table(pa.table(
+        {"o_orderkey": pa.array(np.arange(n_ord, dtype=np.int64)),
+         "o_custkey": pa.array(rng.integers(0, n_cust, n_ord).astype(np.int64)),
+         "o_orderstatus": pa.array(rng.choice(["O", "F"], n_ord)),
+         "o_totalprice": pa.array(np.round(rng.uniform(900, 400000, n_ord), 2)),
+         "o_orderdate": pa.array(
+             pd.to_datetime(rng.integers(800_000_000, 1_000_000_000, n_ord)
+                            * 1_000_000_000), pa.timestamp("us")),
+         "o_orderpriority": pa.array(rng.choice(["1-URGENT", "2-HIGH"], n_ord))}
+    ), tmp_path / "orders.parquet")
+    n_li = int(rng.integers(200, 800))
+    pq.write_table(pa.table(
+        {"l_orderkey": pa.array(rng.integers(0, n_ord, n_li).astype(np.int64)),
+         "l_partkey": pa.array(rng.integers(0, 30, n_li).astype(np.int64)),
+         "l_suppkey": pa.array(rng.integers(0, n_sup, n_li).astype(np.int64)),
+         "l_linenumber": pa.array(rng.integers(1, 7, n_li).astype(np.int64)),
+         "l_quantity": pa.array(rng.integers(1, 51, n_li).astype(np.float64)),
+         "l_extendedprice": pa.array(np.round(rng.uniform(900, 100000, n_li), 2)),
+         "l_discount": pa.array(np.round(rng.uniform(0, 0.1, n_li), 2)),
+         "l_tax": pa.array(np.round(rng.uniform(0, 0.08, n_li), 2)),
+         "l_returnflag": pa.array(rng.choice(["A", "N", "R"], n_li)),
+         "l_linestatus": pa.array(rng.choice(["O", "F"], n_li)),
+         "l_shipdate": pa.array(
+             pd.to_datetime(rng.integers(800_000_000, 1_000_000_000, n_li)
+                            * 1_000_000_000), pa.timestamp("us"))}
+    ), tmp_path / "lineitem.parquet")
+    _compare(str(tmp_path), "local_supplier_volume")
 
 
 def test_per_user_ops_survive_hot_key(ray_session, tmp_path):
