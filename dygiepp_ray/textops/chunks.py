@@ -275,6 +275,94 @@ def term_search(
     return parts.sort(["tf", id_col], descending=[True, False]).limit(k)
 
 
+def save_text_index(
+    ds: "ray.data.Dataset",
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int | None = None,
+) -> None:
+    """Persist an inverted text index: one parquet directory of posting
+    rows (tok, doc_id, tf), term-partitioned by the keyed exchange and
+    SORTED by term inside every file so parquet row-group statistics
+    make a term lookup a pushdown filter, not a scan.  The index is the
+    artifact: later sessions answer term queries without re-tokenizing
+    the corpus (the retrieval analogue of :func:`~.ann.save_ivf_index`).
+
+    Scale shape: per-batch (tok, doc, tf) partials (a document never
+    spans rows, so per-doc tf completes in-batch), one keyed exchange on
+    the term, distributed ``write_parquet`` (one file per block — the
+    resumable-output shape)."""
+
+    def postings(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"tok": pd.Series(dtype=object),
+                              id_col: pd.Series(dtype=np.int64),
+                              "tf": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or text_col not in df.columns:
+            return empty
+        toks = _doc_tokens(df, text_col)
+        lens = toks.map(len).to_numpy(np.int64)
+        if lens.sum() == 0:
+            return empty
+        ids = np.repeat(df[id_col].to_numpy(np.int64), lens)
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
+        g = (pd.DataFrame({"tok": flat, id_col: ids})
+             .groupby(["tok", id_col], as_index=False).size()
+             .rename(columns={"size": "tf"}))
+        g["tf"] = g["tf"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(postings, batch_format="pandas")
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "tok" not in df.columns:
+            return pd.DataFrame({"tok": pd.Series(dtype=object),
+                                 id_col: pd.Series(dtype=np.int64),
+                                 "tf": pd.Series(dtype=np.int64)})
+        g = df.groupby(["tok", id_col], as_index=False)["tf"].sum()
+        g["tf"] = g["tf"].astype(np.int64)
+        return g.sort_values(["tok", id_col], ignore_index=True)
+
+    from ..core import hash_exchange
+
+    hash_exchange(parts, "tok", bucket,
+                  num_buckets=num_buckets).write_parquet(path)
+
+
+def term_search_from_index(
+    path: str,
+    terms: tuple[str, ...],
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Boolean-AND top-k retrieval against a PERSISTED inverted index
+    (see :func:`save_text_index`): the parquet read carries a
+    ``tok IN terms`` pushdown, so only the query terms' posting lists
+    leave storage; one doc-keyed exchange re-collates each document's
+    per-term rows (the index is term-partitioned) for the AND + ranking.
+    Bit-identical to :func:`term_search` over the same corpus —
+    pytest-pinned."""
+    import pyarrow.compute as pc
+
+    tset = frozenset(terms)
+    n_terms = len(tset)
+    ds = ray.data.read_parquet(path, filter=pc.field("tok").isin(list(tset)))
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                              "tf": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "tok" not in df.columns:
+            return empty
+        g = df.groupby(id_col).agg(tf=("tf", "sum"), nt=("tok", "nunique"))
+        g = g[g["nt"] == n_terms].reset_index()
+        g = g.sort_values(["tf", id_col], ascending=[False, True]).head(k)
+        return pd.DataFrame({id_col: g[id_col].to_numpy(np.int64),
+                             "tf": g["tf"].to_numpy(np.int64)})
+
+    parts = partitioned_map_groups(ds, id_col, per_doc, num_buckets=8)
+    return parts.sort(["tf", id_col], descending=[True, False]).limit(k)
+
+
 SEARCH_TERMS = ("join", "hash", "scan")
 
 

@@ -970,6 +970,47 @@ def test_containment_dups_asymmetric(ray_session):
     assert got == {(1, 2): 100}  # short in long only; never reversed
 
 
+def test_text_index_save_query_roundtrip(ray_session, tmp_path):
+    """A persisted inverted index answers Boolean-AND top-k queries
+    bit-identically to the streaming term_search scan — re-tokenizing
+    the corpus is not needed once the index artifact exists."""
+    import ray
+
+    from dygiepp_ray.textops.chunks import (
+        SEARCH_TERMS, save_text_index, term_search, term_search_from_index,
+    )
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    fresh = term_search(docs, SEARCH_TERMS, k=10).to_pandas()
+    save_text_index(docs, str(tmp_path / "tidx"), num_buckets=4)
+    loaded = term_search_from_index(
+        str(tmp_path / "tidx"), SEARCH_TERMS, k=10
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        fresh.reset_index(drop=True), loaded.reset_index(drop=True)
+    )
+    assert len(fresh) > 0
+
+
+def test_text_index_missing_term_empty(ray_session, tmp_path):
+    import ray
+
+    from dygiepp_ray.textops.chunks import (
+        save_text_index, term_search_from_index,
+    )
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b", "b c"]})
+    )
+    save_text_index(docs, str(tmp_path / "tidx"), num_buckets=2)
+    out = term_search_from_index(
+        str(tmp_path / "tidx"), ("a", "zzz"), k=5
+    ).to_pandas()
+    assert len(out) == 0  # AND with an unseen term matches nothing
+
+
 def test_ivf_index_save_load_roundtrip(ray_session, tmp_path):
     """A persisted IVF index answers queries bit-identically to the
     in-session path at equal (nlist, iters, nprobe) — the index is the
