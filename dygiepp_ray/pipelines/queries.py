@@ -646,7 +646,7 @@ FROM ents
 # (VERDICT r3 #7).  New queries added mid-round go at the very front.
 _DRIVER_SAMPLE_FIRST = (
     # tier 0: added this session
-    "unigram_surprisal", "local_supplier_volume",
+    "unigram_surprisal", "local_supplier_volume", "mixture_sample",
     "png_features", "bfs_hops", "user_active_time", "zip_members",
     "source_diversity", "events_late_arrivals", "image_dhash",
     "containment_dups",

@@ -379,6 +379,73 @@ def cap_docs_per_source(
     return partitioned_map_groups(ds, source_col, cap, num_buckets)
 
 
+def mixture_sample(
+    ds: ray.data.Dataset,
+    parts: dict[str, int],
+    total: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Sample a corpus to a TARGET MIXTURE (the data-mixing step of
+    pretraining-set assembly: "webtext 5 parts, books 3, code 2"):
+    source ``s`` contributes ``quota_s = min(available_s,
+    total * parts_s // sum(parts))`` documents, chosen as the
+    smallest-md5(id) docs — the deterministic stand-in for a uniform
+    random draw that is stable across partitioning and reruns (same
+    convention as :func:`cap_docs_per_source`; integer quota math keeps
+    the SQL twin bit-exact).  Sources absent from ``parts`` contribute
+    nothing.  -> (doc_id, source, rk), rk = 1-based within-source rank.
+
+    Shape: per-source availability is a per-batch value_counts combiner
+    collected to the driver (one row per source — the mixture spec is
+    human-sized by definition); the corpus prunes to in-mixture sources
+    BEFORE the one keyed exchange on source."""
+    keep = frozenset(parts)
+
+    def cnt(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or source_col not in df.columns:
+            return pd.DataFrame({source_col: pd.Series(dtype=object),
+                                 "c": pd.Series(dtype=np.int64)})
+        vc = df.loc[df[source_col].isin(keep), source_col].value_counts()
+        return pd.DataFrame({source_col: vc.index.to_numpy(object),
+                             "c": vc.to_numpy(np.int64)})
+
+    counts = ds.map_batches(cnt, batch_format="pandas").to_pandas()
+    avail = ({} if counts.empty or "c" not in counts.columns
+             else counts.groupby(source_col)["c"].sum().to_dict())
+    sum_parts = sum(parts.values())
+    quota = {s: min(int(avail.get(s, 0)), total * p // sum_parts)
+             for s, p in parts.items()} if sum_parts else {}
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                              source_col: pd.Series(dtype=object)})
+        if len(df) == 0 or source_col not in df.columns:
+            return empty
+        sub = df.loc[df[source_col].isin(keep), [id_col, source_col]]
+        return sub.reset_index(drop=True)
+
+    pruned = ds.map_batches(prune, batch_format="pandas")
+
+    def cap(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {id_col: pd.Series(dtype=np.int64),
+             source_col: pd.Series(dtype=object),
+             "rk": pd.Series(dtype=np.int64)}
+        )
+        if len(df) == 0 or source_col not in df.columns:
+            return empty
+        d = df[[id_col, source_col]].copy()
+        d["__h"], _ = _md5_rank_cols(d[id_col], 1)
+        d = d.sort_values([source_col, "__h", id_col], kind="mergesort")
+        d["rk"] = d.groupby(source_col, sort=False).cumcount().astype(np.int64) + 1
+        d = d[d["rk"] <= d[source_col].map(quota).fillna(0).to_numpy(np.int64)]
+        return d[[id_col, source_col, "rk"]].reset_index(drop=True)
+
+    return partitioned_map_groups(pruned, source_col, cap, num_buckets)
+
+
 def repetition_scores(
     ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:

@@ -1466,6 +1466,43 @@ SELECT doc_id, source, rk FROM (
 """
 
 
+MIXTURE_PARTS = {"src0": 5, "src1": 3, "src2": 2, "src3": 1}
+MIXTURE_TOTAL = 120  # > availability for src0/src1: exercises the cap
+
+
+def q_mixture_sample(sf_dir: str):
+    """Data-mixing sampler: per-source quotas from integer mixture
+    weights, smallest-md5 draw within source — textops/corpus.py."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return _corpus.mixture_sample(ds, MIXTURE_PARTS, MIXTURE_TOTAL)
+
+
+_MIX_VALUES = ", ".join(
+    f"('{s}', {p})" for s, p in MIXTURE_PARTS.items()
+)
+SQL_MIXTURE_SAMPLE = f"""
+WITH w(source, part) AS (VALUES {_MIX_VALUES}),
+cnt AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+q AS (
+  SELECT w.source,
+         LEAST(c, ({MIXTURE_TOTAL} * part) // {sum(MIXTURE_PARTS.values())})
+           AS quota
+  FROM w JOIN cnt USING (source)
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents WHERE source IN (SELECT source FROM w)
+)
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+FROM r JOIN q USING (source) WHERE rk <= quota
+"""
+
+
 def q_shuffle_rank(sf_dir: str):
     """Deterministic global shuffle: rank of md5(doc_id) via
     range-partitioned ranking (no global sort) — textops/corpus.py."""
@@ -1799,6 +1836,7 @@ TEXTOPS_QUERIES = {
     "prepare_training_set": (q_prepare_training_set, SQL_PREPARE_TRAINING_SET),
     "rare_bigram_scores": (q_rare_bigram_scores, SQL_RARE_BIGRAM_SCORES),
     "unigram_surprisal": (q_unigram_surprisal, SQL_UNIGRAM_SURPRISAL),
+    "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "train_split": (q_train_split, SQL_TRAIN_SPLIT),
     "quality_gate": (q_quality_gate, SQL_QUALITY_GATE),
     "source_diversity": (q_source_diversity, SQL_SOURCE_DIVERSITY),

@@ -435,6 +435,39 @@ def test_unigram_surprisal_cap_clips(ray_session):
     assert out.loc[2, "surprisal_sum"] == 1 + 2
 
 
+def test_mixture_sample_quotas_and_caps(ray_session):
+    # availability: a=4 docs, b=2, c=3 (c not in mixture)
+    df = pd.DataFrame(
+        {"doc_id": np.arange(9, dtype=np.int64),
+         "source": ["a"] * 4 + ["b"] * 2 + ["c"] * 3}
+    )
+    ds = rd.from_pandas(df)
+    # parts a:3 b:1 (sum 4), total 8 -> quota a = 8*3//4 = 6 -> capped 4;
+    # quota b = 8*1//4 = 2
+    out = corpus.mixture_sample(ds, {"a": 3, "b": 1}, total=8).to_pandas()
+    got = out.groupby("source").size().to_dict()
+    assert got == {"a": 4, "b": 2}
+    assert "c" not in set(out["source"])
+    # within-source selection = smallest md5(str(id)), rank contiguous
+    a = out[out["source"] == "a"].sort_values("rk")
+    expect = sorted(range(4), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    assert a["doc_id"].tolist() == expect
+    assert a["rk"].tolist() == [1, 2, 3, 4]
+
+
+def test_mixture_sample_subsampling_quota(ray_session):
+    # plenty available: quotas bind, not availability
+    df = pd.DataFrame(
+        {"doc_id": np.arange(100, dtype=np.int64),
+         "source": ["a"] * 50 + ["b"] * 50}
+    )
+    out = corpus.mixture_sample(
+        rd.from_pandas(df), {"a": 2, "b": 1}, total=30
+    ).to_pandas()
+    got = out.groupby("source").size().to_dict()
+    assert got == {"a": 20, "b": 10}
+
+
 def test_train_split_fences_and_totals(ray_session):
     # membership is a pure function of the key: recompute expected
     # folds with the same md5-first-byte fences and compare aggregates
