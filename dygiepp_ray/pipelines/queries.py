@@ -339,7 +339,8 @@ def q_kg_triples(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-SQL_KG_TRIPLES = SQL_TOKS + f"""
+# shared by SQL_KG_TRIPLES and the degree profile below
+_KG_TRIPLES_BODY = f"""
 SELECT DISTINCT 'doc' || e1.doc_id AS conv_id,
        md5(e1.surface) AS subj_id, e1.surface AS subj,
        p.tok AS pred,
@@ -348,6 +349,49 @@ FROM ents e1
 JOIN preds p ON p.doc_id = e1.doc_id AND p.pos = e1.e_end + 1
 JOIN ents e2 ON e2.doc_id = e1.doc_id AND e2.pos = e1.e_end + 2
 WHERE e1.pos // {TT} = e2.e_end // {TT}
+"""
+
+SQL_KG_TRIPLES = SQL_TOKS + _KG_TRIPLES_BODY
+
+
+def q_kg_entity_degree(sf_dir: str) -> ray.data.Dataset:
+    """Degree profile of the constructed KG: per subject entity, its
+    triple count, distinct objects and distinct predicates — the fan-out
+    statistic that sizes KG partitions and flags hub entities (the
+    skew-detection step before any entity-keyed join at 100 TB).
+
+    Rides the flagship triples (already conv-locally deduped, so the
+    exchange ships one row per distinct triple) through ONE keyed
+    exchange on the subject surface."""
+    from ..core import partitioned_map_groups
+
+    pipe = from_documents_table(sf_dir)
+    trip = pipe.triples().select_columns(["conv_id", "subj", "pred", "obj"])
+
+    def degree(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "subj" not in df.columns:
+            return pd.DataFrame(
+                {"subj": pd.Series(dtype=object),
+                 **{c: pd.Series(dtype=np.int64)
+                    for c in ("n_triples", "n_objs", "n_preds")}}
+            )
+        g = df.groupby("subj").agg(
+            n_triples=("pred", "size"), n_objs=("obj", "nunique"),
+            n_preds=("pred", "nunique"),
+        ).reset_index()
+        for c in ("n_triples", "n_objs", "n_preds"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    return partitioned_map_groups(trip, "subj", degree, num_buckets=16)
+
+
+SQL_KG_ENTITY_DEGREE = SQL_TOKS + f""",
+triples AS ({_KG_TRIPLES_BODY})
+SELECT subj, CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(count(DISTINCT obj) AS BIGINT) AS n_objs,
+       CAST(count(DISTINCT pred) AS BIGINT) AS n_preds
+FROM triples GROUP BY 1
 """
 
 
@@ -647,6 +691,7 @@ FROM ents
 _DRIVER_SAMPLE_FIRST = (
     # tier 0: added this session
     "unigram_surprisal", "local_supplier_volume", "mixture_sample",
+    "kg_entity_degree",
     "png_features", "bfs_hops", "user_active_time", "zip_members",
     "source_diversity", "events_late_arrivals", "image_dhash",
     "containment_dups",
@@ -833,6 +878,7 @@ KG_QUERIES = {
     "kg_cooccurrence": (q_kg_cooccurrence, SQL_KG_COOCCURRENCE),
     "kg_relations": (q_kg_relations, SQL_KG_RELATIONS),
     "kg_triples": (q_kg_triples, SQL_KG_TRIPLES),
+    "kg_entity_degree": (q_kg_entity_degree, SQL_KG_ENTITY_DEGREE),
     "kg_triggers": (q_kg_triggers, SQL_KG_TRIGGERS),
     "kg_event_args": (q_kg_event_args, SQL_KG_EVENT_ARGS),
     "kg_clusters": (q_kg_clusters, SQL_KG_CLUSTERS),

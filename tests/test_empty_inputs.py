@@ -46,7 +46,7 @@ _SAMPLE = [
     "contingency_table", "orders_snapshot_diff", "events_ohlc", "small_quantity_revenue", "sales_opportunity", "quantiles_cont_by_flag", "price_outliers", "user_streaks", "winsorized_revenue", "phrase_search", "events_rate_alert", "rfm_segments", "label_gram",
     "bfs_hops", "user_active_time", "source_diversity",
     "events_late_arrivals", "containment_dups", "unigram_surprisal",
-    "local_supplier_volume", "mixture_sample",
+    "local_supplier_volume", "mixture_sample", "kg_entity_degree",
     # NOT sampled: ner_eval / ner_eval_weighted — global aggregates whose
     # natural empty output is one zero row (like their SQL twins)
     # formerly-crashing driver-side collects (each had a KeyError /
