@@ -383,7 +383,16 @@ def q_kg_entity_degree(sf_dir: str) -> ray.data.Dataset:
             g[c] = g[c].astype(np.int64)
         return g
 
-    return partitioned_map_groups(trip, "subj", degree, num_buckets=16)
+    out = partitioned_map_groups(trip, "subj", degree, num_buckets=16)
+    # a fully-empty exchange loses the schema (0-row Dataset.to_pandas()
+    # has no columns): hand back the typed empty frame itself
+    if out.count() == 0:
+        return pd.DataFrame(
+            {"subj": pd.Series(dtype=object),
+             **{c: pd.Series(dtype=np.int64)
+                for c in ("n_triples", "n_objs", "n_preds")}}
+        )
+    return out
 
 
 SQL_KG_ENTITY_DEGREE = SQL_TOKS + f""",

@@ -443,7 +443,16 @@ def mixture_sample(
         d = d[d["rk"] <= d[source_col].map(quota).fillna(0).to_numpy(np.int64)]
         return d[[id_col, source_col, "rk"]].reset_index(drop=True)
 
-    return partitioned_map_groups(pruned, source_col, cap, num_buckets)
+    out = partitioned_map_groups(pruned, source_col, cap, num_buckets)
+    # a fully-empty exchange loses the schema (0-row Dataset.to_pandas()
+    # has no columns): hand back the typed empty frame itself
+    if out.count() == 0:
+        return pd.DataFrame(
+            {id_col: pd.Series(dtype=np.int64),
+             source_col: pd.Series(dtype=object),
+             "rk": pd.Series(dtype=np.int64)}
+        )
+    return out
 
 
 def repetition_scores(

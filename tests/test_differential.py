@@ -188,6 +188,25 @@ def test_document_queries_differential(ray_session, tmp_path, seed):
         _compare(str(tmp_path), q)
 
 
+@pytest.mark.parametrize("seed", [17, 53])
+def test_mixture_sample_differential(ray_session, tmp_path, seed):
+    """Quota math and md5-rank selection under random source skew —
+    including a source with FEWER docs than its quota and sources
+    outside the mixture."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(60, 250))
+    srcs = rng.choice(
+        ["src0", "src1", "src2", "src3", "srcX"], n,
+        p=[0.4, 0.25, 0.2, 0.02, 0.13],  # src3 nearly empty: cap binds
+    )
+    pq.write_table(pa.table(
+        {"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+         "source": pa.array(srcs),
+         "text": pa.array(["t"] * n)}
+    ), tmp_path / "documents.parquet")
+    _compare(str(tmp_path), "mixture_sample")
+
+
 @pytest.mark.parametrize("seed", [7, 41])
 def test_local_supplier_volume_differential(ray_session, tmp_path, seed):
     """TPC-H Q5 shape over a random 6-table micro-schema: the
