@@ -404,6 +404,77 @@ FROM triples GROUP BY 1
 """
 
 
+def q_kg_path2(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
+    """Two-hop path census over the constructed KG: for every predicate
+    pair (p1, p2), the number of entity paths s -p1-> x -p2-> o across
+    the whole corpus (the relation-composition statistic behind KG
+    inference rules like "works_at ∘ located_in").
+
+    The self-join never materializes pairs: each side reduces to
+    per-(entity, pred) COUNTS inside the bucket and the path count is
+    the product — hub entities cost a multiply, not a fan-out.  One
+    coexchange on the shared entity surface (triples materialized once,
+    both sides read the same blocks)."""
+    from ..core import hash_coexchange, partitioned_map_groups
+
+    pipe = from_documents_table(sf_dir)
+    trip = pipe.triples().select_columns(["subj", "pred", "obj"]).materialize()
+    a = trip.select_columns(["obj", "pred"])
+    b = trip.select_columns(["subj", "pred"])
+
+    _OUT = {"pred1": object, "pred2": object, "n_paths": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT.items()})
+
+    def paths(da: pd.DataFrame, db: pd.DataFrame) -> pd.DataFrame:
+        if (len(da) == 0 or "obj" not in da.columns
+                or len(db) == 0 or "subj" not in db.columns):
+            return empty_out
+        ca = da.groupby(["obj", "pred"], as_index=False).size()
+        cb = db.groupby(["subj", "pred"], as_index=False).size()
+        j = ca.merge(cb, left_on="obj", right_on="subj",
+                     suffixes=("_1", "_2"))
+        if len(j) == 0:
+            return empty_out
+        j["n"] = j["size_1"].to_numpy(np.int64) * j["size_2"].to_numpy(np.int64)
+        g = j.groupby(["pred_1", "pred_2"], as_index=False)["n"].sum()
+        return pd.DataFrame({"pred1": g["pred_1"].to_numpy(object),
+                             "pred2": g["pred_2"].to_numpy(object),
+                             "n_paths": g["n"].to_numpy(np.int64)})
+
+    parts = hash_coexchange(a, b, "obj", "subj", paths)
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "pred1" not in df.columns:
+            return empty_out.assign(__k=pd.Series(dtype=object))
+        df = df.copy()
+        df["__k"] = df["pred1"].str.cat(df["pred2"], sep="\x1f")
+        return df
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "pred1" not in df.columns:
+            return empty_out
+        g = df.groupby(["pred1", "pred2"], as_index=False)["n_paths"].sum()
+        g["n_paths"] = g["n_paths"].astype(np.int64)
+        return g
+
+    out = partitioned_map_groups(
+        parts.map_batches(key, batch_format="pandas"), "__k",
+        lambda df: total(df.drop(columns="__k")), num_buckets=4,
+    )
+    if out.count() == 0:
+        return empty_out
+    return out
+
+
+SQL_KG_PATH2 = SQL_TOKS + f""",
+triples AS ({_KG_TRIPLES_BODY})
+SELECT a.pred AS pred1, b.pred AS pred2,
+       CAST(count(*) AS BIGINT) AS n_paths
+FROM triples a JOIN triples b ON a.obj = b.subj
+GROUP BY 1, 2
+"""
+
+
 def q_kg_triggers(sf_dir: str) -> ray.data.Dataset:
     pipe = from_documents_table(sf_dir)
 
@@ -700,7 +771,7 @@ FROM ents
 _DRIVER_SAMPLE_FIRST = (
     # tier 0: added this session
     "unigram_surprisal", "local_supplier_volume", "mixture_sample",
-    "kg_entity_degree",
+    "kg_entity_degree", "kg_path2",
     "png_features", "bfs_hops", "user_active_time", "zip_members",
     "source_diversity", "events_late_arrivals", "image_dhash",
     "containment_dups",
@@ -888,6 +959,7 @@ KG_QUERIES = {
     "kg_relations": (q_kg_relations, SQL_KG_RELATIONS),
     "kg_triples": (q_kg_triples, SQL_KG_TRIPLES),
     "kg_entity_degree": (q_kg_entity_degree, SQL_KG_ENTITY_DEGREE),
+    "kg_path2": (q_kg_path2, SQL_KG_PATH2),
     "kg_triggers": (q_kg_triggers, SQL_KG_TRIGGERS),
     "kg_event_args": (q_kg_event_args, SQL_KG_EVENT_ARGS),
     "kg_clusters": (q_kg_clusters, SQL_KG_CLUSTERS),

@@ -184,7 +184,7 @@ def test_document_queries_differential(ray_session, tmp_path, seed):
          "text": pa.array(texts)}
     ), tmp_path / "documents.parquet")
     for q in ["phrase_search", "term_search", "token_count",
-              "unigram_surprisal"]:
+              "unigram_surprisal", "kg_entity_degree", "kg_path2"]:
         _compare(str(tmp_path), q)
 
 
