@@ -1011,6 +1011,55 @@ def test_text_index_missing_term_empty(ray_session, tmp_path):
     assert len(out) == 0  # AND with an unseen term matches nothing
 
 
+def test_quantize_embeddings_error_bound(ray_session):
+    """Dequantized values stay within half a quantization step of the
+    originals, and the all-zero vector survives (scale guard)."""
+    import ray
+
+    from dygiepp_ray.textops.ann import quantize_embeddings
+
+    vecs = [np.array([1.0, -0.5, 0.25, 0.0]),
+            np.array([0.0, 0.0, 0.0, 0.0]),
+            np.array([-3.5, 2.0, 0.1, 7.0])]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(3, dtype=np.int64),
+                      "embedding": vecs})
+    )
+    out = quantize_embeddings(ds).to_pandas().sort_values(
+        "vec_id", ignore_index=True
+    )
+    for i, v in enumerate(vecs):
+        q = np.frombuffer(out.loc[i, "qvec"], dtype=np.int8)
+        deq = q.astype(np.float64) * out.loc[i, "scale"]
+        assert np.abs(deq - v).max() <= out.loc[i, "scale"] / 2 + 1e-12
+        assert np.abs(q).max() <= 127
+
+
+def test_quantized_topk_recall_vs_float(ray_session):
+    """int8 ranking must recover (nearly) the float top-k on the real
+    embeddings table — the 8x storage cut cannot cost real recall."""
+    import ray
+
+    from dygiepp_ray.textops.ann import (
+        brute_force_topk, quantize_embeddings, quantized_topk,
+    )
+
+    emb = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    ).materialize()
+    qids = [0, 3, 17, 42]
+    want = brute_force_topk(emb, qids, k=5)
+    got = quantized_topk(quantize_embeddings(emb), qids, k=5)
+    assert len(got) == len(want)
+    overlap = []
+    for qid in qids:
+        a = set(want.loc[want["query_id"] == qid, "vec_id"])
+        b = set(got.loc[got["query_id"] == qid, "vec_id"])
+        overlap.append(len(a & b) / len(a))
+    assert np.mean(overlap) >= 0.8, overlap
+
+
 def test_ivf_index_save_load_roundtrip(ray_session, tmp_path):
     """A persisted IVF index answers queries bit-identically to the
     in-session path at equal (nlist, iters, nprobe) — the index is the
