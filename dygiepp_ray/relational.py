@@ -4327,6 +4327,416 @@ FROM z GROUP BY 1
 """
 
 
+_Q7_LO_US = int(pd.Timestamp("1995-01-01").value // 1000)
+_Q7_HI_US = int(pd.Timestamp("1997-01-01").value // 1000)
+
+
+def volume_shipping(
+    sf_dir: str, nations=(1, 2), num_buckets: int = 8
+) -> pd.DataFrame:
+    """TPC-H Q7 shape — nation-pair trade volume: revenue shipped between
+    a pair of nations (supplier nation != customer nation, both in the
+    pair), per shipment year.
+
+    100-TB plan: nation (25 rows) resolves on the driver; supplier's
+    (suppkey -> nationkey) map is the classic broadcast side (8+4 B per
+    supplier, bounded by the SMALLEST dimension table) consumed via
+    ``np.searchsorted`` inside the lineitem scan; the two BIG-BIG joins
+    are keyed coexchanges — orders x customer on custkey, then the
+    lineitem partials x (order -> customer-nation) on orderkey — with
+    revenue pre-aggregated per (orderkey, year) inside each lineitem
+    batch BEFORE the shuffle.  Final rollup is <= buckets x 2 x years
+    rows on the driver.  Revenue is integer cents
+    (``floor(x*100+0.5)``) so the twin cannot drift on summation order.
+    -> (supp_nation, cust_nation, l_year, revenue_cents)."""
+    from .core import hash_coexchange
+
+    pair = np.asarray(sorted(nations), dtype=np.int64)
+    names = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nk2name = dict(zip(names["n_nationkey"].astype(np.int64),
+                       names["n_name"].astype(str))) if len(names) else {}
+
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    if len(sup):
+        sub = sup[np.isin(sup["s_nationkey"].to_numpy(np.int64), pair)]
+        order = np.argsort(sub["s_suppkey"].to_numpy(np.int64))
+        skeys = sub["s_suppkey"].to_numpy(np.int64)[order]
+        snats = sub["s_nationkey"].to_numpy(np.int64)[order]
+    else:
+        skeys = np.empty(0, np.int64)
+        snats = np.empty(0, np.int64)
+    sup_ref = ray.put((skeys, snats))
+
+    def cfilter(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "c_custkey" not in df.columns:
+            return pd.DataFrame({"c_custkey": pd.Series(dtype=np.int64),
+                                 "cust_nk": pd.Series(dtype=np.int64)})
+        nk = df["c_nationkey"].to_numpy(np.int64)
+        keep = np.isin(nk, pair)
+        return pd.DataFrame({"c_custkey": df["c_custkey"].to_numpy(np.int64)[keep],
+                             "cust_nk": nk[keep]})
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cfilter, batch_format="pandas")
+
+    ordf = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def ojoin(o: pd.DataFrame, c: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"o_orderkey": pd.Series(dtype=np.int64),
+                              "cust_nk": pd.Series(dtype=np.int64)})
+        if (len(o) == 0 or "o_orderkey" not in o.columns
+                or len(c) == 0 or "c_custkey" not in c.columns):
+            return empty
+        j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+        return j[["o_orderkey", "cust_nk"]].astype(np.int64)
+
+    order_nat = hash_coexchange(
+        ordf, cust, "o_custkey", "c_custkey", ojoin, num_buckets=num_buckets
+    )
+
+    def lpart(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"l_orderkey": pd.Series(dtype=np.int64),
+                              "supp_nk": pd.Series(dtype=np.int64),
+                              "l_year": pd.Series(dtype=np.int64),
+                              "rc": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "l_orderkey" not in df.columns:
+            return empty
+        t = ts_epoch_us(df["l_shipdate"])
+        df = df.loc[(t >= _Q7_LO_US) & (t < _Q7_HI_US)]
+        if len(df) == 0:
+            return empty
+        sk, sn = ray.get(sup_ref)
+        if len(sk) == 0:
+            return empty
+        lsk = df["l_suppkey"].to_numpy(np.int64)
+        pos = np.minimum(np.searchsorted(sk, lsk), len(sk) - 1)
+        hit = sk[pos] == lsk
+        df = df.loc[hit]
+        if len(df) == 0:
+            return empty
+        supp_nk = sn[pos[hit]]
+        rc = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64)
+            * (1 - df["l_discount"].to_numpy(np.float64)) * 100 + 0.5
+        ).astype(np.int64)
+        g = pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "supp_nk": supp_nk,
+            "l_year": df["l_shipdate"].dt.year.to_numpy(np.int64),
+            "rc": rc,
+        }).groupby(["l_orderkey", "supp_nk", "l_year"], as_index=False)["rc"].sum()
+        return g.astype(np.int64)
+
+    lip = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    ).map_batches(lpart, batch_format="pandas")
+
+    def vjoin(l: pd.DataFrame, o: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"supp_nk": pd.Series(dtype=np.int64),
+                              "cust_nk": pd.Series(dtype=np.int64),
+                              "l_year": pd.Series(dtype=np.int64),
+                              "rc": pd.Series(dtype=np.int64)})
+        if (len(l) == 0 or "l_orderkey" not in l.columns
+                or len(o) == 0 or "o_orderkey" not in o.columns):
+            return empty
+        j = l.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        j = j.loc[j["supp_nk"] != j["cust_nk"]]
+        if len(j) == 0:
+            return empty
+        g = j.groupby(["supp_nk", "cust_nk", "l_year"], as_index=False)["rc"].sum()
+        return g.astype(np.int64)
+
+    parts = hash_coexchange(
+        lip, order_nat, "l_orderkey", "o_orderkey", vjoin,
+        num_buckets=num_buckets,
+    ).to_pandas()
+    cols = ["supp_nation", "cust_nation", "l_year", "revenue_cents"]
+    if parts.empty or "supp_nk" not in parts.columns:
+        return pd.DataFrame({"supp_nation": pd.Series(dtype=object),
+                             "cust_nation": pd.Series(dtype=object),
+                             "l_year": pd.Series(dtype=np.int64),
+                             "revenue_cents": pd.Series(dtype=np.int64)})
+    g = parts.groupby(["supp_nk", "cust_nk", "l_year"], as_index=False)["rc"].sum()
+    g["supp_nation"] = g["supp_nk"].map(nk2name).astype(str)
+    g["cust_nation"] = g["cust_nk"].map(nk2name).astype(str)
+    g = g.rename(columns={"rc": "revenue_cents"})
+    return g[cols].astype({"l_year": np.int64, "revenue_cents": np.int64})
+
+
+SQL_VOLUME_SHIPPING = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE s_nationkey IN (1, 2) AND c_nationkey IN (1, 2)
+  AND s_nationkey <> c_nationkey
+  AND epoch_us(l_shipdate) >= {_Q7_LO_US}
+  AND epoch_us(l_shipdate) < {_Q7_HI_US}
+GROUP BY 1, 2, 3
+"""
+
+
+_Q10_LO_US = int(pd.Timestamp("1995-10-01").value // 1000)
+_Q10_HI_US = int(pd.Timestamp("1996-01-01").value // 1000)
+
+
+def returned_items(
+    sf_dir: str, k: int = 20, num_buckets: int = 8
+) -> ray.data.Dataset:
+    """TPC-H Q10 shape — returned-item reporting: top-k customers by
+    revenue lost to returns (``l_returnflag = 'R'``) for orders placed
+    in one quarter.
+
+    100-TB plan: both joins are keyed coexchanges (orderkey then
+    custkey) with per-batch partial revenue sums BEFORE each shuffle, so
+    shuffle bytes are O(distinct orders) then O(distinct customers),
+    never O(lineitems); each custkey bucket emits only its local top-k
+    and the global sort sees <= k x buckets rows.  Revenue is integer
+    cents.  -> (c_custkey, c_name, c_nationkey, acctbal_cents,
+    revenue_cents)."""
+    from .core import hash_coexchange
+
+    def ofilter(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_orderkey" not in df.columns:
+            return pd.DataFrame({"o_orderkey": pd.Series(dtype=np.int64),
+                                 "o_custkey": pd.Series(dtype=np.int64)})
+        t = ts_epoch_us(df["o_orderdate"])
+        keep = (t >= _Q10_LO_US) & (t < _Q10_HI_US)
+        return pd.DataFrame(
+            {"o_orderkey": df["o_orderkey"].to_numpy(np.int64)[keep],
+             "o_custkey": df["o_custkey"].to_numpy(np.int64)[keep]}
+        )
+
+    ordf = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(ofilter, batch_format="pandas")
+
+    def lpart(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "l_orderkey" not in df.columns:
+            return pd.DataFrame({"l_orderkey": pd.Series(dtype=np.int64),
+                                 "rc": pd.Series(dtype=np.int64)})
+        df = df.loc[df["l_returnflag"] == "R"]
+        rc = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64)
+            * (1 - df["l_discount"].to_numpy(np.float64)) * 100 + 0.5
+        ).astype(np.int64)
+        g = pd.DataFrame({"l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                          "rc": rc}).groupby("l_orderkey", as_index=False)["rc"].sum()
+        return g.astype(np.int64)
+
+    lip = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(lpart, batch_format="pandas")
+
+    def ojoin(o: pd.DataFrame, l: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"o_custkey": pd.Series(dtype=np.int64),
+                              "rc": pd.Series(dtype=np.int64)})
+        if (len(o) == 0 or "o_orderkey" not in o.columns
+                or len(l) == 0 or "l_orderkey" not in l.columns):
+            return empty
+        j = o.merge(l, left_on="o_orderkey", right_on="l_orderkey")
+        if len(j) == 0:
+            return empty
+        g = j.groupby("o_custkey", as_index=False)["rc"].sum()
+        return g.astype(np.int64)
+
+    per_cust = hash_coexchange(
+        ordf, lip, "o_orderkey", "l_orderkey", ojoin, num_buckets=num_buckets
+    )
+
+    def acents(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "c_custkey" not in df.columns:
+            return pd.DataFrame({"c_custkey": pd.Series(dtype=np.int64),
+                                 "c_name": pd.Series(dtype=object),
+                                 "c_nationkey": pd.Series(dtype=np.int64),
+                                 "acctbal_cents": pd.Series(dtype=np.int64)})
+        return pd.DataFrame(
+            {"c_custkey": df["c_custkey"].to_numpy(np.int64),
+             "c_name": df["c_name"].to_numpy(object),
+             "c_nationkey": df["c_nationkey"].to_numpy(np.int64),
+             "acctbal_cents": np.floor(
+                 df["c_acctbal"].to_numpy(np.float64) * 100 + 0.5
+             ).astype(np.int64)}
+        )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"],
+    ).map_batches(acents, batch_format="pandas")
+
+    _OUT = ("c_custkey", "c_name", "c_nationkey", "acctbal_cents",
+            "revenue_cents")
+
+    def cjoin(p: pd.DataFrame, c: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"c_custkey": pd.Series(dtype=np.int64),
+             "c_name": pd.Series(dtype=object),
+             "c_nationkey": pd.Series(dtype=np.int64),
+             "acctbal_cents": pd.Series(dtype=np.int64),
+             "revenue_cents": pd.Series(dtype=np.int64)}
+        )
+        if (len(p) == 0 or "o_custkey" not in p.columns
+                or len(c) == 0 or "c_custkey" not in c.columns):
+            return empty
+        g = p.groupby("o_custkey", as_index=False)["rc"].sum()
+        j = g.merge(c, left_on="o_custkey", right_on="c_custkey")
+        if len(j) == 0:
+            return empty
+        j = j.rename(columns={"rc": "revenue_cents"})
+        j = j.sort_values(["revenue_cents", "c_custkey"],
+                          ascending=[False, True], kind="mergesort").head(k)
+        return j[list(_OUT)].reset_index(drop=True)
+
+    per_bucket = hash_coexchange(
+        per_cust, cust, "o_custkey", "c_custkey", cjoin,
+        num_buckets=num_buckets,
+    ).to_pandas()
+    if per_bucket.empty or "revenue_cents" not in per_bucket.columns:
+        # zero-row window: Ray drops the schema on empty frames, so
+        # rebuild the typed columns the oracle always carries
+        per_bucket = pd.DataFrame(
+            {"c_custkey": pd.Series(dtype=np.int64),
+             "c_name": pd.Series(dtype=object),
+             "c_nationkey": pd.Series(dtype=np.int64),
+             "acctbal_cents": pd.Series(dtype=np.int64),
+             "revenue_cents": pd.Series(dtype=np.int64)}
+        )
+    return per_bucket.sort_values(
+        ["revenue_cents", "c_custkey"], ascending=[False, True],
+        kind="mergesort",
+    ).head(k).reset_index(drop=True)[list(_OUT)]
+
+
+SQL_RETURNED_ITEMS = f"""
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+  AND epoch_us(o_orderdate) >= {_Q10_LO_US}
+  AND epoch_us(o_orderdate) < {_Q10_HI_US}
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue_cents DESC, c_custkey
+LIMIT 20
+"""
+
+
+_Q14_LO_US = int(pd.Timestamp("1995-09-01").value // 1000)
+_Q14_HI_US = int(pd.Timestamp("1995-10-01").value // 1000)
+
+
+def promo_revenue(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
+    """TPC-H Q14 shape — promotion effect: share of one month's revenue
+    coming from parts of type 'PROMO'.
+
+    100-TB plan: lineitem revenue is pre-aggregated per partkey inside
+    each batch, then ONE keyed coexchange against part on partkey (part
+    is a dimension but still sharded at 100 TB — no broadcast); each
+    bucket emits a single (promo_cents, total_cents) row and the driver
+    folds <= num_buckets rows with exact Python-int arithmetic.  The
+    promo share is fixed-point ``(100 * promo * 1e6) // total``
+    (HUGEINT in the twin) so no float division exists on either side.
+    -> one row (promo_revenue_cents, total_revenue_cents,
+    promo_pct_x1e6); zero rows when the month has no revenue."""
+    from .core import hash_coexchange
+
+    def lpart(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "l_partkey" not in df.columns:
+            return pd.DataFrame({"l_partkey": pd.Series(dtype=np.int64),
+                                 "rc": pd.Series(dtype=np.int64)})
+        t = ts_epoch_us(df["l_shipdate"])
+        df = df.loc[(t >= _Q14_LO_US) & (t < _Q14_HI_US)]
+        rc = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64)
+            * (1 - df["l_discount"].to_numpy(np.float64)) * 100 + 0.5
+        ).astype(np.int64)
+        g = pd.DataFrame({"l_partkey": df["l_partkey"].to_numpy(np.int64),
+                          "rc": rc}).groupby("l_partkey", as_index=False)["rc"].sum()
+        return g.astype(np.int64)
+
+    lip = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(lpart, batch_format="pandas")
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+
+    def pjoin(l: pd.DataFrame, p: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"promo": pd.Series(dtype=np.int64),
+                              "total": pd.Series(dtype=np.int64)})
+        if (len(l) == 0 or "l_partkey" not in l.columns
+                or len(p) == 0 or "p_partkey" not in p.columns):
+            return empty
+        j = l.merge(p, left_on="l_partkey", right_on="p_partkey")
+        if len(j) == 0:
+            return empty
+        total = int(j["rc"].sum())
+        promo = int(j.loc[j["p_type"] == "PROMO", "rc"].sum())
+        return pd.DataFrame({"promo": np.asarray([promo], np.int64),
+                             "total": np.asarray([total], np.int64)})
+
+    parts = hash_coexchange(
+        lip, part, "l_partkey", "p_partkey", pjoin, num_buckets=num_buckets
+    ).to_pandas()
+    cols = {"promo_revenue_cents": np.int64, "total_revenue_cents": np.int64,
+            "promo_pct_x1e6": np.int64}
+    if parts.empty or "total" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    promo = int(parts["promo"].sum())
+    total = int(parts["total"].sum())
+    if total == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    pct = (100 * promo * 1_000_000) // total
+    return pd.DataFrame({"promo_revenue_cents": np.asarray([promo], np.int64),
+                         "total_revenue_cents": np.asarray([total], np.int64),
+                         "promo_pct_x1e6": np.asarray([pct], np.int64)})
+
+
+SQL_PROMO_REVENUE = f"""
+WITH l AS (
+  SELECT CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+              AS BIGINT) AS rc, p_type
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE epoch_us(l_shipdate) >= {_Q14_LO_US}
+    AND epoch_us(l_shipdate) < {_Q14_HI_US}
+),
+a AS (
+  SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rc ELSE 0 END) AS BIGINT)
+           AS promo,
+         CAST(sum(rc) AS BIGINT) AS total
+  FROM l
+)
+SELECT promo AS promo_revenue_cents, total AS total_revenue_cents,
+       CAST((100 * CAST(promo AS HUGEINT) * 1000000) // CAST(total AS HUGEINT)
+            AS BIGINT) AS promo_pct_x1e6
+FROM a WHERE total > 0
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -4369,6 +4779,9 @@ RELATIONAL_QUERIES = {
     "heavy_hitters": (heavy_hitters, SQL_HEAVY_HITTERS),
     "kmv_intersection": (kmv_intersection, SQL_KMV_INTERSECTION),
     "shipping_priority": (shipping_priority, SQL_SHIPPING_PRIORITY),
+    "volume_shipping": (volume_shipping, SQL_VOLUME_SHIPPING),
+    "returned_items": (returned_items, SQL_RETURNED_ITEMS),
+    "promo_revenue": (promo_revenue, SQL_PROMO_REVENUE),
     "local_supplier_volume": (local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME),
     "cheapest_supplier": (cheapest_supplier, SQL_CHEAPEST_SUPPLIER),
     "user_paths": (user_paths, SQL_USER_PATHS),

@@ -207,12 +207,10 @@ def test_mixture_sample_differential(ray_session, tmp_path, seed):
     _compare(str(tmp_path), "mixture_sample")
 
 
-@pytest.mark.parametrize("seed", [7, 41])
-def test_local_supplier_volume_differential(ray_session, tmp_path, seed):
-    """TPC-H Q5 shape over a random 6-table micro-schema: the
-    supplier-nation = customer-nation equality and the date window must
-    match the SQL join plan under arbitrary key distributions."""
-    rng = np.random.default_rng(seed)
+def _write_tpch_micro(tmp_path, rng):
+    """Random 6-table TPC-H micro-schema (region/nation/customer/
+    supplier/orders/lineitem + a small part table) with heavy key reuse
+    and dates straddling the queries' fixed windows."""
     pq.write_table(pa.table(
         {"r_regionkey": pa.array(np.arange(5, dtype=np.int64)),
          "r_name": pa.array(["AFRICA", "AMERICA", "ASIA", "EUROPE",
@@ -265,7 +263,30 @@ def test_local_supplier_volume_differential(ray_session, tmp_path, seed):
              pd.to_datetime(rng.integers(800_000_000, 1_000_000_000, n_li)
                             * 1_000_000_000), pa.timestamp("us"))}
     ), tmp_path / "lineitem.parquet")
-    _compare(str(tmp_path), "local_supplier_volume")
+    pq.write_table(pa.table(
+        {"p_partkey": pa.array(np.arange(30, dtype=np.int64)),
+         "p_name": pa.array([f"p{i}" for i in range(30)]),
+         "p_brand": pa.array([f"Brand#{i % 5}" for i in range(30)]),
+         "p_type": pa.array(rng.choice(
+             ["PROMO", "ECONOMY", "SMALL", "STANDARD"], 30)),
+         "p_size": pa.array(rng.integers(1, 50, 30).astype(np.int64)),
+         "p_retailprice": pa.array(np.round(rng.uniform(900, 2000, 30), 2))}
+    ), tmp_path / "part.parquet")
+
+
+@pytest.mark.parametrize("seed", [7, 41])
+@pytest.mark.parametrize(
+    "qname",
+    ["local_supplier_volume", "volume_shipping", "returned_items",
+     "promo_revenue"],
+)
+def test_tpch_join_queries_differential(ray_session, tmp_path, seed, qname):
+    """TPC-H join shapes (Q5/Q7/Q10/Q14) over a random micro-schema: the
+    multi-path join equalities and fixed date windows must match the SQL
+    join plans under arbitrary key distributions."""
+    rng = np.random.default_rng(seed * 100 + len(qname))
+    _write_tpch_micro(tmp_path, rng)
+    _compare(str(tmp_path), qname)
 
 
 def test_per_user_ops_survive_hot_key(ray_session, tmp_path):
