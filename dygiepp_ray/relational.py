@@ -4737,6 +4737,303 @@ FROM a WHERE total > 0
 """
 
 
+_Q4_LO_US = int(pd.Timestamp("1995-07-01").value // 1000)
+_Q4_HI_US = int(pd.Timestamp("1995-10-01").value // 1000)
+_Q4_LATE_US = 60 * 86_400 * 1_000_000  # shipped > 60 days after order
+
+
+def order_priority_check(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
+    """TPC-H Q4 shape — order-priority checking: orders placed in one
+    quarter that had at least one LATE shipment (this schema has no
+    commit/receipt dates, so late = ``l_shipdate > o_orderdate + 60d``),
+    counted per priority class.
+
+    100-TB plan: the EXISTS collapses to a per-orderkey MAX of the
+    shipdate — pre-reduced inside every lineitem batch, so the ONE
+    keyed coexchange ships a single int64 per (batch, orderkey) instead
+    of per lineitem; each bucket emits <= 5 (priority, count) partials
+    and the driver folds <= 5 x buckets rows.
+    -> (o_orderpriority, order_count)."""
+    from .core import hash_coexchange
+
+    def ofilter(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_orderkey" not in df.columns:
+            return pd.DataFrame({"o_orderkey": pd.Series(dtype=np.int64),
+                                 "o_date_us": pd.Series(dtype=np.int64),
+                                 "o_orderpriority": pd.Series(dtype=object)})
+        t = ts_epoch_us(df["o_orderdate"])
+        keep = (t >= _Q4_LO_US) & (t < _Q4_HI_US)
+        return pd.DataFrame(
+            {"o_orderkey": df["o_orderkey"].to_numpy(np.int64)[keep],
+             "o_date_us": t[keep],
+             "o_orderpriority": df["o_orderpriority"].to_numpy()[keep]}
+        )
+
+    ordf = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(ofilter, batch_format="pandas")
+
+    def lmax(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "l_orderkey" not in df.columns:
+            return pd.DataFrame({"l_orderkey": pd.Series(dtype=np.int64),
+                                 "max_ship_us": pd.Series(dtype=np.int64)})
+        t = pd.Series(ts_epoch_us(df["l_shipdate"]))
+        g = t.groupby(df["l_orderkey"].to_numpy(np.int64)).max()
+        return pd.DataFrame({"l_orderkey": g.index.to_numpy(np.int64),
+                             "max_ship_us": g.to_numpy(np.int64)})
+
+    lip = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(lmax, batch_format="pandas")
+
+    def pjoin(o: pd.DataFrame, l: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"o_orderpriority": pd.Series(dtype=object),
+                              "n": pd.Series(dtype=np.int64)})
+        if (len(o) == 0 or "o_orderkey" not in o.columns
+                or len(l) == 0 or "l_orderkey" not in l.columns):
+            return empty
+        m = l.groupby("l_orderkey", as_index=False)["max_ship_us"].max()
+        j = o.merge(m, left_on="o_orderkey", right_on="l_orderkey")
+        j = j.loc[j["max_ship_us"].to_numpy(np.int64)
+                  > j["o_date_us"].to_numpy(np.int64) + _Q4_LATE_US]
+        if len(j) == 0:
+            return empty
+        g = j.groupby("o_orderpriority", as_index=False).size()
+        return pd.DataFrame({"o_orderpriority": g["o_orderpriority"],
+                             "n": g["size"].to_numpy(np.int64)})
+
+    parts = hash_coexchange(
+        ordf, lip, "o_orderkey", "l_orderkey", pjoin, num_buckets=num_buckets
+    ).to_pandas()
+    if parts.empty or "o_orderpriority" not in parts.columns:
+        return pd.DataFrame({"o_orderpriority": pd.Series(dtype=object),
+                             "order_count": pd.Series(dtype=np.int64)})
+    g = parts.groupby("o_orderpriority", as_index=False)["n"].sum()
+    return pd.DataFrame({"o_orderpriority": g["o_orderpriority"],
+                         "order_count": g["n"].to_numpy(np.int64)})
+
+
+SQL_ORDER_PRIORITY_CHECK = f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE epoch_us(o_orderdate) >= {_Q4_LO_US}
+  AND epoch_us(o_orderdate) < {_Q4_HI_US}
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND epoch_us(l_shipdate) > epoch_us(o_orderdate) + {_Q4_LATE_US}
+  )
+GROUP BY 1
+"""
+
+
+_Q15_LO_US = int(pd.Timestamp("1995-01-01").value // 1000)
+_Q15_HI_US = int(pd.Timestamp("1995-04-01").value // 1000)
+
+
+def top_supplier_revenue(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
+    """TPC-H Q15 shape — top supplier(s): the supplier(s) whose shipped
+    revenue over one quarter equals the global maximum (ties kept, as in
+    the spec's view formulation).
+
+    100-TB plan: revenue cents are pre-summed per (batch, suppkey), ONE
+    suppkey-keyed exchange totals them, and each bucket emits only the
+    rows achieving ITS max — the global max is the max of <= buckets
+    candidates, so the driver folds O(buckets) rows and broadcasts the
+    winning suppkeys (a handful of int64s) into a vectorized supplier
+    scan for the names.  No float division anywhere.
+    -> (s_suppkey, s_name, total_revenue_cents)."""
+    from .core import hash_exchange
+
+    def lpart(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "l_suppkey" not in df.columns:
+            return pd.DataFrame({"l_suppkey": pd.Series(dtype=np.int64),
+                                 "rc": pd.Series(dtype=np.int64)})
+        t = ts_epoch_us(df["l_shipdate"])
+        df = df.loc[(t >= _Q15_LO_US) & (t < _Q15_HI_US)]
+        rc = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64)
+            * (1 - df["l_discount"].to_numpy(np.float64)) * 100 + 0.5
+        ).astype(np.int64)
+        g = pd.DataFrame({"l_suppkey": df["l_suppkey"].to_numpy(np.int64),
+                          "rc": rc}).groupby("l_suppkey", as_index=False)["rc"].sum()
+        return g.astype(np.int64)
+
+    lip = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(lpart, batch_format="pandas")
+
+    def bucket_max(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"l_suppkey": pd.Series(dtype=np.int64),
+                              "total": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "l_suppkey" not in df.columns:
+            return empty
+        g = df.groupby("l_suppkey", as_index=False)["rc"].sum()
+        mx = g["rc"].max()
+        g = g.loc[g["rc"] == mx]
+        return pd.DataFrame({"l_suppkey": g["l_suppkey"].to_numpy(np.int64),
+                             "total": g["rc"].to_numpy(np.int64)})
+
+    cand = hash_exchange(
+        lip, "l_suppkey", bucket_max, num_buckets=num_buckets
+    ).to_pandas()
+    cols = {"s_suppkey": np.int64, "s_name": object,
+            "total_revenue_cents": np.int64}
+    if cand.empty or "total" not in cand.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    mx = int(cand["total"].max())
+    win = cand.loc[cand["total"] == mx]
+    win_keys = np.sort(win["l_suppkey"].to_numpy(np.int64))
+    keys_ref = ray.put(win_keys)
+
+    def sname(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "s_suppkey" not in df.columns:
+            return pd.DataFrame({"s_suppkey": pd.Series(dtype=np.int64),
+                                 "s_name": pd.Series(dtype=object)})
+        keep = np.isin(df["s_suppkey"].to_numpy(np.int64), ray.get(keys_ref))
+        return pd.DataFrame(
+            {"s_suppkey": df["s_suppkey"].to_numpy(np.int64)[keep],
+             "s_name": df["s_name"].to_numpy()[keep]}
+        )
+
+    names = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).map_batches(sname, batch_format="pandas").to_pandas()
+    if names.empty or "s_suppkey" not in names.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    out = names.sort_values("s_suppkey", ignore_index=True)
+    out["total_revenue_cents"] = np.int64(mx)
+    return out[list(cols)]
+
+
+SQL_TOP_SUPPLIER_REVENUE = f"""
+WITH r AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS total
+  FROM lineitem
+  WHERE epoch_us(l_shipdate) >= {_Q15_LO_US}
+    AND epoch_us(l_shipdate) < {_Q15_HI_US}
+  GROUP BY 1
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       total AS total_revenue_cents
+FROM supplier JOIN r ON s_suppkey = l_suppkey
+WHERE total = (SELECT max(total) FROM r)
+"""
+
+
+_Q19_BRACKETS = (
+    # (brand, size_lo, size_hi, qty_lo, qty_hi)
+    ("Brand#1", 1, 5, 1, 11),
+    ("Brand#2", 1, 10, 10, 20),
+    ("Brand#3", 1, 15, 20, 30),
+)
+
+
+def bracket_revenue(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
+    """TPC-H Q19 shape — discounted revenue under DISJUNCTIVE
+    brand/size/quantity brackets (an OR of three conjunctions spanning
+    BOTH join sides).
+
+    100-TB plan: the quantity predicate only needs the integer quantity
+    CLASS, so lineitem revenue is pre-summed per (partkey, quantity)
+    inside each batch (quantity > max bracket qty pruned at the scan) —
+    the ONE partkey coexchange then ships O(distinct partkey x 30) rows,
+    never O(lineitems); part is brand-pruned at its scan.  Each bucket
+    applies the OR-of-ANDs vectorized and emits one cents partial.
+    -> one row (revenue_cents)."""
+    from .core import hash_coexchange
+
+    qty_max = max(b[4] for b in _Q19_BRACKETS)
+    brands = sorted({b[0] for b in _Q19_BRACKETS})
+
+    def lpart(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "l_partkey" not in df.columns:
+            return pd.DataFrame({"l_partkey": pd.Series(dtype=np.int64),
+                                 "qty": pd.Series(dtype=np.int64),
+                                 "rc": pd.Series(dtype=np.int64)})
+        qty = df["l_quantity"].to_numpy(np.float64).astype(np.int64)
+        keep = qty <= qty_max
+        df = df.loc[keep]
+        qty = qty[keep]
+        rc = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64)
+            * (1 - df["l_discount"].to_numpy(np.float64)) * 100 + 0.5
+        ).astype(np.int64)
+        g = pd.DataFrame({"l_partkey": df["l_partkey"].to_numpy(np.int64),
+                          "qty": qty, "rc": rc}
+                         ).groupby(["l_partkey", "qty"], as_index=False)["rc"].sum()
+        return g.astype(np.int64)
+
+    lip = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(lpart, batch_format="pandas")
+
+    def pfilter(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "p_partkey" not in df.columns:
+            return pd.DataFrame({"p_partkey": pd.Series(dtype=np.int64),
+                                 "p_brand": pd.Series(dtype=object),
+                                 "p_size": pd.Series(dtype=np.int64)})
+        keep = df["p_brand"].isin(brands).to_numpy()
+        return pd.DataFrame(
+            {"p_partkey": df["p_partkey"].to_numpy(np.int64)[keep],
+             "p_brand": df["p_brand"].to_numpy()[keep],
+             "p_size": df["p_size"].to_numpy(np.int64)[keep]}
+        )
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    ).map_batches(pfilter, batch_format="pandas")
+
+    def bjoin(l: pd.DataFrame, p: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"rc": pd.Series(dtype=np.int64)})
+        if (len(l) == 0 or "l_partkey" not in l.columns
+                or len(p) == 0 or "p_partkey" not in p.columns):
+            return empty
+        j = l.merge(p, left_on="l_partkey", right_on="p_partkey")
+        if len(j) == 0:
+            return empty
+        qty = j["qty"].to_numpy(np.int64)
+        size = j["p_size"].to_numpy(np.int64)
+        brand = j["p_brand"].to_numpy()
+        keep = np.zeros(len(j), dtype=bool)
+        for b, slo, shi, qlo, qhi in _Q19_BRACKETS:
+            keep |= ((brand == b) & (size >= slo) & (size <= shi)
+                     & (qty >= qlo) & (qty <= qhi))
+        tot = int(j["rc"].to_numpy(np.int64)[keep].sum())
+        if tot == 0:
+            return empty
+        return pd.DataFrame({"rc": np.asarray([tot], np.int64)})
+
+    parts = hash_coexchange(
+        lip, part, "l_partkey", "p_partkey", bjoin, num_buckets=num_buckets
+    ).to_pandas()
+    if parts.empty or "rc" not in parts.columns:
+        return pd.DataFrame({"revenue_cents": pd.Series(dtype=np.int64)})
+    return pd.DataFrame(
+        {"revenue_cents": np.asarray([int(parts["rc"].sum())], np.int64)}
+    )
+
+
+SQL_BRACKET_REVENUE = """
+SELECT CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+HAVING sum(1) > 0 AND sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                     * 100 + 0.5) AS BIGINT)) <> 0
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -4782,6 +5079,9 @@ RELATIONAL_QUERIES = {
     "volume_shipping": (volume_shipping, SQL_VOLUME_SHIPPING),
     "returned_items": (returned_items, SQL_RETURNED_ITEMS),
     "promo_revenue": (promo_revenue, SQL_PROMO_REVENUE),
+    "order_priority_check": (order_priority_check, SQL_ORDER_PRIORITY_CHECK),
+    "top_supplier_revenue": (top_supplier_revenue, SQL_TOP_SUPPLIER_REVENUE),
+    "bracket_revenue": (bracket_revenue, SQL_BRACKET_REVENUE),
     "local_supplier_volume": (local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME),
     "cheapest_supplier": (cheapest_supplier, SQL_CHEAPEST_SUPPLIER),
     "user_paths": (user_paths, SQL_USER_PATHS),

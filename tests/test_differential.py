@@ -278,7 +278,8 @@ def _write_tpch_micro(tmp_path, rng):
 @pytest.mark.parametrize(
     "qname",
     ["local_supplier_volume", "volume_shipping", "returned_items",
-     "promo_revenue"],
+     "promo_revenue", "order_priority_check", "top_supplier_revenue",
+     "bracket_revenue"],
 )
 def test_tpch_join_queries_differential(ray_session, tmp_path, seed, qname):
     """TPC-H join shapes (Q5/Q7/Q10/Q14) over a random micro-schema: the
