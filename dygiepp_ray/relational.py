@@ -5034,6 +5034,318 @@ HAVING sum(1) > 0 AND sum(CAST(floor(l_extendedprice * (1 - l_discount)
 """
 
 
+def slowest_supplier_orders(
+    sf_dir: str, k: int = 20, num_buckets: int = 8
+) -> pd.DataFrame:
+    """TPC-H Q21 shape — suppliers who kept orders waiting: on orders
+    with >= 2 distinct suppliers, the supplier who UNIQUELY shipped
+    last (no tie at the order's max shipdate), counted per supplier;
+    top-k by count.
+
+    100-TB plan: lineitem pre-reduces to one max-shipdate int64 per
+    (batch, orderkey, suppkey); ONE orderkey exchange runs the
+    exists/not-exists logic vectorized per bucket (groupby transform,
+    no order loop) and emits per-bucket (suppkey, n) partials — the
+    driver folds O(buckets x active suppliers) dimension-class rows and
+    broadcasts only the k winning suppkeys into the supplier name scan.
+    -> (s_suppkey, s_name, n_orders)."""
+    from .core import hash_exchange
+
+    def lmax(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "l_orderkey" not in df.columns:
+            return pd.DataFrame({"l_orderkey": pd.Series(dtype=np.int64),
+                                 "l_suppkey": pd.Series(dtype=np.int64),
+                                 "ms": pd.Series(dtype=np.int64)})
+        g = pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "l_suppkey": df["l_suppkey"].to_numpy(np.int64),
+            "ms": ts_epoch_us(df["l_shipdate"]),
+        }).groupby(["l_orderkey", "l_suppkey"], as_index=False)["ms"].max()
+        return g.astype(np.int64)
+
+    lip = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    ).map_batches(lmax, batch_format="pandas")
+
+    def census(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"l_suppkey": pd.Series(dtype=np.int64),
+                              "n": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "l_orderkey" not in df.columns:
+            return empty
+        m = df.groupby(["l_orderkey", "l_suppkey"], as_index=False)["ms"].max()
+        grp = m.groupby("l_orderkey")["ms"]
+        mx = grp.transform("max").to_numpy(np.int64)
+        nsupp = grp.transform("size").to_numpy(np.int64)
+        at_max = m["ms"].to_numpy(np.int64) == mx
+        nmax = (pd.Series(at_max.astype(np.int64))
+                .groupby(m["l_orderkey"].to_numpy(np.int64)).transform("sum")
+                .to_numpy(np.int64))
+        keep = at_max & (nsupp >= 2) & (nmax == 1)
+        if not keep.any():
+            return empty
+        g = (m.loc[keep].groupby("l_suppkey", as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return g.astype(np.int64)
+
+    parts = hash_exchange(
+        lip, "l_orderkey", census, num_buckets=num_buckets
+    ).to_pandas()
+    cols = {"s_suppkey": np.int64, "s_name": object, "n_orders": np.int64}
+    if parts.empty or "l_suppkey" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    g = parts.groupby("l_suppkey", as_index=False)["n"].sum()
+    g = g.sort_values(["n", "l_suppkey"], ascending=[False, True],
+                      kind="mergesort").head(k)
+    win_keys = np.sort(g["l_suppkey"].to_numpy(np.int64))
+    keys_ref = ray.put(win_keys)
+
+    def sname(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "s_suppkey" not in df.columns:
+            return pd.DataFrame({"s_suppkey": pd.Series(dtype=np.int64),
+                                 "s_name": pd.Series(dtype=object)})
+        keep = np.isin(df["s_suppkey"].to_numpy(np.int64), ray.get(keys_ref))
+        return pd.DataFrame(
+            {"s_suppkey": df["s_suppkey"].to_numpy(np.int64)[keep],
+             "s_name": df["s_name"].to_numpy()[keep]}
+        )
+
+    names = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).map_batches(sname, batch_format="pandas").to_pandas()
+    if names.empty or "s_suppkey" not in names.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    out = g.merge(names, left_on="l_suppkey", right_on="s_suppkey")
+    out = out.rename(columns={"n": "n_orders"})
+    return out[list(cols)].astype(
+        {"s_suppkey": np.int64, "n_orders": np.int64}
+    ).reset_index(drop=True)
+
+
+SQL_SLOWEST_SUPPLIER_ORDERS = """
+WITH m AS (
+  SELECT l_orderkey, l_suppkey, max(epoch_us(l_shipdate)) AS ms
+  FROM lineitem GROUP BY 1, 2
+),
+m1 AS (
+  SELECT l_orderkey, l_suppkey, ms,
+         max(ms) OVER (PARTITION BY l_orderkey) AS mx,
+         count(*) OVER (PARTITION BY l_orderkey) AS nsupp
+  FROM m
+),
+m2 AS (
+  SELECT l_orderkey, l_suppkey, ms, mx, nsupp,
+         sum(CASE WHEN ms = mx THEN 1 ELSE 0 END)
+           OVER (PARTITION BY l_orderkey) AS nmax
+  FROM m1
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM m2 JOIN supplier ON s_suppkey = l_suppkey
+WHERE ms = mx AND nsupp >= 2 AND nmax = 1
+GROUP BY 1, 2
+ORDER BY n_orders DESC, s_suppkey
+LIMIT 20
+"""
+
+
+_Q22_NATIONS = (0, 1, 2, 3, 4, 5, 6)
+_Q22_CUT_US = int(pd.Timestamp("2000-06-01").value // 1000)
+
+
+def idle_customers(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
+    """TPC-H Q22 shape — global-sales-opportunity: customers from a set
+    of nations with an above-average positive balance and NO RECENT
+    orders (none on/after the cutoff), rolled up per nation.
+
+    100-TB plan: pass 1 reduces the customer scan to ONE (sum, count)
+    scalar pair per batch (driver folds scalars — the "computed
+    broadcast" pattern); the above-average test is the exact integer
+    cross-multiplication ``acctbal_cents * count > total_cents``, so no
+    float average exists on either side.  Pass 2 anti-joins candidates
+    against orders on ONE custkey coexchange with per-bucket
+    (nation, count, sum) partials; the driver folds <= 25 x buckets
+    rows.  -> (c_nationkey, n_customers, total_acctbal_cents)."""
+    from .core import hash_coexchange
+
+    nations = np.asarray(_Q22_NATIONS, dtype=np.int64)
+
+    def cpart(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "c_custkey" not in df.columns:
+            return pd.DataFrame({"tot": pd.Series(dtype=np.int64),
+                                 "cnt": pd.Series(dtype=np.int64)})
+        bal = df["c_acctbal"].to_numpy(np.float64)
+        keep = (bal > 0.0) & np.isin(
+            df["c_nationkey"].to_numpy(np.int64), nations
+        )
+        ac = np.floor(bal[keep] * 100 + 0.5).astype(np.int64)
+        return pd.DataFrame({"tot": np.asarray([int(ac.sum())], np.int64),
+                             "cnt": np.asarray([len(ac)], np.int64)})
+
+    stats = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey",
+                                               "c_acctbal"]
+    ).map_batches(cpart, batch_format="pandas").to_pandas()
+    cols = {"c_nationkey": np.int64, "n_customers": np.int64,
+            "total_acctbal_cents": np.int64}
+    if stats.empty or "tot" not in stats.columns or int(stats["cnt"].sum()) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    tot = int(stats["tot"].sum())
+    cnt = int(stats["cnt"].sum())
+
+    def cfilter(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "c_custkey" not in df.columns:
+            return pd.DataFrame({"c_custkey": pd.Series(dtype=np.int64),
+                                 "c_nationkey": pd.Series(dtype=np.int64),
+                                 "ac": pd.Series(dtype=np.int64)})
+        bal = df["c_acctbal"].to_numpy(np.float64)
+        nk = df["c_nationkey"].to_numpy(np.int64)
+        ac = np.floor(bal * 100 + 0.5).astype(np.int64)
+        keep = (bal > 0.0) & np.isin(nk, nations) & (ac * cnt > tot)
+        return pd.DataFrame({"c_custkey": df["c_custkey"].to_numpy(np.int64)[keep],
+                             "c_nationkey": nk[keep], "ac": ac[keep]})
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    ).map_batches(cfilter, batch_format="pandas")
+
+    def okeys(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_custkey" not in df.columns:
+            return pd.DataFrame({"o_custkey": pd.Series(dtype=np.int64)})
+        keep = ts_epoch_us(df["o_orderdate"]) >= _Q22_CUT_US
+        return pd.DataFrame(
+            {"o_custkey": np.unique(df["o_custkey"].to_numpy(np.int64)[keep])}
+        )
+
+    ordf = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(okeys, batch_format="pandas")
+
+    def anti(c: pd.DataFrame, o: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"c_nationkey": pd.Series(dtype=np.int64),
+                              "n": pd.Series(dtype=np.int64),
+                              "s": pd.Series(dtype=np.int64)})
+        if len(c) == 0 or "c_custkey" not in c.columns:
+            return empty
+        if len(o) and "o_custkey" in o.columns:
+            c = c.loc[~np.isin(c["c_custkey"].to_numpy(np.int64),
+                               np.unique(o["o_custkey"].to_numpy(np.int64)))]
+        if len(c) == 0:
+            return empty
+        g = c.groupby("c_nationkey", as_index=False).agg(
+            n=("c_custkey", "size"), s=("ac", "sum")
+        )
+        return g.astype(np.int64)
+
+    parts = hash_coexchange(
+        cust, ordf, "c_custkey", "o_custkey", anti, num_buckets=num_buckets
+    ).to_pandas()
+    if parts.empty or "c_nationkey" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    g = parts.groupby("c_nationkey", as_index=False).agg(
+        n_customers=("n", "sum"), total_acctbal_cents=("s", "sum")
+    )
+    return g.rename(columns={"c_nationkey": "c_nationkey"}).astype(
+        {c: np.int64 for c in cols}
+    )[list(cols)]
+
+
+SQL_IDLE_CUSTOMERS = f"""
+WITH cc AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS ac
+  FROM customer
+  WHERE c_acctbal > 0.0
+    AND c_nationkey IN {tuple(_Q22_NATIONS)}
+),
+s AS (
+  SELECT CAST(sum(ac) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS cnt
+  FROM cc
+)
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(ac) AS BIGINT) AS total_acctbal_cents
+FROM cc, s
+WHERE ac * cnt > tot
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND epoch_us(o_orderdate) >= {_Q22_CUT_US})
+GROUP BY 1
+"""
+
+
+_TOPUSER_WIN_US = 86_400 * 1_000_000  # 1-day tumbling windows
+
+
+def events_top_users_window(
+    sf_dir: str, k: int = 3, num_buckets: int = 8
+) -> pd.DataFrame:
+    """Tumbling-window leaderboard: top-k users by event count per
+    1-day window (ties broken by smaller user_id).
+
+    100-TB plan: counts are pre-reduced per (batch, window, user), ONE
+    window-keyed exchange totals them and emits only each window's
+    top-k — the classic combiner + per-group heap; the driver sees
+    O(windows x k) rows.  A hot window stays one bucket's problem, and
+    the partial counts bound its input by distinct users, not events.
+    -> (win_start_us, user_id, n_events)."""
+    from .core import hash_exchange
+
+    def epart(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "user_id" not in df.columns:
+            return pd.DataFrame({"win": pd.Series(dtype=np.int64),
+                                 "user_id": pd.Series(dtype=np.int64),
+                                 "n": pd.Series(dtype=np.int64)})
+        win = ts_epoch_us(df["ts"]) // _TOPUSER_WIN_US
+        g = (pd.DataFrame({"win": win,
+                           "user_id": df["user_id"].to_numpy(np.int64)})
+             .groupby(["win", "user_id"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return g.astype(np.int64)
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    ).map_batches(epart, batch_format="pandas")
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"win_start_us": pd.Series(dtype=np.int64),
+                              "user_id": pd.Series(dtype=np.int64),
+                              "n_events": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "win" not in df.columns:
+            return empty
+        g = df.groupby(["win", "user_id"], as_index=False)["n"].sum()
+        g = g.sort_values(["win", "n", "user_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.groupby("win", as_index=False).head(k)
+        return pd.DataFrame(
+            {"win_start_us": g["win"].to_numpy(np.int64) * _TOPUSER_WIN_US,
+             "user_id": g["user_id"].to_numpy(np.int64),
+             "n_events": g["n"].to_numpy(np.int64)}
+        )
+
+    out = hash_exchange(ev, "win", topk, num_buckets=num_buckets).to_pandas()
+    if out.empty or "win_start_us" not in out.columns:
+        return pd.DataFrame({"win_start_us": pd.Series(dtype=np.int64),
+                             "user_id": pd.Series(dtype=np.int64),
+                             "n_events": pd.Series(dtype=np.int64)})
+    return out.astype(np.int64)
+
+
+SQL_EVENTS_TOP_USERS_WINDOW = f"""
+WITH c AS (
+  SELECT (epoch_us(ts) // {_TOPUSER_WIN_US}) * {_TOPUSER_WIN_US}
+           AS win_start_us,
+         user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(win_start_us AS BIGINT) AS win_start_us,
+       CAST(user_id AS BIGINT) AS user_id, n_events
+FROM c
+QUALIFY row_number() OVER (
+  PARTITION BY win_start_us ORDER BY n_events DESC, user_id
+) <= 3
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -5082,6 +5394,11 @@ RELATIONAL_QUERIES = {
     "order_priority_check": (order_priority_check, SQL_ORDER_PRIORITY_CHECK),
     "top_supplier_revenue": (top_supplier_revenue, SQL_TOP_SUPPLIER_REVENUE),
     "bracket_revenue": (bracket_revenue, SQL_BRACKET_REVENUE),
+    "slowest_supplier_orders": (slowest_supplier_orders,
+                                SQL_SLOWEST_SUPPLIER_ORDERS),
+    "idle_customers": (idle_customers, SQL_IDLE_CUSTOMERS),
+    "events_top_users_window": (events_top_users_window,
+                                SQL_EVENTS_TOP_USERS_WINDOW),
     "local_supplier_volume": (local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME),
     "cheapest_supplier": (cheapest_supplier, SQL_CHEAPEST_SUPPLIER),
     "user_paths": (user_paths, SQL_USER_PATHS),

@@ -279,7 +279,7 @@ def _write_tpch_micro(tmp_path, rng):
     "qname",
     ["local_supplier_volume", "volume_shipping", "returned_items",
      "promo_revenue", "order_priority_check", "top_supplier_revenue",
-     "bracket_revenue"],
+     "bracket_revenue", "slowest_supplier_orders", "idle_customers"],
 )
 def test_tpch_join_queries_differential(ray_session, tmp_path, seed, qname):
     """TPC-H join shapes (Q5/Q7/Q10/Q14) over a random micro-schema: the
@@ -322,7 +322,7 @@ def test_per_user_ops_survive_hot_key(ray_session, tmp_path):
     ["events_resample", "events_lag", "sessionize",
      "window_distinct_users", "event_transitions", "events_moving_sum",
      "funnel_steps", "cohort_retention", "pivot_events",
-     "distinct_event_users"],
+     "distinct_event_users", "events_top_users_window"],
 )
 def test_event_window_queries_differential(ray_session, tmp_path, seed, qname):
     rng = np.random.default_rng(seed * 7919 + len(qname))
