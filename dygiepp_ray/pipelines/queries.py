@@ -770,6 +770,7 @@ FROM ents
 # (VERDICT r3 #7).  New queries added mid-round go at the very front.
 _DRIVER_SAMPLE_FIRST = (
     # tier 0: added this session
+    "revenue_forecast", "national_market_share", "product_profit",
     "slowest_supplier_orders", "idle_customers", "events_top_users_window",
     "order_priority_check", "top_supplier_revenue", "bracket_revenue",
     "volume_shipping", "returned_items", "promo_revenue",

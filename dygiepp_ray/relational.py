@@ -5346,6 +5346,402 @@ QUALIFY row_number() OVER (
 """
 
 
+_Q6_LO_US = int(pd.Timestamp("1995-01-01").value // 1000)
+_Q6_HI_US = int(pd.Timestamp("1996-01-01").value // 1000)
+
+
+def revenue_forecast(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 shape — forecasting revenue change: the revenue that
+    would have been kept by dropping small discounts on low-quantity
+    lineitems in one year (``sum(l_extendedprice * l_discount)`` over a
+    shipdate-year x discount-band x quantity filter).
+
+    100-TB plan: the only full-size table is scanned ONCE with column
+    pruning and reduced to one int64 partial per batch (no exchange at
+    all — the driver folds <= n_blocks scalars).  Revenue is fixed-point
+    x1e4 (price and discount each carry two decimals, so the product is
+    exact at four) — no float sum order-dependence on either side.
+    -> one row (revenue_x1e4, n_items); zero rows when nothing matches
+    (so the hash distinguishes "no data" from "zero revenue")."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"rev": pd.Series(dtype=np.int64),
+                              "n": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "l_shipdate" not in df.columns:
+            return empty
+        t = ts_epoch_us(df["l_shipdate"])
+        disc = df["l_discount"].to_numpy(np.float64)
+        disc_x100 = np.floor(disc * 100 + 0.5).astype(np.int64)
+        keep = (
+            (t >= _Q6_LO_US) & (t < _Q6_HI_US)
+            & (disc_x100 >= 5) & (disc_x100 <= 7)
+            & (df["l_quantity"].to_numpy(np.float64) < 24)
+        )
+        if not keep.any():
+            return empty
+        rev = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64)[keep]
+            * disc[keep] * 10_000 + 0.5
+        ).astype(np.int64)
+        return pd.DataFrame({"rev": np.asarray([rev.sum()], np.int64),
+                             "n": np.asarray([len(rev)], np.int64)})
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    ).map_batches(partial, batch_format="pandas").to_pandas()
+    cols = {"revenue_x1e4": np.int64, "n_items": np.int64}
+    if parts.empty or "rev" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    return pd.DataFrame(
+        {"revenue_x1e4": np.asarray([int(parts["rev"].sum())], np.int64),
+         "n_items": np.asarray([int(parts["n"].sum())], np.int64)}
+    )
+
+
+SQL_REVENUE_FORECAST = f"""
+SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 10000 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_x1e4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE epoch_us(l_shipdate) >= {_Q6_LO_US}
+  AND epoch_us(l_shipdate) < {_Q6_HI_US}
+  AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+HAVING count(*) > 0
+"""
+
+
+_Q8_REGION = "ASIA"
+_Q8_NATION = "NATION_2"
+_Q8_LO_US = int(pd.Timestamp("1995-01-01").value // 1000)
+_Q8_HI_US = int(pd.Timestamp("1997-01-01").value // 1000)
+
+
+def national_market_share(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
+    """TPC-H Q8 shape — national market share: within the orders of
+    customers in one region over two years, the revenue share supplied
+    by one nation, per order year.
+
+    100-TB plan: supplier->nation and nation->region are broadcast
+    (bounded: suppliers ~1e-5 of lineitems, nations fixed at 25 — the
+    same asymmetry as ``local_supplier_volume``); lineitem revenue is
+    stamped with the supplier nation in the scan batch and pre-reduced
+    to (orderkey, is_target_nation) partials, then ONE keyed coexchange
+    against filtered orders on orderkey and a SECOND on custkey against
+    customer (both full-size sides exchange only pre-aggregated int64
+    rows).  Each bucket emits <= 2x2 (year, flag) partials; the share is
+    fixed-point ``(num * 1e6) // total`` on exact cent sums.
+    -> (o_year, nation_revenue_cents, total_revenue_cents,
+    mkt_share_x1e6), one row per year with revenue."""
+    from .core import hash_coexchange
+
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet")
+    sup = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nat2reg = dict(
+        zip(nat["n_nationkey"].astype(np.int64),
+            nat["n_regionkey"].map(
+                dict(zip(reg["r_regionkey"], reg["r_name"]))
+            ))
+    )
+    nat2name = dict(zip(nat["n_nationkey"].astype(np.int64), nat["n_name"]))
+    supp2target = {
+        int(k): nat2name.get(int(v)) == _Q8_NATION
+        for k, v in zip(sup["s_suppkey"], sup["s_nationkey"])
+    }
+    target_nations = {
+        int(k) for k, v in nat2reg.items() if v == _Q8_REGION
+    }
+    supp_ref = ray.put(supp2target)
+
+    def lpart(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "l_orderkey" not in df.columns:
+            return pd.DataFrame({"l_orderkey": pd.Series(dtype=np.int64),
+                                 "is_tgt": pd.Series(dtype=np.int64),
+                                 "rc": pd.Series(dtype=np.int64)})
+        s2t = ray.get(supp_ref)
+        rc = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64)
+            * (1 - df["l_discount"].to_numpy(np.float64)) * 100 + 0.5
+        ).astype(np.int64)
+        is_tgt = (
+            df["l_suppkey"].map(s2t).fillna(False).to_numpy(bool)
+        ).astype(np.int64)
+        g = pd.DataFrame(
+            {"l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+             "is_tgt": is_tgt, "rc": rc}
+        ).groupby(["l_orderkey", "is_tgt"], as_index=False)["rc"].sum()
+        return g.astype(np.int64)
+
+    lip = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(lpart, batch_format="pandas")
+
+    def ofilter(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_orderkey" not in df.columns:
+            return pd.DataFrame({"o_orderkey": pd.Series(dtype=np.int64),
+                                 "o_custkey": pd.Series(dtype=np.int64),
+                                 "o_year": pd.Series(dtype=np.int64)})
+        t = ts_epoch_us(df["o_orderdate"])
+        keep = (t >= _Q8_LO_US) & (t < _Q8_HI_US)
+        yr = df["o_orderdate"].dt.year.to_numpy(np.int64)
+        return pd.DataFrame(
+            {"o_orderkey": df["o_orderkey"].to_numpy(np.int64)[keep],
+             "o_custkey": df["o_custkey"].to_numpy(np.int64)[keep],
+             "o_year": yr[keep]}
+        )
+
+    ordf = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(ofilter, batch_format="pandas")
+
+    def ojoin(l: pd.DataFrame, o: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: pd.Series(dtype=np.int64)
+                              for c in ("o_custkey", "o_year", "is_tgt", "rc")})
+        if (len(l) == 0 or "l_orderkey" not in l.columns
+                or len(o) == 0 or "o_orderkey" not in o.columns):
+            return empty
+        j = l.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        if len(j) == 0:
+            return empty
+        g = j.groupby(["o_custkey", "o_year", "is_tgt"], as_index=False)["rc"].sum()
+        return g.astype(np.int64)
+
+    per_cust = hash_coexchange(
+        lip, ordf, "l_orderkey", "o_orderkey", ojoin, num_buckets=num_buckets
+    )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    tgt_ref = ray.put(target_nations)
+
+    def cjoin(l: pd.DataFrame, c: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c_: pd.Series(dtype=np.int64)
+                              for c_ in ("o_year", "is_tgt", "rc")})
+        if (len(l) == 0 or "o_custkey" not in l.columns
+                or len(c) == 0 or "c_custkey" not in c.columns):
+            return empty
+        tgt = ray.get(tgt_ref)
+        c = c.loc[c["c_nationkey"].astype(np.int64).isin(list(tgt))]
+        j = l.merge(c, left_on="o_custkey", right_on="c_custkey")
+        if len(j) == 0:
+            return empty
+        g = j.groupby(["o_year", "is_tgt"], as_index=False)["rc"].sum()
+        return g.astype(np.int64)
+
+    parts = hash_coexchange(
+        per_cust, cust, "o_custkey", "c_custkey", cjoin, num_buckets=num_buckets
+    ).to_pandas()
+    cols = {"o_year": np.int64, "nation_revenue_cents": np.int64,
+            "total_revenue_cents": np.int64, "mkt_share_x1e6": np.int64}
+    if parts.empty or "o_year" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    tot = parts.groupby("o_year")["rc"].sum()
+    num = parts.loc[parts["is_tgt"] == 1].groupby("o_year")["rc"].sum()
+    num = num.reindex(tot.index, fill_value=0)
+    out = pd.DataFrame(
+        {"o_year": tot.index.to_numpy(np.int64),
+         "nation_revenue_cents": num.to_numpy(np.int64),
+         "total_revenue_cents": tot.to_numpy(np.int64)}
+    )
+    out = out[out["total_revenue_cents"] > 0]
+    out["mkt_share_x1e6"] = (
+        out["nation_revenue_cents"].map(int).map(lambda v: v * 1_000_000)
+        // out["total_revenue_cents"].map(int)
+    ).astype(np.int64)
+    return out.sort_values("o_year", ignore_index=True)
+
+
+SQL_NATIONAL_MARKET_SHARE = f"""
+WITH l AS (
+  SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CASE WHEN sn.n_name = '{_Q8_NATION}' THEN 1 ELSE 0 END AS is_tgt,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+              AS BIGINT) AS rc
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation cn ON cn.n_nationkey = c_nationkey
+  JOIN region rn ON rn.r_regionkey = cn.n_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+  WHERE rn.r_name = '{_Q8_REGION}'
+    AND epoch_us(o_orderdate) >= {_Q8_LO_US}
+    AND epoch_us(o_orderdate) < {_Q8_HI_US}
+),
+a AS (
+  SELECT o_year,
+         CAST(sum(CASE WHEN is_tgt = 1 THEN rc ELSE 0 END) AS BIGINT)
+           AS nation_revenue_cents,
+         CAST(sum(rc) AS BIGINT) AS total_revenue_cents
+  FROM l GROUP BY 1
+)
+SELECT o_year, nation_revenue_cents, total_revenue_cents,
+       CAST((CAST(nation_revenue_cents AS HUGEINT) * 1000000)
+            // total_revenue_cents AS BIGINT) AS mkt_share_x1e6
+FROM a WHERE total_revenue_cents > 0 ORDER BY o_year
+"""
+
+
+_Q9_WORD = "bolt"
+
+
+def product_profit(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
+    """TPC-H Q9 shape — product-type profit: for every lineitem whose
+    part name contains one word, profit per (supplier nation, order
+    year).  This schema has no partsupp/supplycost, so cost =
+    ``p_retailprice * l_quantity`` (the reference Q9 uses
+    ``ps_supplycost * l_quantity`` — same join/aggregate shape).
+
+    100-TB plan: supplier->nation is broadcast (bounded small side);
+    part is NOT broadcast (it scales with SF) — the name filter runs
+    inside the part scan and ONE keyed coexchange on partkey attaches
+    part price to lineitem partials, pre-reduced to (orderkey, nation)
+    rows; a SECOND coexchange on orderkey attaches the order year.
+    Profit is exact integer cents (quantities are integral, so
+    ``price_cents * qty`` is exact).  Each bucket emits <= nations x
+    years partials.  -> (supp_nation, o_year, profit_cents)."""
+    from .core import hash_coexchange
+
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    sup = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nat2name = dict(zip(nat["n_nationkey"].astype(np.int64), nat["n_name"]))
+    supp2nat = {
+        int(k): nat2name.get(int(v))
+        for k, v in zip(sup["s_suppkey"], sup["s_nationkey"])
+    }
+    supp_ref = ray.put(supp2nat)
+
+    def lpart(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"l_partkey": np.int64, "l_orderkey": np.int64,
+                "rc": np.int64, "qty": np.int64}
+        if len(df) == 0 or "l_orderkey" not in df.columns:
+            return pd.DataFrame({**{c: pd.Series(dtype=t)
+                                    for c, t in cols.items()},
+                                 "nation": pd.Series(dtype=object)})
+        s2n = ray.get(supp_ref)
+        rc = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64)
+            * (1 - df["l_discount"].to_numpy(np.float64)) * 100 + 0.5
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"l_partkey": df["l_partkey"].to_numpy(np.int64),
+             "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+             "rc": rc,
+             "qty": df["l_quantity"].to_numpy(np.float64).astype(np.int64),
+             "nation": df["l_suppkey"].map(s2n).to_numpy(object)}
+        )
+
+    lip = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_orderkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(lpart, batch_format="pandas")
+
+    def pfilter(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "p_partkey" not in df.columns:
+            return pd.DataFrame({"p_partkey": pd.Series(dtype=np.int64),
+                                 "price_cents": pd.Series(dtype=np.int64)})
+        keep = df["p_name"].str.contains(_Q9_WORD, regex=False).to_numpy(bool)
+        pc = np.floor(
+            df["p_retailprice"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"p_partkey": df["p_partkey"].to_numpy(np.int64)[keep],
+             "price_cents": pc[keep]}
+        )
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name", "p_retailprice"],
+    ).map_batches(pfilter, batch_format="pandas")
+
+    def pjoin(l: pd.DataFrame, p: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"l_orderkey": pd.Series(dtype=np.int64),
+                              "nation": pd.Series(dtype=object),
+                              "profit": pd.Series(dtype=np.int64)})
+        if (len(l) == 0 or "l_partkey" not in l.columns
+                or len(p) == 0 or "p_partkey" not in p.columns):
+            return empty
+        j = l.merge(p, left_on="l_partkey", right_on="p_partkey")
+        if len(j) == 0:
+            return empty
+        j["profit"] = j["rc"] - j["price_cents"] * j["qty"]
+        g = j.groupby(["l_orderkey", "nation"], as_index=False)["profit"].sum()
+        return g.astype({"l_orderkey": np.int64, "profit": np.int64})
+
+    per_order = hash_coexchange(
+        lip, part, "l_partkey", "p_partkey", pjoin, num_buckets=num_buckets
+    )
+
+    def oyear(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_orderkey" not in df.columns:
+            return pd.DataFrame({"o_orderkey": pd.Series(dtype=np.int64),
+                                 "o_year": pd.Series(dtype=np.int64)})
+        return pd.DataFrame(
+            {"o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+             "o_year": df["o_orderdate"].dt.year.to_numpy(np.int64)}
+        )
+
+    ordf = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(oyear, batch_format="pandas")
+
+    def ojoin(l: pd.DataFrame, o: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"nation": pd.Series(dtype=object),
+                              "o_year": pd.Series(dtype=np.int64),
+                              "profit": pd.Series(dtype=np.int64)})
+        if (len(l) == 0 or "l_orderkey" not in l.columns
+                or len(o) == 0 or "o_orderkey" not in o.columns):
+            return empty
+        j = l.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        if len(j) == 0:
+            return empty
+        g = j.groupby(["nation", "o_year"], as_index=False)["profit"].sum()
+        return g.astype({"o_year": np.int64, "profit": np.int64})
+
+    parts = hash_coexchange(
+        per_order, ordf, "l_orderkey", "o_orderkey", ojoin,
+        num_buckets=num_buckets,
+    ).to_pandas()
+    cols = {"supp_nation": object, "o_year": np.int64,
+            "profit_cents": np.int64}
+    if parts.empty or "nation" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    g = parts.groupby(["nation", "o_year"], as_index=False)["profit"].sum()
+    g = g.rename(columns={"nation": "supp_nation", "profit": "profit_cents"})
+    g["o_year"] = g["o_year"].astype(np.int64)
+    g["profit_cents"] = g["profit_cents"].astype(np.int64)
+    return g.sort_values(["supp_nation", "o_year"], ignore_index=True)
+
+
+SQL_PRODUCT_PROFIT = f"""
+SELECT sn.n_name AS supp_nation,
+       CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+              AS BIGINT)
+         - CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+           * CAST(l_quantity AS BIGINT)
+       ) AS BIGINT) AS profit_cents
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+WHERE p_name LIKE '%{_Q9_WORD}%'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -5417,4 +5813,8 @@ RELATIONAL_QUERIES = {
     "events_late_arrivals": (events_late_arrivals, SQL_EVENTS_LATE_ARRIVALS),
     "events_rate_alert": (events_rate_alert, SQL_EVENTS_RATE_ALERT),
     "rfm_segments": (rfm_segments, SQL_RFM_SEGMENTS),
+    "revenue_forecast": (revenue_forecast, SQL_REVENUE_FORECAST),
+    "national_market_share": (national_market_share,
+                              SQL_NATIONAL_MARKET_SHARE),
+    "product_profit": (product_profit, SQL_PRODUCT_PROFIT),
 }

@@ -265,7 +265,8 @@ def _write_tpch_micro(tmp_path, rng):
     ), tmp_path / "lineitem.parquet")
     pq.write_table(pa.table(
         {"p_partkey": pa.array(np.arange(30, dtype=np.int64)),
-         "p_name": pa.array([f"p{i}" for i in range(30)]),
+         "p_name": pa.array([f"p{i} bolt" if i % 3 == 0 else f"p{i}"
+                             for i in range(30)]),
          "p_brand": pa.array([f"Brand#{i % 5}" for i in range(30)]),
          "p_type": pa.array(rng.choice(
              ["PROMO", "ECONOMY", "SMALL", "STANDARD"], 30)),
@@ -279,7 +280,8 @@ def _write_tpch_micro(tmp_path, rng):
     "qname",
     ["local_supplier_volume", "volume_shipping", "returned_items",
      "promo_revenue", "order_priority_check", "top_supplier_revenue",
-     "bracket_revenue", "slowest_supplier_orders", "idle_customers"],
+     "bracket_revenue", "slowest_supplier_orders", "idle_customers",
+     "revenue_forecast", "national_market_share", "product_profit"],
 )
 def test_tpch_join_queries_differential(ray_session, tmp_path, seed, qname):
     """TPC-H join shapes (Q5/Q7/Q10/Q14) over a random micro-schema: the

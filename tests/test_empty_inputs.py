@@ -45,6 +45,7 @@ _SAMPLE = [
     "zorder_layout", "quantiles_cont_price", "purchase_attribution",
     "contingency_table", "orders_snapshot_diff", "events_ohlc", "small_quantity_revenue", "sales_opportunity", "quantiles_cont_by_flag", "price_outliers", "user_streaks", "winsorized_revenue", "phrase_search", "events_rate_alert", "rfm_segments", "label_gram",
     "volume_shipping", "returned_items", "promo_revenue",
+    "revenue_forecast", "national_market_share", "product_profit",
     "order_priority_check", "top_supplier_revenue", "bracket_revenue",
     "slowest_supplier_orders", "idle_customers", "events_top_users_window",
     "bfs_hops", "user_active_time", "source_diversity",
