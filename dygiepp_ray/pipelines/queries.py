@@ -354,6 +354,101 @@ WHERE e1.pos // {TT} = e2.e_end // {TT}
 SQL_KG_TRIPLES = SQL_TOKS + _KG_TRIPLES_BODY
 
 
+def q_kg_triples_temporal(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
+    """Temporal KG materialization: every distinct (subj, pred, obj)
+    with its corpus-wide support (mention count, distinct conversations)
+    and first/last-seen timestamps — the valid-time metadata a KG store
+    needs for incremental upserts and staleness queries at 100 TB
+    (reference emits per-doc relations only; the temporal roll-up is the
+    graph-store side of "materialized graph store" in the north rule).
+
+    The timestamp of a triple mention is the ts of the turn containing
+    its predicate token (input_hint ``ts`` column; the adapter stamps
+    turn t at t(t+1)/2 seconds, so min/max over turns are SQL-exact).
+    Partials collapse to one row per (triple, conv) inside each
+    extraction block, then ONE keyed exchange on the triple key
+    finalizes count/distinct/min/max — shuffle bytes are O(distinct
+    triples x convs-per-block), never O(mentions)."""
+    from ..core import partitioned_map_groups
+
+    pipe = from_documents_table(sf_dir)
+    spw = WIN // TT  # sentences (turns) per window
+
+    _OUT = {"subj": object, "pred": object, "obj": object,
+            "n_mentions": np.int64, "n_convs": np.int64,
+            "first_seen_us": np.int64, "last_seen_us": np.int64}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "subj" not in df.columns:
+            return pd.DataFrame(
+                {"key": pd.Series(dtype=object),
+                 "subj": pd.Series(dtype=object),
+                 "pred": pd.Series(dtype=object),
+                 "obj": pd.Series(dtype=object),
+                 "conv_id": pd.Series(dtype=object),
+                 "n": pd.Series(dtype=np.int64),
+                 "lo": pd.Series(dtype=np.int64),
+                 "hi": pd.Series(dtype=np.int64)}
+            )
+        w = (
+            df["doc_key"].str.extract(r"_SPLIT_(\d+)$", expand=False)
+            .fillna("0").astype(np.int64)
+        )
+        t = w.to_numpy(np.int64) * spw + df["sent_ix"].to_numpy(np.int64)
+        ts_us = (t * (t + 1) // 2) * 1_000_000
+        d = pd.DataFrame(
+            {"subj": df["subj"].to_numpy(object),
+             "pred": df["label"].to_numpy(object),
+             "obj": df["obj"].to_numpy(object),
+             "conv_id": df["conv_id"].to_numpy(object),
+             "ts_us": ts_us}
+        )
+        g = d.groupby(["subj", "pred", "obj", "conv_id"], as_index=False).agg(
+            n=("ts_us", "size"), lo=("ts_us", "min"), hi=("ts_us", "max")
+        )
+        # composite exchange key: \x1f join (pandas 2.x str.cat drops
+        # NUL separators silently — see CLAUDE.md)
+        g["key"] = g["subj"].str.cat([g["pred"], g["obj"]], sep="\x1f")
+        return g.astype({"n": np.int64, "lo": np.int64, "hi": np.int64})
+
+    partials = pipe.relations.map_batches(partial, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "subj" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in _OUT.items()})
+        g = df.groupby(["subj", "pred", "obj"], as_index=False).agg(
+            n_mentions=("n", "sum"), n_convs=("conv_id", "nunique"),
+            first_seen_us=("lo", "min"), last_seen_us=("hi", "max"),
+        )
+        for c in ("n_mentions", "n_convs", "first_seen_us", "last_seen_us"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    out = partitioned_map_groups(partials, "key", final, num_buckets=16)
+    if out.count() == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT.items()})
+    return out
+
+
+SQL_KG_TRIPLES_TEMPORAL = SQL_TOKS + f""",
+rel AS (
+  SELECT e1.doc_id, e1.surface AS subj, p.tok AS pred, e2.surface AS obj,
+         p.pos // {TT} AS t
+  FROM ents e1
+  JOIN preds p ON p.doc_id = e1.doc_id AND p.pos = e1.e_end + 1
+  JOIN ents e2 ON e2.doc_id = e1.doc_id AND e2.pos = e1.e_end + 2
+  WHERE e1.pos // {TT} = e2.e_end // {TT}
+)
+SELECT subj, pred, obj,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_convs,
+       CAST(min(t * (t + 1) // 2) * 1000000 AS BIGINT) AS first_seen_us,
+       CAST(max(t * (t + 1) // 2) * 1000000 AS BIGINT) AS last_seen_us
+FROM rel GROUP BY 1, 2, 3
+"""
+
+
 def q_kg_entity_degree(sf_dir: str) -> ray.data.Dataset:
     """Degree profile of the constructed KG: per subject entity, its
     triple count, distinct objects and distinct predicates — the fan-out
@@ -770,6 +865,7 @@ FROM ents
 # (VERDICT r3 #7).  New queries added mid-round go at the very front.
 _DRIVER_SAMPLE_FIRST = (
     # tier 0: added this session
+    "kg_triples_temporal",
     "revenue_forecast", "national_market_share", "product_profit",
     "slowest_supplier_orders", "idle_customers", "events_top_users_window",
     "order_priority_check", "top_supplier_revenue", "bracket_revenue",
@@ -962,6 +1058,7 @@ KG_QUERIES = {
     "kg_cooccurrence": (q_kg_cooccurrence, SQL_KG_COOCCURRENCE),
     "kg_relations": (q_kg_relations, SQL_KG_RELATIONS),
     "kg_triples": (q_kg_triples, SQL_KG_TRIPLES),
+    "kg_triples_temporal": (q_kg_triples_temporal, SQL_KG_TRIPLES_TEMPORAL),
     "kg_entity_degree": (q_kg_entity_degree, SQL_KG_ENTITY_DEGREE),
     "kg_path2": (q_kg_path2, SQL_KG_PATH2),
     "kg_triggers": (q_kg_triggers, SQL_KG_TRIGGERS),

@@ -188,6 +188,33 @@ def test_document_queries_differential(ray_session, tmp_path, seed):
         _compare(str(tmp_path), q)
 
 
+@pytest.mark.parametrize("seed", [11, 37])
+def test_kg_triples_temporal_differential(ray_session, tmp_path, seed):
+    """Temporal triple roll-up under random lexicon-dense documents LONG
+    enough to split into multiple windows — the ``_SPLIT_w`` doc_key
+    parse and the turn-ts formula must agree with the SQL twin across
+    window boundaries."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(20, 60))
+    # entity unigrams + predicate words + filler: adjacent ENT PRED ENT
+    # runs appear at random, often repeated across docs (n_convs > 1)
+    vocab = np.array(
+        ["batch", "column", "customer", "join", "merge", "scan",
+         "filter", "x", "y"]
+    )
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(0, 600)))
+        for _ in range(n)
+    ]
+    texts[0] = ""  # tokenizer edge case
+    pq.write_table(pa.table(
+        {"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+         "source": pa.array(rng.choice(["web", "book"], n)),
+         "text": pa.array(texts)}
+    ), tmp_path / "documents.parquet")
+    _compare(str(tmp_path), "kg_triples_temporal")
+
+
 @pytest.mark.parametrize("seed", [17, 53])
 def test_mixture_sample_differential(ray_session, tmp_path, seed):
     """Quota math and md5-rank selection under random source skew —

@@ -51,7 +51,7 @@ _SAMPLE = [
     "bfs_hops", "user_active_time", "source_diversity",
     "events_late_arrivals", "containment_dups", "unigram_surprisal",
     "local_supplier_volume", "mixture_sample", "kg_entity_degree",
-    "kg_path2",
+    "kg_path2", "kg_triples_temporal",
     # NOT sampled: ner_eval / ner_eval_weighted — global aggregates whose
     # natural empty output is one zero row (like their SQL twins)
     # formerly-crashing driver-side collects (each had a KeyError /
