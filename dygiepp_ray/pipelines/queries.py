@@ -570,6 +570,356 @@ GROUP BY 1, 2
 """
 
 
+def q_kg_predicate_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-predicate schema profile of the constructed KG: corpus-wide
+    mention support, distinct (subject, object) pairs, distinct subjects
+    and objects, and the fixed-point functionality ratio
+    ``objs_per_subj_x1e6 = (1e6 * n_distinct) // n_subjects`` — the
+    statistic a KG store uses to decide whether a predicate is
+    functional (ratio ~1e6) and so amenable to single-value upserts.
+
+    Predicates are few and HOT, so the exchanges key on (subj, pred) /
+    (obj, pred) — never on the bare predicate — and each bucket emits
+    one partial row per predicate; the driver merges O(buckets x preds)
+    rows, never triples (reference emits per-doc relation lists only:
+    ``dygie/models/relation.py:230-248``; the schema profile is the
+    graph-store side of KG construction)."""
+    from ..core import partitioned_map_groups
+
+    pipe = from_documents_table(sf_dir)
+    trip = (
+        pipe.triples()
+        .select_columns(["subj", "pred", "obj"])
+        .materialize()
+    )
+
+    _OUT = {"pred": object, "n_mentions": np.int64, "n_distinct": np.int64,
+            "n_subjects": np.int64, "n_objects": np.int64,
+            "objs_per_subj_x1e6": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT.items()})
+
+    def key_sp(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "subj" not in df.columns:
+            return pd.DataFrame({"subj": pd.Series(dtype=object),
+                                 "pred": pd.Series(dtype=object),
+                                 "obj": pd.Series(dtype=object),
+                                 "__k": pd.Series(dtype=object)})
+        return df.assign(__k=df["subj"].str.cat(df["pred"], sep="\x1f"))
+
+    def key_op(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "obj" not in df.columns:
+            return pd.DataFrame({"pred": pd.Series(dtype=object),
+                                 "obj": pd.Series(dtype=object),
+                                 "__k": pd.Series(dtype=object)})
+        return df.assign(__k=df["obj"].str.cat(df["pred"], sep="\x1f"))
+
+    def subj_side(df: pd.DataFrame) -> pd.DataFrame:
+        # bucket keyed on (subj, pred): every row of one (subj, pred)
+        # lands here, so per-subject distinct objects are exact; a
+        # predicate's subjects spread over buckets and the partials sum
+        if len(df) == 0 or "subj" not in df.columns:
+            return pd.DataFrame(
+                {"pred": pd.Series(dtype=object),
+                 **{c: pd.Series(dtype=np.int64)
+                    for c in ("n_subjects", "n_mentions", "n_distinct")}})
+        g = df.groupby(["pred", "subj"], as_index=False).agg(
+            n=("obj", "size"), n_objs=("obj", "nunique"))
+        p = g.groupby("pred", as_index=False).agg(
+            n_subjects=("subj", "size"), n_mentions=("n", "sum"),
+            n_distinct=("n_objs", "sum"))
+        return p.astype({c: np.int64
+                         for c in ("n_subjects", "n_mentions", "n_distinct")})
+
+    def obj_side(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "obj" not in df.columns:
+            return pd.DataFrame({"pred": pd.Series(dtype=object),
+                                 "n_objects": pd.Series(dtype=np.int64)})
+        g = df.groupby(["pred", "obj"], as_index=False).size()
+        p = g.groupby("pred", as_index=False).agg(n_objects=("obj", "size"))
+        return p.astype({"n_objects": np.int64})
+
+    a = partitioned_map_groups(
+        trip.map_batches(key_sp, batch_format="pandas"), "__k",
+        subj_side, num_buckets=16).to_pandas()
+    b = partitioned_map_groups(
+        trip.select_columns(["pred", "obj"])
+        .map_batches(key_op, batch_format="pandas"), "__k",
+        obj_side, num_buckets=16).to_pandas()
+    if len(a) == 0 or "pred" not in a.columns:
+        return empty_out
+    sa = a.groupby("pred", as_index=False).sum()
+    sb = b.groupby("pred", as_index=False).sum()
+    m = sa.merge(sb, on="pred")
+    m["objs_per_subj_x1e6"] = (
+        1_000_000 * m["n_distinct"].to_numpy(np.int64)
+    ) // m["n_subjects"].to_numpy(np.int64)
+    return m[list(_OUT)].astype({c: t for c, t in _OUT.items()
+                                 if t is np.int64})
+
+
+SQL_KG_PREDICATE_STATS = SQL_TOKS + f""",
+triples AS ({_KG_TRIPLES_BODY})
+SELECT pred,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT subj || chr(31) || obj) AS BIGINT) AS n_distinct,
+       CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects,
+       CAST(count(DISTINCT obj) AS BIGINT) AS n_objects,
+       CAST((1000000 * count(DISTINCT subj || chr(31) || obj))
+            // count(DISTINCT subj) AS BIGINT) AS objs_per_subj_x1e6
+FROM triples GROUP BY 1
+"""
+
+
+def q_kg_symmetric_pairs(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
+    """Reciprocal-relation detection: entity pairs asserted in BOTH
+    directions under the same predicate (a -p-> b and b -p-> a), with
+    per-direction conversation support — the signal that a predicate is
+    symmetric (and its triples can be stored once) vs merely noisy.
+
+    The flagship triples are conv-locally deduped, so one row = one
+    supporting conversation; the partial collapses each block to
+    UNORDERED-pair counts per direction and ONE keyed exchange on
+    (lo, hi, pred) pivots the two directions together.  Self-loops are
+    excluded (a -p-> a is trivially symmetric)."""
+    from ..core import partitioned_map_groups
+
+    pipe = from_documents_table(sf_dir)
+    trip = pipe.triples().select_columns(["subj", "pred", "obj"])
+
+    _OUT = {"subj": object, "pred": object, "obj": object,
+            "n_convs_fwd": np.int64, "n_convs_rev": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT.items()})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "subj" not in df.columns:
+            return pd.DataFrame(
+                {"lo": pd.Series(dtype=object), "hi": pd.Series(dtype=object),
+                 "pred": pd.Series(dtype=object),
+                 "rev": pd.Series(dtype=np.int64),
+                 "n": pd.Series(dtype=np.int64),
+                 "__k": pd.Series(dtype=object)})
+        s = df["subj"].to_numpy(object)
+        o = df["obj"].to_numpy(object)
+        keep = s != o
+        s, o, pr = s[keep], o[keep], df["pred"].to_numpy(object)[keep]
+        rev = (s > o).astype(np.int64)
+        d = pd.DataFrame({"lo": np.where(rev == 1, o, s),
+                          "hi": np.where(rev == 1, s, o),
+                          "pred": pr, "rev": rev})
+        g = d.groupby(["lo", "hi", "pred", "rev"], as_index=False).size()
+        g = g.rename(columns={"size": "n"}).astype({"n": np.int64})
+        g["__k"] = g["lo"].str.cat([g["hi"], g["pred"]], sep="\x1f")
+        return g
+
+    def pivot(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "lo" not in df.columns:
+            return empty_out
+        g = df.groupby(["lo", "hi", "pred", "rev"], as_index=False)["n"].sum()
+        f = g[g["rev"] == 0].rename(columns={"n": "n_convs_fwd"})
+        r = g[g["rev"] == 1].rename(columns={"n": "n_convs_rev"})
+        m = f.merge(r, on=["lo", "hi", "pred"])
+        if len(m) == 0:
+            return empty_out
+        return pd.DataFrame(
+            {"subj": m["lo"].to_numpy(object), "pred": m["pred"].to_numpy(object),
+             "obj": m["hi"].to_numpy(object),
+             "n_convs_fwd": m["n_convs_fwd"].to_numpy(np.int64),
+             "n_convs_rev": m["n_convs_rev"].to_numpy(np.int64)})
+
+    out = partitioned_map_groups(
+        trip.map_batches(partial, batch_format="pandas"), "__k",
+        pivot, num_buckets=16)
+    if out.count() == 0:
+        return empty_out
+    return out
+
+
+SQL_KG_SYMMETRIC_PAIRS = SQL_TOKS + f""",
+triples AS ({_KG_TRIPLES_BODY}),
+t AS (SELECT subj, pred, obj, CAST(count(*) AS BIGINT) AS n
+      FROM triples GROUP BY 1, 2, 3)
+SELECT a.subj, a.pred, a.obj, a.n AS n_convs_fwd, b.n AS n_convs_rev
+FROM t a JOIN t b
+  ON a.subj = b.obj AND a.obj = b.subj AND a.pred = b.pred
+WHERE a.subj < a.obj
+"""
+
+
+def q_kg_conflicting_attrs(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
+    """Functional-predicate conflict report: (subject, predicate) pairs
+    asserted with MORE THAN ONE distinct object, with the most-supported
+    object as the canonical pick (ties break lexicographically) — the
+    contradiction-resolution step a KG store runs before upserting a
+    single-valued attribute at 100 TB.
+
+    One keyed exchange on (subj, pred) over a tall per-block partial:
+    object rows carry pre-summed support counts, conversation rows are
+    block-deduped ids — shuffle bytes are O(distinct (s,p,o) + distinct
+    (s,p,conv) per block), never O(mentions)."""
+    from ..core import partitioned_map_groups
+
+    pipe = from_documents_table(sf_dir)
+    trip = pipe.triples().select_columns(["conv_id", "subj", "pred", "obj"])
+
+    _OUT = {"subj": object, "pred": object, "n_objs": np.int64,
+            "n_convs": np.int64, "n_mentions": np.int64,
+            "top_obj": object, "top_n": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT.items()})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"subj": object, "pred": object, "val": object,
+                "kind": np.int64, "n": np.int64, "__k": object}
+        if len(df) == 0 or "subj" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in cols.items()})
+        o = df.groupby(["subj", "pred", "obj"], as_index=False).size()
+        o = o.rename(columns={"obj": "val", "size": "n"})
+        o["kind"] = 0
+        c = df[["subj", "pred", "conv_id"]].drop_duplicates()
+        c = c.rename(columns={"conv_id": "val"})
+        c["kind"] = 1
+        c["n"] = 1
+        t = pd.concat([o, c], ignore_index=True).astype(
+            {"kind": np.int64, "n": np.int64})
+        t["__k"] = t["subj"].str.cat(t["pred"], sep="\x1f")
+        return t
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "subj" not in df.columns:
+            return empty_out
+        objs = df[df["kind"] == 0].groupby(
+            ["subj", "pred", "val"], as_index=False)["n"].sum()
+        convs = df[df["kind"] == 1].drop_duplicates(["subj", "pred", "val"])
+        nc = convs.groupby(["subj", "pred"], as_index=False).agg(
+            n_convs=("val", "size"))
+        agg = objs.groupby(["subj", "pred"], as_index=False).agg(
+            n_objs=("val", "size"), n_mentions=("n", "sum"))
+        # canonical pick: max support, then lexicographically smallest
+        top = objs.sort_values(
+            ["subj", "pred", "n", "val"],
+            ascending=[True, True, False, True], kind="mergesort",
+        ).drop_duplicates(["subj", "pred"]).rename(
+            columns={"val": "top_obj", "n": "top_n"})
+        m = agg.merge(nc, on=["subj", "pred"]).merge(
+            top, on=["subj", "pred"])
+        m = m[m["n_objs"] > 1]
+        if len(m) == 0:
+            return empty_out
+        return m[list(_OUT)].astype(
+            {c: np.int64 for c in ("n_objs", "n_convs", "n_mentions", "top_n")})
+
+    out = partitioned_map_groups(
+        trip.map_batches(partial, batch_format="pandas"), "__k",
+        final, num_buckets=16)
+    if out.count() == 0:
+        return empty_out
+    return out
+
+
+SQL_KG_CONFLICTING_ATTRS = SQL_TOKS + f""",
+triples AS ({_KG_TRIPLES_BODY}),
+t AS (SELECT subj, pred, obj, CAST(count(*) AS BIGINT) AS n
+      FROM triples GROUP BY 1, 2, 3),
+r AS (SELECT subj, pred, obj, n,
+             row_number() OVER (PARTITION BY subj, pred
+                                ORDER BY n DESC, obj) AS rn
+      FROM t),
+a AS (SELECT subj, pred, CAST(count(*) AS BIGINT) AS n_objs,
+             CAST(sum(n) AS BIGINT) AS n_mentions
+      FROM t GROUP BY 1, 2 HAVING count(*) > 1),
+c AS (SELECT subj, pred, CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+      FROM triples GROUP BY 1, 2)
+SELECT a.subj, a.pred, a.n_objs, c.n_convs, a.n_mentions,
+       r.obj AS top_obj, r.n AS top_n
+FROM a JOIN c ON c.subj = a.subj AND c.pred = a.pred
+JOIN r ON r.subj = a.subj AND r.pred = a.pred AND r.rn = 1
+"""
+
+
+def q_kg_upsert_diff(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
+    """Incremental graph-store maintenance: treat even-numbered
+    conversations as the materialized BASE graph and odd-numbered ones
+    as the incoming DELTA batch, and compute the per-triple upsert plan
+    — ``new`` (first assertion), ``reinforced`` (support grew) or
+    ``unchanged`` (no new evidence).  This is the diff a 100-TB KG store
+    applies on each ingest cycle instead of rebuilding the graph.
+
+    One keyed exchange on the triple key over per-block
+    (triple, partition)-collapsed counts; conv-support is exact because
+    flagship triples are conv-locally deduped (one row per supporting
+    conversation)."""
+    from ..core import partitioned_map_groups
+
+    pipe = from_documents_table(sf_dir)
+    trip = pipe.triples().select_columns(["conv_id", "subj", "pred", "obj"])
+
+    _OUT = {"subj": object, "pred": object, "obj": object,
+            "n_base": np.int64, "n_delta": np.int64, "status": object}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT.items()})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"subj": object, "pred": object, "obj": object,
+                "par": np.int64, "n": np.int64, "__k": object}
+        if len(df) == 0 or "subj" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in cols.items()})
+        d = df.assign(
+            par=df["conv_id"].str.slice(3).astype(np.int64) % 2)
+        g = d.groupby(["subj", "pred", "obj", "par"], as_index=False).size()
+        g = g.rename(columns={"size": "n"}).astype(
+            {"par": np.int64, "n": np.int64})
+        g["__k"] = g["subj"].str.cat([g["pred"], g["obj"]], sep="\x1f")
+        return g
+
+    def plan(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "subj" not in df.columns:
+            return empty_out
+        g = df.groupby(["subj", "pred", "obj", "par"], as_index=False)["n"].sum()
+        p = g.pivot_table(index=["subj", "pred", "obj"], columns="par",
+                          values="n", fill_value=0, aggfunc="sum")
+        p = p.reindex(columns=[0, 1], fill_value=0).reset_index()
+        nb = p[0].to_numpy(np.int64)
+        nd = p[1].to_numpy(np.int64)
+        status = np.where(nb == 0, "new",
+                          np.where(nd == 0, "unchanged", "reinforced"))
+        return pd.DataFrame(
+            {"subj": p["subj"].to_numpy(object),
+             "pred": p["pred"].to_numpy(object),
+             "obj": p["obj"].to_numpy(object),
+             "n_base": nb, "n_delta": nd,
+             "status": status.astype(object)})
+
+    out = partitioned_map_groups(
+        trip.map_batches(partial, batch_format="pandas"), "__k",
+        plan, num_buckets=16)
+    if out.count() == 0:
+        return empty_out
+    return out
+
+
+SQL_KG_UPSERT_DIFF = SQL_TOKS + f""",
+rel AS (
+  SELECT DISTINCT e1.doc_id, e1.surface AS subj, p.tok AS pred,
+                  e2.surface AS obj
+  FROM ents e1
+  JOIN preds p ON p.doc_id = e1.doc_id AND p.pos = e1.e_end + 1
+  JOIN ents e2 ON e2.doc_id = e1.doc_id AND e2.pos = e1.e_end + 2
+  WHERE e1.pos // {TT} = e2.e_end // {TT}
+),
+t AS (SELECT subj, pred, obj,
+             CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_base,
+             CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_delta
+      FROM rel GROUP BY 1, 2, 3)
+SELECT subj, pred, obj, n_base, n_delta,
+       CASE WHEN n_base = 0 THEN 'new'
+            WHEN n_delta = 0 THEN 'unchanged'
+            ELSE 'reinforced' END AS status
+FROM t
+"""
+
+
 def q_kg_triggers(sf_dir: str) -> ray.data.Dataset:
     pipe = from_documents_table(sf_dir)
 
@@ -865,6 +1215,8 @@ FROM ents
 # (VERDICT r3 #7).  New queries added mid-round go at the very front.
 _DRIVER_SAMPLE_FIRST = (
     # tier 0: added this session
+    "kg_predicate_stats", "kg_symmetric_pairs", "kg_conflicting_attrs",
+    "kg_upsert_diff",
     "kg_triples_temporal",
     "revenue_forecast", "national_market_share", "product_profit",
     "slowest_supplier_orders", "idle_customers", "events_top_users_window",
@@ -1061,6 +1413,10 @@ KG_QUERIES = {
     "kg_triples_temporal": (q_kg_triples_temporal, SQL_KG_TRIPLES_TEMPORAL),
     "kg_entity_degree": (q_kg_entity_degree, SQL_KG_ENTITY_DEGREE),
     "kg_path2": (q_kg_path2, SQL_KG_PATH2),
+    "kg_predicate_stats": (q_kg_predicate_stats, SQL_KG_PREDICATE_STATS),
+    "kg_symmetric_pairs": (q_kg_symmetric_pairs, SQL_KG_SYMMETRIC_PAIRS),
+    "kg_conflicting_attrs": (q_kg_conflicting_attrs, SQL_KG_CONFLICTING_ATTRS),
+    "kg_upsert_diff": (q_kg_upsert_diff, SQL_KG_UPSERT_DIFF),
     "kg_triggers": (q_kg_triggers, SQL_KG_TRIGGERS),
     "kg_event_args": (q_kg_event_args, SQL_KG_EVENT_ARGS),
     "kg_clusters": (q_kg_clusters, SQL_KG_CLUSTERS),
