@@ -1216,7 +1216,7 @@ FROM ents
 _DRIVER_SAMPLE_FIRST = (
     # tier 0: added this session
     "kg_predicate_stats", "kg_symmetric_pairs", "kg_conflicting_attrs",
-    "kg_upsert_diff",
+    "kg_upsert_diff", "word_entropy",
     "kg_triples_temporal",
     "revenue_forecast", "national_market_share", "product_profit",
     "slowest_supplier_orders", "idle_customers", "events_top_users_window",

@@ -66,6 +66,53 @@ def quality_scores(
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def word_entropy(
+    ds: ray.data.Dataset, text_col="text", id_col="doc_id"
+) -> ray.data.Dataset:
+    """(doc_id, n_tokens, n_distinct, word_entropy) — per-document
+    Shannon entropy of the word-unigram distribution (nats, round 6),
+    the classic repetitiveness/quality signal (low entropy = boilerplate
+    or keyword stuffing; CCNet/Gopher-style filters threshold on it).
+
+    Map-only (documents are independent): vectorized explode + groupby
+    per batch, H = ln(n) - sum(c*ln(c))/n from exact integer counts, so
+    both engines feed ln() identical integers; empty documents score
+    0.0 by convention (matches the oracle's COALESCE)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame(
+            {"doc_id": pd.Series(dtype=np.int64),
+             "n_tokens": pd.Series(dtype=np.int64),
+             "n_distinct": pd.Series(dtype=np.int64),
+             "word_entropy": pd.Series(dtype=np.float64)})
+        if len(df) == 0 or text_col not in df.columns:
+            return out_empty
+        toks = df[text_col].str.strip().str.split(r"\s+", regex=True)
+        toks = toks.map(lambda t: [] if t == [""] else t)
+        ids = df[id_col].to_numpy(np.int64)
+        e = pd.DataFrame(
+            {"doc_id": np.repeat(ids, toks.map(len).to_numpy(np.int64)),
+             "tok": np.concatenate(
+                 [np.asarray(t, dtype=object) for t in toks]
+             ) if len(df) else np.empty(0, object)})
+        c = e.groupby(["doc_id", "tok"], as_index=False).size()
+        cv = c["size"].to_numpy(np.float64)
+        c["cln"] = cv * np.log(cv)
+        a = c.groupby("doc_id", as_index=False).agg(
+            n_tokens=("size", "sum"), n_distinct=("size", "size"),
+            s=("cln", "sum"))
+        nv = a["n_tokens"].to_numpy(np.float64)
+        a["word_entropy"] = (np.log(nv) - a["s"].to_numpy() / nv).round(6)
+        full = pd.DataFrame({"doc_id": ids}).merge(
+            a.drop(columns="s"), on="doc_id", how="left")
+        full["n_tokens"] = full["n_tokens"].fillna(0).astype(np.int64)
+        full["n_distinct"] = full["n_distinct"].fillna(0).astype(np.int64)
+        full["word_entropy"] = full["word_entropy"].fillna(0.0)
+        return full
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 # GPT-2-style pre-tokenizer regex, restricted to constructs with identical
 # semantics in Python re and RE2 (no lookahead, no \p classes) so the
 # DuckDB oracle reproduces it exactly.

@@ -75,6 +75,32 @@ FROM base b LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_word_entropy(sf_dir: str):
+    return quality.word_entropy(_docs(sf_dir))
+
+
+SQL_WORD_ENTROPY = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS arr
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(arr) AS tok FROM base),
+c AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c
+      FROM toks GROUP BY 1, 2),
+a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS word_entropy
+      FROM c GROUP BY 1)
+SELECT b.doc_id,
+       COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.n_distinct, 0) AS n_distinct,
+       COALESCE(a.word_entropy, 0.0) AS word_entropy
+FROM base b LEFT JOIN a USING (doc_id)
+"""
+
+
 def q_content_filter(sf_dir: str):
     return quality.content_flags(_docs(sf_dir))
 
@@ -1791,6 +1817,7 @@ TEXTOPS_QUERIES = {
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "bpe_token_count": (q_bpe_token_count, SQL_BPE_TOKEN_COUNT),
     "quality_scores": (q_quality, SQL_QUALITY),
+    "word_entropy": (q_word_entropy, SQL_WORD_ENTROPY),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "content_filter": (q_content_filter, SQL_CONTENT_FILTER),
