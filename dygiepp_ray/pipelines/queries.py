@@ -836,6 +836,114 @@ JOIN r ON r.subj = a.subj AND r.pred = a.pred AND r.rn = 1
 """
 
 
+def q_kg_entity_cards(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
+    """Entity cards: the per-entity profile a KG store serves for lookup
+    — surface, NER label, mention support, distinct conversations, and
+    distinct in/out triple degree.  This is the entity-centric join of
+    the mention table with both triple endpoints (the reference keeps
+    these per-document only; the corpus roll-up is the graph-store
+    view).
+
+    ONE keyed exchange on the entity surface over a tall union of
+    per-block-collapsed partials: mention rows carry (label, conv,
+    count), endpoint rows carry block-deduped (pred, other) pairs —
+    shuffle bytes O(distinct per block), never O(mentions x degree)."""
+    from ..core import partitioned_map_groups
+
+    pipe = from_documents_table(sf_dir)
+
+    _OUT = {"surface": object, "label": object,
+            "n_mentions": np.int64, "n_convs": np.int64,
+            "out_deg": np.int64, "in_deg": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT.items()})
+    _TALL = {"surface": object, "label": object, "conv": object,
+             "val": object, "kind": np.int64, "n": np.int64}
+
+    def tall_empty() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _TALL.items()})
+
+    def mention_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "surface" not in df.columns:
+            return tall_empty()
+        g = df.groupby(["surface", "label", "conv_id"], as_index=False).size()
+        return pd.DataFrame(
+            {"surface": g["surface"].to_numpy(object),
+             "label": g["label"].to_numpy(object),
+             "conv": g["conv_id"].to_numpy(object),
+             "val": np.full(len(g), "", object),
+             "kind": np.zeros(len(g), np.int64),
+             "n": g["size"].to_numpy(np.int64)})
+
+    def triple_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "subj" not in df.columns:
+            return tall_empty()
+        o = df[["subj", "pred", "obj"]].drop_duplicates()
+        outp = pd.DataFrame(
+            {"surface": o["subj"].to_numpy(object),
+             "label": np.full(len(o), "", object),
+             "conv": np.full(len(o), "", object),
+             "val": o["pred"].str.cat(o["obj"], sep="\x1f").to_numpy(object),
+             "kind": np.full(len(o), 1, np.int64),
+             "n": np.ones(len(o), np.int64)})
+        inp = pd.DataFrame(
+            {"surface": o["obj"].to_numpy(object),
+             "label": np.full(len(o), "", object),
+             "conv": np.full(len(o), "", object),
+             "val": o["pred"].str.cat(o["subj"], sep="\x1f").to_numpy(object),
+             "kind": np.full(len(o), 2, np.int64),
+             "n": np.ones(len(o), np.int64)})
+        return pd.concat([outp, inp], ignore_index=True)
+
+    ments = pipe.mentions.select_columns(
+        ["surface", "label", "conv_id"]
+    ).map_batches(mention_partial, batch_format="pandas")
+    trips = pipe.triples().select_columns(
+        ["subj", "pred", "obj"]
+    ).map_batches(triple_partial, batch_format="pandas")
+    tall = ments.union(trips)
+
+    def card(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "surface" not in df.columns:
+            return empty_out
+        m = df[df["kind"] == 0].groupby(
+            ["surface", "label", "conv"], as_index=False)["n"].sum()
+        agg = m.groupby(["surface", "label"], as_index=False).agg(
+            n_mentions=("n", "sum"), n_convs=("conv", "size"))
+        o = (df[df["kind"] == 1].drop_duplicates(["surface", "val"])
+             .groupby("surface", as_index=False).agg(out_deg=("val", "size")))
+        i = (df[df["kind"] == 2].drop_duplicates(["surface", "val"])
+             .groupby("surface", as_index=False).agg(in_deg=("val", "size")))
+        r = agg.merge(o, on="surface", how="left").merge(
+            i, on="surface", how="left")
+        for c in ("n_mentions", "n_convs", "out_deg", "in_deg"):
+            r[c] = r[c].fillna(0).astype(np.int64)
+        return r[list(_OUT)]
+
+    out = partitioned_map_groups(tall, "surface", card, num_buckets=16)
+    if out.count() == 0:
+        return empty_out
+    return out
+
+
+SQL_KG_ENTITY_CARDS = SQL_TOKS + f""",
+triples AS ({_KG_TRIPLES_BODY}),
+m AS (SELECT surface, {_LABEL_CASE} AS label,
+             CAST(count(*) AS BIGINT) AS n_mentions,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_convs
+      FROM ents GROUP BY 1, 2),
+o AS (SELECT subj AS surface,
+             CAST(count(DISTINCT pred || chr(31) || obj) AS BIGINT) AS out_deg
+      FROM triples GROUP BY 1),
+i AS (SELECT obj AS surface,
+             CAST(count(DISTINCT pred || chr(31) || subj) AS BIGINT) AS in_deg
+      FROM triples GROUP BY 1)
+SELECT m.surface, m.label, m.n_mentions, m.n_convs,
+       COALESCE(o.out_deg, 0) AS out_deg,
+       COALESCE(i.in_deg, 0) AS in_deg
+FROM m LEFT JOIN o USING (surface) LEFT JOIN i USING (surface)
+"""
+
+
 def q_kg_upsert_diff(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
     """Incremental graph-store maintenance: treat even-numbered
     conversations as the materialized BASE graph and odd-numbered ones
@@ -1216,7 +1324,7 @@ FROM ents
 _DRIVER_SAMPLE_FIRST = (
     # tier 0: added this session
     "kg_predicate_stats", "kg_symmetric_pairs", "kg_conflicting_attrs",
-    "kg_upsert_diff", "word_entropy",
+    "kg_upsert_diff", "word_entropy", "kg_entity_cards",
     "kg_triples_temporal",
     "revenue_forecast", "national_market_share", "product_profit",
     "slowest_supplier_orders", "idle_customers", "events_top_users_window",
@@ -1417,6 +1525,7 @@ KG_QUERIES = {
     "kg_symmetric_pairs": (q_kg_symmetric_pairs, SQL_KG_SYMMETRIC_PAIRS),
     "kg_conflicting_attrs": (q_kg_conflicting_attrs, SQL_KG_CONFLICTING_ATTRS),
     "kg_upsert_diff": (q_kg_upsert_diff, SQL_KG_UPSERT_DIFF),
+    "kg_entity_cards": (q_kg_entity_cards, SQL_KG_ENTITY_CARDS),
     "kg_triggers": (q_kg_triggers, SQL_KG_TRIGGERS),
     "kg_event_args": (q_kg_event_args, SQL_KG_EVENT_ARGS),
     "kg_clusters": (q_kg_clusters, SQL_KG_CLUSTERS),
