@@ -1028,6 +1028,118 @@ FROM t
 """
 
 
+_NEG_K = 4  # corrupted tails per positive triple
+
+
+def q_kg_negative_samples(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
+    """Deterministic corrupt-tail negative sampling (the TransE-style
+    training-pair generator run over a constructed KG): for every
+    distinct positive triple and k in 0..3, pick a replacement object
+    ``vocab[md5(s,p,o,k) % |vocab|]`` and keep the pair only if the
+    corrupted triple is NOT asserted anywhere in the corpus.
+
+    The entity vocabulary is the small side (canonical entities) —
+    collected once and closed over (``ray.put`` broadcast at real
+    scale); candidates are generated inside a (subj, pred)-keyed
+    exchange, so the filter against true triples is bucket-LOCAL set
+    membership (all (s, p, *) rows co-locate) — no second join."""
+    import hashlib
+
+    from ..core import partitioned_map_groups
+
+    pipe = from_documents_table(sf_dir)
+    trip = pipe.triples().select_columns(["subj", "pred", "obj"])
+
+    _OUT = {"subj": object, "pred": object, "obj": object,
+            "k": np.int64, "obj_neg": object}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT.items()})
+
+    # entity vocabulary, sorted (matches the oracle's ORDER BY surface);
+    # a zero-row corpus loses the schema — guard before selecting
+    ents = pipe.entities(num_salts=8).to_pandas()
+    if len(ents) == 0 or "surface" not in ents.columns:
+        return empty_out
+    vocab = np.sort(ents["surface"].to_numpy(object))
+    nv = len(vocab)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "subj" not in df.columns:
+            return pd.DataFrame({"subj": pd.Series(dtype=object),
+                                 "pred": pd.Series(dtype=object),
+                                 "obj": pd.Series(dtype=object),
+                                 "__k": pd.Series(dtype=object)})
+        d = df[["subj", "pred", "obj"]].drop_duplicates()
+        return d.assign(__k=d["subj"].str.cat(d["pred"], sep="\x1f"))
+
+    def negs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "subj" not in df.columns:
+            return empty_out
+        # blocks concatenate with their own 0-based indexes: reset so
+        # index.repeat() fans out each row exactly _NEG_K times
+        t = df[["subj", "pred", "obj"]].drop_duplicates().reset_index(drop=True)
+        true_keys = set(
+            t["subj"].str.cat([t["pred"], t["obj"]], sep="\x1f"))
+        r = t.loc[t.index.repeat(_NEG_K)].reset_index(drop=True)
+        k = np.tile(np.arange(_NEG_K, dtype=np.int64), len(t))
+        seed = r["subj"].str.cat(
+            [r["pred"], r["obj"], pd.Series(k.astype(str), dtype=object)],
+            sep="\x1f")
+        idx = seed.map(
+            lambda s: int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % nv
+        ).to_numpy(np.int64)
+        obj_neg = vocab[idx]
+        cand = r["subj"].str.cat(
+            [r["pred"], pd.Series(obj_neg, dtype=object)], sep="\x1f")
+        keep = ~cand.isin(true_keys).to_numpy()
+        out = pd.DataFrame(
+            {"subj": r["subj"].to_numpy(object)[keep],
+             "pred": r["pred"].to_numpy(object)[keep],
+             "obj": r["obj"].to_numpy(object)[keep],
+             "k": k[keep], "obj_neg": obj_neg[keep]})
+        return out if len(out) else empty_out
+
+    out = partitioned_map_groups(
+        trip.map_batches(partial, batch_format="pandas"), "__k",
+        negs, num_buckets=16)
+    if out.count() == 0:
+        return empty_out
+    return out
+
+
+def _sql_hexval_big(expr: str, nchars: int) -> str:
+    """BIGINT value of the first ``nchars`` hex chars of ``expr``."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {1 + i}, 1)) - 1)"
+        f" * {16 ** (nchars - 1 - i)}::BIGINT"
+        for i in range(nchars)
+    ) + ")"
+
+
+_NEG_SEED = ("c.subj || chr(31) || c.pred || chr(31) || c.obj"
+             " || chr(31) || CAST(c.k AS VARCHAR)")
+
+SQL_KG_NEGATIVE_SAMPLES = SQL_TOKS + f""",
+triples AS ({_KG_TRIPLES_BODY}),
+t AS (SELECT DISTINCT subj, pred, obj FROM triples),
+vocab AS (SELECT array_agg(surface ORDER BY surface) AS v,
+                 CAST(count(*) AS BIGINT) AS nv
+          FROM (SELECT DISTINCT surface FROM ents)),
+cand AS (
+  SELECT c.subj, c.pred, c.obj, CAST(c.k AS BIGINT) AS k,
+         w.v[1 + CAST({_sql_hexval_big(f"md5({_NEG_SEED})", 8)} % w.nv
+                      AS INTEGER)] AS obj_neg
+  FROM (SELECT t.*, g.k FROM t,
+        (SELECT unnest(generate_series(0, {_NEG_K - 1})) AS k) g) c,
+       vocab w
+)
+SELECT c.subj, c.pred, c.obj, c.k, c.obj_neg
+FROM cand c
+WHERE NOT EXISTS (SELECT 1 FROM t
+                  WHERE t.subj = c.subj AND t.pred = c.pred
+                    AND t.obj = c.obj_neg)
+"""
+
+
 def q_kg_triggers(sf_dir: str) -> ray.data.Dataset:
     pipe = from_documents_table(sf_dir)
 
@@ -1325,6 +1437,7 @@ _DRIVER_SAMPLE_FIRST = (
     # tier 0: added this session
     "kg_predicate_stats", "kg_symmetric_pairs", "kg_conflicting_attrs",
     "kg_upsert_diff", "word_entropy", "kg_entity_cards",
+    "kg_negative_samples",
     "kg_triples_temporal",
     "revenue_forecast", "national_market_share", "product_profit",
     "slowest_supplier_orders", "idle_customers", "events_top_users_window",
@@ -1526,6 +1639,7 @@ KG_QUERIES = {
     "kg_conflicting_attrs": (q_kg_conflicting_attrs, SQL_KG_CONFLICTING_ATTRS),
     "kg_upsert_diff": (q_kg_upsert_diff, SQL_KG_UPSERT_DIFF),
     "kg_entity_cards": (q_kg_entity_cards, SQL_KG_ENTITY_CARDS),
+    "kg_negative_samples": (q_kg_negative_samples, SQL_KG_NEGATIVE_SAMPLES),
     "kg_triggers": (q_kg_triggers, SQL_KG_TRIGGERS),
     "kg_event_args": (q_kg_event_args, SQL_KG_EVENT_ARGS),
     "kg_clusters": (q_kg_clusters, SQL_KG_CLUSTERS),
