@@ -1437,7 +1437,7 @@ _DRIVER_SAMPLE_FIRST = (
     # tier 0: added this session
     "kg_predicate_stats", "kg_symmetric_pairs", "kg_conflicting_attrs",
     "kg_upsert_diff", "word_entropy", "kg_entity_cards",
-    "kg_negative_samples",
+    "kg_negative_samples", "csv_docs",
     "kg_triples_temporal",
     "revenue_forecast", "national_market_share", "product_profit",
     "slowest_supplier_orders", "idle_customers", "events_top_users_window",

@@ -951,6 +951,53 @@ FROM ch
 """
 
 
+def q_csv_docs(sf_dir: str):
+    """REAL RFC 4180 CSV parsing (quoted fields with embedded commas,
+    doubled quotes, embedded newlines, CRLF records); the twin
+    regenerates (category, n_chars, text_md5) from the generation rule
+    without touching CSV."""
+    from ..sources import csvfile
+
+    return csvfile.csv_docs(
+        ray.data.from_arrow(csvfile.synth_csv_files(48, 3))
+    )
+
+
+def _sql_csv_docs() -> str:
+    from ..sources.csvfile import CSV_SEED
+
+    return f"""
+WITH m AS (
+  SELECT i, md5('csv:{CSV_SEED}:' || i) AS base FROM range(0, 48) t(i)
+),
+d AS (SELECT i, base, 10 + {_sql_hexval('base', 1, 2)} % 50 AS size FROM m),
+ch AS (
+  SELECT d.i, d.base, d.size,
+         string_agg(md5('csv:{CSV_SEED}:' || d.i || ':' || j.j), ''
+                    ORDER BY j.j) AS chain
+  FROM d, range(0, 3) j(j) GROUP BY d.i, d.base, d.size
+),
+x AS (
+  SELECT i, base,
+         CASE i % 4
+           WHEN 0 THEN substring(chain, 1, size)
+           WHEN 1 THEN substring(chain, 1, 5) || ','
+                       || substring(substring(chain, 1, size), 6)
+           WHEN 2 THEN substring(chain, 1, 5) || '"'
+                       || substring(substring(chain, 1, size), 6)
+           ELSE substring(chain, 1, 5) || chr(10)
+                || substring(substring(chain, 1, size), 6)
+         END AS text
+  FROM ch
+)
+SELECT CAST(i AS BIGINT) AS doc_id,
+       'cat' || CAST({_sql_hexval('base', 1, 1)} % 5 AS VARCHAR) AS category,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       md5(text) AS text_md5
+FROM x
+"""
+
+
 def q_gzip_docs(sf_dir: str):
     """REAL gzip decompression in the pipeline (the .jsonl.gz corpus
     shape); the twin regenerates (raw_size, md5) from the generation
@@ -1847,6 +1894,7 @@ TEXTOPS_QUERIES = {
     "tar_members": (q_tar_members, _sql_tar_members()),
     "zip_members": (q_zip_members, _sql_zip_members()),
     "gzip_docs": (q_gzip_docs, _sql_gzip_docs()),
+    "csv_docs": (q_csv_docs, _sql_csv_docs()),
     "ppm_resize": (q_ppm_resize, SQL_PPM_RESIZE),
     "curate_corpus": (q_curate, SQL_CURATE),
     "chunk_documents": (_chunks.q_chunk_documents, _chunks.SQL_CHUNK_DOCUMENTS),
