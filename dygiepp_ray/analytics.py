@@ -901,7 +901,15 @@ def pagerank3(sf_dir: str, iters: int = 3) -> ray.data.Dataset:
     r/deg along edges (batch-combined per destination), one coexchange
     gathers sums back onto the node table.  The driver holds only the
     node count."""
-    edges = _customer_supplier_edges(sf_dir)
+    return pagerank_over_edges(_customer_supplier_edges(sf_dir), iters)
+
+
+def pagerank_over_edges(
+    edges: ray.data.Dataset, iters: int = 3
+) -> ray.data.Dataset:
+    """Fixed-point PageRank over an arbitrary (src, dst) edge Dataset —
+    the reusable core of :func:`pagerank3` (kg_entity_rank runs it over
+    the constructed KG's entity graph)."""
 
     def degree(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("src", as_index=False).size()
@@ -974,14 +982,9 @@ def pagerank3(sf_dir: str, iters: int = 3) -> ray.data.Dataset:
     return r.map_batches(project, batch_format="pandas")
 
 
-SQL_PAGERANK3 = """
-WITH pairs AS (
-  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
-                  's' || CAST(l_suppkey AS VARCHAR) AS b
-  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-), edges AS (
-  SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs
-), deg AS (
+# shared 3-iteration fixed-point chain over an ``edges(src, dst)`` CTE
+# (kg_entity_rank reuses it over the KG entity graph)
+SQL_PR3_CHAIN = """deg AS (
   SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1
 ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
 r0 AS (SELECT node, deg, (1000000000000 // nn.n) AS r FROM deg, nn),
@@ -1005,6 +1008,15 @@ r3 AS (SELECT r2.node, r2.deg,
        FROM r2 LEFT JOIN c3 USING (node), nn)
 SELECT node, CAST(r AS BIGINT) AS r FROM r3
 """
+
+SQL_PAGERANK3 = """
+WITH pairs AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                  's' || CAST(l_suppkey AS VARCHAR) AS b
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs
+), """ + SQL_PR3_CHAIN
 
 
 def bfs_hops(

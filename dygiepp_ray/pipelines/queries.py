@@ -1028,6 +1028,64 @@ FROM t
 """
 
 
+def q_kg_entity_rank(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
+    """Entity importance over the constructed KG: 3 fixed-point PageRank
+    iterations (damping 0.85, all-BIGINT arithmetic) on the undirected
+    entity graph whose edges are distinct (subject, object) pairs from
+    the flagship triples — the ranking a KG store serves for entity
+    search and the salience prior entity linkers use.
+
+    Rides :func:`dygiepp_ray.analytics.pagerank_over_edges` (edge splits
+    shared across rounds, one scatter + one gather coexchange per
+    iteration, driver holds only the node count); pair dedup happens in
+    one subject-keyed exchange before the rank loop."""
+    from ..analytics import pagerank_over_edges
+    from ..core import partitioned_map_groups
+
+    pipe = from_documents_table(sf_dir)
+    trip = pipe.triples().select_columns(["subj", "obj"])
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "subj" not in df.columns:
+            return pd.DataFrame({"subj": pd.Series(dtype=object),
+                                 "obj": pd.Series(dtype=object),
+                                 "__k": pd.Series(dtype=object)})
+        return df.assign(__k=df["subj"])
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        # subject-keyed bucket: (subj, obj) dedup is exact here; emit
+        # each distinct pair in both directions (the oracle's UNION ALL)
+        if len(df) == 0 or "subj" not in df.columns:
+            return pd.DataFrame({"src": pd.Series(dtype=object),
+                                 "dst": pd.Series(dtype=object)})
+        d = df[["subj", "obj"]].drop_duplicates()
+        return pd.DataFrame(
+            {"src": np.concatenate([d["subj"].to_numpy(object),
+                                    d["obj"].to_numpy(object)]),
+             "dst": np.concatenate([d["obj"].to_numpy(object),
+                                    d["subj"].to_numpy(object)])})
+
+    edges = partitioned_map_groups(
+        trip.map_batches(key, batch_format="pandas"), "__k",
+        both_dirs, num_buckets=16)
+    out = pagerank_over_edges(edges, iters=3)
+    if out.count() == 0:
+        return pd.DataFrame({"node": pd.Series(dtype=object),
+                             "r": pd.Series(dtype=np.int64)})
+    return out
+
+
+def _sql_kg_entity_rank() -> str:
+    from ..analytics import SQL_PR3_CHAIN
+
+    return SQL_TOKS + f""",
+triples AS ({_KG_TRIPLES_BODY}),
+pairs AS (SELECT DISTINCT subj AS a, obj AS b FROM triples),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs
+), """ + SQL_PR3_CHAIN
+
+
 _NEG_K = 4  # corrupted tails per positive triple
 
 
@@ -1437,7 +1495,7 @@ _DRIVER_SAMPLE_FIRST = (
     # tier 0: added this session
     "kg_predicate_stats", "kg_symmetric_pairs", "kg_conflicting_attrs",
     "kg_upsert_diff", "word_entropy", "kg_entity_cards",
-    "kg_negative_samples", "csv_docs",
+    "kg_negative_samples", "csv_docs", "kg_entity_rank",
     "kg_triples_temporal",
     "revenue_forecast", "national_market_share", "product_profit",
     "slowest_supplier_orders", "idle_customers", "events_top_users_window",
@@ -1640,6 +1698,7 @@ KG_QUERIES = {
     "kg_upsert_diff": (q_kg_upsert_diff, SQL_KG_UPSERT_DIFF),
     "kg_entity_cards": (q_kg_entity_cards, SQL_KG_ENTITY_CARDS),
     "kg_negative_samples": (q_kg_negative_samples, SQL_KG_NEGATIVE_SAMPLES),
+    "kg_entity_rank": (q_kg_entity_rank, _sql_kg_entity_rank()),
     "kg_triggers": (q_kg_triggers, SQL_KG_TRIGGERS),
     "kg_event_args": (q_kg_event_args, SQL_KG_EVENT_ARGS),
     "kg_clusters": (q_kg_clusters, SQL_KG_CLUSTERS),

@@ -54,7 +54,9 @@ _SAMPLE = [
     "kg_path2", "kg_triples_temporal",
     "kg_predicate_stats", "kg_symmetric_pairs", "kg_conflicting_attrs",
     "kg_upsert_diff", "word_entropy", "kg_entity_cards",
-    "kg_negative_samples",
+    # (csv_docs, like gzip_docs/tar_members, synthesizes its own input
+    # and is exercised by its roundtrip tests instead)
+    "kg_negative_samples", "kg_entity_rank",
     # NOT sampled: ner_eval / ner_eval_weighted — global aggregates whose
     # natural empty output is one zero row (like their SQL twins)
     # formerly-crashing driver-side collects (each had a KeyError /
