@@ -1028,6 +1028,63 @@ FROM t
 """
 
 
+def q_pipeline_metrics(sf_dir: str) -> pd.DataFrame:
+    """Run-level metrics card: one row of stage counts (conversations,
+    windowed documents, mention/relation annotations, deduped triples,
+    canonical entities) — the per-run metrics record the north rule's
+    "lineage + metrics checkpoints" writes next to every partition
+    manifest (``state/checkpoint.py`` stores the same counts per
+    partition; this query is the corpus-level roll-up surface).
+
+    Each count is a streaming partial-sum over its stage output (the
+    driver holds six scalars); no stage is materialized for counting."""
+    pipe = from_documents_table(sf_dir)
+
+    def _nrows(ds) -> int:
+        return int(ds.count())
+
+    docs = pipe.documents
+
+    def conv_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # conv-partitioned blocks: a conversation never spans blocks, so
+        # per-block distinct conv counts sum exactly
+        if len(df) == 0 or "conv_id" not in df.columns:
+            return pd.DataFrame({"n": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"n": [df["conv_id"].nunique()]}).astype(np.int64)
+
+    conv_counts = docs.map_batches(
+        conv_partial, batch_format="pandas").to_pandas()
+    # empty blocks pass through UDFs untouched: a zero-row corpus
+    # yields a column-less frame here
+    n_convs = int(conv_counts["n"].sum()) if "n" in conv_counts.columns else 0
+    n_docs = _nrows(docs)
+    n_mentions = _nrows(pipe.mentions)
+    n_relations = _nrows(pipe.relations)
+    n_triples = _nrows(pipe.triples())
+    n_entities = _nrows(pipe.entities(num_salts=8))
+    return pd.DataFrame(
+        {"n_convs": [n_convs], "n_docs": [n_docs],
+         "n_mentions": [n_mentions], "n_relations": [n_relations],
+         "n_triples": [n_triples], "n_entities": [n_entities]}
+    ).astype(np.int64)
+
+
+SQL_PIPELINE_METRICS = SQL_TOKS + f""",
+triples AS ({_KG_TRIPLES_BODY})
+SELECT
+  (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM base) AS n_convs,
+  (SELECT CAST(count(DISTINCT {_DOC_KEY}) AS BIGINT) FROM toks) AS n_docs,
+  (SELECT CAST(count(*) AS BIGINT) FROM ents) AS n_mentions,
+  (SELECT CAST(count(*) AS BIGINT)
+   FROM ents e1
+   JOIN preds p ON p.doc_id = e1.doc_id AND p.pos = e1.e_end + 1
+   JOIN ents e2 ON e2.doc_id = e1.doc_id AND e2.pos = e1.e_end + 2
+   WHERE e1.pos // {TT} = e2.e_end // {TT}) AS n_relations,
+  (SELECT CAST(count(*) AS BIGINT) FROM triples) AS n_triples,
+  (SELECT CAST(count(DISTINCT surface) AS BIGINT) FROM ents) AS n_entities
+"""
+
+
 def q_kg_entity_rank(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
     """Entity importance over the constructed KG: 3 fixed-point PageRank
     iterations (damping 0.85, all-BIGINT arithmetic) on the undirected
@@ -1496,6 +1553,7 @@ _DRIVER_SAMPLE_FIRST = (
     "kg_predicate_stats", "kg_symmetric_pairs", "kg_conflicting_attrs",
     "kg_upsert_diff", "word_entropy", "kg_entity_cards",
     "kg_negative_samples", "csv_docs", "kg_entity_rank",
+    "pipeline_metrics",
     "kg_triples_temporal",
     "revenue_forecast", "national_market_share", "product_profit",
     "slowest_supplier_orders", "idle_customers", "events_top_users_window",
@@ -1699,6 +1757,7 @@ KG_QUERIES = {
     "kg_entity_cards": (q_kg_entity_cards, SQL_KG_ENTITY_CARDS),
     "kg_negative_samples": (q_kg_negative_samples, SQL_KG_NEGATIVE_SAMPLES),
     "kg_entity_rank": (q_kg_entity_rank, _sql_kg_entity_rank()),
+    "pipeline_metrics": (q_pipeline_metrics, SQL_PIPELINE_METRICS),
     "kg_triggers": (q_kg_triggers, SQL_KG_TRIGGERS),
     "kg_event_args": (q_kg_event_args, SQL_KG_EVENT_ARGS),
     "kg_clusters": (q_kg_clusters, SQL_KG_CLUSTERS),
