@@ -1344,6 +1344,125 @@ FROM (
 """
 
 
+def q_kg_cluster_sizes(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
+    """Coref cluster-size histogram: for each cluster size (mentions per
+    within-window cluster), how many clusters exist corpus-wide — the
+    shape statistic that tells a KG builder how much coreference is
+    collapsing surface forms (reference per-doc ``predicted_clusters``,
+    ``dygie/models/coref.py:388-459``; the histogram is the corpus
+    roll-up).
+
+    Per-doc sizes are block-local (doc rows are atomic); per-block
+    partials collapse to (size, count) and a tiny groupby sums them —
+    shuffle bytes O(distinct sizes x blocks)."""
+    pipe = from_documents_table(sf_dir)
+
+    _OUT = {"cluster_size": np.int64, "n_clusters": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT.items()})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "cluster_members" not in df.columns:
+            return empty_out
+        sizes = []
+        for ms in df["cluster_members"]:
+            by_cl = {}
+            for m in ms:
+                by_cl[m["cluster_ix"]] = by_cl.get(m["cluster_ix"], 0) + 1
+            sizes.extend(by_cl.values())
+        if not sizes:
+            return empty_out
+        s = pd.Series(np.asarray(sizes, np.int64))
+        g = s.value_counts().sort_index()
+        return pd.DataFrame(
+            {"cluster_size": g.index.to_numpy(np.int64),
+             "n_clusters": g.to_numpy(np.int64)})
+
+    parts = pipe.predicted.select_columns(["cluster_members"]).map_batches(
+        partial, batch_format="pandas")
+    out = parts.groupby("cluster_size").sum("n_clusters")
+    final = out.to_pandas()
+    if len(final) == 0 or "cluster_size" not in final.columns:
+        return empty_out
+    return final.rename(columns={"sum(n_clusters)": "n_clusters"}).astype(
+        {"cluster_size": np.int64, "n_clusters": np.int64})
+
+
+SQL_KG_CLUSTER_SIZES = SQL_TOKS + f"""
+SELECT CAST(cnt AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM (
+  SELECT {_DOC_KEY} AS doc_key, surface, count(*) AS cnt
+  FROM ents GROUP BY 1, 2 HAVING count(*) >= 2
+) GROUP BY 1
+"""
+
+
+def q_corpus_card(sf_dir: str) -> pd.DataFrame:
+    """Per-source data card: document count, total whitespace tokens,
+    distinct languages and fixed-point corpus share — the summary table
+    a dataset release ships (HuggingFace dataset-card style) and the
+    input to mixture decisions (``mixture_sample``).
+
+    One streaming partial pass (per-block per-source aggregates, langs
+    carried as distinct rows) + a driver merge of O(sources x blocks)
+    partial rows — sources are few by construction."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang", "text"])
+
+    _OUT = {"source": object, "n_docs": np.int64, "n_tokens": np.int64,
+            "n_langs": np.int64, "pct_docs_x1e4": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT.items()})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "source" not in df.columns:
+            return pd.DataFrame(
+                {"source": pd.Series(dtype=object),
+                 "lang": pd.Series(dtype=object),
+                 "n_docs": pd.Series(dtype=np.int64),
+                 "n_tokens": pd.Series(dtype=np.int64)})
+        stripped = df["text"].str.strip()
+        nt = stripped.str.split(r"\s+", regex=True).map(len)
+        nt = nt.where(stripped != "", 0).astype(np.int64)
+        d = pd.DataFrame({"source": df["source"].to_numpy(object),
+                          "lang": df["lang"].to_numpy(object), "nt": nt})
+        g = d.groupby(["source", "lang"], as_index=False).agg(
+            n_docs=("nt", "size"), n_tokens=("nt", "sum"))
+        return g.astype({"n_docs": np.int64, "n_tokens": np.int64})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if len(parts) == 0 or "source" not in parts.columns:
+        return empty_out
+    bylang = parts.groupby(["source", "lang"], as_index=False).agg(
+        n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"))
+    card = bylang.groupby("source", as_index=False).agg(
+        n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"),
+        n_langs=("lang", "size"))
+    total = int(card["n_docs"].sum())
+    card["pct_docs_x1e4"] = (
+        10_000 * card["n_docs"].to_numpy(np.int64)) // total
+    return card[list(_OUT)].astype(
+        {c: np.int64 for c in ("n_docs", "n_tokens", "n_langs",
+                               "pct_docs_x1e4")})
+
+
+SQL_CORPUS_CARD = """
+WITH t AS (
+  SELECT source, lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nt
+  FROM documents
+),
+a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM t GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+SELECT source, n_docs, n_tokens, n_langs,
+       CAST((10000 * n_docs) // tot.n AS BIGINT) AS pct_docs_x1e4
+FROM a, tot
+"""
+
+
 def q_doc_assembly(sf_dir: str) -> ray.data.Dataset:
     """Document windowing audit: (doc_key, n_sentences, n_tokens)."""
     pipe = from_documents_table(sf_dir)
@@ -1553,7 +1672,7 @@ _DRIVER_SAMPLE_FIRST = (
     "kg_predicate_stats", "kg_symmetric_pairs", "kg_conflicting_attrs",
     "kg_upsert_diff", "word_entropy", "kg_entity_cards",
     "kg_negative_samples", "csv_docs", "kg_entity_rank",
-    "pipeline_metrics",
+    "pipeline_metrics", "kg_cluster_sizes", "corpus_card",
     "kg_triples_temporal",
     "revenue_forecast", "national_market_share", "product_profit",
     "slowest_supplier_orders", "idle_customers", "events_top_users_window",
@@ -1758,6 +1877,8 @@ KG_QUERIES = {
     "kg_negative_samples": (q_kg_negative_samples, SQL_KG_NEGATIVE_SAMPLES),
     "kg_entity_rank": (q_kg_entity_rank, _sql_kg_entity_rank()),
     "pipeline_metrics": (q_pipeline_metrics, SQL_PIPELINE_METRICS),
+    "kg_cluster_sizes": (q_kg_cluster_sizes, SQL_KG_CLUSTER_SIZES),
+    "corpus_card": (q_corpus_card, SQL_CORPUS_CARD),
     "kg_triggers": (q_kg_triggers, SQL_KG_TRIGGERS),
     "kg_event_args": (q_kg_event_args, SQL_KG_EVENT_ARGS),
     "kg_clusters": (q_kg_clusters, SQL_KG_CLUSTERS),
