@@ -422,3 +422,35 @@ def test_source_diversity_differential(ray_session, tmp_path, seed):
     df.loc[df["source"] == "mono", "lang"] = "en"
     pq.write_table(pa.Table.from_pandas(df), tmp_path / "documents.parquet")
     _compare(str(tmp_path), "source_diversity")
+
+
+@pytest.mark.parametrize("seed", [7, 41])
+def test_kg_schema_ops_differential(ray_session, tmp_path, seed):
+    """The round-4 KG schema/profile family (predicate stats, symmetric
+    pairs, conflict report, upsert diff, entity cards, negative samples,
+    entity rank, cluster sizes, metrics card) plus corpus_card and
+    word_entropy under random lexicon-dense multi-window documents —
+    the same generator as the temporal roll-up test, with lang/source
+    columns for the card queries."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(20, 60))
+    vocab = np.array(
+        ["batch", "column", "customer", "join", "merge", "scan",
+         "filter", "x", "y"]
+    )
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(0, 600)))
+        for _ in range(n)
+    ]
+    texts[0] = ""  # tokenizer edge case
+    pq.write_table(pa.table(
+        {"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+         "source": pa.array(rng.choice(["web", "book"], n)),
+         "lang": pa.array(rng.choice(["en", "de", "zh"], n)),
+         "text": pa.array(texts)}
+    ), tmp_path / "documents.parquet")
+    for q in ["kg_predicate_stats", "kg_symmetric_pairs",
+              "kg_conflicting_attrs", "kg_upsert_diff", "kg_entity_cards",
+              "kg_negative_samples", "kg_entity_rank", "kg_cluster_sizes",
+              "pipeline_metrics", "corpus_card", "word_entropy"]:
+        _compare(str(tmp_path), q)
