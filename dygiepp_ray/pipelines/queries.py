@@ -1143,6 +1143,92 @@ edges AS (
 ), """ + SQL_PR3_CHAIN
 
 
+def q_kg_rule_mining(sf_dir: str) -> pd.DataFrame:
+    """AMIE-style rule confidence over the constructed KG: for every
+    ordered predicate pair (p1, p2), the support of the implication
+    ``p1(x, y) -> p2(x, y)`` — entity pairs asserted under BOTH
+    predicates — and its fixed-point confidence ``(1e6 * n_both) //
+    n_p1`` where n_p1 is p1's distinct pair count.  This is the
+    same-pair rule complement to ``kg_path2``'s composition census (the
+    two statistics KG inference engines mine first).
+
+    One exchange keyed on the (subj, obj) pair: each bucket holds every
+    predicate asserted for its pairs, so pair-level pred x pred
+    co-assertion collapses bucket-locally to per-(p1, p2) counts; the
+    driver merges O(buckets x preds^2) partial rows, never pairs."""
+    from ..core import partitioned_map_groups
+
+    pipe = from_documents_table(sf_dir)
+    trip = pipe.triples().select_columns(["subj", "pred", "obj"])
+
+    _OUT = {"p1": object, "p2": object, "n_both": np.int64,
+            "n_p1": np.int64, "conf_x1e6": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT.items()})
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "subj" not in df.columns:
+            return pd.DataFrame({"subj": pd.Series(dtype=object),
+                                 "pred": pd.Series(dtype=object),
+                                 "obj": pd.Series(dtype=object),
+                                 "__k": pd.Series(dtype=object)})
+        d = df[["subj", "pred", "obj"]].drop_duplicates()
+        return d.assign(__k=d["subj"].str.cat(d["obj"], sep="\x1f"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"p1": object, "p2": object, "n": np.int64,
+                "kind": np.int64}
+        if len(df) == 0 or "subj" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in cols.items()})
+        t = df[["subj", "pred", "obj"]].drop_duplicates()
+        # distinct-pair denominators (pairs are bucket-local)
+        d = t.groupby("pred", as_index=False).size().rename(
+            columns={"pred": "p1", "size": "n"})
+        d["p2"] = ""
+        d["kind"] = np.int64(1)
+        # pair-level co-assertion: join the pair's predicate set with
+        # itself (predicate fan-in per pair is tiny by construction)
+        j = t.merge(t, on=["subj", "obj"], suffixes=("_1", "_2"))
+        j = j[j["pred_1"] != j["pred_2"]]
+        b = j.groupby(["pred_1", "pred_2"], as_index=False).size().rename(
+            columns={"pred_1": "p1", "pred_2": "p2", "size": "n"})
+        b["kind"] = np.int64(0)
+        out = pd.concat([b, d], ignore_index=True)
+        return out[list(cols)].astype({"n": np.int64, "kind": np.int64})
+
+    parts = partitioned_map_groups(
+        trip.map_batches(key, batch_format="pandas"), "__k",
+        partial, num_buckets=16).to_pandas()
+    if len(parts) == 0 or "p1" not in parts.columns:
+        return empty_out
+    both = parts[parts["kind"] == 0].groupby(
+        ["p1", "p2"], as_index=False).agg(n_both=("n", "sum"))
+    den = parts[parts["kind"] == 1].groupby(
+        "p1", as_index=False).agg(n_p1=("n", "sum"))
+    m = both.merge(den, on="p1")
+    if len(m) == 0:
+        return empty_out
+    m["conf_x1e6"] = (
+        1_000_000 * m["n_both"].to_numpy(np.int64)
+    ) // m["n_p1"].to_numpy(np.int64)
+    return m[list(_OUT)].astype(
+        {c: np.int64 for c in ("n_both", "n_p1", "conf_x1e6")})
+
+
+SQL_KG_RULE_MINING = SQL_TOKS + f""",
+triples AS ({_KG_TRIPLES_BODY}),
+t AS (SELECT DISTINCT subj, pred, obj FROM triples),
+b AS (SELECT a.pred AS p1, c.pred AS p2, CAST(count(*) AS BIGINT) AS n_both
+      FROM t a JOIN t c ON a.subj = c.subj AND a.obj = c.obj
+                       AND a.pred <> c.pred
+      GROUP BY 1, 2),
+d AS (SELECT pred, CAST(count(*) AS BIGINT) AS n_p1 FROM t GROUP BY 1)
+SELECT b.p1, b.p2, b.n_both, d.n_p1,
+       CAST((1000000 * b.n_both) // d.n_p1 AS BIGINT) AS conf_x1e6
+FROM b JOIN d ON d.pred = b.p1
+"""
+
+
 _NEG_K = 4  # corrupted tails per positive triple
 
 
@@ -1673,6 +1759,7 @@ _DRIVER_SAMPLE_FIRST = (
     "kg_upsert_diff", "word_entropy", "kg_entity_cards",
     "kg_negative_samples", "csv_docs", "kg_entity_rank",
     "pipeline_metrics", "kg_cluster_sizes", "corpus_card",
+    "kg_rule_mining", "events_gap_histogram",
     "kg_triples_temporal",
     "revenue_forecast", "national_market_share", "product_profit",
     "slowest_supplier_orders", "idle_customers", "events_top_users_window",
@@ -1878,6 +1965,7 @@ KG_QUERIES = {
     "kg_entity_rank": (q_kg_entity_rank, _sql_kg_entity_rank()),
     "pipeline_metrics": (q_pipeline_metrics, SQL_PIPELINE_METRICS),
     "kg_cluster_sizes": (q_kg_cluster_sizes, SQL_KG_CLUSTER_SIZES),
+    "kg_rule_mining": (q_kg_rule_mining, SQL_KG_RULE_MINING),
     "corpus_card": (q_corpus_card, SQL_CORPUS_CARD),
     "kg_triggers": (q_kg_triggers, SQL_KG_TRIGGERS),
     "kg_event_args": (q_kg_event_args, SQL_KG_EVENT_ARGS),

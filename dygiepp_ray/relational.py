@@ -340,6 +340,71 @@ GROUP BY 1, 2
 """
 
 
+def events_gap_histogram(sf_dir: str) -> pd.DataFrame:
+    """Inter-arrival profile of the event stream: per event type, a
+    log2-bucketed histogram of the gap (whole seconds, floored) since
+    the same user's previous event — the telemetry statistic that sizes
+    session-gap thresholds and watermark delays before deploying any
+    windowed pipeline.
+
+    One user-keyed exchange; gaps sort and diff bucket-locally (a user
+    never spans buckets), buckets collapse to per-(type, bucket) counts
+    per block and a tiny driver merge sums them.  The bucket index is
+    EXACT bit_length via ``np.frexp`` (float64 represents every gap
+    < 2^53 exactly) — no log2 rounding drift vs the SQL twin."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"])
+
+    _OUT = {"event_type": object, "bucket": np.int64, "n": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT.items()})
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "user_id" not in df.columns:
+            return empty_out
+        d = df.sort_values(["user_id", "ts", "event_id"],
+                           kind="mergesort").reset_index(drop=True)
+        d["us"] = ts_epoch_us(d["ts"])
+        pts = d.groupby("user_id")["us"].shift(1)
+        m = pts.notna().to_numpy()
+        if not m.any():
+            return empty_out
+        gap_s = ((d["us"].to_numpy(np.int64)
+                  - pts.fillna(0).to_numpy(np.int64)) // 1_000_000)[m]
+        bucket = np.frexp(gap_s.astype(np.float64))[1].astype(np.int64)
+        g = pd.DataFrame(
+            {"event_type": d["event_type"].to_numpy(object)[m],
+             "bucket": bucket}
+        ).groupby(["event_type", "bucket"], as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype(
+            {"bucket": np.int64, "n": np.int64})
+
+    parts = partitioned_map_groups(ds, "user_id", gaps,
+                                   num_buckets=16).to_pandas()
+    if len(parts) == 0 or "event_type" not in parts.columns:
+        return empty_out
+    out = parts.groupby(["event_type", "bucket"], as_index=False).agg(
+        n=("n", "sum"))
+    return out.astype({"bucket": np.int64, "n": np.int64})
+
+
+SQL_EVENTS_GAP_HISTOGRAM = """
+WITH s AS (
+  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us,
+         lag(CAST(epoch_us(ts) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pus
+  FROM events
+),
+g AS (SELECT event_type, (us - pus) // 1000000 AS gap_s
+      FROM s WHERE pus IS NOT NULL)
+SELECT event_type,
+       CAST(CASE WHEN gap_s = 0 THEN 0
+                 ELSE length(bin(gap_s)) END AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM g GROUP BY 1, 2
+"""
+
+
 def sessionize(sf_dir: str, gap_s: int = 1800) -> ray.data.Dataset:
     """Gap-based sessionization per user: groupby(user).map_groups over
     ts-sorted events (the streaming-window idiom for a batch log)."""
@@ -5750,6 +5815,7 @@ RELATIONAL_QUERIES = {
     "events_tumbling": (events_tumbling, SQL_EVENTS_TUMBLING),
     "events_hopping": (events_hopping, SQL_EVENTS_HOPPING),
     "sessionize": (sessionize, SQL_SESSIONIZE),
+    "events_gap_histogram": (events_gap_histogram, SQL_EVENTS_GAP_HISTOGRAM),
     "orders_sample": (orders_sample, SQL_ORDERS_SAMPLE),
     "distinct_event_users": (distinct_event_users, SQL_DISTINCT_EVENT_USERS),
     "stratified_sample": (stratified_sample, SQL_STRATIFIED_SAMPLE),

@@ -77,7 +77,8 @@ def _compare(sf_dir: str, qname: str):
 @pytest.mark.parametrize(
     "qname",
     ["events_ohlc", "user_streaks", "users_setop", "purchase_attribution",
-     "events_rate_alert", "events_tumbling", "user_paths"],
+     "events_rate_alert", "events_tumbling", "user_paths",
+     "events_gap_histogram"],
 )
 def test_event_queries_differential(ray_session, tmp_path, seed, qname):
     rng = np.random.default_rng(seed * 1000 + len(qname))
@@ -452,5 +453,6 @@ def test_kg_schema_ops_differential(ray_session, tmp_path, seed):
     for q in ["kg_predicate_stats", "kg_symmetric_pairs",
               "kg_conflicting_attrs", "kg_upsert_diff", "kg_entity_cards",
               "kg_negative_samples", "kg_entity_rank", "kg_cluster_sizes",
-              "pipeline_metrics", "corpus_card", "word_entropy"]:
+              "kg_rule_mining", "pipeline_metrics", "corpus_card",
+              "word_entropy"]:
         _compare(str(tmp_path), q)

@@ -57,7 +57,8 @@ _SAMPLE = [
     # (csv_docs, like gzip_docs/tar_members, synthesizes its own input
     # and is exercised by its roundtrip tests instead)
     "kg_negative_samples", "kg_entity_rank",
-    "kg_cluster_sizes", "corpus_card",
+    "kg_cluster_sizes", "corpus_card", "kg_rule_mining",
+    "events_gap_histogram",
     # pipeline_metrics legitimately returns its one-row card (all
     # zeros) on an empty corpus — excluded from the zero-row assertion
     # NOT sampled: ner_eval / ner_eval_weighted — global aggregates whose
