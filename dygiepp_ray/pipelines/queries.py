@@ -1759,7 +1759,7 @@ _DRIVER_SAMPLE_FIRST = (
     "kg_upsert_diff", "word_entropy", "kg_entity_cards",
     "kg_negative_samples", "csv_docs", "kg_entity_rank",
     "pipeline_metrics", "kg_cluster_sizes", "corpus_card",
-    "kg_rule_mining", "events_gap_histogram",
+    "kg_rule_mining", "events_gap_histogram", "role_transitions",
     "kg_triples_temporal",
     "revenue_forecast", "national_market_share", "product_profit",
     "slowest_supplier_orders", "idle_customers", "events_top_users_window",
@@ -1797,6 +1797,61 @@ _DRIVER_SAMPLE_FIRST = (
     "quantiles_by_flag", "orders_anti_join", "orders_semi_join",
     "json_props_sum", "pagerank3", "triangle_count", "kcore",
 )
+
+
+def q_role_transitions(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
+    """Role-transition matrix over assembled conversations: counts of
+    (role -> next role) between consecutive turns within each document
+    window, through the FULL assembly path (conv_id exchange -> per-
+    window ``roles`` list).  The driver hash pins the in-window turn
+    ORDER of the metadata lists — the reference's in-order-sentences
+    invariant (``coref.py:169-172``) surfaced as a checkable query.
+
+    Map-only over assembled documents (transitions never cross window
+    boundaries by construction); per-block partials collapse to the
+    tiny (role, role) matrix."""
+    pipe = from_documents_table(sf_dir)
+
+    _OUT = {"role_from": object, "role_to": object, "n": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT.items()})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "roles" not in df.columns:
+            return empty_out
+        frm, to = [], []
+        for rs in df["roles"]:
+            frm.extend(rs[:-1])
+            to.extend(rs[1:])
+        if not frm:
+            return empty_out
+        g = pd.DataFrame(
+            {"role_from": np.asarray(frm, object),
+             "role_to": np.asarray(to, object)}
+        ).groupby(["role_from", "role_to"], as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype({"n": np.int64})
+
+    parts = pipe.documents.select_columns(["roles"]).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    if len(parts) == 0 or "role_from" not in parts.columns:
+        return empty_out
+    return parts.groupby(["role_from", "role_to"], as_index=False).agg(
+        n=("n", "sum")).astype({"n": np.int64})
+
+
+_SPW = WIN // TT  # turns per window
+
+SQL_ROLE_TRANSITIONS = SQL_TOKS + f""",
+turns AS (SELECT DISTINCT doc_id, pos // {TT} AS t FROM toks),
+r AS (SELECT doc_id, t,
+             CASE CAST(t % 3 AS INTEGER) WHEN 0 THEN 'user'
+                  WHEN 1 THEN 'assistant' ELSE 'tool' END AS role
+      FROM turns)
+SELECT a.role AS role_from, b.role AS role_to,
+       CAST(count(*) AS BIGINT) AS n
+FROM r a JOIN r b ON b.doc_id = a.doc_id AND b.t = a.t + 1
+WHERE a.t // {_SPW} = b.t // {_SPW}
+GROUP BY 1, 2
+"""
 
 
 def q_tool_usage(sf_dir: str) -> ray.data.Dataset:
@@ -1975,6 +2030,7 @@ KG_QUERIES = {
     "ner_eval": (q_ner_eval, SQL_NER_EVAL),
     "ner_eval_weighted": (q_ner_eval_weighted, SQL_NER_EVAL_WEIGHTED),
     "tool_usage": (q_tool_usage, SQL_TOOL_USAGE),
+    "role_transitions": (q_role_transitions, SQL_ROLE_TRANSITIONS),
     "turn_spans": (q_turn_spans, SQL_TURN_SPANS),
     "multi_namespace_mentions": (q_multi_namespace_mentions, SQL_MULTI_NAMESPACE_MENTIONS),
 }
