@@ -442,6 +442,65 @@ FROM h
 """
 
 
+def q_lang_confusion(sf_dir: str):
+    """Language-ID evaluation matrix: (labeled lang, predicted lang,
+    count) — the accuracy report a curation pipeline publishes before
+    trusting its language filter at 100 TB.  Map-only (per-block
+    confusion partials collapse to the tiny lang x lang matrix) + one
+    small groupby."""
+    from .quality import LangId
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+
+    _OUT = {"lang_true": object, "lang_pred": object, "n": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT.items()})
+
+    class ConfusionPartial(LangId):
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0 or "text" not in df.columns:
+                return empty_out
+            g = pd.DataFrame(
+                {"lang_true": df["lang"].to_numpy(object),
+                 "lang_pred": [self.classify(t) for t in df["text"]]}
+            ).groupby(["lang_true", "lang_pred"], as_index=False).size()
+            return g.rename(columns={"size": "n"}).astype({"n": np.int64})
+
+    parts = ds.map_batches(
+        ConfusionPartial, batch_format="pandas", concurrency=2).to_pandas()
+    if len(parts) == 0 or "lang_true" not in parts.columns:
+        return empty_out
+    return parts.groupby(["lang_true", "lang_pred"], as_index=False).agg(
+        n=("n", "sum")).astype({"n": np.int64})
+
+
+SQL_LANG_CONFUSION = f"""
+WITH s AS (
+  SELECT doc_id, lang, lower(text) AS low, length(text) AS n,
+         length(regexp_replace(text, '[^\\x{{4E00}}-\\x{{9FFF}}]', '', 'g')) AS n_cjk
+  FROM documents
+),
+h AS (
+  SELECT doc_id, lang, n, n_cjk,
+         {", ".join(f"{_sql_hits(l)} AS hits_{l}" for l in _SQL_LANGS)}
+  FROM s
+),
+p AS (
+  SELECT doc_id, lang, CASE
+    WHEN n = 0 THEN 'und'
+    WHEN n_cjk::DOUBLE / greatest(1, n) > 0.2 THEN 'zh'
+    WHEN greatest({", ".join("hits_" + l for l in _SQL_LANGS)}) = 0 THEN 'und'
+    {" ".join(
+        f"WHEN hits_{l} >= greatest({', '.join('hits_' + m for m in _SQL_LANGS)}) THEN '{l}'"
+        for l in _SQL_LANGS)}
+    END AS lang_pred
+  FROM h
+)
+SELECT lang AS lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY 1, 2
+"""
+
+
 def q_minhash_near_dups(sf_dir: str):
     """MinHash-LSH candidate pairs verified by exact Jaccard >= 0.8
     (bucketed-join verify — the scale path).  The oracle is the
@@ -1878,6 +1937,7 @@ TEXTOPS_QUERIES = {
     "simhash_signatures": (q_simhash, SQL_SIMHASH),
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
+    "lang_confusion": (q_lang_confusion, SQL_LANG_CONFUSION),
     "minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH_NEAR_DUPS),
     "prefix_near_dups": (q_prefix_near_dups, SQL_PREFIX_NEAR_DUPS),
     "containment_dups": (q_containment_dups, SQL_CONTAINMENT_DUPS),
