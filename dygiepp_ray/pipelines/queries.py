@@ -1143,6 +1143,80 @@ edges AS (
 ), """ + SQL_PR3_CHAIN
 
 
+def q_kg_subgraph_export(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
+    """Core-subgraph extraction: the distinct triples whose subject AND
+    object are both well-supported entities (mention count STRICTLY
+    above the corpus mean — a scale-free cut, exact in integers:
+    ``n * n_entities > total_mentions``) — the export a downstream
+    KG-embedding trainer consumes (fringe entities are pruned exactly,
+    not sampled).
+
+    The qualifying entity set is computed by the salted canonicalization
+    (already O(vocab) rows) and broadcast as a frozen set (``ray.put``
+    shape at real scale — the qualifying vocab is the small side by
+    construction); triples filter map-only, then dedup corpus-wide on
+    one triple-keyed exchange."""
+    from ..core import partitioned_map_groups
+
+    pipe = from_documents_table(sf_dir)
+
+    _OUT = {"subj": object, "pred": object, "obj": object,
+            "n_convs": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT.items()})
+
+    ents = pipe.entities(num_salts=8).to_pandas()
+    if len(ents) == 0 or "surface" not in ents.columns:
+        return empty_out
+    nm = ents["n_mentions"].to_numpy(np.int64)
+    keep = frozenset(ents.loc[nm * len(ents) > nm.sum(), "surface"])
+    if not keep:
+        return empty_out
+
+    trip = pipe.triples().select_columns(["subj", "pred", "obj"])
+
+    def filt(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "subj" not in df.columns:
+            return pd.DataFrame({"subj": pd.Series(dtype=object),
+                                 "pred": pd.Series(dtype=object),
+                                 "obj": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64),
+                                 "__k": pd.Series(dtype=object)})
+        m = df["subj"].isin(keep).to_numpy() & df["obj"].isin(keep).to_numpy()
+        d = df.loc[m, ["subj", "pred", "obj"]]
+        g = d.groupby(["subj", "pred", "obj"], as_index=False).size()
+        g = g.rename(columns={"size": "n"}).astype({"n": np.int64})
+        g["__k"] = g["subj"].str.cat([g["pred"], g["obj"]], sep="\x1f")
+        return g
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "subj" not in df.columns:
+            return empty_out
+        g = df.groupby(["subj", "pred", "obj"], as_index=False).agg(
+            n_convs=("n", "sum"))
+        return g.astype({"n_convs": np.int64})
+
+    out = partitioned_map_groups(
+        trip.map_batches(filt, batch_format="pandas"), "__k",
+        dedup, num_buckets=16)
+    if out.count() == 0:
+        return empty_out
+    return out
+
+
+SQL_KG_SUBGRAPH_EXPORT = SQL_TOKS + f""",
+triples AS ({_KG_TRIPLES_BODY}),
+cnt AS (SELECT surface, CAST(count(*) AS BIGINT) AS c FROM ents GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS k
+        FROM cnt),
+keep AS (SELECT surface FROM cnt, tot WHERE c * k > t)
+SELECT t.subj, t.pred, t.obj, CAST(count(*) AS BIGINT) AS n_convs
+FROM triples t
+WHERE t.subj IN (SELECT surface FROM keep)
+  AND t.obj IN (SELECT surface FROM keep)
+GROUP BY 1, 2, 3
+"""
+
+
 def q_kg_rule_mining(sf_dir: str) -> pd.DataFrame:
     """AMIE-style rule confidence over the constructed KG: for every
     ordered predicate pair (p1, p2), the support of the implication
@@ -1760,7 +1834,7 @@ _DRIVER_SAMPLE_FIRST = (
     "kg_negative_samples", "csv_docs", "kg_entity_rank",
     "pipeline_metrics", "kg_cluster_sizes", "corpus_card",
     "kg_rule_mining", "events_gap_histogram", "role_transitions",
-    "lang_confusion",
+    "lang_confusion", "kg_subgraph_export",
     "kg_triples_temporal",
     "revenue_forecast", "national_market_share", "product_profit",
     "slowest_supplier_orders", "idle_customers", "events_top_users_window",
@@ -2022,6 +2096,7 @@ KG_QUERIES = {
     "pipeline_metrics": (q_pipeline_metrics, SQL_PIPELINE_METRICS),
     "kg_cluster_sizes": (q_kg_cluster_sizes, SQL_KG_CLUSTER_SIZES),
     "kg_rule_mining": (q_kg_rule_mining, SQL_KG_RULE_MINING),
+    "kg_subgraph_export": (q_kg_subgraph_export, SQL_KG_SUBGRAPH_EXPORT),
     "corpus_card": (q_corpus_card, SQL_CORPUS_CARD),
     "kg_triggers": (q_kg_triggers, SQL_KG_TRIGGERS),
     "kg_event_args": (q_kg_event_args, SQL_KG_EVENT_ARGS),

@@ -453,6 +453,6 @@ def test_kg_schema_ops_differential(ray_session, tmp_path, seed):
     for q in ["kg_predicate_stats", "kg_symmetric_pairs",
               "kg_conflicting_attrs", "kg_upsert_diff", "kg_entity_cards",
               "kg_negative_samples", "kg_entity_rank", "kg_cluster_sizes",
-              "kg_rule_mining", "pipeline_metrics", "corpus_card",
-              "word_entropy"]:
+              "kg_rule_mining", "kg_subgraph_export", "pipeline_metrics",
+              "corpus_card", "word_entropy"]:
         _compare(str(tmp_path), q)
