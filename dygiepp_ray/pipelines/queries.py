@@ -1834,7 +1834,7 @@ _DRIVER_SAMPLE_FIRST = (
     "kg_negative_samples", "csv_docs", "kg_entity_rank",
     "pipeline_metrics", "kg_cluster_sizes", "corpus_card",
     "kg_rule_mining", "events_gap_histogram", "role_transitions",
-    "lang_confusion", "kg_subgraph_export",
+    "lang_confusion", "kg_subgraph_export", "events_dedup_window",
     "kg_triples_temporal",
     "revenue_forecast", "national_market_share", "product_profit",
     "slowest_supplier_orders", "idle_customers", "events_top_users_window",

@@ -405,6 +405,63 @@ FROM g GROUP BY 1, 2
 """
 
 
+def events_dedup_window(sf_dir: str, window_s: int = 60) -> pd.DataFrame:
+    """At-least-once ingest dedup report: collapsing retransmitted
+    events to one per (user, event type, tumbling ``window_s`` window),
+    how many survive per type — the idempotency statistic a streaming
+    ingest layer publishes (and the exact batch analogue of a keyed
+    dedup-within-window operator).
+
+    One user-keyed exchange; the (user, type, window) dedup is
+    bucket-local (a user never spans buckets) and partials collapse to
+    per-type (total, kept) counts."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"])
+
+    _OUT = {"event_type": object, "n_total": np.int64, "n_kept": np.int64,
+            "n_dropped": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT.items()})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "user_id" not in df.columns:
+            return empty_out
+        d = df.assign(w=ts_epoch_us(df["ts"]) // (window_s * 1_000_000))
+        tot = d.groupby("event_type", as_index=False).size().rename(
+            columns={"size": "n_total"})
+        kept = (d.drop_duplicates(["user_id", "event_type", "w"])
+                .groupby("event_type", as_index=False).size()
+                .rename(columns={"size": "n_kept"}))
+        m = tot.merge(kept, on="event_type")
+        m["n_dropped"] = m["n_total"] - m["n_kept"]
+        return m.astype({c: np.int64
+                         for c in ("n_total", "n_kept", "n_dropped")})
+
+    parts = partitioned_map_groups(ds, "user_id", per_bucket,
+                                   num_buckets=16).to_pandas()
+    if len(parts) == 0 or "event_type" not in parts.columns:
+        return empty_out
+    out = parts.groupby("event_type", as_index=False).agg(
+        n_total=("n_total", "sum"), n_kept=("n_kept", "sum"),
+        n_dropped=("n_dropped", "sum"))
+    return out.astype({c: np.int64 for c in ("n_total", "n_kept",
+                                             "n_dropped")})
+
+
+SQL_EVENTS_DEDUP_WINDOW = """
+WITH w AS (
+  SELECT event_type, user_id,
+         CAST(epoch_us(ts) AS BIGINT) // 60000000 AS w
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(DISTINCT user_id || ':' || w) AS BIGINT) AS n_kept,
+       CAST(count(*) - count(DISTINCT user_id || ':' || w) AS BIGINT)
+         AS n_dropped
+FROM w GROUP BY 1
+"""
+
+
 def sessionize(sf_dir: str, gap_s: int = 1800) -> ray.data.Dataset:
     """Gap-based sessionization per user: groupby(user).map_groups over
     ts-sorted events (the streaming-window idiom for a batch log)."""
@@ -5816,6 +5873,7 @@ RELATIONAL_QUERIES = {
     "events_hopping": (events_hopping, SQL_EVENTS_HOPPING),
     "sessionize": (sessionize, SQL_SESSIONIZE),
     "events_gap_histogram": (events_gap_histogram, SQL_EVENTS_GAP_HISTOGRAM),
+    "events_dedup_window": (events_dedup_window, SQL_EVENTS_DEDUP_WINDOW),
     "orders_sample": (orders_sample, SQL_ORDERS_SAMPLE),
     "distinct_event_users": (distinct_event_users, SQL_DISTINCT_EVENT_USERS),
     "stratified_sample": (stratified_sample, SQL_STRATIFIED_SAMPLE),
