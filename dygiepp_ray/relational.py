@@ -5864,6 +5864,340 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+_Q12_LO_US = int(pd.Timestamp("1996-01-01").value // 1000)
+_Q12_HI_US = int(pd.Timestamp("1997-01-01").value // 1000)
+_Q12_LATE_US = 45 * 86_400 * 1_000_000  # shipped > 45 days after order
+
+
+def late_shipments(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
+    """TPC-H Q12 shape — shipping-mode/priority analysis (this schema
+    has no ``l_shipmode``, so the grouping dimension is
+    ``l_returnflag`` and late = shipped > 45 days after the order
+    date): per returnflag, how many LATE lines belonged to
+    high-priority orders (1-URGENT / 2-HIGH) vs everything else, over
+    one shipping year.
+
+    100-TB plan: the ship-window filter prunes lineitem at the first
+    map (only ~1/6 of rows enter the exchange) and each shipped row is
+    3 packed int64/bytes columns; ONE orderkey-keyed coexchange joins
+    the order's date + priority class, and every bucket collapses to
+    <= 3 (returnflag, hi, lo) partials — the driver folds
+    <= 3 x buckets rows.  -> (l_returnflag, high_line_count,
+    low_line_count)."""
+    from .core import hash_coexchange
+
+    def lproj(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "l_orderkey" not in df.columns:
+            return pd.DataFrame({"l_orderkey": pd.Series(dtype=np.int64),
+                                 "ship_us": pd.Series(dtype=np.int64),
+                                 "rflag": pd.Series(dtype=object)})
+        t = ts_epoch_us(df["l_shipdate"])
+        keep = (t >= _Q12_LO_US) & (t < _Q12_HI_US)
+        return pd.DataFrame(
+            {"l_orderkey": df["l_orderkey"].to_numpy(np.int64)[keep],
+             "ship_us": t[keep],
+             "rflag": df["l_returnflag"].to_numpy()[keep]}
+        )
+
+    lip = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_returnflag"],
+    ).map_batches(lproj, batch_format="pandas")
+
+    def oproj(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_orderkey" not in df.columns:
+            return pd.DataFrame({"o_orderkey": pd.Series(dtype=np.int64),
+                                 "o_date_us": pd.Series(dtype=np.int64),
+                                 "hi": pd.Series(dtype=np.int64)})
+        prio = df["o_orderpriority"].to_numpy()
+        return pd.DataFrame(
+            {"o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+             "o_date_us": ts_epoch_us(df["o_orderdate"]),
+             "hi": np.isin(prio, ("1-URGENT", "2-HIGH")).astype(np.int64)}
+        )
+
+    ordf = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(oproj, batch_format="pandas")
+
+    def pjoin(l: pd.DataFrame, o: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"rflag": pd.Series(dtype=object),
+                              "hi_n": pd.Series(dtype=np.int64),
+                              "lo_n": pd.Series(dtype=np.int64)})
+        if (len(l) == 0 or "l_orderkey" not in l.columns
+                or len(o) == 0 or "o_orderkey" not in o.columns):
+            return empty
+        j = l.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        j = j.loc[j["ship_us"].to_numpy(np.int64)
+                  > j["o_date_us"].to_numpy(np.int64) + _Q12_LATE_US]
+        if len(j) == 0:
+            return empty
+        hi = j["hi"].to_numpy(np.int64)
+        g = pd.DataFrame({"rflag": j["rflag"].to_numpy(),
+                          "hi_n": hi, "lo_n": 1 - hi})
+        return g.groupby("rflag", as_index=False)[["hi_n", "lo_n"]].sum()
+
+    parts = hash_coexchange(
+        lip, ordf, "l_orderkey", "o_orderkey", pjoin, num_buckets=num_buckets
+    ).to_pandas()
+    cols = {"l_returnflag": object, "high_line_count": np.int64,
+            "low_line_count": np.int64}
+    if parts.empty or "rflag" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    g = parts.groupby("rflag", as_index=False)[["hi_n", "lo_n"]].sum()
+    return pd.DataFrame(
+        {"l_returnflag": g["rflag"],
+         "high_line_count": g["hi_n"].to_numpy(np.int64),
+         "low_line_count": g["lo_n"].to_numpy(np.int64)}
+    ).sort_values("l_returnflag", ignore_index=True)
+
+
+SQL_LATE_SHIPMENTS = f"""
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE epoch_us(l_shipdate) >= {_Q12_LO_US}
+  AND epoch_us(l_shipdate) < {_Q12_HI_US}
+  AND epoch_us(l_shipdate) > epoch_us(o_orderdate) + {_Q12_LATE_US}
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def important_parts(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
+    """TPC-H Q11 shape — important stock identification (no partsupp
+    table here, so "value" = shipped revenue): the parts whose total
+    lineitem revenue exceeds 1.5x the mean per-part revenue.  The
+    threshold is a fraction of a GLOBAL aggregate, the part Q11 adds
+    over a plain groupby-having.
+
+    100-TB plan: lineitem pre-reduces per (batch, partkey) to integer
+    cents, ONE partkey-keyed exchange totals each part exactly once,
+    and the global (total, n_parts) pair is folded from tiny per-batch
+    partials of that (already per-part) dataset with PYTHON ints — no
+    int64 overflow at any scale, no second pass over lineitem.  The
+    1.5x-mean test ``2*n_parts*c > 3*total`` is applied as
+    ``c > (3*total) // (2*n_parts)`` (exact for integers), so the
+    filter is a vectorized int64 compare.  -> (l_partkey,
+    revenue_cents) for the qualifying parts only."""
+    from .core import hash_exchange
+
+    def lpart(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "l_partkey" not in df.columns:
+            return pd.DataFrame({"l_partkey": pd.Series(dtype=np.int64),
+                                 "cents": pd.Series(dtype=np.int64)})
+        cents = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        g = pd.Series(cents).groupby(
+            df["l_partkey"].to_numpy(np.int64)).sum()
+        return pd.DataFrame({"l_partkey": g.index.to_numpy(np.int64),
+                             "cents": g.to_numpy(np.int64)})
+
+    lip = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_extendedprice"]
+    ).map_batches(lpart, batch_format="pandas")
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "l_partkey" not in df.columns:
+            return pd.DataFrame({"l_partkey": pd.Series(dtype=np.int64),
+                                 "cents": pd.Series(dtype=np.int64)})
+        g = df.groupby("l_partkey", as_index=False)["cents"].sum()
+        return g.astype({"l_partkey": np.int64, "cents": np.int64})
+
+    # Exchange is eager: the per-part dataset below reads stored bucket
+    # refs, so consuming it twice (scalar fold + filter) re-reads, not
+    # re-shuffles.
+    parts = hash_exchange(lip, "l_partkey", per_part,
+                          num_buckets=num_buckets)
+
+    def scalar(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "cents" not in df.columns:
+            return pd.DataFrame({"tot": pd.Series(dtype=object),
+                                 "np_": pd.Series(dtype=np.int64)})
+        # decimal-string partial: the driver folds PYTHON ints, exact
+        # past int64 (ADVICE r3 overflow discipline)
+        return pd.DataFrame(
+            {"tot": [str(int(df["cents"].to_numpy(np.int64).sum()))],
+             "np_": np.asarray([len(df)], dtype=np.int64)}
+        )
+
+    sc = parts.map_batches(scalar, batch_format="pandas").to_pandas()
+    total = sum(int(s) for s in sc["tot"]) if len(sc) else 0
+    n_parts = int(sc["np_"].sum()) if len(sc) else 0
+    out_cols = {"l_partkey": np.int64, "revenue_cents": np.int64}
+    if n_parts == 0:
+        return pd.DataFrame(
+            {c: pd.Series(dtype=t) for c, t in out_cols.items()})
+    # 2*np*c > 3*total  <=>  c > (3*total) // (2*np) for integer c
+    thr = (3 * total) // (2 * n_parts)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "cents" not in df.columns:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in out_cols.items()})
+        m = df["cents"].to_numpy(np.int64) > thr
+        return pd.DataFrame(
+            {"l_partkey": df["l_partkey"].to_numpy(np.int64)[m],
+             "revenue_cents": df["cents"].to_numpy(np.int64)[m]}
+        )
+
+    out = parts.map_batches(keep, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {c: pd.Series(dtype=t) for c, t in out_cols.items()})
+    return out.sort_values("l_partkey", ignore_index=True)
+
+
+SQL_IMPORTANT_PARTS = """
+WITH rc AS (
+  SELECT l_partkey,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT)) AS c
+  FROM lineitem GROUP BY 1
+),
+t AS (SELECT sum(c) AS total, count(*) AS np FROM rc)
+SELECT l_partkey, CAST(c AS BIGINT) AS revenue_cents
+FROM rc, t
+WHERE 2 * np * c > 3 * total
+ORDER BY l_partkey
+"""
+
+
+def parts_supplier_counts(
+    sf_dir: str, excl_brand: str = "Brand#45", num_buckets: int = 8
+) -> pd.DataFrame:
+    """TPC-H Q16 shape — parts/supplier relationship: per (brand, type,
+    size), how many DISTINCT suppliers shipped that part, excluding one
+    brand and every supplier with a negative account balance (the
+    "customer complaints" stand-in).
+
+    100-TB plan: three linear keyed exchanges, no broadcast of the
+    supplier table.  (1) lineitem pre-dedups (partkey, suppkey) per
+    batch; a suppkey-keyed coexchange against the NEGATIVE suppliers
+    anti-joins and finishes the global pair dedup (all rows of one
+    suppkey share a bucket).  (2) a partkey-keyed coexchange against
+    the brand-filtered part table attaches (brand, type, size).  (3) a
+    composite-key exchange dedups (brand, type, size, suppkey) globally
+    and counts.  -> (p_brand, p_type, p_size, supplier_cnt)."""
+    from .core import hash_coexchange, hash_exchange
+
+    def lpairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "l_partkey" not in df.columns:
+            return pd.DataFrame({"l_partkey": pd.Series(dtype=np.int64),
+                                 "l_suppkey": pd.Series(dtype=np.int64)})
+        return df[["l_partkey", "l_suppkey"]].drop_duplicates().astype(
+            {"l_partkey": np.int64, "l_suppkey": np.int64})
+
+    pairs = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    ).map_batches(lpairs, batch_format="pandas")
+
+    neg = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+    ).map_batches(
+        lambda df: (
+            df.loc[df["s_acctbal"] < 0, ["s_suppkey"]].astype(np.int64)
+            if len(df) and "s_suppkey" in df.columns
+            else pd.DataFrame({"s_suppkey": pd.Series(dtype=np.int64)})
+        ),
+        batch_format="pandas",
+    )
+
+    def anti(p: pd.DataFrame, s: pd.DataFrame) -> pd.DataFrame:
+        if len(p) == 0 or "l_partkey" not in p.columns:
+            return pd.DataFrame({"l_partkey": pd.Series(dtype=np.int64),
+                                 "l_suppkey": pd.Series(dtype=np.int64)})
+        p = p.drop_duplicates()  # bucket holds every copy of a suppkey
+        if len(s) and "s_suppkey" in s.columns:
+            bad = s["s_suppkey"].to_numpy(np.int64)
+            p = p.loc[~np.isin(p["l_suppkey"].to_numpy(np.int64), bad)]
+        return p
+
+    clean = hash_coexchange(
+        pairs, neg, "l_suppkey", "s_suppkey", anti, num_buckets=num_buckets
+    )
+
+    def pproj(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"p_partkey": pd.Series(dtype=np.int64),
+                              "p_brand": pd.Series(dtype=object),
+                              "p_type": pd.Series(dtype=object),
+                              "p_size": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "p_partkey" not in df.columns:
+            return empty
+        keep = df["p_brand"].to_numpy() != excl_brand
+        return pd.DataFrame(
+            {"p_partkey": df["p_partkey"].to_numpy(np.int64)[keep],
+             "p_brand": df["p_brand"].to_numpy()[keep],
+             "p_type": df["p_type"].to_numpy()[keep],
+             "p_size": df["p_size"].to_numpy(np.int64)[keep]}
+        )
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    ).map_batches(pproj, batch_format="pandas")
+
+    def attach(p: pd.DataFrame, q: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"k": pd.Series(dtype=object),
+                              "l_suppkey": pd.Series(dtype=np.int64)})
+        if (len(p) == 0 or "l_partkey" not in p.columns
+                or len(q) == 0 or "p_partkey" not in q.columns):
+            return empty
+        j = p.merge(q, left_on="l_partkey", right_on="p_partkey")
+        if len(j) == 0:
+            return empty
+        # \x1f separator: pandas 2.x str.cat silently drops NUL
+        k = (j["p_brand"].astype(str) + "\x1f" + j["p_type"].astype(str)
+             + "\x1f" + j["p_size"].astype(np.int64).astype(str))
+        return pd.DataFrame({"k": k.to_numpy(),
+                             "l_suppkey": j["l_suppkey"].to_numpy(np.int64)})
+
+    tagged = hash_coexchange(
+        clean, part, "l_partkey", "p_partkey", attach, num_buckets=num_buckets
+    )
+
+    def count_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"p_brand": pd.Series(dtype=object),
+                              "p_type": pd.Series(dtype=object),
+                              "p_size": pd.Series(dtype=np.int64),
+                              "supplier_cnt": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "k" not in df.columns:
+            return empty
+        d = df.drop_duplicates()  # global: all rows of one k share a bucket
+        g = d.groupby("k", as_index=False).size()
+        bts = g["k"].str.split("\x1f", expand=True)
+        return pd.DataFrame(
+            {"p_brand": bts[0].to_numpy(),
+             "p_type": bts[1].to_numpy(),
+             "p_size": bts[2].astype(np.int64).to_numpy(),
+             "supplier_cnt": g["size"].to_numpy(np.int64)}
+        )
+
+    out = hash_exchange(
+        tagged, "k", count_bucket, num_buckets=num_buckets
+    ).to_pandas()
+    cols = {"p_brand": object, "p_type": object, "p_size": np.int64,
+            "supplier_cnt": np.int64}
+    if out.empty or "p_brand" not in out.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    return out.sort_values(
+        ["p_brand", "p_type", "p_size"], ignore_index=True)
+
+
+SQL_PARTS_SUPPLIER_COUNTS = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45'
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -5941,4 +6275,8 @@ RELATIONAL_QUERIES = {
     "national_market_share": (national_market_share,
                               SQL_NATIONAL_MARKET_SHARE),
     "product_profit": (product_profit, SQL_PRODUCT_PROFIT),
+    "late_shipments": (late_shipments, SQL_LATE_SHIPMENTS),
+    "important_parts": (important_parts, SQL_IMPORTANT_PARTS),
+    "parts_supplier_counts": (parts_supplier_counts,
+                              SQL_PARTS_SUPPLIER_COUNTS),
 }

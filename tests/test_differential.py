@@ -309,7 +309,8 @@ def _write_tpch_micro(tmp_path, rng):
     ["local_supplier_volume", "volume_shipping", "returned_items",
      "promo_revenue", "order_priority_check", "top_supplier_revenue",
      "bracket_revenue", "slowest_supplier_orders", "idle_customers",
-     "revenue_forecast", "national_market_share", "product_profit"],
+     "revenue_forecast", "national_market_share", "product_profit",
+     "late_shipments", "important_parts", "parts_supplier_counts"],
 )
 def test_tpch_join_queries_differential(ray_session, tmp_path, seed, qname):
     """TPC-H join shapes (Q5/Q7/Q10/Q14) over a random micro-schema: the
@@ -455,4 +456,31 @@ def test_kg_schema_ops_differential(ray_session, tmp_path, seed):
               "kg_negative_samples", "kg_entity_rank", "kg_cluster_sizes",
               "kg_rule_mining", "kg_subgraph_export", "pipeline_metrics",
               "corpus_card", "word_entropy"]:
+        _compare(str(tmp_path), q)
+
+
+@pytest.mark.parametrize("seed", [19, 43])
+def test_q16_negative_balance_exclusion(ray_session, tmp_path, seed):
+    """parts_supplier_counts under PLANTED negative balances and the
+    excluded brand, plus late_shipments under the full 5-way priority
+    mix — the micro-schema fixture keeps every balance positive and
+    only two priorities, so the exclusion branches never fire there."""
+    rng = np.random.default_rng(seed)
+    _write_tpch_micro(tmp_path, rng)
+    sup = pq.read_table(tmp_path / "supplier.parquet").to_pandas()
+    sup.loc[sup.index % 3 == 0, "s_acctbal"] = -42.5  # a third excluded
+    pq.write_table(pa.Table.from_pandas(sup, preserve_index=False),
+                   tmp_path / "supplier.parquet")
+    part = pq.read_table(tmp_path / "part.parquet").to_pandas()
+    part.loc[part.index % 4 == 0, "p_brand"] = "Brand#45"  # excluded brand
+    pq.write_table(pa.Table.from_pandas(part, preserve_index=False),
+                   tmp_path / "part.parquet")
+    orders = pq.read_table(tmp_path / "orders.parquet").to_pandas()
+    orders["o_orderpriority"] = rng.choice(
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        len(orders),
+    )
+    pq.write_table(pa.Table.from_pandas(orders, preserve_index=False),
+                   tmp_path / "orders.parquet")
+    for q in ["parts_supplier_counts", "late_shipments", "important_parts"]:
         _compare(str(tmp_path), q)
