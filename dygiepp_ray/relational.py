@@ -6198,6 +6198,118 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def corr_matrix(sf_dir: str) -> pd.DataFrame:
+    """Pearson correlation matrix over lineitem's numeric columns
+    (quantity, price, discount) — the feature-screening pass run before
+    any model touches tabular training data.
+
+    Exactness scheme: every moment (n, Σx, Σx², Σxy, ...) is an exact
+    INTEGER over encoded columns (quantity is integral; price and
+    discount in floor-cents), accumulated in 8192-row numpy chunks
+    (each chunk sum fits int64: price² ~1e14 x 8192 « 2^63) and folded
+    with PYTHON ints across batches — bit-identical to the SQL twin's
+    HUGEINT sums at any scale.  Only the FINAL ratio runs in float64,
+    through the same op sequence on both sides (int→double casts, one
+    multiply, one sqrt, one divide, floor — each IEEE-exact-rounded),
+    so ``corr_x1e6`` cannot drift.  One streaming map pass, a
+    10-integer partial per batch, no shuffle.
+    -> (pair, corr_x1e6)."""
+    import math
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+    MOMENTS = ["n", "sx", "sy", "sz", "sxx", "syy", "szz",
+               "sxy", "sxz", "syz"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "l_quantity" not in df.columns:
+            return pd.DataFrame({m: pd.Series(dtype=object)
+                                 for m in MOMENTS})
+        x = df["l_quantity"].to_numpy(np.float64).astype(np.int64)
+        y = np.floor(df["l_extendedprice"].to_numpy(np.float64) * 100
+                     + 0.5).astype(np.int64)
+        z = np.floor(df["l_discount"].to_numpy(np.float64) * 100
+                     + 0.5).astype(np.int64)
+        acc = {m: 0 for m in MOMENTS}
+        acc["n"] = len(x)
+        for lo in range(0, len(x), 8192):
+            cx, cy, cz = x[lo:lo + 8192], y[lo:lo + 8192], z[lo:lo + 8192]
+            acc["sx"] += int(cx.sum()); acc["sy"] += int(cy.sum())
+            acc["sz"] += int(cz.sum())
+            acc["sxx"] += int((cx * cx).sum())
+            acc["syy"] += int((cy * cy).sum())
+            acc["szz"] += int((cz * cz).sum())
+            acc["sxy"] += int((cx * cy).sum())
+            acc["sxz"] += int((cx * cz).sum())
+            acc["syz"] += int((cy * cz).sum())
+        return pd.DataFrame({m: [str(acc[m])] for m in MOMENTS})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out_empty = pd.DataFrame({"pair": pd.Series(dtype=object),
+                              "corr_x1e6": pd.Series(dtype=np.int64)})
+    if parts.empty or "n" not in parts.columns:
+        return out_empty
+    tot = {m: sum(int(v) for v in parts[m]) for m in MOMENTS}
+    n = tot["n"]
+    if n == 0:
+        return out_empty
+
+    def corr(sa, sb, saa, sbb, sab) -> int:
+        cov = n * sab - sa * sb
+        va = n * saa - sa * sa
+        vb = n * sbb - sb * sb
+        if va == 0 or vb == 0:
+            return 0
+        # float64 finish, same op ORDER as the SQL twin (exact-rounded
+        # IEEE ops on identical inputs -> identical doubles)
+        return int(math.floor(
+            (1_000_000.0 * float(cov)) / math.sqrt(float(va) * float(vb))
+        ))
+
+    t = tot
+    return pd.DataFrame(
+        {"pair": ["price_discount", "qty_discount", "qty_price"],
+         "corr_x1e6": np.asarray(
+             [corr(t["sy"], t["sz"], t["syy"], t["szz"], t["syz"]),
+              corr(t["sx"], t["sz"], t["sxx"], t["szz"], t["sxz"]),
+              corr(t["sx"], t["sy"], t["sxx"], t["syy"], t["sxy"])],
+             dtype=np.int64)}
+    )
+
+
+SQL_CORR_MATRIX = """
+WITH e AS (
+  SELECT CAST(l_quantity AS HUGEINT) AS x,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT) AS y,
+         CAST(floor(l_discount * 100 + 0.5) AS HUGEINT) AS z
+  FROM lineitem
+),
+s AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+         sum(x*x) AS sxx, sum(y*y) AS syy, sum(z*z) AS szz,
+         sum(x*y) AS sxy, sum(x*z) AS sxz, sum(y*z) AS syz
+  FROM e
+),
+p AS (
+  SELECT 'qty_price' AS pair, n*sxy - sx*sy AS cov,
+         n*sxx - sx*sx AS va, n*syy - sy*sy AS vb, n FROM s
+  UNION ALL
+  SELECT 'qty_discount', n*sxz - sx*sz, n*sxx - sx*sx, n*szz - sz*sz, n
+  FROM s
+  UNION ALL
+  SELECT 'price_discount', n*syz - sy*sz, n*syy - sy*sy, n*szz - sz*sz, n
+  FROM s
+)
+SELECT pair,
+       CASE WHEN va = 0 OR vb = 0 THEN 0
+            ELSE CAST(floor((1000000.0 * CAST(cov AS DOUBLE))
+                            / sqrt(CAST(va AS DOUBLE)
+                                   * CAST(vb AS DOUBLE))) AS BIGINT)
+       END AS corr_x1e6
+FROM p WHERE n > 0
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -6279,4 +6391,5 @@ RELATIONAL_QUERIES = {
     "important_parts": (important_parts, SQL_IMPORTANT_PARTS),
     "parts_supplier_counts": (parts_supplier_counts,
                               SQL_PARTS_SUPPLIER_COUNTS),
+    "corr_matrix": (corr_matrix, SQL_CORR_MATRIX),
 }

@@ -1178,3 +1178,65 @@ def bpe_segment(
         )
 
     return ds.map_batches(seg, batch_format="pandas")
+
+
+VOCAB_NGRAM = 3
+VOCAB_BUCKET_DOCS = 100
+
+
+def vocab_growth(
+    ds: ray.data.Dataset,
+    n: int = VOCAB_NGRAM,
+    bucket_docs: int = VOCAB_BUCKET_DOCS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Heaps-law vocabulary-growth curve: per block of ``bucket_docs``
+    documents (in doc_id order), how many ``n``-gram types appear for
+    the FIRST time, plus the running vocabulary size — the saturation
+    diagnostic run before deciding whether a corpus slice still adds
+    novelty to a training mix.
+
+    Distributed first-occurrence: per-batch (gram, min doc_id) partials
+    (combiner — shuffle bytes are O(types per batch), not occurrences),
+    ONE gram-keyed exchange takes the global min per type in exactly one
+    bucket, and each bucket emits only its (doc-block, count) histogram
+    rows; the driver folds <= buckets x blocks tiny rows and cumsums.
+    No stage holds the full vocabulary.
+    -> (bucket, new_terms, cum_vocab)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = _doc_ngrams(df, n, text_col, id_col)
+        if len(g) == 0:
+            return pd.DataFrame({"gram": pd.Series(dtype=object),
+                                 "d": pd.Series(dtype=np.int64)})
+        m = g.groupby("gram", sort=False)[id_col].min()
+        return pd.DataFrame({"gram": m.index.to_numpy(),
+                             "d": m.to_numpy(np.int64)})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def bucket_hist(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "gram" not in df.columns:
+            return pd.DataFrame({"bucket": pd.Series(dtype=np.int64),
+                                 "new_terms": pd.Series(dtype=np.int64)})
+        m = df.groupby("gram", sort=False)["d"].min()
+        c = pd.Series(m.to_numpy(np.int64) // bucket_docs).value_counts()
+        return pd.DataFrame({"bucket": c.index.to_numpy(np.int64),
+                             "new_terms": c.to_numpy(np.int64)})
+
+    parts = hash_exchange(
+        partials, "gram", bucket_hist, num_buckets=num_buckets
+    ).to_pandas()
+    cols = {"bucket": np.int64, "new_terms": np.int64,
+            "cum_vocab": np.int64}
+    if parts.empty or "bucket" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    g = parts.groupby("bucket", as_index=False)["new_terms"].sum()
+    g = g.sort_values("bucket", ignore_index=True)
+    return pd.DataFrame(
+        {"bucket": g["bucket"].to_numpy(np.int64),
+         "new_terms": g["new_terms"].to_numpy(np.int64),
+         "cum_vocab": g["new_terms"].to_numpy(np.int64).cumsum()}
+    )

@@ -1527,6 +1527,27 @@ ORDER BY n_occurrences DESC, gram ASC LIMIT {_corpus.FREQ_TOPK}
 """
 
 
+def q_vocab_growth(sf_dir: str):
+    """Heaps-law trigram vocabulary-growth curve: new n-gram types per
+    100-doc block + running vocabulary — textops/corpus.py."""
+    return _corpus.vocab_growth(_docs(sf_dir))
+
+
+SQL_VOCAB_GROWTH = _SQL_ARR + f""",
+g AS (
+  SELECT doc_id, array_to_string(arr[i:i+{_corpus.VOCAB_NGRAM - 1}], ' ') AS gram
+  FROM base, unnest(range(1, len(arr) - {_corpus.VOCAB_NGRAM - 2})) AS r(i)
+),
+firsts AS (SELECT gram, min(doc_id) AS d FROM g GROUP BY 1),
+b AS (SELECT d // {_corpus.VOCAB_BUCKET_DOCS} AS bucket, count(*) AS n
+      FROM firsts GROUP BY 1)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(n AS BIGINT) AS new_terms,
+       CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS cum_vocab
+FROM b ORDER BY bucket
+"""
+
+
 def q_rare_bigram_scores(sf_dir: str):
     """Two-stage LM-quality signal: global top-k bigrams -> broadcast ->
     per-doc out-of-vocabulary bigram counts — textops/corpus.py."""
@@ -1968,6 +1989,7 @@ TEXTOPS_QUERIES = {
     "shuffle_rank": (q_shuffle_rank, SQL_SHUFFLE_RANK),
     "cap_per_source": (q_cap_per_source, SQL_CAP_PER_SOURCE),
     "frequent_ngrams": (q_frequent_ngrams, SQL_FREQUENT_NGRAMS),
+    "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),
     "prepare_training_set": (q_prepare_training_set, SQL_PREPARE_TRAINING_SET),
     "rare_bigram_scores": (q_rare_bigram_scores, SQL_RARE_BIGRAM_SCORES),
     "unigram_surprisal": (q_unigram_surprisal, SQL_UNIGRAM_SURPRISAL),

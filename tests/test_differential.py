@@ -161,7 +161,8 @@ def test_lineitem_queries_differential(ray_session, tmp_path, seed):
     for q in ["quantiles_price", "quantiles_cont_price",
               "quantiles_by_flag", "quantiles_cont_by_flag",
               "price_outliers", "winsorized_revenue",
-              "cheapest_supplier", "small_quantity_revenue"]:
+              "cheapest_supplier", "small_quantity_revenue",
+              "corr_matrix"]:
         _compare(str(tmp_path), q)
 
 
@@ -185,7 +186,8 @@ def test_document_queries_differential(ray_session, tmp_path, seed):
          "text": pa.array(texts)}
     ), tmp_path / "documents.parquet")
     for q in ["phrase_search", "term_search", "token_count",
-              "unigram_surprisal", "kg_entity_degree", "kg_path2"]:
+              "unigram_surprisal", "kg_entity_degree", "kg_path2",
+              "vocab_growth"]:
         _compare(str(tmp_path), q)
 
 
