@@ -6310,6 +6310,258 @@ FROM p WHERE n > 0
 """
 
 
+def revenue_cube(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE over (l_returnflag, l_linestatus): revenue and
+    line counts at all FOUR grouping sets — the margin-table companion
+    to :func:`revenue_rollup`'s hierarchy levels.
+
+    One fact pass: per-batch combiner partials at the finest level
+    only; the three coarser sets are derived from the <= |flag x
+    status| finest rows on the driver (every margin is a sum of finest
+    cells), so the cube costs exactly one scan and zero shuffles.
+    Integer cents keep every level hash-exact under any summation
+    order.  -> (returnflag, linestatus, revenue_cents, n_lines)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "l_returnflag" not in df.columns:
+            return pd.DataFrame({"f": pd.Series(dtype=object),
+                                 "s": pd.Series(dtype=object),
+                                 "revenue_cents": pd.Series(dtype=np.int64),
+                                 "n_lines": pd.Series(dtype=np.int64)})
+        p = df["l_extendedprice"].to_numpy(np.float64) * 100
+        cents = np.trunc(p + np.sign(p) * 0.5).astype(np.int64)
+        g = pd.DataFrame({"f": df["l_returnflag"].to_numpy(),
+                          "s": df["l_linestatus"].to_numpy(),
+                          "cents": cents}).groupby(["f", "s"], sort=False)
+        out = g.agg(revenue_cents=("cents", "sum"),
+                    n_lines=("cents", "size")).reset_index()
+        return out.astype({"revenue_cents": np.int64, "n_lines": np.int64})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty or "f" not in parts.columns:
+        # CUBE over empty input still yields the grand-total row
+        return pd.DataFrame(
+            {"returnflag": ["ALL"], "linestatus": ["ALL"],
+             "revenue_cents": np.asarray([0], dtype=np.int64),
+             "n_lines": np.asarray([0], dtype=np.int64)}
+        )
+    finest = parts.groupby(["f", "s"], as_index=False)[
+        ["revenue_cents", "n_lines"]].sum()
+
+    def margin(keys: list[str]) -> pd.DataFrame:
+        if keys:
+            m = finest.groupby(keys, as_index=False)[
+                ["revenue_cents", "n_lines"]].sum()
+        else:
+            m = pd.DataFrame(
+                {"revenue_cents": [finest["revenue_cents"].sum()],
+                 "n_lines": [finest["n_lines"].sum()]})
+        if "f" not in m.columns:
+            m["f"] = "ALL"
+        if "s" not in m.columns:
+            m["s"] = "ALL"
+        return m[["f", "s", "revenue_cents", "n_lines"]]
+
+    out = pd.concat(
+        [margin(["f", "s"]), margin(["f"]), margin(["s"]), margin([])],
+        ignore_index=True,
+    )
+    return pd.DataFrame(
+        {"returnflag": out["f"].to_numpy(),
+         "linestatus": out["s"].to_numpy(),
+         "revenue_cents": out["revenue_cents"].to_numpy(np.int64),
+         "n_lines": out["n_lines"].to_numpy(np.int64)}
+    ).sort_values(["returnflag", "linestatus"], ignore_index=True)
+
+
+SQL_REVENUE_CUBE = """
+SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+            ELSE l_returnflag END AS returnflag,
+       CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
+            ELSE l_linestatus END AS linestatus,
+       CAST(COALESCE(sum(CAST(round(l_extendedprice * 100) AS BIGINT)), 0)
+            AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+_OLS_HUGE_BOUND = (1 << 126)  # keep every SQL intermediate in HUGEINT
+
+
+def ols_price_qty(sf_dir: str) -> pd.DataFrame:
+    """Ordinary-least-squares fit of line price (cents) on quantity —
+    the drift-check regression run over a feature pair before training.
+    Slope and intercept are EXACT fixed-point integers: both are
+    rationals of the integer moment sums, emitted as floored
+    ``slope_x1e6`` (cents per unit) and ``intercept_x100`` — no float
+    enters the computation at all (unlike :func:`corr_matrix`, which
+    needs a sqrt).
+
+    One streaming pass, 5-integer partials per batch folded with
+    python ints.  The SQL twin computes the same floored divisions in
+    HUGEINT via an explicit floor-div expansion (DuckDB ``//``
+    truncates toward zero on integers; Python floors — the expansion
+    makes both floor).  Raises OverflowError before the oracle's
+    HUGEINT would (ADVICE r3: fail loudly, never silently diverge);
+    the bound is ~3e9 rows at TPC-H value ranges.
+    -> one row (n, slope_x1e6, intercept_x100)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice"],
+    )
+    MOMENTS = ["n", "sx", "sy", "sxx", "sxy"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "l_quantity" not in df.columns:
+            return pd.DataFrame({m: pd.Series(dtype=object)
+                                 for m in MOMENTS})
+        x = df["l_quantity"].to_numpy(np.float64).astype(np.int64)
+        y = np.floor(df["l_extendedprice"].to_numpy(np.float64) * 100
+                     + 0.5).astype(np.int64)
+        acc = {"n": len(x), "sx": 0, "sy": 0, "sxx": 0, "sxy": 0}
+        for lo in range(0, len(x), 8192):
+            cx, cy = x[lo:lo + 8192], y[lo:lo + 8192]
+            acc["sx"] += int(cx.sum()); acc["sy"] += int(cy.sum())
+            acc["sxx"] += int((cx * cx).sum())
+            acc["sxy"] += int((cx * cy).sum())
+        return pd.DataFrame({m: [str(acc[m])] for m in MOMENTS})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    cols = {"n": np.int64, "slope_x1e6": np.int64,
+            "intercept_x100": np.int64}
+    if parts.empty or "n" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    t = {m: sum(int(v) for v in parts[m]) for m in MOMENTS}
+    n, sx, sy, sxx, sxy = t["n"], t["sx"], t["sy"], t["sxx"], t["sxy"]
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    if n == 0 or vx == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    inum = sy * vx - cov * sx
+    if max(abs(1_000_000 * cov), abs(100 * inum)) > _OLS_HUGE_BOUND:
+        raise OverflowError(
+            "ols_price_qty: moment products exceed the HUGEINT bound the "
+            f"SQL twin computes in (n={n}); shard the input first")
+    slope = (1_000_000 * cov) // vx        # python // floors
+    intercept = (100 * inum) // (n * vx)
+    return pd.DataFrame(
+        {"n": np.asarray([n], dtype=np.int64),
+         "slope_x1e6": np.asarray([slope], dtype=np.int64),
+         "intercept_x100": np.asarray([intercept], dtype=np.int64)}
+    )
+
+
+# DuckDB integer division truncates toward zero; expand to a FLOOR
+# division (denominators below are always > 0)
+def _sql_floordiv(a: str, b: str) -> str:
+    return f"(({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) / ({b})"
+
+
+SQL_OLS_PRICE_QTY = f"""
+WITH e AS (
+  SELECT CAST(l_quantity AS HUGEINT) AS x,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT) AS y
+  FROM lineitem
+),
+s AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x*x) AS sxx, sum(x*y) AS sxy
+  FROM e
+),
+m AS (
+  SELECT n, n*sxy - sx*sy AS cov, n*sxx - sx*sx AS vx,
+         sy*(n*sxx - sx*sx) - (n*sxy - sx*sy)*sx AS inum
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST({_sql_floordiv('1000000 * cov', 'vx')} AS BIGINT)
+         AS slope_x1e6,
+       CAST({_sql_floordiv('100 * inum', 'n * vx')} AS BIGINT)
+         AS intercept_x100
+FROM m WHERE n > 0 AND vx <> 0
+"""
+
+
+def session_duration_quantiles(
+    sf_dir: str, gap_s: int = 1800
+) -> pd.DataFrame:
+    """Composite: gap-based sessionization -> per-session durations ->
+    EXACT distributed quantiles — the engagement-distribution readout
+    (how long are sessions, really) layered from two existing
+    primitives.
+
+    One user-keyed partition pass emits a duration row per session
+    (vectorized: sort + diff + segment min/max inside each bucket);
+    :func:`analytics.exact_quantiles` then selects the exact order
+    statistics over that derived dataset without ever collecting it.
+    -> (q, value) with value in microseconds."""
+    from .analytics import exact_quantiles
+
+    gap_us = gap_s * 1_000_000
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def durations(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "user_id" not in df.columns:
+            return pd.DataFrame({"dur_us": pd.Series(dtype=np.int64)})
+        out = []
+        for _, g in df.groupby("user_id", sort=False):
+            t = np.sort(ts_epoch_us(g["ts"]))
+            new = np.ones(len(t), dtype=bool)
+            new[1:] = np.diff(t) > gap_us
+            sid = np.cumsum(new)
+            d = pd.Series(t).groupby(sid).agg(["min", "max"])
+            out.append(
+                (d["max"] - d["min"]).to_numpy(np.int64))
+        return pd.DataFrame(
+            {"dur_us": np.concatenate(out) if out
+             else np.empty(0, np.int64)})
+
+    durs = partitioned_map_groups(ds, "user_id", durations)
+    out = exact_quantiles(durs, "dur_us", [0.5, 0.9, 0.99])
+    if len(out):
+        out["value"] = out["value"].astype(np.int64)
+    else:
+        out = pd.DataFrame({"q": pd.Series(dtype=np.float64),
+                            "value": pd.Series(dtype=np.int64)})
+    return out
+
+
+SQL_SESSION_DURATION_QUANTILES = """
+WITH ordered AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t,
+         lag(CAST(epoch_us(ts) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts) AS prev_t
+  FROM events
+),
+marks AS (
+  SELECT user_id, t,
+         CASE WHEN prev_t IS NULL OR t - prev_t > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+),
+sess AS (
+  SELECT user_id, t,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks
+),
+d AS (SELECT user_id, sid, max(t) - min(t) AS dur_us
+      FROM sess GROUP BY 1, 2)
+SELECT q, CAST(value AS BIGINT) AS value FROM (
+  SELECT unnest([0.5, 0.9, 0.99]) AS q,
+         unnest(quantile_disc(dur_us, [0.5, 0.9, 0.99])) AS value
+  FROM d
+) WHERE value IS NOT NULL
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -6392,4 +6644,8 @@ RELATIONAL_QUERIES = {
     "parts_supplier_counts": (parts_supplier_counts,
                               SQL_PARTS_SUPPLIER_COUNTS),
     "corr_matrix": (corr_matrix, SQL_CORR_MATRIX),
+    "revenue_cube": (revenue_cube, SQL_REVENUE_CUBE),
+    "ols_price_qty": (ols_price_qty, SQL_OLS_PRICE_QTY),
+    "session_duration_quantiles": (session_duration_quantiles,
+                                   SQL_SESSION_DURATION_QUANTILES),
 }

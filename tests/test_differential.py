@@ -78,7 +78,8 @@ def _compare(sf_dir: str, qname: str):
     "qname",
     ["events_ohlc", "user_streaks", "users_setop", "purchase_attribution",
      "events_rate_alert", "events_tumbling", "user_paths",
-     "events_gap_histogram", "events_dedup_window"],
+     "events_gap_histogram", "events_dedup_window",
+     "session_duration_quantiles"],
 )
 def test_event_queries_differential(ray_session, tmp_path, seed, qname):
     rng = np.random.default_rng(seed * 1000 + len(qname))
@@ -162,7 +163,7 @@ def test_lineitem_queries_differential(ray_session, tmp_path, seed):
               "quantiles_by_flag", "quantiles_cont_by_flag",
               "price_outliers", "winsorized_revenue",
               "cheapest_supplier", "small_quantity_revenue",
-              "corr_matrix"]:
+              "corr_matrix", "revenue_cube", "ols_price_qty"]:
         _compare(str(tmp_path), q)
 
 

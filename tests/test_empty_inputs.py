@@ -61,7 +61,11 @@ _SAMPLE = [
     "events_gap_histogram", "role_transitions", "lang_confusion",
     "kg_subgraph_export", "events_dedup_window",
     "late_shipments", "important_parts", "parts_supplier_counts",
-    "corr_matrix", "vocab_growth",
+    "corr_matrix", "vocab_growth", "ols_price_qty",
+    "session_duration_quantiles",
+    # revenue_cube, like pipeline_metrics, legitimately returns the
+    # grand-total row on an empty corpus (CUBE semantics) — excluded
+    # from the zero-row assertion
     # pipeline_metrics legitimately returns its one-row card (all
     # zeros) on an empty corpus — excluded from the zero-row assertion
     # NOT sampled: ner_eval / ner_eval_weighted — global aggregates whose
