@@ -1831,7 +1831,8 @@ _DRIVER_SAMPLE_FIRST = (
     # tier 0: added this session
     "late_shipments", "important_parts", "parts_supplier_counts",
     "corr_matrix", "vocab_growth", "revenue_cube", "ols_price_qty",
-    "session_duration_quantiles",
+    "session_duration_quantiles", "surprisal_buckets",
+    "bpe_fertility_by_lang",
     "kg_predicate_stats", "kg_symmetric_pairs", "kg_conflicting_attrs",
     "kg_upsert_diff", "word_entropy", "kg_entity_cards",
     "kg_negative_samples", "csv_docs", "kg_entity_rank",

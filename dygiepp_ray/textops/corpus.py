@@ -1240,3 +1240,49 @@ def vocab_growth(
          "new_terms": g["new_terms"].to_numpy(np.int64),
          "cum_vocab": g["new_terms"].to_numpy(np.int64).cumsum()}
     )
+
+
+def surprisal_buckets(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """CCNet's head/middle/tail split: docs bucketed by corpus-relative
+    TERCILES of their per-token surprisal (bucket 0 = least surprising
+    = "head").  The cuts are EXACT order statistics — rank (n+2)//3 and
+    (2n+2)//3, pure integer arithmetic on both sides, so no float-q
+    quantile convention can drift between engines.
+
+    Shape: per-doc scores from :func:`unigram_surprisal_scores` (its
+    vocabulary broadcast asymmetry carries over), cuts via the
+    distributed selection in ``analytics.exact_quantiles`` (the rank
+    hook), then one counting pass; the driver holds two cut scalars
+    and <= 3 partial rows per batch.  -> (bucket, n_docs, s_sum)."""
+    from ..analytics import exact_quantiles
+
+    scores = unigram_surprisal_scores(ds, text_col=text_col, id_col=id_col)
+    cuts = exact_quantiles(
+        scores, "surprisal_avg_x1e6", [1.0 / 3, 2.0 / 3],
+        _ks_fn=lambda n: [(n + 2) // 3, (2 * n + 2) // 3],
+    )
+    cols = {"bucket": np.int64, "n_docs": np.int64, "s_sum": np.int64}
+    if len(cuts) < 2:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    c1, c2 = (int(v) for v in cuts["value"].to_numpy(np.float64))
+
+    def count_buckets(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "surprisal_avg_x1e6" not in df.columns:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in cols.items()})
+        sa = df["surprisal_avg_x1e6"].to_numpy(np.int64)
+        b = np.where(sa <= c1, 0, np.where(sa <= c2, 1, 2))
+        g = pd.DataFrame({"bucket": b, "s_sum": sa}).groupby(
+            "bucket", as_index=False).agg(n_docs=("s_sum", "size"),
+                                          s_sum=("s_sum", "sum"))
+        return g[["bucket", "n_docs", "s_sum"]].astype(np.int64)
+
+    parts = scores.map_batches(count_buckets, batch_format="pandas").to_pandas()
+    if parts.empty or "bucket" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    g = parts.groupby("bucket", as_index=False)[["n_docs", "s_sum"]].sum()
+    return g.astype(np.int64).sort_values("bucket", ignore_index=True)

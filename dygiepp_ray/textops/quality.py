@@ -339,3 +339,52 @@ def compression_ratio_scores(
         )
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def bpe_fertility_by_lang(ds: ray.data.Dataset) -> pd.DataFrame:
+    """Tokenizer fertility per language: BPE-ish subword count over
+    whitespace word count — the multilingual tokenizer-budget audit
+    (a fertility far above ~1.3e6 means the tokenizer fragments that
+    language and its effective context shrinks).
+
+    One streaming pass (regex compiled once per actor), per-batch
+    per-lang integer partials, driver folds <= |langs| rows; the ratio
+    is floored fixed-point so it hashes exactly against the SQL twin.
+    -> (lang, n_bpe, n_ws, fertility_x1e6)."""
+    from .chunks import _doc_tokens
+
+    cols = {"lang": object, "n_bpe": np.int64, "n_ws": np.int64}
+
+    class Partial:
+        def __init__(self):
+            import re as _re
+
+            self.pat = _re.compile(BPE_PATTERN)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0 or "lang" not in df.columns:
+                return pd.DataFrame(
+                    {c: pd.Series(dtype=t) for c, t in cols.items()})
+            nb = df["text"].map(
+                lambda t: len(self.pat.findall(t))).to_numpy(np.int64)
+            ws = _doc_tokens(df, "text").map(len).to_numpy(np.int64)
+            g = pd.DataFrame({"lang": df["lang"].to_numpy(),
+                              "n_bpe": nb, "n_ws": ws}).groupby(
+                "lang", as_index=False)[["n_bpe", "n_ws"]].sum()
+            return g
+
+    parts = ds.map_batches(
+        Partial, batch_format="pandas", concurrency=2
+    ).to_pandas()
+    out_cols = dict(cols, fertility_x1e6=np.int64)
+    if parts.empty or "lang" not in parts.columns:
+        return pd.DataFrame(
+            {c: pd.Series(dtype=t) for c, t in out_cols.items()})
+    g = parts.groupby("lang", as_index=False)[["n_bpe", "n_ws"]].sum()
+    nb = g["n_bpe"].to_numpy(np.int64)
+    ws = g["n_ws"].to_numpy(np.int64)
+    fert = np.where(ws == 0, 0, (1_000_000 * nb) // np.maximum(ws, 1))
+    return pd.DataFrame(
+        {"lang": g["lang"].to_numpy(), "n_bpe": nb, "n_ws": ws,
+         "fertility_x1e6": fert.astype(np.int64)}
+    ).sort_values("lang", ignore_index=True)

@@ -1548,6 +1548,74 @@ FROM b ORDER BY bucket
 """
 
 
+def q_surprisal_buckets(sf_dir: str):
+    """CCNet head/middle/tail split by exact surprisal terciles —
+    textops/corpus.py."""
+    return _corpus.surprisal_buckets(_docs(sf_dir))
+
+
+SQL_SURPRISAL_BUCKETS = _SQL_ARR + f""",
+toks AS (SELECT doc_id, unnest(arr) AS tok FROM base),
+c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+nn AS (SELECT count(*) AS total FROM toks),
+s AS (
+  SELECT t.doc_id, count(*) AS n_tokens,
+         sum(LEAST(nn.total // c.cnt, {_corpus.SURPRISAL_CAP})) AS ssum
+  FROM toks t JOIN c ON t.tok = c.tok CROSS JOIN nn
+  GROUP BY 1
+),
+sc AS (
+  SELECT b.doc_id,
+         CAST(CASE WHEN COALESCE(s.n_tokens, 0) = 0 THEN 0
+              ELSE (1000000 * s.ssum) // s.n_tokens END AS BIGINT) AS sa
+  FROM base b LEFT JOIN s USING (doc_id)
+),
+r AS (SELECT sa, row_number() OVER (ORDER BY sa) AS rn,
+             count(*) OVER () AS n
+      FROM sc),
+cuts AS (
+  SELECT max(CASE WHEN rn <= (n + 2) // 3 THEN sa END) AS c1,
+         max(CASE WHEN rn <= (2 * n + 2) // 3 THEN sa END) AS c2
+  FROM r
+),
+bkt AS (
+  SELECT CASE WHEN sa <= c1 THEN 0 WHEN sa <= c2 THEN 1 ELSE 2 END
+           AS bucket, sa
+  FROM sc, cuts
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(sa) AS BIGINT) AS s_sum
+FROM bkt GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_bpe_fertility_by_lang(sf_dir: str):
+    """Per-language tokenizer fertility (BPE subwords / whitespace
+    words) — textops/quality.py."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return quality.bpe_fertility_by_lang(ds)
+
+
+SQL_BPE_FERTILITY_BY_LANG = f"""
+WITH b AS (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws,
+         len(regexp_extract_all(text, '{quality.BPE_PATTERN.replace("'", "''")}')) AS nb
+  FROM documents
+)
+SELECT lang, CAST(sum(nb) AS BIGINT) AS n_bpe,
+       CAST(sum(ws) AS BIGINT) AS n_ws,
+       CAST(CASE WHEN sum(ws) = 0 THEN 0
+            ELSE (1000000 * sum(nb)) // sum(ws) END AS BIGINT)
+         AS fertility_x1e6
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_rare_bigram_scores(sf_dir: str):
     """Two-stage LM-quality signal: global top-k bigrams -> broadcast ->
     per-doc out-of-vocabulary bigram counts — textops/corpus.py."""
@@ -1990,6 +2058,9 @@ TEXTOPS_QUERIES = {
     "cap_per_source": (q_cap_per_source, SQL_CAP_PER_SOURCE),
     "frequent_ngrams": (q_frequent_ngrams, SQL_FREQUENT_NGRAMS),
     "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),
+    "surprisal_buckets": (q_surprisal_buckets, SQL_SURPRISAL_BUCKETS),
+    "bpe_fertility_by_lang": (q_bpe_fertility_by_lang,
+                              SQL_BPE_FERTILITY_BY_LANG),
     "prepare_training_set": (q_prepare_training_set, SQL_PREPARE_TRAINING_SET),
     "rare_bigram_scores": (q_rare_bigram_scores, SQL_RARE_BIGRAM_SCORES),
     "unigram_surprisal": (q_unigram_surprisal, SQL_UNIGRAM_SURPRISAL),

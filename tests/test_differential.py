@@ -188,7 +188,7 @@ def test_document_queries_differential(ray_session, tmp_path, seed):
     ), tmp_path / "documents.parquet")
     for q in ["phrase_search", "term_search", "token_count",
               "unigram_surprisal", "kg_entity_degree", "kg_path2",
-              "vocab_growth"]:
+              "vocab_growth", "surprisal_buckets"]:
         _compare(str(tmp_path), q)
 
 
@@ -458,7 +458,7 @@ def test_kg_schema_ops_differential(ray_session, tmp_path, seed):
               "kg_conflicting_attrs", "kg_upsert_diff", "kg_entity_cards",
               "kg_negative_samples", "kg_entity_rank", "kg_cluster_sizes",
               "kg_rule_mining", "kg_subgraph_export", "pipeline_metrics",
-              "corpus_card", "word_entropy"]:
+              "corpus_card", "word_entropy", "bpe_fertility_by_lang"]:
         _compare(str(tmp_path), q)
 
 

@@ -62,7 +62,8 @@ _SAMPLE = [
     "kg_subgraph_export", "events_dedup_window",
     "late_shipments", "important_parts", "parts_supplier_counts",
     "corr_matrix", "vocab_growth", "ols_price_qty",
-    "session_duration_quantiles",
+    "session_duration_quantiles", "surprisal_buckets",
+    "bpe_fertility_by_lang",
     # revenue_cube, like pipeline_metrics, legitimately returns the
     # grand-total row on an empty corpus (CUBE semantics) — excluded
     # from the zero-row assertion
