@@ -6562,6 +6562,82 @@ SELECT q, CAST(value AS BIGINT) AS value FROM (
 """
 
 
+def monthly_revenue_zscore(sf_dir: str) -> pd.DataFrame:
+    """Seasonal anomaly card: monthly revenue plus its z-score against
+    the all-months distribution — the sanity plot drawn before trusting
+    any time-partitioned pipeline output.
+
+    Exactness: monthly sums are integer cents folded from per-batch
+    partials (one pass, <= |months| rows per batch, no shuffle); the
+    z-score uses the algebraic identity z = (n*x - T)/sqrt(n*T2 - T^2)
+    whose numerator and radicand are EXACT integers, with only the
+    final sqrt/divide/floor in float64 through the same op sequence as
+    the SQL twin.  -> (month_us, revenue_cents, z_x1e6)."""
+    import math
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_orderdate" not in df.columns:
+            return pd.DataFrame({"month_us": pd.Series(dtype=np.int64),
+                                 "cents": pd.Series(dtype=np.int64)})
+        d = df["o_orderdate"]
+        if isinstance(d.dtype, pd.DatetimeTZDtype):
+            d = d.dt.tz_convert("UTC").dt.tz_localize(None)
+        m = (d.to_numpy().astype("datetime64[M]")
+             .astype("datetime64[us]").astype(np.int64))
+        p = df["o_totalprice"].to_numpy(np.float64) * 100
+        cents = np.trunc(p + np.sign(p) * 0.5).astype(np.int64)
+        g = pd.Series(cents).groupby(m).sum()
+        return pd.DataFrame({"month_us": g.index.to_numpy(np.int64),
+                             "cents": g.to_numpy(np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    cols = {"month_us": np.int64, "revenue_cents": np.int64,
+            "z_x1e6": np.int64}
+    if parts.empty or "month_us" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    g = parts.groupby("month_us", as_index=False)["cents"].sum()
+    x = [int(v) for v in g["cents"]]  # python ints: T2 is past int64
+    n, T, T2 = len(x), sum(x), sum(v * v for v in x)
+    rad = n * T2 - T * T
+    if rad == 0:
+        z = np.zeros(n, dtype=np.int64)
+    else:
+        s = math.sqrt(float(rad))
+        z = np.asarray(
+            [int(math.floor((1_000_000.0 * float(n * v - T)) / s))
+             for v in x],
+            dtype=np.int64)
+    return pd.DataFrame(
+        {"month_us": g["month_us"].to_numpy(np.int64),
+         "revenue_cents": g["cents"].to_numpy(np.int64),
+         "z_x1e6": z}
+    ).sort_values("month_us", ignore_index=True)
+
+
+SQL_MONTHLY_REVENUE_ZSCORE = """
+WITH m AS (
+  SELECT CAST(epoch_us(date_trunc('month', o_orderdate)) AS BIGINT)
+           AS month_us,
+         sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS cents
+  FROM orders GROUP BY 1
+),
+s AS (SELECT count(*) AS n, sum(cents) AS t,
+             sum(cents * cents) AS t2
+      FROM m)
+SELECT month_us, CAST(cents AS BIGINT) AS revenue_cents,
+       CASE WHEN n * t2 - t * t = 0 THEN 0
+            ELSE CAST(floor((1000000.0 * CAST(n * cents - t AS DOUBLE))
+                            / sqrt(CAST(n * t2 - t * t AS DOUBLE)))
+                      AS BIGINT)
+       END AS z_x1e6
+FROM m, s ORDER BY 1
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -6648,4 +6724,6 @@ RELATIONAL_QUERIES = {
     "ols_price_qty": (ols_price_qty, SQL_OLS_PRICE_QTY),
     "session_duration_quantiles": (session_duration_quantiles,
                                    SQL_SESSION_DURATION_QUANTILES),
+    "monthly_revenue_zscore": (monthly_revenue_zscore,
+                               SQL_MONTHLY_REVENUE_ZSCORE),
 }

@@ -114,7 +114,7 @@ def test_orders_queries_differential(ray_session, tmp_path, seed):
     )
     pq.write_table(tbl, tmp_path / "orders.parquet")
     for q in ["zorder_layout", "orders_snapshot_diff", "contingency_table",
-              "rfm_segments"]:
+              "rfm_segments", "monthly_revenue_zscore"]:
         _compare(str(tmp_path), q)
 
 
