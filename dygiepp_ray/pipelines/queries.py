@@ -1832,7 +1832,7 @@ _DRIVER_SAMPLE_FIRST = (
     "late_shipments", "important_parts", "parts_supplier_counts",
     "corr_matrix", "vocab_growth", "revenue_cube", "ols_price_qty",
     "session_duration_quantiles", "surprisal_buckets",
-    "bpe_fertility_by_lang", "monthly_revenue_zscore",
+    "bpe_fertility_by_lang", "monthly_revenue_zscore", "avi_frames",
     "kg_predicate_stats", "kg_symmetric_pairs", "kg_conflicting_attrs",
     "kg_upsert_diff", "word_entropy", "kg_entity_cards",
     "kg_negative_samples", "csv_docs", "kg_entity_rank",

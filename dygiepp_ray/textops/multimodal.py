@@ -685,3 +685,148 @@ def image_dhash(
         DhashDecoder, batch_format="pandas",
         batch_size=batch_size, concurrency=concurrency,
     )
+
+
+AVI_SEED = 37
+
+
+def synth_avi(n: int = 8, seed: int = AVI_SEED) -> pa.Table:
+    """(media_id, payload): REAL AVI containers — full RIFF structure
+    (LIST/hdrl with a well-formed 56-byte ``avih`` main header,
+    LIST/movi with per-frame ``00db`` chunks incl. odd-size padding,
+    and a trailing ``idx1`` index whose offsets/sizes must agree with
+    the movi walk).  Frame payloads are ascii md5 chains, so the DuckDB
+    oracle regenerates every sampled frame's (size, md5) without
+    touching the container."""
+    import struct
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        return (fourcc + struct.pack("<I", len(data)) + data
+                + (b"\x00" if len(data) % 2 else b""))
+
+    ids, payloads = [], []
+    for i in range(n):
+        base = hashlib.md5(f"avi:{seed}:{i}".encode()).hexdigest()
+        n_frames = 4 + int(base[0:2], 16) % 12
+        contents = []
+        for f in range(n_frames):
+            fb = hashlib.md5(f"avi:{seed}:{i}:{f}".encode()).hexdigest()
+            fs = 16 + int(fb[0:2], 16) % 48
+            chain = "".join(
+                hashlib.md5(f"avi:{seed}:{i}:{f}:{k}".encode()).hexdigest()
+                for k in range(2)
+            )
+            contents.append(chain[:fs].encode("ascii"))
+        avih = struct.pack(
+            "<14I", 33333, 0, 0, 0x10, n_frames, 0, 1, 0, 64, 48,
+            0, 0, 0, 0,
+        )
+        hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+        movi_body = b"movi"
+        offsets = []
+        for c in contents:
+            offsets.append(len(movi_body))  # offset of ckid within movi
+            movi_body += chunk(b"00db", c)
+        movi = chunk(b"LIST", movi_body)
+        idx = b"".join(
+            struct.pack("<4sIII", b"00db", 0x10, off, len(c))
+            for off, c in zip(offsets, contents)
+        )
+        payload = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+        riff = b"RIFF" + struct.pack("<I", len(payload)) + payload
+        ids.append(i)
+        payloads.append(riff)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+class AviFrameSampler:
+    """Actor-pool stage: REAL AVI parse + every-k-th frame sampling —
+    the video frame-sample shape.  Walks the RIFF tree (hdrl/avih for
+    the declared frame count, movi for the actual ``00db`` frame
+    chunks with even-byte padding, idx1 for the index) and CROSS-CHECKS
+    all three before emitting; a container whose index disagrees with
+    its movi data raises instead of silently passing frames through."""
+
+    def __init__(self, sample_every: int = 2):
+        self.sample_every = sample_every
+
+    @staticmethod
+    def _parse(payload: bytes):
+        import struct
+
+        if payload[0:4] != b"RIFF" or payload[8:12] != b"AVI ":
+            raise ValueError("not an AVI/RIFF payload")
+        total_declared = None
+        frames = []          # (movi_rel_offset, content)
+        idx_entries = []     # (movi_rel_offset, size)
+        pos = 12
+        end = 8 + struct.unpack("<I", payload[4:8])[0]
+        while pos + 8 <= end:
+            fourcc = payload[pos:pos + 4]
+            size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+            data = payload[pos + 8:pos + 8 + size]
+            if fourcc == b"LIST" and data[0:4] == b"hdrl":
+                sub = data[4:]
+                p = 0
+                while p + 8 <= len(sub):
+                    sc = sub[p:p + 4]
+                    ss = struct.unpack("<I", sub[p + 4:p + 8])[0]
+                    if sc == b"avih":
+                        total_declared = struct.unpack(
+                            "<I", sub[p + 8 + 16:p + 8 + 20])[0]
+                    p += 8 + ss + (ss % 2)
+            elif fourcc == b"LIST" and data[0:4] == b"movi":
+                p = 4
+                while p + 8 <= len(data):
+                    sc = data[p:p + 4]
+                    ss = struct.unpack("<I", data[p + 4:p + 8])[0]
+                    if sc == b"00db":
+                        frames.append((p, data[p + 8:p + 8 + ss]))
+                    p += 8 + ss + (ss % 2)
+            elif fourcc == b"idx1":
+                for q in range(0, size, 16):
+                    ck, _fl, off, sz = struct.unpack(
+                        "<4sIII", data[q:q + 16])
+                    if ck == b"00db":
+                        idx_entries.append((off, sz))
+            pos += 8 + size + (size % 2)
+        if total_declared != len(frames) or len(idx_entries) != len(frames):
+            raise ValueError("avih/movi/idx1 frame counts disagree")
+        for (off_m, content), (off_i, sz_i) in zip(frames, idx_entries):
+            if off_m != off_i or len(content) != sz_i:
+                raise ValueError("idx1 entry disagrees with movi chunk")
+        return total_declared, [c for _, c in frames]
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"media_id": [], "total_frames": [], "frame_idx": [],
+                "size": [], "content_md5": []}
+        for mid, payload in zip(df["media_id"], df["payload"]):
+            total, frames = self._parse(bytes(payload))
+            for f in range(0, total, self.sample_every):
+                rows["media_id"].append(int(mid))
+                rows["total_frames"].append(total)
+                rows["frame_idx"].append(f)
+                rows["size"].append(len(frames[f]))
+                rows["content_md5"].append(
+                    hashlib.md5(frames[f]).hexdigest())
+        return pd.DataFrame(rows).astype(
+            {"media_id": np.int64, "total_frames": np.int64,
+             "frame_idx": np.int64, "size": np.int64}
+        )
+
+
+def avi_frames(
+    media: ray.data.Dataset, sample_every: int = 2,
+    concurrency: int = 2, batch_size: int = 4
+) -> ray.data.Dataset:
+    """Real-decode video frame sampling: small batches (whole-container
+    payloads per row keep extraction streaming at scale)."""
+    return media.map_batches(
+        AviFrameSampler(sample_every), batch_format="pandas",
+        batch_size=batch_size, concurrency=concurrency,
+    )

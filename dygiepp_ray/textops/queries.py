@@ -1092,6 +1092,47 @@ FROM ch
 """
 
 
+def q_avi_frames(sf_dir: str):
+    """REAL AVI container parse + every-2nd-frame sampling: RIFF walk
+    with avih/movi/idx1 cross-checks; the twin regenerates sampled
+    frame (size, md5) from the generation rule without the container."""
+    media = ray.data.from_arrow(multimodal.synth_avi(8))
+    return multimodal.avi_frames(media, sample_every=2)
+
+
+def _sql_avi_frames() -> str:
+    from .multimodal import AVI_SEED
+
+    return f"""
+WITH v AS (
+  SELECT i, md5('avi:{AVI_SEED}:' || i) AS base FROM range(0, 8) t(i)
+),
+nf AS (SELECT i, 4 + {_sql_hexval('base', 1, 2)} % 12 AS n_frames FROM v),
+f AS (
+  SELECT i, n_frames, j AS frame_idx,
+         md5('avi:{AVI_SEED}:' || i || ':' || j) AS fb
+  FROM nf, unnest(range(0, n_frames)) r(j)
+  WHERE j % 2 = 0
+),
+d AS (SELECT i, n_frames, frame_idx,
+             16 + {_sql_hexval('fb', 1, 2)} % 48 AS size
+      FROM f),
+ch AS (
+  SELECT d.i, d.n_frames, d.frame_idx, d.size,
+         string_agg(md5('avi:{AVI_SEED}:' || d.i || ':' || d.frame_idx
+                        || ':' || k.k), '' ORDER BY k.k) AS chain
+  FROM d, range(0, 2) k(k)
+  GROUP BY d.i, d.n_frames, d.frame_idx, d.size
+)
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST(n_frames AS BIGINT) AS total_frames,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(size AS BIGINT) AS size,
+       md5(substring(chain, 1, size)) AS content_md5
+FROM ch
+"""
+
+
 def q_bmp_features(sf_dir: str):
     """REAL BMP decode: 24-bpp header offsets, 4-byte row stride, and
     the bottom-up row flip all undone by the parser; the ``top_row_sum``
@@ -2036,6 +2077,7 @@ TEXTOPS_QUERIES = {
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "wav_features": (q_wav_features, SQL_WAV_FEATURES),
+    "avi_frames": (q_avi_frames, _sql_avi_frames()),
     "ppm_features": (q_ppm_features, SQL_PPM_FEATURES),
     "bmp_features": (q_bmp_features, SQL_BMP_FEATURES),
     "png_features": (q_png_features, SQL_PNG_FEATURES),

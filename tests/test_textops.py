@@ -1082,3 +1082,36 @@ def test_ivf_index_save_load_roundtrip(ray_session, tmp_path):
     b = loaded.sort_values(["query_id", "rank"], ignore_index=True)
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def test_avi_synth_is_real_riff_and_sampler_cross_checks(ray_session):
+    import hashlib
+    import struct
+
+    import pytest as _pytest
+    import ray.data as rd
+
+    from dygiepp_ray.textops import multimodal as M
+
+    tbl = M.synth_avi(4)
+    p0 = bytes(tbl["payload"][0].as_py())
+    # genuine RIFF/AVI framing, declared size covers the payload
+    assert p0[:4] == b"RIFF" and p0[8:12] == b"AVI "
+    assert struct.unpack("<I", p0[4:8])[0] == len(p0) - 8
+    total, frames = M.AviFrameSampler._parse(p0)
+    assert total == len(frames) >= 4
+    out = M.avi_frames(rd.from_arrow(tbl), sample_every=2).to_pandas()
+    # every 2nd frame of every video, md5 matching a direct parse
+    assert (out["frame_idx"] % 2 == 0).all()
+    row = out[(out["media_id"] == 0) & (out["frame_idx"] == 2)].iloc[0]
+    assert row["content_md5"] == hashlib.md5(frames[2]).hexdigest()
+    assert row["size"] == len(frames[2])
+
+    # a corrupted idx1 size must RAISE, not pass frames through
+    bad = bytearray(p0)
+    i = bad.rfind(b"idx1")
+    struct_off = i + 8 + 12  # first entry's size field
+    bad[struct_off:struct_off + 4] = struct.pack(
+        "<I", struct.unpack("<I", bad[struct_off:struct_off + 4])[0] + 1)
+    with _pytest.raises(ValueError, match="idx1"):
+        M.AviFrameSampler._parse(bytes(bad))
