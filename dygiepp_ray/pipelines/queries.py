@@ -1833,6 +1833,7 @@ _DRIVER_SAMPLE_FIRST = (
     "corr_matrix", "vocab_growth", "revenue_cube", "ols_price_qty",
     "session_duration_quantiles", "surprisal_buckets",
     "bpe_fertility_by_lang", "monthly_revenue_zscore", "avi_frames",
+    "excess_share_suppliers",
     "kg_predicate_stats", "kg_symmetric_pairs", "kg_conflicting_attrs",
     "kg_upsert_diff", "word_entropy", "kg_entity_cards",
     "kg_negative_samples", "csv_docs", "kg_entity_rank",

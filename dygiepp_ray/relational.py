@@ -6638,6 +6638,120 @@ FROM m, s ORDER BY 1
 """
 
 
+_Q20_LO_US = int(pd.Timestamp("1996-01-01").value // 1000)
+_Q20_HI_US = int(pd.Timestamp("1997-01-01").value // 1000)
+
+
+def excess_share_suppliers(
+    sf_dir: str, word: str = _Q9_WORD, num_buckets: int = 8
+) -> pd.DataFrame:
+    """TPC-H Q20 shape — potential part promotion (no partsupp table,
+    so "excess stock" = shipped share): suppliers who shipped MORE THAN
+    HALF of some matching part's total quantity in one year.  This
+    completes the 22-shape TPC-H sweep.
+
+    100-TB plan: the year filter + per-(batch, partkey, suppkey)
+    quantity combiner shrink lineitem before ONE partkey-keyed
+    coexchange against the name-filtered part slice; the per-part
+    total, the 2*sq > tq majority test, and the first suppkey dedup
+    all complete inside the partkey bucket.  A second suppkey-keyed
+    coexchange attaches names and finishes the global supplier
+    dedup.  -> (s_suppkey, s_name)."""
+    from .core import hash_coexchange
+
+    def lqty(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"l_partkey": pd.Series(dtype=np.int64),
+                              "l_suppkey": pd.Series(dtype=np.int64),
+                              "q": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "l_partkey" not in df.columns:
+            return empty
+        t = ts_epoch_us(df["l_shipdate"])
+        keep = (t >= _Q20_LO_US) & (t < _Q20_HI_US)
+        if not keep.any():
+            return empty
+        g = pd.DataFrame(
+            {"l_partkey": df["l_partkey"].to_numpy(np.int64)[keep],
+             "l_suppkey": df["l_suppkey"].to_numpy(np.int64)[keep],
+             "q": df["l_quantity"].to_numpy(np.float64)[keep]
+                  .astype(np.int64)}
+        ).groupby(["l_partkey", "l_suppkey"], as_index=False)["q"].sum()
+        return g.astype(np.int64)
+
+    lip = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    ).map_batches(lqty, batch_format="pandas")
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    ).map_batches(
+        lambda df: (
+            df.loc[df["p_name"].str.contains(word), ["p_partkey"]]
+            .astype(np.int64)
+            if len(df) and "p_partkey" in df.columns
+            else pd.DataFrame({"p_partkey": pd.Series(dtype=np.int64)})
+        ),
+        batch_format="pandas",
+    )
+
+    def majority(l: pd.DataFrame, p: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"l_suppkey": pd.Series(dtype=np.int64)})
+        if (len(l) == 0 or "l_partkey" not in l.columns
+                or len(p) == 0 or "p_partkey" not in p.columns):
+            return empty
+        j = l.merge(p, left_on="l_partkey", right_on="p_partkey")
+        if len(j) == 0:
+            return empty
+        g = j.groupby(["l_partkey", "l_suppkey"], as_index=False)["q"].sum()
+        tq = g.groupby("l_partkey")["q"].transform("sum").to_numpy(np.int64)
+        win = g.loc[2 * g["q"].to_numpy(np.int64) > tq, ["l_suppkey"]]
+        return win.drop_duplicates().astype(np.int64)
+
+    winners = hash_coexchange(
+        lip, part, "l_partkey", "p_partkey", majority, num_buckets=num_buckets
+    )
+
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+
+    def names(w: pd.DataFrame, s: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"s_suppkey": pd.Series(dtype=np.int64),
+                              "s_name": pd.Series(dtype=object)})
+        if (len(w) == 0 or "l_suppkey" not in w.columns
+                or len(s) == 0 or "s_suppkey" not in s.columns):
+            return empty
+        w = w.drop_duplicates()  # global: all copies of a suppkey co-locate
+        j = w.merge(s, left_on="l_suppkey", right_on="s_suppkey")
+        return j[["s_suppkey", "s_name"]].astype({"s_suppkey": np.int64})
+
+    out = hash_coexchange(
+        winners, sup, "l_suppkey", "s_suppkey", names, num_buckets=num_buckets
+    ).to_pandas()
+    if out.empty or "s_suppkey" not in out.columns:
+        return pd.DataFrame({"s_suppkey": pd.Series(dtype=np.int64),
+                             "s_name": pd.Series(dtype=object)})
+    return out.sort_values("s_suppkey", ignore_index=True)
+
+
+SQL_EXCESS_SHARE_SUPPLIERS = f"""
+WITH f AS (
+  SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS q
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%{_Q9_WORD}%'
+    AND epoch_us(l_shipdate) >= {_Q20_LO_US}
+    AND epoch_us(l_shipdate) < {_Q20_HI_US}
+),
+ps AS (SELECT l_partkey, l_suppkey, sum(q) AS sq FROM f GROUP BY 1, 2),
+pt AS (SELECT l_partkey, sum(sq) AS tq FROM ps GROUP BY 1)
+SELECT DISTINCT s.s_suppkey, s.s_name
+FROM ps JOIN pt USING (l_partkey)
+JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+WHERE 2 * ps.sq > pt.tq
+ORDER BY 1
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -6726,4 +6840,6 @@ RELATIONAL_QUERIES = {
                                    SQL_SESSION_DURATION_QUANTILES),
     "monthly_revenue_zscore": (monthly_revenue_zscore,
                                SQL_MONTHLY_REVENUE_ZSCORE),
+    "excess_share_suppliers": (excess_share_suppliers,
+                               SQL_EXCESS_SHARE_SUPPLIERS),
 }

@@ -64,6 +64,7 @@ _SAMPLE = [
     "corr_matrix", "vocab_growth", "ols_price_qty",
     "session_duration_quantiles", "surprisal_buckets",
     "bpe_fertility_by_lang", "monthly_revenue_zscore",
+    "excess_share_suppliers",
     # revenue_cube, like pipeline_metrics, legitimately returns the
     # grand-total row on an empty corpus (CUBE semantics) — excluded
     # from the zero-row assertion
