@@ -499,6 +499,69 @@ FROM triples GROUP BY 1
 """
 
 
+_EGO_TARGET = "customer"
+
+
+def q_kg_ego_network(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
+    """Ego network export: every triple touching one entity, with its
+    cross-conversation support — the point-lookup shape of a KG serving
+    layer ("show me everything about X").
+
+    Map-only filter over the flagship triples (at 100 TB this is the
+    predicate-pushdown read of an entity-partitioned store; here the
+    filter runs in the same streaming pass), then ONE triple-keyed
+    exchange rolls up conv support — dedup is global because every copy
+    of a triple shares its bucket."""
+    from ..core import partitioned_map_groups
+
+    pipe = from_documents_table(sf_dir)
+    trip = pipe.triples().select_columns(["conv_id", "subj", "pred", "obj"])
+
+    _OUT = {"subj": object, "pred": object, "obj": object,
+            "n_convs": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT.items()})
+
+    def filt(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "subj" not in df.columns:
+            return pd.DataFrame({"k": pd.Series(dtype=object),
+                                 "conv_id": pd.Series(dtype=object)})
+        m = (df["subj"].to_numpy() == _EGO_TARGET) \
+            | (df["obj"].to_numpy() == _EGO_TARGET)
+        d = df.loc[m]
+        # \x1f separator (NUL is dropped by pandas str.cat)
+        k = (d["subj"].astype(str) + "\x1f" + d["pred"].astype(str)
+             + "\x1f" + d["obj"].astype(str))
+        return pd.DataFrame({"k": k.to_numpy(),
+                             "conv_id": d["conv_id"].to_numpy()})
+
+    ego = trip.map_batches(filt, batch_format="pandas")
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "k" not in df.columns:
+            return empty_out
+        g = df.drop_duplicates().groupby("k", as_index=False).size()
+        spo = g["k"].str.split("\x1f", expand=True)
+        return pd.DataFrame(
+            {"subj": spo[0].to_numpy(), "pred": spo[1].to_numpy(),
+             "obj": spo[2].to_numpy(),
+             "n_convs": g["size"].to_numpy(np.int64)}
+        )
+
+    out = partitioned_map_groups(ego, "k", rollup, num_buckets=8)
+    if out.count() == 0:
+        return empty_out
+    return out
+
+
+SQL_KG_EGO_NETWORK = SQL_TOKS + f""",
+triples AS ({_KG_TRIPLES_BODY})
+SELECT subj, pred, obj, CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM triples
+WHERE subj = '{_EGO_TARGET}' OR obj = '{_EGO_TARGET}'
+GROUP BY 1, 2, 3
+"""
+
+
 def q_kg_path2(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
     """Two-hop path census over the constructed KG: for every predicate
     pair (p1, p2), the number of entity paths s -p1-> x -p2-> o across
@@ -1833,7 +1896,8 @@ _DRIVER_SAMPLE_FIRST = (
     "corr_matrix", "vocab_growth", "revenue_cube", "ols_price_qty",
     "session_duration_quantiles", "surprisal_buckets",
     "bpe_fertility_by_lang", "monthly_revenue_zscore", "avi_frames",
-    "excess_share_suppliers",
+    "excess_share_suppliers", "revenue_drawdown", "events_ewma",
+    "kg_ego_network",
     "kg_predicate_stats", "kg_symmetric_pairs", "kg_conflicting_attrs",
     "kg_upsert_diff", "word_entropy", "kg_entity_cards",
     "kg_negative_samples", "csv_docs", "kg_entity_rank",
@@ -2091,6 +2155,7 @@ KG_QUERIES = {
     "kg_triples_temporal": (q_kg_triples_temporal, SQL_KG_TRIPLES_TEMPORAL),
     "kg_entity_degree": (q_kg_entity_degree, SQL_KG_ENTITY_DEGREE),
     "kg_path2": (q_kg_path2, SQL_KG_PATH2),
+    "kg_ego_network": (q_kg_ego_network, SQL_KG_EGO_NETWORK),
     "kg_predicate_stats": (q_kg_predicate_stats, SQL_KG_PREDICATE_STATS),
     "kg_symmetric_pairs": (q_kg_symmetric_pairs, SQL_KG_SYMMETRIC_PAIRS),
     "kg_conflicting_attrs": (q_kg_conflicting_attrs, SQL_KG_CONFLICTING_ATTRS),

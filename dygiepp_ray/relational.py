@@ -6752,6 +6752,146 @@ ORDER BY 1
 """
 
 
+def revenue_drawdown(sf_dir: str) -> pd.DataFrame:
+    """Cumulative-revenue drawdown by month: running total, running
+    peak, and peak-to-current gap — the monotonicity audit of any
+    incrementally-ingested revenue rollup (a positive drawdown month
+    means a backfill or correction landed out of order).
+
+    One combiner pass to <= |months| integer-cent rows; the ordered
+    scan (cumsum + running max) runs on the driver over that tiny
+    aggregate — sequential semantics never touch the fact table.
+    -> (month_us, revenue_cents, cum_cents, drawdown_cents)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_orderdate" not in df.columns:
+            return pd.DataFrame({"month_us": pd.Series(dtype=np.int64),
+                                 "cents": pd.Series(dtype=np.int64)})
+        d = df["o_orderdate"]
+        if isinstance(d.dtype, pd.DatetimeTZDtype):
+            d = d.dt.tz_convert("UTC").dt.tz_localize(None)
+        m = (d.to_numpy().astype("datetime64[M]")
+             .astype("datetime64[us]").astype(np.int64))
+        p = df["o_totalprice"].to_numpy(np.float64) * 100
+        cents = np.trunc(p + np.sign(p) * 0.5).astype(np.int64)
+        g = pd.Series(cents).groupby(m).sum()
+        return pd.DataFrame({"month_us": g.index.to_numpy(np.int64),
+                             "cents": g.to_numpy(np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    cols = {"month_us": np.int64, "revenue_cents": np.int64,
+            "cum_cents": np.int64, "drawdown_cents": np.int64}
+    if parts.empty or "month_us" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    g = parts.groupby("month_us", as_index=False)["cents"].sum()
+    g = g.sort_values("month_us", ignore_index=True)
+    cum = g["cents"].to_numpy(np.int64).cumsum()
+    peak = np.maximum.accumulate(cum)
+    return pd.DataFrame(
+        {"month_us": g["month_us"].to_numpy(np.int64),
+         "revenue_cents": g["cents"].to_numpy(np.int64),
+         "cum_cents": cum, "drawdown_cents": peak - cum}
+    )
+
+
+SQL_REVENUE_DRAWDOWN = """
+WITH m AS (
+  SELECT CAST(epoch_us(date_trunc('month', o_orderdate)) AS BIGINT)
+           AS month_us,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders GROUP BY 1
+),
+w AS (
+  SELECT month_us, revenue_cents,
+         sum(revenue_cents) OVER (ORDER BY month_us) AS cum
+  FROM m
+)
+SELECT month_us, revenue_cents, CAST(cum AS BIGINT) AS cum_cents,
+       CAST(max(cum) OVER (ORDER BY month_us) - cum AS BIGINT)
+         AS drawdown_cents
+FROM w ORDER BY month_us
+"""
+
+
+def events_ewma(sf_dir: str) -> pd.DataFrame:
+    """Exponentially-weighted moving average of daily event value per
+    type (alpha = 1/2): the streaming smoother behind rate dashboards,
+    in INTEGER fixed point — ``ewma_n = (x_n + ewma_{n-1}) // 2`` — so
+    the recursion is hash-exact against the SQL twin's recursive CTE.
+
+    One combiner pass to <= |types x days| integer-cent rows; the
+    per-type ordered recursion runs on the driver over that tiny
+    aggregate.  -> (event_type, day_us, day_cents, ewma_cents)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "ts" not in df.columns:
+            return pd.DataFrame({"event_type": pd.Series(dtype=object),
+                                 "day_us": pd.Series(dtype=np.int64),
+                                 "cents": pd.Series(dtype=np.int64)})
+        d = df["ts"]
+        if isinstance(d.dtype, pd.DatetimeTZDtype):
+            d = d.dt.tz_convert("UTC").dt.tz_localize(None)
+        day = (d.to_numpy().astype("datetime64[D]")
+               .astype("datetime64[us]").astype(np.int64))
+        cents = np.floor(
+            df["value"].to_numpy(np.float64) * 100 + 0.5).astype(np.int64)
+        g = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                          "day_us": day, "cents": cents}).groupby(
+            ["event_type", "day_us"], as_index=False)["cents"].sum()
+        return g.astype({"day_us": np.int64, "cents": np.int64})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    cols = {"event_type": object, "day_us": np.int64,
+            "day_cents": np.int64, "ewma_cents": np.int64}
+    if parts.empty or "event_type" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    g = parts.groupby(["event_type", "day_us"], as_index=False)[
+        "cents"].sum().sort_values(["event_type", "day_us"],
+                                   ignore_index=True)
+    out = []
+    for et, grp in g.groupby("event_type", sort=False):
+        x = grp["cents"].to_numpy(np.int64)
+        e = np.empty(len(x), dtype=np.int64)
+        acc = int(x[0])
+        e[0] = acc
+        for i in range(1, len(x)):
+            acc = (int(x[i]) + acc) // 2
+            e[i] = acc
+        out.append(pd.DataFrame(
+            {"event_type": et, "day_us": grp["day_us"].to_numpy(np.int64),
+             "day_cents": x, "ewma_cents": e}))
+    return pd.concat(out, ignore_index=True)
+
+
+SQL_EVENTS_EWMA = """
+WITH RECURSIVE d AS (
+  SELECT event_type,
+         CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS x,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY date_trunc('day', ts)) AS rn
+  FROM events GROUP BY 1, 2, date_trunc('day', ts)
+),
+e AS (
+  SELECT event_type, day_us, x, rn, x AS ewma FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.event_type, d.day_us, d.x, d.rn, (d.x + e.ewma) // 2
+  FROM d JOIN e ON d.event_type = e.event_type AND d.rn = e.rn + 1
+)
+SELECT event_type, day_us, CAST(x AS BIGINT) AS day_cents,
+       CAST(ewma AS BIGINT) AS ewma_cents
+FROM e ORDER BY event_type, day_us
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -6842,4 +6982,6 @@ RELATIONAL_QUERIES = {
                                SQL_MONTHLY_REVENUE_ZSCORE),
     "excess_share_suppliers": (excess_share_suppliers,
                                SQL_EXCESS_SHARE_SUPPLIERS),
+    "revenue_drawdown": (revenue_drawdown, SQL_REVENUE_DRAWDOWN),
+    "events_ewma": (events_ewma, SQL_EVENTS_EWMA),
 }

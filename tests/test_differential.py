@@ -79,7 +79,7 @@ def _compare(sf_dir: str, qname: str):
     ["events_ohlc", "user_streaks", "users_setop", "purchase_attribution",
      "events_rate_alert", "events_tumbling", "user_paths",
      "events_gap_histogram", "events_dedup_window",
-     "session_duration_quantiles"],
+     "session_duration_quantiles", "events_ewma"],
 )
 def test_event_queries_differential(ray_session, tmp_path, seed, qname):
     rng = np.random.default_rng(seed * 1000 + len(qname))
@@ -114,7 +114,8 @@ def test_orders_queries_differential(ray_session, tmp_path, seed):
     )
     pq.write_table(tbl, tmp_path / "orders.parquet")
     for q in ["zorder_layout", "orders_snapshot_diff", "contingency_table",
-              "rfm_segments", "monthly_revenue_zscore"]:
+              "rfm_segments", "monthly_revenue_zscore",
+              "revenue_drawdown"]:
         _compare(str(tmp_path), q)
 
 
@@ -459,7 +460,8 @@ def test_kg_schema_ops_differential(ray_session, tmp_path, seed):
               "kg_conflicting_attrs", "kg_upsert_diff", "kg_entity_cards",
               "kg_negative_samples", "kg_entity_rank", "kg_cluster_sizes",
               "kg_rule_mining", "kg_subgraph_export", "pipeline_metrics",
-              "corpus_card", "word_entropy", "bpe_fertility_by_lang"]:
+              "corpus_card", "word_entropy", "bpe_fertility_by_lang",
+              "kg_ego_network"]:
         _compare(str(tmp_path), q)
 
 

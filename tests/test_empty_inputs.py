@@ -64,7 +64,8 @@ _SAMPLE = [
     "corr_matrix", "vocab_growth", "ols_price_qty",
     "session_duration_quantiles", "surprisal_buckets",
     "bpe_fertility_by_lang", "monthly_revenue_zscore",
-    "excess_share_suppliers",
+    "excess_share_suppliers", "revenue_drawdown", "events_ewma",
+    "kg_ego_network",
     # revenue_cube, like pipeline_metrics, legitimately returns the
     # grand-total row on an empty corpus (CUBE semantics) — excluded
     # from the zero-row assertion
