@@ -6892,6 +6892,107 @@ FROM e ORDER BY event_type, day_us
 """
 
 
+def ols_by_brand(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
+    """Grouped OLS — :func:`ols_price_qty` per brand: the per-segment
+    drift check (one global slope can hide a segment whose pricing
+    model inverted).  Same integer-exact scheme, now with the moments
+    keyed by brand.
+
+    100-TB plan: one partkey-keyed coexchange attaches brands (no part
+    broadcast); per-brand moments leave each bucket as ONE
+    decimal-string row per brand (chunked int64 sums -> python ints),
+    so the driver folds <= buckets x |brands| rows and runs the floored
+    rational arithmetic per brand.  -> (p_brand, n, slope_x1e6,
+    intercept_x100)."""
+    from .core import hash_coexchange
+
+    lip = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    MOMENTS = ["n", "sx", "sy", "sxx", "sxy"]
+
+    def moments(l: pd.DataFrame, p: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"p_brand": pd.Series(dtype=object),
+                              **{m: pd.Series(dtype=object)
+                                 for m in MOMENTS}})
+        if (len(l) == 0 or "l_partkey" not in l.columns
+                or len(p) == 0 or "p_partkey" not in p.columns):
+            return empty
+        j = l.merge(p, left_on="l_partkey", right_on="p_partkey")
+        if len(j) == 0:
+            return empty
+        rows = []
+        for brand, g in j.groupby("p_brand", sort=False):
+            x = g["l_quantity"].to_numpy(np.float64).astype(np.int64)
+            y = np.floor(g["l_extendedprice"].to_numpy(np.float64) * 100
+                         + 0.5).astype(np.int64)
+            acc = {"n": len(x), "sx": 0, "sy": 0, "sxx": 0, "sxy": 0}
+            for lo in range(0, len(x), 8192):
+                cx, cy = x[lo:lo + 8192], y[lo:lo + 8192]
+                acc["sx"] += int(cx.sum()); acc["sy"] += int(cy.sum())
+                acc["sxx"] += int((cx * cx).sum())
+                acc["sxy"] += int((cx * cy).sum())
+            rows.append({"p_brand": brand,
+                         **{m: str(acc[m]) for m in MOMENTS}})
+        return pd.DataFrame(rows)
+
+    parts = hash_coexchange(
+        lip, part, "l_partkey", "p_partkey", moments, num_buckets=num_buckets
+    ).to_pandas()
+    cols = {"p_brand": object, "n": np.int64, "slope_x1e6": np.int64,
+            "intercept_x100": np.int64}
+    if parts.empty or "p_brand" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    out = []
+    for brand, g in parts.groupby("p_brand", sort=True):
+        t = {m: sum(int(v) for v in g[m]) for m in MOMENTS}
+        n, sx, sy, sxx, sxy = t["n"], t["sx"], t["sy"], t["sxx"], t["sxy"]
+        cov = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        if n == 0 or vx == 0:
+            continue
+        inum = sy * vx - cov * sx
+        if max(abs(1_000_000 * cov), abs(100 * inum)) > _OLS_HUGE_BOUND:
+            raise OverflowError(
+                f"ols_by_brand: brand {brand} exceeds the HUGEINT bound")
+        out.append({"p_brand": brand, "n": n,
+                    "slope_x1e6": (1_000_000 * cov) // vx,
+                    "intercept_x100": (100 * inum) // (n * vx)})
+    if not out:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    return pd.DataFrame(out).astype(
+        {"n": np.int64, "slope_x1e6": np.int64, "intercept_x100": np.int64})
+
+
+SQL_OLS_BY_BRAND = f"""
+WITH e AS (
+  SELECT p_brand, CAST(l_quantity AS HUGEINT) AS x,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT) AS y
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+),
+s AS (
+  SELECT p_brand, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x*x) AS sxx, sum(x*y) AS sxy
+  FROM e GROUP BY 1
+),
+m AS (
+  SELECT p_brand, n, n*sxy - sx*sy AS cov, n*sxx - sx*sx AS vx,
+         sy*(n*sxx - sx*sx) - (n*sxy - sx*sy)*sx AS inum
+  FROM s
+)
+SELECT p_brand, CAST(n AS BIGINT) AS n,
+       CAST({_sql_floordiv('1000000 * cov', 'vx')} AS BIGINT)
+         AS slope_x1e6,
+       CAST({_sql_floordiv('100 * inum', 'n * vx')} AS BIGINT)
+         AS intercept_x100
+FROM m WHERE n > 0 AND vx <> 0 ORDER BY 1
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -6984,4 +7085,5 @@ RELATIONAL_QUERIES = {
                                SQL_EXCESS_SHARE_SUPPLIERS),
     "revenue_drawdown": (revenue_drawdown, SQL_REVENUE_DRAWDOWN),
     "events_ewma": (events_ewma, SQL_EVENTS_EWMA),
+    "ols_by_brand": (ols_by_brand, SQL_OLS_BY_BRAND),
 }

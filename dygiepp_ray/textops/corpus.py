@@ -1286,3 +1286,58 @@ def surprisal_buckets(
         return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
     g = parts.groupby("bucket", as_index=False)[["n_docs", "s_sum"]].sum()
     return g.astype(np.int64).sort_values("bucket", ignore_index=True)
+
+
+def term_freq_spectrum(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Zipf frequency spectrum: how many term TYPES fall in each
+    power-of-two frequency band, and how many occurrences they carry —
+    the companion diagnostic to :func:`vocab_growth` (a healthy natural
+    corpus is near-linear here; a flat or truncated spectrum flags
+    boilerplate or synthetic text).
+
+    Per-batch count combiner -> one term-keyed exchange totals each
+    type in exactly one bucket -> per-bucket spectrum partials; the
+    driver folds <= buckets x 64 rows.  Bucket = exact bit_length via
+    ``np.frexp`` (log2 misbuckets exact powers of two).
+    -> (bucket, n_terms, n_occurrences)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _doc_tokens(df, text_col) if len(df) and text_col in df.columns \
+            else pd.Series([], dtype=object)
+        flat = [t for ts in toks for t in ts]
+        if not flat:
+            return pd.DataFrame({"tok": pd.Series(dtype=object),
+                                 "f": pd.Series(dtype=np.int64)})
+        c = pd.Series(flat).value_counts()
+        return pd.DataFrame({"tok": c.index.to_numpy(),
+                             "f": c.to_numpy(np.int64)})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    cols = {"bucket": np.int64, "n_terms": np.int64,
+            "n_occurrences": np.int64}
+
+    def spectrum(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "tok" not in df.columns:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in cols.items()})
+        tot = df.groupby("tok", sort=False)["f"].sum()
+        f = tot.to_numpy(np.int64)
+        b = np.frexp(f.astype(np.float64))[1].astype(np.int64)
+        g = pd.DataFrame({"bucket": b, "f": f}).groupby(
+            "bucket", as_index=False).agg(n_terms=("f", "size"),
+                                          n_occurrences=("f", "sum"))
+        return g.astype(np.int64)
+
+    parts = hash_exchange(
+        partials, "tok", spectrum, num_buckets=num_buckets
+    ).to_pandas()
+    if parts.empty or "bucket" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    g = parts.groupby("bucket", as_index=False)[
+        ["n_terms", "n_occurrences"]].sum()
+    return g.astype(np.int64).sort_values("bucket", ignore_index=True)

@@ -1657,6 +1657,22 @@ FROM b GROUP BY 1 ORDER BY 1
 """
 
 
+def q_term_freq_spectrum(sf_dir: str):
+    """Zipf frequency spectrum: term types per power-of-two frequency
+    band — textops/corpus.py."""
+    return _corpus.term_freq_spectrum(_docs(sf_dir))
+
+
+SQL_TERM_FREQ_SPECTRUM = _SQL_ARR + """,
+toks AS (SELECT unnest(arr) AS tok FROM base),
+c AS (SELECT tok, count(*) AS f FROM toks GROUP BY 1)
+SELECT CAST(length(bin(f)) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(f) AS BIGINT) AS n_occurrences
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_rare_bigram_scores(sf_dir: str):
     """Two-stage LM-quality signal: global top-k bigrams -> broadcast ->
     per-doc out-of-vocabulary bigram counts — textops/corpus.py."""
@@ -2101,6 +2117,7 @@ TEXTOPS_QUERIES = {
     "frequent_ngrams": (q_frequent_ngrams, SQL_FREQUENT_NGRAMS),
     "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),
     "surprisal_buckets": (q_surprisal_buckets, SQL_SURPRISAL_BUCKETS),
+    "term_freq_spectrum": (q_term_freq_spectrum, SQL_TERM_FREQ_SPECTRUM),
     "bpe_fertility_by_lang": (q_bpe_fertility_by_lang,
                               SQL_BPE_FERTILITY_BY_LANG),
     "prepare_training_set": (q_prepare_training_set, SQL_PREPARE_TRAINING_SET),

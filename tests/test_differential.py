@@ -189,7 +189,8 @@ def test_document_queries_differential(ray_session, tmp_path, seed):
     ), tmp_path / "documents.parquet")
     for q in ["phrase_search", "term_search", "token_count",
               "unigram_surprisal", "kg_entity_degree", "kg_path2",
-              "vocab_growth", "surprisal_buckets"]:
+              "vocab_growth", "surprisal_buckets",
+              "term_freq_spectrum"]:
         _compare(str(tmp_path), q)
 
 
@@ -315,7 +316,7 @@ def _write_tpch_micro(tmp_path, rng):
      "bracket_revenue", "slowest_supplier_orders", "idle_customers",
      "revenue_forecast", "national_market_share", "product_profit",
      "late_shipments", "important_parts", "parts_supplier_counts",
-     "excess_share_suppliers"],
+     "excess_share_suppliers", "ols_by_brand"],
 )
 def test_tpch_join_queries_differential(ray_session, tmp_path, seed, qname):
     """TPC-H join shapes (Q5/Q7/Q10/Q14) over a random micro-schema: the
