@@ -562,6 +562,39 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_kg_store_lookup(sf_dir: str) -> pd.DataFrame:
+    """Materialize the flagship triples into the persisted KG store
+    (state/kgstore.py: subject-partitioned, subject-sorted parquet —
+    the north rule's "graph materialize" artifact), then answer a
+    point lookup through the store's parquet pushdown path.  The
+    round-trip through disk is part of the surface being checked: the
+    oracle sees only the logical triples, so any partitioning or
+    sort-order mistake in the store shows up as a hash mismatch."""
+    import tempfile
+
+    from ..state.kgstore import kg_lookup, save_kg_store
+
+    pipe = from_documents_table(sf_dir)
+    trip = pipe.triples().select_columns(["conv_id", "subj", "pred", "obj"])
+    path = tempfile.mkdtemp(prefix="kgstore_", dir="/tmp")
+    save_kg_store(trip, path)
+    out = kg_lookup(path, _EGO_TARGET).to_pandas()
+    cols = {"subj": object, "pred": object, "obj": object,
+            "n_convs": np.int64}
+    if out.empty or "subj" not in out.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    return out.sort_values(["subj", "pred", "obj"], ignore_index=True)
+
+
+SQL_KG_STORE_LOOKUP = SQL_TOKS + f""",
+triples AS ({_KG_TRIPLES_BODY})
+SELECT subj, pred, obj, CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM triples
+WHERE subj = '{_EGO_TARGET}'
+GROUP BY 1, 2, 3
+"""
+
+
 def q_kg_path2(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
     """Two-hop path census over the constructed KG: for every predicate
     pair (p1, p2), the number of entity paths s -p1-> x -p2-> o across
@@ -1898,6 +1931,7 @@ _DRIVER_SAMPLE_FIRST = (
     "bpe_fertility_by_lang", "monthly_revenue_zscore", "avi_frames",
     "excess_share_suppliers", "revenue_drawdown", "events_ewma",
     "kg_ego_network", "ols_by_brand", "term_freq_spectrum",
+    "kg_store_lookup",
     "kg_predicate_stats", "kg_symmetric_pairs", "kg_conflicting_attrs",
     "kg_upsert_diff", "word_entropy", "kg_entity_cards",
     "kg_negative_samples", "csv_docs", "kg_entity_rank",
@@ -2156,6 +2190,7 @@ KG_QUERIES = {
     "kg_entity_degree": (q_kg_entity_degree, SQL_KG_ENTITY_DEGREE),
     "kg_path2": (q_kg_path2, SQL_KG_PATH2),
     "kg_ego_network": (q_kg_ego_network, SQL_KG_EGO_NETWORK),
+    "kg_store_lookup": (q_kg_store_lookup, SQL_KG_STORE_LOOKUP),
     "kg_predicate_stats": (q_kg_predicate_stats, SQL_KG_PREDICATE_STATS),
     "kg_symmetric_pairs": (q_kg_symmetric_pairs, SQL_KG_SYMMETRIC_PAIRS),
     "kg_conflicting_attrs": (q_kg_conflicting_attrs, SQL_KG_CONFLICTING_ATTRS),

@@ -128,3 +128,38 @@ def test_kill_resume_two_stage_pipeline(ray_session, tmp_path):
     cols = sorted(ref.columns)
     norm = lambda d: sorted(map(tuple, d[cols].astype(str).to_numpy()))  # noqa: E731
     assert norm(back) == norm(ref)
+
+
+def test_kg_store_save_lookup_roundtrip(ray_session, tmp_path):
+    """Persisted KG store ("graph materialize"): subject-partitioned
+    parquet, multiple files (resumable-output shape), and a pushdown
+    point lookup bit-identical to filtering the in-session triples."""
+    import glob
+
+    import numpy as np
+    import pandas as pd
+
+    from dygiepp_ray.pipelines.kg import from_documents_table
+    from dygiepp_ray.state.kgstore import kg_lookup, save_kg_store
+
+    pipe = from_documents_table("/root/testdata/sf0.001")
+    trip = pipe.triples().select_columns(["conv_id", "subj", "pred", "obj"])
+    in_mem = trip.to_pandas()
+    path = str(tmp_path / "store")
+    save_kg_store(trip, path, num_buckets=8)
+    files = glob.glob(f"{path}/*.parquet")
+    assert len(files) > 1  # partitioned, not one giant file
+
+    subj = in_mem["subj"].iloc[0]
+    got = kg_lookup(path, subj).to_pandas().sort_values(
+        ["subj", "pred", "obj"], ignore_index=True)
+    want = (in_mem[in_mem["subj"] == subj]
+            .drop_duplicates()
+            .groupby(["subj", "pred", "obj"], as_index=False)["conv_id"]
+            .nunique().rename(columns={"conv_id": "n_convs"})
+            .sort_values(["subj", "pred", "obj"], ignore_index=True))
+    want["n_convs"] = want["n_convs"].astype(np.int64)
+    pd.testing.assert_frame_equal(got, want)
+
+    # a missing subject returns an EMPTY result, not an error
+    assert len(kg_lookup(path, "no-such-entity").to_pandas()) == 0
