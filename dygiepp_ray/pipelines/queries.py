@@ -595,6 +595,50 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_kg_store_upsert(sf_dir: str) -> pd.DataFrame:
+    """Incremental graph materialize end-to-end: build the store from
+    EVEN-numbered conversations, ingest the ODD ones as a delta via
+    `state/kgstore.upsert_kg_store` (no rebuild), then point-look-up
+    through the upserted store.  The oracle is the FULL-corpus lookup,
+    so any merge mistake (lost delta, double-counted support, broken
+    sort) hash-fails against the logical triples."""
+    import tempfile
+
+    from ..state.kgstore import kg_lookup, save_kg_store, upsert_kg_store
+
+    pipe = from_documents_table(sf_dir)
+    trip = pipe.triples().select_columns(["conv_id", "subj", "pred", "obj"])
+
+    def par_filter(want: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0 or "conv_id" not in df.columns:
+                return pd.DataFrame(
+                    {"conv_id": pd.Series(dtype=object),
+                     "subj": pd.Series(dtype=object),
+                     "pred": pd.Series(dtype=object),
+                     "obj": pd.Series(dtype=object)})
+            par = df["conv_id"].str.slice(3).astype(np.int64) % 2
+            return df.loc[par.to_numpy() == want]
+        return fn
+
+    # the triple stream is consumed twice (base + delta): materialize
+    # the pruned 4 columns once instead of re-running extraction
+    trip = trip.materialize()
+    base_dir = tempfile.mkdtemp(prefix="kgbase_", dir="/tmp")
+    out_dir = tempfile.mkdtemp(prefix="kgout_", dir="/tmp")
+    save_kg_store(
+        trip.map_batches(par_filter(0), batch_format="pandas"), base_dir)
+    upsert_kg_store(
+        base_dir, trip.map_batches(par_filter(1), batch_format="pandas"),
+        out_dir)
+    out = kg_lookup(out_dir, _EGO_TARGET).to_pandas()
+    cols = {"subj": object, "pred": object, "obj": object,
+            "n_convs": np.int64}
+    if out.empty or "subj" not in out.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    return out.sort_values(["subj", "pred", "obj"], ignore_index=True)
+
+
 def q_kg_path2(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
     """Two-hop path census over the constructed KG: for every predicate
     pair (p1, p2), the number of entity paths s -p1-> x -p2-> o across
@@ -1931,7 +1975,7 @@ _DRIVER_SAMPLE_FIRST = (
     "bpe_fertility_by_lang", "monthly_revenue_zscore", "avi_frames",
     "excess_share_suppliers", "revenue_drawdown", "events_ewma",
     "kg_ego_network", "ols_by_brand", "term_freq_spectrum",
-    "kg_store_lookup",
+    "kg_store_lookup", "kg_store_upsert",
     "kg_predicate_stats", "kg_symmetric_pairs", "kg_conflicting_attrs",
     "kg_upsert_diff", "word_entropy", "kg_entity_cards",
     "kg_negative_samples", "csv_docs", "kg_entity_rank",
@@ -2191,6 +2235,7 @@ KG_QUERIES = {
     "kg_path2": (q_kg_path2, SQL_KG_PATH2),
     "kg_ego_network": (q_kg_ego_network, SQL_KG_EGO_NETWORK),
     "kg_store_lookup": (q_kg_store_lookup, SQL_KG_STORE_LOOKUP),
+    "kg_store_upsert": (q_kg_store_upsert, SQL_KG_STORE_LOOKUP),
     "kg_predicate_stats": (q_kg_predicate_stats, SQL_KG_PREDICATE_STATS),
     "kg_symmetric_pairs": (q_kg_symmetric_pairs, SQL_KG_SYMMETRIC_PAIRS),
     "kg_conflicting_attrs": (q_kg_conflicting_attrs, SQL_KG_CONFLICTING_ATTRS),

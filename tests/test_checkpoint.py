@@ -163,3 +163,41 @@ def test_kg_store_save_lookup_roundtrip(ray_session, tmp_path):
 
     # a missing subject returns an EMPTY result, not an error
     assert len(kg_lookup(path, "no-such-entity").to_pandas()) == 0
+
+
+def test_kg_store_upsert_equals_full_rebuild(ray_session, tmp_path):
+    """Ingesting the odd-conversation delta into an even-conversation
+    base store must produce a store BIT-IDENTICAL (all partitions, not
+    just one subject) to building from the full corpus."""
+    import numpy as np
+    import pandas as pd
+
+    from dygiepp_ray.pipelines.kg import from_documents_table
+    from dygiepp_ray.state.kgstore import save_kg_store, upsert_kg_store
+
+    pipe = from_documents_table("/root/testdata/sf0.001")
+    trip = pipe.triples().select_columns(
+        ["conv_id", "subj", "pred", "obj"]).materialize()
+
+    def par(df, want):
+        p = df["conv_id"].str.slice(3).astype(np.int64) % 2
+        return df.loc[p.to_numpy() == want]
+
+    full_dir = str(tmp_path / "full")
+    base_dir = str(tmp_path / "base")
+    out_dir = str(tmp_path / "upserted")
+    save_kg_store(trip, full_dir, num_buckets=8)
+    save_kg_store(
+        trip.map_batches(lambda d: par(d, 0), batch_format="pandas"),
+        base_dir, num_buckets=8)
+    upsert_kg_store(
+        base_dir,
+        trip.map_batches(lambda d: par(d, 1), batch_format="pandas"),
+        out_dir, num_buckets=8)
+
+    import ray.data as rd
+
+    canon = lambda p: (rd.read_parquet(p).to_pandas()
+                       .sort_values(["subj", "pred", "obj"],
+                                    ignore_index=True))
+    pd.testing.assert_frame_equal(canon(out_dir), canon(full_dir))

@@ -462,7 +462,7 @@ def test_kg_schema_ops_differential(ray_session, tmp_path, seed):
               "kg_negative_samples", "kg_entity_rank", "kg_cluster_sizes",
               "kg_rule_mining", "kg_subgraph_export", "pipeline_metrics",
               "corpus_card", "word_entropy", "bpe_fertility_by_lang",
-              "kg_ego_network", "kg_store_lookup"]:
+              "kg_ego_network", "kg_store_lookup", "kg_store_upsert"]:
         _compare(str(tmp_path), q)
 
 
