@@ -162,6 +162,11 @@ def main() -> None:
             ("source_diversity", TQ.q_source_diversity),
             ("unigram_surprisal", TQ.q_unigram_surprisal),
             ("local_supplier_volume", R.local_supplier_volume),
+            ("parts_supplier_counts", R.parts_supplier_counts),
+            ("corr_matrix", R.corr_matrix),
+            ("session_duration_quantiles", R.session_duration_quantiles),
+            ("surprisal_buckets", TQ.q_surprisal_buckets),
+            ("kg_store_lookup", KQ.q_kg_store_lookup),
         ]:
             t0 = time.perf_counter()
             res = fn(SF_DIR)
