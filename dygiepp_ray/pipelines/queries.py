@@ -1975,7 +1975,7 @@ _DRIVER_SAMPLE_FIRST = (
     "bpe_fertility_by_lang", "monthly_revenue_zscore", "avi_frames",
     "excess_share_suppliers", "revenue_drawdown", "events_ewma",
     "kg_ego_network", "ols_by_brand", "term_freq_spectrum",
-    "kg_store_lookup", "kg_store_upsert",
+    "kg_store_lookup", "kg_store_upsert", "near_dup_source_matrix",
     "kg_predicate_stats", "kg_symmetric_pairs", "kg_conflicting_attrs",
     "kg_upsert_diff", "word_entropy", "kg_entity_cards",
     "kg_negative_samples", "csv_docs", "kg_entity_rank",

@@ -1589,6 +1589,74 @@ FROM b ORDER BY bucket
 """
 
 
+def q_near_dup_source_matrix(sf_dir: str):
+    """Cross-source contamination matrix: verified near-dup pairs
+    rolled up by unordered SOURCE pair — the provenance question dedup
+    reports feed ("is src A republishing src B?").  Composition over
+    the scale machinery: LSH candidates -> bucketed exact-Jaccard
+    verify -> `attach_pair_values` joins each side's source (two keyed
+    exchanges, values split once, nothing broadcast) -> tiny matrix."""
+    docs = _docs(sf_dir)
+    sigs = dedup.minhash_signatures(docs)
+    pairs = dedup.lsh_candidate_pairs(sigs)
+    verified = dedup.ngram_jaccard_verify(pairs, docs, threshold=0.8)
+
+    def ids_only(df: pd.DataFrame) -> pd.DataFrame:
+        if "id_a" not in df.columns:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64)})
+        return df[["id_a", "id_b"]]
+
+    import ray.data as _rd
+
+    srcs = _rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    withsrc = dedup.attach_pair_values(
+        verified.map_batches(ids_only, batch_format="pandas"),
+        srcs.map_batches(
+            lambda d: d.rename(columns={"source": "value"}),
+            batch_format="pandas"),
+        "value", "src_a", "src_b",
+    )
+    out = withsrc.to_pandas()
+    cols = {"source_a": object, "source_b": object, "n_pairs": np.int64}
+    if out.empty or "src_a" not in out.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    a = out["src_a"].astype(str).to_numpy()
+    b = out["src_b"].astype(str).to_numpy()
+    lo = np.where(a <= b, a, b)
+    hi = np.where(a <= b, b, a)
+    g = pd.DataFrame({"source_a": lo, "source_b": hi}).groupby(
+        ["source_a", "source_b"], as_index=False).size()
+    return pd.DataFrame(
+        {"source_a": g["source_a"], "source_b": g["source_b"],
+         "n_pairs": g["size"].to_numpy(np.int64)}
+    ).sort_values(["source_a", "source_b"], ignore_index=True)
+
+
+SQL_NEAR_DUP_SOURCE_MATRIX = _SQL_SH3 + """,
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_distinct(a.sh || b.sh)) > 0
+    AND 5 * len(list_intersect(a.sh, b.sh))
+        >= 4 * len(list_distinct(a.sh || b.sh))
+),
+j AS (
+  SELECT CASE WHEN da.source <= db.source THEN da.source
+              ELSE db.source END AS source_a,
+         CASE WHEN da.source <= db.source THEN db.source
+              ELSE da.source END AS source_b
+  FROM p
+  JOIN documents da ON da.doc_id = p.id_a
+  JOIN documents db ON db.doc_id = p.id_b
+)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+FROM j GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_surprisal_buckets(sf_dir: str):
     """CCNet head/middle/tail split by exact surprisal terciles —
     textops/corpus.py."""
@@ -2118,6 +2186,8 @@ TEXTOPS_QUERIES = {
     "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),
     "surprisal_buckets": (q_surprisal_buckets, SQL_SURPRISAL_BUCKETS),
     "term_freq_spectrum": (q_term_freq_spectrum, SQL_TERM_FREQ_SPECTRUM),
+    "near_dup_source_matrix": (q_near_dup_source_matrix,
+                               SQL_NEAR_DUP_SOURCE_MATRIX),
     "bpe_fertility_by_lang": (q_bpe_fertility_by_lang,
                               SQL_BPE_FERTILITY_BY_LANG),
     "prepare_training_set": (q_prepare_training_set, SQL_PREPARE_TRAINING_SET),

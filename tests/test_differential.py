@@ -430,6 +430,9 @@ def test_source_diversity_differential(ray_session, tmp_path, seed):
     df.loc[df["source"] == "mono", "lang"] = "en"
     pq.write_table(pa.Table.from_pandas(df), tmp_path / "documents.parquet")
     _compare(str(tmp_path), "source_diversity")
+    # every text is identical here -> ALL pairs are near-dups: the
+    # source matrix must survive the dense-pair worst case
+    _compare(str(tmp_path), "near_dup_source_matrix")
 
 
 @pytest.mark.parametrize("seed", [7, 41])

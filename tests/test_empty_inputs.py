@@ -66,7 +66,7 @@ _SAMPLE = [
     "bpe_fertility_by_lang", "monthly_revenue_zscore",
     "excess_share_suppliers", "revenue_drawdown", "events_ewma",
     "kg_ego_network", "ols_by_brand", "term_freq_spectrum",
-    "kg_store_lookup", "kg_store_upsert",
+    "kg_store_lookup", "kg_store_upsert", "near_dup_source_matrix",
     # revenue_cube, like pipeline_metrics, legitimately returns the
     # grand-total row on an empty corpus (CUBE semantics) — excluded
     # from the zero-row assertion
