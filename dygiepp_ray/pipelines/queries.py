@@ -639,6 +639,46 @@ def q_kg_store_upsert(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["subj", "pred", "obj"], ignore_index=True)
 
 
+def q_kg_yield_hist(sf_dir: str) -> pd.DataFrame:
+    """Extraction-yield histogram: how many conversations produced k
+    triples — the run-health curve an extraction pipeline publishes per
+    ingest (a sudden mass at 0 means a scorer or tokenizer regression).
+
+    SHUFFLE-FREE: triples ride the assembly's conv_id partitioning
+    (every conversation's triples share a block), so per-conv counts
+    complete inside each batch and only (k, count) partials reach the
+    driver."""
+    pipe = from_documents_table(sf_dir)
+    trip = pipe.triples().select_columns(["conv_id"])
+    cols = {"n_triples": np.int64, "n_convs": np.int64}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "conv_id" not in df.columns:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in cols.items()})
+        per_conv = df.groupby("conv_id", sort=False).size()
+        c = per_conv.value_counts()
+        return pd.DataFrame({"n_triples": c.index.to_numpy(np.int64),
+                             "n_convs": c.to_numpy(np.int64)})
+
+    parts = trip.map_batches(
+        partial, batch_size=None, batch_format="pandas"
+    ).to_pandas()
+    if parts.empty or "n_triples" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    g = parts.groupby("n_triples", as_index=False)["n_convs"].sum()
+    return g.astype(np.int64).sort_values("n_triples", ignore_index=True)
+
+
+SQL_KG_YIELD_HIST = SQL_TOKS + f""",
+triples AS ({_KG_TRIPLES_BODY}),
+per_conv AS (SELECT conv_id, count(*) AS k FROM triples GROUP BY 1)
+SELECT CAST(k AS BIGINT) AS n_triples,
+       CAST(count(*) AS BIGINT) AS n_convs
+FROM per_conv GROUP BY k ORDER BY k
+"""
+
+
 def q_kg_path2(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
     """Two-hop path census over the constructed KG: for every predicate
     pair (p1, p2), the number of entity paths s -p1-> x -p2-> o across
@@ -1976,6 +2016,7 @@ _DRIVER_SAMPLE_FIRST = (
     "excess_share_suppliers", "revenue_drawdown", "events_ewma",
     "kg_ego_network", "ols_by_brand", "term_freq_spectrum",
     "kg_store_lookup", "kg_store_upsert", "near_dup_source_matrix",
+    "dup_cluster_hist", "kg_yield_hist",
     "kg_predicate_stats", "kg_symmetric_pairs", "kg_conflicting_attrs",
     "kg_upsert_diff", "word_entropy", "kg_entity_cards",
     "kg_negative_samples", "csv_docs", "kg_entity_rank",
@@ -2236,6 +2277,7 @@ KG_QUERIES = {
     "kg_ego_network": (q_kg_ego_network, SQL_KG_EGO_NETWORK),
     "kg_store_lookup": (q_kg_store_lookup, SQL_KG_STORE_LOOKUP),
     "kg_store_upsert": (q_kg_store_upsert, SQL_KG_STORE_LOOKUP),
+    "kg_yield_hist": (q_kg_yield_hist, SQL_KG_YIELD_HIST),
     "kg_predicate_stats": (q_kg_predicate_stats, SQL_KG_PREDICATE_STATS),
     "kg_symmetric_pairs": (q_kg_symmetric_pairs, SQL_KG_SYMMETRIC_PAIRS),
     "kg_conflicting_attrs": (q_kg_conflicting_attrs, SQL_KG_CONFLICTING_ATTRS),

@@ -431,8 +431,10 @@ def test_source_diversity_differential(ray_session, tmp_path, seed):
     pq.write_table(pa.Table.from_pandas(df), tmp_path / "documents.parquet")
     _compare(str(tmp_path), "source_diversity")
     # every text is identical here -> ALL pairs are near-dups: the
-    # source matrix must survive the dense-pair worst case
+    # source matrix and cluster histogram must survive the one-giant-
+    # cluster worst case
     _compare(str(tmp_path), "near_dup_source_matrix")
+    _compare(str(tmp_path), "dup_cluster_hist")
 
 
 @pytest.mark.parametrize("seed", [7, 41])
@@ -465,7 +467,8 @@ def test_kg_schema_ops_differential(ray_session, tmp_path, seed):
               "kg_negative_samples", "kg_entity_rank", "kg_cluster_sizes",
               "kg_rule_mining", "kg_subgraph_export", "pipeline_metrics",
               "corpus_card", "word_entropy", "bpe_fertility_by_lang",
-              "kg_ego_network", "kg_store_lookup", "kg_store_upsert"]:
+              "kg_ego_network", "kg_store_lookup", "kg_store_upsert",
+              "kg_yield_hist"]:
         _compare(str(tmp_path), q)
 
 
