@@ -1860,6 +1860,119 @@ FROM base, LATERAL (
 """
 
 
+def q_role_token_share(sf_dir: str) -> pd.DataFrame:
+    """Per-role share of the conversation: turns, tokens, and the
+    fixed-point fraction of all tokens each role speaks — the
+    data-mixing statistic of a transcript corpus (assistant-heavy vs
+    tool-heavy mixes train differently).
+
+    Map-only over the transcript adapter (turns are independent);
+    per-batch per-role integer partials collapse to <= |roles| driver
+    rows.  -> (role, n_turns, n_tokens, share_x1e6)."""
+    from ..sources.transcripts import documents_as_transcripts
+
+    ds = documents_as_transcripts(sf_dir)
+    cols = {"role": object, "n_turns": np.int64, "n_tokens": np.int64}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "role" not in df.columns:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in cols.items()})
+        s = df["text"].fillna("").str.strip()
+        toks = s.str.split(r"\s+", regex=True).map(len).to_numpy(np.int64)
+        toks = np.where(s.to_numpy() == "", 0, toks)
+        g = pd.DataFrame({"role": df["role"].to_numpy(),
+                          "n_tokens": toks}).groupby(
+            "role", as_index=False).agg(n_turns=("n_tokens", "size"),
+                                        n_tokens=("n_tokens", "sum"))
+        return g[["role", "n_turns", "n_tokens"]].astype(
+            {"n_turns": np.int64, "n_tokens": np.int64})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out_cols = dict(cols, share_x1e6=np.int64)
+    if parts.empty or "role" not in parts.columns:
+        return pd.DataFrame(
+            {c: pd.Series(dtype=t) for c, t in out_cols.items()})
+    g = parts.groupby("role", as_index=False)[["n_turns", "n_tokens"]].sum()
+    tot = int(g["n_tokens"].sum())
+    nt = g["n_tokens"].to_numpy(np.int64)
+    share = (np.zeros(len(g), np.int64) if tot == 0
+             else (1_000_000 * nt) // tot)
+    return pd.DataFrame(
+        {"role": g["role"], "n_turns": g["n_turns"].to_numpy(np.int64),
+         "n_tokens": nt, "share_x1e6": share.astype(np.int64)}
+    ).sort_values("role", ignore_index=True)
+
+
+SQL_ROLE_TOKEN_SHARE = f"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+  FROM documents
+),
+turns AS (
+  SELECT CASE CAST(t.t % 3 AS INT) WHEN 0 THEN 'user'
+              WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         array_to_string(arr[t.t * {TT} + 1 : t.t * {TT} + {TT}], ' ')
+           AS text
+  FROM base, LATERAL (
+    SELECT unnest(generate_series(
+      0, CAST(ceil(len(arr) / {TT}.0) AS BIGINT) - 1)) AS t
+  ) t
+),
+r AS (
+  SELECT role, CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                  END) AS BIGINT) AS n_tokens
+  FROM turns GROUP BY 1
+),
+t AS (SELECT sum(n_tokens) AS tot FROM r)
+SELECT role, n_turns, n_tokens,
+       CAST(CASE WHEN tot = 0 THEN 0
+            ELSE (1000000 * n_tokens) // tot END AS BIGINT) AS share_x1e6
+FROM r, t ORDER BY role
+"""
+
+
+def q_kg_mention_length_hist(sf_dir: str) -> pd.DataFrame:
+    """Mention-length histogram per label: span width distribution of
+    decoded NER mentions — the span-pruner calibration readout (the
+    reference fixes max_span_width=8; the histogram shows what the
+    corpus actually uses).  Map-only partials over the exploded
+    mentions; <= |labels| x 8 driver rows."""
+    pipe = from_documents_table(sf_dir)
+    ds = pipe.mentions.select_columns(["label", "start", "end"])
+    cols = {"label": object, "span_len": np.int64, "n": np.int64}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "label" not in df.columns:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in cols.items()})
+        ln = (df["end"].to_numpy(np.int64)
+              - df["start"].to_numpy(np.int64) + 1)
+        g = pd.DataFrame({"label": df["label"].to_numpy(),
+                          "span_len": ln}).groupby(
+            ["label", "span_len"], as_index=False).size()
+        return pd.DataFrame({"label": g["label"],
+                             "span_len": g["span_len"].to_numpy(np.int64),
+                             "n": g["size"].to_numpy(np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty or "label" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    g = parts.groupby(["label", "span_len"], as_index=False)["n"].sum()
+    g = g.astype({"span_len": np.int64, "n": np.int64})
+    return g.sort_values(["label", "span_len"], ignore_index=True)
+
+
+SQL_KG_MENTION_LENGTH_HIST = SQL_TOKS + f"""
+SELECT {_LABEL_CASE} AS label,
+       CAST(e_end - pos + 1 AS BIGINT) AS span_len,
+       CAST(count(*) AS BIGINT) AS n
+FROM ents GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_multi_namespace_mentions(sf_dir: str) -> ray.data.Dataset:
     """Per-dataset label namespaces (T8/D2): even-doc_id documents route
     through a namespace allowing bigram spans, odd ones through a
@@ -2016,7 +2129,8 @@ _DRIVER_SAMPLE_FIRST = (
     "excess_share_suppliers", "revenue_drawdown", "events_ewma",
     "kg_ego_network", "ols_by_brand", "term_freq_spectrum",
     "kg_store_lookup", "kg_store_upsert", "near_dup_source_matrix",
-    "dup_cluster_hist", "kg_yield_hist",
+    "dup_cluster_hist", "kg_yield_hist", "role_token_share",
+    "kg_mention_length_hist",
     "kg_predicate_stats", "kg_symmetric_pairs", "kg_conflicting_attrs",
     "kg_upsert_diff", "word_entropy", "kg_entity_cards",
     "kg_negative_samples", "csv_docs", "kg_entity_rank",
@@ -2278,6 +2392,9 @@ KG_QUERIES = {
     "kg_store_lookup": (q_kg_store_lookup, SQL_KG_STORE_LOOKUP),
     "kg_store_upsert": (q_kg_store_upsert, SQL_KG_STORE_LOOKUP),
     "kg_yield_hist": (q_kg_yield_hist, SQL_KG_YIELD_HIST),
+    "role_token_share": (q_role_token_share, SQL_ROLE_TOKEN_SHARE),
+    "kg_mention_length_hist": (q_kg_mention_length_hist,
+                               SQL_KG_MENTION_LENGTH_HIST),
     "kg_predicate_stats": (q_kg_predicate_stats, SQL_KG_PREDICATE_STATS),
     "kg_symmetric_pairs": (q_kg_symmetric_pairs, SQL_KG_SYMMETRIC_PAIRS),
     "kg_conflicting_attrs": (q_kg_conflicting_attrs, SQL_KG_CONFLICTING_ATTRS),

@@ -468,7 +468,8 @@ def test_kg_schema_ops_differential(ray_session, tmp_path, seed):
               "kg_rule_mining", "kg_subgraph_export", "pipeline_metrics",
               "corpus_card", "word_entropy", "bpe_fertility_by_lang",
               "kg_ego_network", "kg_store_lookup", "kg_store_upsert",
-              "kg_yield_hist"]:
+              "kg_yield_hist", "role_token_share",
+              "kg_mention_length_hist"]:
         _compare(str(tmp_path), q)
 
 

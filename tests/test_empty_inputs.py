@@ -67,7 +67,8 @@ _SAMPLE = [
     "excess_share_suppliers", "revenue_drawdown", "events_ewma",
     "kg_ego_network", "ols_by_brand", "term_freq_spectrum",
     "kg_store_lookup", "kg_store_upsert", "near_dup_source_matrix",
-    "dup_cluster_hist", "kg_yield_hist",
+    "dup_cluster_hist", "kg_yield_hist", "role_token_share",
+    "kg_mention_length_hist",
     # revenue_cube, like pipeline_metrics, legitimately returns the
     # grand-total row on an empty corpus (CUBE semantics) — excluded
     # from the zero-row assertion
