@@ -498,3 +498,26 @@ def test_q16_negative_balance_exclusion(ray_session, tmp_path, seed):
                    tmp_path / "orders.parquet")
     for q in ["parts_supplier_counts", "late_shipments", "important_parts"]:
         _compare(str(tmp_path), q)
+
+
+def test_sql_floordiv_matches_python_floor():
+    """`relational._sql_floordiv` must FLOOR like Python `//` for every
+    sign combination (DuckDB's native integer `//` truncates toward
+    zero) — the OLS twins silently diverge on negative covariances if
+    this breaks."""
+    from dygiepp_ray.relational import _sql_floordiv
+
+    con = duckdb.connect()
+    rng = np.random.default_rng(7)
+    a = np.concatenate([
+        rng.integers(-10**12, 10**12, 200),
+        np.array([0, -1, 1, -10**15, 10**15]),
+    ])
+    b = np.concatenate([
+        rng.integers(1, 10**9, 200), np.array([1, 2, 3, 7, 10**6])])
+    for ai in a[:50]:
+        for bi in b[:8]:
+            got = con.execute(
+                f"SELECT {_sql_floordiv(str(int(ai)), str(int(bi)))}"
+            ).fetchone()[0]
+            assert int(got) == int(ai) // int(bi), (ai, bi)
