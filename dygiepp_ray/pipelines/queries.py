@@ -578,7 +578,7 @@ def q_kg_store_lookup(sf_dir: str) -> pd.DataFrame:
     trip = pipe.triples().select_columns(["conv_id", "subj", "pred", "obj"])
     path = tempfile.mkdtemp(prefix="kgstore_", dir="/tmp")
     save_kg_store(trip, path)
-    out = kg_lookup(path, _EGO_TARGET).to_pandas()
+    out = kg_lookup(path, _EGO_TARGET)
     cols = {"subj": object, "pred": object, "obj": object,
             "n_convs": np.int64}
     if out.empty or "subj" not in out.columns:
@@ -631,7 +631,7 @@ def q_kg_store_upsert(sf_dir: str) -> pd.DataFrame:
     upsert_kg_store(
         base_dir, trip.map_batches(par_filter(1), batch_format="pandas"),
         out_dir)
-    out = kg_lookup(out_dir, _EGO_TARGET).to_pandas()
+    out = kg_lookup(out_dir, _EGO_TARGET)
     cols = {"subj": object, "pred": object, "obj": object,
             "n_convs": np.int64}
     if out.empty or "subj" not in out.columns:

@@ -1,55 +1,66 @@
 """Persisted KG triple store — the "graph materialize" artifact: the
-flagship pipeline's triples written as a subject-partitioned,
-subject-sorted parquet directory, so entity point-lookups are parquet
-pushdown filters and a later session serves "everything about X"
-without re-running extraction.
+flagship pipeline's triples written as a subject-partitioned parquet
+store through the manifested checkpoint writer, so entity point-lookups
+read exactly ONE partition directory and a killed save resumes by
+skipping manifested partitions.
 
 Reference parity note: the reference emits per-document relation lists
 (`dygie/models/relation.py` decode output written by
 `predict_dygie.py`); the STORE is the scale-side completion of that —
-the same triples, re-keyed for retrieval.  Layout mirrors the other
-persisted artifacts (`textops.chunks.save_text_index`,
-`textops.ann.save_ivf_index`): one file per exchange bucket
-(resumable-output shape — a failed save re-runs only missing
-partitions), rows sorted by the partition key inside every file so
-row-group statistics prune non-matching files at read time.
+the same triples, re-keyed for retrieval.  Layout and resume semantics
+come from :mod:`dygiepp_ray.state.checkpoint` (`part=N/` directories,
+per-partition manifests with row counts + content fingerprints, atomic
+tmp-dir renames, `_MANIFEST.json` as the success marker) — the same
+machinery the kill-resume pipeline test exercises.
 """
 
 from __future__ import annotations
+
+import json
+import os
 
 import numpy as np
 import pandas as pd
 
 import ray.data
 
-from ..core import partitioned_map_groups
+from ..core import partitioned_map_groups, stable_bucket
+from .checkpoint import _part_dir, write_partitioned
+
+_STORE_COLS = {"subj": object, "pred": object, "obj": object,
+               "n_convs": np.int64}
+
+
+def _empty_store_df() -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series(dtype=t)
+                         for c, t in _STORE_COLS.items()})
+
+
+def _rollup(df: pd.DataFrame) -> pd.DataFrame:
+    """(conv_id, subj, pred, obj) bucket -> per-triple conv support.
+    Global dedup by construction: every copy of a subject co-locates."""
+    if len(df) == 0 or "subj" not in df.columns:
+        return _empty_store_df()
+    g = (df.drop_duplicates()
+         .groupby(["subj", "pred", "obj"], as_index=False)["conv_id"]
+         .nunique().rename(columns={"conv_id": "n_convs"}))
+    g["n_convs"] = g["n_convs"].astype(np.int64)
+    return g
 
 
 def save_kg_store(
     triples: "ray.data.Dataset", path: str, num_buckets: int = 16
-) -> None:
+) -> dict:
     """Materialize (conv_id, subj, pred, obj) triples into the store:
-    ONE subject-keyed exchange rolls every triple's cross-conversation
-    support up in the bucket that owns its subject (global dedup by
-    construction), sorts by (subj, pred, obj), and distributed
-    ``write_parquet`` emits one file per bucket."""
-
-    def bucket(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0 or "subj" not in df.columns:
-            return pd.DataFrame(
-                {"subj": pd.Series(dtype=object),
-                 "pred": pd.Series(dtype=object),
-                 "obj": pd.Series(dtype=object),
-                 "n_convs": pd.Series(dtype=np.int64)})
-        g = (df.drop_duplicates()
-             .groupby(["subj", "pred", "obj"], as_index=False)["conv_id"]
-             .nunique().rename(columns={"conv_id": "n_convs"}))
-        g["n_convs"] = g["n_convs"].astype(np.int64)
-        return g.sort_values(["subj", "pred", "obj"], ignore_index=True)
-
-    store = partitioned_map_groups(triples, "subj", bucket,
-                                   num_buckets=num_buckets)
-    store.write_parquet(path)
+    ONE subject-keyed exchange rolls up cross-conversation support,
+    then the manifested writer lays the rolled rows out as one
+    ``part=N`` directory per subject bucket — idempotent per partition
+    (a re-run after a crash skips every manifested bucket).  Returns
+    the run manifest."""
+    rolled = partitioned_map_groups(triples, "subj", _rollup,
+                                    num_buckets=num_buckets)
+    return write_partitioned(rolled, path, key="subj",
+                             num_partitions=num_buckets)
 
 
 def upsert_kg_store(
@@ -57,7 +68,7 @@ def upsert_kg_store(
     delta_triples: "ray.data.Dataset",
     out_path: str,
     num_buckets: int = 16,
-) -> None:
+) -> dict:
     """Append-only ingest cycle: merge a DELTA batch of triples into a
     persisted store WITHOUT rebuilding from the corpus.  Contract: the
     delta's conversations are disjoint from everything already
@@ -66,48 +77,57 @@ def upsert_kg_store(
 
     The delta rolls up to the store schema on its own subject-keyed
     exchange, unions with the base store rows (a cheap metadata union —
-    no shuffle), and ONE more subject exchange folds supports and
-    restores the sorted layout.  Cost per cycle is O(delta + touched
-    store rows), never O(corpus)."""
-
-    def roll(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0 or "subj" not in df.columns:
-            return pd.DataFrame(
-                {"subj": pd.Series(dtype=object),
-                 "pred": pd.Series(dtype=object),
-                 "obj": pd.Series(dtype=object),
-                 "n_convs": pd.Series(dtype=np.int64)})
-        g = (df.drop_duplicates()
-             .groupby(["subj", "pred", "obj"], as_index=False)["conv_id"]
-             .nunique().rename(columns={"conv_id": "n_convs"}))
-        g["n_convs"] = g["n_convs"].astype(np.int64)
-        return g
-
-    delta = partitioned_map_groups(delta_triples, "subj", roll,
+    no shuffle), and the manifested writer's subject partitioning folds
+    supports per bucket on the way out.  Cost per cycle is O(delta +
+    touched store rows), never O(corpus)."""
+    delta = partitioned_map_groups(delta_triples, "subj", _rollup,
                                    num_buckets=num_buckets)
-    base = ray.data.read_parquet(base_path)
+    from .checkpoint import read_partitioned
+
+    # drop the hive-parsed part column so base and delta union cleanly
+    base = read_partitioned(base_path).map_batches(
+        lambda df: df.drop(
+            columns=[c for c in ("part",) if c in df.columns]),
+        batch_format="pandas",
+    )
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0 or "subj" not in df.columns:
-            return pd.DataFrame(
-                {"subj": pd.Series(dtype=object),
-                 "pred": pd.Series(dtype=object),
-                 "obj": pd.Series(dtype=object),
-                 "n_convs": pd.Series(dtype=np.int64)})
+            return _empty_store_df()
         g = df.groupby(["subj", "pred", "obj"], as_index=False)[
             "n_convs"].sum()
         g["n_convs"] = g["n_convs"].astype(np.int64)
-        return g.sort_values(["subj", "pred", "obj"], ignore_index=True)
+        return g
 
     merged = partitioned_map_groups(base.union(delta), "subj", merge,
                                     num_buckets=num_buckets)
-    merged.write_parquet(out_path)
+    return write_partitioned(merged, out_path, key="subj",
+                             num_partitions=num_buckets)
 
 
-def kg_lookup(path: str, subject: str) -> "ray.data.Dataset":
-    """Point lookup against a persisted store: the parquet read carries
-    a ``subj == subject`` pushdown, so only the one partition whose
-    row-group stats admit the subject leaves storage."""
+def kg_lookup(path: str, subject: str) -> pd.DataFrame:
+    """Point lookup against a persisted store: the subject's bucket is
+    recomputed from `_MANIFEST.json`'s partition count, so the read
+    touches exactly ONE ``part=N`` directory (partition pruning, not
+    just row-group stats), then filters to the subject."""
+    manifest_path = os.path.join(path, "_MANIFEST.json")
+    if not os.path.isfile(manifest_path):
+        return _empty_store_df()
+    with open(manifest_path) as f:
+        num_partitions = int(json.load(f)["num_partitions"])
+    bucket = int(stable_bucket(
+        np.asarray([subject], dtype=object), num_partitions)[0])
+    pdir = _part_dir(path, bucket)
+    if not os.path.isdir(pdir):
+        return _empty_store_df()
+    files = sorted(os.path.join(pdir, f) for f in os.listdir(pdir)
+                   if f.endswith(".parquet"))
     import pyarrow.compute as pc
 
-    return ray.data.read_parquet(path, filter=pc.field("subj") == subject)
+    out = ray.data.read_parquet(
+        files, filter=pc.field("subj") == subject
+    ).to_pandas()
+    if out.empty or "subj" not in out.columns:
+        return _empty_store_df()
+    # read_parquet hive-parses the part=N directory into a column
+    return out.drop(columns=[c for c in ("part",) if c in out.columns])

@@ -146,12 +146,15 @@ def test_kg_store_save_lookup_roundtrip(ray_session, tmp_path):
     trip = pipe.triples().select_columns(["conv_id", "subj", "pred", "obj"])
     in_mem = trip.to_pandas()
     path = str(tmp_path / "store")
-    save_kg_store(trip, path, num_buckets=8)
-    files = glob.glob(f"{path}/*.parquet")
-    assert len(files) > 1  # partitioned, not one giant file
+    run = save_kg_store(trip, path, num_buckets=8)
+    part_dirs = glob.glob(f"{path}/part=*/")
+    assert len(part_dirs) > 1  # partitioned, not one giant file
+    assert run["partitions"] == len(part_dirs)
+    manifests = glob.glob(f"{path}/part=*.manifest.json")
+    assert len(manifests) == len(part_dirs)  # resumable: one per bucket
 
     subj = in_mem["subj"].iloc[0]
-    got = kg_lookup(path, subj).to_pandas().sort_values(
+    got = kg_lookup(path, subj).sort_values(
         ["subj", "pred", "obj"], ignore_index=True)
     want = (in_mem[in_mem["subj"] == subj]
             .drop_duplicates()
@@ -162,7 +165,7 @@ def test_kg_store_save_lookup_roundtrip(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, want)
 
     # a missing subject returns an EMPTY result, not an error
-    assert len(kg_lookup(path, "no-such-entity").to_pandas()) == 0
+    assert len(kg_lookup(path, "no-such-entity")) == 0
 
 
 def test_kg_store_upsert_equals_full_rebuild(ray_session, tmp_path):
@@ -195,9 +198,33 @@ def test_kg_store_upsert_equals_full_rebuild(ray_session, tmp_path):
         trip.map_batches(lambda d: par(d, 1), batch_format="pandas"),
         out_dir, num_buckets=8)
 
-    import ray.data as rd
+    from dygiepp_ray.state.checkpoint import read_partitioned
 
-    canon = lambda p: (rd.read_parquet(p).to_pandas()
+    canon = lambda p: (read_partitioned(p).to_pandas()
                        .sort_values(["subj", "pred", "obj"],
                                     ignore_index=True))
     pd.testing.assert_frame_equal(canon(out_dir), canon(full_dir))
+
+
+def test_kg_store_resave_skips_manifested_partitions(ray_session, tmp_path):
+    """A re-run over an already-saved store must SKIP every manifested
+    partition (the crash-resume contract): zero rows rewritten, files
+    untouched."""
+    import glob
+    import os
+
+    from dygiepp_ray.pipelines.kg import from_documents_table
+    from dygiepp_ray.state.kgstore import save_kg_store
+
+    pipe = from_documents_table("/root/testdata/sf0.001")
+    trip = pipe.triples().select_columns(
+        ["conv_id", "subj", "pred", "obj"]).materialize()
+    path = str(tmp_path / "store")
+    first = save_kg_store(trip, path, num_buckets=8)
+    mtimes = {f: os.path.getmtime(f)
+              for f in glob.glob(f"{path}/part=*/data.parquet")}
+    second = save_kg_store(trip, path, num_buckets=8)
+    assert second["rows_written"] == 0
+    assert second["skipped"] >= first["partitions"]
+    for f, m in mtimes.items():
+        assert os.path.getmtime(f) == m  # bytes untouched
