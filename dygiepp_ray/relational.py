@@ -6993,6 +6993,112 @@ FROM m WHERE n > 0 AND vx <> 0 ORDER BY 1
 """
 
 
+def ship_lag_quantiles(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
+    """Exact fulfillment-latency quantiles per order priority (days
+    from order to line shipment) — the SLA percentile readout.
+
+    Unlike the per-group selection in :func:`analytics.quantiles_by_flag`
+    (which needs a group to fit one task), the lag domain here is SMALL
+    (integer days), so per-(priority, day) COUNTS combine across
+    batches: one orderkey coexchange emits histogram partials, the
+    driver folds <= |priorities| x |days| rows and reads the exact
+    ceil(q*n)-th order statistic off the cumulative counts — correct at
+    any group size.  Day = floored division on BOTH sides (negative
+    lags floor identically).  -> (o_orderpriority, q, lag_days)."""
+    import math
+
+    from .core import hash_coexchange
+
+    DAY_US = 86_400_000_000
+    qs = [0.25, 0.5, 0.75, 0.95]
+
+    lip = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(
+        lambda df: (
+            pd.DataFrame({"l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                          "ship_us": ts_epoch_us(df["l_shipdate"])})
+            if len(df) and "l_orderkey" in df.columns
+            else pd.DataFrame({"l_orderkey": pd.Series(dtype=np.int64),
+                               "ship_us": pd.Series(dtype=np.int64)})
+        ),
+        batch_format="pandas",
+    )
+    ordf = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda df: (
+            pd.DataFrame({"o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+                          "o_date_us": ts_epoch_us(df["o_orderdate"]),
+                          "prio": df["o_orderpriority"].to_numpy()})
+            if len(df) and "o_orderkey" in df.columns
+            else pd.DataFrame({"o_orderkey": pd.Series(dtype=np.int64),
+                               "o_date_us": pd.Series(dtype=np.int64),
+                               "prio": pd.Series(dtype=object)})
+        ),
+        batch_format="pandas",
+    )
+
+    def hist(l: pd.DataFrame, o: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"prio": pd.Series(dtype=object),
+                              "lag_days": pd.Series(dtype=np.int64),
+                              "n": pd.Series(dtype=np.int64)})
+        if (len(l) == 0 or "l_orderkey" not in l.columns
+                or len(o) == 0 or "o_orderkey" not in o.columns):
+            return empty
+        j = l.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        if len(j) == 0:
+            return empty
+        lag = (j["ship_us"].to_numpy(np.int64)
+               - j["o_date_us"].to_numpy(np.int64)) // DAY_US
+        g = pd.DataFrame({"prio": j["prio"].to_numpy(),
+                          "lag_days": lag}).groupby(
+            ["prio", "lag_days"], as_index=False).size()
+        return pd.DataFrame({"prio": g["prio"],
+                             "lag_days": g["lag_days"].to_numpy(np.int64),
+                             "n": g["size"].to_numpy(np.int64)})
+
+    parts = hash_coexchange(
+        lip, ordf, "l_orderkey", "o_orderkey", hist, num_buckets=num_buckets
+    ).to_pandas()
+    cols = {"o_orderpriority": object, "q": np.float64,
+            "lag_days": np.int64}
+    if parts.empty or "prio" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    g = parts.groupby(["prio", "lag_days"], as_index=False)["n"].sum()
+    out = []
+    for prio, grp in g.groupby("prio", sort=True):
+        grp = grp.sort_values("lag_days")
+        days = grp["lag_days"].to_numpy(np.int64)
+        cum = grp["n"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        for q in qs:
+            k = min(max(int(math.ceil(q * n)), 1), n)
+            out.append((prio, q, int(days[np.searchsorted(cum, k)])))
+    return pd.DataFrame(out, columns=list(cols)).astype(
+        {"q": np.float64, "lag_days": np.int64})
+
+
+SQL_SHIP_LAG_QUANTILES = f"""
+WITH j AS (
+  SELECT o_orderpriority,
+         CAST({_sql_floordiv(
+             'epoch_us(l_shipdate) - epoch_us(o_orderdate)',
+             '86400000000')} AS BIGINT) AS lag_days
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+)
+SELECT o_orderpriority, q, CAST(value AS BIGINT) AS lag_days
+FROM (
+  SELECT o_orderpriority,
+         unnest([0.25, 0.5, 0.75, 0.95]) AS q,
+         unnest(quantile_disc(lag_days, [0.25, 0.5, 0.75, 0.95]))
+           AS value
+  FROM j GROUP BY 1
+)
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -7086,4 +7192,5 @@ RELATIONAL_QUERIES = {
     "revenue_drawdown": (revenue_drawdown, SQL_REVENUE_DRAWDOWN),
     "events_ewma": (events_ewma, SQL_EVENTS_EWMA),
     "ols_by_brand": (ols_by_brand, SQL_OLS_BY_BRAND),
+    "ship_lag_quantiles": (ship_lag_quantiles, SQL_SHIP_LAG_QUANTILES),
 }

@@ -82,8 +82,13 @@ def upsert_kg_store(
     touched store rows), never O(corpus)."""
     delta = partitioned_map_groups(delta_triples, "subj", _rollup,
                                    num_buckets=num_buckets)
-    from .checkpoint import read_partitioned
+    from .checkpoint import completed_partitions, read_partitioned
 
+    if not completed_partitions(base_path):
+        # empty base (e.g. first-ever ingest over an empty corpus):
+        # the merged store is just the delta
+        return write_partitioned(delta, out_path, key="subj",
+                                 num_partitions=num_buckets)
     # drop the hive-parsed part column so base and delta union cleanly
     base = read_partitioned(base_path).map_batches(
         lambda df: df.drop(

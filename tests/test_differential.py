@@ -316,7 +316,7 @@ def _write_tpch_micro(tmp_path, rng):
      "bracket_revenue", "slowest_supplier_orders", "idle_customers",
      "revenue_forecast", "national_market_share", "product_profit",
      "late_shipments", "important_parts", "parts_supplier_counts",
-     "excess_share_suppliers", "ols_by_brand"],
+     "excess_share_suppliers", "ols_by_brand", "ship_lag_quantiles"],
 )
 def test_tpch_join_queries_differential(ray_session, tmp_path, seed, qname):
     """TPC-H join shapes (Q5/Q7/Q10/Q14) over a random micro-schema: the

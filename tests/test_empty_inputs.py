@@ -68,7 +68,7 @@ _SAMPLE = [
     "kg_ego_network", "ols_by_brand", "term_freq_spectrum",
     "kg_store_lookup", "kg_store_upsert", "near_dup_source_matrix",
     "dup_cluster_hist", "kg_yield_hist", "role_token_share",
-    "kg_mention_length_hist",
+    "kg_mention_length_hist", "ship_lag_quantiles",
     # revenue_cube, like pipeline_metrics, legitimately returns the
     # grand-total row on an empty corpus (CUBE semantics) — excluded
     # from the zero-row assertion
