@@ -7099,6 +7099,87 @@ FROM (
 """
 
 
+_WM_LATE_US = 1800 * 1_000_000   # allowed lateness behind the watermark
+_WM_WIN_US = 3600 * 1_000_000    # tumbling event-time window
+
+
+def events_watermark_agg(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
+    """Watermark-aware tumbling aggregate with a LATE side channel —
+    the batch replay of the streaming triad (event time vs arrival
+    order vs allowed lateness): per (event_type, 1h event-time window),
+    how many events arrived on time vs more than 30 min behind the
+    type's running watermark (max event time over earlier ARRIVALS,
+    ``event_id`` = arrival order).
+
+    One type-keyed exchange; in-bucket sort by arrival + one running
+    max per type (the order-sensitive scan), then partials collapse to
+    per-(type, window) counts.  -> (event_type, window_us, n_on_time,
+    n_late)."""
+    from .core import partitioned_map_groups
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "ts"]
+    )
+    cols = {"event_type": object, "window_us": np.int64,
+            "n_on_time": np.int64, "n_late": np.int64}
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "event_type" not in df.columns:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in cols.items()})
+        out = []
+        for et, g in df.groupby("event_type", sort=False):
+            order = np.argsort(g["event_id"].to_numpy(np.int64),
+                               kind="stable")
+            t = ts_epoch_us(g["ts"])[order]
+            runmax = np.maximum.accumulate(t)
+            prior = np.concatenate([[np.int64(-1)], runmax[:-1]])
+            late = (prior >= 0) & (t + _WM_LATE_US < prior)
+            win = (t // _WM_WIN_US) * _WM_WIN_US
+            h = pd.DataFrame({"window_us": win,
+                              "late": late.astype(np.int64)}).groupby(
+                "window_us", as_index=False).agg(
+                n=("late", "size"), n_late=("late", "sum"))
+            out.append(pd.DataFrame(
+                {"event_type": et,
+                 "window_us": h["window_us"].to_numpy(np.int64),
+                 "n_on_time": (h["n"] - h["n_late"]).to_numpy(np.int64),
+                 "n_late": h["n_late"].to_numpy(np.int64)}))
+        return pd.concat(out, ignore_index=True)
+
+    parts = partitioned_map_groups(ds, "event_type", agg,
+                                   num_buckets=num_buckets).to_pandas()
+    if parts.empty or "event_type" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    g = parts.groupby(["event_type", "window_us"], as_index=False)[
+        ["n_on_time", "n_late"]].sum()
+    return g.astype({"window_us": np.int64, "n_on_time": np.int64,
+                     "n_late": np.int64}).sort_values(
+        ["event_type", "window_us"], ignore_index=True)
+
+
+SQL_EVENTS_WATERMARK_AGG = f"""
+WITH o AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS t,
+         max(CAST(epoch_us(ts) AS BIGINT))
+           OVER (PARTITION BY event_type ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prior
+  FROM events
+),
+f AS (
+  SELECT event_type, (t // {_WM_WIN_US}) * {_WM_WIN_US} AS window_us,
+         CASE WHEN prior IS NOT NULL AND t + {_WM_LATE_US} < prior
+              THEN 1 ELSE 0 END AS late
+  FROM o
+)
+SELECT event_type, CAST(window_us AS BIGINT) AS window_us,
+       CAST(sum(1 - late) AS BIGINT) AS n_on_time,
+       CAST(sum(late) AS BIGINT) AS n_late
+FROM f GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -7193,4 +7274,6 @@ RELATIONAL_QUERIES = {
     "events_ewma": (events_ewma, SQL_EVENTS_EWMA),
     "ols_by_brand": (ols_by_brand, SQL_OLS_BY_BRAND),
     "ship_lag_quantiles": (ship_lag_quantiles, SQL_SHIP_LAG_QUANTILES),
+    "events_watermark_agg": (events_watermark_agg,
+                             SQL_EVENTS_WATERMARK_AGG),
 }
