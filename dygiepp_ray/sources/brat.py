@@ -153,3 +153,60 @@ def drop_counters(parsed: ray.data.Dataset) -> dict[str, int]:
     for k in ("entities", "relations", "events", "corefs"):
         out[k] = int(parsed.sum(f"dropped_{k}") or 0)
     return out
+
+
+def format_brat_doc(doc: dict) -> tuple[str, str]:
+    """One parsed/predicted doc dict -> (txt, ann) brat standoff pair —
+    the write side of :func:`parse_brat_doc` (S2 interop: annotations
+    round-trip through the exact format the reference's preprocessing
+    scripts consume).  Tokens are space-joined, so char offsets are the
+    cumulative token lengths; entity T-ids are assigned in the sorted
+    (start, end, label) order `parse_brat_doc` re-emits, making
+    write->parse the identity on (ner, relations, clusters).  Events
+    are NOT written (the brat reader folds trigger Ts into ner, which
+    would break the identity)."""
+    tokens = list(doc["tokens"])
+    txt = " ".join(tokens)
+    starts, pos = [], 0
+    for t in tokens:
+        starts.append(pos)
+        pos += len(t) + 1
+    tid = {}
+    lines = []
+    for i, m in enumerate(sorted(
+            (m["start"], m["end"], m["label"]) for m in doc.get("ner", []))):
+        s_tok, e_tok, label = m
+        cs = starts[s_tok]
+        ce = starts[e_tok] + len(tokens[e_tok])
+        tag = f"T{i + 1}"
+        tid[(s_tok, e_tok)] = tag
+        lines.append(f"{tag}\t{label} {cs} {ce}\t{txt[cs:ce]}")
+    for i, r in enumerate(doc.get("relations", [])):
+        a = tid.get((r["s1"], r["e1"]))
+        b = tid.get((r["s2"], r["e2"]))
+        if a and b:
+            lines.append(f"R{i + 1}\t{r['label']} Arg1:{a} Arg2:{b}")
+    for members in doc.get("clusters", []):
+        tags = [tid.get((m["start"], m["end"])) for m in members]
+        if all(tags) and len(tags) >= 2:
+            lines.append("*\tCoref " + " ".join(tags))
+    return txt, "\n".join(lines)
+
+
+def write_brat(parsed: ray.data.Dataset) -> ray.data.Dataset:
+    """Parsed/predicted docs -> (doc_key, txt, ann) standoff rows, one
+    vectorized map pass (pair with ``write_parquet`` or a per-row file
+    sink; each doc is independent, so the write streams)."""
+
+    def to_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "doc_key" not in df.columns:
+            return pd.DataFrame({"doc_key": pd.Series(dtype=object),
+                                 "txt": pd.Series(dtype=object),
+                                 "ann": pd.Series(dtype=object)})
+        rows = []
+        for rec in df.to_dict("records"):
+            txt, ann = format_brat_doc(rec)
+            rows.append((rec["doc_key"], txt, ann))
+        return pd.DataFrame(rows, columns=["doc_key", "txt", "ann"])
+
+    return parsed.map_batches(to_pairs, batch_format="pandas")

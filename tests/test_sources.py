@@ -274,3 +274,43 @@ def test_synth_csv_files_roundtrip(ray_session):
         assert r.loc[i, "category"] == cat
         assert r.loc[i, "n_chars"] == len(text)
         assert r.loc[i, "text_md5"] == hashlib.md5(text.encode()).hexdigest()
+
+
+def test_brat_write_parse_roundtrip(ray_session):
+    """S2 write side: format_brat_doc -> parse_brat_doc is the identity
+    on (tokens, ner, relations, clusters), with ZERO drop counters —
+    any char-offset mistake in the writer misaligns the reader."""
+    import ray.data as rd
+
+    from dygiepp_ray.sources import brat as B
+
+    doc = {
+        "doc_key": "d0",
+        "tokens": ["alpha", "beta", "gamma", "delta", "eps"],
+        "ner": [{"start": 0, "end": 1, "label": "A"},
+                {"start": 2, "end": 2, "label": "B"},
+                {"start": 3, "end": 4, "label": "A"}],
+        "relations": [{"s1": 0, "e1": 1, "s2": 2, "e2": 2,
+                       "label": "REL"}],
+        "clusters": [[{"start": 0, "end": 1}, {"start": 3, "end": 4}]],
+    }
+    txt, ann = B.format_brat_doc(doc)
+    back = B.parse_brat_doc("d0", txt, ann)
+    assert back["tokens"] == doc["tokens"]
+    assert back["ner"] == sorted(
+        doc["ner"], key=lambda m: (m["start"], m["end"], m["label"]))
+    assert [(r["s1"], r["e1"], r["s2"], r["e2"], r["label"])
+            for r in back["relations"]] == [(0, 1, 2, 2, "REL")]
+    assert back["clusters"] == [[{"start": 0, "end": 1},
+                                 {"start": 3, "end": 4}]]
+    assert all(back[f"dropped_{k}"] == 0
+               for k in ("entities", "relations", "events", "corefs"))
+
+    # distributed: write_brat rows re-parse identically via read_brat
+    pairs = B.write_brat(rd.from_pandas(
+        pd.DataFrame([{k: doc[k] for k in
+                       ("doc_key", "tokens", "ner", "relations",
+                        "clusters")}])))
+    parsed = B.read_brat(pairs).to_pandas()
+    assert len(parsed) == 1 and parsed.iloc[0]["doc_key"] == "d0"
+    assert int(parsed.iloc[0]["dropped_entities"]) == 0
