@@ -7180,6 +7180,79 @@ FROM f GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def session_table(sf_dir: str, gap_s: int = 1800) -> pd.DataFrame:
+    """Materialized sessionization: one row per (user, session) with
+    its ordinal, bounds and event count — the session TABLE every
+    downstream funnel/attribution join consumes (sessionize and
+    :func:`session_duration_quantiles` are aggregates over this).
+
+    One user-keyed exchange; session ordinals come from the in-bucket
+    gap scan (a user never spans buckets, so ordinals are global).
+    -> (user_id, session_id, start_us, end_us, n_events)."""
+    from .core import partitioned_map_groups
+
+    gap_us = gap_s * 1_000_000
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    cols = {"user_id": np.int64, "session_id": np.int64,
+            "start_us": np.int64, "end_us": np.int64,
+            "n_events": np.int64}
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "user_id" not in df.columns:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in cols.items()})
+        out = []
+        for uid, g in df.groupby("user_id", sort=False):
+            t = np.sort(ts_epoch_us(g["ts"]))
+            new = np.ones(len(t), dtype=bool)
+            new[1:] = np.diff(t) > gap_us
+            sid = np.cumsum(new)
+            d = pd.Series(t).groupby(sid).agg(["min", "max", "size"])
+            out.append(pd.DataFrame(
+                {"user_id": np.int64(uid),
+                 "session_id": d.index.to_numpy(np.int64),
+                 "start_us": d["min"].to_numpy(np.int64),
+                 "end_us": d["max"].to_numpy(np.int64),
+                 "n_events": d["size"].to_numpy(np.int64)}))
+        return pd.concat(out, ignore_index=True)
+
+    out = partitioned_map_groups(ds, "user_id", sessions,
+                                 num_buckets=8).to_pandas()
+    if out.empty or "user_id" not in out.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    return out.astype({c: np.int64 for c in cols}).sort_values(
+        ["user_id", "session_id"], ignore_index=True)
+
+
+SQL_SESSION_TABLE = """
+WITH ordered AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t,
+         lag(CAST(epoch_us(ts) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts) AS prev_t
+  FROM events
+),
+marks AS (
+  SELECT user_id, t,
+         CASE WHEN prev_t IS NULL OR t - prev_t > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+),
+sess AS (
+  SELECT user_id, t,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       CAST(min(t) AS BIGINT) AS start_us,
+       CAST(max(t) AS BIGINT) AS end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -7276,4 +7349,5 @@ RELATIONAL_QUERIES = {
     "ship_lag_quantiles": (ship_lag_quantiles, SQL_SHIP_LAG_QUANTILES),
     "events_watermark_agg": (events_watermark_agg,
                              SQL_EVENTS_WATERMARK_AGG),
+    "session_table": (session_table, SQL_SESSION_TABLE),
 }

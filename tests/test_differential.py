@@ -80,7 +80,7 @@ def _compare(sf_dir: str, qname: str):
      "events_rate_alert", "events_tumbling", "user_paths",
      "events_gap_histogram", "events_dedup_window",
      "session_duration_quantiles", "events_ewma",
-     "events_watermark_agg"],
+     "events_watermark_agg", "session_table"],
 )
 def test_event_queries_differential(ray_session, tmp_path, seed, qname):
     rng = np.random.default_rng(seed * 1000 + len(qname))
