@@ -78,8 +78,10 @@ def upsert_kg_store(
     The delta rolls up to the store schema on its own subject-keyed
     exchange, unions with the base store rows (a cheap metadata union —
     no shuffle), and the manifested writer's subject partitioning folds
-    supports per bucket on the way out.  Cost per cycle is O(delta +
-    touched store rows), never O(corpus)."""
+    supports per bucket on the way out.  Cost per cycle is O(base +
+    delta) STORE rows (distinct triples — never O(corpus)); a hash
+    delta of any size touches ~every subject bucket, so unchanged-
+    partition copy-through is deliberately not attempted."""
     delta = partitioned_map_groups(delta_triples, "subj", _rollup,
                                    num_buckets=num_buckets)
     from .checkpoint import completed_partitions, read_partitioned
