@@ -2131,7 +2131,7 @@ _DRIVER_SAMPLE_FIRST = (
     "kg_store_lookup", "kg_store_upsert", "near_dup_source_matrix",
     "dup_cluster_hist", "kg_yield_hist", "role_token_share",
     "kg_mention_length_hist", "ship_lag_quantiles",
-    "events_watermark_agg", "session_table",
+    "events_watermark_agg", "session_table", "revenue_pareto",
     "kg_predicate_stats", "kg_symmetric_pairs", "kg_conflicting_attrs",
     "kg_upsert_diff", "word_entropy", "kg_entity_cards",
     "kg_negative_samples", "csv_docs", "kg_entity_rank",

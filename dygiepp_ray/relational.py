@@ -7253,6 +7253,119 @@ FROM sess GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def revenue_pareto(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
+    """Pareto concentration curve: customers cut into revenue DECILES
+    by exact value order statistics, with each decile's cumulative
+    share counted from the top — the 80/20 readout behind every
+    "whales" analysis.
+
+    Per-customer cents on one custkey exchange; the nine cuts come from
+    the distributed selection (`analytics.exact_quantiles` over the
+    derived per-customer dataset — no driver sort of customers), then
+    one counting pass buckets by value (ties fall into the LOWER decile
+    on both sides) and the driver folds 10 rows.
+    -> (decile, n_customers, revenue_cents, cum_share_x1e6)."""
+    from .analytics import exact_quantiles
+    from .core import hash_exchange
+
+    def opart(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_custkey" not in df.columns:
+            return pd.DataFrame({"o_custkey": pd.Series(dtype=np.int64),
+                                 "cents": pd.Series(dtype=np.int64)})
+        p = df["o_totalprice"].to_numpy(np.float64) * 100
+        cents = np.trunc(p + np.sign(p) * 0.5).astype(np.int64)
+        g = pd.Series(cents).groupby(
+            df["o_custkey"].to_numpy(np.int64)).sum()
+        return pd.DataFrame({"o_custkey": g.index.to_numpy(np.int64),
+                             "cents": g.to_numpy(np.int64)})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(opart, batch_format="pandas")
+
+    def per_cust(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_custkey" not in df.columns:
+            return pd.DataFrame({"o_custkey": pd.Series(dtype=np.int64),
+                                 "cents": pd.Series(dtype=np.int64)})
+        g = df.groupby("o_custkey", as_index=False)["cents"].sum()
+        return g.astype(np.int64)
+
+    percust = hash_exchange(orders, "o_custkey", per_cust,
+                            num_buckets=num_buckets)
+    qs = [round(0.1 * i, 1) for i in range(1, 10)]
+    cuts_df = exact_quantiles(percust, "cents", qs)
+    cols = {"decile": np.int64, "n_customers": np.int64,
+            "revenue_cents": np.int64, "cum_share_x1e6": np.int64}
+    if len(cuts_df) < 9:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    cuts = cuts_df["value"].to_numpy(np.float64).astype(np.int64)
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "cents" not in df.columns:
+            return pd.DataFrame({"decile": pd.Series(dtype=np.int64),
+                                 "n_customers": pd.Series(dtype=np.int64),
+                                 "revenue_cents": pd.Series(dtype=np.int64)})
+        v = df["cents"].to_numpy(np.int64)
+        d = (v[:, None] > cuts[None, :]).sum(axis=1).astype(np.int64)
+        g = pd.DataFrame({"decile": d, "cents": v}).groupby(
+            "decile", as_index=False).agg(n_customers=("cents", "size"),
+                                          revenue_cents=("cents", "sum"))
+        return g.astype(np.int64)
+
+    parts = percust.map_batches(bucket, batch_format="pandas").to_pandas()
+    if parts.empty or "decile" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    g = parts.groupby("decile", as_index=False)[
+        ["n_customers", "revenue_cents"]].sum().sort_values(
+        "decile", ascending=False, ignore_index=True)
+    total = int(g["revenue_cents"].sum())
+    cum = g["revenue_cents"].to_numpy(np.int64).cumsum()
+    share = ((1_000_000 * cum.astype(object)) // total if total
+             else np.zeros(len(g), dtype=np.int64))
+    g["cum_share_x1e6"] = np.asarray([int(x) for x in share],
+                                     dtype=np.int64)
+    return g.astype(np.int64).sort_values("decile", ignore_index=True)
+
+
+SQL_REVENUE_PARETO = """
+WITH rc AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+cuts AS (
+  SELECT quantile_disc(cents,
+    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs
+  FROM rc
+),
+b AS (
+  SELECT cents,
+         (CASE WHEN cents > cs[1] THEN 1 ELSE 0 END
+        + CASE WHEN cents > cs[2] THEN 1 ELSE 0 END
+        + CASE WHEN cents > cs[3] THEN 1 ELSE 0 END
+        + CASE WHEN cents > cs[4] THEN 1 ELSE 0 END
+        + CASE WHEN cents > cs[5] THEN 1 ELSE 0 END
+        + CASE WHEN cents > cs[6] THEN 1 ELSE 0 END
+        + CASE WHEN cents > cs[7] THEN 1 ELSE 0 END
+        + CASE WHEN cents > cs[8] THEN 1 ELSE 0 END
+        + CASE WHEN cents > cs[9] THEN 1 ELSE 0 END) AS decile
+  FROM rc, cuts
+),
+a AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(cents) AS BIGINT) AS revenue_cents
+  FROM b GROUP BY 1
+),
+t AS (SELECT sum(revenue_cents) AS tot FROM a)
+SELECT CAST(decile AS BIGINT) AS decile, n_customers, revenue_cents,
+       CAST((1000000 * sum(revenue_cents)
+             OVER (ORDER BY decile DESC ROWS UNBOUNDED PRECEDING))
+            // tot AS BIGINT) AS cum_share_x1e6
+FROM a, t ORDER BY decile
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -7350,4 +7463,5 @@ RELATIONAL_QUERIES = {
     "events_watermark_agg": (events_watermark_agg,
                              SQL_EVENTS_WATERMARK_AGG),
     "session_table": (session_table, SQL_SESSION_TABLE),
+    "revenue_pareto": (revenue_pareto, SQL_REVENUE_PARETO),
 }

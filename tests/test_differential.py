@@ -116,7 +116,7 @@ def test_orders_queries_differential(ray_session, tmp_path, seed):
     pq.write_table(tbl, tmp_path / "orders.parquet")
     for q in ["zorder_layout", "orders_snapshot_diff", "contingency_table",
               "rfm_segments", "monthly_revenue_zscore",
-              "revenue_drawdown"]:
+              "revenue_drawdown", "revenue_pareto"]:
         _compare(str(tmp_path), q)
 
 

@@ -69,7 +69,7 @@ _SAMPLE = [
     "kg_store_lookup", "kg_store_upsert", "near_dup_source_matrix",
     "dup_cluster_hist", "kg_yield_hist", "role_token_share",
     "kg_mention_length_hist", "ship_lag_quantiles",
-    "events_watermark_agg", "session_table",
+    "events_watermark_agg", "session_table", "revenue_pareto",
     # revenue_cube, like pipeline_metrics, legitimately returns the
     # grand-total row on an empty corpus (CUBE semantics) — excluded
     # from the zero-row assertion
