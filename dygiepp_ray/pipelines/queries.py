@@ -2132,6 +2132,7 @@ _DRIVER_SAMPLE_FIRST = (
     "dup_cluster_hist", "kg_yield_hist", "role_token_share",
     "kg_mention_length_hist", "ship_lag_quantiles",
     "events_watermark_agg", "session_table", "revenue_pareto",
+    "tool_transitions",
     "kg_predicate_stats", "kg_symmetric_pairs", "kg_conflicting_attrs",
     "kg_upsert_diff", "word_entropy", "kg_entity_cards",
     "kg_negative_samples", "csv_docs", "kg_entity_rank",
@@ -2292,6 +2293,76 @@ GROUP BY 1
 """
 
 
+def q_tool_transitions(sf_dir: str) -> pd.DataFrame:
+    """Tool-call bigrams: which tool follows which within a
+    conversation (consecutive TOOL turns, non-tool turns skipped) —
+    the agent-behavior matrix behind tool-routing analyses.
+
+    One conv-keyed exchange (a conversation's turns co-locate), sort by
+    turn_idx inside each conv, lag over the tool subsequence; partials
+    collapse to the tiny |tools|^2 matrix."""
+    from ..core import partitioned_map_groups
+    from ..sources.transcripts import documents_as_transcripts
+
+    ds = documents_as_transcripts(sf_dir, with_tool=True)
+    cols = {"tool_from": object, "tool_to": object, "n": np.int64}
+
+    def trans(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "conv_id" not in df.columns:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in cols.items()})
+        d = df.loc[df["tool"].to_numpy() != "",
+                   ["conv_id", "turn_idx", "tool"]]
+        if len(d) == 0:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in cols.items()})
+        d = d.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = d["conv_id"].to_numpy(object)
+        tool = d["tool"].to_numpy(object)
+        same = conv[1:] == conv[:-1]
+        g = pd.DataFrame({"tool_from": tool[:-1][same],
+                          "tool_to": tool[1:][same]}).groupby(
+            ["tool_from", "tool_to"], as_index=False).size()
+        return pd.DataFrame({"tool_from": g["tool_from"],
+                             "tool_to": g["tool_to"],
+                             "n": g["size"].to_numpy(np.int64)})
+
+    parts = partitioned_map_groups(ds, "conv_id", trans,
+                                   num_buckets=8).to_pandas()
+    if parts.empty or "tool_from" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    g = parts.groupby(["tool_from", "tool_to"], as_index=False)["n"].sum()
+    g["n"] = g["n"].astype(np.int64)
+    return g.sort_values(["tool_from", "tool_to"], ignore_index=True)
+
+
+SQL_TOOL_TRANSITIONS = f"""
+WITH base AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n
+  FROM documents
+),
+turns AS (
+  SELECT doc_id, t.t AS t
+  FROM base, LATERAL (
+    SELECT unnest(generate_series(
+      0, CAST(ceil(n / {TT}.0) AS BIGINT) - 1)) AS t
+  ) t
+  WHERE t.t % 3 = 2
+),
+w AS (
+  SELECT doc_id, 't' || CAST(t % 4 AS VARCHAR) AS tool,
+         lag('t' || CAST(t % 4 AS VARCHAR))
+           OVER (PARTITION BY doc_id ORDER BY t) AS prev
+  FROM turns
+)
+SELECT prev AS tool_from, tool AS tool_to,
+       CAST(count(*) AS BIGINT) AS n
+FROM w WHERE prev IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_turn_spans(sf_dir: str) -> ray.data.Dataset:
     """Per-window conversation timing stats through the FULL assembly
     path (input_hint ``ts`` column -> conv_id exchange -> per-document
@@ -2394,6 +2465,7 @@ KG_QUERIES = {
     "kg_store_upsert": (q_kg_store_upsert, SQL_KG_STORE_LOOKUP),
     "kg_yield_hist": (q_kg_yield_hist, SQL_KG_YIELD_HIST),
     "role_token_share": (q_role_token_share, SQL_ROLE_TOKEN_SHARE),
+    "tool_transitions": (q_tool_transitions, SQL_TOOL_TRANSITIONS),
     "kg_mention_length_hist": (q_kg_mention_length_hist,
                                SQL_KG_MENTION_LENGTH_HIST),
     "kg_predicate_stats": (q_kg_predicate_stats, SQL_KG_PREDICATE_STATS),
