@@ -679,6 +679,84 @@ FROM per_conv GROUP BY k ORDER BY k
 """
 
 
+def q_kg_predicate_drift(sf_dir: str) -> pd.DataFrame:
+    """Ingest-drift monitor: per predicate, the fixed-point share of
+    BASE (even-conv) vs DELTA (odd-conv) assertions and the absolute
+    share shift — the alarm a KG ingest pipeline raises when a new
+    batch's relation mix diverges (schema drift, scraper change,
+    extraction regression).
+
+    Map-only partials over the conv-deduped triple stream (parity
+    parses from conv_id); the driver folds <= |preds| x 2 counts — no
+    exchange keys on the hot bare predicate (KG-exchange discipline).
+    -> (pred, n_base, n_delta, share_base_x1e6, share_delta_x1e6,
+    drift_x1e6)."""
+    pipe = from_documents_table(sf_dir)
+    trip = pipe.triples().select_columns(["conv_id", "pred"])
+    cols = {"pred": object, "n_base": np.int64, "n_delta": np.int64,
+            "share_base_x1e6": np.int64, "share_delta_x1e6": np.int64,
+            "drift_x1e6": np.int64}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "pred" not in df.columns:
+            return pd.DataFrame({"pred": pd.Series(dtype=object),
+                                 "par": pd.Series(dtype=np.int64),
+                                 "n": pd.Series(dtype=np.int64)})
+        par = df["conv_id"].str.slice(3).astype(np.int64) % 2
+        g = pd.DataFrame({"pred": df["pred"].to_numpy(),
+                          "par": par.to_numpy(np.int64)}).groupby(
+            ["pred", "par"], as_index=False).size()
+        return pd.DataFrame({"pred": g["pred"],
+                             "par": g["par"].to_numpy(np.int64),
+                             "n": g["size"].to_numpy(np.int64)})
+
+    parts = trip.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty or "pred" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    g = parts.groupby(["pred", "par"], as_index=False)["n"].sum()
+    p = g.pivot_table(index="pred", columns="par", values="n",
+                      fill_value=0, aggfunc="sum")
+    nb = (p[0] if 0 in p.columns
+          else pd.Series(0, index=p.index)).to_numpy(np.int64)
+    nd = (p[1] if 1 in p.columns
+          else pd.Series(0, index=p.index)).to_numpy(np.int64)
+    tb, td = int(nb.sum()), int(nd.sum())
+    sb = (1_000_000 * nb) // tb if tb else np.zeros(len(nb), np.int64)
+    sd = (1_000_000 * nd) // td if td else np.zeros(len(nd), np.int64)
+    return pd.DataFrame(
+        {"pred": p.index.to_numpy(), "n_base": nb, "n_delta": nd,
+         "share_base_x1e6": sb.astype(np.int64),
+         "share_delta_x1e6": sd.astype(np.int64),
+         "drift_x1e6": np.abs(sb - sd).astype(np.int64)}
+    ).sort_values("pred", ignore_index=True)
+
+
+SQL_KG_PREDICATE_DRIFT = SQL_TOKS + f""",
+triples AS ({_KG_TRIPLES_BODY}),
+p AS (
+  SELECT pred, CAST(substring(conv_id, 4) AS BIGINT) % 2 AS par
+  FROM triples
+),
+c AS (
+  SELECT pred,
+         sum(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS nb,
+         sum(par) AS nd
+  FROM p GROUP BY 1
+),
+t AS (SELECT sum(nb) AS tb, sum(nd) AS td FROM c)
+SELECT pred, CAST(nb AS BIGINT) AS n_base, CAST(nd AS BIGINT) AS n_delta,
+       CAST(CASE WHEN tb = 0 THEN 0
+            ELSE (1000000 * nb) // tb END AS BIGINT) AS share_base_x1e6,
+       CAST(CASE WHEN td = 0 THEN 0
+            ELSE (1000000 * nd) // td END AS BIGINT) AS share_delta_x1e6,
+       CAST(abs(CASE WHEN tb = 0 THEN 0
+                ELSE (1000000 * nb) // tb END
+              - CASE WHEN td = 0 THEN 0
+                ELSE (1000000 * nd) // td END) AS BIGINT) AS drift_x1e6
+FROM c, t ORDER BY pred
+"""
+
+
 def q_kg_path2(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
     """Two-hop path census over the constructed KG: for every predicate
     pair (p1, p2), the number of entity paths s -p1-> x -p2-> o across
@@ -2132,7 +2210,7 @@ _DRIVER_SAMPLE_FIRST = (
     "dup_cluster_hist", "kg_yield_hist", "role_token_share",
     "kg_mention_length_hist", "ship_lag_quantiles",
     "events_watermark_agg", "session_table", "revenue_pareto",
-    "tool_transitions",
+    "tool_transitions", "kg_predicate_drift",
     "kg_predicate_stats", "kg_symmetric_pairs", "kg_conflicting_attrs",
     "kg_upsert_diff", "word_entropy", "kg_entity_cards",
     "kg_negative_samples", "csv_docs", "kg_entity_rank",
@@ -2464,6 +2542,7 @@ KG_QUERIES = {
     "kg_store_lookup": (q_kg_store_lookup, SQL_KG_STORE_LOOKUP),
     "kg_store_upsert": (q_kg_store_upsert, SQL_KG_STORE_LOOKUP),
     "kg_yield_hist": (q_kg_yield_hist, SQL_KG_YIELD_HIST),
+    "kg_predicate_drift": (q_kg_predicate_drift, SQL_KG_PREDICATE_DRIFT),
     "role_token_share": (q_role_token_share, SQL_ROLE_TOKEN_SHARE),
     "tool_transitions": (q_tool_transitions, SQL_TOOL_TRANSITIONS),
     "kg_mention_length_hist": (q_kg_mention_length_hist,

@@ -470,7 +470,8 @@ def test_kg_schema_ops_differential(ray_session, tmp_path, seed):
               "corpus_card", "word_entropy", "bpe_fertility_by_lang",
               "kg_ego_network", "kg_store_lookup", "kg_store_upsert",
               "kg_yield_hist", "role_token_share",
-              "kg_mention_length_hist", "tool_transitions"]:
+              "kg_mention_length_hist", "tool_transitions",
+              "kg_predicate_drift"]:
         _compare(str(tmp_path), q)
 
 
