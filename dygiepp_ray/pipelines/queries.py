@@ -2210,7 +2210,7 @@ _DRIVER_SAMPLE_FIRST = (
     "dup_cluster_hist", "kg_yield_hist", "role_token_share",
     "kg_mention_length_hist", "ship_lag_quantiles",
     "events_watermark_agg", "session_table", "revenue_pareto",
-    "tool_transitions", "kg_predicate_drift",
+    "tool_transitions", "kg_predicate_drift", "quantity_mode",
     "kg_predicate_stats", "kg_symmetric_pairs", "kg_conflicting_attrs",
     "kg_upsert_diff", "word_entropy", "kg_entity_cards",
     "kg_negative_samples", "csv_docs", "kg_entity_rank",

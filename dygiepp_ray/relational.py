@@ -7366,6 +7366,63 @@ FROM a, t ORDER BY decile
 """
 
 
+def quantity_mode(sf_dir: str) -> pd.DataFrame:
+    """Modal order quantity per returnflag (ties -> smallest quantity)
+    — the MODE aggregate, which no groupby builtin gives exactly: per
+    (flag, quantity) count partials combine across batches (quantity is
+    small-domain), the driver folds <= |flags| x 50 rows and takes the
+    deterministic argmax.  -> (l_returnflag, mode_qty, n)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+    cols = {"l_returnflag": object, "mode_qty": np.int64, "n": np.int64}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "l_returnflag" not in df.columns:
+            return pd.DataFrame({"l_returnflag": pd.Series(dtype=object),
+                                 "qty": pd.Series(dtype=np.int64),
+                                 "n": pd.Series(dtype=np.int64)})
+        g = pd.DataFrame(
+            {"l_returnflag": df["l_returnflag"].to_numpy(),
+             "qty": df["l_quantity"].to_numpy(np.float64)
+                    .astype(np.int64)}).groupby(
+            ["l_returnflag", "qty"], as_index=False).size()
+        return pd.DataFrame({"l_returnflag": g["l_returnflag"],
+                             "qty": g["qty"].to_numpy(np.int64),
+                             "n": g["size"].to_numpy(np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty or "l_returnflag" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    g = parts.groupby(["l_returnflag", "qty"], as_index=False)["n"].sum()
+    g = g.sort_values(["l_returnflag", "n", "qty"],
+                      ascending=[True, False, True], kind="mergesort")
+    top = g.groupby("l_returnflag", as_index=False).first()
+    return pd.DataFrame(
+        {"l_returnflag": top["l_returnflag"],
+         "mode_qty": top["qty"].to_numpy(np.int64),
+         "n": top["n"].to_numpy(np.int64)}
+    ).sort_values("l_returnflag", ignore_index=True)
+
+
+SQL_QUANTITY_MODE = """
+WITH c AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+         count(*) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+r AS (
+  SELECT l_returnflag, qty, n,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY n DESC, qty ASC) AS rk
+  FROM c
+)
+SELECT l_returnflag, CAST(qty AS BIGINT) AS mode_qty,
+       CAST(n AS BIGINT) AS n
+FROM r WHERE rk = 1 ORDER BY 1
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -7464,4 +7521,5 @@ RELATIONAL_QUERIES = {
                              SQL_EVENTS_WATERMARK_AGG),
     "session_table": (session_table, SQL_SESSION_TABLE),
     "revenue_pareto": (revenue_pareto, SQL_REVENUE_PARETO),
+    "quantity_mode": (quantity_mode, SQL_QUANTITY_MODE),
 }

@@ -165,7 +165,8 @@ def test_lineitem_queries_differential(ray_session, tmp_path, seed):
               "quantiles_by_flag", "quantiles_cont_by_flag",
               "price_outliers", "winsorized_revenue",
               "cheapest_supplier", "small_quantity_revenue",
-              "corr_matrix", "revenue_cube", "ols_price_qty"]:
+              "corr_matrix", "revenue_cube", "ols_price_qty",
+              "quantity_mode"]:
         _compare(str(tmp_path), q)
 
 

@@ -70,7 +70,7 @@ _SAMPLE = [
     "dup_cluster_hist", "kg_yield_hist", "role_token_share",
     "kg_mention_length_hist", "ship_lag_quantiles",
     "events_watermark_agg", "session_table", "revenue_pareto",
-    "tool_transitions", "kg_predicate_drift",
+    "tool_transitions", "kg_predicate_drift", "quantity_mode",
     # revenue_cube, like pipeline_metrics, legitimately returns the
     # grand-total row on an empty corpus (CUBE semantics) — excluded
     # from the zero-row assertion
