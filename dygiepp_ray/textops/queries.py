@@ -754,6 +754,54 @@ FROM closure GROUP BY s
 """
 
 
+def q_dup_cluster_hist(sf_dir: str):
+    """Near-dup cluster-size histogram: how much duplicate mass sits
+    in clusters of each size — the one-glance diagnostic separating
+    scattered pair dups from template boilerplate (a few huge
+    clusters).  Distributed components -> one component-keyed exchange
+    (a cluster's members co-locate, so its size is bucket-exact) ->
+    per-bucket (size, count) partials."""
+    from ..core import partitioned_map_groups
+
+    docs = _docs(sf_dir)
+    sigs = dedup.minhash_signatures(docs)
+    pairs = dedup.lsh_candidate_pairs(sigs)
+    verified = dedup.ngram_jaccard_verify(pairs, docs, threshold=0.8)
+    comps = dedup.connected_components(verified)
+    cols = {"cluster_size": np.int64, "n_clusters": np.int64,
+            "n_docs": np.int64}
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "component" not in df.columns:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in cols.items()})
+        sizes = df.groupby("component", sort=False).size()
+        c = sizes.value_counts()
+        sz = c.index.to_numpy(np.int64)
+        return pd.DataFrame({"cluster_size": sz,
+                             "n_clusters": c.to_numpy(np.int64),
+                             "n_docs": sz * c.to_numpy(np.int64)})
+
+    parts = partitioned_map_groups(comps, "component", hist,
+                                   num_buckets=8).to_pandas()
+    if parts.empty or "cluster_size" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    g = parts.groupby("cluster_size", as_index=False)[
+        ["n_clusters", "n_docs"]].sum()
+    return g.astype(np.int64).sort_values("cluster_size",
+                                          ignore_index=True)
+
+
+SQL_DUP_CLUSTER_HIST = _SQL_COMP_CTES + """,
+comp AS (SELECT s AS node, min(d) AS component FROM closure GROUP BY s),
+sz AS (SELECT component, count(*) AS n FROM comp GROUP BY 1)
+SELECT CAST(n AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(n * count(*) AS BIGINT) AS n_docs
+FROM sz GROUP BY n ORDER BY n
+"""
+
+
 def q_dedup_keep_best(sf_dir: str):
     """Cluster dedup with representative selection: the minhash
     near-dup components (same edges as near_dup_components) joined to
@@ -2188,6 +2236,7 @@ TEXTOPS_QUERIES = {
     "term_freq_spectrum": (q_term_freq_spectrum, SQL_TERM_FREQ_SPECTRUM),
     "near_dup_source_matrix": (q_near_dup_source_matrix,
                                SQL_NEAR_DUP_SOURCE_MATRIX),
+    "dup_cluster_hist": (q_dup_cluster_hist, SQL_DUP_CLUSTER_HIST),
     "bpe_fertility_by_lang": (q_bpe_fertility_by_lang,
                               SQL_BPE_FERTILITY_BY_LANG),
     "prepare_training_set": (q_prepare_training_set, SQL_PREPARE_TRAINING_SET),
