@@ -469,3 +469,96 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
 FROM pos WHERE t1 = 'table' AND t2 = 'hash'
 GROUP BY 1
 """
+
+
+def inverted_index(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Positional inverted-index materialization: one posting row per
+    distinct (term, doc) with term frequency, first occurrence
+    position and the term's corpus-wide document frequency — the
+    index ARTIFACT a retrieval engine serves (term_search and
+    phrase_search answer queries; this exports the structure they
+    presuppose; same index role as the reference's document-level
+    lookup tables, ``dygie/data/dataset_readers/document.py``).
+
+    Shape: tf/first_pos are document-local (a document is one row), so
+    posting rows are built map-only per batch (flattened token stream,
+    no per-doc loop); df is corpus-wide, so postings take ONE
+    term-keyed exchange and each bucket stamps its terms' exact df
+    locally (a term's postings co-locate by construction).  Shuffle
+    bytes = O(distinct (term, doc) pairs); the driver holds nothing.
+    -> (term, doc_id, tf, first_pos, df)."""
+
+    _OUT = {"term": object, "doc_id": np.int64, "tf": np.int64,
+            "first_pos": np.int64, "df": np.int64}
+
+    def postings(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or text_col not in df.columns:
+            return pd.DataFrame({"term": pd.Series(dtype=object),
+                                 "doc_id": pd.Series(dtype=np.int64),
+                                 "tf": pd.Series(dtype=np.int64),
+                                 "first_pos": pd.Series(dtype=np.int64)})
+        toks = _doc_tokens(df, text_col)
+        lens = toks.map(len).to_numpy(np.int64)
+        if int(lens.sum()) == 0:
+            return pd.DataFrame({"term": pd.Series(dtype=object),
+                                 "doc_id": pd.Series(dtype=np.int64),
+                                 "tf": pd.Series(dtype=np.int64),
+                                 "first_pos": pd.Series(dtype=np.int64)})
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        ids = np.repeat(df[id_col].to_numpy(np.int64), lens)
+        # 0-based in-doc position: global arange minus each doc's start
+        starts = np.repeat(np.concatenate([[0], np.cumsum(lens)[:-1]]), lens)
+        pos = np.arange(len(flat), dtype=np.int64) - starts
+        g = (pd.DataFrame({"term": flat, "doc_id": ids, "pos": pos})
+             .groupby(["term", "doc_id"], sort=False)["pos"]
+             .agg(tf="size", first_pos="min").reset_index())
+        return g.astype({"doc_id": np.int64, "tf": np.int64,
+                         "first_pos": np.int64})
+
+    rows = ds.map_batches(postings, batch_format="pandas")
+
+    def stamp_df(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "term" not in df.columns:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in _OUT.items()})
+        out = df.copy()
+        # postings are distinct per (term, doc), so df = group size
+        out["df"] = out.groupby("term", sort=False)["doc_id"].transform("size")
+        return out[list(_OUT)].astype(
+            {c: t for c, t in _OUT.items() if t is not object})
+
+    return partitioned_map_groups(rows, "term", stamp_df, num_buckets)
+
+
+def q_inverted_index(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return inverted_index(ds)
+
+
+SQL_INVERTED_INDEX = r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS arr
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, arr[i] AS term, i - 1 AS pos
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) s
+),
+g AS (
+  SELECT term, doc_id, count(*) AS tf, min(pos) AS first_pos
+  FROM toks GROUP BY 1, 2
+),
+d AS (SELECT term, count(*) AS df FROM g GROUP BY 1)
+SELECT g.term, g.doc_id, CAST(g.tf AS BIGINT) AS tf,
+       CAST(g.first_pos AS BIGINT) AS first_pos, CAST(d.df AS BIGINT) AS df
+FROM g JOIN d USING (term)
+"""

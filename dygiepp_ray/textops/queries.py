@@ -2223,6 +2223,7 @@ TEXTOPS_QUERIES = {
     "chunk_documents": (_chunks.q_chunk_documents, _chunks.SQL_CHUNK_DOCUMENTS),
     "tfidf_top_terms": (_chunks.q_tfidf_top_terms, _chunks.SQL_TFIDF_TOP_TERMS),
     "term_search": (_chunks.q_term_search, _chunks.SQL_TERM_SEARCH),
+    "inverted_index": (_chunks.q_inverted_index, _chunks.SQL_INVERTED_INDEX),
     "phrase_search": (_chunks.q_phrase_search, _chunks.SQL_PHRASE_SEARCH),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "fuzzy_decontaminate": (q_fuzzy_decontaminate, SQL_FUZZY_DECONTAMINATE),
