@@ -7423,6 +7423,114 @@ FROM r WHERE rk = 1 ORDER BY 1
 """
 
 
+def mad_price_outliers(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
+    """Robust outlier detection per returnflag: median / MAD (median
+    absolute deviation) instead of mean / stddev — the estimator that
+    does not let the outliers it hunts inflate its own scale the way
+    :func:`price_outliers`'s z-score does (one extreme row shifts a
+    mean; it cannot shift a median).
+
+    Everything is exact off ONE collapsed histogram: per-batch
+    (flag, cents) count partials collapse on a cents-keyed exchange
+    (NOT flag-keyed — 3 hot flags would be a skew disaster; cents
+    spreads uniformly), then the driver folds <= |flags| x |price
+    domain| rows.  Median, MAD and the outlier count are all pure
+    integer arithmetic over that histogram (deviations of distinct
+    values inherit their weights), so no second data pass exists at
+    all.  Lower-median rank (n+1)//2 on both engines; outlier <=>
+    |cents - med| > 3 * MAD in ints — no float anywhere.
+    -> (l_returnflag, median_cents, mad_cents, n_outliers, n_rows)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice"],
+    )
+    cols = {"l_returnflag": object, "median_cents": np.int64,
+            "mad_cents": np.int64, "n_outliers": np.int64,
+            "n_rows": np.int64}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "l_returnflag" not in df.columns:
+            return pd.DataFrame({"flag": pd.Series(dtype=object),
+                                 "cents": pd.Series(dtype=np.int64),
+                                 "n": pd.Series(dtype=np.int64)})
+        g = pd.DataFrame(
+            {"flag": df["l_returnflag"].to_numpy(),
+             "cents": np.floor(
+                 df["l_extendedprice"].to_numpy(np.float64) * 100.0
+             ).astype(np.int64)}
+        ).groupby(["flag", "cents"], as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype({"n": np.int64})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "flag" not in df.columns:
+            return pd.DataFrame({"flag": pd.Series(dtype=object),
+                                 "cents": pd.Series(dtype=np.int64),
+                                 "n": pd.Series(dtype=np.int64)})
+        return (df.groupby(["flag", "cents"], as_index=False)["n"].sum()
+                .astype({"cents": np.int64, "n": np.int64}))
+
+    hist = partitioned_map_groups(
+        ds.map_batches(partial, batch_format="pandas"), "cents", merge,
+        num_buckets,
+    ).to_pandas()
+    if hist.empty or "flag" not in hist.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+
+    def w_lower_median(cents: np.ndarray, n: np.ndarray) -> int:
+        order = np.argsort(cents, kind="mergesort")
+        c, w = cents[order], n[order]
+        k = (int(w.sum()) + 1) // 2
+        return int(c[int(np.searchsorted(np.cumsum(w), k, side="left"))])
+
+    out = []
+    for flag, g in hist.groupby("flag", sort=True):
+        cents = g["cents"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        med = w_lower_median(cents, n)
+        dev = np.abs(cents - med)
+        mad = w_lower_median(dev, n)
+        n_out = int(n[dev > 3 * mad].sum())
+        out.append((flag, med, mad, n_out, int(n.sum())))
+    return pd.DataFrame(out, columns=list(cols)).astype(
+        {c: t for c, t in cols.items() if t is not object})
+
+
+SQL_MAD_PRICE_OUTLIERS = """
+WITH h AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS cents,
+         count(*) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+tot AS (SELECT flag, sum(n) AS nt FROM h GROUP BY 1),
+cum AS (SELECT flag, cents,
+               sum(n) OVER (PARTITION BY flag ORDER BY cents) AS c
+        FROM h),
+med AS (SELECT flag, min(cents) AS med
+        FROM cum JOIN tot USING (flag)
+        WHERE c >= (nt + 1) // 2 GROUP BY flag),
+dev AS (SELECT h.flag, abs(h.cents - med.med) AS d, h.n
+        FROM h JOIN med USING (flag)),
+devh AS (SELECT flag, d, sum(n) AS n FROM dev GROUP BY 1, 2),
+cumd AS (SELECT flag, d,
+                sum(n) OVER (PARTITION BY flag ORDER BY d) AS c
+         FROM devh),
+mad AS (SELECT flag, min(d) AS mad
+        FROM cumd JOIN tot USING (flag)
+        WHERE c >= (nt + 1) // 2 GROUP BY flag),
+outl AS (SELECT dev.flag,
+                sum(CASE WHEN dev.d > 3 * mad.mad THEN dev.n ELSE 0 END) AS n_out
+         FROM dev JOIN mad USING (flag) GROUP BY 1)
+SELECT med.flag AS l_returnflag,
+       CAST(med.med AS BIGINT) AS median_cents,
+       CAST(mad.mad AS BIGINT) AS mad_cents,
+       CAST(COALESCE(outl.n_out, 0) AS BIGINT) AS n_outliers,
+       CAST(tot.nt AS BIGINT) AS n_rows
+FROM med JOIN mad USING (flag) JOIN outl USING (flag) JOIN tot USING (flag)
+ORDER BY 1
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -7522,4 +7630,5 @@ RELATIONAL_QUERIES = {
     "session_table": (session_table, SQL_SESSION_TABLE),
     "revenue_pareto": (revenue_pareto, SQL_REVENUE_PARETO),
     "quantity_mode": (quantity_mode, SQL_QUANTITY_MODE),
+    "mad_price_outliers": (mad_price_outliers, SQL_MAD_PRICE_OUTLIERS),
 }
