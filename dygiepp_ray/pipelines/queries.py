@@ -2200,7 +2200,7 @@ FROM ents
 # (VERDICT r3 #7).  New queries added mid-round go at the very front.
 _DRIVER_SAMPLE_FIRST = (
     # tier 0: added this session
-    "inverted_index", "mad_price_outliers",
+    "inverted_index", "mad_price_outliers", "embedding_pca1",
     "late_shipments", "important_parts", "parts_supplier_counts",
     "corr_matrix", "vocab_growth", "revenue_cube", "ols_price_qty",
     "session_duration_quantiles", "surprisal_buckets",

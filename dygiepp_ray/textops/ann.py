@@ -883,3 +883,66 @@ def label_gram(
         return g.astype(_EMPTY)
 
     return partitioned_map_groups(partials, "label", merge, num_buckets)
+
+
+def power_iteration(
+    ds: "ray.data.Dataset",
+    iters: int = 3,
+    scale: int = 1_000_000,
+    chunk: int = 4096,
+) -> pd.DataFrame:
+    """Top eigenvector of the embedding Gram matrix XᵀX by ``iters``
+    fixed-point power-iteration steps — the 1-component PCA a curation
+    pipeline uses to find the dominant direction of an embedding
+    collection (and the iterative-linear-algebra sibling of
+    :func:`dygiepp_ray.analytics.pagerank_over_edges`'s fixed point).
+
+    Bit-exact across engines: elements encode to ints
+    (``floor(x*1000 + 0.5)``, the embedding_gram convention), the
+    iterate stays a BIGINT vector normalized by ``v' = w*scale //
+    max|w|`` (floored division on both sides), and XᵀX is never
+    formed — each step is one streaming pass computing
+    ``w = Xᵀ(Xv)`` per batch.  ``u = Xv`` is row-local; the per-batch
+    ``Xᵀu`` partial is folded in ``chunk``-row int64 matmuls into
+    python-int accumulators and emitted as DECIMAL-STRING partials
+    (the exact-moments discipline), so no int64 overflow exists at any
+    corpus size; the driver holds one d-vector of python ints.
+    Gram eigenvalues are >= 0, so the iterate's sign is stable and the
+    result deterministic.  -> (dim BIGINT, v BIGINT)."""
+    emb = ds.select_columns(["embedding"]).materialize()
+
+    if emb.count() == 0:
+        return pd.DataFrame({"dim": pd.Series(dtype=np.int64),
+                             "v": pd.Series(dtype=np.int64)})
+    first = emb.take_batch(1, batch_format="pandas")
+    d = len(first["embedding"].iloc[0])
+    v = [int(scale)] * d
+
+    for _ in range(iters):
+        v_arr = np.asarray(v, dtype=np.int64)
+
+        def partial(df: pd.DataFrame, _v=v_arr) -> pd.DataFrame:
+            if len(df) == 0 or "embedding" not in df.columns:
+                return pd.DataFrame({"dim": pd.Series(dtype=np.int64),
+                                     "w": pd.Series(dtype=object)})
+            x = np.floor(_stack(df["embedding"].to_numpy()) * 1000.0 + 0.5
+                         ).astype(np.int64)
+            acc = [0] * x.shape[1]
+            for s in range(0, len(x), chunk):
+                xc = x[s:s + chunk]
+                u = xc @ _v                      # row-local, fits int64
+                wc = xc.T @ u                    # bounded by chunk size
+                for j, wj in enumerate(wc):
+                    acc[j] += int(wj)
+            return pd.DataFrame({"dim": np.arange(len(acc), dtype=np.int64),
+                                 "w": [str(a) for a in acc]})
+
+        parts = emb.map_batches(partial, batch_format="pandas").to_pandas()
+        w = [0] * d
+        for j, ws in zip(parts["dim"].to_numpy(np.int64), parts["w"]):
+            w[int(j)] += int(ws)
+        m = max(abs(x) for x in w)
+        v = [0] * d if m == 0 else [x * int(scale) // m for x in w]
+
+    return pd.DataFrame({"dim": np.arange(d, dtype=np.int64),
+                         "v": np.asarray(v, dtype=np.int64)})

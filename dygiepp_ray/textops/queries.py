@@ -329,6 +329,49 @@ FROM q HAVING count(*) > 0
 """
 
 
+def q_embedding_pca1(sf_dir: str):
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["embedding"])
+    return ann.power_iteration(emb, iters=3)
+
+
+def _sql_embedding_pca1(iters: int = 3) -> str:
+    """Unrolled power-iteration chain mirroring ann.power_iteration:
+    HUGEINT throughout; normalization is exact signed FLOOR division
+    built on ``//`` (DuckDB ``/`` returns DOUBLE and loses exactness
+    past 2^53; ``//`` truncates toward zero, so the mod-adjust makes
+    it floor like python)."""
+    def fd(a: str, b: str) -> str:
+        return f"(({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) // ({b})"
+
+    sql = """
+WITH x AS (
+  SELECT vec_id AS r, CAST(s.i - 1 AS BIGINT) AS j,
+         CAST(floor(CAST(embedding[s.i] AS DOUBLE) * 1000.0 + 0.5)
+              AS HUGEINT) AS xv
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s
+),
+v0 AS (SELECT DISTINCT j, 1000000::HUGEINT AS vv FROM x)"""
+    for t in range(1, iters + 1):
+        p = t - 1
+        sql += f""",
+u{t} AS (SELECT x.r, sum(x.xv * v{p}.vv) AS u
+       FROM x JOIN v{p} USING (j) GROUP BY 1),
+w{t} AS (SELECT x.j, sum(x.xv * u{t}.u) AS w
+       FROM x JOIN u{t} USING (r) GROUP BY 1),
+m{t} AS (SELECT max(abs(w)) AS m FROM w{t}),
+v{t} AS (SELECT j, CASE WHEN m{t}.m = 0 THEN 0::HUGEINT
+                 ELSE {fd(f'w{t}.w * 1000000', f'm{t}.m')} END AS vv
+       FROM w{t}, m{t})"""
+    return sql + f"""
+SELECT CAST(j AS BIGINT) AS dim, CAST(vv AS BIGINT) AS v FROM v{iters}
+"""
+
+
+SQL_EMBEDDING_PCA1 = _sql_embedding_pca1()
+
+
 def q_ivf_topk(sf_dir: str):
     """IVF ANN with exhaustive probing (nprobe == nlist): the k-means
     quantizer + inverted-list exchange machinery runs for real, and the
@@ -2194,6 +2237,7 @@ TEXTOPS_QUERIES = {
     "ivf_topk": (q_ivf_topk, SQL_ANN_TOPK),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "embedding_gram": (q_embedding_gram, SQL_EMBEDDING_GRAM),
+    "embedding_pca1": (q_embedding_pca1, SQL_EMBEDDING_PCA1),
     "label_gram": (q_label_gram, SQL_LABEL_GRAM),
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "simhash_signatures": (q_simhash, SQL_SIMHASH),
