@@ -830,3 +830,149 @@ def avi_frames(
         AviFrameSampler(sample_every), batch_format="pandas",
         batch_size=batch_size, concurrency=concurrency,
     )
+
+
+GIF_SEED = 53
+
+
+def synth_gif(n: int = 10, seed: int = GIF_SEED) -> pa.Table:
+    """(media_id, payload): REAL GIF89a containers — logical screen
+    descriptor, global color table, and per-frame graphic-control
+    extension + image descriptor + LZW-min-code byte + length-prefixed
+    data sub-blocks + trailer, exactly as the spec lays them out.
+    Frame payload bytes are ascii md5 chains, so the DuckDB oracle
+    regenerates every frame's (delay, size, md5) without the container
+    (same discipline as :func:`synth_avi`)."""
+    import struct
+
+    ids, payloads = [], []
+    for i in range(n):
+        base = hashlib.md5(f"gif:{seed}:{i}".encode()).hexdigest()
+        w = 8 + int(base[0:2], 16) % 24
+        h = 6 + int(base[2:4], 16) % 18
+        n_frames = 2 + int(base[4:6], 16) % 6
+        # packed 0x91: GCT present, color resolution 1, GCT size bits 1
+        # (2^(1+1) = 4 entries -> 12 bytes)
+        out = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x91, 0, 0)
+        out += bytes.fromhex(
+            hashlib.md5(f"gif:{seed}:{i}:gct".encode()).hexdigest()
+        )[:12]
+        for f in range(n_frames):
+            fb = hashlib.md5(f"gif:{seed}:{i}:{f}".encode()).hexdigest()
+            delay = 1 + int(fb[0:2], 16) % 100
+            fs = 8 + int(fb[2:4], 16) % 40
+            chain = "".join(
+                hashlib.md5(f"gif:{seed}:{i}:{f}:{k}".encode()).hexdigest()
+                for k in range(2)
+            )
+            content = chain[:fs].encode("ascii")
+            out += (bytes([0x21, 0xF9, 0x04, 0x00])
+                    + struct.pack("<H", delay) + b"\x00\x00")
+            out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            out += b"\x02"  # LZW minimum code size
+            out += bytes([len(content)]) + content + b"\x00"
+        out += b"\x3B"
+        ids.append(i)
+        payloads.append(out)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+class GifFrameReader:
+    """Actor-pool stage: REAL GIF89a parse — skips the global color
+    table via the packed size bits, pairs each graphic-control
+    extension with its image descriptor, walks length-prefixed data
+    sub-blocks, and CROSS-CHECKS (GCE count == image count, descriptor
+    dims == logical screen, trailer terminates the stream) before
+    emitting; a malformed container raises instead of passing through."""
+
+    @staticmethod
+    def _parse(payload: bytes):
+        import struct
+
+        if payload[0:6] not in (b"GIF89a", b"GIF87a"):
+            raise ValueError("not a GIF payload")
+        w, h, packed, _bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
+        pos = 13
+        if packed & 0x80:
+            pos += 3 * (1 << ((packed & 0x07) + 1))
+        delays, frames = [], []
+        pending_delay = None
+        while pos < len(payload):
+            b0 = payload[pos]
+            if b0 == 0x3B:  # trailer
+                pos += 1
+                break
+            if b0 == 0x21:  # extension: label + sub-blocks
+                label = payload[pos + 1]
+                p = pos + 2
+                if label == 0xF9:
+                    bs = payload[p]
+                    pending_delay = struct.unpack(
+                        "<H", payload[p + 2:p + 4])[0]
+                    p += 1 + bs
+                while payload[p] != 0:
+                    p += 1 + payload[p]
+                pos = p + 1
+            elif b0 == 0x2C:  # image descriptor
+                left, top, iw, ih, ipacked = struct.unpack(
+                    "<HHHHB", payload[pos + 1:pos + 10])
+                if (iw, ih) != (w, h):
+                    raise ValueError("frame dims disagree with screen")
+                p = pos + 10
+                if ipacked & 0x80:
+                    p += 3 * (1 << ((ipacked & 0x07) + 1))
+                p += 1  # LZW minimum code size
+                content = b""
+                while payload[p] != 0:
+                    ln = payload[p]
+                    content += payload[p + 1:p + 1 + ln]
+                    p += 1 + ln
+                pos = p + 1
+                if pending_delay is None:
+                    raise ValueError("image without graphic control ext")
+                delays.append(pending_delay)
+                frames.append(content)
+                pending_delay = None
+            else:
+                raise ValueError(f"unknown GIF block 0x{b0:02x}")
+        else:
+            raise ValueError("GIF stream missing trailer")
+        if pos != len(payload):
+            raise ValueError("trailing bytes after GIF trailer")
+        return w, h, delays, frames
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"media_id": [], "w": [], "h": [], "total_frames": [],
+                "frame_idx": [], "delay_cs": [], "size": [],
+                "content_md5": []}
+        for mid, payload in zip(df["media_id"], df["payload"]):
+            w, h, delays, frames = self._parse(bytes(payload))
+            for f, (dl, c) in enumerate(zip(delays, frames)):
+                rows["media_id"].append(int(mid))
+                rows["w"].append(w)
+                rows["h"].append(h)
+                rows["total_frames"].append(len(frames))
+                rows["frame_idx"].append(f)
+                rows["delay_cs"].append(dl)
+                rows["size"].append(len(c))
+                rows["content_md5"].append(hashlib.md5(c).hexdigest())
+        return pd.DataFrame(rows).astype(
+            {c: np.int64 for c in ("media_id", "w", "h", "total_frames",
+                                   "frame_idx", "delay_cs", "size")}
+        )
+
+
+def gif_frames(
+    media: ray.data.Dataset, concurrency: int = 2, batch_size: int = 4
+) -> ray.data.Dataset:
+    """Real-decode animated-GIF frame extraction (delay + payload per
+    frame) — the animation analogue of :func:`avi_frames`."""
+    return media.map_batches(
+        GifFrameReader(), batch_format="pandas",
+        batch_size=batch_size, concurrency=concurrency,
+    )

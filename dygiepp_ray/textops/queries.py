@@ -1224,6 +1224,55 @@ FROM ch
 """
 
 
+def q_gif_frames(sf_dir: str):
+    """REAL GIF89a container parse: LSD + GCT skip + GCE/image-descriptor
+    pairing + sub-block walk with cross-checks; the twin regenerates
+    every frame's (w, h, delay, size, md5) from the generation rule."""
+    media = ray.data.from_arrow(multimodal.synth_gif(10))
+    return multimodal.gif_frames(media)
+
+
+def _sql_gif_frames() -> str:
+    from .multimodal import GIF_SEED
+
+    return f"""
+WITH g AS (
+  SELECT i, md5('gif:{GIF_SEED}:' || i) AS base FROM range(0, 10) t(i)
+),
+dims AS (
+  SELECT i, 8 + {_sql_hexval('base', 1, 2)} % 24 AS w,
+         6 + {_sql_hexval('base', 3, 2)} % 18 AS h,
+         2 + {_sql_hexval('base', 5, 2)} % 6 AS n_frames
+  FROM g
+),
+f AS (
+  SELECT i, w, h, n_frames, j AS frame_idx,
+         md5('gif:{GIF_SEED}:' || i || ':' || j) AS fb
+  FROM dims, unnest(range(0, n_frames)) r(j)
+),
+d AS (
+  SELECT i, w, h, n_frames, frame_idx,
+         1 + {_sql_hexval('fb', 1, 2)} % 100 AS delay_cs,
+         8 + {_sql_hexval('fb', 3, 2)} % 40 AS size
+  FROM f
+),
+ch AS (
+  SELECT d.i, d.w, d.h, d.n_frames, d.frame_idx, d.delay_cs, d.size,
+         string_agg(md5('gif:{GIF_SEED}:' || d.i || ':' || d.frame_idx
+                        || ':' || k.k), '' ORDER BY k.k) AS chain
+  FROM d, range(0, 2) k(k)
+  GROUP BY d.i, d.w, d.h, d.n_frames, d.frame_idx, d.delay_cs, d.size
+)
+SELECT CAST(i AS BIGINT) AS media_id, CAST(w AS BIGINT) AS w,
+       CAST(h AS BIGINT) AS h, CAST(n_frames AS BIGINT) AS total_frames,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(delay_cs AS BIGINT) AS delay_cs,
+       CAST(size AS BIGINT) AS size,
+       md5(substring(chain, 1, size)) AS content_md5
+FROM ch
+"""
+
+
 def q_bmp_features(sf_dir: str):
     """REAL BMP decode: 24-bpp header offsets, 4-byte row stride, and
     the bottom-up row flip all undone by the parser; the ``top_row_sum``
@@ -2254,6 +2303,7 @@ TEXTOPS_QUERIES = {
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "wav_features": (q_wav_features, SQL_WAV_FEATURES),
     "avi_frames": (q_avi_frames, _sql_avi_frames()),
+    "gif_frames": (q_gif_frames, _sql_gif_frames()),
     "ppm_features": (q_ppm_features, SQL_PPM_FEATURES),
     "bmp_features": (q_bmp_features, SQL_BMP_FEATURES),
     "png_features": (q_png_features, SQL_PNG_FEATURES),

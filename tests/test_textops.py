@@ -1115,3 +1115,40 @@ def test_avi_synth_is_real_riff_and_sampler_cross_checks(ray_session):
         "<I", struct.unpack("<I", bad[struct_off:struct_off + 4])[0] + 1)
     with _pytest.raises(ValueError, match="idx1"):
         M.AviFrameSampler._parse(bytes(bad))
+
+
+def test_gif_synth_is_real_gif89a_and_reader_cross_checks(ray_session):
+    import hashlib
+    import struct
+
+    import pytest as _pytest
+    import ray.data as rd
+
+    from dygiepp_ray.textops import multimodal as M
+
+    tbl = M.synth_gif(4)
+    p0 = bytes(tbl["payload"][0].as_py())
+    # genuine GIF89a framing: header, LSD dims, GCT flag, trailer
+    assert p0[:6] == b"GIF89a" and p0[-1] == 0x3B
+    w, h, packed, _, _ = struct.unpack("<HHBBB", p0[6:13])
+    assert packed & 0x80  # global color table present
+    pw, ph, delays, frames = M.GifFrameReader._parse(p0)
+    assert (pw, ph) == (w, h) and len(delays) == len(frames) >= 2
+    out = M.gif_frames(rd.from_arrow(tbl)).to_pandas()
+    row = out[(out["media_id"] == 0) & (out["frame_idx"] == 1)].iloc[0]
+    assert row["content_md5"] == hashlib.md5(frames[1]).hexdigest()
+    assert row["size"] == len(frames[1])
+    assert row["delay_cs"] == delays[1]
+    assert (out.groupby("media_id")["total_frames"].first()
+            == out.groupby("media_id").size()).all()
+
+    # an image descriptor whose dims disagree with the screen must RAISE
+    bad = bytearray(p0)
+    i = bad.find(b"\x2C", 13)
+    bad[i + 5:i + 7] = struct.pack("<H", w + 1)
+    with _pytest.raises(ValueError, match="dims"):
+        M.GifFrameReader._parse(bytes(bad))
+
+    # truncating the trailer must RAISE, not emit a partial animation
+    with _pytest.raises(ValueError):
+        M.GifFrameReader._parse(p0[:-1])
