@@ -928,6 +928,101 @@ FROM triples GROUP BY 1
 """
 
 
+def q_kg_type_constraints(sf_dir: str) -> pd.DataFrame:
+    """Predicate type-signature profile: for every predicate, the
+    distribution of (subject label, object label) pairs over its
+    DISTINCT triples, each signature's fixed-point share, and a
+    dominant flag — the schema-induction readout that turns an open KG
+    into typed constraints ("runs_on relates TOOL to DATA") and flags
+    the violating minority signatures for review.
+
+    Labels come from the static entity lexicon (the same label source
+    the extractor uses, ``semantics.ENTITY_LEXICON``; reference label
+    namespaces: ``dygie/data/dataset_readers/document.py``), so the
+    lookup is a broadcast dict, never a join.  One (subj, pred)-keyed
+    exchange dedups triples exactly (all rows of a (subj, pred) pair
+    co-locate) and emits per-bucket (pred, slabel, olabel, n) partials;
+    the driver folds <= |preds| x |labels|^2 rows.  Dominance ties
+    break to the lexicographically smallest signature.
+    -> (pred, subj_label, obj_label, n, share_x1e6, dominant)."""
+    from ..core import partitioned_map_groups
+
+    pipe = from_documents_table(sf_dir)
+    trip = pipe.triples().select_columns(["subj", "pred", "obj"])
+    lex = dict(S.ENTITY_LEXICON)
+
+    _OUT = {"pred": object, "subj_label": object, "obj_label": object,
+            "n": np.int64, "share_x1e6": np.int64, "dominant": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT.items()})
+
+    def key_sp(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "subj" not in df.columns:
+            return pd.DataFrame({"subj": pd.Series(dtype=object),
+                                 "pred": pd.Series(dtype=object),
+                                 "obj": pd.Series(dtype=object),
+                                 "__k": pd.Series(dtype=object)})
+        return df.assign(__k=df["subj"].str.cat(df["pred"], sep="\x1f"))
+
+    def sig_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "subj" not in df.columns:
+            return pd.DataFrame({"pred": pd.Series(dtype=object),
+                                 "subj_label": pd.Series(dtype=object),
+                                 "obj_label": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})
+        d = df[["subj", "pred", "obj"]].drop_duplicates()
+        g = pd.DataFrame(
+            {"pred": d["pred"],
+             "subj_label": d["subj"].map(lex),
+             "obj_label": d["obj"].map(lex)}
+        ).groupby(["pred", "subj_label", "obj_label"], as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype({"n": np.int64})
+
+    parts = partitioned_map_groups(
+        trip.map_batches(key_sp, batch_format="pandas"), "__k",
+        sig_partial, num_buckets=16).to_pandas()
+    if parts.empty or "pred" not in parts.columns:
+        return empty_out
+    g = parts.groupby(["pred", "subj_label", "obj_label"],
+                      as_index=False)["n"].sum()
+    tot = g.groupby("pred")["n"].transform("sum").to_numpy(np.int64)
+    g["share_x1e6"] = (1_000_000 * g["n"].to_numpy(np.int64)) // tot
+    g = g.sort_values(["pred", "n", "subj_label", "obj_label"],
+                      ascending=[True, False, True, True], kind="mergesort")
+    g["dominant"] = (g.groupby("pred").cumcount() == 0).astype(np.int64)
+    return g[list(_OUT)].astype(
+        {c: t for c, t in _OUT.items() if t is np.int64}
+    ).sort_values(["pred", "subj_label", "obj_label"], ignore_index=True)
+
+
+def _sql_kg_type_constraints() -> str:
+    lex_rows = ", ".join(
+        f"('{s}', '{l}')" for s, l in sorted(S.ENTITY_LEXICON.items())
+    )
+    return SQL_TOKS + f""",
+triples AS ({_KG_TRIPLES_BODY}),
+lex(surface, label) AS (VALUES {lex_rows}),
+d AS (SELECT DISTINCT subj, pred, obj FROM triples),
+sig AS (
+  SELECT d.pred, ls.label AS subj_label, lo.label AS obj_label,
+         count(*) AS n
+  FROM d JOIN lex ls ON ls.surface = d.subj
+         JOIN lex lo ON lo.surface = d.obj
+  GROUP BY 1, 2, 3
+),
+r AS (
+  SELECT pred, subj_label, obj_label, n,
+         (1000000 * n) // sum(n) OVER (PARTITION BY pred) AS share_x1e6,
+         row_number() OVER (PARTITION BY pred
+                            ORDER BY n DESC, subj_label, obj_label) AS rk
+  FROM sig
+)
+SELECT pred, subj_label, obj_label, CAST(n AS BIGINT) AS n,
+       CAST(share_x1e6 AS BIGINT) AS share_x1e6,
+       CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS dominant
+FROM r ORDER BY pred, subj_label, obj_label
+"""
+
+
 def q_kg_symmetric_pairs(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
     """Reciprocal-relation detection: entity pairs asserted in BOTH
     directions under the same predicate (a -p-> b and b -p-> a), with
@@ -2201,7 +2296,7 @@ FROM ents
 _DRIVER_SAMPLE_FIRST = (
     # tier 0: added this session
     "inverted_index", "mad_price_outliers", "embedding_pca1",
-    "gif_frames",
+    "gif_frames", "kg_type_constraints",
     "late_shipments", "important_parts", "parts_supplier_counts",
     "corr_matrix", "vocab_growth", "revenue_cube", "ols_price_qty",
     "session_duration_quantiles", "surprisal_buckets",
@@ -2550,6 +2645,7 @@ KG_QUERIES = {
     "kg_mention_length_hist": (q_kg_mention_length_hist,
                                SQL_KG_MENTION_LENGTH_HIST),
     "kg_predicate_stats": (q_kg_predicate_stats, SQL_KG_PREDICATE_STATS),
+    "kg_type_constraints": (q_kg_type_constraints, _sql_kg_type_constraints()),
     "kg_symmetric_pairs": (q_kg_symmetric_pairs, SQL_KG_SYMMETRIC_PAIRS),
     "kg_conflicting_attrs": (q_kg_conflicting_attrs, SQL_KG_CONFLICTING_ATTRS),
     "kg_upsert_diff": (q_kg_upsert_diff, SQL_KG_UPSERT_DIFF),
