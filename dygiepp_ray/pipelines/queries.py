@@ -2296,7 +2296,7 @@ FROM ents
 _DRIVER_SAMPLE_FIRST = (
     # tier 0: added this session
     "inverted_index", "mad_price_outliers", "embedding_pca1",
-    "gif_frames", "kg_type_constraints",
+    "gif_frames", "kg_type_constraints", "event_pattern_match",
     "late_shipments", "important_parts", "parts_supplier_counts",
     "corr_matrix", "vocab_growth", "revenue_cube", "ols_price_qty",
     "session_duration_quantiles", "surprisal_buckets",

@@ -7531,6 +7531,70 @@ ORDER BY 1
 """
 
 
+_EVT_CHAR = {"click": "c", "error": "e", "purchase": "p",
+             "signup": "s", "view": "v"}
+
+
+def event_pattern_match(
+    sf_dir: str, pattern: str = "vc+p", num_buckets: int = 16
+) -> ray.data.Dataset:
+    """Complex-event-processing pattern match: users whose event-type
+    SEQUENCE contains ``view, one-or-more clicks, then purchase``
+    contiguously — the MATCH_RECOGNIZE shape that funnel_steps (any-gap
+    ordering) and user_paths (single transitions) cannot express,
+    because the pattern constrains the full in-between subsequence.
+
+    Each user's history becomes one char-encoded string (one keyed
+    exchange; in-bucket lexsort + per-user join, no per-event loop
+    beyond the join) and matches are counted with a compiled regex —
+    non-overlapping leftmost scan, the semantics ``re`` and DuckDB's
+    RE2 agree on for this pattern class.  Ties at equal timestamps
+    order by event_id on both engines.  -> (user_id, n_matches),
+    matching users only."""
+    import re
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    rx = re.compile(pattern)
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "user_id" not in df.columns:
+            return pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                                 "n_matches": pd.Series(dtype=np.int64)})
+        t = ts_epoch_us(df["ts"])
+        uid = df["user_id"].to_numpy(np.int64)
+        order = np.lexsort((df["event_id"].to_numpy(np.int64), t, uid))
+        ch = (df["event_type"].map(_EVT_CHAR).fillna("x")
+              .to_numpy(object)[order])
+        seq = pd.Series(ch).groupby(uid[order]).agg("".join)
+        n = seq.map(lambda s: len(rx.findall(s))).to_numpy(np.int64)
+        keep = n > 0
+        return pd.DataFrame({"user_id": seq.index.to_numpy(np.int64)[keep],
+                             "n_matches": n[keep]})
+
+    return partitioned_map_groups(ds, "user_id", match, num_buckets)
+
+
+SQL_EVENT_PATTERN_MATCH = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CASE event_type WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
+              WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+              WHEN 'view' THEN 'v' ELSE 'x' END AS ch
+  FROM events
+),
+s AS (
+  SELECT user_id, string_agg(ch, '' ORDER BY ts, event_id) AS seq
+  FROM e GROUP BY 1
+)
+SELECT user_id,
+       CAST(len(regexp_extract_all(seq, 'vc+p')) AS BIGINT) AS n_matches
+FROM s WHERE len(regexp_extract_all(seq, 'vc+p')) > 0
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -7631,4 +7695,5 @@ RELATIONAL_QUERIES = {
     "revenue_pareto": (revenue_pareto, SQL_REVENUE_PARETO),
     "quantity_mode": (quantity_mode, SQL_QUANTITY_MODE),
     "mad_price_outliers": (mad_price_outliers, SQL_MAD_PRICE_OUTLIERS),
+    "event_pattern_match": (event_pattern_match, SQL_EVENT_PATTERN_MATCH),
 }

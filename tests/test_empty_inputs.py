@@ -72,7 +72,7 @@ _SAMPLE = [
     "events_watermark_agg", "session_table", "revenue_pareto",
     "tool_transitions", "kg_predicate_drift", "quantity_mode",
     "inverted_index", "mad_price_outliers", "embedding_pca1",
-    "kg_type_constraints",
+    "kg_type_constraints", "event_pattern_match",
     # revenue_cube, like pipeline_metrics, legitimately returns the
     # grand-total row on an empty corpus (CUBE semantics) — excluded
     # from the zero-row assertion
