@@ -7595,6 +7595,72 @@ FROM s WHERE len(regexp_extract_all(seq, 'vc+p')) > 0
 """
 
 
+def events_trailing_range(
+    sf_dir: str, window_s: int = 3600, num_buckets: int = 16
+) -> ray.data.Dataset:
+    """Time-RANGE window frame: for every event, the count and
+    integer-cents sum of the SAME user's events in the trailing
+    ``[ts - window, ts]`` interval — the RANGE BETWEEN frame that
+    events_moving_sum's ROWS frame cannot express (a burst of events
+    in one second all enter each other's frame; a quiet hour empties
+    it).  RANGE semantics include PEERS: rows sharing the current
+    timestamp belong to the frame on both engines regardless of
+    event_id order.
+
+    One keyed exchange on user_id; per bucket a lexsort + two
+    vectorized searchsorted bounds + a prefix-sum difference — no
+    per-row loop.  -> (event_id, user_id, n_win, sum_cents_win)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    w_us = np.int64(window_s) * np.int64(1_000_000)
+    cols = {"event_id": np.int64, "user_id": np.int64,
+            "n_win": np.int64, "sum_cents_win": np.int64}
+
+    def frame(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "user_id" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in cols.items()})
+        t = ts_epoch_us(df["ts"])
+        uid = df["user_id"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        cents = np.floor(
+            df["value"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        order = np.lexsort((eid, t, uid))
+        uid, eid, t, cents = uid[order], eid[order], t[order], cents[order]
+        # per-user searchsorted bounds against that user's own slice
+        starts = np.concatenate([[0], np.flatnonzero(uid[1:] != uid[:-1]) + 1])
+        ends = np.concatenate([starts[1:], [len(uid)]])
+        csum = np.concatenate([[0], np.cumsum(cents)])
+        lo = np.empty(len(t), dtype=np.int64)
+        hi = np.empty(len(t), dtype=np.int64)
+        for s, e in zip(starts, ends):
+            seg = t[s:e]
+            lo[s:e] = s + np.searchsorted(seg, seg - w_us, side="left")
+            hi[s:e] = s + np.searchsorted(seg, seg, side="right")
+        return pd.DataFrame({"event_id": eid, "user_id": uid,
+                             "n_win": hi - lo,
+                             "sum_cents_win": csum[hi] - csum[lo]})
+
+    return partitioned_map_groups(ds, "user_id", frame, num_buckets)
+
+
+SQL_EVENTS_TRAILING_RANGE = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t,
+         CAST(floor(value * 100.0) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_win,
+       CAST(sum(cents) OVER w AS BIGINT) AS sum_cents_win
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY t
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -7696,4 +7762,6 @@ RELATIONAL_QUERIES = {
     "quantity_mode": (quantity_mode, SQL_QUANTITY_MODE),
     "mad_price_outliers": (mad_price_outliers, SQL_MAD_PRICE_OUTLIERS),
     "event_pattern_match": (event_pattern_match, SQL_EVENT_PATTERN_MATCH),
+    "events_trailing_range": (events_trailing_range,
+                              SQL_EVENTS_TRAILING_RANGE),
 }
