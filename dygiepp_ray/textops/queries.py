@@ -845,6 +845,70 @@ FROM sz GROUP BY n ORDER BY n
 """
 
 
+_HF_DIM = 16
+
+
+def q_hashed_features(sf_dir: str):
+    """Feature hashing (the hashing trick): every document becomes a
+    fixed ``_HF_DIM``-dimensional integer count vector, bucket =
+    ``md5(token) % dim`` — the vocabulary-free featurization a linear
+    model or clustering stage consumes at corpus scale (no vocab
+    shuffle exists at ANY corpus size; the output schema is fixed).
+
+    Map-only: a document's tokens sit in its own row, so the pivot is
+    batch-local; md5 runs once per batch-DEDUPLICATED token (the HLL
+    discipline), not per occurrence.  -> (doc_id, f0..f15)."""
+    import hashlib
+
+    docs = _docs(sf_dir)
+    cols = ["doc_id"] + [f"f{j}" for j in range(_HF_DIM)]
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "text" not in df.columns:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=np.int64) for c in cols})
+        s = df["text"].fillna("").str.strip()
+        toks = s.str.split(r"\s+", regex=True).where(s != "", None)
+        toks = toks.map(lambda t: t if isinstance(t, list) else [])
+        lens = toks.map(len).to_numpy(np.int64)
+        out = np.zeros((len(df), _HF_DIM), dtype=np.int64)
+        if int(lens.sum()):
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks])
+            uniq, inv = np.unique(flat.astype(str), return_inverse=True)
+            bkt_u = np.fromiter(
+                (int(hashlib.md5(u.encode()).hexdigest()[:2], 16) % _HF_DIM
+                 for u in uniq), dtype=np.int64, count=len(uniq))
+            rows = np.repeat(np.arange(len(df)), lens)
+            np.add.at(out, (rows, bkt_u[inv]), 1)
+        res = pd.DataFrame(out, columns=cols[1:])
+        res.insert(0, "doc_id", df["doc_id"].to_numpy(np.int64))
+        return res[lens > 0].reset_index(drop=True)
+
+    return docs.map_batches(feats, batch_format="pandas")
+
+
+def _sql_hashed_features() -> str:
+    fs = ",\n       ".join(
+        f"CAST(count(*) FILTER (bkt = {j}) AS BIGINT) AS f{j}"
+        for j in range(_HF_DIM)
+    )
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS arr
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(arr) AS tok FROM base),
+b AS (SELECT doc_id, {_sql_hexval('md5(tok)', 1, 2)} % {_HF_DIM} AS bkt
+      FROM toks)
+SELECT doc_id,
+       {fs}
+FROM b GROUP BY 1
+"""
+
+
 def q_dedup_keep_best(sf_dir: str):
     """Cluster dedup with representative selection: the minhash
     near-dup components (same edges as near_dup_components) joined to
@@ -2332,6 +2396,7 @@ TEXTOPS_QUERIES = {
     "near_dup_source_matrix": (q_near_dup_source_matrix,
                                SQL_NEAR_DUP_SOURCE_MATRIX),
     "dup_cluster_hist": (q_dup_cluster_hist, SQL_DUP_CLUSTER_HIST),
+    "hashed_features": (q_hashed_features, _sql_hashed_features()),
     "bpe_fertility_by_lang": (q_bpe_fertility_by_lang,
                               SQL_BPE_FERTILITY_BY_LANG),
     "prepare_training_set": (q_prepare_training_set, SQL_PREPARE_TRAINING_SET),
