@@ -2297,7 +2297,7 @@ _DRIVER_SAMPLE_FIRST = (
     # tier 0: added this session
     "inverted_index", "mad_price_outliers", "embedding_pca1",
     "gif_frames", "kg_type_constraints", "event_pattern_match",
-    "events_trailing_range", "hashed_features",
+    "events_trailing_range", "hashed_features", "ipc_docs",
     "late_shipments", "important_parts", "parts_supplier_counts",
     "corr_matrix", "vocab_growth", "revenue_cube", "ols_price_qty",
     "session_duration_quantiles", "surprisal_buckets",

@@ -1212,6 +1212,41 @@ FROM x
 """
 
 
+def q_ipc_docs(sf_dir: str):
+    """REAL Arrow IPC stream parsing (schema message + multi-batch walk
+    + EOS) per file payload; the twin regenerates
+    (category, n_chars, text_md5) from the generation rule without
+    touching Arrow."""
+    from ..sources import arrowipc
+
+    return arrowipc.ipc_docs(
+        ray.data.from_arrow(arrowipc.synth_ipc_files(16))
+    )
+
+
+def _sql_ipc_docs() -> str:
+    from ..sources.arrowipc import IPC_SEED, ROWS_PER_FILE
+
+    n_docs = 16 * ROWS_PER_FILE
+    return f"""
+WITH m AS (
+  SELECT i, md5('ipc:{IPC_SEED}:' || i) AS base FROM range(0, {n_docs}) t(i)
+),
+d AS (SELECT i, base, 12 + {_sql_hexval('base', 1, 2)} % 40 AS size FROM m),
+ch AS (
+  SELECT d.i, d.base, d.size,
+         string_agg(md5('ipc:{IPC_SEED}:' || d.i || ':' || j.j), ''
+                    ORDER BY j.j) AS chain
+  FROM d, range(0, 2) j(j) GROUP BY d.i, d.base, d.size
+)
+SELECT CAST(i AS BIGINT) AS doc_id,
+       'cat' || CAST({_sql_hexval('base', 1, 1)} % 4 AS VARCHAR) AS category,
+       CAST(size AS BIGINT) AS n_chars,
+       md5(substring(chain, 1, size)) AS text_md5
+FROM ch
+"""
+
+
 def q_gzip_docs(sf_dir: str):
     """REAL gzip decompression in the pipeline (the .jsonl.gz corpus
     shape); the twin regenerates (raw_size, md5) from the generation
@@ -2376,6 +2411,7 @@ TEXTOPS_QUERIES = {
     "zip_members": (q_zip_members, _sql_zip_members()),
     "gzip_docs": (q_gzip_docs, _sql_gzip_docs()),
     "csv_docs": (q_csv_docs, _sql_csv_docs()),
+    "ipc_docs": (q_ipc_docs, _sql_ipc_docs()),
     "ppm_resize": (q_ppm_resize, SQL_PPM_RESIZE),
     "curate_corpus": (q_curate, SQL_CURATE),
     "chunk_documents": (_chunks.q_chunk_documents, _chunks.SQL_CHUNK_DOCUMENTS),
