@@ -1023,6 +1023,88 @@ FROM r ORDER BY pred, subj_label, obj_label
 """
 
 
+def q_kg_shared_neighbors(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
+    """Entity-alias candidates by shared neighborhood: pairs of
+    subjects asserted against the SAME (predicate, object), scored by
+    how many distinct (pred, obj) contexts they share — the
+    distributional-similarity blocking step of entity resolution (two
+    surface forms that always "run_on" the same things are merge
+    candidates; kg_cooccurrence's conversation-lift cannot see this
+    because co-mention != same role).
+
+    KG-exchange discipline: keyed on (pred, obj) — never the bare hot
+    predicate — so one context's distinct subjects co-locate and the
+    C(k,2) pair expansion (``core.grouped_pair_indices``, pure numpy)
+    is bucket-local; a second (pair)-keyed exchange sums shared-context
+    counts.  Hub objects make the expansion quadratic in their subject
+    count — the LSH-style cap+log discipline applies at real scale
+    (here the entity vocabulary bounds k at 20).
+    -> (subj_a, subj_b, n_shared), subj_a < subj_b."""
+    from ..core import grouped_pair_indices, partitioned_map_groups
+
+    pipe = from_documents_table(sf_dir)
+    trip = pipe.triples().select_columns(["subj", "pred", "obj"])
+
+    def key_po(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "pred" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=object)
+                                 for c in ("subj", "pred", "obj", "__k")})
+        return df.assign(__k=df["pred"].str.cat(df["obj"], sep="\x1f"))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"subj_a": pd.Series(dtype=object),
+                              "subj_b": pd.Series(dtype=object),
+                              "n_shared": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "subj" not in df.columns:
+            return empty
+        d = (df[["subj", "pred", "obj"]].drop_duplicates()
+             .sort_values(["pred", "obj", "subj"], kind="mergesort"))
+        gid = (d["pred"].str.cat(d["obj"], sep="\x1f")
+               .factorize()[0])
+        li, rj = grouped_pair_indices(gid)
+        if len(li) == 0:
+            return empty
+        s = d["subj"].to_numpy(object)
+        g = (pd.DataFrame({"subj_a": s[li], "subj_b": s[rj]})
+             .groupby(["subj_a", "subj_b"], as_index=False).size())
+        return g.rename(columns={"size": "n_shared"}).astype(
+            {"n_shared": np.int64})
+
+    part = partitioned_map_groups(
+        trip.map_batches(key_po, batch_format="pandas"), "__k",
+        pairs, num_buckets=16)
+
+    def key_pair(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "subj_a" not in df.columns:
+            return pd.DataFrame({"subj_a": pd.Series(dtype=object),
+                                 "subj_b": pd.Series(dtype=object),
+                                 "n_shared": pd.Series(dtype=np.int64),
+                                 "__k": pd.Series(dtype=object)})
+        return df.assign(__k=df["subj_a"].str.cat(df["subj_b"], sep="\x1f"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "subj_a" not in df.columns:
+            return pd.DataFrame({"subj_a": pd.Series(dtype=object),
+                                 "subj_b": pd.Series(dtype=object),
+                                 "n_shared": pd.Series(dtype=np.int64)})
+        return (df.groupby(["subj_a", "subj_b"], as_index=False)
+                ["n_shared"].sum().astype({"n_shared": np.int64}))
+
+    return partitioned_map_groups(
+        part.map_batches(key_pair, batch_format="pandas"), "__k",
+        merge, num_buckets=8)
+
+
+SQL_KG_SHARED_NEIGHBORS = SQL_TOKS + f""",
+triples AS ({_KG_TRIPLES_BODY}),
+d AS (SELECT DISTINCT subj, pred, obj FROM triples)
+SELECT a.subj AS subj_a, b.subj AS subj_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM d a JOIN d b ON a.pred = b.pred AND a.obj = b.obj AND a.subj < b.subj
+GROUP BY 1, 2
+"""
+
+
 def q_kg_symmetric_pairs(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
     """Reciprocal-relation detection: entity pairs asserted in BOTH
     directions under the same predicate (a -p-> b and b -p-> a), with
@@ -2298,6 +2380,7 @@ _DRIVER_SAMPLE_FIRST = (
     "inverted_index", "mad_price_outliers", "embedding_pca1",
     "gif_frames", "kg_type_constraints", "event_pattern_match",
     "events_trailing_range", "hashed_features", "ipc_docs",
+    "kg_shared_neighbors",
     "late_shipments", "important_parts", "parts_supplier_counts",
     "corr_matrix", "vocab_growth", "revenue_cube", "ols_price_qty",
     "session_duration_quantiles", "surprisal_buckets",
@@ -2647,6 +2730,7 @@ KG_QUERIES = {
                                SQL_KG_MENTION_LENGTH_HIST),
     "kg_predicate_stats": (q_kg_predicate_stats, SQL_KG_PREDICATE_STATS),
     "kg_type_constraints": (q_kg_type_constraints, _sql_kg_type_constraints()),
+    "kg_shared_neighbors": (q_kg_shared_neighbors, SQL_KG_SHARED_NEIGHBORS),
     "kg_symmetric_pairs": (q_kg_symmetric_pairs, SQL_KG_SYMMETRIC_PAIRS),
     "kg_conflicting_attrs": (q_kg_conflicting_attrs, SQL_KG_CONFLICTING_ATTRS),
     "kg_upsert_diff": (q_kg_upsert_diff, SQL_KG_UPSERT_DIFF),

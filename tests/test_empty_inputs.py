@@ -73,7 +73,7 @@ _SAMPLE = [
     "tool_transitions", "kg_predicate_drift", "quantity_mode",
     "inverted_index", "mad_price_outliers", "embedding_pca1",
     "kg_type_constraints", "event_pattern_match",
-    "events_trailing_range", "hashed_features",
+    "events_trailing_range", "hashed_features", "kg_shared_neighbors",
     # revenue_cube, like pipeline_metrics, legitimately returns the
     # grand-total row on an empty corpus (CUBE semantics) — excluded
     # from the zero-row assertion
