@@ -2380,7 +2380,7 @@ _DRIVER_SAMPLE_FIRST = (
     "inverted_index", "mad_price_outliers", "embedding_pca1",
     "gif_frames", "kg_type_constraints", "event_pattern_match",
     "events_trailing_range", "hashed_features", "ipc_docs",
-    "kg_shared_neighbors",
+    "kg_shared_neighbors", "edit1_name_neighbors",
     "late_shipments", "important_parts", "parts_supplier_counts",
     "corr_matrix", "vocab_growth", "revenue_cube", "ols_price_qty",
     "session_duration_quantiles", "surprisal_buckets",

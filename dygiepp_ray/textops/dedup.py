@@ -1249,3 +1249,109 @@ def keep_best_per_component(
         )
 
     return hash_exchange(withcomp, "component", pick, num_buckets)
+
+
+def edit1_neighbors(
+    ds: ray.data.Dataset, col: str, num_buckets: int = 16
+) -> ray.data.Dataset:
+    """Exact edit-distance-1 similarity self-join by FastSS
+    deletion-neighborhood blocking — the bounded-Levenshtein member of
+    the near-dup join family (fuzzy_join's shingle Jaccard cannot see
+    single-character typos in short keys; this is the estimator that
+    does).
+
+    Candidate generation is LINEAR: every distinct string emits itself
+    plus its ``len`` single-deletion variants (a vectorized loop over
+    CHARACTER POSITIONS, not rows); any two strings at edit distance
+    <= 1 share at least one variant (substitution -> same-position
+    deletions agree; indel -> the shorter string IS a deletion of the
+    longer), so blocking has full recall and no O(n²) path exists.
+    Sharing a variant does NOT imply distance 1 ("ab"/"ba" share "b"),
+    so pairs are verified exactly: equal-length pairs by a vectorized
+    byte-matrix mismatch count, length-diff-1 pairs by a single
+    alignment scan.  Shape: variant-keyed exchange (pairs bucket-local
+    via ``grouped_pair_indices``) then a pair-keyed exchange for the
+    global dedup + verify.  -> (name_a, name_b), name_a < name_b."""
+    from ..core import grouped_pair_indices, partitioned_map_groups
+
+    _PAIR = {"name_a": object, "name_b": object}
+
+    def variants(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or col not in df.columns:
+            return pd.DataFrame({"key": pd.Series(dtype=object),
+                                 "name": pd.Series(dtype=object)})
+        names = df[col].dropna().drop_duplicates()
+        lens = names.str.len()
+        out = [pd.DataFrame({"key": names, "name": names})]
+        for i in range(int(lens.max()) if len(lens) else 0):
+            m = lens > i
+            s = names[m]
+            out.append(pd.DataFrame(
+                {"key": s.str.slice(0, i) + s.str.slice(i + 1),
+                 "name": s}))
+        return pd.concat(out, ignore_index=True)
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "key" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in _PAIR.items()})
+        d = (df.drop_duplicates()
+             .sort_values(["key", "name"], kind="mergesort"))
+        gid = d["key"].factorize()[0]
+        li, rj = grouped_pair_indices(gid)
+        if len(li) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in _PAIR.items()})
+        s = d["name"].to_numpy(object)
+        g = pd.DataFrame({"name_a": s[li], "name_b": s[rj]})
+        g = g[g["name_a"] != g["name_b"]].drop_duplicates()
+        return g.reset_index(drop=True)
+
+    cand = partitioned_map_groups(
+        ds.map_batches(variants, batch_format="pandas"), "key",
+        bucket_pairs, num_buckets)
+
+    def key_pair(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "name_a" not in df.columns:
+            return pd.DataFrame({"name_a": pd.Series(dtype=object),
+                                 "name_b": pd.Series(dtype=object),
+                                 "__k": pd.Series(dtype=object)})
+        return df.assign(__k=df["name_a"].str.cat(df["name_b"], sep="\x1f"))
+
+    def _is_del(short: str, long: str) -> bool:
+        # one scan: skip the single mismatching char of the longer
+        i = 0
+        while i < len(short) and short[i] == long[i]:
+            i += 1
+        return short[i:] == long[i + 1:]
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "name_a" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in _PAIR.items()})
+        d = df[["name_a", "name_b"]].drop_duplicates().reset_index(drop=True)
+        la = d["name_a"].str.len().to_numpy(np.int64)
+        lb = d["name_b"].str.len().to_numpy(np.int64)
+        ok = np.zeros(len(d), dtype=bool)
+        # equal length: exactly one substitution, vectorized per length
+        eq = la == lb
+        for L, g in d[eq].groupby(la[eq]):
+            a = np.frombuffer(
+                "".join(g["name_a"]).encode("utf-32-le"), dtype=np.uint32
+            ).reshape(len(g), int(L))
+            b = np.frombuffer(
+                "".join(g["name_b"]).encode("utf-32-le"), dtype=np.uint32
+            ).reshape(len(g), int(L))
+            pos = g.index.to_numpy()  # labels == positions (reset above)
+            ok[pos[(a != b).sum(axis=1) == 1]] = True
+        # length diff 1: the shorter must be a deletion of the longer
+        for ix in np.flatnonzero(np.abs(la - lb) == 1):
+            a, b = d["name_a"].iat[ix], d["name_b"].iat[ix]
+            if len(a) > len(b):
+                a, b = b, a
+            ok[ix] = _is_del(a, b)
+        return d[ok].reset_index(drop=True)
+
+    return partitioned_map_groups(
+        cand.map_batches(key_pair, batch_format="pandas"), "__k",
+        verify, num_buckets)

@@ -909,6 +909,23 @@ FROM b GROUP BY 1
 """
 
 
+def q_edit1_name_neighbors(sf_dir: str):
+    """Exact Levenshtein-1 self-join over customer names by FastSS
+    deletion-neighborhood blocking (linear candidates, full recall,
+    vectorized verify); oracle = brute-force levenshtein() join."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_name"]
+    )
+    return dedup.edit1_neighbors(ds, "c_name")
+
+
+SQL_EDIT1_NAME_NEIGHBORS = """
+WITH v AS (SELECT DISTINCT c_name AS name FROM customer)
+SELECT a.name AS name_a, b.name AS name_b
+FROM v a JOIN v b ON a.name < b.name AND levenshtein(a.name, b.name) = 1
+"""
+
+
 def q_dedup_keep_best(sf_dir: str):
     """Cluster dedup with representative selection: the minhash
     near-dup components (same edges as near_dup_components) joined to
@@ -2433,6 +2450,8 @@ TEXTOPS_QUERIES = {
                                SQL_NEAR_DUP_SOURCE_MATRIX),
     "dup_cluster_hist": (q_dup_cluster_hist, SQL_DUP_CLUSTER_HIST),
     "hashed_features": (q_hashed_features, _sql_hashed_features()),
+    "edit1_name_neighbors": (q_edit1_name_neighbors,
+                             SQL_EDIT1_NAME_NEIGHBORS),
     "bpe_fertility_by_lang": (q_bpe_fertility_by_lang,
                               SQL_BPE_FERTILITY_BY_LANG),
     "prepare_training_set": (q_prepare_training_set, SQL_PREPARE_TRAINING_SET),

@@ -1152,3 +1152,22 @@ def test_gif_synth_is_real_gif89a_and_reader_cross_checks(ray_session):
     # truncating the trailer must RAISE, not emit a partial animation
     with _pytest.raises(ValueError):
         M.GifFrameReader._parse(p0[:-1])
+
+
+def test_edit1_neighbors_indel_substitution_and_false_candidates(ray_session):
+    import ray.data as rd
+
+    from dygiepp_ray.textops import dedup as D
+
+    names = ["cat", "cut", "cats", "dog", "dg", "ab", "ba"]
+    out = D.edit1_neighbors(
+        rd.from_items([{"name": n} for n in names]), "name", num_buckets=4
+    ).to_pandas()
+    pairs = set(map(tuple, out[["name_a", "name_b"]].to_numpy()))
+    assert ("cat", "cut") in pairs    # substitution
+    assert ("cat", "cats") in pairs   # insertion at the end
+    assert ("dg", "dog") in pairs     # deletion in the middle
+    # "ab"/"ba" share the deletion variant "b" but are at distance 2:
+    # the verify stage must kill the false candidate
+    assert ("ab", "ba") not in pairs
+    assert all(a < b for a, b in pairs)
