@@ -2381,6 +2381,7 @@ _DRIVER_SAMPLE_FIRST = (
     "gif_frames", "kg_type_constraints", "event_pattern_match",
     "events_trailing_range", "hashed_features", "ipc_docs",
     "kg_shared_neighbors", "edit1_name_neighbors",
+    "chi2_independence", "k_anonymity_violations",
     "late_shipments", "important_parts", "parts_supplier_counts",
     "corr_matrix", "vocab_growth", "revenue_cube", "ols_price_qty",
     "session_duration_quantiles", "surprisal_buckets",

@@ -7661,6 +7661,160 @@ WINDOW w AS (PARTITION BY user_id ORDER BY t
 """
 
 
+def chi2_independence(sf_dir: str, num_buckets: int = 4) -> pd.DataFrame:
+    """Chi-square independence statistic (fixed-point, hash-exact):
+    is event type independent of hour-of-day?  chi2_x1e6 =
+    sum over cells of floor(1e6 * (o*N - r*c)^2 / (N * r * c)) — the
+    numerator/denominator form that never divides early, so every term
+    is exact integer arithmetic (python bigint on the driver, HUGEINT
+    in the twin) and the per-cell floor makes the sum order-free.
+
+    One keyed exchange merges per-batch cell combiners (cells bounded
+    by |types| x 24, never O(rows)); marginals and the statistic are
+    driver-side math on the cell table.  Raises rather than wrapping
+    when the fixed-point term would exceed HUGEINT on the twin
+    (N ~ 1e8; use a wider scale then — same discipline as
+    contingency_table).  -> one row (chi2_x1e6, df, n)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+    cols = {"chi2_x1e6": np.int64, "df": np.int64, "n": np.int64}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "event_type" not in df.columns:
+            return pd.DataFrame({"event_type": pd.Series(dtype=object),
+                                 "hour": pd.Series(dtype=np.int64),
+                                 "n": pd.Series(dtype=np.int64)})
+        hour = (ts_epoch_us(df["ts"]) // 3_600_000_000) % 24
+        g = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                          "hour": hour}).groupby(
+            ["event_type", "hour"], as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype(
+            {"hour": np.int64, "n": np.int64})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "event_type" not in df.columns:
+            return pd.DataFrame({"event_type": pd.Series(dtype=object),
+                                 "hour": pd.Series(dtype=np.int64),
+                                 "n": pd.Series(dtype=np.int64)})
+        return (df.groupby(["event_type", "hour"], as_index=False)["n"]
+                .sum().astype({"hour": np.int64, "n": np.int64}))
+
+    cells = partitioned_map_groups(
+        ds.map_batches(partial, batch_format="pandas"), "hour", merge,
+        num_buckets,
+    ).to_pandas()
+    if cells.empty or "event_type" not in cells.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    r = cells.groupby("event_type")["n"].sum().to_dict()
+    c = cells.groupby("hour")["n"].sum().to_dict()
+    N = int(cells["n"].sum())
+    if N > 100_000_000:
+        raise OverflowError(
+            "chi2_independence fixed-point term exceeds the twin's "
+            f"HUGEINT at N={N}; reduce the scale factor"
+        )
+    chi2 = 0
+    for t, h, o in zip(cells["event_type"], cells["hour"], cells["n"]):
+        rr, cc = int(r[t]), int(c[int(h)])
+        d = int(o) * N - rr * cc
+        chi2 += (1_000_000 * d * d) // (N * rr * cc)
+    return pd.DataFrame(
+        {"chi2_x1e6": [chi2],
+         "df": [(len(r) - 1) * (len(c) - 1)],
+         "n": [N]}
+    ).astype({c_: t for c_, t in cols.items()})
+
+
+SQL_CHI2_INDEPENDENCE = """
+WITH cells AS (
+  SELECT event_type,
+         (epoch_us(ts) // 3600000000) % 24 AS hour,
+         CAST(count(*) AS HUGEINT) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (SELECT event_type, sum(n) AS rn FROM cells GROUP BY 1),
+c AS (SELECT hour, sum(n) AS cn FROM cells GROUP BY 1),
+tot AS (SELECT sum(n) AS N FROM cells),
+terms AS (
+  SELECT (1000000::HUGEINT * (cells.n * tot.N - r.rn * c.cn)
+          * (cells.n * tot.N - r.rn * c.cn))
+         // (tot.N * r.rn * c.cn) AS term
+  FROM cells JOIN r USING (event_type) JOIN c USING (hour), tot
+)
+SELECT CAST((SELECT sum(term) FROM terms) AS BIGINT) AS chi2_x1e6,
+       CAST(((SELECT count(*) FROM r) - 1)
+            * ((SELECT count(*) FROM c) - 1) AS BIGINT) AS df,
+       CAST((SELECT N FROM tot) AS BIGINT) AS n
+"""
+
+
+def k_anonymity_violations(
+    sf_dir: str, num_buckets: int = 4
+) -> pd.DataFrame:
+    """Privacy audit: quasi-identifier combinations (nation, market
+    segment) whose group size falls below the anonymity threshold —
+    the k-anonymity check run before a customer extract is shared
+    (every undersized combo is a re-identification risk; the redaction
+    sibling of redact_terms).  k is SCALE-FREE — 80% of the mean cell
+    size — as a pure integer comparison ``10 * n * n_cells <
+    8 * total`` (the rank-rewrite discipline), so the audit is
+    meaningful at any corpus size instead of going trivially empty as
+    cells grow.
+
+    Per-batch combo combiner then one combo-keyed exchange; the driver
+    folds only the cell table (bounded by |nations| x |segments|, the
+    right asymmetry at 100 TB).  -> (c_nationkey, c_mktsegment, n)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_nationkey", "c_mktsegment"],
+    )
+    cols = {"c_nationkey": np.int64, "c_mktsegment": object,
+            "n": np.int64}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "c_nationkey" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in cols.items()})
+        g = df.groupby(["c_nationkey", "c_mktsegment"],
+                       as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype(
+            {"c_nationkey": np.int64, "n": np.int64})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "c_nationkey" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in cols.items()})
+        return (df.groupby(["c_nationkey", "c_mktsegment"],
+                           as_index=False)["n"].sum()
+                .astype({"c_nationkey": np.int64, "n": np.int64}))
+
+    cells = partitioned_map_groups(
+        ds.map_batches(partial, batch_format="pandas"), "c_nationkey",
+        merge, num_buckets,
+    ).to_pandas()
+    if cells.empty or "c_nationkey" not in cells.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    n = cells["n"].to_numpy(np.int64)
+    keep = 10 * n * len(cells) < 8 * int(n.sum())
+    return (cells[keep][list(cols)]
+            .astype({c: t for c, t in cols.items() if t is not object})
+            .sort_values(["c_nationkey", "c_mktsegment"],
+                         ignore_index=True))
+
+
+SQL_K_ANONYMITY_VIOLATIONS = """
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS n
+  FROM customer GROUP BY 1, 2
+),
+m AS (SELECT count(*) AS nc, sum(n) AS tot FROM cells)
+SELECT c_nationkey, c_mktsegment, CAST(n AS BIGINT) AS n
+FROM cells, m WHERE 10 * n * nc < 8 * tot
+ORDER BY 1, 2
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -7764,4 +7918,7 @@ RELATIONAL_QUERIES = {
     "event_pattern_match": (event_pattern_match, SQL_EVENT_PATTERN_MATCH),
     "events_trailing_range": (events_trailing_range,
                               SQL_EVENTS_TRAILING_RANGE),
+    "chi2_independence": (chi2_independence, SQL_CHI2_INDEPENDENCE),
+    "k_anonymity_violations": (k_anonymity_violations,
+                               SQL_K_ANONYMITY_VIOLATIONS),
 }
