@@ -7815,6 +7815,107 @@ ORDER BY 1, 2
 """
 
 
+# Poisson(1) CDF cutoffs scaled by 16^6 (exact ints both engines):
+# weight k iff cutoff[k-1] <= u < cutoff[k] over the md5-uniform u
+_POIS_CUTS = (6171992, 12343985, 15429982, 16458647,
+              16715813, 16767247, 16775819, 16777044)
+_BOOT_REPS = 8
+
+
+def poisson_bootstrap_mean(sf_dir: str) -> pd.DataFrame:
+    """Distributed bootstrap of mean order value: ``_BOOT_REPS``
+    Poisson-bootstrap replicates (the resampling scheme that actually
+    distributes — per-row independent Poisson(1) multiplicities instead
+    of a global sample-with-replacement, so each replicate is one
+    streaming weighted sum).  Everything is deterministic and
+    hash-exact: the md5-of-orderkey uniform is cut by precomputed
+    integer Poisson CDF thresholds (no float RNG anywhere), per-batch
+    (sum_w, sum_wx) partials fold as decimal strings -> python ints,
+    and the replicate mean is a floored fixed-point rational.
+    -> (rep, n_eff, mean_cents_x100) — the spread across reps IS the
+    sampling-error estimate."""
+    import hashlib
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    cols = {"rep": np.int64, "n_eff": np.int64, "mean_cents_x100": np.int64}
+    cuts = np.asarray(_POIS_CUTS, dtype=np.int64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_orderkey" not in df.columns:
+            return pd.DataFrame({"rep": pd.Series(dtype=np.int64),
+                                 "sw": pd.Series(dtype=object),
+                                 "swx": pd.Series(dtype=object)})
+        keys = df["o_orderkey"].astype(str)
+        h = (keys.map(lambda s: hashlib.md5(s.encode()).hexdigest())
+             + keys.map(lambda s: hashlib.md5((s + "x").encode()).hexdigest()))
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        rows = []
+        for rep in range(_BOOT_REPS):
+            u = h.str.slice(6 * rep, 6 * rep + 6).map(
+                lambda s: int(s, 16)).to_numpy(np.int64)
+            w = np.searchsorted(cuts, u, side="right")
+            sw, swx = 0, 0
+            for s in range(0, len(w), 8192):
+                sw += int(w[s:s + 8192].sum())
+                swx += int((w[s:s + 8192] * cents[s:s + 8192]).sum())
+            rows.append((rep, str(sw), str(swx)))
+        return pd.DataFrame(rows, columns=["rep", "sw", "swx"]).astype(
+            {"rep": np.int64})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty or "rep" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    out = []
+    for rep in range(_BOOT_REPS):
+        g = parts[parts["rep"] == rep]
+        sw = sum(int(x) for x in g["sw"])
+        swx = sum(int(x) for x in g["swx"])
+        if sw == 0:
+            continue
+        out.append((rep, sw, (100 * swx) // sw))
+    return pd.DataFrame(out, columns=list(cols)).astype(
+        {c: t for c, t in cols.items()})
+
+
+def _sql_poisson_bootstrap_mean() -> str:
+    whens = "".join(
+        f" WHEN u < {c} THEN {k}" for k, c in enumerate(_POIS_CUTS)
+    )
+    return f"""
+WITH o AS (
+  SELECT md5(CAST(o_orderkey AS VARCHAR))
+           || md5(CAST(o_orderkey AS VARCHAR) || 'x') AS h,
+         CAST(floor(o_totalprice * 100.0) AS HUGEINT) AS cents
+  FROM orders
+),
+u AS (
+  SELECT rep, cents, {_sql_hexval6('h', '1 + 6 * rep')} AS u
+  FROM o, range(0, {_BOOT_REPS}) t(rep)
+),
+w AS (SELECT rep, cents, CASE{whens} ELSE {len(_POIS_CUTS)} END AS wt FROM u),
+s AS (SELECT rep, sum(wt::HUGEINT) AS sw, sum(wt::HUGEINT * cents) AS swx
+      FROM w GROUP BY 1)
+SELECT CAST(rep AS BIGINT) AS rep, CAST(sw AS BIGINT) AS n_eff,
+       CAST((100 * swx) // sw AS BIGINT) AS mean_cents_x100
+FROM s WHERE sw > 0
+"""
+
+
+def _sql_hexval6(expr: str, start_expr: str) -> str:
+    """Integer value of the 6 hex chars of ``expr`` starting at the
+    1-based DYNAMIC position ``start_expr`` (the static-position helper
+    in textops builds literal offsets; replicate slicing needs an
+    expression)."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, ({start_expr}) + {i}, 1)) - 1)"
+        f" * {16 ** (5 - i)}"
+        for i in range(6)
+    ) + ")"
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -7921,4 +8022,6 @@ RELATIONAL_QUERIES = {
     "chi2_independence": (chi2_independence, SQL_CHI2_INDEPENDENCE),
     "k_anonymity_violations": (k_anonymity_violations,
                                SQL_K_ANONYMITY_VIOLATIONS),
+    "poisson_bootstrap_mean": (poisson_bootstrap_mean,
+                               _sql_poisson_bootstrap_mean()),
 }

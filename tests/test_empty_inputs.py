@@ -75,7 +75,7 @@ _SAMPLE = [
     "kg_type_constraints", "event_pattern_match",
     "events_trailing_range", "hashed_features", "kg_shared_neighbors",
     "edit1_name_neighbors", "chi2_independence",
-    "k_anonymity_violations",
+    "k_anonymity_violations", "poisson_bootstrap_mean",
     # revenue_cube, like pipeline_metrics, legitimately returns the
     # grand-total row on an empty corpus (CUBE semantics) — excluded
     # from the zero-row assertion
