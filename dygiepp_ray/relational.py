@@ -7815,6 +7815,100 @@ ORDER BY 1, 2
 """
 
 
+def orders_backlog_by_day(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
+    """Open-order concurrency by day (calendarization): for every day,
+    how many orders were placed but not yet fully shipped — the
+    interval-overlap-count analytic behind capacity and WIP dashboards,
+    realized as the classic +1/-1 delta sweep (an order contributes
+    ``+1`` on its order day and ``-1`` the day after its LAST line
+    ships) so no per-day interval join ever exists.
+
+    Shape: one orderkey coexchange folds each order's lineitems to a
+    max-shipdate and meets its order date; delta rows collapse per day
+    in-bucket; the driver cumsums the day-bounded histogram (O(days)
+    rows — the domain bound, not the data bound).  Orders with no
+    lineitems never open.  -> (day_epoch_s, n_open) for days with
+    backlog change, running count carried between them."""
+    from .core import hash_coexchange
+
+    DAY_US = 86_400_000_000
+    lip = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(
+        lambda df: (
+            pd.DataFrame({"l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                          "ship_us": ts_epoch_us(df["l_shipdate"])})
+            .groupby("l_orderkey", as_index=False).max()
+            if len(df) and "l_orderkey" in df.columns
+            else pd.DataFrame({"l_orderkey": pd.Series(dtype=np.int64),
+                               "ship_us": pd.Series(dtype=np.int64)})
+        ),
+        batch_format="pandas",
+    )
+    ordf = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+
+    def deltas(l: pd.DataFrame, o: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"day": pd.Series(dtype=np.int64),
+                              "d": pd.Series(dtype=np.int64)})
+        if (len(l) == 0 or "l_orderkey" not in l.columns
+                or len(o) == 0 or "o_orderkey" not in o.columns):
+            return empty
+        last = l.groupby("l_orderkey", as_index=False)["ship_us"].max()
+        j = last.merge(
+            pd.DataFrame({"o_orderkey": o["o_orderkey"].to_numpy(np.int64),
+                          "od_us": ts_epoch_us(o["o_orderdate"])}),
+            left_on="l_orderkey", right_on="o_orderkey",
+        )
+        if len(j) == 0:
+            return empty
+        open_day = j["od_us"].to_numpy(np.int64) // DAY_US
+        close_day = j["ship_us"].to_numpy(np.int64) // DAY_US + 1
+        out = pd.DataFrame(
+            {"day": np.concatenate([open_day, close_day]),
+             "d": np.concatenate(
+                 [np.ones(len(j), dtype=np.int64),
+                  -np.ones(len(j), dtype=np.int64)])}
+        )
+        return out.groupby("day", as_index=False)["d"].sum().astype(np.int64)
+
+    parts = hash_coexchange(
+        lip, ordf, "l_orderkey", "o_orderkey", deltas, num_buckets
+    ).to_pandas()
+    cols = {"day_epoch_s": np.int64, "n_open": np.int64}
+    if parts.empty or "day" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    g = parts.groupby("day", as_index=False)["d"].sum().sort_values(
+        "day", ignore_index=True)
+    return pd.DataFrame(
+        {"day_epoch_s": g["day"].to_numpy(np.int64) * 86_400,
+         "n_open": np.cumsum(g["d"].to_numpy(np.int64))}
+    )
+
+
+SQL_ORDERS_BACKLOG_BY_DAY = """
+WITH last AS (
+  SELECT l_orderkey, max(epoch_us(l_shipdate)) AS ship_us
+  FROM lineitem GROUP BY 1
+),
+iv AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS open_day,
+         ship_us // 86400000000 + 1 AS close_day
+  FROM orders JOIN last ON l_orderkey = o_orderkey
+),
+d AS (
+  SELECT open_day AS day, 1 AS delta FROM iv
+  UNION ALL
+  SELECT close_day AS day, -1 AS delta FROM iv
+),
+g AS (SELECT day, sum(delta) AS d FROM d GROUP BY 1)
+SELECT CAST(day * 86400 AS BIGINT) AS day_epoch_s,
+       CAST(sum(d) OVER (ORDER BY day) AS BIGINT) AS n_open
+FROM g
+"""
+
+
 # Poisson(1) CDF cutoffs scaled by 16^6 (exact ints both engines):
 # weight k iff cutoff[k-1] <= u < cutoff[k] over the md5-uniform u
 _POIS_CUTS = (6171992, 12343985, 15429982, 16458647,
@@ -8024,4 +8118,6 @@ RELATIONAL_QUERIES = {
                                SQL_K_ANONYMITY_VIOLATIONS),
     "poisson_bootstrap_mean": (poisson_bootstrap_mean,
                                _sql_poisson_bootstrap_mean()),
+    "orders_backlog_by_day": (orders_backlog_by_day,
+                              SQL_ORDERS_BACKLOG_BY_DAY),
 }
