@@ -124,6 +124,69 @@ FROM ents GROUP BY 1
 """
 
 
+def q_kg_mention_contexts(sf_dir: str) -> "ray.data.Dataset":
+    """Mention context export: every decoded mention with its ±2-token
+    window-local context string — the artifact an annotation-review /
+    active-learning UI consumes (the reference renders exactly this
+    neighborhood when debugging spans, ``dygie/data/dataset_readers/
+    document.py`` sentence views).  Context never crosses the window
+    boundary, matching the extractor's visibility.
+
+    One doc_key coexchange meets mentions with their window's token
+    arrays (windows are the small side per key); slicing is per-bucket
+    against one flattened token dict, no driver state.
+    -> (doc_key, start, end, surface, context)."""
+    from ..core import hash_coexchange
+
+    pipe = from_documents_table(sf_dir)
+    men = pipe.mentions.select_columns(["doc_key", "start", "end", "surface"])
+    win = pipe.documents.select_columns(["doc_key", "sentences"])
+    _OUT = {"doc_key": object, "start": np.int64, "end": np.int64,
+            "surface": object, "context": object}
+
+    def ctx(m: pd.DataFrame, w: pd.DataFrame) -> pd.DataFrame:
+        if (len(m) == 0 or "doc_key" not in m.columns
+                or len(w) == 0 or "sentences" not in w.columns):
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in _OUT.items()})
+        toks = {
+            k: (np.concatenate([np.asarray(s, dtype=object) for s in sents])
+                if len(sents) else np.empty(0, dtype=object))
+            for k, sents in zip(w["doc_key"], w["sentences"])
+        }
+        st = m["start"].to_numpy(np.int64)
+        en = m["end"].to_numpy(np.int64)
+        dk = m["doc_key"].to_numpy(object)
+        context = [
+            " ".join(toks[k][max(0, int(s) - 2):int(e) + 3])
+            for k, s, e in zip(dk, st, en)
+        ]
+        return pd.DataFrame(
+            {"doc_key": dk, "start": st, "end": en,
+             "surface": m["surface"].to_numpy(object), "context": context}
+        )
+
+    return hash_coexchange(men, win, "doc_key", "doc_key", ctx,
+                           num_buckets=16)
+
+
+SQL_KG_MENTION_CONTEXTS = SQL_TOKS + f""",
+ctx AS (
+  SELECT e.doc_id, e.n, e.pos, e.e_end, e.surface,
+         string_agg(t.tok, ' ' ORDER BY t.pos) AS context
+  FROM ents e JOIN toks t ON t.doc_id = e.doc_id
+       AND t.pos BETWEEN e.pos - 2 AND e.e_end + 2
+       AND t.pos // {WIN} = e.pos // {WIN}
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT {_DOC_KEY} AS doc_key,
+       CAST(pos % {WIN} AS BIGINT) AS start,
+       CAST(e_end % {WIN} AS BIGINT) AS "end",
+       surface, context
+FROM ctx
+"""
+
+
 def q_kg_entities(sf_dir: str) -> ray.data.Dataset:
     pipe = from_documents_table(sf_dir)
     return pipe.entities(num_salts=8)
@@ -2383,6 +2446,7 @@ _DRIVER_SAMPLE_FIRST = (
     "kg_shared_neighbors", "edit1_name_neighbors",
     "chi2_independence", "k_anonymity_violations",
     "poisson_bootstrap_mean", "orders_backlog_by_day",
+    "kg_mention_contexts",
     "late_shipments", "important_parts", "parts_supplier_counts",
     "corr_matrix", "vocab_growth", "revenue_cube", "ols_price_qty",
     "session_duration_quantiles", "surprisal_buckets",
@@ -2733,6 +2797,7 @@ KG_QUERIES = {
     "kg_predicate_stats": (q_kg_predicate_stats, SQL_KG_PREDICATE_STATS),
     "kg_type_constraints": (q_kg_type_constraints, _sql_kg_type_constraints()),
     "kg_shared_neighbors": (q_kg_shared_neighbors, SQL_KG_SHARED_NEIGHBORS),
+    "kg_mention_contexts": (q_kg_mention_contexts, SQL_KG_MENTION_CONTEXTS),
     "kg_symmetric_pairs": (q_kg_symmetric_pairs, SQL_KG_SYMMETRIC_PAIRS),
     "kg_conflicting_attrs": (q_kg_conflicting_attrs, SQL_KG_CONFLICTING_ATTRS),
     "kg_upsert_diff": (q_kg_upsert_diff, SQL_KG_UPSERT_DIFF),
