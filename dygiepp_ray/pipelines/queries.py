@@ -1168,6 +1168,239 @@ GROUP BY 1, 2
 """
 
 
+def q_kg_merged_triples(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
+    """The full entity-resolution loop applied back to the graph:
+    shared-neighbor alias candidates become merge edges when the
+    CONTAINMENT of the smaller entity's context set is high
+    (``10 * n_shared >= 7 * min(|ctx_a|, |ctx_b|)`` — a scale-free
+    integer rule, so a hub entity's raw pair count can never glue the
+    whole vocabulary together the way an absolute threshold does),
+    distributed union-find collapses them to canonical entities, and
+    every triple is REWRITTEN through the merge map and re-deduped —
+    "entity linking + canonicalization -> materialized graph", the
+    north-star composite, as one pipeline.
+
+    Per-entity context counts are vocab-bounded, so they (and the merge
+    map) are broadcast dicts inside map_batches — no join; the re-dedup
+    is one (subj, pred)-keyed exchange with in-bucket per-conversation
+    distinct + support counts.  Union-find runs on md5-56-bit entity
+    ids (``connected_components`` is int-typed; the id convention is
+    SQL-reproducible); the canonical surface is the member with the
+    MINIMUM id — deterministic on both engines.
+    -> (subj, pred, obj, n_convs) over canonical entities."""
+    import hashlib
+
+    from ..core import partitioned_map_groups
+    from ..textops.dedup import connected_components
+
+    pipe = from_documents_table(sf_dir)
+    trip = (pipe.triples()
+            .select_columns(["conv_id", "subj", "pred", "obj"])
+            .materialize())
+
+    # --- alias pairs with >= min_shared common (pred, obj) contexts
+    # (kg_shared_neighbors' shape, re-run over the pinned triples so no
+    # second extraction pass exists) ---
+    def key_po(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "pred" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=object)
+                                 for c in ("subj", "pred", "obj", "__k")})
+        return df.assign(__k=df["pred"].str.cat(df["obj"], sep="\x1f"))
+
+    def _eid(s: pd.Series) -> np.ndarray:
+        return s.map(
+            lambda t: int.from_bytes(
+                hashlib.md5(t.encode()).digest()[:7], "little")
+        ).to_numpy(np.int64)
+
+    from ..core import grouped_pair_indices
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"subj_a": pd.Series(dtype=object),
+                              "subj_b": pd.Series(dtype=object),
+                              "n_shared": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "subj" not in df.columns:
+            return empty
+        d = (df[["subj", "pred", "obj"]].drop_duplicates()
+             .sort_values(["pred", "obj", "subj"], kind="mergesort"))
+        gid = d["pred"].str.cat(d["obj"], sep="\x1f").factorize()[0]
+        li, rj = grouped_pair_indices(gid)
+        if len(li) == 0:
+            return empty
+        s = d["subj"].to_numpy(object)
+        g = (pd.DataFrame({"subj_a": s[li], "subj_b": s[rj]})
+             .groupby(["subj_a", "subj_b"], as_index=False).size())
+        return g.rename(columns={"size": "n_shared"}).astype(
+            {"n_shared": np.int64})
+
+    part = partitioned_map_groups(
+        trip.map_batches(key_po, batch_format="pandas"), "__k",
+        pair_partial, num_buckets=16)
+
+    def key_pair(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "subj_a" not in df.columns:
+            return pd.DataFrame({"subj_a": pd.Series(dtype=object),
+                                 "subj_b": pd.Series(dtype=object),
+                                 "n_shared": pd.Series(dtype=np.int64),
+                                 "__k": pd.Series(dtype=object)})
+        return df.assign(__k=df["subj_a"].str.cat(df["subj_b"], sep="\x1f"))
+
+    # per-subject distinct-context counts: subj-keyed exchange makes
+    # them exact per bucket; the table is vocab-bounded -> driver dict
+    def key_s(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "subj" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=object)
+                                 for c in ("subj", "pred", "obj", "__k")})
+        return df[["subj", "pred", "obj"]].assign(__k=df["subj"])
+
+    def ctx_counts(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "subj" not in df.columns:
+            return pd.DataFrame({"subj": pd.Series(dtype=object),
+                                 "nc": pd.Series(dtype=np.int64)})
+        d = df[["subj", "pred", "obj"]].drop_duplicates()
+        g = d.groupby("subj", as_index=False).size()
+        return g.rename(columns={"size": "nc"}).astype({"nc": np.int64})
+
+    cx = partitioned_map_groups(
+        trip.map_batches(key_s, batch_format="pandas"), "__k",
+        ctx_counts, num_buckets=8).to_pandas()
+    nc = (dict(zip(cx["subj"], cx["nc"].astype(int)))
+          if len(cx) and "subj" in cx.columns else {})
+    nc_ref = ray.put(nc)
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "subj_a" not in df.columns:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64)})
+        g = (df.groupby(["subj_a", "subj_b"], as_index=False)
+             ["n_shared"].sum())
+        m = ray.get(nc_ref)
+        lo = np.minimum(g["subj_a"].map(m).to_numpy(np.int64),
+                        g["subj_b"].map(m).to_numpy(np.int64))
+        g = g[10 * g["n_shared"].to_numpy(np.int64) >= 7 * lo]
+        if len(g) == 0:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"id_a": _eid(g["subj_a"]),
+                             "id_b": _eid(g["subj_b"])})
+
+    edges = partitioned_map_groups(
+        part.map_batches(key_pair, batch_format="pandas"), "__k",
+        to_edges, num_buckets=8)
+
+    # --- union-find -> canonical surface per entity id (vocab-sized) ---
+    canon: dict[str, str] = {}
+    if edges.count() > 0:
+        comp = connected_components(edges, num_buckets=8).to_pandas()
+        # vocab table: id -> surface for every entity in the graph
+        def vocab(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0 or "subj" not in df.columns:
+                return pd.DataFrame({"id": pd.Series(dtype=np.int64),
+                                     "surface": pd.Series(dtype=object)})
+            s = pd.concat([df["subj"], df["obj"]]).drop_duplicates()
+            return pd.DataFrame({"id": _eid(s),
+                                 "surface": s.to_numpy(object)})
+
+        voc = (trip.map_batches(vocab, batch_format="pandas")
+               .to_pandas().drop_duplicates())
+        id2surf = dict(zip(voc["id"], voc["surface"]))
+        for node, c in zip(comp["node"], comp["component"]):
+            canon[id2surf[int(node)]] = id2surf[int(c)]
+
+    canon_ref = ray.put(canon)
+
+    def rewrite(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "subj" not in df.columns:
+            return pd.DataFrame({"conv_id": pd.Series(dtype=object),
+                                 "subj": pd.Series(dtype=object),
+                                 "pred": pd.Series(dtype=object),
+                                 "obj": pd.Series(dtype=object),
+                                 "__k": pd.Series(dtype=object)})
+        m = ray.get(canon_ref)
+        out = df[["conv_id", "subj", "pred", "obj"]].copy()
+        if m:
+            out["subj"] = out["subj"].map(lambda s: m.get(s, s))
+            out["obj"] = out["obj"].map(lambda s: m.get(s, s))
+        return out.assign(__k=out["subj"].str.cat(out["pred"], sep="\x1f"))
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "subj" not in df.columns:
+            return pd.DataFrame({"subj": pd.Series(dtype=object),
+                                 "pred": pd.Series(dtype=object),
+                                 "obj": pd.Series(dtype=object),
+                                 "n_convs": pd.Series(dtype=np.int64)})
+        # a conversation supports the canonical triple once, even when
+        # several of its pre-merge triples collapse onto it
+        d = df.drop_duplicates(["conv_id", "subj", "pred", "obj"])
+        g = (d.groupby(["subj", "pred", "obj"], as_index=False).size()
+             .rename(columns={"size": "n_convs"}))
+        return g.astype({"n_convs": np.int64})
+
+    return partitioned_map_groups(
+        trip.map_batches(rewrite, batch_format="pandas"), "__k",
+        dedup, num_buckets=16)
+
+
+def _sql_kg_merged_triples(min_shared: int = 2) -> str:
+    # md5-56-bit little-endian entity id (the engine's _eid convention)
+    def eid(col: str) -> str:
+        return ("CAST(list_sum(list_transform([0,1,2,3,4,5,6], i -> "
+                f"((strpos('0123456789abcdef', substr(md5({col}), 2*i+1, 1)) - 1) * 16 "
+                f"+ (strpos('0123456789abcdef', substr(md5({col}), 2*i+2, 1)) - 1))::HUGEINT "
+                "* ([1,256,65536,16777216,4294967296,1099511627776,"
+                "281474976710656]::HUGEINT[])[i+1])) AS BIGINT)")
+
+    toks = SQL_TOKS[len("WITH "):]
+    return f"""WITH RECURSIVE {toks},
+triples AS ({_KG_TRIPLES_BODY}),
+conv AS (SELECT DISTINCT conv_id, subj, pred, obj FROM triples),
+d AS (SELECT DISTINCT subj, pred, obj FROM conv),
+cx AS (SELECT subj, count(*) AS nc FROM d GROUP BY 1),
+ap AS (
+  SELECT a.subj AS sa, b.subj AS sb, count(*) AS n
+  FROM d a JOIN d b ON a.pred = b.pred AND a.obj = b.obj AND a.subj < b.subj
+  GROUP BY 1, 2
+),
+apf AS (
+  SELECT sa, sb FROM ap
+  JOIN cx ca ON ca.subj = ap.sa JOIN cx cb ON cb.subj = ap.sb
+  WHERE 10 * ap.n >= 7 * least(ca.nc, cb.nc)
+),
+vocab AS (
+  SELECT e, {eid('e')} AS id
+  FROM (SELECT subj AS e FROM d UNION SELECT obj FROM d)
+),
+ae AS (
+  SELECT va.id AS ia, vb.id AS ib
+  FROM apf JOIN vocab va ON va.e = apf.sa JOIN vocab vb ON vb.e = apf.sb
+),
+edges AS (
+  SELECT ia AS s, ib AS dd FROM ae UNION SELECT ib, ia FROM ae
+  UNION SELECT ia, ia FROM ae UNION SELECT ib, ib FROM ae
+),
+closure(s, dd) AS (
+  SELECT s, dd FROM edges
+  UNION
+  SELECT c.s, g.dd FROM closure c JOIN edges g ON c.dd = g.s
+),
+comp AS (SELECT s AS node, min(dd) AS component FROM closure GROUP BY s),
+canon AS (
+  SELECT vn.e AS surface, vc.e AS canon
+  FROM comp JOIN vocab vn ON vn.id = comp.node
+            JOIN vocab vc ON vc.id = comp.component
+),
+rw AS (
+  SELECT DISTINCT conv.conv_id,
+         COALESCE(cs.canon, conv.subj) AS subj, conv.pred,
+         COALESCE(co.canon, conv.obj) AS obj
+  FROM conv LEFT JOIN canon cs ON cs.surface = conv.subj
+            LEFT JOIN canon co ON co.surface = conv.obj
+)
+SELECT subj, pred, obj, CAST(count(*) AS BIGINT) AS n_convs
+FROM rw GROUP BY 1, 2, 3
+"""
+
+
 def q_kg_symmetric_pairs(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
     """Reciprocal-relation detection: entity pairs asserted in BOTH
     directions under the same predicate (a -p-> b and b -p-> a), with
@@ -2446,7 +2679,7 @@ _DRIVER_SAMPLE_FIRST = (
     "kg_shared_neighbors", "edit1_name_neighbors",
     "chi2_independence", "k_anonymity_violations",
     "poisson_bootstrap_mean", "orders_backlog_by_day",
-    "kg_mention_contexts",
+    "kg_mention_contexts", "kg_merged_triples",
     "late_shipments", "important_parts", "parts_supplier_counts",
     "corr_matrix", "vocab_growth", "revenue_cube", "ols_price_qty",
     "session_duration_quantiles", "surprisal_buckets",
@@ -2798,6 +3031,7 @@ KG_QUERIES = {
     "kg_type_constraints": (q_kg_type_constraints, _sql_kg_type_constraints()),
     "kg_shared_neighbors": (q_kg_shared_neighbors, SQL_KG_SHARED_NEIGHBORS),
     "kg_mention_contexts": (q_kg_mention_contexts, SQL_KG_MENTION_CONTEXTS),
+    "kg_merged_triples": (q_kg_merged_triples, _sql_kg_merged_triples()),
     "kg_symmetric_pairs": (q_kg_symmetric_pairs, SQL_KG_SYMMETRIC_PAIRS),
     "kg_conflicting_attrs": (q_kg_conflicting_attrs, SQL_KG_CONFLICTING_ATTRS),
     "kg_upsert_diff": (q_kg_upsert_diff, SQL_KG_UPSERT_DIFF),
