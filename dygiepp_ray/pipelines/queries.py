@@ -1401,6 +1401,144 @@ FROM rw GROUP BY 1, 2, 3
 """
 
 
+def q_kg_degree_assortativity(sf_dir: str) -> pd.DataFrame:
+    """Degree assortativity of the entity graph: the Pearson
+    correlation of endpoint degrees over undirected edges — the one
+    scalar that says whether hubs link to hubs (assortative, > 0) or
+    to leaves (disassortative, < 0), the KG topology health check next
+    to kg_entity_rank's per-node view.
+
+    ENTIRELY integer-exact: with both orientations of every edge in
+    the sample the two marginals coincide (sx == sy, vx == vy), so the
+    denominator sqrt(vx*vy) IS vx and the statistic collapses to the
+    floored rational ``(1e6 * cov) // vx`` — no float exists even at
+    the finish (unlike corr_matrix, which needs the IEEE-pinned sqrt).
+    Shape: distinct unordered pairs complete on one lo-keyed exchange;
+    degrees on one node-keyed exchange (vocab-bounded -> broadcast
+    dict); moments are chunked int64 partials -> python-int fold.
+    -> one row (assort_x1e6, n_edges); self-loops excluded."""
+    from ..core import partitioned_map_groups
+
+    pipe = from_documents_table(sf_dir)
+    trip = pipe.triples().select_columns(["subj", "obj"])
+
+    def key_lo(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "subj" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=object)
+                                 for c in ("lo", "hi", "__k")})
+        s = df["subj"].to_numpy(object)
+        o = df["obj"].to_numpy(object)
+        keep = s != o
+        s, o = s[keep], o[keep]
+        lo = np.minimum(s, o)
+        hi = np.maximum(s, o)
+        return pd.DataFrame({"lo": lo, "hi": hi, "__k": lo})
+
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "lo" not in df.columns:
+            return pd.DataFrame({"lo": pd.Series(dtype=object),
+                                 "hi": pd.Series(dtype=object)})
+        return df[["lo", "hi"]].drop_duplicates().reset_index(drop=True)
+
+    pairs = partitioned_map_groups(
+        trip.map_batches(key_lo, batch_format="pandas"), "__k",
+        dedup_pairs, num_buckets=8).materialize()
+
+    def key_node(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "lo" not in df.columns:
+            return pd.DataFrame({"node": pd.Series(dtype=object),
+                                 "nb": pd.Series(dtype=object),
+                                 "__k": pd.Series(dtype=object)})
+        out = pd.DataFrame(
+            {"node": np.concatenate([df["lo"].to_numpy(object),
+                                     df["hi"].to_numpy(object)]),
+             "nb": np.concatenate([df["hi"].to_numpy(object),
+                                   df["lo"].to_numpy(object)])})
+        return out.assign(__k=out["node"])
+
+    def degree(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "node" not in df.columns:
+            return pd.DataFrame({"node": pd.Series(dtype=object),
+                                 "dg": pd.Series(dtype=np.int64)})
+        g = df.groupby("node", as_index=False)["nb"].size()
+        return g.rename(columns={"size": "dg"}).astype({"dg": np.int64})
+
+    deg = partitioned_map_groups(
+        pairs.map_batches(key_node, batch_format="pandas"), "__k",
+        degree, num_buckets=8).to_pandas()
+    cols = {"assort_x1e6": np.int64, "n_edges": np.int64}
+    if deg.empty or "node" not in deg.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    dmap = dict(zip(deg["node"], deg["dg"].astype(int)))
+    dref = ray.put(dmap)
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "lo" not in df.columns:
+            return pd.DataFrame({"m": pd.Series(dtype=object),
+                                 "sx": pd.Series(dtype=object),
+                                 "sxx": pd.Series(dtype=object),
+                                 "sxy": pd.Series(dtype=object)})
+        dm = ray.get(dref)
+        a = df["lo"].map(dm).to_numpy(np.int64)
+        b = df["hi"].map(dm).to_numpy(np.int64)
+        m, sx, sxx, sxy = 0, 0, 0, 0
+        for s in range(0, len(a), 8192):
+            ac, bc = a[s:s + 8192], b[s:s + 8192]
+            m += len(ac)
+            sx += int((ac + bc).sum())
+            sxx += int((ac * ac + bc * bc).sum())
+            sxy += int((ac * bc).sum()) * 2
+        return pd.DataFrame({"m": [str(m)], "sx": [str(sx)],
+                             "sxx": [str(sxx)], "sxy": [str(sxy)]})
+
+    parts = pairs.map_batches(moments, batch_format="pandas").to_pandas()
+    if parts.empty or "m" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    m = sum(int(x) for x in parts["m"])
+    if m == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    sx = sum(int(x) for x in parts["sx"])
+    sxx = sum(int(x) for x in parts["sxx"])
+    sxy = sum(int(x) for x in parts["sxy"])
+    n = 2 * m
+    cov = n * sxy - sx * sx
+    vx = n * sxx - sx * sx
+    assort = 0 if vx == 0 else (1_000_000 * cov) // vx
+    return pd.DataFrame({"assort_x1e6": [assort], "n_edges": [m]}).astype(
+        {c: t for c, t in cols.items()})
+
+
+def _sql_kg_degree_assortativity() -> str:
+    def fd(a: str, b: str) -> str:
+        return f"(({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) // ({b})"
+
+    return SQL_TOKS + f""",
+triples AS ({_KG_TRIPLES_BODY}),
+p0 AS (
+  SELECT DISTINCT least(subj, obj) AS lo, greatest(subj, obj) AS hi
+  FROM triples WHERE subj <> obj
+),
+deg AS (
+  SELECT node, CAST(count(*) AS HUGEINT) AS dg
+  FROM (SELECT lo AS node FROM p0 UNION ALL SELECT hi FROM p0) GROUP BY 1
+),
+ep AS (
+  SELECT da.dg AS a, db.dg AS b
+  FROM p0 JOIN deg da ON da.node = p0.lo JOIN deg db ON db.node = p0.hi
+),
+s AS (
+  SELECT 2 * count(*) AS n, count(*) AS m, sum(a + b) AS sx,
+         sum(a*a + b*b) AS sxx, sum(2*a*b) AS sxy
+  FROM ep
+)
+SELECT CAST(CASE WHEN n*sxx - sx*sx = 0 THEN 0
+            ELSE {fd('1000000 * (n*sxy - sx*sx)', 'n*sxx - sx*sx')}
+            END AS BIGINT) AS assort_x1e6,
+       CAST(m AS BIGINT) AS n_edges
+FROM s WHERE m > 0
+"""
+
+
 def q_kg_symmetric_pairs(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
     """Reciprocal-relation detection: entity pairs asserted in BOTH
     directions under the same predicate (a -p-> b and b -p-> a), with
@@ -2679,7 +2817,7 @@ _DRIVER_SAMPLE_FIRST = (
     "kg_shared_neighbors", "edit1_name_neighbors",
     "chi2_independence", "k_anonymity_violations",
     "poisson_bootstrap_mean", "orders_backlog_by_day",
-    "kg_mention_contexts", "kg_merged_triples",
+    "kg_mention_contexts", "kg_merged_triples", "kg_degree_assortativity",
     "late_shipments", "important_parts", "parts_supplier_counts",
     "corr_matrix", "vocab_growth", "revenue_cube", "ols_price_qty",
     "session_duration_quantiles", "surprisal_buckets",
@@ -3032,6 +3170,8 @@ KG_QUERIES = {
     "kg_shared_neighbors": (q_kg_shared_neighbors, SQL_KG_SHARED_NEIGHBORS),
     "kg_mention_contexts": (q_kg_mention_contexts, SQL_KG_MENTION_CONTEXTS),
     "kg_merged_triples": (q_kg_merged_triples, _sql_kg_merged_triples()),
+    "kg_degree_assortativity": (q_kg_degree_assortativity,
+                                _sql_kg_degree_assortativity()),
     "kg_symmetric_pairs": (q_kg_symmetric_pairs, SQL_KG_SYMMETRIC_PAIRS),
     "kg_conflicting_attrs": (q_kg_conflicting_attrs, SQL_KG_CONFLICTING_ATTRS),
     "kg_upsert_diff": (q_kg_upsert_diff, SQL_KG_UPSERT_DIFF),

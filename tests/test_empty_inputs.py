@@ -77,6 +77,7 @@ _SAMPLE = [
     "edit1_name_neighbors", "chi2_independence",
     "k_anonymity_violations", "poisson_bootstrap_mean",
     "orders_backlog_by_day", "kg_mention_contexts", "kg_merged_triples",
+    "kg_degree_assortativity",
     # revenue_cube, like pipeline_metrics, legitimately returns the
     # grand-total row on an empty corpus (CUBE semantics) — excluded
     # from the zero-row assertion
