@@ -23,15 +23,22 @@ _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def _rand_events(rng: np.random.Generator, n: int) -> pa.Table:
     # heavy ts ties + tiny user space: stress ordering tie-breaks
     ts = rng.integers(0, 50, n) * 1_800 + rng.integers(0, 3, n)
+    types = rng.choice(["click", "view", "purchase", "error"], n)
+    # plant one guaranteed view->click->purchase run (a fresh user at
+    # the stream's end) so sequence-pattern queries never go 0-row —
+    # Ray's to_pandas drops columns on an all-empty Dataset
+    ts = np.concatenate([ts, [200_000, 200_001, 200_002]])
+    types = np.concatenate([types, ["view", "click", "purchase"]])
+    n += 3
     return pa.table(
         {
             "event_id": pa.array(rng.permutation(n).astype(np.int64)),
             "ts": pa.array(pd.to_datetime(ts * 1_000_000_000),
                            pa.timestamp("us")),
-            "user_id": pa.array(rng.integers(0, 7, n).astype(np.int64)),
-            "event_type": pa.array(
-                rng.choice(["click", "view", "purchase", "error"], n)
-            ),
+            "user_id": pa.array(np.concatenate(
+                [rng.integers(0, 7, n - 3), [99, 99, 99]]
+            ).astype(np.int64)),
+            "event_type": pa.array(types),
             "value": pa.array(
                 np.round(rng.uniform(0, 200, n), 2), pa.float64()
             ),
@@ -80,7 +87,8 @@ def _compare(sf_dir: str, qname: str):
      "events_rate_alert", "events_tumbling", "user_paths",
      "events_gap_histogram", "events_dedup_window",
      "session_duration_quantiles", "events_ewma",
-     "events_watermark_agg", "session_table"],
+     "events_watermark_agg", "session_table", "event_pattern_match",
+     "events_trailing_range", "chi2_independence"],
 )
 def test_event_queries_differential(ray_session, tmp_path, seed, qname):
     rng = np.random.default_rng(seed * 1000 + len(qname))
@@ -116,7 +124,8 @@ def test_orders_queries_differential(ray_session, tmp_path, seed):
     pq.write_table(tbl, tmp_path / "orders.parquet")
     for q in ["zorder_layout", "orders_snapshot_diff", "contingency_table",
               "rfm_segments", "monthly_revenue_zscore",
-              "revenue_drawdown", "revenue_pareto"]:
+              "revenue_drawdown", "revenue_pareto",
+              "poisson_bootstrap_mean"]:
         _compare(str(tmp_path), q)
 
 
@@ -166,7 +175,7 @@ def test_lineitem_queries_differential(ray_session, tmp_path, seed):
               "price_outliers", "winsorized_revenue",
               "cheapest_supplier", "small_quantity_revenue",
               "corr_matrix", "revenue_cube", "ols_price_qty",
-              "quantity_mode"]:
+              "quantity_mode", "mad_price_outliers"]:
         _compare(str(tmp_path), q)
 
 
@@ -192,7 +201,7 @@ def test_document_queries_differential(ray_session, tmp_path, seed):
     for q in ["phrase_search", "term_search", "token_count",
               "unigram_surprisal", "kg_entity_degree", "kg_path2",
               "vocab_growth", "surprisal_buckets",
-              "term_freq_spectrum"]:
+              "term_freq_spectrum", "inverted_index", "hashed_features"]:
         _compare(str(tmp_path), q)
 
 
@@ -472,7 +481,9 @@ def test_kg_schema_ops_differential(ray_session, tmp_path, seed):
               "kg_ego_network", "kg_store_lookup", "kg_store_upsert",
               "kg_yield_hist", "role_token_share",
               "kg_mention_length_hist", "tool_transitions",
-              "kg_predicate_drift"]:
+              "kg_predicate_drift", "kg_type_constraints",
+              "kg_shared_neighbors", "kg_mention_contexts",
+              "kg_merged_triples", "kg_degree_assortativity"]:
         _compare(str(tmp_path), q)
 
 
@@ -524,3 +535,51 @@ def test_sql_floordiv_matches_python_floor():
                 f"SELECT {_sql_floordiv(str(int(ai)), str(int(bi)))}"
             ).fetchone()[0]
             assert int(got) == int(ai) // int(bi), (ai, bi)
+
+
+@pytest.mark.parametrize("seed", [5, 53])
+def test_customer_embedding_backlog_differential(ray_session, tmp_path, seed):
+    """The session's cross-table ops under random micro-tables:
+    k-anonymity's scale-free cut, the deletion-neighborhood
+    Levenshtein-1 join (names of MIXED lengths so the indel path runs),
+    the fixed-point PCA power iteration (with a planted all-zero
+    vector), and the backlog delta sweep over orders x lineitem."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(60, 200))
+    names = [f"C#{int(x):04d}" for x in rng.integers(0, 500, n)]
+    names[0] = "C#001"   # length-17 vs 18 analogue: forces indel pairs
+    names[1] = "C#0011"
+    pq.write_table(pa.table(
+        {"c_custkey": pa.array(np.arange(n, dtype=np.int64)),
+         "c_name": pa.array(names),
+         "c_nationkey": pa.array(rng.integers(0, 6, n).astype(np.int64)),
+         "c_mktsegment": pa.array(rng.choice(["AUTO", "HOUSE"], n))}
+    ), tmp_path / "customer.parquet")
+    _compare(str(tmp_path), "k_anonymity_violations")
+    _compare(str(tmp_path), "edit1_name_neighbors")
+
+    d = 8
+    emb = rng.normal(0, 0.3, (40, d)).astype(np.float32)
+    emb[7] = 0.0  # zero vector: its encoded row contributes nothing
+    pq.write_table(pa.table(
+        {"vec_id": pa.array(np.arange(40, dtype=np.int64)),
+         "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+         "label": pa.array(rng.integers(0, 3, 40).astype(np.int32))}
+    ), tmp_path / "embeddings.parquet")
+    _compare(str(tmp_path), "embedding_pca1")
+
+    m = int(rng.integers(80, 300))
+    pq.write_table(pa.table(
+        {"o_orderkey": pa.array(np.arange(m, dtype=np.int64)),
+         "o_orderdate": pa.array(
+             pd.to_datetime(rng.integers(800_000_000, 900_000_000, m)
+                            * 1_000_000_000), pa.timestamp("us"))}
+    ), tmp_path / "orders.parquet")
+    k = m * 3
+    pq.write_table(pa.table(
+        {"l_orderkey": pa.array(rng.integers(0, m + 10, k).astype(np.int64)),
+         "l_shipdate": pa.array(
+             pd.to_datetime(rng.integers(800_000_000, 1_000_000_000, k)
+                            * 1_000_000_000), pa.timestamp("us"))}
+    ), tmp_path / "lineitem.parquet")
+    _compare(str(tmp_path), "orders_backlog_by_day")
