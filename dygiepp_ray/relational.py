@@ -7909,6 +7909,148 @@ FROM g
 """
 
 
+def conversion_lag_quantiles(
+    sf_dir: str, num_buckets: int = 16
+) -> pd.DataFrame:
+    """Funnel TIMING: exact quantiles of the view-to-purchase lag —
+    for every converting user, microseconds from their first ``view``
+    to the first ``purchase`` AFTER it (funnel_steps says how many
+    convert; this says how fast).  Per-user lags complete on one
+    user-keyed exchange (grouped vectorized mins, no per-user loop);
+    quantiles come from the distributed selection core
+    (`analytics.exact_quantiles`) over the derived lag dataset — the
+    session_duration_quantiles composite pattern.
+    -> (q, lag_us), quantile_disc convention (ceil(q*n)-th)."""
+    from .analytics import exact_quantiles
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+
+    def lags(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "user_id" not in df.columns:
+            return pd.DataFrame({"lag_us": pd.Series(dtype=np.int64)})
+        t = ts_epoch_us(df["ts"])
+        uid = df["user_id"].to_numpy(np.int64)
+        ty = df["event_type"].to_numpy()
+        v = pd.DataFrame({"u": uid[ty == "view"], "t": t[ty == "view"]})
+        p = pd.DataFrame({"u": uid[ty == "purchase"],
+                          "t": t[ty == "purchase"]})
+        if len(v) == 0 or len(p) == 0:
+            return pd.DataFrame({"lag_us": pd.Series(dtype=np.int64)})
+        fv = v.groupby("u")["t"].min()
+        # first purchase at-or-after the first view (ties convert:
+        # epoch(view) <= epoch(purchase) mirrors the SQL >=)
+        j = p.merge(fv.rename("v0"), left_on="u", right_index=True)
+        j = j[j["t"] >= j["v0"]]
+        if len(j) == 0:
+            return pd.DataFrame({"lag_us": pd.Series(dtype=np.int64)})
+        g = j.groupby("u").agg(t=("t", "min"), v0=("v0", "first"))
+        return pd.DataFrame(
+            {"lag_us": (g["t"] - g["v0"]).to_numpy(np.int64)})
+
+    per_user = partitioned_map_groups(ds, "user_id", lags, num_buckets)
+    out = exact_quantiles(per_user, "lag_us", [0.25, 0.5, 0.75, 0.95])
+    if len(out) == 0:
+        return pd.DataFrame({"q": pd.Series(dtype=np.float64),
+                             "lag_us": pd.Series(dtype=np.int64)})
+    return pd.DataFrame({"q": out["q"].to_numpy(np.float64),
+                         "lag_us": out["value"].to_numpy(np.int64)})
+
+
+SQL_CONVERSION_LAG_QUANTILES = """
+WITH fv AS (
+  SELECT user_id, min(epoch_us(ts)) AS v0 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+fp AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS p0
+  FROM events e JOIN fv ON fv.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= fv.v0
+  GROUP BY 1
+),
+lag AS (SELECT fp.p0 - fv.v0 AS lag_us FROM fp JOIN fv USING (user_id)),
+n AS (SELECT count(*) AS nt FROM lag),
+r AS (SELECT lag_us, row_number() OVER (ORDER BY lag_us) AS rk FROM lag)
+SELECT q, CAST(min(lag_us) AS BIGINT) AS lag_us
+FROM r, n, (VALUES (0.25), (0.5), (0.75), (0.95)) qs(q)
+WHERE rk >= CAST(ceil(q * nt) AS BIGINT) AND nt > 0
+GROUP BY q
+"""
+
+
+def revenue_gini(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
+    """Gini coefficient of order values — THE inequality scalar next to
+    revenue_pareto's decile curve — exact, with no global sort: ranks
+    are never materialized because tied values contribute an arithmetic
+    series, so the whole statistic folds off the collapsed
+    (cents, count) histogram: for value v with count c after o smaller
+    rows, sum(rank*v) gains ``v * c * (2o + c + 1) / 2``.  Final value
+    is the pure integer ``(1e6 * (2S - (n+1)T)) // (nT)`` (python
+    bigint driver / row_number HUGEINT twin — same by the series
+    identity).  One combiner pass + one cents-keyed exchange; the
+    driver folds a price-domain-bounded histogram.
+    -> one row (gini_x1e6, n)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    )
+    cols = {"gini_x1e6": np.int64, "n": np.int64}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_totalprice" not in df.columns:
+            return pd.DataFrame({"cents": pd.Series(dtype=np.int64),
+                                 "c": pd.Series(dtype=np.int64)})
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(np.float64) * 100.0
+        ).astype(np.int64)
+        u, n = np.unique(cents, return_counts=True)
+        return pd.DataFrame({"cents": u, "c": n.astype(np.int64)})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "cents" not in df.columns:
+            return pd.DataFrame({"cents": pd.Series(dtype=np.int64),
+                                 "c": pd.Series(dtype=np.int64)})
+        return (df.groupby("cents", as_index=False)["c"].sum()
+                .astype(np.int64))
+
+    hist = partitioned_map_groups(
+        ds.map_batches(partial, batch_format="pandas"), "cents", merge,
+        num_buckets,
+    ).to_pandas()
+    if hist.empty or "cents" not in hist.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    h = hist.sort_values("cents", ignore_index=True)
+    S, T, n, o = 0, 0, 0, 0
+    for v, c in zip(h["cents"], h["c"]):
+        v, c = int(v), int(c)
+        S += v * (c * (2 * o + c + 1)) // 2
+        T += v * c
+        o += c
+        n += c
+    if n == 0 or T == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    g = (1_000_000 * (2 * S - (n + 1) * T)) // (n * T)
+    return pd.DataFrame({"gini_x1e6": [g], "n": [n]}).astype(
+        {c: t for c, t in cols.items()})
+
+
+SQL_REVENUE_GINI = """
+WITH e AS (
+  SELECT CAST(floor(o_totalprice * 100.0) AS HUGEINT) AS cents
+  FROM orders
+),
+r AS (
+  SELECT cents, CAST(row_number() OVER (ORDER BY cents) AS HUGEINT) AS rk
+  FROM e
+),
+s AS (SELECT count(*) AS n, sum(cents) AS t, sum(rk * cents) AS s FROM r)
+SELECT CAST((1000000 * (2 * s - (n + 1) * t)) // (n * t) AS BIGINT)
+         AS gini_x1e6,
+       CAST(n AS BIGINT) AS n
+FROM s WHERE n > 0 AND t > 0
+"""
+
+
 # Poisson(1) CDF cutoffs scaled by 16^6 (exact ints both engines):
 # weight k iff cutoff[k-1] <= u < cutoff[k] over the md5-uniform u
 _POIS_CUTS = (6171992, 12343985, 15429982, 16458647,
@@ -8120,4 +8262,7 @@ RELATIONAL_QUERIES = {
                                _sql_poisson_bootstrap_mean()),
     "orders_backlog_by_day": (orders_backlog_by_day,
                               SQL_ORDERS_BACKLOG_BY_DAY),
+    "revenue_gini": (revenue_gini, SQL_REVENUE_GINI),
+    "conversion_lag_quantiles": (conversion_lag_quantiles,
+                                 SQL_CONVERSION_LAG_QUANTILES),
 }

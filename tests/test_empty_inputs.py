@@ -76,7 +76,9 @@ _SAMPLE = [
     "events_trailing_range", "hashed_features", "kg_shared_neighbors",
     "edit1_name_neighbors", "chi2_independence",
     "k_anonymity_violations", "poisson_bootstrap_mean",
-    "orders_backlog_by_day", "kg_mention_contexts", "kg_merged_triples",
+    "orders_backlog_by_day", "revenue_gini", "conversion_lag_quantiles",
+    "kg_mention_contexts",
+    "kg_merged_triples",
     "kg_degree_assortativity",
     # revenue_cube, like pipeline_metrics, legitimately returns the
     # grand-total row on an empty corpus (CUBE semantics) — excluded
