@@ -88,7 +88,8 @@ def _compare(sf_dir: str, qname: str):
      "events_gap_histogram", "events_dedup_window",
      "session_duration_quantiles", "events_ewma",
      "events_watermark_agg", "session_table", "event_pattern_match",
-     "events_trailing_range", "chi2_independence"],
+     "events_trailing_range", "chi2_independence",
+     "conversion_lag_quantiles"],
 )
 def test_event_queries_differential(ray_session, tmp_path, seed, qname):
     rng = np.random.default_rng(seed * 1000 + len(qname))
@@ -125,7 +126,7 @@ def test_orders_queries_differential(ray_session, tmp_path, seed):
     for q in ["zorder_layout", "orders_snapshot_diff", "contingency_table",
               "rfm_segments", "monthly_revenue_zscore",
               "revenue_drawdown", "revenue_pareto",
-              "poisson_bootstrap_mean"]:
+              "poisson_bootstrap_mean", "revenue_gini"]:
         _compare(str(tmp_path), q)
 
 
