@@ -7979,6 +7979,91 @@ GROUP BY q
 """
 
 
+def user_gap_mad(sf_dir: str, num_buckets: int = 16) -> ray.data.Dataset:
+    """Per-user inter-event-gap median and MAD — the robust behavioral
+    fingerprint behind bot detection (a scripted client's gaps have
+    near-zero MAD; a human's spread): the per-GROUP member of the
+    median/MAD family (mad_price_outliers is global-per-flag off a
+    histogram; gaps are unbounded, so here each user's gaps sort
+    in-bucket).
+
+    One user-keyed exchange; in-bucket everything is grouped-vectorized
+    (lexsort, diff, per-group rank picks via cumcount — no per-user
+    loop).  Lower-median rank (n+1)//2 on both engines.
+    -> (user_id, n_gaps, med_gap_us, mad_gap_us), users with >= 1 gap."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    cols = {"user_id": np.int64, "n_gaps": np.int64,
+            "med_gap_us": np.int64, "mad_gap_us": np.int64}
+
+    def _group_lower_median(uid: np.ndarray, val: np.ndarray) -> pd.Series:
+        """uid run-grouped; per group the (n+1)//2-th smallest val."""
+        df = pd.DataFrame({"u": uid, "v": val})
+        df = df.sort_values(["u", "v"], kind="mergesort",
+                            ignore_index=True)
+        g = df.groupby("u", sort=False)
+        rank = g.cumcount().to_numpy()
+        size = g["v"].transform("size").to_numpy()
+        pick = rank == (size + 1) // 2 - 1
+        return df[pick].set_index("u")["v"]
+
+    def mad(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "user_id" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in cols.items()})
+        t = ts_epoch_us(df["ts"])
+        uid = df["user_id"].to_numpy(np.int64)
+        order = np.lexsort((df["event_id"].to_numpy(np.int64), t, uid))
+        uid, t = uid[order], t[order]
+        same = np.concatenate([[False], uid[1:] == uid[:-1]])
+        gap = np.empty(len(t), dtype=np.int64)
+        gap[1:] = t[1:] - t[:-1]
+        gu, gv = uid[same], gap[same]
+        if len(gu) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=t_)
+                                 for c, t_ in cols.items()})
+        med = _group_lower_median(gu, gv)
+        dev = np.abs(gv - med.reindex(gu).to_numpy(np.int64))
+        md = _group_lower_median(gu, dev)
+        n = pd.Series(gv).groupby(gu).size()
+        return pd.DataFrame(
+            {"user_id": med.index.to_numpy(np.int64),
+             "n_gaps": n.reindex(med.index).to_numpy(np.int64),
+             "med_gap_us": med.to_numpy(np.int64),
+             "mad_gap_us": md.reindex(med.index).to_numpy(np.int64)})
+
+    return partitioned_map_groups(ds, "user_id", mad, num_buckets)
+
+
+SQL_USER_GAP_MAD = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+),
+gg AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL),
+n AS (SELECT user_id, count(*) AS n_gaps FROM gg GROUP BY 1),
+r AS (SELECT user_id, gap,
+             row_number() OVER (PARTITION BY user_id ORDER BY gap) AS rk
+      FROM gg),
+med AS (SELECT r.user_id, min(gap) AS med FROM r JOIN n USING (user_id)
+        WHERE rk >= (n_gaps + 1) // 2 GROUP BY 1),
+dv AS (SELECT gg.user_id, abs(gg.gap - med.med) AS d
+       FROM gg JOIN med USING (user_id)),
+rd AS (SELECT user_id, d,
+              row_number() OVER (PARTITION BY user_id ORDER BY d) AS rk
+       FROM dv),
+mad AS (SELECT rd.user_id, min(d) AS mad FROM rd JOIN n USING (user_id)
+        WHERE rk >= (n_gaps + 1) // 2 GROUP BY 1)
+SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+       CAST(med AS BIGINT) AS med_gap_us,
+       CAST(mad AS BIGINT) AS mad_gap_us
+FROM n JOIN med USING (user_id) JOIN mad USING (user_id)
+"""
+
+
 def revenue_gini(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
     """Gini coefficient of order values — THE inequality scalar next to
     revenue_pareto's decile curve — exact, with no global sort: ranks
@@ -8265,4 +8350,5 @@ RELATIONAL_QUERIES = {
     "revenue_gini": (revenue_gini, SQL_REVENUE_GINI),
     "conversion_lag_quantiles": (conversion_lag_quantiles,
                                  SQL_CONVERSION_LAG_QUANTILES),
+    "user_gap_mad": (user_gap_mad, SQL_USER_GAP_MAD),
 }
