@@ -8064,6 +8064,93 @@ FROM n JOIN med USING (user_id) JOIN mad USING (user_id)
 """
 
 
+def loo_target_encoding(sf_dir: str, num_buckets: int = 4) -> ray.data.Dataset:
+    """Leave-one-out target encoding of a categorical feature: each
+    order's priority class encoded as the mean order value of the
+    OTHER orders in its class — the supervised-feature transform that
+    must exclude the row's own target or it leaks (the classic tabular
+    ML preprocessing step).  Exact fixed-point: enc_x1e3 =
+    ``(1000 * (sum_c - x_i)) // (n_c - 1)`` in integer cents.
+
+    Per-class (n, sum) folds from per-batch combiners into a
+    cells-bounded driver dict broadcast to a map-only encode pass —
+    the same asymmetry as a fitted sklearn encoder, so no shuffle
+    touches the fact table.  Singleton classes emit NULL-free -1 (the
+    no-information sentinel both engines share).
+    -> (o_orderkey, o_orderpriority, enc_x1e3)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_orderpriority" not in df.columns:
+            return pd.DataFrame({"prio": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64),
+                                 "s": pd.Series(dtype=object)})
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(np.float64) * 100.0
+        ).astype(np.int64)
+        g = pd.DataFrame({"prio": df["o_orderpriority"].to_numpy(),
+                          "c": cents}).groupby("prio")["c"]
+        # decimal-string partial sums: exact past int64 at any scale
+        return pd.DataFrame(
+            {"prio": g.size().index.to_numpy(object),
+             "n": g.size().to_numpy(np.int64),
+             "s": [str(int(x)) for x in g.sum()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    stats: dict[str, tuple[int, int]] = {}
+    if not parts.empty and "prio" in parts.columns:
+        for p, g in parts.groupby("prio"):
+            stats[p] = (int(g["n"].sum()), sum(int(x) for x in g["s"]))
+    sref = ray.put(stats)
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_orderkey" not in df.columns:
+            return pd.DataFrame(
+                {"o_orderkey": pd.Series(dtype=np.int64),
+                 "o_orderpriority": pd.Series(dtype=object),
+                 "enc_x1e3": pd.Series(dtype=np.int64)})
+        st = ray.get(sref)
+        if any(1000 * s >= (1 << 63) for _, s in st.values()):
+            raise OverflowError(
+                "loo_target_encoding class sum exceeds the vectorized "
+                "int64 encode bound; shard the class or widen the scale"
+            )
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(np.float64) * 100.0
+        ).astype(np.int64)
+        prio = pd.Series(df["o_orderpriority"].to_numpy(object))
+        ns = prio.map(lambda p: st[p][0]).to_numpy(np.int64)
+        ss = prio.map(lambda p: st[p][1]).to_numpy(np.int64)
+        enc = np.where(
+            ns <= 1, np.int64(-1),
+            (1000 * (ss - cents)) // np.maximum(ns - 1, 1))
+        return pd.DataFrame(
+            {"o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+             "o_orderpriority": prio.to_numpy(object),
+             "enc_x1e3": enc.astype(np.int64)})
+
+    return ds.map_batches(encode, batch_format="pandas")
+
+
+SQL_LOO_TARGET_ENCODING = """
+WITH e AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(floor(o_totalprice * 100.0) AS HUGEINT) AS cents
+  FROM orders
+),
+s AS (SELECT o_orderpriority, count(*) AS n, sum(cents) AS t
+      FROM e GROUP BY 1)
+SELECT e.o_orderkey, e.o_orderpriority,
+       CAST(CASE WHEN s.n <= 1 THEN -1
+            ELSE (1000 * (s.t - e.cents)) // (s.n - 1)
+            END AS BIGINT) AS enc_x1e3
+FROM e JOIN s USING (o_orderpriority)
+"""
+
+
 def revenue_gini(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
     """Gini coefficient of order values — THE inequality scalar next to
     revenue_pareto's decile curve — exact, with no global sort: ranks
@@ -8351,4 +8438,5 @@ RELATIONAL_QUERIES = {
     "conversion_lag_quantiles": (conversion_lag_quantiles,
                                  SQL_CONVERSION_LAG_QUANTILES),
     "user_gap_mad": (user_gap_mad, SQL_USER_GAP_MAD),
+    "loo_target_encoding": (loo_target_encoding, SQL_LOO_TARGET_ENCODING),
 }

@@ -126,7 +126,8 @@ def test_orders_queries_differential(ray_session, tmp_path, seed):
     for q in ["zorder_layout", "orders_snapshot_diff", "contingency_table",
               "rfm_segments", "monthly_revenue_zscore",
               "revenue_drawdown", "revenue_pareto",
-              "poisson_bootstrap_mean", "revenue_gini"]:
+              "poisson_bootstrap_mean", "revenue_gini",
+              "loo_target_encoding"]:
         _compare(str(tmp_path), q)
 
 
