@@ -976,3 +976,116 @@ def gif_frames(
         GifFrameReader(), batch_format="pandas",
         batch_size=batch_size, concurrency=concurrency,
     )
+
+
+JPEG_SEED = 59
+
+
+def synth_jpeg(n: int = 12, seed: int = JPEG_SEED) -> pa.Table:
+    """(media_id, payload): REAL baseline-JFIF containers — SOI, APP0
+    (JFIF 1.1), DQT, SOF0 with the image dimensions, a minimal DHT,
+    SOS header, entropy-coded data, EOI — every marker segment with a
+    correct big-endian length field.  The entropy bytes are an ascii
+    md5 chain (hex chars only, so no 0xFF can appear and the scan
+    needs no byte-unstuffing), letting the DuckDB oracle regenerate
+    (w, h, entropy md5) without the container."""
+    import struct
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    ids, payloads = [], []
+    for i in range(n):
+        base = hashlib.md5(f"jpg:{seed}:{i}".encode()).hexdigest()
+        w = 16 + int(base[0:2], 16) % 240
+        h = 16 + int(base[2:4], 16) % 200
+        esz = 24 + int(base[4:6], 16) % 120
+        chain = "".join(
+            hashlib.md5(f"jpg:{seed}:{i}:{k}".encode()).hexdigest()
+            for k in range(5)
+        )
+        entropy = chain[:esz].encode("ascii")
+        qt = bytes.fromhex(
+            hashlib.md5(f"jpg:{seed}:{i}:qt".encode()).hexdigest() * 5
+        )[:64]
+        out = b"\xff\xd8"                                    # SOI
+        out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        out += seg(0xDB, b"\x00" + qt)                       # DQT
+        out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1)
+                   + b"\x01\x11\x00")                        # SOF0
+        out += seg(0xC4, b"\x00" + bytes([0] * 15 + [1]) + b"\x00")  # DHT
+        out += seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")        # SOS
+        out += entropy + b"\xff\xd9"                         # EOI
+        ids.append(i)
+        payloads.append(out)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+class JpegHeaderReader:
+    """Actor-pool stage: REAL JPEG marker walk — verifies SOI, follows
+    every segment's big-endian length, reads dimensions from SOF0-3,
+    scans the entropy stream after SOS to EOI — and RAISES on a
+    malformed stream instead of passing it through."""
+
+    @staticmethod
+    def _parse(payload: bytes):
+        import struct
+
+        if payload[0:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG payload (missing SOI)")
+        pos, w, h, n_segments, entropy = 2, None, None, 1, None
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                raise ValueError(f"expected marker at {pos}")
+            marker = payload[pos + 1]
+            ln = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
+            body = payload[pos + 4:pos + 2 + ln]
+            n_segments += 1
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3):
+                _prec, h, w, _nc = struct.unpack(">BHHB", body[:6])
+            if marker == 0xDA:
+                scan = payload[pos + 2 + ln:]
+                end = scan.find(b"\xff\xd9")
+                if end < 0:
+                    raise ValueError("entropy stream missing EOI")
+                if pos + 2 + ln + end + 2 != len(payload):
+                    raise ValueError("trailing bytes after EOI")
+                entropy = scan[:end]
+                break
+            pos += 2 + ln
+        if w is None or entropy is None:
+            raise ValueError("missing SOF or SOS segment")
+        return w, h, n_segments, entropy
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"media_id": [], "w": [], "h": [], "n_segments": [],
+                "entropy_len": [], "entropy_md5": []}
+        for mid, payload in zip(df["media_id"], df["payload"]):
+            w, h, ns, ent = self._parse(bytes(payload))
+            rows["media_id"].append(int(mid))
+            rows["w"].append(w)
+            rows["h"].append(h)
+            rows["n_segments"].append(ns)
+            rows["entropy_len"].append(len(ent))
+            rows["entropy_md5"].append(hashlib.md5(ent).hexdigest())
+        return pd.DataFrame(rows).astype(
+            {c: np.int64 for c in ("media_id", "w", "h", "n_segments",
+                                   "entropy_len")}
+        )
+
+
+def jpeg_dims(
+    media: ray.data.Dataset, concurrency: int = 2, batch_size: int = 4
+) -> ray.data.Dataset:
+    """Header-only image introspection (dimensions without a decode) —
+    the metadata pass a curation pipeline runs before deciding which
+    payloads are worth decoding at all."""
+    return media.map_batches(
+        JpegHeaderReader(), batch_format="pandas",
+        batch_size=batch_size, concurrency=concurrency,
+    )

@@ -1389,6 +1389,42 @@ FROM ch
 """
 
 
+def q_jpeg_dims(sf_dir: str):
+    """REAL JPEG/JFIF marker-segment walk (SOI check, big-endian
+    lengths, SOF0 dims, SOS entropy scan to EOI, trailing-byte check);
+    the twin regenerates (w, h, entropy md5) from the generation
+    rule."""
+    media = ray.data.from_arrow(multimodal.synth_jpeg(12))
+    return multimodal.jpeg_dims(media)
+
+
+def _sql_jpeg_dims() -> str:
+    from .multimodal import JPEG_SEED
+
+    return f"""
+WITH m AS (
+  SELECT i, md5('jpg:{JPEG_SEED}:' || i) AS base FROM range(0, 12) t(i)
+),
+d AS (
+  SELECT i, 16 + {_sql_hexval('base', 1, 2)} % 240 AS w,
+         16 + {_sql_hexval('base', 3, 2)} % 200 AS h,
+         24 + {_sql_hexval('base', 5, 2)} % 120 AS esz
+  FROM m
+),
+ch AS (
+  SELECT d.i, d.w, d.h, d.esz,
+         string_agg(md5('jpg:{JPEG_SEED}:' || d.i || ':' || k.k), ''
+                    ORDER BY k.k) AS chain
+  FROM d, range(0, 5) k(k) GROUP BY d.i, d.w, d.h, d.esz
+)
+SELECT CAST(i AS BIGINT) AS media_id, CAST(w AS BIGINT) AS w,
+       CAST(h AS BIGINT) AS h, CAST(6 AS BIGINT) AS n_segments,
+       CAST(esz AS BIGINT) AS entropy_len,
+       md5(substring(chain, 1, esz)) AS entropy_md5
+FROM ch
+"""
+
+
 def q_bmp_features(sf_dir: str):
     """REAL BMP decode: 24-bpp header offsets, 4-byte row stride, and
     the bottom-up row flip all undone by the parser; the ``top_row_sum``
@@ -2420,6 +2456,7 @@ TEXTOPS_QUERIES = {
     "wav_features": (q_wav_features, SQL_WAV_FEATURES),
     "avi_frames": (q_avi_frames, _sql_avi_frames()),
     "gif_frames": (q_gif_frames, _sql_gif_frames()),
+    "jpeg_dims": (q_jpeg_dims, _sql_jpeg_dims()),
     "ppm_features": (q_ppm_features, SQL_PPM_FEATURES),
     "bmp_features": (q_bmp_features, SQL_BMP_FEATURES),
     "png_features": (q_png_features, SQL_PNG_FEATURES),

@@ -1171,3 +1171,33 @@ def test_edit1_neighbors_indel_substitution_and_false_candidates(ray_session):
     # the verify stage must kill the false candidate
     assert ("ab", "ba") not in pairs
     assert all(a < b for a, b in pairs)
+
+
+def test_jpeg_synth_is_real_jfif_and_reader_cross_checks(ray_session):
+    import hashlib
+    import struct
+
+    import pytest as _pytest
+    import ray.data as rd
+
+    from dygiepp_ray.textops import multimodal as M
+
+    tbl = M.synth_jpeg(4)
+    p0 = bytes(tbl["payload"][0].as_py())
+    assert p0[:2] == b"\xff\xd8" and p0[-2:] == b"\xff\xd9"
+    w, h, ns, ent = M.JpegHeaderReader._parse(p0)
+    # dims live in SOF0 and nowhere else: find the marker and cross-read
+    i = p0.find(b"\xff\xc0")
+    ph, pw = struct.unpack(">HH", p0[i + 5:i + 9])
+    assert (w, h) == (pw, ph) and ns == 6
+    out = M.jpeg_dims(rd.from_arrow(tbl)).to_pandas()
+    row = out[out["media_id"] == 0].iloc[0]
+    assert row["entropy_md5"] == hashlib.md5(ent).hexdigest()
+    assert row["entropy_len"] == len(ent)
+
+    # truncating EOI must RAISE (stream without terminator)
+    with _pytest.raises(ValueError):
+        M.JpegHeaderReader._parse(p0[:-2])
+    # appending trailing garbage after EOI must RAISE too
+    with _pytest.raises(ValueError, match="trailing"):
+        M.JpegHeaderReader._parse(p0 + b"xx")
