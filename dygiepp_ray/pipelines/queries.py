@@ -2818,7 +2818,7 @@ _DRIVER_SAMPLE_FIRST = (
     "chi2_independence", "k_anonymity_violations",
     "poisson_bootstrap_mean", "orders_backlog_by_day", "revenue_gini",
     "conversion_lag_quantiles", "user_gap_mad", "loo_target_encoding",
-    "jpeg_dims",
+    "jpeg_dims", "dau_wau_mau",
     "kg_mention_contexts", "kg_merged_triples", "kg_degree_assortativity",
     "late_shipments", "important_parts", "parts_supplier_counts",
     "corr_matrix", "vocab_growth", "revenue_cube", "ols_price_qty",

@@ -8064,6 +8064,96 @@ FROM n JOIN med USING (user_id) JOIN mad USING (user_id)
 """
 
 
+def dau_wau_mau(sf_dir: str, num_buckets: int = 8) -> ray.data.Dataset:
+    """DAU / WAU / MAU: per calendar day, the distinct users active
+    that day, in the trailing 7 days, and in the trailing 30 — the
+    growth-analytics triple that sliding-window DISTINCT makes hard
+    (a user active twice in a window still counts once, so no sum of
+    daily counts works).
+
+    Shape: per-batch DISTINCT (user, day) pairs are the combiner
+    (shuffle bytes O(users x active days), never O(events)); each pair
+    then fans out to the <= 30 window days it serves (a bounded
+    explode), and ONE day-keyed exchange dedups per (window day, user,
+    span) and counts — a window day's users co-locate, so the count is
+    exact.  Days with no activity in any trailing span emit nothing.
+    -> (day_epoch_s, dau, wau, mau)."""
+    DAY_US = 86_400_000_000
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "user_id" not in df.columns:
+            return pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                                 "day": pd.Series(dtype=np.int64)})
+        return pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(np.int64),
+             "day": ts_epoch_us(df["ts"]) // DAY_US}
+        ).drop_duplicates(ignore_index=True)
+
+    def fanout(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "user_id" not in df.columns:
+            return pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                                 "wday": pd.Series(dtype=np.int64),
+                                 "span": pd.Series(dtype=np.int64)})
+        d = df.drop_duplicates()
+        u = d["user_id"].to_numpy(np.int64)
+        day = d["day"].to_numpy(np.int64)
+        out_u, out_w, out_s = [], [], []
+        for span, width in ((1, 1), (7, 7), (30, 30)):
+            off = np.arange(width, dtype=np.int64)
+            out_u.append(np.repeat(u, width))
+            out_w.append((day[:, None] + off[None, :]).ravel())
+            out_s.append(np.full(len(u) * width, span, dtype=np.int64))
+        return pd.DataFrame({"user_id": np.concatenate(out_u),
+                             "wday": np.concatenate(out_w),
+                             "span": np.concatenate(out_s)})
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"day_epoch_s": np.int64, "dau": np.int64,
+                "wau": np.int64, "mau": np.int64}
+        if len(df) == 0 or "wday" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in cols.items()})
+        g = (df.drop_duplicates()
+             .groupby(["wday", "span"], as_index=False)["user_id"]
+             .nunique().rename(columns={"user_id": "n"}))
+        p = g.pivot(index="wday", columns="span", values="n").fillna(0)
+        for s in (1, 7, 30):
+            if s not in p.columns:
+                p[s] = 0
+        return pd.DataFrame(
+            {"day_epoch_s": p.index.to_numpy(np.int64) * 86_400,
+             "dau": p[1].to_numpy(np.int64),
+             "wau": p[7].to_numpy(np.int64),
+             "mau": p[30].to_numpy(np.int64)})
+
+    fan = ds.map_batches(pairs, batch_format="pandas").map_batches(
+        fanout, batch_format="pandas")
+    return partitioned_map_groups(fan, "wday", count, num_buckets)
+
+
+SQL_DAU_WAU_MAU = """
+WITH p AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+days AS (
+  SELECT DISTINCT day + o AS wday
+  FROM p, unnest(range(0, 30)) t(o)
+)
+SELECT CAST(wday * 86400 AS BIGINT) AS day_epoch_s,
+       CAST(count(DISTINCT CASE WHEN p.day = wday
+                           THEN user_id END) AS BIGINT) AS dau,
+       CAST(count(DISTINCT CASE WHEN p.day > wday - 7
+                           THEN user_id END) AS BIGINT) AS wau,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+FROM days JOIN p ON p.day BETWEEN wday - 29 AND wday
+GROUP BY wday
+"""
+
+
 def loo_target_encoding(sf_dir: str, num_buckets: int = 4) -> ray.data.Dataset:
     """Leave-one-out target encoding of a categorical feature: each
     order's priority class encoded as the mean order value of the
@@ -8439,4 +8529,5 @@ RELATIONAL_QUERIES = {
                                  SQL_CONVERSION_LAG_QUANTILES),
     "user_gap_mad": (user_gap_mad, SQL_USER_GAP_MAD),
     "loo_target_encoding": (loo_target_encoding, SQL_LOO_TARGET_ENCODING),
+    "dau_wau_mau": (dau_wau_mau, SQL_DAU_WAU_MAU),
 }

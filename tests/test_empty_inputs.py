@@ -77,7 +77,7 @@ _SAMPLE = [
     "edit1_name_neighbors", "chi2_independence",
     "k_anonymity_violations", "poisson_bootstrap_mean",
     "orders_backlog_by_day", "revenue_gini", "conversion_lag_quantiles",
-    "user_gap_mad", "loo_target_encoding",
+    "user_gap_mad", "loo_target_encoding", "dau_wau_mau",
     "kg_mention_contexts",
     "kg_merged_triples",
     "kg_degree_assortativity",
