@@ -187,6 +187,76 @@ FROM ctx
 """
 
 
+def q_chatml_export(sf_dir: str) -> "ray.data.Dataset":
+    """Chat-format training export: every conversation serialized to
+    the ChatML-style line format ({"role","content"} per turn,
+    newline-joined) with a content digest — the wire format an SFT
+    trainer ingests (the chat sibling of the reference's DyGIE JSONL
+    writer, ``sources/jsonl.write_reference_jsonl``).  The digest, not
+    the blob, is the query surface so the oracle stays hashable.
+
+    One conv-keyed exchange; per bucket the serialization is
+    vectorized string concat + per-conv join (a conversation's turns
+    co-locate, so the digest is exact).
+    -> (conv_id, n_turns, chatml_md5)."""
+    import hashlib
+
+    from ..core import partitioned_map_groups
+    from ..sources.transcripts import documents_as_transcripts
+
+    turns = documents_as_transcripts(sf_dir)
+
+    def export(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"conv_id": object, "n_turns": np.int64,
+                "chatml_md5": object}
+        if len(df) == 0 or "conv_id" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in cols.items()})
+        d = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        line = ('{"role":"' + d["role"] + '","content":"'
+                + d["text"] + '"}')
+        g = line.groupby(d["conv_id"].to_numpy())
+        s = g.agg("\n".join)
+        n = g.size()
+        return pd.DataFrame(
+            {"conv_id": s.index.to_numpy(object),
+             "n_turns": n.to_numpy(np.int64),
+             "chatml_md5": [hashlib.md5(x.encode()).hexdigest()
+                            for x in s]})
+
+    return partitioned_map_groups(turns, "conv_id", export,
+                                  num_buckets=16)
+
+
+SQL_CHATML_EXPORT = rf"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+  FROM documents
+),
+nt AS (
+  SELECT doc_id, arr, len(arr) AS n,
+         CAST(ceil(len(arr) / {TT}.0) AS BIGINT) AS k
+  FROM base
+),
+turns AS (
+  SELECT doc_id, t,
+         (['user', 'assistant', 'tool'])[t % 3 + 1] AS role,
+         array_to_string(arr[t * {TT} + 1 : least((t + 1) * {TT}, n)],
+                         ' ') AS txt
+  FROM nt, unnest(range(0, k)) r(t)
+),
+lines AS (
+  SELECT doc_id, count(*) AS n_turns,
+         string_agg('{{"role":"' || role || '","content":"' || txt
+                    || '"}}', chr(10) ORDER BY t) AS s
+  FROM turns GROUP BY 1
+)
+SELECT 'doc' || doc_id AS conv_id, CAST(n_turns AS BIGINT) AS n_turns,
+       md5(s) AS chatml_md5
+FROM lines
+"""
+
+
 def q_kg_entities(sf_dir: str) -> ray.data.Dataset:
     pipe = from_documents_table(sf_dir)
     return pipe.entities(num_salts=8)
@@ -2818,7 +2888,7 @@ _DRIVER_SAMPLE_FIRST = (
     "chi2_independence", "k_anonymity_violations",
     "poisson_bootstrap_mean", "orders_backlog_by_day", "revenue_gini",
     "conversion_lag_quantiles", "user_gap_mad", "loo_target_encoding",
-    "jpeg_dims", "dau_wau_mau",
+    "jpeg_dims", "dau_wau_mau", "chatml_export",
     "kg_mention_contexts", "kg_merged_triples", "kg_degree_assortativity",
     "late_shipments", "important_parts", "parts_supplier_counts",
     "corr_matrix", "vocab_growth", "revenue_cube", "ols_price_qty",
@@ -3171,6 +3241,7 @@ KG_QUERIES = {
     "kg_type_constraints": (q_kg_type_constraints, _sql_kg_type_constraints()),
     "kg_shared_neighbors": (q_kg_shared_neighbors, SQL_KG_SHARED_NEIGHBORS),
     "kg_mention_contexts": (q_kg_mention_contexts, SQL_KG_MENTION_CONTEXTS),
+    "chatml_export": (q_chatml_export, SQL_CHATML_EXPORT),
     "kg_merged_triples": (q_kg_merged_triples, _sql_kg_merged_triples()),
     "kg_degree_assortativity": (q_kg_degree_assortativity,
                                 _sql_kg_degree_assortativity()),

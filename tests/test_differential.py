@@ -203,7 +203,8 @@ def test_document_queries_differential(ray_session, tmp_path, seed):
     for q in ["phrase_search", "term_search", "token_count",
               "unigram_surprisal", "kg_entity_degree", "kg_path2",
               "vocab_growth", "surprisal_buckets",
-              "term_freq_spectrum", "inverted_index", "hashed_features"]:
+              "term_freq_spectrum", "inverted_index", "hashed_features",
+              "chatml_export"]:
         _compare(str(tmp_path), q)
 
 
