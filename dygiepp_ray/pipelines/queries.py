@@ -257,6 +257,70 @@ FROM lines
 """
 
 
+def q_kg_qa_pairs(sf_dir: str) -> "ray.data.Dataset":
+    """KG-to-SFT data: one question/answer pair per (subject,
+    predicate) — "what does {subj} {pred}?" answered by the
+    best-supported object (conversation support, ties to the
+    lexicographically smallest object) with the support count as a
+    confidence column.  This closes the engine's loop: transcripts ->
+    triples -> training data for the next model.
+
+    One (subj, pred)-keyed exchange: a pair's objects co-locate, so
+    per-object support and the deterministic argmax are bucket-exact;
+    nothing touches the driver.  -> (question, answer, n_convs)."""
+    from ..core import partitioned_map_groups
+
+    pipe = from_documents_table(sf_dir)
+    trip = pipe.triples().select_columns(["subj", "pred", "obj"])
+
+    def key_sp(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "subj" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=object)
+                                 for c in ("subj", "pred", "obj", "__k")})
+        return df.assign(__k=df["subj"].str.cat(df["pred"], sep="\x1f"))
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"question": object, "answer": object, "n_convs": np.int64}
+        if len(df) == 0 or "subj" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in cols.items()})
+        g = (df.groupby(["subj", "pred", "obj"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        g = g.sort_values(["subj", "pred", "n", "obj"],
+                          ascending=[True, True, False, True],
+                          kind="mergesort")
+        top = g.groupby(["subj", "pred"], as_index=False).first()
+        return pd.DataFrame(
+            {"question": ("what does " + top["subj"] + " "
+                          + top["pred"] + "?"),
+             "answer": top["obj"],
+             "n_convs": top["n"].to_numpy(np.int64)})
+
+    return partitioned_map_groups(
+        trip.map_batches(key_sp, batch_format="pandas"), "__k", best,
+        num_buckets=16)
+
+
+def _sql_kg_qa_pairs() -> str:
+    # lazy: _KG_TRIPLES_BODY is defined later in the module
+    return SQL_TOKS + f""",
+triples AS ({_KG_TRIPLES_BODY}),
+sup AS (
+  SELECT subj, pred, obj, count(*) AS n
+  FROM triples GROUP BY 1, 2, 3
+),
+r AS (
+  SELECT subj, pred, obj, n,
+         row_number() OVER (PARTITION BY subj, pred
+                            ORDER BY n DESC, obj ASC) AS rk
+  FROM sup
+)
+SELECT 'what does ' || subj || ' ' || pred || '?' AS question,
+       obj AS answer, CAST(n AS BIGINT) AS n_convs
+FROM r WHERE rk = 1
+"""
+
+
 def q_kg_entities(sf_dir: str) -> ray.data.Dataset:
     pipe = from_documents_table(sf_dir)
     return pipe.entities(num_salts=8)
@@ -2888,7 +2952,7 @@ _DRIVER_SAMPLE_FIRST = (
     "chi2_independence", "k_anonymity_violations",
     "poisson_bootstrap_mean", "orders_backlog_by_day", "revenue_gini",
     "conversion_lag_quantiles", "user_gap_mad", "loo_target_encoding",
-    "jpeg_dims", "dau_wau_mau", "chatml_export",
+    "jpeg_dims", "dau_wau_mau", "chatml_export", "kg_qa_pairs",
     "kg_mention_contexts", "kg_merged_triples", "kg_degree_assortativity",
     "late_shipments", "important_parts", "parts_supplier_counts",
     "corr_matrix", "vocab_growth", "revenue_cube", "ols_price_qty",
@@ -3242,6 +3306,7 @@ KG_QUERIES = {
     "kg_shared_neighbors": (q_kg_shared_neighbors, SQL_KG_SHARED_NEIGHBORS),
     "kg_mention_contexts": (q_kg_mention_contexts, SQL_KG_MENTION_CONTEXTS),
     "chatml_export": (q_chatml_export, SQL_CHATML_EXPORT),
+    "kg_qa_pairs": (q_kg_qa_pairs, _sql_kg_qa_pairs()),
     "kg_merged_triples": (q_kg_merged_triples, _sql_kg_merged_triples()),
     "kg_degree_assortativity": (q_kg_degree_assortativity,
                                 _sql_kg_degree_assortativity()),

@@ -486,7 +486,8 @@ def test_kg_schema_ops_differential(ray_session, tmp_path, seed):
               "kg_mention_length_hist", "tool_transitions",
               "kg_predicate_drift", "kg_type_constraints",
               "kg_shared_neighbors", "kg_mention_contexts",
-              "kg_merged_triples", "kg_degree_assortativity"]:
+              "kg_merged_triples", "kg_degree_assortativity",
+              "kg_qa_pairs", "chatml_export"]:
         _compare(str(tmp_path), q)
 
 

@@ -78,7 +78,7 @@ _SAMPLE = [
     "k_anonymity_violations", "poisson_bootstrap_mean",
     "orders_backlog_by_day", "revenue_gini", "conversion_lag_quantiles",
     "user_gap_mad", "loo_target_encoding", "dau_wau_mau",
-    "chatml_export",
+    "chatml_export", "kg_qa_pairs",
     "kg_mention_contexts",
     "kg_merged_triples",
     "kg_degree_assortativity",
