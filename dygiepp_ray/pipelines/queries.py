@@ -2944,7 +2944,9 @@ FROM ents
 # manually but that never received a driver-emitted CORRECTNESS row
 # (VERDICT r3 #7).  New queries added mid-round go at the very front.
 _DRIVER_SAMPLE_FIRST = (
-    # tier 0: added this session
+    # tier -1: added this session (eighth continuation)
+    "basket_rules",
+    # tier 0: added the sixth/seventh continuation sessions
     "inverted_index", "mad_price_outliers", "embedding_pca1",
     "gif_frames", "kg_type_constraints", "event_pattern_match",
     "events_trailing_range", "hashed_features", "ipc_docs",

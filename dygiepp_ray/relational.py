@@ -8402,6 +8402,129 @@ FROM s WHERE sw > 0
 """
 
 
+def basket_rules(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
+    """Market-basket association rules at brand granularity: for each
+    unordered brand pair, the orders containing both (support), both
+    directional confidences and the lift — the Apriori 2-itemset
+    output that seeds recommendation / cross-sell pipelines.
+
+    Shape: brands attach to lineitem on ONE partkey coexchange (the
+    part side scales with the corpus — never a broadcast); distinct
+    (order, brand) rows then co-locate per order on an orderkey
+    exchange where each basket expands to its <= C(|brands|, 2) pairs;
+    per-bucket partials collapse to the DENSE bounded brand-pair
+    matrix (<= ~300 rows/bucket at 25 brands), so the driver folds
+    O(brands^2 x buckets), never O(orders).  Ratios are floored
+    fixed-point via python-int arithmetic (exact at any scale; HUGEINT
+    twin) -> (brand_a, brand_b, n_ab, conf_ab_x1e6, conf_ba_x1e6,
+    lift_x1e6), pairs with n_ab >= 2."""
+    from .core import hash_coexchange
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    pt = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+
+    _OB = {"ok": np.int64, "b": object}
+
+    def attach(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
+        if (len(a) == 0 or "l_orderkey" not in a.columns
+                or len(b) == 0 or "p_partkey" not in b.columns):
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in _OB.items()})
+        j = a.drop_duplicates().merge(
+            b.drop_duplicates(), left_on="l_partkey", right_on="p_partkey")
+        return pd.DataFrame(
+            {"ok": j["l_orderkey"].to_numpy(np.int64),
+             "b": j["p_brand"].to_numpy(object)}
+        ).drop_duplicates(ignore_index=True)
+
+    ob = hash_coexchange(li, pt, "l_partkey", "p_partkey", attach,
+                         num_buckets=num_buckets)
+
+    _PART = {"brand_a": object, "brand_b": object, "n": np.int64}
+
+    def per_order(df: pd.DataFrame) -> pd.DataFrame:
+        # one partial frame per bucket: brand-pair counts, per-brand
+        # basket counts (brand_b = ''), and the bucket's order count
+        # ('' / '') — three tiny dense families in one exchange pass
+        if len(df) == 0 or "ok" not in df.columns:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in _PART.items()})
+        d = df.drop_duplicates(ignore_index=True)
+        j = d.merge(d, on="ok")
+        j = j[j["b_x"] < j["b_y"]]
+        pairs = j.groupby(["b_x", "b_y"], as_index=False).size()
+        singles = d.groupby("b", as_index=False).size()
+        return pd.DataFrame(
+            {"brand_a": np.concatenate(
+                [pairs["b_x"].to_numpy(object),
+                 singles["b"].to_numpy(object), np.array([""], object)]),
+             "brand_b": np.concatenate(
+                [pairs["b_y"].to_numpy(object),
+                 np.full(len(singles) + 1, "", object)]),
+             "n": np.concatenate(
+                [pairs["size"].to_numpy(np.int64),
+                 singles["size"].to_numpy(np.int64),
+                 np.array([d["ok"].nunique()], np.int64)])})
+
+    parts = partitioned_map_groups(ob, "ok", per_order,
+                                   num_buckets).to_pandas()
+
+    out_cols = {"brand_a": object, "brand_b": object, "n_ab": np.int64,
+                "conf_ab_x1e6": np.int64, "conf_ba_x1e6": np.int64,
+                "lift_x1e6": np.int64}
+    empty = pd.DataFrame({c: pd.Series(dtype=t) for c, t in out_cols.items()})
+    if parts.empty or "brand_a" not in parts.columns:
+        return empty
+    g = parts.groupby(["brand_a", "brand_b"], as_index=False)["n"].sum()
+    n_orders = int(g.loc[(g["brand_a"] == "") & (g["brand_b"] == ""),
+                         "n"].sum())
+    sing = {r.brand_a: int(r.n) for r in
+            g[(g["brand_b"] == "") & (g["brand_a"] != "")].itertuples()}
+    pairs = g[(g["brand_a"] != "") & (g["brand_b"] != "")]
+    pairs = pairs[pairs["n"] >= 2]
+    if pairs.empty:
+        return empty
+    rows = []
+    for r in pairs.itertuples():
+        n_ab, na, nb = int(r.n), sing[r.brand_a], sing[r.brand_b]
+        lift = (1_000_000 * n_ab * n_orders) // (na * nb)
+        if lift >= (1 << 63):  # matches the HUGEINT twin's range loudly
+            raise OverflowError(
+                f"lift_x1e6 exceeds int64 for ({r.brand_a}, {r.brand_b})")
+        rows.append((r.brand_a, r.brand_b, n_ab,
+                     (1_000_000 * n_ab) // na, (1_000_000 * n_ab) // nb,
+                     lift))
+    return pd.DataFrame(rows, columns=list(out_cols)).astype(out_cols)
+
+
+SQL_BASKET_RULES = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+),
+n AS (SELECT count(DISTINCT ok) AS n_orders FROM ob),
+cnt AS (SELECT b, count(*) AS c FROM ob GROUP BY b),
+pairs AS (
+  SELECT a.b AS brand_a, b2.b AS brand_b, count(*) AS n_ab
+  FROM ob a JOIN ob b2 ON a.ok = b2.ok AND a.b < b2.b
+  GROUP BY 1, 2
+)
+SELECT brand_a, brand_b, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST((1000000::HUGEINT * n_ab) // ca.c AS BIGINT) AS conf_ab_x1e6,
+       CAST((1000000::HUGEINT * n_ab) // cb.c AS BIGINT) AS conf_ba_x1e6,
+       CAST((1000000::HUGEINT * n_ab * n.n_orders)
+            // (ca.c::HUGEINT * cb.c) AS BIGINT) AS lift_x1e6
+FROM pairs, n
+JOIN cnt ca ON ca.b = brand_a
+JOIN cnt cb ON cb.b = brand_b
+WHERE n_ab >= 2
+"""
+
+
 def _sql_hexval6(expr: str, start_expr: str) -> str:
     """Integer value of the 6 hex chars of ``expr`` starting at the
     1-based DYNAMIC position ``start_expr`` (the static-position helper
@@ -8530,4 +8653,5 @@ RELATIONAL_QUERIES = {
     "user_gap_mad": (user_gap_mad, SQL_USER_GAP_MAD),
     "loo_target_encoding": (loo_target_encoding, SQL_LOO_TARGET_ENCODING),
     "dau_wau_mau": (dau_wau_mau, SQL_DAU_WAU_MAU),
+    "basket_rules": (basket_rules, SQL_BASKET_RULES),
 }

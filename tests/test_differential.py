@@ -177,7 +177,7 @@ def test_lineitem_queries_differential(ray_session, tmp_path, seed):
               "price_outliers", "winsorized_revenue",
               "cheapest_supplier", "small_quantity_revenue",
               "corr_matrix", "revenue_cube", "ols_price_qty",
-              "quantity_mode", "mad_price_outliers"]:
+              "quantity_mode", "mad_price_outliers", "basket_rules"]:
         _compare(str(tmp_path), q)
 
 
