@@ -8525,6 +8525,135 @@ WHERE n_ab >= 2
 """
 
 
+def kaplan_meier(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
+    """Kaplan-Meier survival of time-to-repurchase: per customer, the
+    event is the SECOND order; weeks from first order to second are
+    event times, one-order customers are right-censored at the corpus's
+    last order date — the churn/survival curve estimator, exact.
+
+    Shape: one streaming max-day pass (scalar to the driver), then a
+    custkey exchange where each customer collapses to ONE (week, event)
+    row and partials collapse further to the bounded (week, d, c)
+    histogram — the driver folds O(weeks), never O(customers).  The
+    product-limit estimate is floored fixed-point per step
+    (``s <- s * (n_w - d_w) // n_w`` from 1e6) so a recursive-CTE
+    HUGEINT twin reproduces it bit-for-bit.
+    -> (week, n_risk, n_events, surv_x1e6), rows at event weeks."""
+    DAY_US = 86_400_000_000
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+
+    out_cols = {"week": np.int64, "n_risk": np.int64,
+                "n_events": np.int64, "surv_x1e6": np.int64}
+    empty = pd.DataFrame({c: pd.Series(dtype=t) for c, t in out_cols.items()})
+
+    _MIN = np.iinfo(np.int64).min
+
+    def max_part(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_orderdate" not in df.columns:
+            return pd.DataFrame({"md": pd.Series(dtype=np.int64)})
+        return pd.DataFrame(
+            {"md": [int(ts_epoch_us(df["o_orderdate"]).max() // DAY_US)]})
+
+    mx = ds.map_batches(max_part, batch_format="pandas").to_pandas()
+    if mx.empty or "md" not in mx.columns:
+        return empty
+    md = int(mx["md"].max())
+    if md == _MIN:
+        return empty
+
+    _H = {"wk": np.int64, "d": np.int64, "c": np.int64}
+
+    def per_customer(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_custkey" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _H.items()})
+        day = ts_epoch_us(df["o_orderdate"]) // DAY_US
+        d = pd.DataFrame(
+            {"ck": df["o_custkey"].to_numpy(np.int64), "day": day}
+        ).sort_values(["ck", "day"], kind="mergesort")
+        ck = d["ck"].to_numpy()
+        dy = d["day"].to_numpy()
+        first = np.unique(ck, return_index=True)[1]
+        cnt = np.diff(np.append(first, len(ck)))
+        d1 = dy[first]
+        has2 = cnt >= 2
+        # 2nd-smallest day per customer (duplicate days count as two
+        # orders — a same-day repurchase is a week-0 event)
+        d2 = dy[np.minimum(first + 1, len(dy) - 1)]
+        wk = np.where(has2, (d2 - d1) // 7, (md - d1) // 7)
+        g = pd.DataFrame({"wk": wk.astype(np.int64),
+                          "ev": has2.astype(np.int64)}
+                         ).groupby("wk", as_index=False)["ev"].agg(
+            d="sum", c=lambda s: int((1 - s).sum()))
+        return g.astype(_H)
+
+    parts = partitioned_map_groups(
+        ds, "o_custkey", per_customer, num_buckets).to_pandas()
+    if parts.empty or "wk" not in parts.columns:
+        return empty
+    hist = parts.groupby("wk", as_index=False)[["d", "c"]].sum()
+    hist = hist.sort_values("wk", ascending=False, ignore_index=True)
+    # n_at_risk(w) = customers whose event-or-censor week >= w
+    hist["n"] = (hist["d"] + hist["c"]).cumsum()
+    ev = hist[hist["d"] > 0].sort_values("wk", ignore_index=True)
+    s = 1_000_000
+    rows = []
+    for r in ev.itertuples():
+        n_w, d_w = int(r.n), int(r.d)
+        s = (s * (n_w - d_w)) // n_w
+        rows.append((int(r.wk), n_w, d_w, s))
+    return pd.DataFrame(rows, columns=list(out_cols)).astype(out_cols)
+
+
+SQL_KAPLAN_MEIER = """
+WITH RECURSIVE o AS (
+  SELECT o_custkey AS ck,
+         epoch_us(o_orderdate) // 86400000000 AS day
+  FROM orders
+),
+mx AS (SELECT max(day) AS md FROM o),
+per AS (SELECT ck, count(*) AS cnt, min(day) AS d1 FROM o GROUP BY ck),
+r2 AS (
+  SELECT ck, day AS second_day FROM (
+    SELECT ck, day, row_number() OVER (PARTITION BY ck ORDER BY day) AS rn
+    FROM o
+  ) WHERE rn = 2
+),
+t AS (
+  SELECT per.ck,
+         CASE WHEN cnt >= 2 THEN (second_day - d1) // 7
+              ELSE (mx.md - d1) // 7 END AS wk,
+         CASE WHEN cnt >= 2 THEN 1 ELSE 0 END AS ev
+  FROM per LEFT JOIN r2 ON r2.ck = per.ck, mx
+),
+hist AS (
+  SELECT wk, sum(ev) AS d, count(*) - sum(ev) AS c FROM t GROUP BY wk
+),
+ev AS (
+  SELECT wk, d,
+         sum(d + c) OVER (ORDER BY wk DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS n
+  FROM hist
+),
+seq AS (
+  SELECT wk, d, n, row_number() OVER (ORDER BY wk) AS i
+  FROM ev WHERE d > 0
+),
+km AS (
+  SELECT i, wk, d, n, (1000000::HUGEINT * (n - d)) // n AS s
+  FROM seq WHERE i = 1
+  UNION ALL
+  SELECT q.i, q.wk, q.d, q.n, (km.s * (q.n - q.d)) // q.n
+  FROM km JOIN seq q ON q.i = km.i + 1
+)
+SELECT CAST(wk AS BIGINT) AS week, CAST(n AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_events, CAST(s AS BIGINT) AS surv_x1e6
+FROM km
+"""
+
+
 def _sql_hexval6(expr: str, start_expr: str) -> str:
     """Integer value of the 6 hex chars of ``expr`` starting at the
     1-based DYNAMIC position ``start_expr`` (the static-position helper
@@ -8654,4 +8783,5 @@ RELATIONAL_QUERIES = {
     "loo_target_encoding": (loo_target_encoding, SQL_LOO_TARGET_ENCODING),
     "dau_wau_mau": (dau_wau_mau, SQL_DAU_WAU_MAU),
     "basket_rules": (basket_rules, SQL_BASKET_RULES),
+    "kaplan_meier": (kaplan_meier, SQL_KAPLAN_MEIER),
 }

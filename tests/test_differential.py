@@ -127,7 +127,7 @@ def test_orders_queries_differential(ray_session, tmp_path, seed):
               "rfm_segments", "monthly_revenue_zscore",
               "revenue_drawdown", "revenue_pareto",
               "poisson_bootstrap_mean", "revenue_gini",
-              "loo_target_encoding"]:
+              "loo_target_encoding", "kaplan_meier"]:
         _compare(str(tmp_path), q)
 
 

@@ -81,7 +81,7 @@ _SAMPLE = [
     "chatml_export", "kg_qa_pairs",
     "kg_mention_contexts",
     "kg_merged_triples",
-    "kg_degree_assortativity", "basket_rules",
+    "kg_degree_assortativity", "basket_rules", "kaplan_meier",
     # revenue_cube, like pipeline_metrics, legitimately returns the
     # grand-total row on an empty corpus (CUBE semantics) — excluded
     # from the zero-row assertion
