@@ -8654,6 +8654,111 @@ FROM km
 """
 
 
+def conversion_ab_test(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
+    """Two-proportion A/B test on conversion: users split 50/50 by the
+    parity of their md5 first nibble (the deterministic bucketing an
+    experiment framework would persist), conversion = at least one
+    purchase event; reports both arms and the pooled z^2 statistic —
+    the experimentation-readout primitive.
+
+    Shape: per-batch distinct (user, converted) partials, ONE user
+    exchange dedups users exactly (md5 runs once per distinct user per
+    bucket), per-bucket partials collapse to two (arm, n, conv) rows;
+    the driver folds O(buckets).  z^2 is pure rational arithmetic —
+    ``1e6 * (c_a*n_b - c_b*n_a)^2 * N // (n_a*n_b*C*(N-C))`` — in
+    python ints (HUGEINT twin), so the statistic hashes exactly.
+    -> one row (n_a, conv_a, n_b, conv_b, z2_x1e6)."""
+    import hashlib
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    _P = {"user_id": np.int64, "conv": np.int64}
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "user_id" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _P.items()})
+        g = pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(np.int64),
+             "conv": (df["event_type"].to_numpy() == "purchase")
+             .astype(np.int64)}
+        ).groupby("user_id", as_index=False)["conv"].max()
+        return g.astype(_P)
+
+    _A = {"grp": np.int64, "n": np.int64, "c": np.int64}
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "user_id" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _A.items()})
+        u = df.groupby("user_id", as_index=False)["conv"].max()
+        grp = u["user_id"].map(
+            lambda k: int(hashlib.md5(str(k).encode()).hexdigest()[0], 16) % 2
+        ).to_numpy(np.int64)
+        g = pd.DataFrame({"grp": grp, "conv": u["conv"].to_numpy(np.int64)}
+                         ).groupby("grp", as_index=False)["conv"].agg(
+            n="size", c="sum")
+        return g.astype(_A)
+
+    parts = partitioned_map_groups(
+        ds.map_batches(pre, batch_format="pandas"), "user_id", per_user,
+        num_buckets).to_pandas()
+
+    out_cols = {"n_a": np.int64, "conv_a": np.int64, "n_b": np.int64,
+                "conv_b": np.int64, "z2_x1e6": np.int64}
+    na = ca = nb = cb = 0
+    if not parts.empty and "grp" in parts.columns:
+        g = parts.groupby("grp")[["n", "c"]].sum()
+        if 0 in g.index:
+            na, ca = int(g.loc[0, "n"]), int(g.loc[0, "c"])
+        if 1 in g.index:
+            nb, cb = int(g.loc[1, "n"]), int(g.loc[1, "c"])
+    C, N = ca + cb, na + nb
+    if na == 0 or nb == 0 or C == 0 or C == N:
+        z2 = 0  # degenerate arms: no variance, statistic undefined -> 0
+    else:
+        z2 = (1_000_000 * (ca * nb - cb * na) ** 2 * N) // (
+            na * nb * C * (N - C))
+        if z2 >= (1 << 63):
+            raise OverflowError("z2_x1e6 exceeds int64")
+    return pd.DataFrame([(na, ca, nb, cb, z2)],
+                        columns=list(out_cols)).astype(out_cols)
+
+
+SQL_CONVERSION_AB_TEST = """
+WITH u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT (strpos('0123456789abcdef',
+                 substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2 AS grp,
+         count(*) AS n, sum(conv) AS c
+  FROM u GROUP BY 1
+),
+a AS (
+  SELECT coalesce(max(CASE WHEN grp = 0 THEN n END), 0) AS n_a,
+         coalesce(max(CASE WHEN grp = 0 THEN c END), 0) AS c_a,
+         coalesce(max(CASE WHEN grp = 1 THEN n END), 0) AS n_b,
+         coalesce(max(CASE WHEN grp = 1 THEN c END), 0) AS c_b
+  FROM g
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS conv_a,
+       CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS conv_b,
+       CAST(CASE WHEN n_a = 0 OR n_b = 0 OR c_a + c_b = 0
+                      OR c_a + c_b = n_a + n_b THEN 0
+            ELSE (1000000::HUGEINT
+                  * (c_a::HUGEINT * n_b - c_b::HUGEINT * n_a)
+                  * (c_a::HUGEINT * n_b - c_b::HUGEINT * n_a)
+                  * (n_a + n_b))
+                 // (n_a::HUGEINT * n_b * (c_a + c_b)
+                     * (n_a + n_b - c_a - c_b))
+            END AS BIGINT) AS z2_x1e6
+FROM a
+"""
+
+
 def _sql_hexval6(expr: str, start_expr: str) -> str:
     """Integer value of the 6 hex chars of ``expr`` starting at the
     1-based DYNAMIC position ``start_expr`` (the static-position helper
@@ -8784,4 +8889,5 @@ RELATIONAL_QUERIES = {
     "dau_wau_mau": (dau_wau_mau, SQL_DAU_WAU_MAU),
     "basket_rules": (basket_rules, SQL_BASKET_RULES),
     "kaplan_meier": (kaplan_meier, SQL_KAPLAN_MEIER),
+    "conversion_ab_test": (conversion_ab_test, SQL_CONVERSION_AB_TEST),
 }

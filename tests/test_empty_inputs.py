@@ -117,6 +117,16 @@ def test_triangle_count_of_empty_graph_is_zero_row(empty_sf):
     assert int(df["n_triangles"].iloc[0]) == 0
 
 
+def test_ab_test_of_empty_events_is_zero_row(empty_sf):
+    """conversion_ab_test keeps its one-row scalar shape on empty
+    input (the SQL twin's aggregate-over-empty also yields one row)."""
+    import __ray_entry__ as entry
+
+    df = entry.queries()["conversion_ab_test"](empty_sf)
+    assert len(df) == 1
+    assert int(df["n_a"].iloc[0]) == 0 and int(df["z2_x1e6"].iloc[0]) == 0
+
+
 def test_rollup_of_empty_input_is_grand_total_row(empty_sf):
     """GROUP BY ROLLUP over empty input still yields the grand-total
     row — the engine matches the SQL twin's shape."""
