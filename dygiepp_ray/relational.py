@@ -8759,6 +8759,77 @@ FROM a
 """
 
 
+def revenue_cusum(sf_dir: str) -> pd.DataFrame:
+    """CUSUM change-point statistic over daily revenue: with reference
+    level k = mean active-day revenue (floored cents), the one-sided
+    cumulative sum ``s_t = max(0, s_{t-1} + x_t - k)`` flags sustained
+    upward shifts — the classic sequential drift monitor over a
+    revenue stream.
+
+    Shape: per-batch (day, cents) partials are already collapsed to
+    the bounded day domain (a calendar, not the fact table), so ONE
+    streaming pass feeds a driver fold of O(days); the recurrence is
+    inherently sequential and runs in python ints over that bounded
+    series (recursive-CTE HUGEINT twin, bit-exact).
+    -> (day_epoch_s, rev_cents, cusum_cents) per active day."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    DAY_US = 86_400_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_orderdate" not in df.columns:
+            return pd.DataFrame({"day": pd.Series(dtype=np.int64),
+                                 "cents": pd.Series(dtype=np.int64)})
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(np.float64) * 100.0
+        ).astype(np.int64)
+        g = pd.DataFrame(
+            {"day": ts_epoch_us(df["o_orderdate"]) // DAY_US, "cents": cents}
+        ).groupby("day", as_index=False)["cents"].sum()
+        return g.astype({"day": np.int64, "cents": np.int64})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out_cols = {"day_epoch_s": np.int64, "rev_cents": np.int64,
+                "cusum_cents": np.int64}
+    if parts.empty or "day" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t)
+                             for c, t in out_cols.items()})
+    hist = parts.groupby("day", as_index=False)["cents"].sum()
+    hist = hist.sort_values("day", ignore_index=True)
+    total = sum(int(x) for x in hist["cents"])  # python ints: exact
+    k = total // len(hist)
+    s, rows = 0, []
+    for r in hist.itertuples():
+        s = max(0, s + int(r.cents) - k)
+        rows.append((int(r.day) * 86_400, int(r.cents), s))
+    return pd.DataFrame(rows, columns=list(out_cols)).astype(out_cols)
+
+
+SQL_REVENUE_CUSUM = """
+WITH RECURSIVE d AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+k AS (SELECT sum(cents::HUGEINT) // count(*) AS k FROM d),
+seq AS (SELECT day, cents, row_number() OVER (ORDER BY day) AS i FROM d),
+cu AS (
+  SELECT i, day, cents,
+         greatest(0::HUGEINT, cents - (SELECT k FROM k)) AS s
+  FROM seq WHERE i = 1
+  UNION ALL
+  SELECT q.i, q.day, q.cents,
+         greatest(0::HUGEINT, cu.s + q.cents - (SELECT k FROM k))
+  FROM cu JOIN seq q ON q.i = cu.i + 1
+)
+SELECT CAST(day * 86400 AS BIGINT) AS day_epoch_s,
+       CAST(cents AS BIGINT) AS rev_cents,
+       CAST(s AS BIGINT) AS cusum_cents
+FROM cu
+"""
+
+
 def _sql_hexval6(expr: str, start_expr: str) -> str:
     """Integer value of the 6 hex chars of ``expr`` starting at the
     1-based DYNAMIC position ``start_expr`` (the static-position helper
@@ -8890,4 +8961,5 @@ RELATIONAL_QUERIES = {
     "basket_rules": (basket_rules, SQL_BASKET_RULES),
     "kaplan_meier": (kaplan_meier, SQL_KAPLAN_MEIER),
     "conversion_ab_test": (conversion_ab_test, SQL_CONVERSION_AB_TEST),
+    "revenue_cusum": (revenue_cusum, SQL_REVENUE_CUSUM),
 }

@@ -128,7 +128,7 @@ def test_orders_queries_differential(ray_session, tmp_path, seed):
               "rfm_segments", "monthly_revenue_zscore",
               "revenue_drawdown", "revenue_pareto",
               "poisson_bootstrap_mean", "revenue_gini",
-              "loo_target_encoding", "kaplan_meier"]:
+              "loo_target_encoding", "kaplan_meier", "revenue_cusum"]:
         _compare(str(tmp_path), q)
 
 
