@@ -1341,3 +1341,89 @@ def term_freq_spectrum(
     g = parts.groupby("bucket", as_index=False)[
         ["n_terms", "n_occurrences"]].sum()
     return g.astype(np.int64).sort_values("bucket", ignore_index=True)
+
+
+def sentence_dedup(
+    ds: ray.data.Dataset,
+    sent_tokens: int = 16,
+    min_docs: int = 2,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Cross-corpus duplicate-sentence removal (the CCNet/C4-style line
+    dedup, over the corpus's 16-token sentence convention): a sentence
+    whose exact text appears in >= ``min_docs`` DISTINCT documents is
+    removed from EVERY document; each doc reports its sentence counts
+    and the md5 of the cleaned text — the rewrite op that strips
+    boilerplate from a crawl.
+
+    Shape: docs explode to (doc_id, sent_ix, sent) rows; ONE
+    sentence-keyed exchange computes distinct-doc counts exactly (a
+    sentence's occurrences co-locate) and emits ONLY the flagged
+    occurrences (tiny — boilerplate rows, not the corpus); one doc_id
+    coexchange meets those flags with the documents and rebuilds each
+    doc from its kept sentences.  Corpus bytes cross the wire once per
+    exchange; no driver materialization.
+    -> (doc_id, n_sents, n_dup_sents, clean_md5), blank docs skipped."""
+    docs = ds
+
+    _S = {"doc_id": np.int64, "sent_ix": np.int64, "sent": object}
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "text" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _S.items()})
+        toks = _doc_tokens(df, "text")
+        ids, ixs, sents = [], [], []
+        for doc_id, tl in zip(df["doc_id"].to_numpy(np.int64), toks):
+            for i in range(0, len(tl), sent_tokens):
+                ids.append(doc_id)
+                ixs.append(i // sent_tokens)
+                sents.append(" ".join(tl[i:i + sent_tokens]))
+        return pd.DataFrame(
+            {"doc_id": np.asarray(ids, np.int64),
+             "sent_ix": np.asarray(ixs, np.int64),
+             "sent": np.asarray(sents, object)})
+
+    rows = docs.map_batches(explode, batch_format="pandas")
+
+    _F = {"doc_id": np.int64, "sent_ix": np.int64}
+
+    def flag_dups(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "sent" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _F.items()})
+        nd = df.groupby("sent")["doc_id"].nunique()
+        hot = set(nd.index[nd >= min_docs])
+        d = df[df["sent"].isin(hot)]
+        return pd.DataFrame({"doc_id": d["doc_id"].to_numpy(np.int64),
+                             "sent_ix": d["sent_ix"].to_numpy(np.int64)})
+
+    flags = hash_exchange(rows, "sent", flag_dups, num_buckets)
+
+    out_cols = {"doc_id": np.int64, "n_sents": np.int64,
+                "n_dup_sents": np.int64, "clean_md5": object}
+
+    def rebuild(f: pd.DataFrame, d: pd.DataFrame) -> pd.DataFrame:
+        if len(d) == 0 or "text" not in d.columns:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in out_cols.items()})
+        dup: dict[int, set[int]] = {}
+        if len(f) and "doc_id" in f.columns:
+            for did, six in zip(f["doc_id"].to_numpy(np.int64),
+                                f["sent_ix"].to_numpy(np.int64)):
+                dup.setdefault(int(did), set()).add(int(six))
+        toks = _doc_tokens(d, "text")
+        recs = []
+        for doc_id, tl in zip(d["doc_id"].to_numpy(np.int64), toks):
+            n = (len(tl) + sent_tokens - 1) // sent_tokens
+            if n == 0:
+                continue  # blank docs are skipped on both sides
+            bad = dup.get(int(doc_id), ())
+            kept = [" ".join(tl[i * sent_tokens:(i + 1) * sent_tokens])
+                    for i in range(n) if i not in bad]
+            recs.append((int(doc_id), n, len(bad),
+                         hashlib.md5(" ".join(kept).encode()).hexdigest()))
+        return pd.DataFrame(recs, columns=list(out_cols)).astype(out_cols)
+
+    from ..core import hash_coexchange
+
+    return hash_coexchange(flags, docs, "doc_id", "doc_id", rebuild,
+                           num_buckets=num_buckets or 8)

@@ -2499,3 +2499,37 @@ TEXTOPS_QUERIES = {
     "quality_gate": (q_quality_gate, SQL_QUALITY_GATE),
     "source_diversity": (q_source_diversity, SQL_SOURCE_DIVERSITY),
 }
+
+
+def q_sentence_dedup(sf_dir: str):
+    """Cross-corpus duplicate-sentence removal + cleaned-text digest —
+    see textops/corpus.sentence_dedup."""
+    from . import corpus as _c
+
+    return _c.sentence_dedup(_docs(sf_dir))
+
+
+SQL_SENTENCE_DEDUP = """
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+  FROM documents WHERE trim(text) <> ''
+),
+s AS (
+  SELECT doc_id, i AS sent_ix,
+         array_to_string(arr[i * 16 + 1 : i * 16 + 16], ' ') AS sent
+  FROM base, LATERAL (
+    SELECT unnest(generate_series(0, (len(arr) - 1) // 16)) AS i) t
+),
+d AS (SELECT sent FROM s GROUP BY sent HAVING count(DISTINCT doc_id) >= 2),
+f AS (SELECT s.doc_id, s.sent_ix, s.sent,
+             s.sent IN (SELECT sent FROM d) AS dup FROM s)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_sents,
+       CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_sents,
+       md5(coalesce(string_agg(CASE WHEN NOT dup THEN sent END,
+                               ' ' ORDER BY sent_ix), '')) AS clean_md5
+FROM f GROUP BY doc_id
+"""
+
+
+TEXTOPS_QUERIES["sentence_dedup"] = (q_sentence_dedup, SQL_SENTENCE_DEDUP)
