@@ -1427,3 +1427,55 @@ def sentence_dedup(
 
     return hash_coexchange(flags, docs, "doc_id", "doc_id", rebuild,
                            num_buckets=num_buckets or 8)
+
+
+def skipgram_pairs(
+    ds: ray.data.Dataset, window: int = 2
+) -> pd.DataFrame:
+    """Word2vec-style skip-gram training pairs: for every token, each
+    context token within ``window`` positions in the same document
+    yields one directed (center, context) observation — the
+    co-occurrence table an embedding trainer consumes.
+
+    Shape: map-only — per-batch pairs collapse immediately to the
+    DENSE (center, context) matrix (O(vocab^2) rows per batch, never
+    O(tokens)); the driver folds those bounded partials.  The pair
+    generation is pure numpy over the flattened token stream (doc
+    boundaries masked by id comparison, no per-doc loop).
+    -> (center, context, n, n_d1) with n_d1 = adjacent-only count."""
+    cols = {"center": object, "context": object,
+            "n": np.int64, "n_d1": np.int64}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "text" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+        toks = _doc_tokens(df, "text")
+        lens = toks.map(len).to_numpy(np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+        flat = np.concatenate([np.asarray(t, object) for t in toks if t])
+        doc = np.repeat(np.arange(len(lens)), lens)
+        cs, xs, ds_ = [], [], []
+        for o in range(1, window + 1):
+            if o >= len(flat):
+                break
+            m = doc[o:] == doc[:-o]
+            a, b = flat[:-o][m], flat[o:][m]
+            cs.append(np.concatenate([a, b]))   # both directions
+            xs.append(np.concatenate([b, a]))
+            ds_.append(np.full(2 * int(m.sum()), o, np.int64))
+        if not cs:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+        g = pd.DataFrame(
+            {"center": np.concatenate(cs), "context": np.concatenate(xs),
+             "d": np.concatenate(ds_)}
+        ).groupby(["center", "context"], as_index=False)["d"].agg(
+            n="size", n_d1=lambda s: int((s == 1).sum()))
+        return g.astype(cols)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty or "center" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    g = parts.groupby(["center", "context"], as_index=False)[
+        ["n", "n_d1"]].sum()
+    return g.astype(cols)

@@ -2533,3 +2533,34 @@ FROM f GROUP BY doc_id
 
 
 TEXTOPS_QUERIES["sentence_dedup"] = (q_sentence_dedup, SQL_SENTENCE_DEDUP)
+
+
+def q_skipgram_pairs(sf_dir: str):
+    """Skip-gram (center, context) pair counts for embedding training —
+    see textops/corpus.skipgram_pairs."""
+    from . import corpus as _c
+
+    return _c.skipgram_pairs(_docs(sf_dir))
+
+
+SQL_SKIPGRAM_PAIRS = """
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+  FROM documents WHERE trim(text) <> ''
+),
+toks AS (
+  SELECT doc_id, arr[i] AS tok, i AS pos
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) s
+),
+p AS (
+  SELECT a.tok AS center, b.tok AS context, abs(a.pos - b.pos) AS d
+  FROM toks a JOIN toks b
+    ON b.doc_id = a.doc_id
+   AND b.pos BETWEEN a.pos - 2 AND a.pos + 2 AND b.pos <> a.pos
+)
+SELECT center, context, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_d1
+FROM p GROUP BY 1, 2
+"""
+
+TEXTOPS_QUERIES["skipgram_pairs"] = (q_skipgram_pairs, SQL_SKIPGRAM_PAIRS)

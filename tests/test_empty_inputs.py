@@ -82,7 +82,7 @@ _SAMPLE = [
     "kg_mention_contexts",
     "kg_merged_triples",
     "kg_degree_assortativity", "basket_rules", "kaplan_meier",
-    "revenue_cusum", "sentence_dedup",
+    "revenue_cusum", "sentence_dedup", "skipgram_pairs",
     # revenue_cube, like pipeline_metrics, legitimately returns the
     # grand-total row on an empty corpus (CUBE semantics) — excluded
     # from the zero-row assertion
