@@ -2564,3 +2564,88 @@ FROM p GROUP BY 1, 2
 """
 
 TEXTOPS_QUERIES["skipgram_pairs"] = (q_skipgram_pairs, SQL_SKIPGRAM_PAIRS)
+
+
+def q_embedding_quantize(sf_dir: str):
+    """Int8 scalar quantization of the embedding column: per vector,
+    min/max calibration, 0..255 codes, and the worst reconstruction
+    error — the compression pass an ANN index runs before sharding
+    vectors, with its quality audit in the same pass.
+
+    Map-only and zero-copy from Arrow: per-batch list offsets +
+    ``np.minimum/maximum.reduceat`` give per-vector calibration without
+    a python loop.  Both engines run the IDENTICAL float64 op sequence
+    (cast -> scale -> floor -> reconstruct -> floor), so the fixed-
+    point outputs hash exactly.
+    -> (vec_id, scale_u, sum_codes, max_err_u)."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+
+    _OUT = {"vec_id": np.int64, "scale_u": np.int64,
+            "sum_codes": np.int64, "max_err_u": np.int64}
+
+    def quantize(tbl):
+        import pyarrow as pa
+
+        if tbl.num_rows == 0 or "embedding" not in tbl.column_names:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in _OUT.items()})
+        col = tbl["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = np.asarray(
+            [len(v) if v is not None else 0 for v in col], np.int64)
+        vec_id = np.asarray(tbl["vec_id"], np.int64)
+        keep = lens > 0
+        flat = np.asarray(col.flatten(), np.float32).astype(np.float64)
+        offs = np.concatenate([[0], np.cumsum(lens)])[:-1][keep]
+        mn = np.minimum.reduceat(flat, offs) if keep.any() else np.empty(0)
+        mx = np.maximum.reduceat(flat, offs) if keep.any() else np.empty(0)
+        scale = mx - mn
+        rep_mn = np.repeat(mn, lens[keep])
+        rep_sc = np.repeat(scale, lens[keep])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            code = np.floor(255.0 * (flat - rep_mn) / rep_sc)
+        code = np.where(rep_sc > 0, code, 0.0)
+        recon = rep_mn + code * rep_sc / 255.0
+        recon = np.where(rep_sc > 0, recon, flat)
+        err = np.floor(1e6 * np.abs(flat - recon))
+        grp = np.repeat(np.arange(int(keep.sum())), lens[keep])
+        sum_codes = np.bincount(grp, weights=code).astype(np.int64)
+        max_err = np.zeros(int(keep.sum()), np.int64)
+        np.maximum.at(max_err, grp, err.astype(np.int64))
+        return pd.DataFrame(
+            {"vec_id": vec_id[keep],
+             "scale_u": np.floor(1e6 * scale).astype(np.int64),
+             "sum_codes": sum_codes, "max_err_u": max_err}).astype(_OUT)
+
+    return emb.map_batches(quantize, batch_format="pyarrow")
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH e AS (
+  SELECT vec_id, CAST(u.x AS DOUBLE) AS x
+  FROM embeddings, UNNEST(embedding) AS u(x)
+),
+s AS (SELECT vec_id, min(x) AS mn, max(x) AS mx FROM e GROUP BY vec_id),
+c AS (
+  SELECT e.vec_id, x, mn, mx - mn AS scale,
+         CASE WHEN mx > mn THEN floor(255.0 * (x - mn) / (mx - mn))
+              ELSE 0 END AS code
+  FROM e JOIN s ON s.vec_id = e.vec_id
+),
+r AS (
+  SELECT vec_id, scale, code,
+         CASE WHEN scale > 0 THEN mn + code * scale / 255.0
+              ELSE x END AS recon, x
+  FROM c
+)
+SELECT vec_id,
+       CAST(floor(1000000 * any_value(scale)) AS BIGINT) AS scale_u,
+       CAST(sum(code) AS BIGINT) AS sum_codes,
+       CAST(max(floor(1000000 * abs(x - recon))) AS BIGINT) AS max_err_u
+FROM r GROUP BY vec_id
+"""
+
+TEXTOPS_QUERIES["embedding_quantize"] = (
+    q_embedding_quantize, SQL_EMBEDDING_QUANTIZE)

@@ -572,6 +572,7 @@ def test_customer_embedding_backlog_differential(ray_session, tmp_path, seed):
          "label": pa.array(rng.integers(0, 3, 40).astype(np.int32))}
     ), tmp_path / "embeddings.parquet")
     _compare(str(tmp_path), "embedding_pca1")
+    _compare(str(tmp_path), "embedding_quantize")
 
     m = int(rng.integers(80, 300))
     pq.write_table(pa.table(

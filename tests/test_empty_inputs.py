@@ -83,6 +83,7 @@ _SAMPLE = [
     "kg_merged_triples",
     "kg_degree_assortativity", "basket_rules", "kaplan_meier",
     "revenue_cusum", "sentence_dedup", "skipgram_pairs",
+    "embedding_quantize",
     # revenue_cube, like pipeline_metrics, legitimately returns the
     # grand-total row on an empty corpus (CUBE semantics) — excluded
     # from the zero-row assertion
