@@ -2947,6 +2947,7 @@ _DRIVER_SAMPLE_FIRST = (
     # tier -1: added this session (eighth continuation)
     "basket_rules", "kaplan_meier", "conversion_ab_test", "revenue_cusum",
     "sentence_dedup", "skipgram_pairs", "embedding_quantize",
+    "kg_alias_resolution",
     # tier 0: added the sixth/seventh continuation sessions
     "inverted_index", "mad_price_outliers", "embedding_pca1",
     "gif_frames", "kg_type_constraints", "event_pattern_match",
@@ -3269,6 +3270,102 @@ FROM b
 """
 
 
+def _alias_map() -> dict[str, str]:
+    """Unambiguous single-token aliases of multiword lexicon surfaces
+    (the dictionary a gazetteer-based entity linker persists): a token
+    resolves only when exactly ONE canonical surface contains it."""
+    from collections import defaultdict
+
+    cand: dict[str, set] = defaultdict(set)
+    for s in S.ENTITY_LEXICON:
+        if " " in s:
+            for t in s.split():
+                cand[t].add(s)
+    return {t: next(iter(cs)) for t, cs in sorted(cand.items())
+            if len(cs) == 1}
+
+
+def q_kg_alias_resolution(sf_dir: str) -> pd.DataFrame:
+    """Dictionary-based entity linking audit: per canonical lexicon
+    entity, the exact mention count (the extractor's unigram/bigram
+    matches) plus the single-token ALIAS hits a gazetteer linker would
+    surface as candidates ('acme' -> 'acme corp') — the
+    candidate-generation table of KG entity resolution.
+
+    The alias dictionary is static and tiny (broadcast-by-closure, the
+    small-side asymmetry); exact counts ride the assembled mention
+    stream, alias hits are one map-only pass of per-batch token counts
+    collapsing to the bounded lexicon domain.  Driver folds
+    O(lexicon)."""
+    from ..textops.chunks import _doc_tokens
+
+    amap = _alias_map()
+    pipe = from_documents_table(sf_dir)
+
+    def exact_part(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "surface" not in df.columns:
+            return pd.DataFrame({"surface": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})
+        g = df.groupby("surface", as_index=False).size()
+        return pd.DataFrame({"surface": g["surface"],
+                             "n": g["size"].astype(np.int64)})
+
+    exact = pipe.mentions.select_columns(["surface"]).map_batches(
+        exact_part, batch_format="pandas").to_pandas()
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def alias_part(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "text" not in df.columns:
+            return pd.DataFrame({"tok": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})
+        toks = _doc_tokens(df, "text")
+        flat = [t for tl in toks for t in tl if t in amap]
+        if not flat:
+            return pd.DataFrame({"tok": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})
+        c = pd.Series(flat).value_counts()
+        return pd.DataFrame({"tok": c.index.to_numpy(object),
+                             "n": c.to_numpy(np.int64)})
+
+    alias = docs.map_batches(alias_part, batch_format="pandas").to_pandas()
+
+    n_exact = {}
+    if not exact.empty and "surface" in exact.columns:
+        n_exact = exact.groupby("surface")["n"].sum().to_dict()
+    n_alias: dict[str, int] = {}
+    if not alias.empty and "tok" in alias.columns:
+        for tok, n in alias.groupby("tok")["n"].sum().items():
+            canon = amap[tok]
+            n_alias[canon] = n_alias.get(canon, 0) + int(n)
+    rows = [(s, lab, int(n_exact.get(s, 0)), int(n_alias.get(s, 0)))
+            for s, lab in sorted(S.ENTITY_LEXICON.items())]
+    return pd.DataFrame(
+        rows, columns=["canonical", "label", "n_exact", "n_alias"]
+    ).astype({"n_exact": np.int64, "n_alias": np.int64})
+
+
+_ALIAS_VALUES = ", ".join(
+    f"('{t}', '{c}')" for t, c in sorted(_alias_map().items()))
+_CANON_VALUES = ", ".join(
+    f"('{s}', '{lab}')" for s, lab in sorted(S.ENTITY_LEXICON.items()))
+
+SQL_KG_ALIAS_RESOLUTION = SQL_TOKS + f""",
+exact AS (SELECT surface, count(*) AS n FROM ents GROUP BY surface),
+ahit AS (SELECT tok, count(*) AS n FROM toks
+         WHERE tok IN ({_sql_list(sorted(_alias_map()))}) GROUP BY tok),
+canon(surface, label) AS (VALUES {_CANON_VALUES}),
+amap(tok, canonical) AS (VALUES {_ALIAS_VALUES})
+SELECT c.surface AS canonical, c.label,
+       CAST(coalesce(e.n, 0) AS BIGINT) AS n_exact,
+       CAST(coalesce((SELECT sum(a.n) FROM amap m
+                      JOIN ahit a ON a.tok = m.tok
+                      WHERE m.canonical = c.surface), 0) AS BIGINT) AS n_alias
+FROM canon c LEFT JOIN exact e ON e.surface = c.surface
+"""
+
+
 def all_queries() -> dict:
     """KG + relational + textops registries (name -> (fn, sql|None)),
     ordered so never-driver-sampled entries come first."""
@@ -3301,6 +3398,7 @@ KG_QUERIES = {
     "kg_yield_hist": (q_kg_yield_hist, SQL_KG_YIELD_HIST),
     "kg_predicate_drift": (q_kg_predicate_drift, SQL_KG_PREDICATE_DRIFT),
     "role_token_share": (q_role_token_share, SQL_ROLE_TOKEN_SHARE),
+    "kg_alias_resolution": (q_kg_alias_resolution, SQL_KG_ALIAS_RESOLUTION),
     "tool_transitions": (q_tool_transitions, SQL_TOOL_TRANSITIONS),
     "kg_mention_length_hist": (q_kg_mention_length_hist,
                                SQL_KG_MENTION_LENGTH_HIST),

@@ -464,8 +464,9 @@ def test_kg_schema_ops_differential(ray_session, tmp_path, seed):
     n = int(rng.integers(20, 60))
     vocab = np.array(
         ["batch", "column", "customer", "join", "merge", "scan",
-         "filter", "x", "y"]
-    )
+         "filter", "x", "y", "acme", "corp", "flink"]
+    )  # acme/corp/flink: gazetteer alias tokens (with occasional
+    #    adjacent 'acme corp' exact bigrams) for the linking path
     texts = [
         " ".join(rng.choice(vocab, rng.integers(0, 600)))
         for _ in range(n)
@@ -488,7 +489,7 @@ def test_kg_schema_ops_differential(ray_session, tmp_path, seed):
               "kg_predicate_drift", "kg_type_constraints",
               "kg_shared_neighbors", "kg_mention_contexts",
               "kg_merged_triples", "kg_degree_assortativity",
-              "kg_qa_pairs", "chatml_export"]:
+              "kg_qa_pairs", "chatml_export", "kg_alias_resolution"]:
         _compare(str(tmp_path), q)
 
 

@@ -84,6 +84,9 @@ _SAMPLE = [
     "kg_degree_assortativity", "basket_rules", "kaplan_meier",
     "revenue_cusum", "sentence_dedup", "skipgram_pairs",
     "embedding_quantize",
+    # kg_alias_resolution keeps its 20-row lexicon shape on empty input
+    # (SQL twin's VALUES canon table does too) — checked in its
+    # dedicated scalar-shape test below, not the zero-row sample
     # revenue_cube, like pipeline_metrics, legitimately returns the
     # grand-total row on an empty corpus (CUBE semantics) — excluded
     # from the zero-row assertion
@@ -127,6 +130,18 @@ def test_ab_test_of_empty_events_is_zero_row(empty_sf):
     df = entry.queries()["conversion_ab_test"](empty_sf)
     assert len(df) == 1
     assert int(df["n_a"].iloc[0]) == 0 and int(df["z2_x1e6"].iloc[0]) == 0
+
+
+def test_alias_resolution_of_empty_corpus_keeps_lexicon_shape(empty_sf):
+    """kg_alias_resolution emits one all-zero row per lexicon entity on
+    an empty corpus (the SQL twin's VALUES-driven canon table does the
+    same)."""
+    import __ray_entry__ as entry
+    from dygiepp_ray import semantics as S
+
+    df = entry.queries()["kg_alias_resolution"](empty_sf)
+    assert len(df) == len(S.ENTITY_LEXICON)
+    assert int(df["n_exact"].sum()) == 0 and int(df["n_alias"].sum()) == 0
 
 
 def test_rollup_of_empty_input_is_grand_total_row(empty_sf):
