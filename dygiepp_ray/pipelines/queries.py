@@ -2947,7 +2947,7 @@ _DRIVER_SAMPLE_FIRST = (
     # tier -1: added this session (eighth continuation)
     "basket_rules", "kaplan_meier", "conversion_ab_test", "revenue_cusum",
     "sentence_dedup", "skipgram_pairs", "embedding_quantize",
-    "kg_alias_resolution",
+    "kg_alias_resolution", "bio_tagged_export",
     # tier 0: added the sixth/seventh continuation sessions
     "inverted_index", "mad_price_outliers", "embedding_pca1",
     "gif_frames", "kg_type_constraints", "event_pattern_match",
@@ -3366,6 +3366,84 @@ FROM canon c LEFT JOIN exact e ON e.surface = c.surface
 """
 
 
+def q_bio_tagged_export(sf_dir: str) -> "ray.data.Dataset":
+    """Sequence-labeling training export: per document window, the
+    space-joined BIO tag string over its tokens ('O B-ORG I-ORG ...')
+    derived from the decoded mentions — the bridge from KG extraction
+    to token-classification training data (the format every NER
+    fine-tune consumes).
+
+    One doc_key coexchange meets the mention stream with the assembled
+    windows; each window stamps its tags in one numpy pass.  Lexicon
+    surfaces never overlap (no bigram constituent is also a unigram
+    surface), so B-/I- stamping is conflict-free by construction.
+    -> (doc_key, n_tokens, bio)."""
+    from ..core import hash_coexchange
+
+    pipe = from_documents_table(sf_dir)
+    mentions = pipe.mentions.select_columns(
+        ["doc_key", "start", "end", "label"])
+    docs = pipe.documents.select_columns(["doc_key", "n_tokens"])
+
+    _OUT = {"doc_key": object, "n_tokens": np.int64, "bio": object}
+
+    def build(m: pd.DataFrame, d: pd.DataFrame) -> pd.DataFrame:
+        if len(d) == 0 or "doc_key" not in d.columns:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in _OUT.items()})
+        by_doc: dict[str, list] = {}
+        if len(m) and "doc_key" in m.columns:
+            for dk, s, e, lab in zip(m["doc_key"], m["start"].to_numpy(),
+                                     m["end"].to_numpy(), m["label"]):
+                by_doc.setdefault(dk, []).append((int(s), int(e), lab))
+        recs = []
+        for dk, n in zip(d["doc_key"], d["n_tokens"].to_numpy(np.int64)):
+            if n == 0:
+                continue  # blank docs export nothing on both sides
+            tags = np.full(int(n), "O", dtype=object)
+            for s, e, lab in by_doc.get(dk, ()):
+                tags[s] = "B-" + lab
+                if e > s:
+                    tags[s + 1:e + 1] = "I-" + lab
+            recs.append((dk, int(n), " ".join(tags)))
+        return pd.DataFrame(recs, columns=list(_OUT)).astype(_OUT)
+
+    return hash_coexchange(mentions, docs, "doc_key", "doc_key", build,
+                           num_buckets=8)
+
+
+SQL_BIO_TAGGED_EXPORT = SQL_TOKS + f""",
+pos_tbl AS (
+  -- a blank doc tokenizes to one '' token in SQL but to a 0-token
+  -- window in the assembly: both sides export nothing for it
+  SELECT doc_id, n, pos // {WIN} AS w, pos % {WIN} AS lp FROM toks
+  WHERE NOT (n = 1 AND tok = '')
+),
+m AS (
+  SELECT doc_id, pos // {WIN} AS w, pos % {WIN} AS s, e_end % {WIN} AS e,
+         {_LABEL_CASE} AS label
+  FROM ents
+),
+b_tag AS (SELECT doc_id, w, s AS lp, 'B-' || label AS tag FROM m),
+i_tag AS (
+  SELECT doc_id, w, s + u.o AS lp, 'I-' || label AS tag
+  FROM m, LATERAL (SELECT unnest(generate_series(1, e - s)) AS o) u
+  WHERE e > s
+),
+tags AS (
+  SELECT p.doc_id, p.n, p.w, p.lp, coalesce(b.tag, i.tag, 'O') AS tag
+  FROM pos_tbl p
+  LEFT JOIN b_tag b ON b.doc_id = p.doc_id AND b.w = p.w AND b.lp = p.lp
+  LEFT JOIN i_tag i ON i.doc_id = p.doc_id AND i.w = p.w AND i.lp = p.lp
+)
+SELECT 'doc' || doc_id || CASE WHEN n > {WIN}
+         THEN '_SPLIT_' || CAST(w AS VARCHAR) ELSE '' END AS doc_key,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       string_agg(tag, ' ' ORDER BY lp) AS bio
+FROM tags GROUP BY doc_id, n, w
+"""
+
+
 def all_queries() -> dict:
     """KG + relational + textops registries (name -> (fn, sql|None)),
     ordered so never-driver-sampled entries come first."""
@@ -3399,6 +3477,7 @@ KG_QUERIES = {
     "kg_predicate_drift": (q_kg_predicate_drift, SQL_KG_PREDICATE_DRIFT),
     "role_token_share": (q_role_token_share, SQL_ROLE_TOKEN_SHARE),
     "kg_alias_resolution": (q_kg_alias_resolution, SQL_KG_ALIAS_RESOLUTION),
+    "bio_tagged_export": (q_bio_tagged_export, SQL_BIO_TAGGED_EXPORT),
     "tool_transitions": (q_tool_transitions, SQL_TOOL_TRANSITIONS),
     "kg_mention_length_hist": (q_kg_mention_length_hist,
                                SQL_KG_MENTION_LENGTH_HIST),

@@ -489,7 +489,8 @@ def test_kg_schema_ops_differential(ray_session, tmp_path, seed):
               "kg_predicate_drift", "kg_type_constraints",
               "kg_shared_neighbors", "kg_mention_contexts",
               "kg_merged_triples", "kg_degree_assortativity",
-              "kg_qa_pairs", "chatml_export", "kg_alias_resolution"]:
+              "kg_qa_pairs", "chatml_export", "kg_alias_resolution",
+              "bio_tagged_export"]:
         _compare(str(tmp_path), q)
 
 
