@@ -2947,7 +2947,7 @@ _DRIVER_SAMPLE_FIRST = (
     # tier -1: added this session (eighth continuation)
     "basket_rules", "kaplan_meier", "conversion_ab_test", "revenue_cusum",
     "sentence_dedup", "skipgram_pairs", "embedding_quantize",
-    "kg_alias_resolution", "bio_tagged_export",
+    "kg_alias_resolution", "bio_tagged_export", "footer_stats",
     # tier 0: added the sixth/seventh continuation sessions
     "inverted_index", "mad_price_outliers", "embedding_pca1",
     "gif_frames", "kg_type_constraints", "event_pattern_match",

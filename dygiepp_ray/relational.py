@@ -8830,6 +8830,85 @@ FROM cu
 """
 
 
+_FOOTER_KEYS = (
+    ("region", "r_regionkey"), ("nation", "n_nationkey"),
+    ("customer", "c_custkey"), ("supplier", "s_suppkey"),
+    ("part", "p_partkey"), ("orders", "o_orderkey"),
+    ("lineitem", "l_orderkey"), ("events", "event_id"),
+    ("documents", "doc_id"), ("embeddings", "vec_id"),
+)
+
+
+def footer_stats(sf_dir: str) -> pd.DataFrame:
+    """Decode-free catalog audit: per table, row count and key-column
+    min/max/null-count read from PARQUET FOOTERS ONLY (zero data pages
+    touched) — the metadata sweep a planner runs to prune scans, cross-
+    checked by the full-scan SQL twin, so a writer that produced lying
+    statistics (the thing that silently breaks row-group pruning at
+    100 TB) fails the hash.
+
+    Shape: a dataset OF FILE PATHS fans footer reads out as tasks (a
+    table is thousands of files at scale, each footer ~KB); per-file
+    partials collapse to one row per (table, file) and the driver folds
+    O(tables).  -> (tbl, n_rows, min_key, max_key, n_null)."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    items = [{"tbl": t, "col": c,
+              "path": os.path.join(sf_dir, f"{t}.parquet")}
+             for t, c in _FOOTER_KEYS
+             if os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))]
+    out_cols = {"tbl": object, "n_rows": np.int64, "min_key": np.int64,
+                "max_key": np.int64, "n_null": np.int64}
+    if not items:
+        return pd.DataFrame({c: pd.Series(dtype=t)
+                             for c, t in out_cols.items()})
+    paths = ray.data.from_items(items)
+
+    def read_footers(df: pd.DataFrame) -> pd.DataFrame:
+        recs = []
+        for r in df.itertuples():
+            md = _pq.ParquetFile(r.path).metadata
+            ci = next(i for i in range(md.num_columns)
+                      if md.schema.column(i).name == r.col)
+            rows = nulls = 0
+            mn, mx = None, None
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                rows += rg.num_rows
+                st = rg.column(ci).statistics
+                if st is None:
+                    if rg.num_rows:  # zero-row groups carry no stats
+                        raise ValueError(
+                            f"{r.path} rg{g}: missing statistics")
+                    continue
+                nulls += st.null_count or 0
+                if st.has_min_max:
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+            recs.append((r.tbl, rows,
+                         0 if mn is None else int(mn),
+                         0 if mx is None else int(mx), nulls))
+        return pd.DataFrame(recs, columns=list(out_cols)).astype(out_cols)
+
+    parts = paths.map_batches(read_footers, batch_format="pandas").to_pandas()
+    g = parts.groupby("tbl", as_index=False).agg(
+        n_rows=("n_rows", "sum"),
+        min_key=("min_key", "min"), max_key=("max_key", "max"),
+        n_null=("n_null", "sum"))
+    return g.astype(out_cols).sort_values("tbl", ignore_index=True)
+
+
+SQL_FOOTER_STATS = "\nUNION ALL\n".join(
+    f"""SELECT '{t}' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(coalesce(min({c}), 0) AS BIGINT) AS min_key,
+       CAST(coalesce(max({c}), 0) AS BIGINT) AS max_key,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_null FROM {t}"""
+    for t, c in _FOOTER_KEYS
+) + "\nORDER BY tbl"
+
+
 def _sql_hexval6(expr: str, start_expr: str) -> str:
     """Integer value of the 6 hex chars of ``expr`` starting at the
     1-based DYNAMIC position ``start_expr`` (the static-position helper
@@ -8962,4 +9041,5 @@ RELATIONAL_QUERIES = {
     "kaplan_meier": (kaplan_meier, SQL_KAPLAN_MEIER),
     "conversion_ab_test": (conversion_ab_test, SQL_CONVERSION_AB_TEST),
     "revenue_cusum": (revenue_cusum, SQL_REVENUE_CUSUM),
+    "footer_stats": (footer_stats, SQL_FOOTER_STATS),
 }

@@ -591,3 +591,34 @@ def test_customer_embedding_backlog_differential(ray_session, tmp_path, seed):
                             * 1_000_000_000), pa.timestamp("us"))}
     ), tmp_path / "lineitem.parquet")
     _compare(str(tmp_path), "orders_backlog_by_day")
+
+
+@pytest.mark.parametrize("seed", [17])
+def test_footer_stats_multi_rowgroup_differential(ray_session, tmp_path, seed):
+    """footer_stats' multi-row-group fold: a table written as many row
+    groups (plus planted nulls) must fold footer partials to exactly
+    the full-scan aggregates."""
+    src = "/root/testdata/sf0.001"
+    for t in _TABLES:
+        schema = pq.read_schema(f"{src}/{t}.parquet").remove_metadata()
+        pq.write_table(schema.empty_table(), tmp_path / f"{t}.parquet")
+    rng = np.random.default_rng(seed)
+    n = 500
+    keys = rng.permutation(n * 2)[:n].astype(np.int64)
+    keys_arr = pa.array(
+        [None if i % 97 == 0 else int(k) for i, k in enumerate(keys)],
+        pa.int64())
+    tbl = pa.table(
+        {"o_orderkey": keys_arr,
+         "o_custkey": pa.array(rng.integers(0, 40, n).astype(np.int64)),
+         "o_orderstatus": pa.array(rng.choice(["O", "F"], n)),
+         "o_totalprice": pa.array(rng.uniform(900, 40000, n), pa.float64()),
+         "o_orderdate": pa.array(
+             pd.to_datetime(rng.integers(8e8, 9e8, n) * 1_000_000_000),
+             pa.timestamp("us")),
+         "o_orderpriority": pa.array(rng.choice(["1-URGENT", "2-HIGH"], n))}
+    )
+    pq.write_table(tbl, tmp_path / "orders.parquet", row_group_size=64)
+    assert pq.ParquetFile(tmp_path / "orders.parquet"
+                          ).metadata.num_row_groups > 3
+    _compare(str(tmp_path), "footer_stats")

@@ -187,3 +187,14 @@ def test_join_size_estimate_of_empty_tables_is_zero(empty_sf):
     df = entry.queries()["join_size_estimate"](empty_sf)
     assert len(df) == 1
     assert int(df["est_join_rows"].iloc[0]) == 0
+
+
+def test_footer_stats_of_empty_tables_keeps_catalog_shape(empty_sf):
+    """footer_stats emits one all-zero row per table on empty inputs
+    (footers with zero row groups), matching the SQL twin's aggregate
+    rows."""
+    import __ray_entry__ as entry
+
+    df = entry.queries()["footer_stats"](empty_sf)
+    assert len(df) == 10
+    assert int(df["n_rows"].sum()) == 0 and int(df["max_key"].sum()) == 0
