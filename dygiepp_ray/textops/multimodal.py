@@ -1089,3 +1089,126 @@ def jpeg_dims(
         JpegHeaderReader(), batch_format="pandas",
         batch_size=batch_size, concurrency=concurrency,
     )
+
+
+MP3_SEED = 73
+# MPEG-1 Layer III bitrate table (kbps), indices 1..14 (0 = free, 15 =
+# bad — never synthesized); samplerate table indices 0..2.
+MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                160, 192, 224, 256, 320, 0)
+MP3_SAMPLERATES = (44100, 48000, 32000)
+
+
+def synth_mp3(n: int = 12, seed: int = MP3_SEED) -> pa.Table:
+    """(media_id, payload): REAL MPEG-1 Layer III frame streams — each
+    frame a valid 4-byte header (11-bit sync, version/layer bits,
+    bitrate + samplerate indexes, padding bit) followed by exactly
+    ``144 * bitrate // samplerate + padding - 4`` body bytes, the
+    length equation every mp3 demuxer implements.  Bodies are one
+    ascii md5 chain per FILE (hex chars only — no 0xFF can appear, so
+    a malformed length always trips the sync check rather than
+    resyncing), letting the DuckDB oracle regenerate every byte."""
+    ids, payloads = [], []
+    for i in range(n):
+        base = hashlib.md5(f"mp3:{seed}:{i}".encode()).hexdigest()
+        sridx = int(base[0], 16) % 3
+        sr = MP3_SAMPLERATES[sridx]
+        n_frames = 3 + int(base[1], 16) % 6
+        lens, hdrs = [], []
+        for k in range(n_frames):
+            fh = hashlib.md5(f"mp3:{seed}:{i}:{k}".encode()).hexdigest()
+            bidx = 1 + int(fh[0:2], 16) % 14
+            pad = int(fh[2], 16) % 2
+            flen = (144 * MP3_BITRATES[bidx] * 1000) // sr + pad
+            # header: 0xFF | sync+MPEG1+LayerIII+noCRC | bitrate/sr/pad
+            # | mono, no emphasis
+            hdrs.append(bytes([0xFF, 0xFB,
+                               (bidx << 4) | (sridx << 2) | (pad << 1),
+                               0xC0]))
+            lens.append(flen)
+        total_body = sum(lens) - 4 * n_frames
+        chain = "".join(
+            hashlib.md5(f"mp3:{seed}:{i}:body:{j}".encode()).hexdigest()
+            for j in range(total_body // 32 + 1)
+        )
+        body = chain[:total_body].encode("ascii")
+        out, pos = b"", 0
+        for hdr, flen in zip(hdrs, lens):
+            out += hdr + body[pos:pos + flen - 4]
+            pos += flen - 4
+        ids.append(i)
+        payloads.append(out)
+    return pa.table(
+        {"media_id": pa.array(ids, pa.int64()),
+         "payload": pa.array(payloads, pa.binary())})
+
+
+class Mp3FrameReader:
+    """Actor-pool stage: REAL MPEG frame walk — verifies the sync word
+    and version/layer bits of every frame, recomputes each frame's
+    length from its header fields, and RAISES on desync, truncation or
+    trailing bytes.  Emits the per-file summary a transcoding pipeline
+    uses for admission control (duration, mean bitrate) plus the body
+    digest."""
+
+    @staticmethod
+    def _parse(payload: bytes):
+        pos, n_frames, sum_br, sr0 = 0, 0, 0, None
+        bodies = []
+        while pos < len(payload):
+            if pos + 4 > len(payload):
+                raise ValueError("truncated frame header")
+            b0, b1, b2, _b3 = payload[pos:pos + 4]
+            if b0 != 0xFF or b1 != 0xFB:
+                raise ValueError(f"lost sync at {pos}")
+            bidx, sridx, pad = b2 >> 4, (b2 >> 2) & 0x3, (b2 >> 1) & 0x1
+            if bidx in (0, 15) or sridx == 3:
+                raise ValueError(f"invalid header fields at {pos}")
+            sr = MP3_SAMPLERATES[sridx]
+            if sr0 is None:
+                sr0 = sr
+            elif sr != sr0:
+                raise ValueError("samplerate changed mid-stream")
+            flen = (144 * MP3_BITRATES[bidx] * 1000) // sr + pad
+            if pos + flen > len(payload):
+                raise ValueError(f"frame at {pos} overruns payload")
+            bodies.append(payload[pos + 4:pos + flen])
+            sum_br += MP3_BITRATES[bidx]
+            n_frames += 1
+            pos += flen
+        if n_frames == 0:
+            raise ValueError("empty stream")
+        body = b"".join(bodies)
+        # 1152 samples per MPEG-1 Layer III frame
+        dur_us = n_frames * ((1152 * 1_000_000) // sr0)
+        return (n_frames, len(payload), sr0, sum_br, dur_us,
+                hashlib.md5(body).hexdigest())
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"media_id": [], "n_frames": [], "total_bytes": [],
+                "samplerate": [], "sum_bitrate_kbps": [], "dur_us": [],
+                "body_md5": []}
+        for mid, payload in zip(df["media_id"], df["payload"]):
+            nf, tb, sr, sbr, dur, md = self._parse(bytes(payload))
+            rows["media_id"].append(int(mid))
+            rows["n_frames"].append(nf)
+            rows["total_bytes"].append(tb)
+            rows["samplerate"].append(sr)
+            rows["sum_bitrate_kbps"].append(sbr)
+            rows["dur_us"].append(dur)
+            rows["body_md5"].append(md)
+        return pd.DataFrame(rows).astype(
+            {c: np.int64 for c in ("media_id", "n_frames", "total_bytes",
+                                   "samplerate", "sum_bitrate_kbps",
+                                   "dur_us")})
+
+
+def mp3_frames(
+    media: ray.data.Dataset, concurrency: int = 2, batch_size: int = 4
+) -> ray.data.Dataset:
+    """Decode-free audio introspection: per-file frame walk summary —
+    the admission-control metadata pass before any PCM decode."""
+    return media.map_batches(
+        Mp3FrameReader(), batch_format="pandas",
+        batch_size=batch_size, concurrency=concurrency,
+    )

@@ -2649,3 +2649,71 @@ FROM r GROUP BY vec_id
 
 TEXTOPS_QUERIES["embedding_quantize"] = (
     q_embedding_quantize, SQL_EMBEDDING_QUANTIZE)
+
+
+def q_mp3_frames(sf_dir: str):
+    """REAL MPEG-1 Layer III frame walk (sync verify, header-derived
+    frame lengths, truncation/trailing cross-checks that RAISE); the
+    twin regenerates every header field and body byte from the
+    generation rule."""
+    media = ray.data.from_arrow(multimodal.synth_mp3(12))
+    return multimodal.mp3_frames(media)
+
+
+def _sql_mp3_frames() -> str:
+    from .multimodal import MP3_BITRATES, MP3_SEED
+
+    br_case = ("CASE bidx " + " ".join(
+        f"WHEN {i} THEN {MP3_BITRATES[i]}" for i in range(1, 15)) + " END")
+    return f"""
+WITH m AS (
+  SELECT i AS media_id, md5('mp3:{MP3_SEED}:' || i) AS base
+  FROM range(0, 12) t(i)
+),
+d AS (
+  SELECT media_id,
+         CASE {_sql_hexval('base', 1, 1)} % 3
+              WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sr,
+         3 + {_sql_hexval('base', 2, 1)} % 6 AS nf
+  FROM m
+),
+fr AS (
+  SELECT media_id, sr, nf,
+         md5('mp3:{MP3_SEED}:' || media_id || ':' || k.k) AS fh
+  FROM d, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS k) k
+),
+f2 AS (
+  SELECT media_id, sr, nf,
+         1 + {_sql_hexval('fh', 1, 2)} % 14 AS bidx,
+         {_sql_hexval('fh', 3, 1)} % 2 AS pad
+  FROM fr
+),
+f3 AS (SELECT media_id, sr, nf, pad, {br_case} AS br FROM f2),
+agg AS (
+  SELECT media_id, any_value(sr) AS sr, any_value(nf) AS nf,
+         sum((144 * br * 1000) // sr + pad) AS total_bytes,
+         sum(br) AS sum_br
+  FROM f3 GROUP BY media_id
+),
+chain AS (
+  SELECT a.media_id,
+         string_agg(md5('mp3:{MP3_SEED}:' || a.media_id || ':body:' || j.j),
+                    '' ORDER BY j.j) AS chain,
+         any_value(a.total_bytes - 4 * a.nf) AS blen
+  FROM agg a, LATERAL (
+    SELECT unnest(generate_series(0, CAST((a.total_bytes - 4 * a.nf) // 32 AS BIGINT))) AS j
+  ) j
+  GROUP BY a.media_id
+)
+SELECT CAST(a.media_id AS BIGINT) AS media_id,
+       CAST(a.nf AS BIGINT) AS n_frames,
+       CAST(a.total_bytes AS BIGINT) AS total_bytes,
+       CAST(a.sr AS BIGINT) AS samplerate,
+       CAST(a.sum_br AS BIGINT) AS sum_bitrate_kbps,
+       CAST(a.nf * ((1152 * 1000000) // a.sr) AS BIGINT) AS dur_us,
+       md5(substring(c.chain, 1, CAST(c.blen AS INTEGER))) AS body_md5
+FROM agg a JOIN chain c ON c.media_id = a.media_id
+"""
+
+
+TEXTOPS_QUERIES["mp3_frames"] = (q_mp3_frames, _sql_mp3_frames())

@@ -1201,3 +1201,35 @@ def test_jpeg_synth_is_real_jfif_and_reader_cross_checks(ray_session):
     # appending trailing garbage after EOI must RAISE too
     with _pytest.raises(ValueError, match="trailing"):
         M.JpegHeaderReader._parse(p0 + b"xx")
+
+
+def test_mp3_synth_is_real_mpeg_and_reader_cross_checks(ray_session):
+    import pytest as _pytest
+    import ray.data as rd
+
+    from dygiepp_ray.textops import multimodal as M
+
+    tbl = M.synth_mp3(4)
+    p0 = bytes(tbl["payload"][0].as_py())
+    # every frame starts on a real 11-bit sync + MPEG1 Layer III bits
+    assert p0[0] == 0xFF and p0[1] == 0xFB
+    nf, tb, sr, sbr, dur, md = M.Mp3FrameReader._parse(p0)
+    assert tb == len(p0) and sr in M.MP3_SAMPLERATES and nf >= 3
+    # recompute the first frame's length from ITS header and check the
+    # next sync lands exactly there
+    bidx, sridx, pad = p0[2] >> 4, (p0[2] >> 2) & 3, (p0[2] >> 1) & 1
+    flen = (144 * M.MP3_BITRATES[bidx] * 1000) // M.MP3_SAMPLERATES[sridx] + pad
+    assert p0[flen] == 0xFF and p0[flen + 1] == 0xFB
+
+    out = M.mp3_frames(rd.from_arrow(tbl)).to_pandas()
+    row = out[out["media_id"] == 0].iloc[0]
+    assert int(row["n_frames"]) == nf and row["body_md5"] == md
+
+    # truncating the last frame must RAISE (overrun check)
+    with _pytest.raises(ValueError, match="overruns|truncated"):
+        M.Mp3FrameReader._parse(p0[:-3])
+    # corrupting a header's sync byte must RAISE (no silent resync)
+    bad = bytearray(p0)
+    bad[flen] = 0x00
+    with _pytest.raises(ValueError, match="sync"):
+        M.Mp3FrameReader._parse(bytes(bad))
