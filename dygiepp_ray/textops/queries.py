@@ -2717,3 +2717,78 @@ FROM agg a JOIN chain c ON c.media_id = a.media_id
 
 
 TEXTOPS_QUERIES["mp3_frames"] = (q_mp3_frames, _sql_mp3_frames())
+
+
+def q_split_leakage_audit(sf_dir: str):
+    """Train/test contamination audit: EXACT near-dup pairs (the
+    full-recall prefix-filter join at jaccard >= 4/5) whose two docs
+    land in DIFFERENT train/val/test folds under the md5 fence rule —
+    the leakage a doc-level split always risks when it ignores
+    near-duplicate clusters.  The eval-side member of every cross-fold
+    pair is compromised.
+
+    Pairs come from the linear keyed-exchange AllPairs join; folds are
+    derivable from the doc id alone, so the audit itself is map-only
+    over the pair stream + an O(folds^2) driver fold.
+    -> (fold_a, fold_b, n_pairs), fold_a <= fold_b, cross-fold rows
+    are the leaks."""
+    import hashlib as _hl
+
+    pairs = dedup.prefix_near_dups(_docs(sf_dir),
+                                   threshold_num=4, threshold_den=5)
+
+    cols = {"fold_a": object, "fold_b": object, "n_pairs": np.int64}
+
+    def _fold(ids: np.ndarray) -> np.ndarray:
+        out = np.empty(len(ids), object)
+        for i, k in enumerate(ids):
+            h = _hl.md5(str(int(k)).encode()).hexdigest()[:2]
+            out[i] = "train" if h < "cc" else ("val" if h < "e6" else "test")
+        return out
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "id_a" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in cols.items()})
+        fa = _fold(df["id_a"].to_numpy(np.int64))
+        fb = _fold(df["id_b"].to_numpy(np.int64))
+        lo, hi = np.minimum(fa, fb), np.maximum(fa, fb)
+        g = pd.DataFrame({"fold_a": lo, "fold_b": hi}).groupby(
+            ["fold_a", "fold_b"], as_index=False).size()
+        return pd.DataFrame({"fold_a": g["fold_a"], "fold_b": g["fold_b"],
+                             "n_pairs": g["size"].astype(np.int64)})
+
+    parts = pairs.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty or "fold_a" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    g = parts.groupby(["fold_a", "fold_b"], as_index=False)["n_pairs"].sum()
+    return g.astype({"n_pairs": np.int64})
+
+
+SQL_SPLIT_LEAKAGE_AUDIT = _SQL_SH3 + """,
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_distinct(a.sh || b.sh)) > 0
+    AND 5 * len(list_intersect(a.sh, b.sh))
+        >= 4 * len(list_distinct(a.sh || b.sh))
+),
+f AS (
+  SELECT least(fa, fb) AS fold_a, greatest(fa, fb) AS fold_b FROM (
+    SELECT CASE WHEN substr(md5(CAST(id_a AS VARCHAR)), 1, 2) < 'cc'
+                THEN 'train'
+                WHEN substr(md5(CAST(id_a AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'val' ELSE 'test' END AS fa,
+           CASE WHEN substr(md5(CAST(id_b AS VARCHAR)), 1, 2) < 'cc'
+                THEN 'train'
+                WHEN substr(md5(CAST(id_b AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'val' ELSE 'test' END AS fb
+    FROM p
+  )
+)
+SELECT fold_a, fold_b, CAST(count(*) AS BIGINT) AS n_pairs
+FROM f GROUP BY 1, 2
+"""
+
+TEXTOPS_QUERIES["split_leakage_audit"] = (
+    q_split_leakage_audit, SQL_SPLIT_LEAKAGE_AUDIT)

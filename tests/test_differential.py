@@ -205,7 +205,8 @@ def test_document_queries_differential(ray_session, tmp_path, seed):
               "unigram_surprisal", "kg_entity_degree", "kg_path2",
               "vocab_growth", "surprisal_buckets",
               "term_freq_spectrum", "inverted_index", "hashed_features",
-              "chatml_export", "sentence_dedup", "skipgram_pairs"]:
+              "chatml_export", "sentence_dedup", "skipgram_pairs",
+              "split_leakage_audit"]:
         _compare(str(tmp_path), q)
 
 
