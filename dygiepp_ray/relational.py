@@ -8909,6 +8909,92 @@ SQL_FOOTER_STATS = "\nUNION ALL\n".join(
 ) + "\nORDER BY tbl"
 
 
+def cohort_ltv(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
+    """Cohort lifetime value: customers grouped by first-order calendar
+    month, CUMULATIVE revenue tracked per month of age — the money
+    sibling of cohort_retention and the table every growth model fits.
+
+    One custkey exchange computes each customer's cohort AND the
+    (cohort, age) revenue partials in the same bucket pass (a customer
+    lives wholly in one bucket); the driver folds only the bounded
+    cohort x age grid with python-int sums (exact; loud int64 guard)
+    and cumsums ages in place.
+    -> (cohort_month, age_months, n_customers, cum_revenue_cents)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    _P = {"cm": np.int64, "age": np.int64, "rev": np.int64, "nc": np.int64}
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_custkey" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _P.items()})
+        dt = pd.DatetimeIndex(df["o_orderdate"])
+        m = (dt.year * 12 + dt.month - 1).to_numpy(np.int64)
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(np.float64) * 100.0
+        ).astype(np.int64)
+        d = pd.DataFrame({"ck": df["o_custkey"].to_numpy(np.int64),
+                          "m": m, "cents": cents})
+        first = d.groupby("ck")["m"].transform("min")
+        rev = pd.DataFrame(
+            {"cm": first.to_numpy(np.int64),
+             "age": (d["m"] - first).to_numpy(np.int64),
+             "rev": cents}
+        ).groupby(["cm", "age"], as_index=False)["rev"].sum()
+        rev["nc"] = 0
+        nc = d.groupby("ck", as_index=False)["m"].min().groupby(
+            "m", as_index=False).size()
+        nc = pd.DataFrame({"cm": nc["m"].to_numpy(np.int64),
+                           "age": np.full(len(nc), -1, np.int64),
+                           "rev": np.zeros(len(nc), np.int64),
+                           "nc": nc["size"].to_numpy(np.int64)})
+        return pd.concat([rev, nc], ignore_index=True).astype(_P)
+
+    parts = partitioned_map_groups(
+        ds, "o_custkey", per_bucket, num_buckets).to_pandas()
+    out_cols = {"cohort_month": np.int64, "age_months": np.int64,
+                "n_customers": np.int64, "cum_revenue_cents": np.int64}
+    if parts.empty or "cm" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t)
+                             for c, t in out_cols.items()})
+    ncs = parts[parts["age"] < 0].groupby("cm")["nc"].sum().to_dict()
+    rev = parts[parts["age"] >= 0].groupby(
+        ["cm", "age"], as_index=False)["rev"].sum()
+    rev = rev.sort_values(["cm", "age"], ignore_index=True)
+    rows, cum, cur = [], 0, None
+    for r in rev.itertuples():
+        if r.cm != cur:
+            cur, cum = r.cm, 0
+        cum += int(r.rev)  # python ints: exact at any scale
+        if cum >= (1 << 63):
+            raise OverflowError("cum_revenue_cents exceeds int64")
+        rows.append((int(r.cm), int(r.age), int(ncs[r.cm]), cum))
+    return pd.DataFrame(rows, columns=list(out_cols)).astype(out_cols)
+
+
+SQL_COHORT_LTV = """
+WITH o AS (
+  SELECT o_custkey AS ck,
+         CAST(date_part('year', o_orderdate) * 12
+              + date_part('month', o_orderdate) - 1 AS BIGINT) AS m,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+f AS (SELECT ck, min(m) AS cm FROM o GROUP BY ck),
+nc AS (SELECT cm, count(*) AS n_customers FROM f GROUP BY cm),
+r AS (SELECT f.cm, o.m - f.cm AS age, sum(cents) AS rev
+      FROM o JOIN f ON f.ck = o.ck GROUP BY 1, 2)
+SELECT CAST(r.cm AS BIGINT) AS cohort_month,
+       CAST(age AS BIGINT) AS age_months,
+       CAST(nc.n_customers AS BIGINT) AS n_customers,
+       CAST(sum(rev) OVER (PARTITION BY r.cm ORDER BY age)
+            AS BIGINT) AS cum_revenue_cents
+FROM r JOIN nc ON nc.cm = r.cm
+"""
+
+
 def _sql_hexval6(expr: str, start_expr: str) -> str:
     """Integer value of the 6 hex chars of ``expr`` starting at the
     1-based DYNAMIC position ``start_expr`` (the static-position helper
@@ -9042,4 +9128,5 @@ RELATIONAL_QUERIES = {
     "conversion_ab_test": (conversion_ab_test, SQL_CONVERSION_AB_TEST),
     "revenue_cusum": (revenue_cusum, SQL_REVENUE_CUSUM),
     "footer_stats": (footer_stats, SQL_FOOTER_STATS),
+    "cohort_ltv": (cohort_ltv, SQL_COHORT_LTV),
 }

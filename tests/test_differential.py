@@ -128,7 +128,8 @@ def test_orders_queries_differential(ray_session, tmp_path, seed):
               "rfm_segments", "monthly_revenue_zscore",
               "revenue_drawdown", "revenue_pareto",
               "poisson_bootstrap_mean", "revenue_gini",
-              "loo_target_encoding", "kaplan_meier", "revenue_cusum"]:
+              "loo_target_encoding", "kaplan_meier", "revenue_cusum",
+              "cohort_ltv"]:
         _compare(str(tmp_path), q)
 
 

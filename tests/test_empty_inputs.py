@@ -84,7 +84,7 @@ _SAMPLE = [
     "kg_degree_assortativity", "basket_rules", "kaplan_meier",
     "revenue_cusum", "sentence_dedup", "skipgram_pairs",
     "embedding_quantize",
-    "bio_tagged_export", "split_leakage_audit",
+    "bio_tagged_export", "split_leakage_audit", "cohort_ltv",
     # kg_alias_resolution keeps its 20-row lexicon shape on empty input
     # (SQL twin's VALUES canon table does too) — checked in its
     # dedicated scalar-shape test below, not the zero-row sample
