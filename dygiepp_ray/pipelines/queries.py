@@ -2948,7 +2948,7 @@ _DRIVER_SAMPLE_FIRST = (
     "basket_rules", "kaplan_meier", "conversion_ab_test", "revenue_cusum",
     "sentence_dedup", "skipgram_pairs", "embedding_quantize",
     "kg_alias_resolution", "bio_tagged_export", "footer_stats",
-    "mp3_frames", "split_leakage_audit", "cohort_ltv",
+    "mp3_frames", "split_leakage_audit", "cohort_ltv", "benford_audit",
     # tier 0: added the sixth/seventh continuation sessions
     "inverted_index", "mad_price_outliers", "embedding_pca1",
     "gif_frames", "kg_type_constraints", "event_pattern_match",

@@ -8995,6 +8995,95 @@ FROM r JOIN nc ON nc.cm = r.cm
 """
 
 
+# Benford first-digit probabilities log10(1 + 1/d), fixed-point 1e9 —
+# ONE shared constant table: the SQL twin inlines these same literals,
+# so both engines test against the identical expected distribution.
+import math as _math
+
+BENFORD_P_X1E9 = {
+    d: int(round(_math.log10(1 + 1 / d) * 1_000_000_000))
+    for d in range(1, 10)
+}
+
+
+def benford_audit(sf_dir: str) -> pd.DataFrame:
+    """Benford's-law audit of order totals: observed first-significant-
+    digit counts (of integer cents) against the log10(1+1/d) expected
+    distribution, with an exact fixed-point chi-square contribution per
+    digit — the fraud/data-quality screen run over any money column.
+
+    Map-only: per-batch digit counts collapse to <= 9 rows; the driver
+    folds O(digits) and evaluates the statistic in python ints over the
+    shared 1e9-scaled constant table (HUGEINT twin).
+    -> (digit, n_obs, expected_x1e9, chi2_term_x1e6)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_totalprice" not in df.columns:
+            return pd.DataFrame({"digit": pd.Series(dtype=np.int64),
+                                 "n": pd.Series(dtype=np.int64)})
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(np.float64) * 100.0
+        ).astype(np.int64)
+        cents = cents[cents > 0]
+        if len(cents) == 0:
+            return pd.DataFrame({"digit": pd.Series(dtype=np.int64),
+                                 "n": pd.Series(dtype=np.int64)})
+        first = pd.Series(cents).astype(str).str[0].astype(np.int64)
+        g = first.value_counts().sort_index()
+        return pd.DataFrame({"digit": g.index.to_numpy(np.int64),
+                             "n": g.to_numpy(np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out_cols = {"digit": np.int64, "n_obs": np.int64,
+                "expected_x1e9": np.int64, "chi2_term_x1e6": np.int64}
+    if parts.empty or "digit" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t)
+                             for c, t in out_cols.items()})
+    obs = parts.groupby("digit")["n"].sum().to_dict()
+    N = sum(int(v) for v in obs.values())
+    rows = []
+    for d in range(1, 10):
+        o, p = int(obs.get(d, 0)), BENFORD_P_X1E9[d]
+        exp9 = N * p
+        term = ((o * 1_000_000_000 - exp9) ** 2 * 1_000_000) // (
+            1_000_000_000 * exp9) if exp9 else 0
+        if term >= (1 << 63) or exp9 >= (1 << 63):
+            raise OverflowError("benford statistic exceeds int64")
+        rows.append((d, o, exp9, term))
+    return pd.DataFrame(rows, columns=list(out_cols)).astype(out_cols)
+
+
+_BENFORD_VALUES = ", ".join(
+    f"({d}, {p})" for d, p in BENFORD_P_X1E9.items())
+
+SQL_BENFORD_AUDIT = f"""
+WITH c AS (
+  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+),
+o AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         count(*) AS n
+  FROM c WHERE cents > 0 GROUP BY 1
+),
+n AS (SELECT coalesce(sum(n), 0) AS total FROM o),
+p(digit, p9) AS (VALUES {_BENFORD_VALUES})
+SELECT CAST(p.digit AS BIGINT) AS digit,
+       CAST(coalesce(o.n, 0) AS BIGINT) AS n_obs,
+       CAST(n.total * p.p9 AS BIGINT) AS expected_x1e9,
+       CAST(CASE WHEN n.total = 0 THEN 0 ELSE
+            ((coalesce(o.n, 0)::HUGEINT * 1000000000 - n.total * p.p9)
+             * (coalesce(o.n, 0)::HUGEINT * 1000000000 - n.total * p.p9)
+             * 1000000)
+            // (1000000000::HUGEINT * n.total * p.p9) END AS BIGINT)
+       AS chi2_term_x1e6
+FROM p LEFT JOIN o ON o.digit = p.digit, n
+WHERE n.total > 0
+"""
+
+
 def _sql_hexval6(expr: str, start_expr: str) -> str:
     """Integer value of the 6 hex chars of ``expr`` starting at the
     1-based DYNAMIC position ``start_expr`` (the static-position helper
@@ -9129,4 +9218,5 @@ RELATIONAL_QUERIES = {
     "revenue_cusum": (revenue_cusum, SQL_REVENUE_CUSUM),
     "footer_stats": (footer_stats, SQL_FOOTER_STATS),
     "cohort_ltv": (cohort_ltv, SQL_COHORT_LTV),
+    "benford_audit": (benford_audit, SQL_BENFORD_AUDIT),
 }
