@@ -9084,6 +9084,133 @@ WHERE n.total > 0
 """
 
 
+# HLL alpha constant for m = 256 registers, fixed-point 1e9, plus the
+# linear-counting table ln(256/V) for every possible zero-register
+# count V — BOTH shared as literals between engine and twin, so the
+# corrected estimator is pure integer arithmetic on each side.
+HLL_ALPHA_X1E9 = int(round(0.7213 / (1 + 1.079 / 256) * 1_000_000_000))
+HLL_LN_X1E9 = {v: int(round(_math.log(256 / v) * 1_000_000_000))
+               for v in range(1, 257)}
+
+
+def hll_error_audit(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
+    """Sketch-accuracy audit: per event type, the HLL(m=256) distinct-
+    user ESTIMATE next to the exact distinct count and the absolute
+    error — the calibration table that justifies replacing exact
+    distincts with sketches at 100 TB.
+
+    The harmonic mean is evaluated as the exact rational
+    ``sum(2^(57-rho))`` over all 256 registers (missing registers
+    contribute 2^57) and the small-range linear-counting branch
+    (``E < 2.5m`` with zero registers -> ``m * ln(m/V)``) reads a
+    shared 1e9-scaled log table, so the corrected estimate is pure
+    integer arithmetic (python ints / HUGEINT twin) — no float
+    summation order to drift.  Registers come from the mergeable
+    per-batch sketch partials; the exact side is a distinct
+    (user, type) combiner + one user exchange.
+    -> (event_type, n_exact, hll_est_x1e6, abs_err_x1e6)."""
+    from .functions.hll import hll_registers_by
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    regs = hll_registers_by(ev, "user_id", "event_type")
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "user_id" not in df.columns:
+            return pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                                 "event_type": pd.Series(dtype=object)})
+        return df.drop_duplicates(ignore_index=True)
+
+    def count_part(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "event_type" not in df.columns:
+            return pd.DataFrame({"event_type": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})
+        g = df.drop_duplicates().groupby("event_type", as_index=False).size()
+        return pd.DataFrame({"event_type": g["event_type"],
+                             "n": g["size"].astype(np.int64)})
+
+    exact = partitioned_map_groups(
+        ev.map_batches(pre, batch_format="pandas"), "user_id", count_part,
+        num_buckets).to_pandas()
+
+    out_cols = {"event_type": object, "n_exact": np.int64,
+                "hll_est_x1e6": np.int64, "abs_err_x1e6": np.int64}
+    if exact.empty or "event_type" not in exact.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t)
+                             for c, t in out_cols.items()})
+    n_exact = exact.groupby("event_type")["n"].sum().to_dict()
+    sums: dict[str, int] = {t: 256 * (1 << 57) for t in n_exact}
+    npres: dict[str, int] = {t: 0 for t in n_exact}
+    if not regs.empty and "register" in regs.columns:
+        for r in regs.itertuples():
+            # replace this register's default 2^57 with 2^(57-rho)
+            sums[r.event_type] += (1 << (57 - int(r.rho_max))) - (1 << 57)
+            npres[r.event_type] += 1
+    rows = []
+    for t in sorted(n_exact):
+        s = sums[t]
+        est = (HLL_ALPHA_X1E9 * 65536 * (1 << 57) * 1_000_000) // (
+            s * 1_000_000_000)
+        v = 256 - npres[t]
+        if v > 0 and est < 640_000_000:  # E < 2.5m: linear counting
+            est = (256 * HLL_LN_X1E9[v] * 1_000_000) // 1_000_000_000
+        if est >= (1 << 63):
+            raise OverflowError("hll_est_x1e6 exceeds int64")
+        rows.append((t, int(n_exact[t]), est,
+                     abs(est - int(n_exact[t]) * 1_000_000)))
+    return pd.DataFrame(rows, columns=list(out_cols)).astype(out_cols)
+
+
+SQL_HLL_ERROR_AUDIT = f"""
+WITH h AS (
+  SELECT event_type, user_id,
+         {_sql_hexval_huge("md5(CAST(user_id AS VARCHAR))", 16)} AS val
+  FROM events
+),
+rr AS (
+  SELECT event_type,
+         CAST(val >> 56 AS BIGINT) AS register,
+         CAST(CASE WHEN (val % (1::HUGEINT << 56)) = 0 THEN 57
+              ELSE 57 - length(bin(val % (1::HUGEINT << 56))) END
+              AS BIGINT) AS rho
+  FROM h
+),
+reg AS (SELECT event_type, register, max(rho) AS rho
+        FROM rr GROUP BY 1, 2),
+srr AS (
+  SELECT event_type,
+         sum(1::HUGEINT << CAST(57 - rho AS INTEGER)) AS s_present,
+         count(*) AS n_present
+  FROM reg GROUP BY 1
+),
+ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+       FROM events GROUP BY 1),
+raw AS (
+  SELECT e.event_type, e.n_exact, 256 - s.n_present AS v,
+         ({HLL_ALPHA_X1E9}::HUGEINT * 65536 * (1::HUGEINT << 57)
+          * 1000000)
+         // ((s.s_present + (256 - s.n_present) * (1::HUGEINT << 57))
+             * 1000000000) AS est
+  FROM ex e JOIN srr s ON s.event_type = e.event_type
+),
+ln9(v, l9) AS (VALUES {", ".join(f"({v}, {l})"
+                                 for v, l in HLL_LN_X1E9.items())}),
+est AS (
+  SELECT event_type, n_exact,
+         CASE WHEN raw.v > 0 AND raw.est < 640000000
+              THEN (256::HUGEINT * ln9.l9 * 1000000) // 1000000000
+              ELSE raw.est END AS est
+  FROM raw LEFT JOIN ln9 ON ln9.v = raw.v
+)
+SELECT event_type, CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(est AS BIGINT) AS hll_est_x1e6,
+       CAST(abs(est - n_exact::HUGEINT * 1000000) AS BIGINT)
+       AS abs_err_x1e6
+FROM est
+"""
+
+
 def _sql_hexval6(expr: str, start_expr: str) -> str:
     """Integer value of the 6 hex chars of ``expr`` starting at the
     1-based DYNAMIC position ``start_expr`` (the static-position helper
@@ -9219,4 +9346,5 @@ RELATIONAL_QUERIES = {
     "footer_stats": (footer_stats, SQL_FOOTER_STATS),
     "cohort_ltv": (cohort_ltv, SQL_COHORT_LTV),
     "benford_audit": (benford_audit, SQL_BENFORD_AUDIT),
+    "hll_error_audit": (hll_error_audit, SQL_HLL_ERROR_AUDIT),
 }

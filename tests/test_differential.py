@@ -90,7 +90,7 @@ def _compare(sf_dir: str, qname: str):
      "events_watermark_agg", "session_table", "event_pattern_match",
      "events_trailing_range", "chi2_independence",
      "conversion_lag_quantiles", "user_gap_mad", "dau_wau_mau",
-     "conversion_ab_test"],
+     "conversion_ab_test", "hll_error_audit"],
 )
 def test_event_queries_differential(ray_session, tmp_path, seed, qname):
     rng = np.random.default_rng(seed * 1000 + len(qname))
