@@ -2792,3 +2792,82 @@ FROM f GROUP BY 1, 2
 
 TEXTOPS_QUERIES["split_leakage_audit"] = (
     q_split_leakage_audit, SQL_SPLIT_LEAKAGE_AUDIT)
+
+
+def q_group_aware_split(sf_dir: str):
+    """The split_leakage_audit REMEDY: fold assignment keyed on each
+    doc's near-dup COMPONENT representative (min doc id, the
+    distributed connected components) instead of the doc itself, so a
+    whole duplicate cluster lands in one fold and cross-fold leakage is
+    structurally zero — group-aware splitting, the standard fix for
+    contaminated evals.
+
+    Components ride the LSH -> exact-verify -> min-label-propagation
+    chain; the rep join is ONE doc_id coexchange (singleton docs are
+    their own rep) and the fold rule stays the md5 fence, so the only
+    change from train_split is WHOSE id is hashed.
+    -> (split, n_docs, n_regrouped)."""
+    import hashlib as _hl
+
+    from ..core import hash_coexchange
+
+    docs = _docs(sf_dir)
+    sigs = dedup.minhash_signatures(docs)
+    pairs = dedup.lsh_candidate_pairs(sigs)
+    verified = dedup.ngram_jaccard_verify(pairs, docs, threshold=0.8)
+    comps = dedup.connected_components(verified)
+    ids = docs.select_columns(["doc_id"])
+
+    cols = {"split": object, "n_docs": np.int64, "n_regrouped": np.int64}
+
+    def assign(c: pd.DataFrame, d: pd.DataFrame) -> pd.DataFrame:
+        if len(d) == 0 or "doc_id" not in d.columns:
+            return pd.DataFrame({k: pd.Series(dtype=t)
+                                 for k, t in cols.items()})
+        rep = {}
+        if len(c) and "node" in c.columns:
+            rep = dict(zip(c["node"].to_numpy(np.int64),
+                           c["component"].to_numpy(np.int64)))
+        did = d["doc_id"].to_numpy(np.int64)
+        reps = np.array([rep.get(int(k), int(k)) for k in did], np.int64)
+        folds = np.empty(len(did), object)
+        for i, r in enumerate(reps):
+            h = _hl.md5(str(int(r)).encode()).hexdigest()[:2]
+            folds[i] = ("train" if h < "cc"
+                        else ("val" if h < "e6" else "test"))
+        g = pd.DataFrame({"split": folds, "moved": (reps != did)}).groupby(
+            "split", as_index=False)["moved"].agg(n_docs="size",
+                                                  n_regrouped="sum")
+        return g.astype({"n_docs": np.int64, "n_regrouped": np.int64})
+
+    parts = hash_coexchange(comps, ids, "node", "doc_id", assign,
+                            num_buckets=8).to_pandas()
+    if parts.empty or "split" not in parts.columns:
+        return pd.DataFrame({k: pd.Series(dtype=t) for k, t in cols.items()})
+    g = parts.groupby("split", as_index=False)[
+        ["n_docs", "n_regrouped"]].sum()
+    return g.astype({"n_docs": np.int64, "n_regrouped": np.int64})
+
+
+SQL_GROUP_AWARE_SPLIT = _SQL_COMP_CTES + """,
+comp AS (SELECT s AS node, min(d) AS component FROM closure GROUP BY s),
+rep AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+f AS (
+  SELECT doc_id, rep,
+         CASE WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 2) < 'cc'
+              THEN 'train'
+              WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 2) < 'e6'
+              THEN 'val' ELSE 'test' END AS split
+  FROM rep
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN rep <> doc_id THEN 1 ELSE 0 END) AS BIGINT)
+       AS n_regrouped
+FROM f GROUP BY 1
+"""
+
+TEXTOPS_QUERIES["group_aware_split"] = (
+    q_group_aware_split, SQL_GROUP_AWARE_SPLIT)

@@ -85,7 +85,7 @@ _SAMPLE = [
     "revenue_cusum", "sentence_dedup", "skipgram_pairs",
     "embedding_quantize",
     "bio_tagged_export", "split_leakage_audit", "cohort_ltv",
-    "benford_audit", "hll_error_audit",
+    "benford_audit", "hll_error_audit", "group_aware_split",
     # kg_alias_resolution keeps its 20-row lexicon shape on empty input
     # (SQL twin's VALUES canon table does too) — checked in its
     # dedicated scalar-shape test below, not the zero-row sample
