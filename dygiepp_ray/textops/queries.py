@@ -2871,3 +2871,79 @@ FROM f GROUP BY 1
 
 TEXTOPS_QUERIES["group_aware_split"] = (
     q_group_aware_split, SQL_GROUP_AWARE_SPLIT)
+
+
+def q_novelty_scores(sf_dir: str):
+    """Per-document novelty: the fraction of a doc's distinct 3-word
+    shingles that appear NOWHERE else in the corpus — the inverse of
+    duplication scoring, used to up-weight genuinely new content (and
+    to flag memorization-prone boilerplate at 0).
+
+    One shingle-keyed exchange computes exact document frequencies (a
+    shingle's holders co-locate) and emits per-(doc, bucket) partials;
+    one doc exchange folds them to a per-doc row.  Engine counts on the
+    64-bit shingle-hash ids, the twin on shingle strings —
+    cardinalities agree absent collisions (prefix_near_dups' documented
+    caveat).  -> (doc_id, n_shingles, n_novel, novelty_pct)."""
+    from ..core import partitioned_map_groups
+    from .corpus import _shingle_rows
+
+    docs = _docs(sf_dir)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "text" not in df.columns:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "shingle": pd.Series(dtype=np.int64),
+                                 "size": pd.Series(dtype=np.int64)})
+        return _shingle_rows(df, 3, "text", "doc_id")
+
+    rows = docs.map_batches(explode, batch_format="pandas")
+
+    _P = {"doc_id": np.int64, "n_sh": np.int64, "n_novel": np.int64}
+
+    def per_shingle(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "shingle" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _P.items()})
+        dfreq = df.groupby("shingle", sort=False)["doc_id"].transform("size")
+        g = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                          "novel": (dfreq == 1).to_numpy()}
+                         ).groupby("doc_id", as_index=False)["novel"].agg(
+            n_sh="size", n_novel="sum")
+        return g.astype(_P)
+
+    parts = partitioned_map_groups(rows, "shingle", per_shingle,
+                                   num_buckets=8)
+
+    out_cols = {"doc_id": np.int64, "n_shingles": np.int64,
+                "n_novel": np.int64, "novelty_pct": np.int64}
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "doc_id" not in df.columns:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in out_cols.items()})
+        g = df.groupby("doc_id", as_index=False)[["n_sh", "n_novel"]].sum()
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"].to_numpy(np.int64),
+             "n_shingles": g["n_sh"].to_numpy(np.int64),
+             "n_novel": g["n_novel"].to_numpy(np.int64),
+             "novelty_pct": (100 * g["n_novel"].to_numpy(np.int64))
+             // g["n_sh"].to_numpy(np.int64)}).astype(out_cols)
+
+    return partitioned_map_groups(parts, "doc_id", fold, num_buckets=8)
+
+
+SQL_NOVELTY_SCORES = _SQL_SH3 + """,
+u AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+dfreq AS (SELECT g, count(*) AS df FROM u GROUP BY g),
+per AS (
+  SELECT u.doc_id, count(*) AS n_sh,
+         sum(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) AS n_novel
+  FROM u JOIN dfreq ON dfreq.g = u.g GROUP BY u.doc_id
+)
+SELECT doc_id, CAST(n_sh AS BIGINT) AS n_shingles,
+       CAST(n_novel AS BIGINT) AS n_novel,
+       CAST((100 * n_novel) // n_sh AS BIGINT) AS novelty_pct
+FROM per
+"""
+
+TEXTOPS_QUERIES["novelty_scores"] = (q_novelty_scores, SQL_NOVELTY_SCORES)

@@ -207,7 +207,8 @@ def test_document_queries_differential(ray_session, tmp_path, seed):
               "vocab_growth", "surprisal_buckets",
               "term_freq_spectrum", "inverted_index", "hashed_features",
               "chatml_export", "sentence_dedup", "skipgram_pairs",
-              "split_leakage_audit", "group_aware_split"]:
+              "split_leakage_audit", "group_aware_split",
+              "novelty_scores"]:
         _compare(str(tmp_path), q)
 
 
