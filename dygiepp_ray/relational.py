@@ -9211,6 +9211,99 @@ FROM est
 """
 
 
+def haar_revenue(sf_dir: str, levels: int = 3) -> pd.DataFrame:
+    """Integer Haar wavelet energy of the daily-revenue series: at each
+    of 3 dyadic levels, the count of detail coefficients and the sum of
+    their absolute values (unnormalized a+b / a-b transform over the
+    active-day sequence, odd tails carried up) — the multiresolution
+    feature a time-series anomaly model consumes: level-1 energy is
+    day-to-day noise, level-3 is week-scale drift.
+
+    The day histogram collapses in one streaming pass (bounded
+    calendar domain); the dyadic recursion runs on the driver over
+    O(days) python ints, exactly as the unrolled pairing CTEs of the
+    HUGEINT twin.  -> (level, n_coeffs, abs_energy_cents)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    DAY_US = 86_400_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_orderdate" not in df.columns:
+            return pd.DataFrame({"day": pd.Series(dtype=np.int64),
+                                 "cents": pd.Series(dtype=np.int64)})
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(np.float64) * 100.0
+        ).astype(np.int64)
+        g = pd.DataFrame(
+            {"day": ts_epoch_us(df["o_orderdate"]) // DAY_US, "cents": cents}
+        ).groupby("day", as_index=False)["cents"].sum()
+        return g.astype({"day": np.int64, "cents": np.int64})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out_cols = {"level": np.int64, "n_coeffs": np.int64,
+                "abs_energy_cents": np.int64}
+    if parts.empty or "day" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t)
+                             for c, t in out_cols.items()})
+    hist = parts.groupby("day", as_index=False)["cents"].sum()
+    series = [int(x) for x in
+              hist.sort_values("day", ignore_index=True)["cents"]]
+    rows = []
+    for lvl in range(1, levels + 1):
+        pairs = len(series) // 2
+        detail = [series[2 * i] - series[2 * i + 1] for i in range(pairs)]
+        approx = [series[2 * i] + series[2 * i + 1] for i in range(pairs)]
+        if len(series) % 2:
+            approx.append(series[-1])  # odd tail carries up unchanged
+        energy = sum(abs(d) for d in detail)
+        if energy >= (1 << 63):
+            raise OverflowError("abs_energy_cents exceeds int64")
+        rows.append((lvl, pairs, energy))
+        series = approx
+        if not series:
+            break
+    return pd.DataFrame(rows, columns=list(out_cols)).astype(out_cols)
+
+
+def _sql_haar_revenue(levels: int = 3) -> str:
+    """Unrolled dyadic pairing: level k pairs consecutive rows of the
+    previous approximation by row_number; odd tails pass through."""
+    sql = """
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS v
+  FROM orders GROUP BY 1
+),
+a0 AS (SELECT row_number() OVER (ORDER BY day) - 1 AS i, v::HUGEINT AS v
+       FROM d)"""
+    prev = "a0"
+    selects = []
+    for lvl in range(1, levels + 1):
+        sql += f""",
+p{lvl} AS (
+  SELECT e.i // 2 AS i, e.v AS ev, o.v AS ov
+  FROM {prev} e LEFT JOIN {prev} o ON o.i = e.i + 1
+  WHERE e.i % 2 = 0
+),
+det{lvl} AS (SELECT i, ev - ov AS dv FROM p{lvl} WHERE ov IS NOT NULL),
+a{lvl} AS (
+  SELECT i, CASE WHEN ov IS NULL THEN ev ELSE ev + ov END AS v FROM p{lvl}
+)"""
+        prev = f"a{lvl}"
+        selects.append(
+            f"SELECT CAST({lvl} AS BIGINT) AS level,\n"
+            f"       CAST((SELECT count(*) FROM det{lvl}) AS BIGINT)"
+            f" AS n_coeffs,\n"
+            f"       CAST((SELECT coalesce(sum(abs(dv)), 0) FROM det{lvl})"
+            f" AS BIGINT) AS abs_energy_cents\n"
+            f"FROM (SELECT 1) WHERE (SELECT count(*) FROM d) >= 1"
+            f" AND (SELECT count(*) FROM {'d' if lvl == 1 else f'a{lvl - 1}'})"
+            f" >= 1"
+        )
+    return sql + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def _sql_hexval6(expr: str, start_expr: str) -> str:
     """Integer value of the 6 hex chars of ``expr`` starting at the
     1-based DYNAMIC position ``start_expr`` (the static-position helper
@@ -9347,4 +9440,5 @@ RELATIONAL_QUERIES = {
     "cohort_ltv": (cohort_ltv, SQL_COHORT_LTV),
     "benford_audit": (benford_audit, SQL_BENFORD_AUDIT),
     "hll_error_audit": (hll_error_audit, SQL_HLL_ERROR_AUDIT),
+    "haar_revenue": (haar_revenue, _sql_haar_revenue()),
 }

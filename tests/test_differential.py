@@ -129,7 +129,7 @@ def test_orders_queries_differential(ray_session, tmp_path, seed):
               "revenue_drawdown", "revenue_pareto",
               "poisson_bootstrap_mean", "revenue_gini",
               "loo_target_encoding", "kaplan_meier", "revenue_cusum",
-              "cohort_ltv", "benford_audit"]:
+              "cohort_ltv", "benford_audit", "haar_revenue"]:
         _compare(str(tmp_path), q)
 
 
