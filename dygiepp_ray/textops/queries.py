@@ -2947,3 +2947,118 @@ FROM per
 """
 
 TEXTOPS_QUERIES["novelty_scores"] = (q_novelty_scores, SQL_NOVELTY_SCORES)
+
+
+def q_extractive_summary(sf_dir: str):
+    """Extractive summarization: the top-2 sentences (16-token corpus
+    convention) per document by summed linear-idf token weight
+    ``w(tok) = (1e6 * n_docs) // df(tok)`` — the deterministic
+    TextRank-lite that turns a raw corpus into (document, summary)
+    SFT pairs.
+
+    n_docs is one streaming count; token weights attach on ONE
+    term-keyed exchange (df is exact in-bucket — no broadcast
+    vocabulary); sentence scores fold on one doc exchange with
+    (score DESC, sent_ix ASC) ties.  All integer.
+    -> (doc_id, rk, sent_ix, score_x1e6)."""
+    from ..core import partitioned_map_groups
+
+    docs = _docs(sf_dir)
+
+    def count_part(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "text" not in df.columns:
+            return pd.DataFrame({"n": pd.Series(dtype=np.int64)})
+        return pd.DataFrame(
+            {"n": [int((df["text"].fillna("").str.strip() != "").sum())]})
+
+    nd = docs.map_batches(count_part, batch_format="pandas").to_pandas()
+    n_docs = int(nd["n"].sum()) if ("n" in nd.columns and len(nd)) else 0
+
+    out_cols = {"doc_id": np.int64, "rk": np.int64,
+                "sent_ix": np.int64, "score_x1e6": np.int64}
+    if n_docs == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t)
+                             for c, t in out_cols.items()})
+
+    _R = {"doc_id": np.int64, "sent_ix": np.int64, "tok": object}
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "text" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _R.items()})
+        from .chunks import _doc_tokens
+
+        toks = _doc_tokens(df, "text")
+        lens = toks.map(len).to_numpy(np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _R.items()})
+        flat = np.concatenate([np.asarray(t, object) for t in toks if t])
+        did = np.repeat(df["doc_id"].to_numpy(np.int64), lens)
+        pos = np.concatenate([np.arange(n) for n in lens if n])
+        return pd.DataFrame({"doc_id": did, "sent_ix": pos // 16,
+                             "tok": flat})
+
+    rows = docs.map_batches(explode, batch_format="pandas")
+
+    _W = {"doc_id": np.int64, "sent_ix": np.int64, "w": np.int64}
+
+    def weigh(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "tok" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _W.items()})
+        dfreq = df.drop_duplicates(["tok", "doc_id"]).groupby(
+            "tok", sort=False).size()
+        w = df["tok"].map((1_000_000 * n_docs) // dfreq).to_numpy(np.int64)
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "sent_ix": df["sent_ix"].to_numpy(np.int64),
+                             "w": w})
+
+    weighted = partitioned_map_groups(rows, "tok", weigh, num_buckets=8)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "doc_id" not in df.columns:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in out_cols.items()})
+        s = df.groupby(["doc_id", "sent_ix"], as_index=False)["w"].sum()
+        s = s.sort_values(["doc_id", "w", "sent_ix"],
+                          ascending=[True, False, True], kind="mergesort")
+        s["rk"] = s.groupby("doc_id").cumcount() + 1
+        s = s[s["rk"] <= 2]
+        return pd.DataFrame(
+            {"doc_id": s["doc_id"].to_numpy(np.int64),
+             "rk": s["rk"].to_numpy(np.int64),
+             "sent_ix": s["sent_ix"].to_numpy(np.int64),
+             "score_x1e6": s["w"].to_numpy(np.int64)}).astype(out_cols)
+
+    return partitioned_map_groups(weighted, "doc_id", pick, num_buckets=8)
+
+
+SQL_EXTRACTIVE_SUMMARY = """
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+  FROM documents WHERE trim(text) <> ''
+),
+toks AS (
+  SELECT doc_id, (i - 1) // 16 AS sent_ix, arr[i] AS tok
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) s
+),
+dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM base),
+w AS (
+  SELECT t.doc_id, t.sent_ix,
+         (1000000::HUGEINT * nn.n) // d.df AS w
+  FROM toks t JOIN dfreq d ON d.tok = t.tok, nn
+),
+s AS (SELECT doc_id, sent_ix, sum(w) AS score FROM w GROUP BY 1, 2),
+r AS (
+  SELECT doc_id, sent_ix, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, sent_ix) AS rk
+  FROM s
+)
+SELECT doc_id, CAST(rk AS BIGINT) AS rk,
+       CAST(sent_ix AS BIGINT) AS sent_ix,
+       CAST(score AS BIGINT) AS score_x1e6
+FROM r WHERE rk <= 2
+"""
+
+TEXTOPS_QUERIES["extractive_summary"] = (
+    q_extractive_summary, SQL_EXTRACTIVE_SUMMARY)
