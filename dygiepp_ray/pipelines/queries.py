@@ -2950,7 +2950,7 @@ _DRIVER_SAMPLE_FIRST = (
     "kg_alias_resolution", "bio_tagged_export", "footer_stats",
     "mp3_frames", "split_leakage_audit", "cohort_ltv", "benford_audit",
     "hll_error_audit", "group_aware_split", "novelty_scores",
-    "haar_revenue", "extractive_summary",
+    "haar_revenue", "extractive_summary", "cdc_chunk_dedup",
     # tier 0: added the sixth/seventh continuation sessions
     "inverted_index", "mad_price_outliers", "embedding_pca1",
     "gif_frames", "kg_type_constraints", "event_pattern_match",

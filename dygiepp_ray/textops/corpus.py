@@ -1479,3 +1479,85 @@ def skipgram_pairs(
     g = parts.groupby(["center", "context"], as_index=False)[
         ["n", "n_d1"]].sum()
     return g.astype(cols)
+
+
+def cdc_chunk_dedup(
+    ds: ray.data.Dataset, boundary_mod: int = 16,
+    num_buckets: int | None = 8,
+) -> ray.data.Dataset:
+    """Content-defined-chunking dedup (the rsync/borg family, at token
+    granularity): a token whose 64-bit hash is 0 mod ``boundary_mod``
+    STARTS a new chunk, so chunk boundaries survive insertions —
+    unlike fixed windows, an edited doc still shares most chunk hashes
+    with its original.  Reports, per doc, how many of its chunks also
+    appear in other documents — storage-dedup potential and template
+    mass in one number.
+
+    Chunk hashes are the fingerprint polynomial (quality._BASE/_MOD)
+    over the chunk's token hashes; ONE chash exchange counts distinct
+    holders exactly, one doc exchange folds per-doc counts.
+    -> (doc_id, n_chunks, n_shared_chunks, shared_pct)."""
+    from .quality import _BASE, _MOD
+
+    _R = {"doc_id": np.int64, "chash": np.int64}
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "text" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _R.items()})
+        toks = _doc_tokens(df, "text")
+        ids, hs = [], []
+        for did, tl in zip(df["doc_id"].to_numpy(np.int64), toks):
+            if not tl:
+                continue
+            ths = [int.from_bytes(hashlib.md5(t.encode()).digest()[:8],
+                                  "little") for t in tl]
+            # a boundary token STARTS a new chunk that includes itself
+            # (the SQL side's inclusive cumsum grouping); a boundary on
+            # the very first token closes nothing
+            h, chunks = 0, []
+            for i, th in enumerate(ths):
+                if th % boundary_mod == 0 and i > 0:
+                    chunks.append(h)
+                    h = 0
+                h = (h * _BASE + th) % _MOD
+            chunks.append(h)
+            ids.extend([did] * len(chunks))
+            hs.extend(chunks)
+        return pd.DataFrame({"doc_id": np.asarray(ids, np.int64),
+                             "chash": np.asarray(hs, np.int64)})
+
+    rows = ds.map_batches(explode, batch_format="pandas")
+
+    _P = {"doc_id": np.int64, "n_chunks": np.int64, "n_shared": np.int64}
+
+    def per_chash(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "chash" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _P.items()})
+        holders = df.drop_duplicates(["chash", "doc_id"]).groupby(
+            "chash", sort=False)["doc_id"].size()
+        shared = df["chash"].map(holders >= 2).to_numpy()
+        g = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                          "shared": shared}).groupby(
+            "doc_id", as_index=False)["shared"].agg(
+            n_chunks="size", n_shared="sum")
+        return g.astype(_P)
+
+    parts = partitioned_map_groups(rows, "chash", per_chash, num_buckets)
+
+    out_cols = {"doc_id": np.int64, "n_chunks": np.int64,
+                "n_shared_chunks": np.int64, "shared_pct": np.int64}
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "doc_id" not in df.columns:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in out_cols.items()})
+        g = df.groupby("doc_id", as_index=False)[
+            ["n_chunks", "n_shared"]].sum()
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"].to_numpy(np.int64),
+             "n_chunks": g["n_chunks"].to_numpy(np.int64),
+             "n_shared_chunks": g["n_shared"].to_numpy(np.int64),
+             "shared_pct": (100 * g["n_shared"].to_numpy(np.int64))
+             // g["n_chunks"].to_numpy(np.int64)}).astype(out_cols)
+
+    return partitioned_map_groups(parts, "doc_id", fold, num_buckets)

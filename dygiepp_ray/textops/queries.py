@@ -3062,3 +3062,55 @@ FROM r WHERE rk <= 2
 
 TEXTOPS_QUERIES["extractive_summary"] = (
     q_extractive_summary, SQL_EXTRACTIVE_SUMMARY)
+
+
+def _corpus_mod_base() -> tuple[int, int]:
+    """(MOD, BASE) of the fingerprint polynomial, for SQL twins."""
+    from .quality import _BASE, _MOD
+
+    return _MOD, _BASE
+
+
+def q_cdc_chunk_dedup(sf_dir: str):
+    """Content-defined-chunking dedup potential per document — see
+    textops/corpus.cdc_chunk_dedup."""
+    from . import corpus as _c
+
+    return _c.cdc_chunk_dedup(_docs(sf_dir))
+
+
+SQL_CDC_CHUNK_DEDUP = _SQL_ARR + f""",
+th AS ({_SQL_TH}),
+pos AS (
+  SELECT doc_id, s.i AS i, ths[s.i] AS h
+  FROM th, LATERAL (SELECT unnest(generate_series(1, len(ths))) AS i) s
+),
+c AS (
+  SELECT doc_id, i, h,
+         sum(CASE WHEN h % 16 = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i) AS cix
+  FROM pos
+),
+ch AS (
+  SELECT doc_id, cix,
+         list_reduce(list_prepend(0::HUGEINT, list(h ORDER BY i)),
+                     (a, b) -> (a * {_corpus_mod_base()[1]} + b)
+                               % {_corpus_mod_base()[0]}) AS chash
+  FROM c GROUP BY doc_id, cix
+),
+shared AS (
+  SELECT chash FROM ch GROUP BY chash HAVING count(DISTINCT doc_id) >= 2
+),
+per AS (
+  SELECT doc_id, count(*) AS n_chunks,
+         sum(CASE WHEN chash IN (SELECT chash FROM shared)
+             THEN 1 ELSE 0 END) AS n_shared
+  FROM ch GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+       CAST(n_shared AS BIGINT) AS n_shared_chunks,
+       CAST((100 * n_shared) // n_chunks AS BIGINT) AS shared_pct
+FROM per
+"""
+
+TEXTOPS_QUERIES["cdc_chunk_dedup"] = (q_cdc_chunk_dedup, SQL_CDC_CHUNK_DEDUP)

@@ -208,7 +208,7 @@ def test_document_queries_differential(ray_session, tmp_path, seed):
               "term_freq_spectrum", "inverted_index", "hashed_features",
               "chatml_export", "sentence_dedup", "skipgram_pairs",
               "split_leakage_audit", "group_aware_split",
-              "novelty_scores", "extractive_summary"]:
+              "novelty_scores", "extractive_summary", "cdc_chunk_dedup"]:
         _compare(str(tmp_path), q)
 
 

@@ -87,6 +87,7 @@ _SAMPLE = [
     "bio_tagged_export", "split_leakage_audit", "cohort_ltv",
     "benford_audit", "hll_error_audit", "group_aware_split",
     "novelty_scores", "haar_revenue", "extractive_summary",
+    "cdc_chunk_dedup",
     # kg_alias_resolution keeps its 20-row lexicon shape on empty input
     # (SQL twin's VALUES canon table does too) — checked in its
     # dedicated scalar-shape test below, not the zero-row sample
