@@ -9316,6 +9316,96 @@ def _sql_hexval6(expr: str, start_expr: str) -> str:
     ) + ")"
 
 
+def mann_whitney_quantity(sf_dir: str) -> pd.DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test: do RETURNED lineitems
+    ship different quantities than kept ones?  Exact midrank handling —
+    every rank is carried as 2x (tie midranks are half-integers), so
+    the statistic is pure integer arithmetic and the HUGEINT SQL twin
+    hashes identically.  Reports the rank-biserial-equivalent AUC
+    (P(X_ret > X_kept) + 0.5 P(=)) at fixed-point 1e9.
+
+    Map-only: per-batch (quantity, flag) counts collapse to the tiny
+    quantity domain (bounded by the quantity value range, like
+    quantity_mode); the driver folds O(values) python ints — no rank
+    shuffle at any scale.  -> one row (n_ret, n_kept, two_u_ret,
+    auc_x1e9)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_returnflag"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"q": pd.Series(dtype=np.int64),
+                              "n_ret": pd.Series(dtype=np.int64),
+                              "n_kept": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "l_quantity" not in df.columns:
+            return empty
+        q = df["l_quantity"].to_numpy(np.int64)
+        r = (df["l_returnflag"] == "R").to_numpy()
+        g = pd.DataFrame({"q": q, "r": r.astype(np.int64)}).groupby(
+            "q", as_index=False).agg(n_ret=("r", "sum"), n=("r", "size"))
+        g["n_kept"] = g["n"] - g["n_ret"]
+        return g[["q", "n_ret", "n_kept"]].astype(np.int64)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out_cols = {"n_ret": np.int64, "n_kept": np.int64,
+                "two_u_ret": np.int64, "auc_x1e9": np.int64}
+    if parts.empty or "q" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t)
+                             for c, t in out_cols.items()})
+    g = parts.groupby("q").agg(
+        n_ret=("n_ret", "sum"), n_kept=("n_kept", "sum")).sort_index()
+    n1 = int(g["n_ret"].sum())
+    n0 = int(g["n_kept"].sum())
+    if n1 == 0 or n0 == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t)
+                             for c, t in out_cols.items()})
+    # two_rank(v) = 2*(count below v) + (count at v) + 1 — twice the
+    # midrank, exact under ties; two_R1 = sum n1(v) * two_rank(v)
+    tot = (g["n_ret"] + g["n_kept"]).to_numpy(np.int64)
+    cless = np.concatenate([[0], np.cumsum(tot)[:-1]])
+    two_rank = 2 * cless + tot + 1
+    two_r1 = int((g["n_ret"].to_numpy(np.int64) * two_rank).sum())
+    two_u1 = two_r1 - n1 * (n1 + 1)
+    auc = (two_u1 * 1_000_000_000) // (2 * n1 * n0)
+    if two_u1 >= (1 << 63):
+        raise OverflowError("two_u_ret exceeds int64; rescale the report")
+    return pd.DataFrame(
+        [(n1, n0, two_u1, auc)], columns=list(out_cols)).astype(out_cols)
+
+
+SQL_MANN_WHITNEY_QUANTITY = f"""
+WITH v AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+  FROM lineitem
+),
+c AS (
+  SELECT q, CAST(sum(r) AS HUGEINT) AS n1,
+         CAST(count(*) - sum(r) AS HUGEINT) AS n0
+  FROM v GROUP BY q
+),
+w AS (
+  SELECT q, n1, n0,
+         2 * COALESCE(sum(n1 + n0) OVER (
+             ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) + (n1 + n0) + 1 AS two_rank
+  FROM c
+),
+s AS (
+  SELECT sum(n1) AS n1t, sum(n0) AS n0t,
+         sum(n1 * two_rank) AS two_r1
+  FROM w
+)
+SELECT CAST(n1t AS BIGINT) AS n_ret,
+       CAST(n0t AS BIGINT) AS n_kept,
+       CAST(two_r1 - n1t * (n1t + 1) AS BIGINT) AS two_u_ret,
+       CAST({_sql_floordiv('(two_r1 - n1t * (n1t + 1)) * 1000000000',
+                           '2 * n1t * n0t')} AS BIGINT) AS auc_x1e9
+FROM s WHERE n1t > 0 AND n0t > 0
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -9441,4 +9531,6 @@ RELATIONAL_QUERIES = {
     "benford_audit": (benford_audit, SQL_BENFORD_AUDIT),
     "hll_error_audit": (hll_error_audit, SQL_HLL_ERROR_AUDIT),
     "haar_revenue": (haar_revenue, _sql_haar_revenue()),
+    "mann_whitney_quantity": (mann_whitney_quantity,
+                              SQL_MANN_WHITNEY_QUANTITY),
 }
