@@ -9406,6 +9406,99 @@ FROM s WHERE n1t > 0 AND n0t > 0
 """
 
 
+def ks_price_by_status(sf_dir: str) -> pd.DataFrame:
+    """Two-sample Kolmogorov-Smirnov test: does the order-value
+    distribution of fulfilled ('F') orders differ from open ('O')
+    ones?  The sup-distance is computed exactly in integers —
+    D_num = max |n_o*CDF_f(v) - n_f*CDF_o(v)| over the merged support —
+    and reported at fixed-point 1e9 with the (smallest) value attaining
+    it.  The drift monitor run between two corpus snapshots before
+    trusting a retrain.
+
+    Map-only: per-batch (cents, status) counts collapse to the distinct
+    price domain (bounded by the price range x 100, like
+    histogram_quantiles); the driver folds O(distinct values) and scans
+    the merged CDF once.  -> one row (n_f, n_o, d_num, d_x1e9,
+    at_cents)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_totalprice", "o_orderstatus"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"cents": pd.Series(dtype=np.int64),
+                              "n_f": pd.Series(dtype=np.int64),
+                              "n_o": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "o_totalprice" not in df.columns:
+            return empty
+        df = df[df["o_orderstatus"].isin(("F", "O"))]
+        if len(df) == 0:
+            return empty
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(np.float64) * 100.0
+        ).astype(np.int64)
+        f = (df["o_orderstatus"] == "F").to_numpy()
+        g = pd.DataFrame({"cents": cents, "f": f.astype(np.int64)}).groupby(
+            "cents", as_index=False).agg(n_f=("f", "sum"), n=("f", "size"))
+        g["n_o"] = g["n"] - g["n_f"]
+        return g[["cents", "n_f", "n_o"]].astype(np.int64)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out_cols = {"n_f": np.int64, "n_o": np.int64, "d_num": np.int64,
+                "d_x1e9": np.int64, "at_cents": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+    if parts.empty or "cents" not in parts.columns:
+        return empty_out
+    g = parts.groupby("cents").agg(
+        n_f=("n_f", "sum"), n_o=("n_o", "sum")).sort_index()
+    nf = int(g["n_f"].sum())
+    no = int(g["n_o"].sum())
+    if nf == 0 or no == 0:
+        return empty_out
+    if nf * no >= (1 << 62):
+        raise OverflowError("KS numerator risks int64; rescale groups")
+    cf = np.cumsum(g["n_f"].to_numpy(np.int64))
+    co = np.cumsum(g["n_o"].to_numpy(np.int64))
+    dn = np.abs(no * cf - nf * co)
+    best = int(dn.argmax())  # argmax returns the FIRST (smallest cents)
+    d_num = int(dn[best])
+    return pd.DataFrame(
+        [(nf, no, d_num, (d_num * 1_000_000_000) // (nf * no),
+          int(g.index[best]))],
+        columns=list(out_cols)).astype(out_cols)
+
+
+SQL_KS_PRICE_BY_STATUS = f"""
+WITH v AS (
+  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS f
+  FROM orders WHERE o_orderstatus IN ('F', 'O')
+),
+c AS (
+  SELECT cents, CAST(sum(f) AS HUGEINT) AS nf,
+         CAST(count(*) - sum(f) AS HUGEINT) AS no
+  FROM v GROUP BY cents
+),
+w AS (
+  SELECT cents,
+         sum(nf) OVER (ORDER BY cents) AS cf,
+         sum(no) OVER (ORDER BY cents) AS co
+  FROM c
+),
+t AS (SELECT sum(nf) AS nft, sum(no) AS not_ FROM c),
+d AS (SELECT cents, abs(not_ * cf - nft * co) AS dn FROM w, t)
+SELECT CAST(t.nft AS BIGINT) AS n_f,
+       CAST(t.not_ AS BIGINT) AS n_o,
+       CAST(b.dn AS BIGINT) AS d_num,
+       CAST({_sql_floordiv('b.dn * 1000000000', 't.nft * t.not_')}
+            AS BIGINT) AS d_x1e9,
+       CAST(b.cents AS BIGINT) AS at_cents
+FROM t, (SELECT cents, dn FROM d ORDER BY dn DESC, cents LIMIT 1) b
+WHERE t.nft > 0 AND t.not_ > 0
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -9533,4 +9626,5 @@ RELATIONAL_QUERIES = {
     "haar_revenue": (haar_revenue, _sql_haar_revenue()),
     "mann_whitney_quantity": (mann_whitney_quantity,
                               SQL_MANN_WHITNEY_QUANTITY),
+    "ks_price_by_status": (ks_price_by_status, SQL_KS_PRICE_BY_STATUS),
 }
