@@ -9499,6 +9499,85 @@ WHERE t.nft > 0 AND t.not_ > 0
 """
 
 
+def order_value_ecdf(sf_dir: str) -> pd.DataFrame:
+    """Empirical CDF of order value sampled at 10 equi-spaced grid
+    points of the observed range — the distribution summary shipped to
+    a dashboard without quantile machinery.  grid(i) = min_cents +
+    (i * (max_cents - min_cents)) // 10 for i = 1..10, all integer.
+
+    Two streaming passes: a min/max partial fold (O(blocks) rows),
+    then per-batch searchsorted counts against the broadcast 10-value
+    grid — no shuffle at any scale.  -> (i, grid_cents, n_le,
+    frac_x1e9)."""
+    path = f"{sf_dir}/orders.parquet"
+    cols = ["o_totalprice"]
+
+    def cents_of(df: pd.DataFrame) -> np.ndarray:
+        return np.floor(
+            df["o_totalprice"].to_numpy(np.float64) * 100.0
+        ).astype(np.int64)
+
+    def mm(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"lo": pd.Series(dtype=np.int64),
+                              "hi": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "o_totalprice" not in df.columns:
+            return empty
+        c = cents_of(df)
+        return pd.DataFrame({"lo": [int(c.min())], "hi": [int(c.max())]})
+
+    bounds = ray.data.read_parquet(path, columns=cols).map_batches(
+        mm, batch_format="pandas").to_pandas()
+    out_cols = {"i": np.int64, "grid_cents": np.int64,
+                "n_le": np.int64, "frac_x1e9": np.int64}
+    if bounds.empty or "lo" not in bounds.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t)
+                             for c, t in out_cols.items()})
+    lo, hi = int(bounds["lo"].min()), int(bounds["hi"].max())
+    grid = np.array([lo + (i * (hi - lo)) // 10 for i in range(1, 11)],
+                    dtype=np.int64)
+
+    def count_le(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"i": pd.Series(dtype=np.int64),
+                              "n_le": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "o_totalprice" not in df.columns:
+            return empty
+        c = np.sort(cents_of(df))
+        return pd.DataFrame(
+            {"i": np.arange(1, 11, dtype=np.int64),
+             "n_le": np.searchsorted(c, grid, side="right").astype(np.int64)})
+
+    parts = ray.data.read_parquet(path, columns=cols).map_batches(
+        count_le, batch_format="pandas").to_pandas()
+    g = parts.groupby("i")["n_le"].sum().sort_index()
+    n = int(g.loc[10])
+    return pd.DataFrame(
+        {"i": g.index.to_numpy(np.int64),
+         "grid_cents": grid,
+         "n_le": g.to_numpy(np.int64),
+         "frac_x1e9": (g.to_numpy(np.int64) * 1_000_000_000) // n}
+    ).astype(out_cols)
+
+
+SQL_ORDER_VALUE_ECDF = """
+WITH c AS (
+  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+),
+b AS (SELECT min(cents) AS lo, max(cents) AS hi, count(*) AS n FROM c),
+g AS (
+  SELECT i, b.lo + (i * (b.hi - b.lo)) // 10 AS grid_cents, b.n
+  FROM range(1, 11) t(i), b
+)
+SELECT CAST(g.i AS BIGINT) AS i,
+       CAST(g.grid_cents AS BIGINT) AS grid_cents,
+       CAST(count(c.cents) AS BIGINT) AS n_le,
+       CAST(count(c.cents)::HUGEINT * 1000000000 // g.n AS BIGINT)
+         AS frac_x1e9
+FROM g LEFT JOIN c ON c.cents <= g.grid_cents
+WHERE g.n > 0
+GROUP BY g.i, g.grid_cents, g.n
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -9627,4 +9706,5 @@ RELATIONAL_QUERIES = {
     "mann_whitney_quantity": (mann_whitney_quantity,
                               SQL_MANN_WHITNEY_QUANTITY),
     "ks_price_by_status": (ks_price_by_status, SQL_KS_PRICE_BY_STATUS),
+    "order_value_ecdf": (order_value_ecdf, SQL_ORDER_VALUE_ECDF),
 }
