@@ -9578,6 +9578,99 @@ GROUP BY g.i, g.grid_cents, g.n
 """
 
 
+def autocorr_revenue(sf_dir: str) -> pd.DataFrame:
+    """Autocorrelation of the daily-revenue series at lags 1..7 — the
+    weekly-seasonality probe run before fitting any forecast.  The
+    calendar is densified (days with no orders contribute 0 revenue)
+    and the sample ACF is computed exactly: with integer cents x_t,
+    n days and S = sum(x), r_k = sum((n*x_t - S)(n*x_{t-k} - S)) /
+    sum((n*x_t - S)^2) — every term a python int / HUGEINT, only the
+    final 1e9 fixed-point floor division reported.
+
+    Map-only partials per (day) collapse to the bounded day domain;
+    the driver folds O(days) ints (like orders_backlog_by_day).
+    -> (lag, n_days, r_x1e9)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_totalprice"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"day": pd.Series(dtype=np.int64),
+                              "rev": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "o_orderdate" not in df.columns:
+            return empty
+        day = ts_epoch_us(df["o_orderdate"]) // 86_400_000_000
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(np.float64) * 100.0
+        ).astype(np.int64)
+        g = pd.DataFrame({"day": day, "rev": cents}).groupby(
+            "day", as_index=False)["rev"].sum()
+        return g.astype(np.int64)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out_cols = {"lag": np.int64, "n_days": np.int64, "r_x1e9": np.int64}
+    if parts.empty or "day" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t)
+                             for c, t in out_cols.items()})
+    g = parts.groupby("day")["rev"].sum()
+    d0, d1 = int(g.index.min()), int(g.index.max())
+    x = np.zeros(d1 - d0 + 1, dtype=np.int64)
+    x[g.index.to_numpy(np.int64) - d0] = g.to_numpy(np.int64)
+    n = len(x)
+    S = int(x.sum())
+    # centered-and-scaled series n*x_t - S as python ints (exact)
+    c = [n * int(v) - S for v in x]
+    den = sum(v * v for v in c)
+    rows = []
+    for k in range(1, 8):
+        if k >= n or den == 0:
+            continue
+        num = sum(c[t] * c[t - k] for t in range(k, n))
+        rows.append((k, n, (num * 1_000_000_000) // den))
+    if not rows:
+        return pd.DataFrame({c2: pd.Series(dtype=t)
+                             for c2, t in out_cols.items()})
+    return pd.DataFrame(rows, columns=list(out_cols)).astype(out_cols)
+
+
+SQL_AUTOCORR_REVENUE = f"""
+WITH r AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+),
+b AS (SELECT min(day) AS d0, max(day) AS d1 FROM r),
+g AS (
+  -- range() takes no lateral args: generate a constant 100k-day span
+  -- (273 years) and clip to the observed calendar
+  SELECT t.i AS pos FROM range(0, 100000) t(i), b
+  WHERE t.i <= b.d1 - b.d0
+),
+rp AS (SELECT day - (SELECT d0 FROM b) AS pos, rev FROM r),
+s AS (
+  SELECT g.pos, CAST(COALESCE(rp.rev, 0) AS HUGEINT) AS x
+  FROM g LEFT JOIN rp ON rp.pos = g.pos
+),
+tot AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS S FROM s),
+c AS (SELECT pos, tot.n * x - tot.S AS v FROM s, tot),
+den AS (SELECT sum(v * v) AS d FROM c),
+num AS (
+  SELECT k.k, sum(a.v * l.v) AS nm, count(*) AS n_pairs
+  FROM range(1, 8) k(k)
+  JOIN c a ON TRUE
+  JOIN c l ON l.pos = a.pos - k.k
+  GROUP BY k.k
+)
+SELECT CAST(num.k AS BIGINT) AS lag,
+       CAST(tot.n AS BIGINT) AS n_days,
+       CAST({_sql_floordiv('num.nm * 1000000000', 'den.d')} AS BIGINT)
+         AS r_x1e9
+FROM num, den, tot
+WHERE den.d > 0
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -9707,4 +9800,5 @@ RELATIONAL_QUERIES = {
                               SQL_MANN_WHITNEY_QUANTITY),
     "ks_price_by_status": (ks_price_by_status, SQL_KS_PRICE_BY_STATUS),
     "order_value_ecdf": (order_value_ecdf, SQL_ORDER_VALUE_ECDF),
+    "autocorr_revenue": (autocorr_revenue, SQL_AUTOCORR_REVENUE),
 }
