@@ -9671,6 +9671,115 @@ WHERE den.d > 0
 """
 
 
+def lineitem_reconciliation(sf_dir: str) -> pd.DataFrame:
+    """Order-ledger reconciliation audit: per order, the header total
+    (``o_totalprice``) against the recomputed sum of line charges
+    (``floor(extendedprice * (1-discount) * (1+tax) * 100)`` cents —
+    identical IEEE op sequence on both engines), rolled up per order
+    status.  The invariant check run before trusting either table as a
+    revenue source.
+
+    Shape: line charges pre-aggregate per order inside each batch, then
+    ONE two-sided keyed exchange on orderkey joins headers to partials;
+    per-bucket output is O(statuses) rows, the driver folds a handful
+    of ints.  Orders with no lineitems reconcile against 0.
+    -> (o_orderstatus, n_orders, n_exact, n_header_over, n_header_under,
+    max_abs_diff_cents)."""
+    from .core import hash_coexchange
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"l_orderkey": pd.Series(dtype=np.int64),
+                              "charge": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "l_extendedprice" not in df.columns:
+            return empty
+        ch = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64)
+            * (1.0 - df["l_discount"].to_numpy(np.float64))
+            * (1.0 + df["l_tax"].to_numpy(np.float64)) * 100.0
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+             "charge": ch}).groupby("l_orderkey", as_index=False)[
+            "charge"].sum().astype(np.int64)
+
+    parts = li.map_batches(li_partial, batch_format="pandas")
+
+    out_cols = {"o_orderstatus": object, "n_orders": np.int64,
+                "n_exact": np.int64, "n_header_over": np.int64,
+                "n_header_under": np.int64, "max_abs_diff_cents": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+
+    def bucket(oa: pd.DataFrame, lb: pd.DataFrame) -> pd.DataFrame:
+        if len(oa) == 0 or "o_orderkey" not in oa.columns:
+            return empty_out
+        if len(lb) == 0 or "l_orderkey" not in lb.columns:
+            lb = pd.DataFrame({"l_orderkey": pd.Series(dtype=np.int64),
+                               "charge": pd.Series(dtype=np.int64)})
+        ch = lb.groupby("l_orderkey")["charge"].sum()
+        total = np.floor(
+            oa["o_totalprice"].to_numpy(np.float64) * 100.0
+        ).astype(np.int64)
+        got = oa["o_orderkey"].map(ch).fillna(0).astype(np.int64)
+        diff = total - got.to_numpy(np.int64)
+        d = pd.DataFrame({"s": oa["o_orderstatus"].to_numpy(object),
+                          "diff": diff})
+        g = d.groupby("s")["diff"].agg(
+            n_orders="size",
+            n_exact=lambda v: int((v == 0).sum()),
+            n_header_over=lambda v: int((v > 0).sum()),
+            n_header_under=lambda v: int((v < 0).sum()),
+            max_abs_diff_cents=lambda v: int(v.abs().max()),
+        ).reset_index().rename(columns={"s": "o_orderstatus"})
+        return g.astype({c: np.int64 for c in list(out_cols)[1:]})
+
+    res = hash_coexchange(
+        orders, parts, "o_orderkey", "l_orderkey", bucket, num_buckets=8
+    ).to_pandas()
+    if len(res) == 0 or "o_orderstatus" not in res.columns:
+        return empty_out
+    return res.groupby("o_orderstatus", as_index=False).agg(
+        n_orders=("n_orders", "sum"), n_exact=("n_exact", "sum"),
+        n_header_over=("n_header_over", "sum"),
+        n_header_under=("n_header_under", "sum"),
+        max_abs_diff_cents=("max_abs_diff_cents", "max"),
+    ).astype({c: np.int64 for c in list(out_cols)[1:]})
+
+
+SQL_LINEITEM_RECONCILIATION = """
+WITH ch AS (
+  SELECT l_orderkey,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                        * 100) AS BIGINT)) AS charge
+  FROM lineitem GROUP BY 1
+),
+d AS (
+  SELECT o.o_orderstatus,
+         CAST(floor(o.o_totalprice * 100) AS BIGINT)
+           - COALESCE(ch.charge, 0) AS diff
+  FROM orders o LEFT JOIN ch ON ch.l_orderkey = o.o_orderkey
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN diff = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_header_over,
+       CAST(sum(CASE WHEN diff < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_header_under,
+       CAST(max(abs(diff)) AS BIGINT) AS max_abs_diff_cents
+FROM d GROUP BY o_orderstatus
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "segment_revenue": (segment_revenue, SQL_SEGMENT_REVENUE),
@@ -9801,4 +9910,6 @@ RELATIONAL_QUERIES = {
     "ks_price_by_status": (ks_price_by_status, SQL_KS_PRICE_BY_STATUS),
     "order_value_ecdf": (order_value_ecdf, SQL_ORDER_VALUE_ECDF),
     "autocorr_revenue": (autocorr_revenue, SQL_AUTOCORR_REVENUE),
+    "lineitem_reconciliation": (lineitem_reconciliation,
+                                SQL_LINEITEM_RECONCILIATION),
 }
