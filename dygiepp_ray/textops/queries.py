@@ -3114,3 +3114,65 @@ FROM per
 """
 
 TEXTOPS_QUERIES["cdc_chunk_dedup"] = (q_cdc_chunk_dedup, SQL_CDC_CHUNK_DEDUP)
+
+
+def q_unicode_audit(sf_dir: str) -> pd.DataFrame:
+    """Character-class audit per source: doc count plus exact counts of
+    total / letter / digit / space / non-printable-ASCII characters —
+    the encoding-health screen run on a raw crawl before tokenization
+    (mojibake and binary-spill sources jump out as n_nonprint > 0).
+
+    Map-only: per-batch per-source sums collapse to O(sources) rows
+    per block; the driver folds a tiny frame.  Class counting is
+    vectorized regex on both engines (patterns restricted to literal
+    ASCII classes so Python re and RE2 agree)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    out_cols = {"source": object, "n_docs": np.int64, "n_chars": np.int64,
+                "n_alpha": np.int64, "n_digit": np.int64,
+                "n_space": np.int64, "n_nonprint": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "text" not in df.columns:
+            return empty_out
+        t = df["text"]
+        g = pd.DataFrame({
+            "source": df["source"].to_numpy(object),
+            "n_docs": np.ones(len(df), dtype=np.int64),
+            "n_chars": t.str.len().to_numpy(np.int64),
+            "n_alpha": t.str.count(r"[A-Za-z]").to_numpy(np.int64),
+            "n_digit": t.str.count(r"[0-9]").to_numpy(np.int64),
+            "n_space": t.str.count(r" ").to_numpy(np.int64),
+            "n_nonprint": t.str.count(r"[^ -~]").to_numpy(np.int64),
+        }).groupby("source", as_index=False).sum()
+        return g.astype({c: np.int64 for c in list(out_cols)[1:]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if len(parts) == 0 or "source" not in parts.columns:
+        return empty_out
+    return parts.groupby("source", as_index=False).sum().astype(
+        {c: np.int64 for c in list(out_cols)[1:]})
+
+
+SQL_UNICODE_AUDIT = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       CAST(sum(length(text)
+            - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+            AS BIGINT) AS n_alpha,
+       CAST(sum(length(text)
+            - length(regexp_replace(text, '[0-9]', '', 'g')))
+            AS BIGINT) AS n_digit,
+       CAST(sum(length(text)
+            - length(regexp_replace(text, ' ', '', 'g')))
+            AS BIGINT) AS n_space,
+       CAST(sum(length(regexp_replace(text, '[ -~]', '', 'g')))
+            AS BIGINT) AS n_nonprint
+FROM documents GROUP BY source
+"""
+
+TEXTOPS_QUERIES["unicode_audit"] = (q_unicode_audit, SQL_UNICODE_AUDIT)
