@@ -3176,3 +3176,63 @@ FROM documents GROUP BY source
 """
 
 TEXTOPS_QUERIES["unicode_audit"] = (q_unicode_audit, SQL_UNICODE_AUDIT)
+
+
+def q_pii_scan(sf_dir: str):
+    """PII scan (emails / phones / 16-digit card runs) over a corpus
+    with PLANTED PII (synthesized — the sandbox documents table carries
+    none); patterns compiled once per actor, counting vectorized.  The
+    twin regenerates every document from the md5-chain rule and applies
+    the same RE2 patterns."""
+    from . import pii
+
+    return pii.scan_pii(ray.data.from_arrow(pii.synth_pii_docs()))
+
+
+def _sql_pii_scan() -> str:
+    from .pii import N_PII_DOCS, PII_SEED
+
+    base = "md5('pii:" + str(PII_SEED) + ":' || i)"
+    v = _sql_hexval(base, 1, 6)
+    v2 = _sql_hexval(base, 7, 6)
+    return f"""
+WITH w AS (
+  SELECT i, string_agg(substr(md5('pii:{PII_SEED}:' || i || ':' || j), 1, 8),
+                       ' ' ORDER BY j) AS body
+  FROM range(0, {N_PII_DOCS}) t(i), range(0, 6) s(j) GROUP BY i
+),
+x AS (
+  SELECT i,
+    body || CASE ({v}) % 5
+      WHEN 0 THEN ' contact user' || substr({base}, 1, 4) || '@ex'
+                  || substr({base}, 5, 2) || '.com now'
+      WHEN 1 THEN ' call 555-' || lpad(CAST(({v}) % 10000 AS VARCHAR),
+                                       4, '0') || ' today'
+      WHEN 2 THEN ' card '
+                  || repeat(lpad(CAST(({v2}) % 100000000 AS VARCHAR),
+                                 8, '0'), 2) || ' on file'
+      WHEN 3 THEN ' mail a' || substr({base}, 1, 3) || '@b'
+                  || substr({base}, 4, 2) || '.com or 555-'
+                  || lpad(CAST((({v}) // 7) % 10000 AS VARCHAR), 4, '0')
+      ELSE ''
+    END AS text
+  FROM w
+),
+c AS (
+  SELECT i,
+    len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+\\.com')) AS n_email,
+    len(regexp_extract_all(text, '555-[0-9]{{4}}')) AS n_phone,
+    len(regexp_extract_all(text, '[0-9]{{16}}')) AS n_card
+  FROM x
+)
+SELECT CAST(i AS BIGINT) AS doc_id,
+       CAST(n_email AS BIGINT) AS n_email,
+       CAST(n_phone AS BIGINT) AS n_phone,
+       CAST(n_card AS BIGINT) AS n_card,
+       CAST(CASE WHEN n_email + n_phone + n_card > 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS has_pii
+FROM c
+"""
+
+
+TEXTOPS_QUERIES["pii_scan"] = (q_pii_scan, _sql_pii_scan())
