@@ -3236,3 +3236,86 @@ FROM c
 
 
 TEXTOPS_QUERIES["pii_scan"] = (q_pii_scan, _sql_pii_scan())
+
+
+def q_masked_lm_export(sf_dir: str):
+    """Masked-LM training export (BERT recipe, deterministic): each
+    token is masked iff the first byte of md5('mlm:doc:pos') < 38
+    (~14.8%); masked positions corrupt 81/12.5/6.25 into '[MASK]' / a
+    hash-derived random token / kept-as-is via the next nibble.  A
+    seeded-RNG-free recipe both engines replay exactly (the repo's
+    md5-selection convention, like orders_sample).
+
+    Map-only over documents (blank docs export nothing — the pinned
+    blank-doc convention); per-batch fully self-contained.
+    -> (doc_id, pos, label, input_tok, action)."""
+    import hashlib
+
+    ds = _docs(sf_dir)
+    out_cols = {"doc_id": np.int64, "pos": np.int64, "label": object,
+                "input_tok": object, "action": object}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "text" not in df.columns:
+            return empty_out
+        ids, poss, toks = [], [], []
+        for did, text in zip(df["doc_id"].to_numpy(), df["text"]):
+            ts = text.strip().split()
+            ids.extend([did] * len(ts))
+            poss.extend(range(len(ts)))
+            toks.extend(ts)
+        if not ids:
+            return empty_out
+        hx = [hashlib.md5(f"mlm:{d}:{p}".encode()).hexdigest()
+              for d, p in zip(ids, poss)]
+        v = np.array([int(h[:2], 16) for h in hx], dtype=np.int64)
+        keep = v < 38
+        if not keep.any():
+            return empty_out
+        sel = np.flatnonzero(keep)
+        r = np.array([int(hx[i][2], 16) for i in sel], dtype=np.int64)
+        label = np.asarray(toks, object)[sel]
+        inp = np.where(r < 13, "[MASK]",
+                       np.where(r < 15,
+                                np.asarray([hx[i][4:8] for i in sel], object),
+                                label))
+        act = np.where(r < 13, "mask", np.where(r < 15, "random", "keep"))
+        return pd.DataFrame(
+            {"doc_id": np.asarray(ids, np.int64)[sel],
+             "pos": np.asarray(poss, np.int64)[sel],
+             "label": label, "input_tok": inp.astype(object),
+             "action": act.astype(object)})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def _sql_masked_lm_export() -> str:
+    h = "md5('mlm:' || doc_id || ':' || pos)"
+    return f"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+  FROM documents WHERE trim(text) <> ''
+),
+toks AS (
+  SELECT doc_id, arr[i] AS tok, i - 1 AS pos
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) s
+),
+m AS (
+  SELECT doc_id, pos, tok, {h} AS hx,
+         {_sql_hexval(h, 1, 2)} AS v, {_sql_hexval(h, 3, 1)} AS r
+  FROM toks
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(pos AS BIGINT) AS pos,
+       tok AS label,
+       CASE WHEN r < 13 THEN '[MASK]'
+            WHEN r < 15 THEN substr(hx, 5, 4) ELSE tok END AS input_tok,
+       CASE WHEN r < 13 THEN 'mask'
+            WHEN r < 15 THEN 'random' ELSE 'keep' END AS action
+FROM m WHERE v < 38
+"""
+
+
+TEXTOPS_QUERIES["masked_lm_export"] = (q_masked_lm_export,
+                                       _sql_masked_lm_export())
