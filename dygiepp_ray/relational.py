@@ -9913,3 +9913,115 @@ RELATIONAL_QUERIES = {
     "lineitem_reconciliation": (lineitem_reconciliation,
                                 SQL_LINEITEM_RECONCILIATION),
 }
+
+
+# Bloom-audit geometry: m bits / k probes, double hashing over two
+# 48-bit md5-derived mixes (g_i = h1 + i*h2 mod m) — md5 instead of the
+# production filter's pd.util.hash_array so the SQL twin replays the
+# exact bit pattern.
+BLOOM_AUDIT_M = 1024
+BLOOM_AUDIT_K = 4
+
+
+def bloom_fpr_audit(sf_dir: str) -> pd.DataFrame:
+    """Bloom-prefilter calibration audit: build a (m=1024, k=4) filter
+    over the distinct event users, probe it with PROVABLY ABSENT keys
+    (every user id shifted by 1e9 — same cardinality, zero overlap),
+    and report the measured false-positive rate next to the filter
+    load — the table that justifies the anti-join Bloom prefilter's
+    shuffle-bypass claim (functions/bloom.py).
+
+    Shape: per-batch distinct-user partials collapse to the bounded
+    user domain; the filter itself is m/64 words however large the
+    build side gets (the production pattern: partial bitmaps, tree-OR,
+    broadcast).  -> one row (n_build, n_probe, n_bits_set, n_fp,
+    fpr_x1e6)."""
+    import hashlib
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"user_id": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "user_id" not in df.columns:
+            return empty
+        return pd.DataFrame(
+            {"user_id": np.unique(df["user_id"].to_numpy(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out_cols = {"n_build": np.int64, "n_probe": np.int64,
+                "n_bits_set": np.int64, "n_fp": np.int64,
+                "fpr_x1e6": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+    if parts.empty or "user_id" not in parts.columns:
+        return empty_out
+    build = np.unique(parts["user_id"].to_numpy(np.int64))
+    probe = build + 1_000_000_000
+    if len(build) == 0:
+        return empty_out
+
+    def positions(ids: np.ndarray) -> np.ndarray:
+        h1 = np.array([int(hashlib.md5(f"bf1:{i}".encode())
+                           .hexdigest()[:12], 16) for i in ids],
+                      dtype=np.int64)
+        h2 = np.array([int(hashlib.md5(f"bf2:{i}".encode())
+                           .hexdigest()[:12], 16) for i in ids],
+                      dtype=np.int64) | 1
+        return np.stack([(h1 + i * h2) % BLOOM_AUDIT_M
+                         for i in range(BLOOM_AUDIT_K)], axis=1)
+
+    bits = np.zeros(BLOOM_AUDIT_M, dtype=bool)
+    bits[positions(build).ravel()] = True
+    hit = bits[positions(probe)].all(axis=1)
+    n_fp = int(hit.sum())
+    return pd.DataFrame(
+        [(len(build), len(probe), int(bits.sum()), n_fp,
+          (n_fp * 1_000_000) // len(probe))],
+        columns=list(out_cols)).astype(out_cols)
+
+
+def _sql_bloom_fpr_audit() -> str:
+    h1 = _sql_hexval_huge("md5('bf1:' || uid)", 12)
+    h2 = _sql_hexval_huge("md5('bf2:' || uid)", 12)
+    m, k = BLOOM_AUDIT_M, BLOOM_AUDIT_K
+    return f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+bp AS (
+  SELECT user_id AS uid, 1 AS build FROM u
+  UNION ALL
+  SELECT user_id + 1000000000 AS uid, 0 AS build FROM u
+),
+hx AS (
+  SELECT uid, build, CAST({h1} AS BIGINT) AS h1,
+         CAST({h2} AS BIGINT) | 1 AS h2
+  FROM bp
+),
+pos AS (
+  SELECT uid, build, (h1 + i.i * h2) % {m} AS pos
+  FROM hx, range(0, {k}) i(i)
+),
+apos AS (SELECT DISTINCT pos FROM pos WHERE build = 1),
+fp AS (
+  SELECT b.uid FROM bp b WHERE b.build = 0 AND NOT EXISTS (
+    SELECT 1 FROM pos WHERE pos.uid = b.uid AND pos.build = 0
+      AND pos.pos NOT IN (SELECT pos FROM apos))
+),
+c AS (
+  SELECT (SELECT count(*) FROM u) AS n_build,
+         (SELECT count(*) FROM u) AS n_probe,
+         (SELECT count(*) FROM apos) AS n_bits_set,
+         (SELECT count(*) FROM fp) AS n_fp
+)
+SELECT CAST(n_build AS BIGINT) AS n_build,
+       CAST(n_probe AS BIGINT) AS n_probe,
+       CAST(n_bits_set AS BIGINT) AS n_bits_set,
+       CAST(n_fp AS BIGINT) AS n_fp,
+       CAST(n_fp * 1000000 // n_probe AS BIGINT) AS fpr_x1e6
+FROM c WHERE n_build > 0 AND n_probe > 0
+"""
+
+
+RELATIONAL_QUERIES["bloom_fpr_audit"] = (bloom_fpr_audit,
+                                         _sql_bloom_fpr_audit())
