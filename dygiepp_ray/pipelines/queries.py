@@ -3516,3 +3516,105 @@ KG_QUERIES = {
     "turn_spans": (q_turn_spans, SQL_TURN_SPANS),
     "multi_namespace_mentions": (q_multi_namespace_mentions, SQL_MULTI_NAMESPACE_MENTIONS),
 }
+
+
+def q_kg_inverse_predicates(sf_dir: str) -> pd.DataFrame:
+    """Inverse-rule discovery over the constructed KG: predicate pairs
+    (p <= q) where some (s, p, o) has a mirrored (o, q, s), with each
+    side's distinct-triple support and the fixed-point score
+    ``inv_x1e6 = (1e6 * n_inv) // least(sup_p, sup_q)`` — the rule
+    miner that turns an open KG into "works_with is its own inverse /
+    feeds is the inverse of reads" schema annotations (the directed
+    complement of kg_symmetric_pairs, which only sees p == q).
+
+    One exchange keyed on the UNORDERED entity pair (least, greatest):
+    both directions of any (s, o) co-locate, so the in-bucket self-join
+    is exact and global triple dedup is free (each distinct triple
+    owns exactly one unordered pair).  Per-bucket partials are
+    O(pred^2); predicates themselves are never keys (few and hot).
+    For p == q the count is over ordered (s, o) — each symmetric
+    unordered instance contributes 2.
+    -> (p, q, n_inv, sup_p, sup_q, inv_x1e6)."""
+    from ..core import partitioned_map_groups
+
+    pipe = from_documents_table(sf_dir)
+    trip = pipe.triples().select_columns(["subj", "pred", "obj"])
+
+    _OUT = {"p": object, "q": object, "n_inv": np.int64,
+            "sup_p": np.int64, "sup_q": np.int64, "inv_x1e6": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT.items()})
+
+    def key_pair(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "subj" not in df.columns:
+            return pd.DataFrame({"subj": pd.Series(dtype=object),
+                                 "pred": pd.Series(dtype=object),
+                                 "obj": pd.Series(dtype=object),
+                                 "__k": pd.Series(dtype=object)})
+        lo = df[["subj", "obj"]].min(axis=1)
+        hi = df[["subj", "obj"]].max(axis=1)
+        return df.assign(__k=lo.str.cat(hi, sep="\x1f"))
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"p": object, "q": object, "n_inv": np.int64,
+                "sup_p_part": np.int64, "sup_q_part": np.int64}
+        if len(df) == 0 or "subj" not in df.columns:
+            return pd.DataFrame({"kind": pd.Series(dtype=object),
+                                 "a": pd.Series(dtype=object),
+                                 "b": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})
+        d = df[["subj", "pred", "obj"]].drop_duplicates()
+        sup = d.groupby("pred", as_index=False).size().rename(
+            columns={"size": "n"})
+        sup = pd.DataFrame({"kind": "sup", "a": sup["pred"],
+                            "b": sup["pred"], "n": sup["n"]})
+        m = d.merge(d, left_on=["subj", "obj"], right_on=["obj", "subj"],
+                    suffixes=("", "_r"))
+        m = m[m["pred"] <= m["pred_r"]]
+        if len(m):
+            g = m.groupby(["pred", "pred_r"], as_index=False).size()
+            inv = pd.DataFrame({"kind": "inv", "a": g["pred"],
+                                "b": g["pred_r"], "n": g["size"]})
+            out = pd.concat([sup, inv], ignore_index=True)
+        else:
+            out = sup
+        return out.astype({"n": np.int64})
+
+    parts = partitioned_map_groups(
+        trip.map_batches(key_pair, batch_format="pandas"), "__k",
+        bucket, num_buckets=16).to_pandas()
+    if len(parts) == 0 or "kind" not in parts.columns:
+        return empty_out
+    sup = parts[parts["kind"] == "sup"].groupby("a")["n"].sum()
+    inv = parts[parts["kind"] == "inv"].groupby(
+        ["a", "b"], as_index=False)["n"].sum()
+    if len(inv) == 0:
+        return empty_out
+    out = pd.DataFrame({
+        "p": inv["a"], "q": inv["b"],
+        "n_inv": inv["n"].to_numpy(np.int64),
+        "sup_p": inv["a"].map(sup).to_numpy(np.int64),
+        "sup_q": inv["b"].map(sup).to_numpy(np.int64),
+    })
+    out["inv_x1e6"] = (1_000_000 * out["n_inv"].to_numpy(np.int64)) // (
+        np.minimum(out["sup_p"], out["sup_q"]).to_numpy(np.int64))
+    return out.astype({c: t for c, t in _OUT.items() if t is np.int64})
+
+
+SQL_KG_INVERSE_PREDICATES = SQL_TOKS + f""",
+triples AS ({_KG_TRIPLES_BODY}),
+d AS (SELECT DISTINCT subj, pred, obj FROM triples),
+sup AS (SELECT pred, count(*) AS n FROM d GROUP BY 1),
+inv AS (
+  SELECT a.pred AS p, b.pred AS q, count(*) AS n_inv
+  FROM d a JOIN d b ON b.subj = a.obj AND b.obj = a.subj
+  WHERE a.pred <= b.pred GROUP BY 1, 2
+)
+SELECT inv.p, inv.q, CAST(inv.n_inv AS BIGINT) AS n_inv,
+       CAST(sp.n AS BIGINT) AS sup_p, CAST(sq.n AS BIGINT) AS sup_q,
+       CAST((1000000 * inv.n_inv) // least(sp.n, sq.n) AS BIGINT)
+         AS inv_x1e6
+FROM inv JOIN sup sp ON sp.pred = inv.p JOIN sup sq ON sq.pred = inv.q
+"""
+
+KG_QUERIES["kg_inverse_predicates"] = (q_kg_inverse_predicates,
+                                       SQL_KG_INVERSE_PREDICATES)
