@@ -10025,3 +10025,83 @@ FROM c WHERE n_build > 0 AND n_probe > 0
 
 RELATIONAL_QUERIES["bloom_fpr_audit"] = (bloom_fpr_audit,
                                          _sql_bloom_fpr_audit())
+
+
+def packing_efficiency(sf_dir: str, budget: int = 4096) -> pd.DataFrame:
+    """Packing-efficiency audit of the pack_sequences layout: per
+    source, how many packs the shard-filling rule produces and the
+    fill rate ``fill_x1e6 = (1e6 * total_chars) // (n_packs * budget)``
+    — the wasted-capacity readout that decides whether the pack budget
+    is sized right before an expensive training run.  n_packs needs no
+    replay of the packer: the last pack is the one holding the final
+    doc's start, so n_packs = (total - last_doc_chars) // budget + 1.
+
+    Map-only: per-batch per-source partials (count/sum/argmax-by-doc_id)
+    merge associatively on the driver — O(sources) rows, no shuffle.
+    -> (source, n_docs, total_chars, n_packs, fill_x1e6)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"source": pd.Series(dtype=object),
+                              "n_docs": pd.Series(dtype=np.int64),
+                              "total_chars": pd.Series(dtype=np.int64),
+                              "max_doc": pd.Series(dtype=np.int64),
+                              "max_doc_chars": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "doc_id" not in df.columns:
+            return empty
+        df = df.sort_values("doc_id")
+        g = df.groupby("source", as_index=False).agg(
+            n_docs=("doc_id", "size"), total_chars=("n_chars", "sum"),
+            max_doc=("doc_id", "last"), max_doc_chars=("n_chars", "last"))
+        return g.astype({c: np.int64 for c in
+                         ("n_docs", "total_chars", "max_doc",
+                          "max_doc_chars")})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out_cols = {"source": object, "n_docs": np.int64,
+                "total_chars": np.int64, "n_packs": np.int64,
+                "fill_x1e6": np.int64}
+    if parts.empty or "source" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t)
+                             for c, t in out_cols.items()})
+    parts = parts.sort_values("max_doc")
+    g = parts.groupby("source", as_index=False).agg(
+        n_docs=("n_docs", "sum"), total_chars=("total_chars", "sum"),
+        max_doc_chars=("max_doc_chars", "last"))
+    n_packs = (g["total_chars"].to_numpy(np.int64)
+               - g["max_doc_chars"].to_numpy(np.int64)) // budget + 1
+    return pd.DataFrame(
+        {"source": g["source"],
+         "n_docs": g["n_docs"].to_numpy(np.int64),
+         "total_chars": g["total_chars"].to_numpy(np.int64),
+         "n_packs": n_packs,
+         "fill_x1e6": (g["total_chars"].to_numpy(np.int64) * 1_000_000)
+         // (n_packs * budget)}
+    ).astype(out_cols)
+
+
+SQL_PACKING_EFFICIENCY = """
+WITH s AS (
+  SELECT source, count(*) AS n_docs, sum(n_chars) AS total,
+         max(doc_id) AS mx
+  FROM documents GROUP BY 1
+),
+l AS (
+  SELECT s.source, s.n_docs, s.total,
+         (s.total - d.n_chars) // 4096 + 1 AS n_packs
+  FROM s JOIN documents d ON d.source = s.source AND d.doc_id = s.mx
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(total AS BIGINT) AS total_chars,
+       CAST(n_packs AS BIGINT) AS n_packs,
+       CAST((total::HUGEINT * 1000000) // (n_packs * 4096) AS BIGINT)
+         AS fill_x1e6
+FROM l
+"""
+
+
+RELATIONAL_QUERIES["packing_efficiency"] = (packing_efficiency,
+                                            SQL_PACKING_EFFICIENCY)
