@@ -1212,3 +1212,225 @@ def mp3_frames(
         Mp3FrameReader(), batch_format="pandas",
         batch_size=batch_size, concurrency=concurrency,
     )
+
+
+FLAC_SEED = 61
+
+
+def synth_flac(n: int = 12, seed: int = FLAC_SEED) -> pa.Table:
+    """(media_id, payload): REAL FLAC containers — 'fLaC' magic, a
+    STREAMINFO metadata block (type 0, 34 bytes: block sizes, frame
+    sizes, the 20/3/5/36-bit packed sample-rate/channels/bps/total-
+    samples word, and the 16-byte unencoded-audio MD5) followed by a
+    last-flagged PADDING block, then the frame region.  The frame
+    region is an ascii md5 chain whose MD5 is stamped INTO the
+    STREAMINFO signature field, so the parser can cross-check payload
+    integrity exactly as a real decoder does — and the DuckDB oracle
+    regenerates every output column from the generation rule."""
+    import struct
+
+    ids, payloads = [], []
+    for i in range(n):
+        base = hashlib.md5(f"flac:{seed}:{i}".encode()).hexdigest()
+        sr = 8000 + int(base[0:4], 16) % 40000
+        ch = 1 + int(base[4], 16) % 8
+        bps = 8 + (int(base[5], 16) % 3) * 4
+        total = int(base[6:12], 16) % (1 << 30)
+        csz = 24 + int(base[12:14], 16) % 100
+        chain = "".join(
+            hashlib.md5(f"flac:{seed}:{i}:{k}".encode()).hexdigest()
+            for k in range(4)
+        )
+        frames = chain[:csz].encode("ascii")
+        sig = hashlib.md5(frames).digest()
+        packed = (sr << 44) | ((ch - 1) << 41) | ((bps - 1) << 36) | total
+        si = (struct.pack(">HH", 4096, 4096)
+              + (14).to_bytes(3, "big") + (14 + csz).to_bytes(3, "big")
+              + struct.pack(">Q", packed) + sig)
+        out = b"fLaC"
+        out += bytes([0x00]) + len(si).to_bytes(3, "big") + si
+        pad = b"\x00" * 8
+        out += bytes([0x80 | 0x01]) + len(pad).to_bytes(3, "big") + pad
+        out += frames
+        ids.append(i)
+        payloads.append(out)
+    return pa.table(
+        {"media_id": pa.array(ids, pa.int64()),
+         "payload": pa.array(payloads, pa.binary())}
+    )
+
+
+class FlacInfoReader:
+    """Actor-pool stage: REAL FLAC metadata walk — magic check, block
+    headers (last-flag + 7-bit type + 24-bit big-endian length),
+    STREAMINFO bit unpacking, and an MD5 CROSS-CHECK of the frame
+    region against the STREAMINFO signature; malformed streams raise."""
+
+    @staticmethod
+    def _parse(payload: bytes):
+        import struct
+
+        if payload[0:4] != b"fLaC":
+            raise ValueError("not a FLAC payload")
+        pos = 4
+        info = None
+        while True:
+            hdr = payload[pos]
+            btype = hdr & 0x7F
+            blen = int.from_bytes(payload[pos + 1:pos + 4], "big")
+            body = payload[pos + 4:pos + 4 + blen]
+            if len(body) != blen:
+                raise ValueError("truncated metadata block")
+            if btype == 0:
+                if blen != 34:
+                    raise ValueError("STREAMINFO must be 34 bytes")
+                packed = struct.unpack(">Q", body[10:18])[0]
+                info = {
+                    "min_block": struct.unpack(">H", body[0:2])[0],
+                    "sample_rate": packed >> 44,
+                    "channels": ((packed >> 41) & 0x7) + 1,
+                    "bits_per_sample": ((packed >> 36) & 0x1F) + 1,
+                    "total_samples": packed & ((1 << 36) - 1),
+                    "sig": body[18:34],
+                }
+            pos += 4 + blen
+            if hdr & 0x80:
+                break
+        if info is None:
+            raise ValueError("missing STREAMINFO block")
+        frames = payload[pos:]
+        if hashlib.md5(frames).digest() != info["sig"]:
+            raise ValueError("frame-region md5 disagrees with STREAMINFO")
+        return (info["sample_rate"], info["channels"],
+                info["bits_per_sample"], info["total_samples"],
+                len(frames), hashlib.md5(frames).hexdigest())
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"media_id": [], "sample_rate": [], "channels": [],
+                "bits_per_sample": [], "total_samples": [],
+                "n_frame_bytes": [], "audio_md5": []}
+        for mid, payload in zip(df["media_id"], df["payload"]):
+            sr, ch, bps, total, nb, md = self._parse(bytes(payload))
+            rows["media_id"].append(int(mid))
+            rows["sample_rate"].append(sr)
+            rows["channels"].append(ch)
+            rows["bits_per_sample"].append(bps)
+            rows["total_samples"].append(total)
+            rows["n_frame_bytes"].append(nb)
+            rows["audio_md5"].append(md)
+        return pd.DataFrame(rows).astype(
+            {c: np.int64 for c in ("media_id", "sample_rate", "channels",
+                                   "bits_per_sample", "total_samples",
+                                   "n_frame_bytes")})
+
+
+def flac_info(
+    media: ray.data.Dataset, concurrency: int = 2, batch_size: int = 4
+) -> ray.data.Dataset:
+    """Decode-free FLAC admission pass: STREAMINFO + integrity check."""
+    return media.map_batches(
+        FlacInfoReader(), batch_format="pandas",
+        batch_size=batch_size, concurrency=concurrency,
+    )
+
+
+ICO_SEED = 67
+
+
+def synth_ico(n: int = 12, seed: int = ICO_SEED) -> pa.Table:
+    """(media_id, payload): REAL ICO containers — ICONDIR (reserved 0,
+    type 1, count), one 16-byte ICONDIRENTRY per image (width/height
+    bytes with the 0-means-256 rule, bpp, resource size, absolute file
+    offset) and contiguous image blobs (ascii md5 chains).  Offsets are
+    computed exactly as a writer lays them out, so the parser's
+    offset/size cross-checks are meaningful."""
+    import struct
+
+    ids, payloads = [], []
+    for i in range(n):
+        base = hashlib.md5(f"ico:{seed}:{i}".encode()).hexdigest()
+        n_img = 1 + int(base[0], 16) % 4
+        entries, blobs = [], []
+        for f in range(n_img):
+            fb = hashlib.md5(f"ico:{seed}:{i}:{f}".encode()).hexdigest()
+            w = 16 * (1 + int(fb[0], 16) % 16) % 256   # 0 encodes 256
+            h = 16 * (1 + int(fb[1], 16) % 16) % 256
+            bpp = (1, 4, 8, 24, 32)[int(fb[2], 16) % 5]
+            bsz = 20 + int(fb[3:5], 16) % 80
+            chain = "".join(
+                hashlib.md5(f"ico:{seed}:{i}:{f}:{k}".encode()).hexdigest()
+                for k in range(4)
+            )
+            blobs.append(chain[:bsz].encode("ascii"))
+            entries.append((w, h, bpp, bsz))
+        off = 6 + 16 * n_img
+        out = struct.pack("<HHH", 0, 1, n_img)
+        for (w, h, bpp, bsz), blob in zip(entries, blobs):
+            out += struct.pack("<BBBBHHII", w, h, 0, 0, 1, bpp, bsz, off)
+            off += bsz
+        for blob in blobs:
+            out += blob
+        ids.append(i)
+        payloads.append(out)
+    return pa.table(
+        {"media_id": pa.array(ids, pa.int64()),
+         "payload": pa.array(payloads, pa.binary())}
+    )
+
+
+class IcoDirReader:
+    """Actor-pool stage: REAL ICO directory walk — header check,
+    per-entry decode with the 0-means-256 dimension rule, and
+    CROSS-CHECKS that blobs are contiguous, in-bounds and exactly
+    exhaust the file; malformed containers raise."""
+
+    @staticmethod
+    def _parse(payload: bytes):
+        import struct
+
+        rsv, typ, n_img = struct.unpack("<HHH", payload[0:6])
+        if rsv != 0 or typ != 1 or n_img == 0:
+            raise ValueError("not an ICO payload")
+        expect_off = 6 + 16 * n_img
+        out = []
+        for f in range(n_img):
+            e = payload[6 + 16 * f:6 + 16 * (f + 1)]
+            w, h, _cols, _rsv, _planes, bpp, bsz, off = struct.unpack(
+                "<BBBBHHII", e)
+            if off != expect_off:
+                raise ValueError("non-contiguous image blob")
+            blob = payload[off:off + bsz]
+            if len(blob) != bsz:
+                raise ValueError("image blob out of bounds")
+            out.append((f, w or 256, h or 256, bpp, bsz,
+                        hashlib.md5(blob).hexdigest()))
+            expect_off = off + bsz
+        if expect_off != len(payload):
+            raise ValueError("trailing bytes after last image")
+        return out
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"media_id": [], "img_idx": [], "w": [], "h": [],
+                "bpp": [], "size": [], "content_md5": []}
+        for mid, payload in zip(df["media_id"], df["payload"]):
+            for f, w, h, bpp, bsz, md in self._parse(bytes(payload)):
+                rows["media_id"].append(int(mid))
+                rows["img_idx"].append(f)
+                rows["w"].append(w)
+                rows["h"].append(h)
+                rows["bpp"].append(bpp)
+                rows["size"].append(bsz)
+                rows["content_md5"].append(md)
+        return pd.DataFrame(rows).astype(
+            {c: np.int64 for c in ("media_id", "img_idx", "w", "h",
+                                   "bpp", "size")})
+
+
+def ico_frames(
+    media: ray.data.Dataset, concurrency: int = 2, batch_size: int = 4
+) -> ray.data.Dataset:
+    """Icon-directory extraction: per-image metadata + blob digests."""
+    return media.map_batches(
+        IcoDirReader(), batch_format="pandas",
+        batch_size=batch_size, concurrency=concurrency,
+    )

@@ -3319,3 +3319,99 @@ FROM m WHERE v < 38
 
 TEXTOPS_QUERIES["masked_lm_export"] = (q_masked_lm_export,
                                        _sql_masked_lm_export())
+
+
+def q_flac_info(sf_dir: str):
+    """REAL FLAC metadata-block walk (magic, 24-bit block headers,
+    STREAMINFO 20/3/5/36-bit unpack, frame-region md5 cross-check);
+    the twin regenerates every column from the md5-chain rule without
+    touching the container."""
+    from . import multimodal
+
+    return multimodal.flac_info(
+        ray.data.from_arrow(multimodal.synth_flac())
+    )
+
+
+def _sql_flac_info() -> str:
+    from .multimodal import FLAC_SEED
+
+    base = f"md5('flac:{FLAC_SEED}:' || i)"
+    return f"""
+WITH m AS (SELECT i, {base} AS base FROM range(0, 12) t(i)),
+ch AS (
+  SELECT m.i, m.base,
+         string_agg(md5('flac:{FLAC_SEED}:' || m.i || ':' || k.k), ''
+                    ORDER BY k.k) AS chain
+  FROM m, range(0, 4) k(k) GROUP BY m.i, m.base
+),
+x AS (
+  SELECT i, base, 24 + {_sql_hexval('base', 13, 2)} % 100 AS csz, chain
+  FROM ch
+)
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST(8000 + {_sql_hexval('base', 1, 4)} % 40000 AS BIGINT)
+         AS sample_rate,
+       CAST(1 + {_sql_hexval('base', 5, 1)} % 8 AS BIGINT) AS channels,
+       CAST(8 + ({_sql_hexval('base', 6, 1)} % 3) * 4 AS BIGINT)
+         AS bits_per_sample,
+       CAST({_sql_hexval('base', 7, 6)} % 1073741824 AS BIGINT)
+         AS total_samples,
+       CAST(csz AS BIGINT) AS n_frame_bytes,
+       md5(substr(chain, 1, csz)) AS audio_md5
+FROM x
+"""
+
+
+TEXTOPS_QUERIES["flac_info"] = (q_flac_info, _sql_flac_info())
+
+
+def q_ico_frames(sf_dir: str):
+    """REAL ICO directory walk (ICONDIR header, 16-byte entries with
+    the 0-means-256 dimension rule, contiguity/bounds cross-checks);
+    the twin regenerates (w, h, bpp, size, blob md5) from the
+    generation rule without touching the container."""
+    from . import multimodal
+
+    return multimodal.ico_frames(
+        ray.data.from_arrow(multimodal.synth_ico())
+    )
+
+
+def _sql_ico_frames() -> str:
+    from .multimodal import ICO_SEED
+
+    base = f"md5('ico:{ICO_SEED}:' || i)"
+    fb = f"md5('ico:{ICO_SEED}:' || i || ':' || f)"
+    return f"""
+WITH m AS (
+  SELECT i, 1 + {_sql_hexval(base, 1, 1)} % 4 AS n_img
+  FROM range(0, 12) t(i)
+),
+e AS (
+  SELECT m.i, f.f, {fb} AS fh, m.n_img
+  FROM m, range(0, 4) f(f) WHERE f.f < m.n_img
+),
+ch AS (
+  SELECT e.i, e.f, e.fh,
+         string_agg(md5('ico:{ICO_SEED}:' || e.i || ':' || e.f
+                        || ':' || k.k), '' ORDER BY k.k) AS chain
+  FROM e, range(0, 4) k(k) GROUP BY e.i, e.f, e.fh
+),
+x AS (
+  SELECT i, f, fh, 20 + {_sql_hexval('fh', 4, 2)} % 80 AS bsz, chain
+  FROM ch
+)
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST(f AS BIGINT) AS img_idx,
+       CAST(16 * (1 + {_sql_hexval('fh', 1, 1)} % 16) AS BIGINT) AS w,
+       CAST(16 * (1 + {_sql_hexval('fh', 2, 1)} % 16) AS BIGINT) AS h,
+       CAST(([1, 4, 8, 24, 32])[{_sql_hexval('fh', 3, 1)} % 5 + 1]
+            AS BIGINT) AS bpp,
+       CAST(bsz AS BIGINT) AS size,
+       md5(substr(chain, 1, bsz)) AS content_md5
+FROM x
+"""
+
+
+TEXTOPS_QUERIES["ico_frames"] = (q_ico_frames, _sql_ico_frames())
