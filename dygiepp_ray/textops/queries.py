@@ -3415,3 +3415,114 @@ FROM x
 
 
 TEXTOPS_QUERIES["ico_frames"] = (q_ico_frames, _sql_ico_frames())
+
+
+MINHASH_AUDIT_K = 16
+
+
+def q_minhash_error_audit(sf_dir: str):
+    """MinHash calibration audit: for every pair with exact shingle
+    Jaccard >= 1/2 (full-recall prefix-filter join — no LSH seed
+    artifacts), the k=16 md5-permutation MinHash ESTIMATE next to the
+    exact similarity and the absolute error — the table that justifies
+    the banded-LSH recall/precision tradeoff before trusting it at
+    100 TB.  md5 permutations (not the production hash) so the SQL
+    twin replays the estimator bit-for-bit.
+
+    Shape: signatures are one streaming map (k mins per doc, 128 B
+    serialized); the pair join is attach_pair_values' two keyed
+    exchanges — nothing broadcast, nothing on the driver.
+    -> (id_a, id_b, jac_pct, est_pct, err_pct)."""
+    import hashlib
+    import struct
+
+    docs = _docs(sf_dir)
+    pairs = dedup.prefix_near_dups(docs, threshold_num=1, threshold_den=2)
+
+    def sig(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                              "sig": pd.Series(dtype=object)})
+        if len(df) == 0 or "text" not in df.columns:
+            return empty
+        ids, sigs = [], []
+        for did, text in zip(df["doc_id"].to_numpy(), df["text"]):
+            toks = text.strip().split()
+            if not toks:
+                continue
+            if len(toks) < 3:
+                shs = {" ".join(toks)}
+            else:
+                shs = {" ".join(toks[i:i + 3])
+                       for i in range(len(toks) - 2)}
+            mh = [min(int(hashlib.md5(f"{j}:{s}".encode())
+                          .hexdigest()[:12], 16) for s in shs)
+                  for j in range(MINHASH_AUDIT_K)]
+            ids.append(int(did))
+            sigs.append(struct.pack(f">{MINHASH_AUDIT_K}Q", *mh))
+        return pd.DataFrame({"doc_id": np.asarray(ids, np.int64),
+                             "sig": pd.Series(sigs, dtype=object)})
+
+    sigs = docs.map_batches(sig, batch_format="pandas")
+    attached = dedup.attach_pair_values(pairs, sigs, "sig",
+                                        "sig_a", "sig_b")
+
+    out_cols = {"id_a": np.int64, "id_b": np.int64, "jac_pct": np.int64,
+                "est_pct": np.int64, "err_pct": np.int64}
+
+    def est(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "sig_a" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in out_cols.items()})
+        a = np.frombuffer(b"".join(df["sig_a"]), dtype=">u8").reshape(
+            len(df), MINHASH_AUDIT_K)
+        b = np.frombuffer(b"".join(df["sig_b"]), dtype=">u8").reshape(
+            len(df), MINHASH_AUDIT_K)
+        matches = (a == b).sum(axis=1).astype(np.int64)
+        ep = (100 * matches) // MINHASH_AUDIT_K
+        jp = df["jac_pct"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"id_a": df["id_a"].to_numpy(np.int64),
+             "id_b": df["id_b"].to_numpy(np.int64),
+             "jac_pct": jp, "est_pct": ep,
+             "err_pct": np.abs(ep - jp)}).astype(out_cols)
+
+    return attached.map_batches(est, batch_format="pandas")
+
+
+def _sql_minhash_error_audit() -> str:
+    hv = _sql_hexval("md5(j.j || ':' || s.s)", 1, 12)
+    k = MINHASH_AUDIT_K
+    return _SQL_SH3 + f""",
+mh AS (
+  SELECT doc_id, j.j AS j, min({hv}) AS mh
+  FROM sh, unnest(sh.sh) s(s), range(0, {k}) j(j)
+  GROUP BY doc_id, j.j
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         (100 * len(list_intersect(a.sh, b.sh)))
+           // len(list_distinct(a.sh || b.sh)) AS jac_pct
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_distinct(a.sh || b.sh)) > 0
+    AND 2 * len(list_intersect(a.sh, b.sh))
+        >= len(list_distinct(a.sh || b.sh))
+),
+e AS (
+  SELECT p.id_a, p.id_b, p.jac_pct,
+         (100 * sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END)) // {k}
+           AS est_pct
+  FROM pairs p
+  JOIN mh ma ON ma.doc_id = p.id_a
+  JOIN mh mb ON mb.doc_id = p.id_b AND mb.j = ma.j
+  GROUP BY p.id_a, p.id_b, p.jac_pct
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(jac_pct AS BIGINT) AS jac_pct,
+       CAST(est_pct AS BIGINT) AS est_pct,
+       CAST(abs(est_pct - jac_pct) AS BIGINT) AS err_pct
+FROM e
+"""
+
+
+TEXTOPS_QUERIES["minhash_error_audit"] = (q_minhash_error_audit,
+                                          _sql_minhash_error_audit())
