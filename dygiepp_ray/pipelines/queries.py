@@ -2944,7 +2944,13 @@ FROM ents
 # manually but that never received a driver-emitted CORRECTNESS row
 # (VERDICT r3 #7).  New queries added mid-round go at the very front.
 _DRIVER_SAMPLE_FIRST = (
-    # tier -1: added this session (eighth continuation)
+    # tier -2: added this session (ninth continuation)
+    "mann_whitney_quantity", "ks_price_by_status", "order_value_ecdf",
+    "autocorr_revenue", "lineitem_reconciliation", "unicode_audit",
+    "pii_scan", "masked_lm_export", "bloom_fpr_audit",
+    "kg_inverse_predicates", "packing_efficiency", "flac_info",
+    "ico_frames", "minhash_error_audit",
+    # tier -1: added the eighth continuation session
     "basket_rules", "kaplan_meier", "conversion_ab_test", "revenue_cusum",
     "sentence_dedup", "skipgram_pairs", "embedding_quantize",
     "kg_alias_resolution", "bio_tagged_export", "footer_stats",

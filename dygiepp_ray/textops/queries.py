@@ -3486,7 +3486,14 @@ def q_minhash_error_audit(sf_dir: str):
              "jac_pct": jp, "est_pct": ep,
              "err_pct": np.abs(ep - jp)}).astype(out_cols)
 
-    return attached.map_batches(est, batch_format="pandas")
+    # a corpus can legitimately have ZERO pairs at jac >= 1/2 — collect
+    # driver-side so the empty result keeps its typed columns (Ray's
+    # to_pandas drops columns on an all-empty Dataset)
+    res = attached.map_batches(est, batch_format="pandas").to_pandas()
+    if len(res) == 0 or "id_a" not in res.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t)
+                             for c, t in out_cols.items()})
+    return res.astype(out_cols)
 
 
 def _sql_minhash_error_audit() -> str:

@@ -625,3 +625,121 @@ def test_footer_stats_multi_rowgroup_differential(ray_session, tmp_path, seed):
     assert pq.ParquetFile(tmp_path / "orders.parquet"
                           ).metadata.num_row_groups > 3
     _compare(str(tmp_path), "footer_stats")
+
+
+@pytest.mark.parametrize("seed", [9, 27])
+def test_ninth_wave_orders_differential(ray_session, tmp_path, seed):
+    """Ninth-continuation order statistics under HEAVY value ties
+    (whole-dollar prices) and a compressed calendar (dense daily
+    series): exact midrank/KS/ECDF/ACF conventions must hold where
+    ties and empty days are the norm, plus the ledger reconciliation
+    with orphan orders AND orphan lineitems."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(150, 500))
+    okeys = rng.permutation(n * 2)[:n].astype(np.int64)
+    pq.write_table(pa.table(
+        {"o_orderkey": pa.array(okeys),
+         "o_custkey": pa.array(rng.integers(0, 40, n).astype(np.int64)),
+         "o_orderstatus": pa.array(rng.choice(["O", "F", "P"], n)),
+         # whole dollars -> massive cent-level ties
+         "o_totalprice": pa.array(
+             rng.integers(10, 60, n).astype(np.float64), pa.float64()),
+         "o_orderdate": pa.array(
+             pd.to_datetime(
+                 (800_000_000 + rng.integers(0, 40, n) * 86_400)
+                 * 1_000_000_000),
+             pa.timestamp("us")),
+         "o_orderpriority": pa.array(rng.choice(["1-URGENT", "2-HIGH"], n))}
+    ), tmp_path / "orders.parquet")
+    m = int(rng.integers(200, 700))
+    # half the lineitems reference orders, half are orphans
+    lkeys = np.concatenate([
+        rng.choice(okeys, m // 2),
+        (okeys.max() + 1 + rng.integers(0, 50, m - m // 2)),
+    ]).astype(np.int64)
+    pq.write_table(pa.table(
+        {"l_orderkey": pa.array(lkeys),
+         "l_partkey": pa.array(rng.integers(0, 30, m).astype(np.int64)),
+         "l_suppkey": pa.array(rng.integers(0, 10, m).astype(np.int64)),
+         "l_linenumber": pa.array(rng.integers(1, 7, m).astype(np.int64)),
+         "l_quantity": pa.array(
+             rng.integers(1, 8, m).astype(np.float64), pa.float64()),
+         "l_extendedprice": pa.array(
+             np.round(rng.uniform(900, 100000, m), 2), pa.float64()),
+         "l_discount": pa.array(
+             np.round(rng.uniform(0, 0.1, m), 2), pa.float64()),
+         "l_tax": pa.array(
+             np.round(rng.uniform(0, 0.08, m), 2), pa.float64()),
+         "l_returnflag": pa.array(rng.choice(["A", "N", "R"], m)),
+         "l_linestatus": pa.array(rng.choice(["O", "F"], m)),
+         "l_shipdate": pa.array(
+             pd.to_datetime(rng.integers(8e8, 9e8, m) * 1_000_000_000),
+             pa.timestamp("us"))}
+    ), tmp_path / "lineitem.parquet")
+    for q in ["ks_price_by_status", "order_value_ecdf",
+              "autocorr_revenue", "mann_whitney_quantity",
+              "lineitem_reconciliation"]:
+        _compare(str(tmp_path), q)
+
+
+@pytest.mark.parametrize("seed", [15, 33])
+def test_ninth_wave_documents_differential(ray_session, tmp_path, seed):
+    """Ninth-continuation corpus ops over random micro-corpora with
+    planted blank/whitespace docs: the masking recipe, character-class
+    counting, packing fill audit and the MinHash calibration pairs
+    must match their twins off the frozen testdata distribution."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(40, 120))
+    vocab = np.array(["table", "hash", "join", "scan", "merge", "a", "b"])
+    texts = [" ".join(rng.choice(vocab, rng.integers(0, 40)))
+             for _ in range(n)]
+    for i in range(0, n, 17):
+        texts[i] = ""
+    for i in range(5, n, 23):
+        texts[i] = "   "
+    pq.write_table(pa.table(
+        {"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+         "source": pa.array(rng.choice(["web", "book"], n)),
+         "text": pa.array(texts),
+         "n_chars": pa.array(
+             np.array([len(t) for t in texts], dtype=np.int64))}
+    ), tmp_path / "documents.parquet")
+    for q in ["unicode_audit", "masked_lm_export", "packing_efficiency",
+              "minhash_error_audit"]:
+        _compare(str(tmp_path), q)
+
+
+@pytest.mark.parametrize("seed", [21])
+def test_ninth_wave_events_and_selfsynth_differential(
+        ray_session, tmp_path, seed):
+    """Bloom FPR audit over a random user domain, plus the
+    self-synthesizing sources (pii corpus, FLAC, ICO) whose oracles
+    regenerate the input from the md5-chain rule."""
+    rng = np.random.default_rng(seed)
+    pq.write_table(_rand_events(rng, int(rng.integers(80, 300))),
+                   tmp_path / "events.parquet")
+    for q in ["bloom_fpr_audit", "pii_scan", "flac_info", "ico_frames"]:
+        _compare(str(tmp_path), q)
+
+
+@pytest.mark.parametrize("seed", [25, 49])
+def test_kg_inverse_predicates_differential(ray_session, tmp_path, seed):
+    """Inverse-pair mining over lexicon-dense random documents (the
+    kg_triples_temporal generator shape): the unordered-pair bucket
+    self-join must agree with the all-pairs SQL twin, including the
+    p == q ordered-count convention."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(20, 60))
+    vocab = np.array(
+        ["batch", "column", "customer", "join", "merge", "scan",
+         "filter", "x", "y"]
+    )
+    texts = [" ".join(rng.choice(vocab, rng.integers(0, 600)))
+             for _ in range(n)]
+    texts[0] = ""
+    pq.write_table(pa.table(
+        {"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+         "source": pa.array(rng.choice(["web", "book"], n)),
+         "text": pa.array(texts)}
+    ), tmp_path / "documents.parquet")
+    _compare(str(tmp_path), "kg_inverse_predicates")

@@ -103,6 +103,12 @@ _SAMPLE = [
     "region_revenue", "cohort_retention", "ann_topk",
     "ivf_topk", "tfidf_top_terms", "quality_gate", "quantiles_price",
     "pagerank3",
+    # ninth continuation (pii_scan / flac_info / ico_frames synthesize
+    # their own input and are exercised by their differential tests)
+    "mann_whitney_quantity", "ks_price_by_status", "order_value_ecdf",
+    "autocorr_revenue", "lineitem_reconciliation", "unicode_audit",
+    "masked_lm_export", "bloom_fpr_audit", "kg_inverse_predicates",
+    "packing_efficiency", "minhash_error_audit",
 ]
 
 
