@@ -3624,3 +3624,148 @@ FROM inv JOIN sup sp ON sp.pred = inv.p JOIN sup sq ON sq.pred = inv.q
 
 KG_QUERIES["kg_inverse_predicates"] = (q_kg_inverse_predicates,
                                        SQL_KG_INVERSE_PREDICATES)
+
+
+def q_kg_transitivity(sf_dir: str) -> pd.DataFrame:
+    """Transitivity audit per predicate: of all same-predicate wedges
+    (s -p-> o -p-> w, s != w, counted with middle-node multiplicity),
+    what fraction are closed by an (s, p, w) edge — the rule-quality
+    score that decides whether a predicate's closure is worth
+    materializing in the store (complements kg_rule_mining's
+    cross-predicate implications and kg_inverse_predicates' mirrors).
+
+    Two linear exchanges, predicates never keys: (1) keyed on
+    (middle-node, pred) — every in-edge meets every out-edge of its
+    middle node, emitting candidate (s, p, w) with multiplicity;
+    (2) keyed on (s, p, w) against the distinct triples — existence
+    check co-locates.  -> (pred, n_wedges, n_closed, trans_x1e6)."""
+    from ..core import partitioned_map_groups
+
+    pipe = from_documents_table(sf_dir)
+    trip = pipe.triples().select_columns(["subj", "pred", "obj"])
+
+    _OUT = {"pred": object, "n_wedges": np.int64, "n_closed": np.int64,
+            "trans_x1e6": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT.items()})
+
+    # exchange 1: tag each distinct triple as in-edge (middle = obj)
+    # and out-edge (middle = subj) under the (middle, pred) key
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"role": object, "mid": object, "pred": object,
+                "other": object, "__k": object}
+        if len(df) == 0 or "subj" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in cols.items()})
+        d = df[["subj", "pred", "obj"]].drop_duplicates()
+        inn = pd.DataFrame({"role": "in", "mid": d["obj"],
+                            "pred": d["pred"], "other": d["subj"]})
+        out = pd.DataFrame({"role": "out", "mid": d["subj"],
+                            "pred": d["pred"], "other": d["obj"]})
+        t = pd.concat([inn, out], ignore_index=True)
+        t["__k"] = t["mid"].str.cat(t["pred"], sep="\x1f")
+        return t
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"s": object, "pred": object, "w": object, "m": np.int64}
+        if len(df) == 0 or "role" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in cols.items()})
+        # triples may repeat across source blocks: distinct per role
+        d = df[["role", "mid", "pred", "other"]].drop_duplicates()
+        inn = d[d["role"] == "in"]
+        out = d[d["role"] == "out"]
+        m = inn.merge(out, on=["mid", "pred"], suffixes=("_i", "_o"))
+        m = m[m["other_i"] != m["other_o"]]
+        if len(m) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in cols.items()})
+        g = m.groupby(["other_i", "pred", "other_o"],
+                      as_index=False).size()
+        return pd.DataFrame({"s": g["other_i"], "pred": g["pred"],
+                             "w": g["other_o"],
+                             "m": g["size"].to_numpy(np.int64)})
+
+    cand = partitioned_map_groups(
+        trip.map_batches(tag, batch_format="pandas"), "__k",
+        wedges, num_buckets=16)
+
+    # exchange 2: candidates + triples co-located on the (s, p, w) key
+    def key_spw(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "s" not in df.columns:
+            return pd.DataFrame({"kind": pd.Series(dtype=object),
+                                 "pred": pd.Series(dtype=object),
+                                 "m": pd.Series(dtype=np.int64),
+                                 "__k": pd.Series(dtype=object)})
+        return pd.DataFrame(
+            {"kind": "cand", "pred": df["pred"],
+             "m": df["m"].to_numpy(np.int64),
+             "__k": df["s"].str.cat([df["pred"], df["w"]], sep="\x1f")})
+
+    def key_edge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "subj" not in df.columns:
+            return pd.DataFrame({"kind": pd.Series(dtype=object),
+                                 "pred": pd.Series(dtype=object),
+                                 "m": pd.Series(dtype=np.int64),
+                                 "__k": pd.Series(dtype=object)})
+        d = df[["subj", "pred", "obj"]].drop_duplicates()
+        return pd.DataFrame(
+            {"kind": "edge", "pred": d["pred"],
+             "m": np.zeros(len(d), dtype=np.int64),
+             "__k": d["subj"].str.cat([d["pred"], d["obj"]], sep="\x1f")})
+
+    tagged = cand.map_batches(key_spw, batch_format="pandas").union(
+        trip.map_batches(key_edge, batch_format="pandas"))
+
+    def close(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"pred": object, "n_wedges": np.int64,
+                "n_closed": np.int64}
+        if len(df) == 0 or "kind" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in cols.items()})
+        cand = df[df["kind"] == "cand"]
+        if len(cand) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in cols.items()})
+        edges = set(df.loc[df["kind"] == "edge", "__k"])
+        closed = cand["__k"].isin(edges)
+        g = pd.DataFrame({"pred": cand["pred"],
+                          "m": cand["m"].to_numpy(np.int64),
+                          "c": np.where(closed, cand["m"].to_numpy(np.int64),
+                                        0)}).groupby(
+            "pred", as_index=False).agg(n_wedges=("m", "sum"),
+                                        n_closed=("c", "sum"))
+        return g.astype({"n_wedges": np.int64, "n_closed": np.int64})
+
+    parts = partitioned_map_groups(tagged, "__k", close,
+                                   num_buckets=16).to_pandas()
+    if len(parts) == 0 or "pred" not in parts.columns:
+        return empty_out
+    g = parts.groupby("pred", as_index=False).agg(
+        n_wedges=("n_wedges", "sum"), n_closed=("n_closed", "sum"))
+    g["trans_x1e6"] = (1_000_000 * g["n_closed"].to_numpy(np.int64)) // (
+        g["n_wedges"].to_numpy(np.int64))
+    return g.astype({c: t for c, t in _OUT.items() if t is np.int64})
+
+
+SQL_KG_TRANSITIVITY = SQL_TOKS + f""",
+triples AS ({_KG_TRIPLES_BODY}),
+d AS (SELECT DISTINCT subj, pred, obj FROM triples),
+w AS (
+  SELECT a.subj AS s, a.pred AS pred, b.obj AS w2, count(*) AS m
+  FROM d a JOIN d b ON b.subj = a.obj AND b.pred = a.pred
+  WHERE a.subj <> b.obj GROUP BY 1, 2, 3
+),
+cl AS (
+  SELECT w.pred, sum(w.m) AS n_wedges,
+         sum(CASE WHEN EXISTS (
+               SELECT 1 FROM d WHERE d.subj = w.s AND d.pred = w.pred
+                 AND d.obj = w.w2) THEN w.m ELSE 0 END) AS n_closed
+  FROM w GROUP BY 1
+)
+SELECT pred, CAST(n_wedges AS BIGINT) AS n_wedges,
+       CAST(n_closed AS BIGINT) AS n_closed,
+       CAST((1000000 * n_closed) // n_wedges AS BIGINT) AS trans_x1e6
+FROM cl
+"""
+
+KG_QUERIES["kg_transitivity"] = (q_kg_transitivity, SQL_KG_TRANSITIVITY)

@@ -10105,3 +10105,357 @@ FROM l
 
 RELATIONAL_QUERIES["packing_efficiency"] = (packing_efficiency,
                                             SQL_PACKING_EFFICIENCY)
+
+
+def weekday_revenue_profile(sf_dir: str) -> pd.DataFrame:
+    """Day-of-week seasonality profile of order revenue: per weekday
+    (0 = Sunday, via the pure-integer epoch rule (day + 4) % 7 — no
+    locale/timezone machinery on either engine), order count, revenue
+    cents and the fixed-point revenue share.  The calendar heat-map
+    behind staffing and cache-warm decisions.
+
+    Map-only: per-batch partials collapse to <= 7 rows; the driver
+    folds a constant-size grid.  -> (weekday, n_orders, revenue_cents,
+    share_x1e6)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_totalprice"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"weekday": pd.Series(dtype=np.int64),
+                              "n": pd.Series(dtype=np.int64),
+                              "rev": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "o_orderdate" not in df.columns:
+            return empty
+        wd = (ts_epoch_us(df["o_orderdate"]) // 86_400_000_000 + 4) % 7
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(np.float64) * 100.0
+        ).astype(np.int64)
+        g = pd.DataFrame({"weekday": wd, "rev": cents}).groupby(
+            "weekday", as_index=False).agg(n=("rev", "size"),
+                                           rev=("rev", "sum"))
+        return g[["weekday", "n", "rev"]].astype(np.int64)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out_cols = {"weekday": np.int64, "n_orders": np.int64,
+                "revenue_cents": np.int64, "share_x1e6": np.int64}
+    if parts.empty or "weekday" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t)
+                             for c, t in out_cols.items()})
+    g = parts.groupby("weekday", as_index=False).agg(
+        n_orders=("n", "sum"), revenue_cents=("rev", "sum"))
+    tot = int(g["revenue_cents"].sum())
+    g["share_x1e6"] = (g["revenue_cents"].to_numpy(np.int64)
+                       * 1_000_000) // tot
+    return g.astype(out_cols)
+
+
+SQL_WEEKDAY_REVENUE_PROFILE = """
+WITH d AS (
+  SELECT (epoch_us(o_orderdate) // 86400000000 + 4) % 7 AS weekday,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+g AS (
+  SELECT weekday, count(*) AS n_orders, sum(cents) AS revenue_cents
+  FROM d GROUP BY 1
+),
+t AS (SELECT sum(revenue_cents) AS tot FROM g)
+SELECT CAST(weekday AS BIGINT) AS weekday,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(revenue_cents AS BIGINT) AS revenue_cents,
+       CAST(revenue_cents::HUGEINT * 1000000 // t.tot AS BIGINT)
+         AS share_x1e6
+FROM g, t WHERE t.tot > 0
+"""
+
+
+def orders_gap_analysis(sf_dir: str) -> ray.data.Dataset:
+    """Inter-order cadence per customer: order count, calendar span and
+    the maximum day gap between consecutive orders (date ties broken by
+    orderkey; same-day repeat orders gap 0) for customers with >= 2
+    orders — the churn-risk feature the idle_customers cut-off is
+    calibrated against.
+
+    One keyed exchange on o_custkey; per-bucket vectorized lexsort +
+    diff, output O(customers) rows.  -> (o_custkey, n_orders,
+    span_days, max_gap_days)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate"],
+    )
+
+    out_cols = {"o_custkey": np.int64, "n_orders": np.int64,
+                "span_days": np.int64, "max_gap_days": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_custkey" not in df.columns:
+            return empty_out
+        day = ts_epoch_us(df["o_orderdate"]) // 86_400_000_000
+        cust = df["o_custkey"].to_numpy(np.int64)
+        okey = df["o_orderkey"].to_numpy(np.int64)
+        order = np.lexsort((okey, day, cust))
+        cust, day = cust[order], day[order]
+        gap = np.empty(len(day), dtype=np.int64)
+        gap[0] = -1
+        gap[1:] = day[1:] - day[:-1]
+        new = np.concatenate([[True], cust[1:] != cust[:-1]])
+        gap[new] = -1
+        g = pd.DataFrame({"o_custkey": cust, "day": day, "gap": gap})
+        a = g.groupby("o_custkey", as_index=False).agg(
+            n_orders=("day", "size"), lo=("day", "min"), hi=("day", "max"),
+            max_gap_days=("gap", "max"))
+        a = a[a["n_orders"] >= 2]
+        return pd.DataFrame(
+            {"o_custkey": a["o_custkey"].to_numpy(np.int64),
+             "n_orders": a["n_orders"].to_numpy(np.int64),
+             "span_days": (a["hi"] - a["lo"]).to_numpy(np.int64),
+             "max_gap_days": a["max_gap_days"].to_numpy(np.int64)})
+
+    return partitioned_map_groups(ds, "o_custkey", bucket, num_buckets=16)
+
+
+SQL_ORDERS_GAP_ANALYSIS = """
+WITH d AS (
+  SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS day,
+         o_orderkey
+  FROM orders
+),
+g AS (
+  SELECT o_custkey, day,
+         day - lag(day) OVER (PARTITION BY o_custkey
+                              ORDER BY day, o_orderkey) AS gap
+  FROM d
+)
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(max(day) - min(day) AS BIGINT) AS span_days,
+       CAST(max(COALESCE(gap, -1)) AS BIGINT) AS max_gap_days
+FROM g GROUP BY o_custkey HAVING count(*) >= 2
+"""
+
+
+def supplier_hhi(sf_dir: str) -> pd.DataFrame:
+    """Market-concentration audit: per supplier nation, the
+    Herfindahl-Hirschman index of discounted line revenue across its
+    suppliers — shares floored at 1e4 fixed point BEFORE squaring, so
+    hhi_x1e8 = sum(share_x1e4^2) is pure integer on both engines
+    (10000^2 = monopoly).  The third inequality lens next to
+    revenue_gini (dispersion) and revenue_pareto (cumulative share).
+
+    Shape: per-batch (suppkey, rev) partials collapse to the supplier
+    domain; the supplier->nation dimension is a broadcast-size table
+    read once.  -> (s_nationkey, n_suppliers, revenue_cents,
+    hhi_x1e8)."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"l_suppkey": pd.Series(dtype=np.int64),
+                              "rev": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "l_suppkey" not in df.columns:
+            return empty
+        rev = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64)
+            * (1.0 - df["l_discount"].to_numpy(np.float64)) * 100.0
+        ).astype(np.int64)
+        g = pd.DataFrame({"l_suppkey": df["l_suppkey"].to_numpy(np.int64),
+                          "rev": rev}).groupby(
+            "l_suppkey", as_index=False)["rev"].sum()
+        return g.astype(np.int64)
+
+    parts = li.map_batches(partial, batch_format="pandas").to_pandas()
+    out_cols = {"s_nationkey": np.int64, "n_suppliers": np.int64,
+                "revenue_cents": np.int64, "hhi_x1e8": np.int64}
+    if parts.empty or "l_suppkey" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t)
+                             for c, t in out_cols.items()})
+    sup = parts.groupby("l_suppkey", as_index=False)["rev"].sum()
+    dim = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    m = sup.merge(dim, left_on="l_suppkey", right_on="s_suppkey")
+    tot = m.groupby("s_nationkey")["rev"].transform("sum")
+    m["share4"] = (m["rev"].to_numpy(np.int64) * 10_000) // tot.to_numpy(
+        np.int64)
+    m["sq"] = m["share4"] * m["share4"]
+    g = m.groupby("s_nationkey", as_index=False).agg(
+        n_suppliers=("s_suppkey", "size"), revenue_cents=("rev", "sum"),
+        hhi_x1e8=("sq", "sum"))
+    return g.astype(out_cols)
+
+
+SQL_SUPPLIER_HHI = """
+WITH r AS (
+  SELECT l_suppkey,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS rev
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT s.s_nationkey, r.l_suppkey, r.rev,
+         sum(r.rev) OVER (PARTITION BY s.s_nationkey) AS tot
+  FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+),
+sh AS (
+  SELECT s_nationkey, rev, (rev::HUGEINT * 10000) // tot AS share4
+  FROM j
+)
+SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(rev) AS BIGINT) AS revenue_cents,
+       CAST(sum(share4 * share4) AS BIGINT) AS hhi_x1e8
+FROM sh GROUP BY s_nationkey
+"""
+
+
+def customer_percentile_rank(sf_dir: str) -> pd.DataFrame:
+    """Percentile rank of every customer by lifetime order revenue —
+    SQL rank() semantics (ties share the MINIMUM rank), fixed point
+    ``pct_x1e6 = ((rank - 1) * 1e6) // (n - 1)`` — the feature a
+    marketing segmentation joins back onto the customer table.
+
+    Per-batch (custkey, rev) partials collapse to the customer domain;
+    ranking is a driver fold over O(customers) rows (the same bound as
+    cohort_ltv / rfm_segments) — at larger scale the rank rewrite runs
+    over the distinct-revenue histogram instead.
+    -> (o_custkey, revenue_cents, rank, pct_x1e6)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"o_custkey": pd.Series(dtype=np.int64),
+                              "rev": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "o_custkey" not in df.columns:
+            return empty
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(np.float64) * 100.0
+        ).astype(np.int64)
+        g = pd.DataFrame({"o_custkey": df["o_custkey"].to_numpy(np.int64),
+                          "rev": cents}).groupby(
+            "o_custkey", as_index=False)["rev"].sum()
+        return g.astype(np.int64)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out_cols = {"o_custkey": np.int64, "revenue_cents": np.int64,
+                "rank": np.int64, "pct_x1e6": np.int64}
+    if parts.empty or "o_custkey" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t)
+                             for c, t in out_cols.items()})
+    g = parts.groupby("o_custkey", as_index=False)["rev"].sum()
+    rev = g["rev"].to_numpy(np.int64)
+    order = np.argsort(rev, kind="stable")
+    sorted_rev = rev[order]
+    # min-rank of each row's revenue = 1 + count of strictly smaller
+    rank = np.searchsorted(sorted_rev, rev, side="left") + 1
+    n = len(g)
+    pct = (((rank - 1) * 1_000_000) // (n - 1) if n > 1
+           else np.zeros(n, dtype=np.int64))
+    return pd.DataFrame(
+        {"o_custkey": g["o_custkey"].to_numpy(np.int64),
+         "revenue_cents": rev, "rank": rank.astype(np.int64),
+         "pct_x1e6": np.asarray(pct, np.int64)}).astype(out_cols)
+
+
+SQL_CUSTOMER_PERCENTILE_RANK = """
+WITH r AS (
+  SELECT o_custkey,
+         sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+),
+k AS (
+  SELECT o_custkey, rev, rank() OVER (ORDER BY rev) AS rnk,
+         count(*) OVER () AS n
+  FROM r
+)
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(rev AS BIGINT) AS revenue_cents,
+       CAST(rnk AS BIGINT) AS rank,
+       CAST(CASE WHEN n > 1 THEN ((rnk - 1) * 1000000) // (n - 1)
+                 ELSE 0 END AS BIGINT) AS pct_x1e6
+FROM k
+"""
+
+
+RELATIONAL_QUERIES["weekday_revenue_profile"] = (
+    weekday_revenue_profile, SQL_WEEKDAY_REVENUE_PROFILE)
+RELATIONAL_QUERIES["orders_gap_analysis"] = (
+    orders_gap_analysis, SQL_ORDERS_GAP_ANALYSIS)
+RELATIONAL_QUERIES["supplier_hhi"] = (supplier_hhi, SQL_SUPPLIER_HHI)
+RELATIONAL_QUERIES["customer_percentile_rank"] = (
+    customer_percentile_rank, SQL_CUSTOMER_PERCENTILE_RANK)
+
+
+def events_burst(sf_dir: str) -> ray.data.Dataset:
+    """Peak-rate detection per user: the maximum number of events
+    inside any 1-hour window anchored at an event's timestamp (value-
+    range counting — ties in ts all land in the window regardless of
+    arrival order) and the earliest anchor achieving it — the burst
+    screen run before rate-limiting or bot triage.
+
+    One keyed exchange on user_id; per-bucket sorted searchsorted
+    two-pointer, O(n log n) per user, O(users) output rows.
+    -> (user_id, n_events, max_in_hour, at_ts_us)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    out_cols = {"user_id": np.int64, "n_events": np.int64,
+                "max_in_hour": np.int64, "at_ts_us": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "user_id" not in df.columns:
+            return empty_out
+        uid = df["user_id"].to_numpy(np.int64)
+        t = ts_epoch_us(df["ts"])
+        order = np.lexsort((t, uid))
+        uid, t = uid[order], t[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(uid[1:] != uid[:-1]) + 1, [len(uid)]])
+        rows = []
+        for i in range(len(starts) - 1):
+            lo, hi = starts[i], starts[i + 1]
+            ts_u = t[lo:hi]
+            cnt = (np.searchsorted(ts_u, ts_u + 3_600_000_000, "left")
+                   - np.arange(len(ts_u)))
+            best = int(cnt.max())
+            at = int(ts_u[int(cnt.argmax())])  # first occurrence wins
+            rows.append((int(uid[lo]), hi - lo, best, at))
+        return pd.DataFrame(rows, columns=list(out_cols)).astype(out_cols)
+
+    return partitioned_map_groups(ds, "user_id", bucket, num_buckets=16)
+
+
+SQL_EVENTS_BURST = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t FROM events
+),
+c AS (
+  SELECT user_id, t,
+         count(*) OVER (PARTITION BY user_id ORDER BY t
+                        RANGE BETWEEN CURRENT ROW
+                        AND 3599999999 FOLLOWING) AS n_win
+  FROM e
+),
+m AS (
+  SELECT user_id, count(*) AS n_events, max(n_win) AS max_in_hour
+  FROM c GROUP BY user_id
+)
+SELECT CAST(m.user_id AS BIGINT) AS user_id,
+       CAST(m.n_events AS BIGINT) AS n_events,
+       CAST(m.max_in_hour AS BIGINT) AS max_in_hour,
+       CAST(min(c.t) AS BIGINT) AS at_ts_us
+FROM m JOIN c ON c.user_id = m.user_id AND c.n_win = m.max_in_hour
+GROUP BY m.user_id, m.n_events, m.max_in_hour
+"""
+
+
+RELATIONAL_QUERIES["events_burst"] = (events_burst, SQL_EVENTS_BURST)

@@ -3533,3 +3533,174 @@ FROM e
 
 TEXTOPS_QUERIES["minhash_error_audit"] = (q_minhash_error_audit,
                                           _sql_minhash_error_audit())
+
+
+LSH_SWEEP_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+
+
+def q_lsh_band_sweep(sf_dir: str) -> pd.DataFrame:
+    """LSH banding-parameter sweep: for every (bands x rows) split of
+    the k=16 md5-MinHash signature, the candidate-pair count plus
+    recall/precision against the exact jac >= 1/2 truth (full-recall
+    prefix-filter join) — the calibration table that picks the banded
+    config before a 100 TB dedup run.  md5 permutations so the SQL
+    twin replays the estimator exactly.
+
+    Shape: ONE band-key exchange covers all five configs (keys are
+    namespaced by config), a second pair-keyed exchange dedups
+    candidates and labels them against the broadcast truth set (small
+    by construction — pairs at jac >= 1/2 after dedup are rare); the
+    driver folds O(configs x buckets) partial counts.
+    -> (n_bands, rows_per_band, n_candidates, n_true, n_good,
+    recall_x1e6, precision_x1e6)."""
+    import hashlib
+    from ..core import partitioned_map_groups
+
+    docs = _docs(sf_dir)
+
+    out_cols = {"n_bands": np.int64, "rows_per_band": np.int64,
+                "n_candidates": np.int64, "n_true": np.int64,
+                "n_good": np.int64, "recall_x1e6": np.int64,
+                "precision_x1e6": np.int64}
+
+    # truth: exact pairs at jac >= 1/2 (full recall, no LSH seed bias)
+    tp = dedup.prefix_near_dups(docs, threshold_num=1,
+                                threshold_den=2).to_pandas()
+    if len(tp) and "id_a" in tp.columns:
+        true_pairs = set(zip(tp["id_a"].astype(np.int64),
+                             tp["id_b"].astype(np.int64)))
+    else:
+        true_pairs = set()
+    n_true = len(true_pairs)
+
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                              "bkey": pd.Series(dtype=object)})
+        if len(df) == 0 or "text" not in df.columns:
+            return empty
+        ids, keys = [], []
+        for did, text in zip(df["doc_id"].to_numpy(), df["text"]):
+            toks = text.strip().split()
+            if not toks:
+                continue
+            if len(toks) < 3:
+                shs = {" ".join(toks)}
+            else:
+                shs = {" ".join(toks[i:i + 3])
+                       for i in range(len(toks) - 2)}
+            mh = [min(int(hashlib.md5(f"{j}:{s}".encode())
+                          .hexdigest()[:12], 16) for s in shs)
+                  for j in range(MINHASH_AUDIT_K)]
+            for ci, (nb, r) in enumerate(LSH_SWEEP_CONFIGS):
+                for b in range(nb):
+                    sig = ",".join(str(v) for v in mh[b * r:(b + 1) * r])
+                    ids.append(int(did))
+                    keys.append(f"{ci}:{b}:{sig}")
+        return pd.DataFrame({"doc_id": np.asarray(ids, np.int64),
+                             "bkey": pd.Series(keys, dtype=object)})
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"cfg": np.int64, "id_a": np.int64, "id_b": np.int64,
+                "__pk": object}
+        if len(df) == 0 or "bkey" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in cols.items()})
+        rows = []
+        for bkey, g in df.groupby("bkey"):
+            ids = np.unique(g["doc_id"].to_numpy(np.int64))
+            if len(ids) < 2:
+                continue
+            cfg = int(bkey.split(":", 1)[0])
+            ia, ib = np.triu_indices(len(ids), k=1)
+            for a, b in zip(ids[ia], ids[ib]):
+                rows.append((cfg, int(a), int(b), f"{cfg}\x1f{a}\x1f{b}"))
+        return pd.DataFrame(rows, columns=list(cols)).astype(
+            {c: t for c, t in cols.items() if t is np.int64})
+
+    cand = partitioned_map_groups(
+        docs.map_batches(band_rows, batch_format="pandas"), "bkey",
+        bucket_pairs, num_buckets=16)
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"cfg": np.int64, "n_cand": np.int64, "n_good": np.int64}
+        if len(df) == 0 or "cfg" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in cols.items()})
+        d = df.drop_duplicates("__pk")
+        good = [int((int(a), int(b)) in true_pairs)
+                for a, b in zip(d["id_a"], d["id_b"])]
+        g = pd.DataFrame({"cfg": d["cfg"].to_numpy(np.int64),
+                          "n_cand": np.ones(len(d), dtype=np.int64),
+                          "n_good": np.asarray(good, np.int64)}).groupby(
+            "cfg", as_index=False).sum()
+        return g.astype(np.int64)
+
+    parts = partitioned_map_groups(cand, "__pk", count_partial,
+                                   num_buckets=8).to_pandas()
+    got = {}
+    if len(parts) and "cfg" in parts.columns:
+        got = parts.groupby("cfg").agg(
+            n_cand=("n_cand", "sum"), n_good=("n_good", "sum")
+        ).to_dict("index")
+    rows = []
+    for ci, (nb, r) in enumerate(LSH_SWEEP_CONFIGS):
+        nc = int(got.get(ci, {}).get("n_cand", 0))
+        ng = int(got.get(ci, {}).get("n_good", 0))
+        rows.append((nb, r, nc, n_true, ng,
+                     (1_000_000 * ng) // n_true if n_true else 0,
+                     (1_000_000 * ng) // nc if nc else 0))
+    return pd.DataFrame(rows, columns=list(out_cols)).astype(out_cols)
+
+
+def _sql_lsh_band_sweep() -> str:
+    hv = _sql_hexval("md5(j.j || ':' || s.s)", 1, 12)
+    cfgs = ", ".join(f"({ci}, {nb}, {r})"
+                     for ci, (nb, r) in enumerate(LSH_SWEEP_CONFIGS))
+    return _SQL_SH3 + f""",
+mh AS (
+  SELECT doc_id, j.j AS j, min({hv}) AS mh
+  FROM sh, unnest(sh.sh) s(s), range(0, {MINHASH_AUDIT_K}) j(j)
+  GROUP BY doc_id, j.j
+),
+cfg(ci, nb, r) AS (VALUES {cfgs}),
+bb AS (
+  SELECT mh.doc_id, cfg.ci, mh.j // cfg.r AS band,
+         string_agg(CAST(mh.mh AS VARCHAR), ',' ORDER BY mh.j) AS sig
+  FROM mh, cfg GROUP BY mh.doc_id, cfg.ci, mh.j // cfg.r
+),
+cand AS (
+  SELECT DISTINCT a.ci, a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bb a JOIN bb b ON b.ci = a.ci AND b.band = a.band
+    AND b.sig = a.sig AND a.doc_id < b.doc_id
+),
+tp AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_distinct(a.sh || b.sh)) > 0
+    AND 2 * len(list_intersect(a.sh, b.sh))
+        >= len(list_distinct(a.sh || b.sh))
+),
+nt AS (SELECT count(*) AS n_true FROM tp),
+g AS (
+  SELECT cand.ci, count(*) AS n_cand,
+         sum(CASE WHEN tp.id_a IS NOT NULL THEN 1 ELSE 0 END) AS n_good
+  FROM cand LEFT JOIN tp ON tp.id_a = cand.id_a AND tp.id_b = cand.id_b
+  GROUP BY cand.ci
+)
+SELECT CAST(cfg.nb AS BIGINT) AS n_bands,
+       CAST(cfg.r AS BIGINT) AS rows_per_band,
+       CAST(COALESCE(g.n_cand, 0) AS BIGINT) AS n_candidates,
+       CAST(nt.n_true AS BIGINT) AS n_true,
+       CAST(COALESCE(g.n_good, 0) AS BIGINT) AS n_good,
+       CAST(CASE WHEN nt.n_true > 0
+            THEN (1000000 * COALESCE(g.n_good, 0)) // nt.n_true
+            ELSE 0 END AS BIGINT) AS recall_x1e6,
+       CAST(CASE WHEN COALESCE(g.n_cand, 0) > 0
+            THEN (1000000 * g.n_good) // g.n_cand
+            ELSE 0 END AS BIGINT) AS precision_x1e6
+FROM cfg LEFT JOIN g ON g.ci = cfg.ci, nt
+"""
+
+
+TEXTOPS_QUERIES["lsh_band_sweep"] = (q_lsh_band_sweep,
+                                     _sql_lsh_band_sweep())
