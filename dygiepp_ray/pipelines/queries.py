@@ -2950,6 +2950,9 @@ _DRIVER_SAMPLE_FIRST = (
     "pii_scan", "masked_lm_export", "bloom_fpr_audit",
     "kg_inverse_predicates", "packing_efficiency", "flac_info",
     "ico_frames", "minhash_error_audit",
+    "weekday_revenue_profile", "orders_gap_analysis", "supplier_hhi",
+    "customer_percentile_rank", "kg_transitivity", "events_burst",
+    "lsh_band_sweep",
     # tier -1: added the eighth continuation session
     "basket_rules", "kaplan_meier", "conversion_ab_test", "revenue_cusum",
     "sentence_dedup", "skipgram_pairs", "embedding_quantize",

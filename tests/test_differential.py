@@ -743,3 +743,92 @@ def test_kg_inverse_predicates_differential(ray_session, tmp_path, seed):
          "text": pa.array(texts)}
     ), tmp_path / "documents.parquet")
     _compare(str(tmp_path), "kg_inverse_predicates")
+
+
+@pytest.mark.parametrize("seed", [35, 57])
+def test_wave2_differential(ray_session, tmp_path, seed):
+    """Wave-2 ops over random micro-tables: weekday phase arithmetic,
+    gap/burst tie-breaks under heavy ts ties, HHI share flooring,
+    min-rank percentile ties, and the LSH band sweep's candidate
+    dedup + truth labeling."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(150, 400))
+    okeys = rng.permutation(n * 2)[:n].astype(np.int64)
+    pq.write_table(pa.table(
+        {"o_orderkey": pa.array(okeys),
+         "o_custkey": pa.array(rng.integers(0, 30, n).astype(np.int64)),
+         "o_orderstatus": pa.array(rng.choice(["O", "F", "P"], n)),
+         # whole dollars -> revenue ties for the min-rank convention
+         "o_totalprice": pa.array(
+             rng.integers(10, 40, n).astype(np.float64), pa.float64()),
+         "o_orderdate": pa.array(
+             pd.to_datetime(
+                 (800_000_000 + rng.integers(0, 60, n) * 86_400)
+                 * 1_000_000_000),
+             pa.timestamp("us")),
+         "o_orderpriority": pa.array(rng.choice(["1-URGENT", "2-HIGH"], n))}
+    ), tmp_path / "orders.parquet")
+    m = int(rng.integers(150, 400))
+    pq.write_table(pa.table(
+        {"l_orderkey": pa.array(rng.choice(okeys, m)),
+         "l_partkey": pa.array(rng.integers(0, 30, m).astype(np.int64)),
+         "l_suppkey": pa.array(rng.integers(0, 8, m).astype(np.int64)),
+         "l_linenumber": pa.array(rng.integers(1, 7, m).astype(np.int64)),
+         "l_quantity": pa.array(
+             rng.integers(1, 8, m).astype(np.float64), pa.float64()),
+         "l_extendedprice": pa.array(
+             np.round(rng.uniform(900, 100000, m), 2), pa.float64()),
+         "l_discount": pa.array(
+             np.round(rng.uniform(0, 0.1, m), 2), pa.float64()),
+         "l_tax": pa.array(
+             np.round(rng.uniform(0, 0.08, m), 2), pa.float64()),
+         "l_returnflag": pa.array(rng.choice(["A", "N", "R"], m)),
+         "l_linestatus": pa.array(rng.choice(["O", "F"], m)),
+         "l_shipdate": pa.array(
+             pd.to_datetime(rng.integers(8e8, 9e8, m) * 1_000_000_000),
+             pa.timestamp("us"))}
+    ), tmp_path / "lineitem.parquet")
+    pq.write_table(pa.table(
+        {"s_suppkey": pa.array(np.arange(8, dtype=np.int64)),
+         "s_name": pa.array([f"Supplier#{i}" for i in range(8)]),
+         "s_nationkey": pa.array(
+             rng.integers(0, 3, 8).astype(np.int32), pa.int32()),
+         "s_acctbal": pa.array(rng.uniform(0, 9000, 8), pa.float64())}
+    ), tmp_path / "supplier.parquet")
+    pq.write_table(_rand_events(rng, int(rng.integers(80, 300))),
+                   tmp_path / "events.parquet")
+    nd = int(rng.integers(30, 80))
+    vocab = np.array(["table", "hash", "join", "scan", "merge", "a", "b"])
+    texts = [" ".join(rng.choice(vocab, rng.integers(0, 30)))
+             for _ in range(nd)]
+    texts[0] = ""
+    pq.write_table(pa.table(
+        {"doc_id": pa.array(np.arange(nd, dtype=np.int64)),
+         "source": pa.array(rng.choice(["web", "book"], nd)),
+         "text": pa.array(texts)}
+    ), tmp_path / "documents.parquet")
+    for q in ["weekday_revenue_profile", "orders_gap_analysis",
+              "supplier_hhi", "customer_percentile_rank",
+              "events_burst", "lsh_band_sweep"]:
+        _compare(str(tmp_path), q)
+
+
+@pytest.mark.parametrize("seed", [43])
+def test_kg_transitivity_differential(ray_session, tmp_path, seed):
+    """Transitivity rate over lexicon-dense random documents: the
+    two-exchange wedge+closure path must agree with the all-pairs SQL
+    twin, including middle-node multiplicity and the s != w cut."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(20, 50))
+    vocab = np.array(
+        ["batch", "column", "customer", "join", "merge", "scan",
+         "filter", "x", "y"]
+    )
+    texts = [" ".join(rng.choice(vocab, rng.integers(0, 500)))
+             for _ in range(n)]
+    pq.write_table(pa.table(
+        {"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+         "source": pa.array(rng.choice(["web", "book"], n)),
+         "text": pa.array(texts)}
+    ), tmp_path / "documents.parquet")
+    _compare(str(tmp_path), "kg_transitivity")

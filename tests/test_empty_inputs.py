@@ -109,6 +109,11 @@ _SAMPLE = [
     "autocorr_revenue", "lineitem_reconciliation", "unicode_audit",
     "masked_lm_export", "bloom_fpr_audit", "kg_inverse_predicates",
     "packing_efficiency", "minhash_error_audit",
+    "weekday_revenue_profile", "orders_gap_analysis", "supplier_hhi",
+    "customer_percentile_rank", "kg_transitivity", "events_burst",
+    # lsh_band_sweep keeps its 5-config-row shape on empty input (the
+    # SQL twin's VALUES table does too) — excluded from the zero-row
+    # sample
 ]
 
 
