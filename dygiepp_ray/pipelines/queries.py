@@ -2944,6 +2944,8 @@ FROM ents
 # manually but that never received a driver-emitted CORRECTNESS row
 # (VERDICT r3 #7).  New queries added mid-round go at the very front.
 _DRIVER_SAMPLE_FIRST = (
+    # tier -3: added the tenth continuation session
+    "anova_price_status", "spearman_qty_disc", "revenue_runs_test",
     # tier -2: added this session (ninth continuation)
     "mann_whitney_quantity", "ks_price_by_status", "order_value_ecdf",
     "autocorr_revenue", "lineitem_reconciliation", "unicode_audit",

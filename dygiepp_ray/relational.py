@@ -10459,3 +10459,362 @@ GROUP BY m.user_id, m.n_events, m.max_in_hour
 
 
 RELATIONAL_QUERIES["events_burst"] = (events_burst, SQL_EVENTS_BURST)
+
+
+def anova_price_status(sf_dir: str) -> pd.DataFrame:
+    """One-way ANOVA of order value (whole dollars) across order
+    status — the group-difference screen run before segmenting a
+    corpus by a categorical feature (reference analogue: per-dataset
+    metric grouping, ``dygie/training/f1.py`` aggregates by task).
+    Group moments (n, sum, sumsq in whole dollars) are exact python
+    ints / HUGEINTs; the F statistic itself runs in float64 through
+    the IDENTICAL IEEE op sequence as the twin, with the per-status
+    between-group terms added in the pinned order O -> F -> P (missing
+    statuses contribute 0.0) — deterministic at any scale, no integer
+    product can overflow.
+
+    Map-only: per-batch (status, n, sum, sumsq) partials collapse to
+    the 3-row status domain; the driver folds O(statuses) python ints.
+    -> one row (n, k, f_x1e6)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_totalprice"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"st": pd.Series(dtype=object),
+                              "n": pd.Series(dtype=object),
+                              "s": pd.Series(dtype=object),
+                              "q": pd.Series(dtype=object)})
+        if len(df) == 0 or "o_orderstatus" not in df.columns:
+            return empty
+        df = df[df["o_orderstatus"].isin(("O", "F", "P"))]
+        if len(df) == 0:
+            return empty
+        x = np.floor(df["o_totalprice"].to_numpy(np.float64)).astype(
+            np.int64)
+        g = pd.DataFrame({"st": df["o_orderstatus"].to_numpy(), "x": x})
+        rows = []
+        for st, sub in g.groupby("st"):
+            v = sub["x"].to_numpy(np.int64)
+            acc_s, acc_q = 0, 0
+            for lo in range(0, len(v), 8192):
+                c = v[lo:lo + 8192]
+                acc_s += int(c.sum())
+                acc_q += int((c * c).sum())
+            rows.append((st, str(len(v)), str(acc_s), str(acc_q)))
+        return pd.DataFrame(rows, columns=["st", "n", "s", "q"])
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out_cols = {"n": np.int64, "k": np.int64, "f_x1e6": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+    if parts.empty or "st" not in parts.columns:
+        return empty_out
+    groups = {}
+    for st, sub in parts.groupby("st"):
+        groups[st] = (sum(int(v) for v in sub["n"]),
+                      sum(int(v) for v in sub["s"]),
+                      sum(int(v) for v in sub["q"]))
+    import math
+
+    k = len(groups)
+    N = sum(n for n, _, _ in groups.values())
+    S = sum(s for _, s, _ in groups.values())
+    Q = sum(q for _, _, q in groups.values())
+    if k < 2 or N <= k:
+        return empty_out
+    # between-group term, pinned addition order O -> F -> P (left-
+    # assoc, matching the twin's `o + f + p` expression)
+    apf = 0.0
+    for st in ("O", "F", "P"):
+        if st in groups:
+            n, s, _ = groups[st]
+            apf = apf + (float(s) * float(s) / float(n))
+        else:
+            apf = apf + 0.0
+    s2n = float(S) * float(S) / float(N)
+    ssb = apf - s2n
+    ssw = float(Q) - apf
+    if ssw <= 0.0:
+        return empty_out
+    f = int(math.floor(
+        (1_000_000.0 * ssb * float(N - k)) / (ssw * float(k - 1))))
+    return pd.DataFrame(
+        [(N, k, f)], columns=list(out_cols)).astype(out_cols)
+
+
+SQL_ANOVA_PRICE_STATUS = f"""
+WITH v AS (
+  SELECT o_orderstatus AS st,
+         CAST(floor(o_totalprice) AS HUGEINT) AS x
+  FROM orders WHERE o_orderstatus IN ('O', 'F', 'P')
+),
+g AS (
+  SELECT st, CAST(count(*) AS HUGEINT) AS n, sum(x) AS s,
+         sum(x * x) AS q
+  FROM v GROUP BY st
+),
+t AS (
+  SELECT sum(n) AS nn, sum(s) AS ss, sum(q) AS qq,
+         CAST(count(*) AS HUGEINT) AS k,
+         COALESCE(max(CASE WHEN st = 'O' THEN
+             CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+           END), 0.0)
+         + COALESCE(max(CASE WHEN st = 'F' THEN
+             CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+           END), 0.0)
+         + COALESCE(max(CASE WHEN st = 'P' THEN
+             CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+           END), 0.0) AS apf
+  FROM g
+),
+m AS (
+  SELECT nn, k,
+         apf - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+               / CAST(nn AS DOUBLE) AS ssb,
+         CAST(qq AS DOUBLE) - apf AS ssw
+  FROM t
+)
+SELECT CAST(nn AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       CAST(floor((1000000.0 * ssb * CAST(nn - k AS DOUBLE))
+                  / (ssw * CAST(k - 1 AS DOUBLE))) AS BIGINT) AS f_x1e6
+FROM m WHERE k >= 2 AND nn > k AND ssw > 0.0
+"""
+
+
+def spearman_qty_disc(sf_dir: str) -> pd.DataFrame:
+    """Spearman rank correlation (tie-aware) between line quantity and
+    discount — the monotone-association screen that Pearson
+    (corr_matrix) misses.  Ranks are carried as 2x midranks (exact
+    integers under ties, the mann_whitney_quantity convention), so all
+    moment sums are exact python ints / HUGEINTs; only the final
+    normalized ratio runs in float64 through the identical IEEE op
+    sequence as the twin (cast -> multiply -> sqrt -> divide -> floor).
+
+    Map-only: per-batch joint (quantity, discount-cents) counts
+    collapse to the tiny 50x11 cell domain; the driver folds O(cells)
+    ints — no rank shuffle at any scale.  -> one row (n, rho_x1e6)."""
+    import math
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_discount"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"q": pd.Series(dtype=np.int64),
+                              "d": pd.Series(dtype=np.int64),
+                              "n": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "l_quantity" not in df.columns:
+            return empty
+        q = df["l_quantity"].to_numpy(np.float64).astype(np.int64)
+        d = np.floor(
+            df["l_discount"].to_numpy(np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        g = pd.DataFrame({"q": q, "d": d}).groupby(
+            ["q", "d"], as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype(np.int64)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out_cols = {"n": np.int64, "rho_x1e6": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+    if parts.empty or "q" not in parts.columns:
+        return empty_out
+    cells = parts.groupby(["q", "d"], as_index=False)["n"].sum()
+
+    def two_ranks(marg: pd.Series) -> dict:
+        # two_rank(v) = 2*(count below) + count(at) + 1 (exact midrank
+        # x2 under ties — mann_whitney_quantity convention)
+        marg = marg.sort_index()
+        tot = marg.to_numpy(np.int64)
+        cless = np.concatenate([[0], np.cumsum(tot)[:-1]])
+        return dict(zip(marg.index, (2 * cless + tot + 1).tolist()))
+
+    rx = two_ranks(cells.groupby("q")["n"].sum())
+    ry = two_ranks(cells.groupby("d")["n"].sum())
+    N = int(cells["n"].sum())
+    if N < 2:
+        return empty_out
+    s1 = sum(int(n) * rx[q] * ry[d]
+             for q, d, n in cells.itertuples(index=False))
+    sx = sum(int(n) * rx[q] for q, n in
+             cells.groupby("q")["n"].sum().items())
+    sy = sum(int(n) * ry[d] for d, n in
+             cells.groupby("d")["n"].sum().items())
+    sxx = sum(int(n) * rx[q] * rx[q] for q, n in
+              cells.groupby("q")["n"].sum().items())
+    syy = sum(int(n) * ry[d] * ry[d] for d, n in
+              cells.groupby("d")["n"].sum().items())
+    num = N * s1 - sx * sy
+    vx = N * sxx - sx * sx
+    vy = N * syy - sy * sy
+    if vx == 0 or vy == 0:
+        return empty_out
+    rho = int(math.floor(
+        (1_000_000.0 * float(num)) / math.sqrt(float(vx) * float(vy))
+    ))
+    return pd.DataFrame([(N, rho)], columns=list(out_cols)).astype(out_cols)
+
+
+SQL_SPEARMAN_QTY_DISC = """
+WITH v AS (
+  SELECT CAST(l_quantity AS HUGEINT) AS q,
+         CAST(floor(l_discount * 100 + 0.5) AS HUGEINT) AS d
+  FROM lineitem
+),
+c AS (SELECT q, d, CAST(count(*) AS HUGEINT) AS n FROM v GROUP BY q, d),
+mx AS (SELECT q, sum(n) AS nx FROM c GROUP BY q),
+my AS (SELECT d, sum(n) AS ny FROM c GROUP BY d),
+rx AS (
+  SELECT q, nx,
+         2 * COALESCE(sum(nx) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED
+             PRECEDING AND 1 PRECEDING), 0) + nx + 1 AS trx
+  FROM mx
+),
+ry AS (
+  SELECT d, ny,
+         2 * COALESCE(sum(ny) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+             PRECEDING AND 1 PRECEDING), 0) + ny + 1 AS try_
+  FROM my
+),
+s AS (
+  SELECT (SELECT sum(n) FROM c) AS nn,
+         (SELECT sum(c.n * rx.trx * ry.try_)
+          FROM c JOIN rx ON rx.q = c.q JOIN ry ON ry.d = c.d) AS s1,
+         (SELECT sum(nx * trx) FROM rx) AS sx,
+         (SELECT sum(ny * try_) FROM ry) AS sy,
+         (SELECT sum(nx * trx * trx) FROM rx) AS sxx,
+         (SELECT sum(ny * try_ * try_) FROM ry) AS syy
+),
+m AS (
+  SELECT nn, nn * s1 - sx * sy AS num, nn * sxx - sx * sx AS vx,
+         nn * syy - sy * sy AS vy
+  FROM s
+)
+SELECT CAST(nn AS BIGINT) AS n,
+       CAST(floor((1000000.0 * CAST(num AS DOUBLE))
+                  / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)))
+            AS BIGINT) AS rho_x1e6
+FROM m WHERE nn >= 2 AND vx <> 0 AND vy <> 0
+"""
+
+
+def revenue_runs_test(sf_dir: str) -> pd.DataFrame:
+    """Wald-Wolfowitz runs test on daily revenue vs its median — the
+    randomness check run on a metric series before trusting any trend
+    readout (too few runs = regime drift; too many = oscillation).
+    Days with revenue EQUAL to the median are excluded (standard
+    convention); the median is the lower-middle element (0-based index
+    ``(n-1)//2`` of the sorted daily revenues).  Counts are exact
+    integers; the z statistic runs in float64 through the identical
+    IEEE op sequence as the twin.
+
+    Map-only: per-batch (day, cents) partials collapse to the bounded
+    calendar domain; the driver folds O(days) ints (the
+    autocorr_revenue shape).  -> one row (n_days_used, n_above,
+    n_below, n_runs, z_x1e6)."""
+    import math
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_totalprice"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"day": pd.Series(dtype=np.int64),
+                              "rev": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "o_orderdate" not in df.columns:
+            return empty
+        day = ts_epoch_us(df["o_orderdate"]) // 86_400_000_000
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(np.float64) * 100.0
+        ).astype(np.int64)
+        g = pd.DataFrame({"day": day, "rev": cents}).groupby(
+            "day", as_index=False)["rev"].sum()
+        return g.astype(np.int64)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out_cols = {"n_days_used": np.int64, "n_above": np.int64,
+                "n_below": np.int64, "n_runs": np.int64,
+                "z_x1e6": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+    if parts.empty or "day" not in parts.columns:
+        return empty_out
+    g = parts.groupby("day")["rev"].sum().sort_index()
+    revs = g.to_numpy(np.int64)
+    if len(revs) < 2:
+        return empty_out
+    med = int(np.sort(revs)[(len(revs) - 1) // 2])
+    keep = revs != med
+    sg = (revs[keep] > med).astype(np.int64)
+    n1 = int(sg.sum())
+    n2 = int(len(sg) - n1)
+    n = n1 + n2
+    if n1 == 0 or n2 == 0 or n < 2:
+        return empty_out
+    runs = 1 + int((sg[1:] != sg[:-1]).sum())
+    a = float(2 * n1 * n2)
+    nn = float(n)
+    mu = 1.0 + a / nn
+    var = (a * (a - nn)) / (nn * nn * (nn - 1.0))
+    if var <= 0.0:
+        return empty_out
+    z = int(math.floor(
+        (1_000_000.0 * (float(runs) - mu)) / math.sqrt(var)))
+    return pd.DataFrame(
+        [(n, n1, n2, runs, z)], columns=list(out_cols)).astype(out_cols)
+
+
+SQL_REVENUE_RUNS_TEST = """
+WITH daily AS (
+  SELECT CAST(CAST(epoch_us(o_orderdate) AS HUGEINT)
+              // 86400000000 AS BIGINT) AS day,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS HUGEINT))
+              AS HUGEINT) AS rev
+  FROM orders GROUP BY 1
+),
+r AS (SELECT rev, row_number() OVER (ORDER BY rev) AS rn FROM daily),
+med AS (
+  SELECT rev AS m FROM r
+  WHERE rn = (SELECT (count(*) + 1) // 2 FROM daily)
+),
+s AS (
+  SELECT day, CASE WHEN rev > m THEN 1 ELSE 0 END AS sg
+  FROM daily, med WHERE rev <> m
+),
+w AS (SELECT sg, lag(sg) OVER (ORDER BY day) AS pg FROM s),
+t AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(sg) AS HUGEINT) AS n1,
+         CAST(count(*) - sum(sg) AS HUGEINT) AS n2,
+         CAST(count(CASE WHEN pg IS NULL OR sg <> pg THEN 1 END)
+              AS HUGEINT) AS runs
+  FROM w
+),
+m AS (
+  SELECT n, n1, n2, runs,
+         CAST(2 * n1 * n2 AS DOUBLE) AS a, CAST(n AS DOUBLE) AS nn
+  FROM t
+)
+SELECT CAST(n AS BIGINT) AS n_days_used,
+       CAST(n1 AS BIGINT) AS n_above,
+       CAST(n2 AS BIGINT) AS n_below,
+       CAST(runs AS BIGINT) AS n_runs,
+       CAST(floor((1000000.0 * (CAST(runs AS DOUBLE) - (1.0 + a / nn)))
+                  / sqrt((a * (a - nn)) / (nn * nn * (nn - 1.0))))
+            AS BIGINT) AS z_x1e6
+FROM m
+WHERE n1 > 0 AND n2 > 0 AND n >= 2
+  AND (a * (a - nn)) / (nn * nn * (nn - 1.0)) > 0.0
+"""
+
+
+RELATIONAL_QUERIES["anova_price_status"] = (
+    anova_price_status, SQL_ANOVA_PRICE_STATUS)
+RELATIONAL_QUERIES["spearman_qty_disc"] = (
+    spearman_qty_disc, SQL_SPEARMAN_QTY_DISC)
+RELATIONAL_QUERIES["revenue_runs_test"] = (
+    revenue_runs_test, SQL_REVENUE_RUNS_TEST)

@@ -678,7 +678,13 @@ def test_ninth_wave_orders_differential(ray_session, tmp_path, seed):
     ), tmp_path / "lineitem.parquet")
     for q in ["ks_price_by_status", "order_value_ecdf",
               "autocorr_revenue", "mann_whitney_quantity",
-              "lineitem_reconciliation"]:
+              "lineitem_reconciliation",
+              # tenth continuation: ANOVA / Spearman / runs test ride
+              # the same heavy-ties + dense-calendar generator (whole-
+              # dollar prices make tied midranks and a tied median the
+              # norm; the restricted O/F/P domain matches both sides)
+              "anova_price_status", "spearman_qty_disc",
+              "revenue_runs_test"]:
         _compare(str(tmp_path), q)
 
 

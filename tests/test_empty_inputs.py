@@ -111,6 +111,8 @@ _SAMPLE = [
     "packing_efficiency", "minhash_error_audit",
     "weekday_revenue_profile", "orders_gap_analysis", "supplier_hhi",
     "customer_percentile_rank", "kg_transitivity", "events_burst",
+    # tenth continuation
+    "anova_price_status", "spearman_qty_disc", "revenue_runs_test",
     # lsh_band_sweep keeps its 5-config-row shape on empty input (the
     # SQL twin's VALUES table does too) — excluded from the zero-row
     # sample
