@@ -2946,6 +2946,7 @@ FROM ents
 _DRIVER_SAMPLE_FIRST = (
     # tier -3: added the tenth continuation session
     "anova_price_status", "spearman_qty_disc", "revenue_runs_test",
+    "html_extract", "url_host_stats", "warc_records", "eml_headers",
     # tier -2: added this session (ninth continuation)
     "mann_whitney_quantity", "ks_price_by_status", "order_value_ecdf",
     "autocorr_revenue", "lineitem_reconciliation", "unicode_audit",

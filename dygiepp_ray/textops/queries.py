@@ -3704,3 +3704,15 @@ FROM cfg LEFT JOIN g ON g.ci = cfg.ci, nt
 
 TEXTOPS_QUERIES["lsh_band_sweep"] = (q_lsh_band_sweep,
                                      _sql_lsh_band_sweep())
+
+
+from . import webcorpus as _webcorpus  # noqa: E402
+
+TEXTOPS_QUERIES["html_extract"] = (
+    _webcorpus.q_html_extract, _webcorpus.SQL_HTML_EXTRACT)
+TEXTOPS_QUERIES["url_host_stats"] = (
+    _webcorpus.q_url_host_stats, _webcorpus.SQL_URL_HOST_STATS)
+TEXTOPS_QUERIES["warc_records"] = (
+    _webcorpus.q_warc_records, _webcorpus._sql_warc_records())
+TEXTOPS_QUERIES["eml_headers"] = (
+    _webcorpus.q_eml_headers, _webcorpus._sql_eml_headers())

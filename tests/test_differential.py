@@ -838,3 +838,77 @@ def test_kg_transitivity_differential(ray_session, tmp_path, seed):
          "text": pa.array(texts)}
     ), tmp_path / "documents.parquet")
     _compare(str(tmp_path), "kg_transitivity")
+
+
+@pytest.mark.parametrize("seed", [11, 43])
+def test_webcorpus_differential(ray_session, tmp_path, seed):
+    """HTML extraction and URL parsing over adversarial micro-corpora:
+    planted blank/whitespace docs, raw HTML metacharacters (&, <, >,
+    quotes — must survive the escape -> parse round trip) and
+    tab/newline whitespace (must collapse identically to the twin's
+    regexp)."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(30, 90))
+    vocab = np.array(["alpha", "beta", "r&d", "<tag>", 'say"hi"',
+                      "x<y", "a&&b", "plain"])
+    texts = [" ".join(rng.choice(vocab, rng.integers(0, 20)))
+             for _ in range(n)]
+    for i in range(0, n, 13):
+        texts[i] = ""
+    for i in range(4, n, 17):
+        texts[i] = " \t mixed\nwhitespace\r\n doc \t"
+    pq.write_table(pa.table(
+        {"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+         "source": pa.array(rng.choice(["web", "book", "code"], n)),
+         "lang": pa.array(rng.choice(["en", "de"], n)),
+         "text": pa.array(texts),
+         "n_chars": pa.array(
+             np.array([len(t) for t in texts], dtype=np.int64))}
+    ), tmp_path / "documents.parquet")
+    for q in ["html_extract", "url_host_stats"]:
+        _compare(str(tmp_path), q)
+
+
+def test_warc_reader_requires_length_framing():
+    """The planted mid-payload 'WARC/1.0' header means a reader that
+    splits on record separators instead of honoring Content-Length
+    desynchronizes — prove the trap exists and the real reader wins."""
+    from dygiepp_ray.textops import webcorpus as W
+
+    tbl = W.synth_warc(24)
+    payload = tbl.column("payload")[0].as_py()
+    # the trap is present in the raw bytes more often than real records
+    assert payload.count(b"WARC/1.0") > 24
+    df = W.WarcRecords()(pd.DataFrame(
+        {"file_id": [0], "payload": [payload]}))
+    assert len(df) == 24
+    # trapped records carry the fake header inside their hashed payload
+    trapped = df[df["rec_idx"] % 5 == 2]
+    assert (trapped["content_length"] >= 52).all()
+
+
+def test_eml_single_vs_multipart_conventions():
+    from dygiepp_ray.textops import webcorpus as W
+
+    df = W.EmlHeaders()(W.synth_eml(36).to_pandas())
+    assert set(df["n_parts"]) <= {1, 2, 3} and len(df) == 36
+    # body bytes always equal the sum of the generated part sizes —
+    # the trailing-newline convention must not leak into payloads
+    for i, nparts, nbytes in zip(df["msg_id"], df["n_parts"],
+                                 df["body_bytes"]):
+        import hashlib as _h
+        expect = 0
+        for p in range(nparts):
+            pb = _h.md5(f"eml:{W.EML_SEED}:{i}:{p}".encode()).hexdigest()
+            expect += 20 + int(pb[0:2], 16) % 200
+        assert nbytes == expect
+
+
+def test_html_extract_drops_script_and_comments():
+    from dygiepp_ray.textops import webcorpus as W
+
+    doc = W.synth_html(7, "web", "hello <world> & friends")
+    ext = W.extract_text(doc)
+    assert ext == "Doc 7 web hello <world> & friends"
+    assert "var id" not in ext and "crawl:" not in ext
+    assert "margin" not in ext

@@ -111,8 +111,10 @@ _SAMPLE = [
     "packing_efficiency", "minhash_error_audit",
     "weekday_revenue_profile", "orders_gap_analysis", "supplier_hhi",
     "customer_percentile_rank", "kg_transitivity", "events_burst",
-    # tenth continuation
+    # tenth continuation (warc_records / eml_headers synthesize their
+    # own input and are exercised by unit + differential tests)
     "anova_price_status", "spearman_qty_disc", "revenue_runs_test",
+    "html_extract", "url_host_stats",
     # lsh_band_sweep keeps its 5-config-row shape on empty input (the
     # SQL twin's VALUES table does too) — excluded from the zero-row
     # sample
