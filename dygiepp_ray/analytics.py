@@ -1575,3 +1575,186 @@ ANALYTICS_QUERIES = {
     "kcore": (kcore, SQL_KCORE),
     "part_skyline": (part_skyline, SQL_PART_SKYLINE),
 }
+
+
+# ---------------------------------------------------------------------------
+# HITS (hubs & authorities)
+# ---------------------------------------------------------------------------
+
+_HITS_SCALE = 1_000_000
+
+
+def _global_int_max(ds: ray.data.Dataset, col: str) -> int:
+    """Streaming global max of an int64 column: per-batch one-row
+    partials, driver folds O(blocks) python ints."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or col not in df.columns:
+            return pd.DataFrame({"m": pd.Series(dtype=object)})
+        return pd.DataFrame({"m": [str(int(df[col].max()))]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty or "m" not in parts.columns:
+        return 0
+    return max(int(v) for v in parts["m"])
+
+
+def hits_over_edges(
+    edges: ray.data.Dataset, iters: int = 2
+) -> ray.data.Dataset:
+    """Fixed-point HITS over a DIRECTED (src, dst) edge Dataset —
+    2 iterations of authority/hub mutual recursion with max-
+    normalization at fixed point 1e6 (floored BIGINT division, the
+    pagerank_over_edges discipline, so the HUGEINT SQL chain hashes
+    identically).  Directed complement to PageRank: authorities are
+    heavily-referenced objects, hubs reference many authorities.
+
+    Shape: one coexchange (scatter) + one keyed fold per half-
+    iteration; the driver holds ONE scalar (the normalization max,
+    folded from per-block partials) per half-iteration.  Edge splits
+    are shared across rounds (split_refs), like pagerank_over_edges."""
+    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "src" not in df.columns:
+            return pd.DataFrame({"node": pd.Series(dtype=object)})
+        return pd.DataFrame(
+            {"node": np.concatenate([df["src"].to_numpy(object),
+                                     df["dst"].to_numpy(object)])}
+        ).drop_duplicates()
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    nodes = partitioned_map_groups(
+        edges.map_batches(endpoints, batch_format="pandas"),
+        "node", dedup, num_buckets=8).materialize()
+    empty_out = pd.DataFrame(
+        {"node": pd.Series(dtype=object),
+         "hub_x1e6": pd.Series(dtype=np.int64),
+         "auth_x1e6": pd.Series(dtype=np.int64)})
+    if nodes.count() == 0:
+        return ray.data.from_pandas(empty_out)
+
+    def init_h(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["v"] = np.int64(_HITS_SCALE)
+        return out
+
+    h = nodes.map_batches(init_h, batch_format="pandas")
+    esrc = split_refs(edges, "src", 8)
+    edst = split_refs(edges, "dst", 8)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "node" not in df.columns:
+            return pd.DataFrame({"node": pd.Series(dtype=object),
+                                 "v": pd.Series(dtype=np.int64)})
+        return df.groupby("node", as_index=False).agg(
+            v=("v", "sum")).astype({"v": np.int64})
+
+    def normalize(ds: ray.data.Dataset) -> ray.data.Dataset:
+        m = _global_int_max(ds, "v")
+        if m <= 0:
+            return ds
+        if m > (1 << 62) // _HITS_SCALE:
+            raise OverflowError(
+                "hits_over_edges: normalization product risks int64")
+
+        def scale(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0 or "v" not in df.columns:
+                return df
+            out = df.copy()
+            out["v"] = (out["v"].to_numpy(np.int64)
+                        * np.int64(_HITS_SCALE)) // np.int64(m)
+            return out
+
+        return ds.map_batches(scale, batch_format="pandas")
+
+    a = None
+    for _ in range(iters):
+        def scatter_auth(hd: pd.DataFrame, e: pd.DataFrame) -> pd.DataFrame:
+            if (len(e) == 0 or "src" not in e.columns
+                    or len(hd) == 0 or "v" not in hd.columns):
+                return pd.DataFrame({"node": pd.Series(dtype=object),
+                                     "v": pd.Series(dtype=np.int64)})
+            j = e.merge(hd, left_on="src", right_on="node")
+            g = j.groupby("dst", as_index=False).agg(v=("v", "sum"))
+            return g.rename(columns={"dst": "node"}).astype(
+                {"v": np.int64})
+
+        contribs = hash_coexchange(h, edges, "node", "src", scatter_auth,
+                                   num_buckets=8, splits_b=esrc)
+        a = normalize(partitioned_map_groups(
+            contribs, "node", fold, num_buckets=8).materialize())
+
+        def scatter_hub(ad: pd.DataFrame, e: pd.DataFrame) -> pd.DataFrame:
+            if (len(e) == 0 or "dst" not in e.columns
+                    or len(ad) == 0 or "v" not in ad.columns):
+                return pd.DataFrame({"node": pd.Series(dtype=object),
+                                     "v": pd.Series(dtype=np.int64)})
+            j = e.merge(ad, left_on="dst", right_on="node")
+            g = j.groupby("src", as_index=False).agg(v=("v", "sum"))
+            return g.rename(columns={"src": "node"}).astype(
+                {"v": np.int64})
+
+        contribs2 = hash_coexchange(a, edges, "node", "dst", scatter_hub,
+                                    num_buckets=8, splits_b=edst)
+        h = normalize(partitioned_map_groups(
+            contribs2, "node", fold, num_buckets=8).materialize())
+
+    def attach_hub(nd: pd.DataFrame, hv: pd.DataFrame) -> pd.DataFrame:
+        if len(nd) == 0 or "node" not in nd.columns:
+            return pd.DataFrame({"node": pd.Series(dtype=object),
+                                 "hub_x1e6": pd.Series(dtype=np.int64)})
+        if len(hv) == 0 or "v" not in hv.columns:
+            return nd.assign(hub_x1e6=np.int64(0))[["node", "hub_x1e6"]]
+        j = nd.merge(hv, on="node", how="left")
+        return pd.DataFrame(
+            {"node": j["node"],
+             "hub_x1e6": j["v"].fillna(0).to_numpy(np.int64)})
+
+    withhub = hash_coexchange(nodes, h, "node", "node", attach_hub,
+                              num_buckets=8)
+
+    def attach_auth(nd: pd.DataFrame, av: pd.DataFrame) -> pd.DataFrame:
+        if len(nd) == 0 or "node" not in nd.columns:
+            return pd.DataFrame(
+                {"node": pd.Series(dtype=object),
+                 "hub_x1e6": pd.Series(dtype=np.int64),
+                 "auth_x1e6": pd.Series(dtype=np.int64)})
+        if len(av) == 0 or "v" not in av.columns:
+            return nd.assign(auth_x1e6=np.int64(0))
+        j = nd.merge(av, on="node", how="left")
+        return pd.DataFrame(
+            {"node": j["node"],
+             "hub_x1e6": j["hub_x1e6"].to_numpy(np.int64),
+             "auth_x1e6": j["v"].fillna(0).to_numpy(np.int64)})
+
+    return hash_coexchange(withhub, a, "node", "node", attach_auth,
+                           num_buckets=8)
+
+
+# shared 2-iteration HITS chain over an ``edges(src, dst)`` CTE
+# (kg_hits runs it over the constructed KG's directed entity graph)
+SQL_HITS2_CHAIN = """nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+),
+a1 AS (SELECT dst AS node, CAST(count(*) AS HUGEINT) * 1000000 AS v
+       FROM edges GROUP BY 1),
+a1m AS (SELECT max(v) AS m FROM a1),
+a1n AS (SELECT node, (v * 1000000) // m AS v FROM a1, a1m),
+h1 AS (SELECT e.src AS node, CAST(sum(a1n.v) AS HUGEINT) AS v
+       FROM edges e JOIN a1n ON a1n.node = e.dst GROUP BY 1),
+h1m AS (SELECT max(v) AS m FROM h1),
+h1n AS (SELECT node, (v * 1000000) // m AS v FROM h1, h1m),
+a2 AS (SELECT e.dst AS node, CAST(sum(h1n.v) AS HUGEINT) AS v
+       FROM edges e JOIN h1n ON h1n.node = e.src GROUP BY 1),
+a2m AS (SELECT max(v) AS m FROM a2),
+a2n AS (SELECT node, (v * 1000000) // m AS v FROM a2, a2m),
+h2 AS (SELECT e.src AS node, CAST(sum(a2n.v) AS HUGEINT) AS v
+       FROM edges e JOIN a2n ON a2n.node = e.dst GROUP BY 1),
+h2m AS (SELECT max(v) AS m FROM h2),
+h2n AS (SELECT node, (v * 1000000) // m AS v FROM h2, h2m)
+SELECT n.node, CAST(COALESCE(h2n.v, 0) AS BIGINT) AS hub_x1e6,
+       CAST(COALESCE(a2n.v, 0) AS BIGINT) AS auth_x1e6
+FROM nodes n
+LEFT JOIN h2n ON h2n.node = n.node
+LEFT JOIN a2n ON a2n.node = n.node
+"""

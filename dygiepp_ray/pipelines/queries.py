@@ -2947,6 +2947,7 @@ _DRIVER_SAMPLE_FIRST = (
     # tier -3: added the tenth continuation session
     "anova_price_status", "spearman_qty_disc", "revenue_runs_test",
     "html_extract", "url_host_stats", "warc_records", "eml_headers",
+    "dpo_pairs", "bm25_search", "kg_hits",
     # tier -2: added this session (ninth continuation)
     "mann_whitney_quantity", "ks_price_by_status", "order_value_ecdf",
     "autocorr_revenue", "lineitem_reconciliation", "unicode_audit",
@@ -3775,3 +3776,61 @@ FROM cl
 """
 
 KG_QUERIES["kg_transitivity"] = (q_kg_transitivity, SQL_KG_TRANSITIVITY)
+
+
+def q_kg_hits(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
+    """Hub/authority scores over the constructed KG: 2 fixed-point
+    HITS iterations (max-normalized at 1e6, all-BIGINT floors) on the
+    DIRECTED entity graph whose edges are distinct (subject, object)
+    pairs from the flagship triples — the directed complement to
+    kg_entity_rank's PageRank (authorities = heavily-referenced
+    objects, hubs = subjects referencing many authorities).
+
+    Rides :func:`dygiepp_ray.analytics.hits_over_edges` (edge splits
+    shared across rounds, one coexchange + one keyed fold per half-
+    iteration, driver holds one normalization scalar); directed pair
+    dedup happens in one subject-keyed exchange."""
+    from ..analytics import hits_over_edges
+    from ..core import partitioned_map_groups
+
+    pipe = from_documents_table(sf_dir)
+    trip = pipe.triples().select_columns(["subj", "obj"])
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "subj" not in df.columns:
+            return pd.DataFrame({"subj": pd.Series(dtype=object),
+                                 "obj": pd.Series(dtype=object),
+                                 "__k": pd.Series(dtype=object)})
+        return df.assign(__k=df["subj"])
+
+    def directed(df: pd.DataFrame) -> pd.DataFrame:
+        # subject-keyed bucket: (subj, obj) dedup is exact here; HITS
+        # keeps the edge DIRECTION (unlike the PageRank twin)
+        if len(df) == 0 or "subj" not in df.columns:
+            return pd.DataFrame({"src": pd.Series(dtype=object),
+                                 "dst": pd.Series(dtype=object)})
+        d = df[["subj", "obj"]].drop_duplicates()
+        return pd.DataFrame({"src": d["subj"].to_numpy(object),
+                             "dst": d["obj"].to_numpy(object)})
+
+    edges = partitioned_map_groups(
+        trip.map_batches(key, batch_format="pandas"), "__k",
+        directed, num_buckets=16)
+    out = hits_over_edges(edges, iters=2)
+    if out.count() == 0:
+        return pd.DataFrame({"node": pd.Series(dtype=object),
+                             "hub_x1e6": pd.Series(dtype=np.int64),
+                             "auth_x1e6": pd.Series(dtype=np.int64)})
+    return out
+
+
+def _sql_kg_hits() -> str:
+    from ..analytics import SQL_HITS2_CHAIN
+
+    return SQL_TOKS + f""",
+triples AS ({_KG_TRIPLES_BODY}),
+edges AS (SELECT DISTINCT subj AS src, obj AS dst FROM triples),
+""" + SQL_HITS2_CHAIN
+
+
+KG_QUERIES["kg_hits"] = (q_kg_hits, _sql_kg_hits())

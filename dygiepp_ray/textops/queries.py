@@ -3716,3 +3716,269 @@ TEXTOPS_QUERIES["warc_records"] = (
     _webcorpus.q_warc_records, _webcorpus._sql_warc_records())
 TEXTOPS_QUERIES["eml_headers"] = (
     _webcorpus.q_eml_headers, _webcorpus._sql_eml_headers())
+
+
+def q_dpo_pairs(sf_dir: str) -> pd.DataFrame:
+    """Preference-pair export (the DPO/RLHF dataset builder): per
+    source, pair the highest- and lowest-scoring documents under a
+    deterministic lexical-diversity score (``100 * n_distinct_tokens -
+    n_tokens`` — favors varied text, punishes repetition), emitting
+    one (chosen, rejected) row per source with a strictly positive
+    gap.  Blank documents are excluded (the trim<>'' convention both
+    sides share); ties break to the lower doc_id on both ends.
+
+    Map-only with a per-batch combiner: each batch keeps one best and
+    one worst candidate per source, so the driver folds O(sources)
+    rows however large the corpus."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"source": pd.Series(dtype=object),
+             "doc_id": pd.Series(dtype=np.int64),
+             "score": pd.Series(dtype=np.int64),
+             "side": pd.Series(dtype=object)})
+        if len(df) == 0 or "doc_id" not in df.columns:
+            return empty
+        rows = {"source": [], "doc_id": [], "score": []}
+        for did, src, txt in zip(df["doc_id"], df["source"], df["text"]):
+            toks = str(txt).split()
+            if not toks:
+                continue
+            rows["source"].append(str(src))
+            rows["doc_id"].append(int(did))
+            rows["score"].append(100 * len(set(toks)) - len(toks))
+        if not rows["doc_id"]:
+            return empty
+        sc = pd.DataFrame(rows).astype(
+            {"doc_id": np.int64, "score": np.int64})
+        best = sc.sort_values(
+            ["score", "doc_id"], ascending=[False, True]
+        ).groupby("source", as_index=False).head(1).assign(side="best")
+        worst = sc.sort_values(
+            ["score", "doc_id"], ascending=[True, True]
+        ).groupby("source", as_index=False).head(1).assign(side="worst")
+        return pd.concat([best, worst], ignore_index=True)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out_cols = {"source": object, "chosen_doc_id": np.int64,
+                "rejected_doc_id": np.int64, "chosen_score": np.int64,
+                "rejected_score": np.int64, "gap": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+    if parts.empty or "source" not in parts.columns:
+        return empty_out
+    best = parts[parts["side"] == "best"].sort_values(
+        ["score", "doc_id"], ascending=[False, True]
+    ).groupby("source", as_index=False).head(1)
+    worst = parts[parts["side"] == "worst"].sort_values(
+        ["score", "doc_id"], ascending=[True, True]
+    ).groupby("source", as_index=False).head(1)
+    j = best.merge(worst, on="source", suffixes=("_c", "_r"))
+    j = j[j["score_c"] > j["score_r"]]
+    if len(j) == 0:
+        return empty_out
+    return pd.DataFrame(
+        {"source": j["source"],
+         "chosen_doc_id": j["doc_id_c"].to_numpy(np.int64),
+         "rejected_doc_id": j["doc_id_r"].to_numpy(np.int64),
+         "chosen_score": j["score_c"].to_numpy(np.int64),
+         "rejected_score": j["score_r"].to_numpy(np.int64),
+         "gap": (j["score_c"] - j["score_r"]).to_numpy(np.int64)}
+    ).sort_values("source", ignore_index=True)
+
+
+SQL_DPO_PAIRS = r"""
+WITH base AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(trim(text), '\s+') AS arr
+  FROM documents WHERE trim(text) <> ''
+),
+sc AS (
+  SELECT doc_id, source,
+         100 * CAST(len(list_distinct(arr)) AS BIGINT)
+           - CAST(len(arr) AS BIGINT) AS score
+  FROM base
+),
+ch AS (
+  SELECT source, doc_id, score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM sc
+),
+rj AS (
+  SELECT source, doc_id, score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY score ASC, doc_id ASC) AS rn
+  FROM sc
+)
+SELECT ch.source,
+       CAST(ch.doc_id AS BIGINT) AS chosen_doc_id,
+       CAST(rj.doc_id AS BIGINT) AS rejected_doc_id,
+       CAST(ch.score AS BIGINT) AS chosen_score,
+       CAST(rj.score AS BIGINT) AS rejected_score,
+       CAST(ch.score - rj.score AS BIGINT) AS gap
+FROM ch JOIN rj ON rj.source = ch.source AND rj.rn = 1
+WHERE ch.rn = 1 AND ch.score > rj.score
+"""
+
+
+BM25_TERMS = ("batch", "hash", "stream")
+BM25_TOPK = 10
+
+
+def q_bm25_search(sf_dir: str) -> pd.DataFrame:
+    """BM25 retrieval (k1=1.2, b=0.75) for a fixed query-term set,
+    top-10 docs per term — the index-probe that validates a retrieval
+    corpus before serving.  The score is EXACT integer arithmetic:
+    with w = (100*D)//df (linear idf, the tfidf_top_terms bit-
+    stability convention) the k1/b fractions clear through the shared
+    denominator 10*T, giving score_x1000 = (1000*w*tf*22*T) //
+    (10*T*tf + 3*T + 9*dl*D) — every term positive, HUGEINT-safe.
+
+    Two streaming passes: (1) per-batch (df, dl) partials collapse to
+    O(terms) rows; (2) per-batch scoring of matching docs only, with
+    a per-batch top-k combiner per term, so the driver folds
+    O(terms x k x blocks) candidate rows."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    terms = BM25_TERMS
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"term": pd.Series(dtype=object),
+                              "df": pd.Series(dtype=object),
+                              "d": pd.Series(dtype=object),
+                              "t": pd.Series(dtype=object)})
+        if len(df) == 0 or "text" not in df.columns:
+            return empty
+        dfc = {t: 0 for t in terms}
+        d = tcount = 0
+        for txt in df["text"]:
+            toks = str(txt).split()
+            if not toks:
+                continue
+            d += 1
+            tcount += len(toks)
+            s = set(toks)
+            for t in terms:
+                if t in s:
+                    dfc[t] += 1
+        return pd.DataFrame(
+            {"term": list(terms),
+             "df": [str(dfc[t]) for t in terms],
+             "d": [str(d)] * len(terms),
+             "t": [str(tcount)] * len(terms)})
+
+    sparts = ds.map_batches(stats, batch_format="pandas").to_pandas()
+    out_cols = {"term": object, "doc_id": np.int64, "tf": np.int64,
+                "score_x1000": np.int64, "rank": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+    if sparts.empty or "term" not in sparts.columns:
+        return empty_out
+    D = sum(int(v) for v in sparts[sparts["term"] == terms[0]]["d"])
+    T = sum(int(v) for v in sparts[sparts["term"] == terms[0]]["t"])
+    DF = {t: sum(int(v) for v in sparts[sparts["term"] == t]["df"])
+          for t in terms}
+    if D == 0 or T == 0:
+        return empty_out
+    W = {t: (100 * D) // DF[t] for t in terms if DF[t] > 0}
+    # int64 ceiling for the numerator 1000*w*tf*22*T (tf <= dl <= T):
+    # raise loudly before numpy would wrap (the lift_x1e6 convention)
+    if any(1000 * w * 22 * T > (1 << 62) for w in W.values()):
+        raise OverflowError(
+            "bm25_search: score numerator risks int64; rescale w")
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"term": pd.Series(dtype=object),
+                              "doc_id": pd.Series(dtype=np.int64),
+                              "tf": pd.Series(dtype=np.int64),
+                              "score_x1000": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "text" not in df.columns:
+            return empty
+        rows = {"term": [], "doc_id": [], "tf": [], "score_x1000": []}
+        for did, txt in zip(df["doc_id"], df["text"]):
+            toks = str(txt).split()
+            if not toks:
+                continue
+            dl = len(toks)
+            for t in W:
+                tf = toks.count(t)
+                if tf == 0:
+                    continue
+                s = (1000 * W[t] * tf * 22 * T) // (
+                    10 * T * tf + 3 * T + 9 * dl * D)
+                rows["term"].append(t)
+                rows["doc_id"].append(int(did))
+                rows["tf"].append(tf)
+                rows["score_x1000"].append(s)
+        if not rows["doc_id"]:
+            return empty
+        out = pd.DataFrame(rows).astype(
+            {"doc_id": np.int64, "tf": np.int64, "score_x1000": np.int64})
+        # per-batch combiner: keep only each term's local top-k
+        return out.sort_values(
+            ["term", "score_x1000", "doc_id"],
+            ascending=[True, False, True]
+        ).groupby("term", as_index=False).head(BM25_TOPK)
+
+    cand = ds.map_batches(score, batch_format="pandas").to_pandas()
+    if cand.empty or "term" not in cand.columns:
+        return empty_out
+    top = cand.sort_values(
+        ["term", "score_x1000", "doc_id"], ascending=[True, False, True]
+    ).groupby("term", as_index=False).head(BM25_TOPK)
+    top = top.reset_index(drop=True)
+    top["rank"] = top.groupby("term").cumcount().to_numpy(np.int64) + 1
+    return top[list(out_cols)].astype(
+        {"doc_id": np.int64, "tf": np.int64, "score_x1000": np.int64,
+         "rank": np.int64}).reset_index(drop=True)
+
+
+def _sql_bm25_search() -> str:
+    terms = ", ".join(f"('{t}')" for t in BM25_TERMS)
+    return rf"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+  FROM documents WHERE trim(text) <> ''
+),
+d AS (SELECT doc_id, arr, CAST(len(arr) AS HUGEINT) AS dl FROM base),
+tot AS (
+  SELECT CAST(count(*) AS HUGEINT) AS dd, CAST(sum(dl) AS HUGEINT) AS tt
+  FROM d
+),
+q(term) AS (VALUES {terms}),
+tf AS (
+  SELECT d.doc_id, q.term, d.dl,
+         CAST(len(list_filter(d.arr, x -> x = q.term)) AS HUGEINT) AS tf
+  FROM d, q
+),
+dfreq AS (
+  SELECT term, CAST(sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS HUGEINT)
+         AS df
+  FROM tf GROUP BY term
+),
+s AS (
+  SELECT tf.term, tf.doc_id, tf.tf,
+         (1000 * ((100 * tot.dd) // dfreq.df) * tf.tf * 22 * tot.tt)
+           // (10 * tot.tt * tf.tf + 3 * tot.tt + 9 * tf.dl * tot.dd)
+           AS score
+  FROM tf JOIN dfreq USING (term), tot
+  WHERE tf.tf > 0 AND dfreq.df > 0 AND tot.dd > 0 AND tot.tt > 0
+),
+r AS (
+  SELECT term, doc_id, tf, score,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM s
+)
+SELECT term, CAST(doc_id AS BIGINT) AS doc_id, CAST(tf AS BIGINT) AS tf,
+       CAST(score AS BIGINT) AS score_x1000, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {BM25_TOPK}
+"""
+
+
+TEXTOPS_QUERIES["dpo_pairs"] = (q_dpo_pairs, SQL_DPO_PAIRS)
+TEXTOPS_QUERIES["bm25_search"] = (q_bm25_search, _sql_bm25_search())

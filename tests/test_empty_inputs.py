@@ -114,7 +114,8 @@ _SAMPLE = [
     # tenth continuation (warc_records / eml_headers synthesize their
     # own input and are exercised by unit + differential tests)
     "anova_price_status", "spearman_qty_disc", "revenue_runs_test",
-    "html_extract", "url_host_stats",
+    "html_extract", "url_host_stats", "dpo_pairs", "bm25_search",
+    "kg_hits",
     # lsh_band_sweep keeps its 5-config-row shape on empty input (the
     # SQL twin's VALUES table does too) — excluded from the zero-row
     # sample
