@@ -2947,7 +2947,8 @@ _DRIVER_SAMPLE_FIRST = (
     # tier -3: added the tenth continuation session
     "anova_price_status", "spearman_qty_disc", "revenue_runs_test",
     "html_extract", "url_host_stats", "warc_records", "eml_headers",
-    "dpo_pairs", "bm25_search", "kg_hits",
+    "dpo_pairs", "bm25_search", "kg_hits", "kg_transe_scores",
+    "span_corruption_export", "pmi_bigrams", "stem_freq",
     # tier -2: added this session (ninth continuation)
     "mann_whitney_quantity", "ks_price_by_status", "order_value_ecdf",
     "autocorr_revenue", "lineitem_reconciliation", "unicode_audit",
@@ -3834,3 +3835,128 @@ edges AS (SELECT DISTINCT subj AS src, obj AS dst FROM triples),
 
 
 KG_QUERIES["kg_hits"] = (q_kg_hits, _sql_kg_hits())
+
+
+def _emb4(prefix: str, s: str) -> np.ndarray:
+    """4-dim integer embedding from md5 nibbles: dim c = hexval of hex
+    chars [4c, 4c+4) minus 32768 (range +-32768, exact in int64)."""
+    import hashlib
+
+    h = hashlib.md5(f"{prefix}\x1f{s}".encode()).hexdigest()
+    return np.array([int(h[4 * c:4 * c + 4], 16) - 32768
+                     for c in range(4)], dtype=np.int64)
+
+
+def q_kg_transe_scores(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
+    """TransE plausibility scoring of the constructed KG (the link-
+    prediction readout a KG-embedding trainer reports): every entity /
+    predicate gets a deterministic 4-dim integer embedding from md5
+    nibbles (the synth_media convention — the SQL twin regenerates it
+    nibble-by-nibble), each distinct triple is scored by the L1 norm
+    ``|e(s) + r(p) - e(o)|`` and RAW-ranked against all corrupted
+    tails from the canonical-entity vocabulary (rank = 1 + #{v :
+    score(s,p,v) < score(s,p,o)} — strict-less, so ties never inflate).
+
+    Shape: the entity vocabulary is the small side (collected once,
+    closed over — a ray.put broadcast at real scale, the
+    kg_negative_samples claim); distinct triples dedup and score
+    inside a subject-keyed exchange, each bucket ranking its rows
+    against the broadcast (nv x 4) matrix with one vectorized
+    |q - E| pass — no all-pairs shuffle."""
+    from ..core import partitioned_map_groups
+
+    pipe = from_documents_table(sf_dir)
+    trip = pipe.triples().select_columns(["subj", "pred", "obj"])
+
+    _OUT = {"subj": object, "pred": object, "obj": object,
+            "l1": np.int64, "rank": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT.items()})
+
+    ents = pipe.entities(num_salts=8).to_pandas()
+    if len(ents) == 0 or "surface" not in ents.columns:
+        return empty_out
+    vocab = np.sort(ents["surface"].to_numpy(object))
+    E = np.stack([_emb4("emb", str(v)) for v in vocab])  # (nv, 4)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "subj" not in df.columns:
+            return pd.DataFrame({"subj": pd.Series(dtype=object),
+                                 "pred": pd.Series(dtype=object),
+                                 "obj": pd.Series(dtype=object),
+                                 "__k": pd.Series(dtype=object)})
+        d = df[["subj", "pred", "obj"]].drop_duplicates()
+        return d.assign(__k=d["subj"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "subj" not in df.columns:
+            return empty_out
+        t = df[["subj", "pred", "obj"]].drop_duplicates().reset_index(
+            drop=True)
+        # per-bucket embedding cache: one md5 per distinct surface
+        cache: dict = {}
+
+        def emb(prefix, s):
+            k = (prefix, s)
+            if k not in cache:
+                cache[k] = _emb4(prefix, s)
+            return cache[k]
+
+        q = np.stack([emb("emb", s) + emb("rel", p)
+                      for s, p in zip(t["subj"], t["pred"])])
+        eo = np.stack([emb("emb", o) for o in t["obj"]])
+        l1 = np.abs(q - eo).sum(axis=1)
+        # (n, nv) corrupted-tail scores against the broadcast matrix
+        l1_all = np.abs(q[:, None, :] - E[None, :, :]).sum(axis=2)
+        rank = 1 + (l1_all < l1[:, None]).sum(axis=1)
+        return pd.DataFrame(
+            {"subj": t["subj"], "pred": t["pred"], "obj": t["obj"],
+             "l1": l1.astype(np.int64), "rank": rank.astype(np.int64)})
+
+    out = partitioned_map_groups(
+        trip.map_batches(partial, batch_format="pandas"), "__k",
+        score, num_buckets=16)
+    if out.count() == 0:
+        return empty_out
+    return out
+
+
+def _sql_emb4(prefix: str, col: str, dim: int) -> str:
+    """SQL twin of _emb4: hexval of md5(prefix||US||col)[4d..4d+4) -
+    32768."""
+    expr = f"md5('{prefix}' || chr(31) || {col})"
+    start = 4 * dim + 1
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {start + i}, 1)) - 1)"
+        f" * {16 ** (3 - i)}::BIGINT"
+        for i in range(4)
+    ) + " - 32768)"
+
+
+def _sql_kg_transe_scores() -> str:
+    qdims = ", ".join(
+        f"{_sql_emb4('emb', 't.subj', c)} + {_sql_emb4('rel', 't.pred', c)}"
+        f" AS q{c}" for c in range(4))
+    odims = ", ".join(
+        f"{_sql_emb4('emb', 'sc.obj', c)} AS o{c}" for c in range(4))
+    vdims = ", ".join(
+        f"{_sql_emb4('emb', 'surface', c)} AS v{c}" for c in range(4))
+    l1 = " + ".join(f"abs(q{c} - o{c})" for c in range(4))
+    l1v = " + ".join(f"abs(sc.q{c} - v.v{c})" for c in range(4))
+    return SQL_TOKS + f""",
+triples AS ({_KG_TRIPLES_BODY}),
+t AS (SELECT DISTINCT subj, pred, obj FROM triples),
+vemb AS (SELECT surface, {vdims}
+         FROM (SELECT DISTINCT surface FROM ents)),
+sc0 AS (SELECT t.subj, t.pred, t.obj, {qdims} FROM t),
+sc AS (SELECT sc0.*, {odims.replace('sc.obj', 'sc0.obj')} FROM sc0),
+sl AS (SELECT sc.*, {l1} AS l1 FROM sc)
+SELECT sc.subj, sc.pred, sc.obj, CAST(sc.l1 AS BIGINT) AS l1,
+       CAST(1 + sum(CASE WHEN {l1v} < sc.l1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS rank
+FROM sl sc, vemb v
+GROUP BY sc.subj, sc.pred, sc.obj, sc.l1
+"""
+
+
+KG_QUERIES["kg_transe_scores"] = (q_kg_transe_scores,
+                                  _sql_kg_transe_scores())

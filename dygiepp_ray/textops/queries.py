@@ -3982,3 +3982,365 @@ FROM r WHERE rank <= {BM25_TOPK}
 
 TEXTOPS_QUERIES["dpo_pairs"] = (q_dpo_pairs, SQL_DPO_PAIRS)
 TEXTOPS_QUERIES["bm25_search"] = (q_bm25_search, _sql_bm25_search())
+
+
+def q_span_corruption_export(sf_dir: str) -> "ray.data.Dataset":
+    """T5-style span-corruption export (deterministic): every 4th
+    token position is a span-start candidate, selected iff the first
+    md5 byte of 't5:doc:pos' is < 64 (25% of stride positions, ~12-18%
+    token corruption); span length is 1 + next-nibble % 3 (1..3 — the
+    stride guarantees spans NEVER overlap, so both engines replay the
+    recipe without sequential state).  Each doc exports the corrupted
+    input (spans collapsed to '<X_k>' sentinels) and the target
+    ('<X_k>' + original span tokens, concatenated in order) — the
+    masked_lm_export convention lifted from token- to span-level.
+
+    Map-only over documents (blank docs export nothing); per-batch
+    fully self-contained.  -> (doc_id, n_spans, n_corrupted,
+    inputs_md5, targets_md5)."""
+    import hashlib
+
+    ds = _docs(sf_dir)
+    out_cols = {"doc_id": np.int64, "n_spans": np.int64,
+                "n_corrupted": np.int64, "inputs_md5": object,
+                "targets_md5": object}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "text" not in df.columns:
+            return empty_out
+        rows = {c: [] for c in out_cols}
+        for did, text in zip(df["doc_id"].to_numpy(), df["text"]):
+            toks = str(text).strip().split()
+            n = len(toks)
+            if n == 0:
+                continue
+            spans = []
+            for p in range(0, n, 4):
+                h = hashlib.md5(f"t5:{int(did)}:{p}".encode()).hexdigest()
+                if int(h[:2], 16) < 64:
+                    spans.append((p, min(1 + int(h[2], 16) % 3, n - p)))
+            covered = {}
+            for k, (p, ln) in enumerate(spans):
+                for j in range(ln):
+                    covered[p + j] = (k, p)
+            pieces = []
+            for pos, tok in enumerate(toks):
+                if pos not in covered:
+                    pieces.append(tok)
+                elif covered[pos][1] == pos:
+                    pieces.append(f"<X_{covered[pos][0]}>")
+            targets = " ".join(
+                f"<X_{k}> " + " ".join(toks[p:p + ln])
+                for k, (p, ln) in enumerate(spans))
+            rows["doc_id"].append(int(did))
+            rows["n_spans"].append(len(spans))
+            rows["n_corrupted"].append(sum(ln for _, ln in spans))
+            rows["inputs_md5"].append(
+                hashlib.md5(" ".join(pieces).encode()).hexdigest())
+            rows["targets_md5"].append(
+                hashlib.md5(targets.encode()).hexdigest())
+        if not rows["doc_id"]:
+            return empty_out
+        return pd.DataFrame(rows).astype(
+            {"doc_id": np.int64, "n_spans": np.int64,
+             "n_corrupted": np.int64})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def _sql_span_corruption_export() -> str:
+    h = "md5('t5:' || doc_id || ':' || pos)"
+    return f"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+  FROM documents WHERE trim(text) <> ''
+),
+toks AS (
+  SELECT doc_id, len(arr) AS n, arr[i] AS tok, i - 1 AS pos
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) s
+),
+cand AS (
+  SELECT doc_id, pos,
+         least(1 + {_sql_hexval(h, 3, 1)} % 3, n - pos) AS len
+  FROM toks WHERE pos % 4 = 0 AND {_sql_hexval(h, 1, 2)} < 64
+),
+spans AS (
+  SELECT doc_id, pos AS start, len,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS k
+  FROM cand
+),
+cover AS (
+  SELECT s.doc_id, s.start + j.j AS pos, s.start, s.k
+  FROM spans s, range(0, 3) j(j) WHERE j.j < s.len
+),
+pieces AS (
+  SELECT t.doc_id,
+         string_agg(
+             CASE WHEN c.pos IS NULL THEN t.tok
+                  WHEN c.pos = c.start THEN '<X_' || c.k || '>'
+             END, ' ' ORDER BY t.pos) AS inputs
+  FROM toks t LEFT JOIN cover c
+    ON c.doc_id = t.doc_id AND c.pos = t.pos
+  GROUP BY t.doc_id
+),
+tgt_span AS (
+  SELECT c.doc_id, c.k,
+         '<X_' || c.k || '> '
+           || string_agg(t.tok, ' ' ORDER BY t.pos) AS s
+  FROM cover c JOIN toks t ON t.doc_id = c.doc_id AND t.pos = c.pos
+  GROUP BY c.doc_id, c.k
+),
+tgt AS (
+  SELECT doc_id, string_agg(s, ' ' ORDER BY k) AS targets,
+         CAST(count(*) AS BIGINT) AS n_spans
+  FROM tgt_span GROUP BY doc_id
+),
+cov AS (
+  SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_corrupted FROM spans
+  GROUP BY doc_id
+)
+SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+       COALESCE(t.n_spans, 0) AS n_spans,
+       COALESCE(c.n_corrupted, 0) AS n_corrupted,
+       md5(p.inputs) AS inputs_md5,
+       md5(COALESCE(t.targets, '')) AS targets_md5
+FROM pieces p
+LEFT JOIN tgt t ON t.doc_id = p.doc_id
+LEFT JOIN cov c ON c.doc_id = p.doc_id
+"""
+
+
+TEXTOPS_QUERIES["span_corruption_export"] = (
+    q_span_corruption_export, _sql_span_corruption_export())
+
+
+PMI_MIN_CO = 5
+
+
+def q_pmi_bigrams(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
+    """Collocation mining by pointwise mutual information (linear
+    lift, no log — the kg_cooccurrence bit-stability convention):
+    for every adjacent token bigram seen >= 5 times,
+    ``lift_x1e6 = (1e6 * n_ab * T^2) // (n_a * n_b * B)`` with T/B the
+    unigram/bigram totals — all python-int / HUGEINT exact.
+
+    Shape: per-batch bigram partials collapse to the bigram
+    vocabulary and fold in a bigram-keyed exchange; the unigram table
+    (bounded by token vocab) and two scalars are the broadcast small
+    side, so lift computes bucket-locally — no second shuffle."""
+    import hashlib  # noqa: F401  (convention imports in this module)
+
+    from ..core import partitioned_map_groups
+
+    ds = _docs(sf_dir)
+
+    def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"tok": pd.Series(dtype=object),
+                              "n": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "text" not in df.columns:
+            return empty
+        toks = []
+        for text in df["text"]:
+            toks.extend(str(text).strip().split())
+        if not toks:
+            return empty
+        g = pd.Series(toks, dtype=object).value_counts()
+        return pd.DataFrame({"tok": g.index.to_numpy(object),
+                             "n": g.to_numpy(np.int64)})
+
+    uni = ds.map_batches(
+        uni_partial, batch_format="pandas").to_pandas()
+    out_cols = {"tok_a": object, "tok_b": object, "n_ab": np.int64,
+                "lift_x1e6": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+    if uni.empty or "tok" not in uni.columns:
+        return empty_out
+    uni = uni.groupby("tok")["n"].sum()
+    ucounts = {str(k): int(v) for k, v in uni.items()}
+    T = sum(ucounts.values())
+
+    def bi_partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"tok_a": pd.Series(dtype=object),
+                              "tok_b": pd.Series(dtype=object),
+                              "n": pd.Series(dtype=np.int64),
+                              "__k": pd.Series(dtype=object)})
+        if len(df) == 0 or "text" not in df.columns:
+            return empty
+        a, b = [], []
+        for text in df["text"]:
+            ts = str(text).strip().split()
+            a.extend(ts[:-1])
+            b.extend(ts[1:])
+        if not a:
+            return empty
+        g = pd.DataFrame({"tok_a": np.asarray(a, object),
+                          "tok_b": np.asarray(b, object)}).groupby(
+            ["tok_a", "tok_b"], as_index=False).size().rename(
+            columns={"size": "n"})
+        g["__k"] = g["tok_a"].str.cat(g["tok_b"], sep="\x1f")
+        return g.astype({"n": np.int64})
+
+    bi = ds.map_batches(bi_partial, batch_format="pandas")
+    bparts = bi.map_batches(
+        lambda df: (df[["n"]].sum().to_frame().T.astype(np.int64)
+                    if len(df) and "n" in df.columns
+                    else pd.DataFrame({"n": pd.Series(dtype=np.int64)})),
+        batch_format="pandas").to_pandas()
+    if bparts.empty or "n" not in bparts.columns:
+        return empty_out
+    B = int(bparts["n"].sum())
+    if T == 0 or B == 0:
+        return empty_out
+
+    def lift(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "tok_a" not in df.columns:
+            return empty_out
+        g = df.groupby(["tok_a", "tok_b"], as_index=False)["n"].sum()
+        g = g[g["n"] >= PMI_MIN_CO]
+        if len(g) == 0:
+            return empty_out
+        # python-int exact: 1e6 * n_ab * T^2 exceeds int64 long before
+        # it troubles HUGEINT or python
+        vals = [
+            (1_000_000 * int(n) * T * T)
+            // (ucounts[str(ta)] * ucounts[str(tb)] * B)
+            for ta, tb, n in g.itertuples(index=False)]
+        return pd.DataFrame(
+            {"tok_a": g["tok_a"].to_numpy(object),
+             "tok_b": g["tok_b"].to_numpy(object),
+             "n_ab": g["n"].to_numpy(np.int64),
+             "lift_x1e6": np.asarray(vals, dtype=np.int64)})
+
+    out = partitioned_map_groups(bi, "__k", lift, num_buckets=8)
+    if out.count() == 0:
+        return empty_out
+    return out
+
+
+SQL_PMI_BIGRAMS = rf"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+  FROM documents WHERE trim(text) <> ''
+),
+toks AS (
+  SELECT doc_id, arr[i] AS tok, i - 1 AS pos
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) s
+),
+uni AS (SELECT tok, CAST(count(*) AS HUGEINT) AS n FROM toks GROUP BY 1),
+tt AS (SELECT sum(n) AS t FROM uni),
+big AS (
+  SELECT t1.tok AS a, t2.tok AS b, CAST(count(*) AS HUGEINT) AS n
+  FROM toks t1 JOIN toks t2
+    ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+  GROUP BY 1, 2
+),
+bb AS (SELECT sum(n) AS b FROM big)
+SELECT big.a AS tok_a, big.b AS tok_b, CAST(big.n AS BIGINT) AS n_ab,
+       CAST((1000000 * big.n * tt.t * tt.t)
+            // (ua.n * ub.n * bb.b) AS BIGINT) AS lift_x1e6
+FROM big
+JOIN uni ua ON ua.tok = big.a
+JOIN uni ub ON ub.tok = big.b, tt, bb
+WHERE big.n >= {PMI_MIN_CO}
+"""
+
+
+def q_stem_freq(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
+    """Stem-frequency table under a deterministic suffix-strip rule
+    (Porter-lite, first match wins: -ing >5 chars, -ed >4, -es >4,
+    -s >3 unless -ss) — the vocabulary-collapse diagnostic run before
+    choosing a tokenizer.  -> (stem, n, n_forms).
+
+    Shape: per-batch (stem, form) partials collapse to the token
+    vocabulary; a stem-keyed exchange folds counts and counts distinct
+    surface forms bucket-locally."""
+    from ..core import partitioned_map_groups
+
+    ds = _docs(sf_dir)
+
+    def stem_series(s: pd.Series) -> pd.Series:
+        n = s.str.len()
+        out = s.copy()
+        m_ing = s.str.endswith("ing") & (n > 5)
+        m_ed = ~m_ing & s.str.endswith("ed") & (n > 4)
+        m_es = ~m_ing & ~m_ed & s.str.endswith("es") & (n > 4)
+        m_s = (~m_ing & ~m_ed & ~m_es & s.str.endswith("s")
+               & ~s.str.endswith("ss") & (n > 3))
+        out[m_ing] = s[m_ing].str.slice(0, -3)
+        out[m_ed] = s[m_ed].str.slice(0, -2)
+        out[m_es] = s[m_es].str.slice(0, -2)
+        out[m_s] = s[m_s].str.slice(0, -1)
+        return out
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"stem": pd.Series(dtype=object),
+                              "form": pd.Series(dtype=object),
+                              "n": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "text" not in df.columns:
+            return empty
+        toks = []
+        for text in df["text"]:
+            toks.extend(str(text).strip().split())
+        if not toks:
+            return empty
+        s = pd.Series(toks, dtype=object)
+        g = pd.DataFrame({"stem": stem_series(s), "form": s}).groupby(
+            ["stem", "form"], as_index=False).size().rename(
+            columns={"size": "n"})
+        return g.astype({"n": np.int64})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    out_cols = {"stem": object, "n": np.int64, "n_forms": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "stem" not in df.columns:
+            return empty_out
+        g = df.groupby(["stem", "form"], as_index=False)["n"].sum()
+        out = g.groupby("stem", as_index=False).agg(
+            n=("n", "sum"), n_forms=("form", "nunique"))
+        return out.astype({"n": np.int64, "n_forms": np.int64})
+
+    out = partitioned_map_groups(parts, "stem", fold, num_buckets=8)
+    if out.count() == 0:
+        return empty_out
+    return out
+
+
+SQL_STEM_FREQ = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+  FROM documents WHERE trim(text) <> ''
+),
+toks AS (
+  SELECT arr[i] AS tok
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) s
+),
+st AS (
+  SELECT tok,
+         CASE
+           WHEN tok LIKE '%ing' AND length(tok) > 5
+             THEN substr(tok, 1, length(tok) - 3)
+           WHEN tok LIKE '%ed' AND length(tok) > 4
+             THEN substr(tok, 1, length(tok) - 2)
+           WHEN tok LIKE '%es' AND length(tok) > 4
+             THEN substr(tok, 1, length(tok) - 2)
+           WHEN tok LIKE '%s' AND tok NOT LIKE '%ss'
+                AND length(tok) > 3
+             THEN substr(tok, 1, length(tok) - 1)
+           ELSE tok
+         END AS stem
+  FROM toks
+)
+SELECT stem, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT tok) AS BIGINT) AS n_forms
+FROM st GROUP BY stem
+"""
+
+
+TEXTOPS_QUERIES["pmi_bigrams"] = (q_pmi_bigrams, SQL_PMI_BIGRAMS)
+TEXTOPS_QUERIES["stem_freq"] = (q_stem_freq, SQL_STEM_FREQ)

@@ -115,7 +115,8 @@ _SAMPLE = [
     # own input and are exercised by unit + differential tests)
     "anova_price_status", "spearman_qty_disc", "revenue_runs_test",
     "html_extract", "url_host_stats", "dpo_pairs", "bm25_search",
-    "kg_hits",
+    "kg_hits", "kg_transe_scores", "span_corruption_export",
+    "pmi_bigrams", "stem_freq",
     # lsh_band_sweep keeps its 5-config-row shape on empty input (the
     # SQL twin's VALUES table does too) — excluded from the zero-row
     # sample
