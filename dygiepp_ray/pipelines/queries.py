@@ -2949,6 +2949,7 @@ _DRIVER_SAMPLE_FIRST = (
     "html_extract", "url_host_stats", "warc_records", "eml_headers",
     "dpo_pairs", "bm25_search", "kg_hits", "kg_transe_scores",
     "span_corruption_export", "pmi_bigrams", "stem_freq",
+    "midi_tracks", "pdf_objects", "rowgroup_pruning",
     # tier -2: added this session (ninth continuation)
     "mann_whitney_quantity", "ks_price_by_status", "order_value_ecdf",
     "autocorr_revenue", "lineitem_reconciliation", "unicode_audit",

@@ -10818,3 +10818,111 @@ RELATIONAL_QUERIES["spearman_qty_disc"] = (
     spearman_qty_disc, SQL_SPEARMAN_QTY_DISC)
 RELATIONAL_QUERIES["revenue_runs_test"] = (
     revenue_runs_test, SQL_REVENUE_RUNS_TEST)
+
+
+ROWGROUP_PRUNE_RG = 512
+
+
+def rowgroup_pruning(sf_dir: str) -> pd.DataFrame:
+    """Row-group pruning audit (the lakehouse layout check run after a
+    re-cluster): orders are laid out in canonical (day, key) order at
+    a fixed 512-row group size, then the audit asks — for three
+    quartile date cutoffs — how many row groups (and rows) a
+    ``day >= cutoff`` scan skips using ONLY footer min/max statistics.
+    The engine writes a real parquet shard and reads real footer
+    stats (the footer_stats machinery); the twin recomputes group
+    membership arithmetically (group = rownum // 512 over the same
+    total order).
+
+    Scale shape: the single-shard collect is the per-shard layout cost
+    (each shard of a 100-TB table lays out its own file in parallel —
+    state/checkpoint's manifested writer is the multi-shard path); the
+    audit itself reads O(groups) footer bytes, never data pages.
+    -> (k, cutoff_day, n_groups, n_pruned_groups, n_pruned_rows)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"])
+
+    def enc(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_orderdate" not in df.columns:
+            return pd.DataFrame({"day": pd.Series(dtype=np.int64),
+                                 "key": pd.Series(dtype=np.int64)})
+        return pd.DataFrame(
+            {"day": ts_epoch_us(df["o_orderdate"]) // 86_400_000_000,
+             "key": df["o_orderkey"].to_numpy(np.int64)})
+
+    parts = ds.map_batches(enc, batch_format="pandas").to_pandas()
+    out_cols = {"k": np.int64, "cutoff_day": np.int64,
+                "n_groups": np.int64, "n_pruned_groups": np.int64,
+                "n_pruned_rows": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+    if parts.empty or "day" not in parts.columns:
+        return empty_out
+    parts = parts.sort_values(["day", "key"], ignore_index=True)
+    dmin, dmax = int(parts["day"].min()), int(parts["day"].max())
+    with tempfile.TemporaryDirectory(prefix="dygiepp_rgprune_") as td:
+        path = os.path.join(td, "orders_layout.parquet")
+        _pq.write_table(
+            pa.table({"day": pa.array(parts["day"].to_numpy(np.int64)),
+                      "key": pa.array(parts["key"].to_numpy(np.int64))}),
+            path, row_group_size=ROWGROUP_PRUNE_RG)
+        meta = _pq.ParquetFile(path).metadata
+        day_idx = meta.schema.to_arrow_schema().get_field_index("day")
+        groups = []
+        for g in range(meta.num_row_groups):
+            col = meta.row_group(g).column(day_idx)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                raise ValueError(f"row group {g} missing day statistics")
+            groups.append((int(st.min), int(st.max),
+                           int(meta.row_group(g).num_rows)))
+    rows = []
+    for k in (1, 2, 3):
+        cut = dmin + k * ((dmax - dmin) // 4)
+        pruned = [(mx, c) for _, mx, c in groups if mx < cut]
+        rows.append((k, cut, len(groups), len(pruned),
+                     sum(c for _, c in pruned)))
+    return pd.DataFrame(rows, columns=list(out_cols)).astype(out_cols)
+
+
+SQL_ROWGROUP_PRUNING = f"""
+WITH e AS (
+  SELECT CAST(CAST(epoch_us(o_orderdate) AS HUGEINT)
+              // 86400000000 AS BIGINT) AS day, o_orderkey
+  FROM orders
+),
+r AS (
+  SELECT day,
+         row_number() OVER (ORDER BY day, o_orderkey) - 1 AS rn
+  FROM e
+),
+g AS (
+  SELECT rn // {ROWGROUP_PRUNE_RG} AS grp, max(day) AS mx,
+         CAST(count(*) AS BIGINT) AS c
+  FROM r GROUP BY 1
+),
+b AS (SELECT min(day) AS dmin, max(day) AS dmax FROM e),
+cuts AS (
+  SELECT t.k, b.dmin + t.k * ((b.dmax - b.dmin) // 4) AS cut
+  FROM b, range(1, 4) t(k)
+)
+SELECT CAST(cuts.k AS BIGINT) AS k,
+       CAST(cuts.cut AS BIGINT) AS cutoff_day,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN g.mx < cuts.cut THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pruned_groups,
+       CAST(sum(CASE WHEN g.mx < cuts.cut THEN g.c ELSE 0 END)
+            AS BIGINT) AS n_pruned_rows
+FROM cuts, g GROUP BY cuts.k, cuts.cut
+"""
+
+
+RELATIONAL_QUERIES["rowgroup_pruning"] = (
+    rowgroup_pruning, SQL_ROWGROUP_PRUNING)

@@ -18,6 +18,7 @@ tested.
 from __future__ import annotations
 
 import hashlib
+import io
 
 import numpy as np
 import pandas as pd
@@ -1434,3 +1435,131 @@ def ico_frames(
         IcoDirReader(), batch_format="pandas",
         batch_size=batch_size, concurrency=concurrency,
     )
+
+
+MIDI_SEED = 41
+
+
+def _vlq(n: int) -> bytes:
+    """Standard MIDI variable-length-quantity encoding (7 bits per
+    byte, high bit = continuation)."""
+    out = [n & 0x7F]
+    n >>= 7
+    while n:
+        out.append(0x80 | (n & 0x7F))
+        n >>= 7
+    return bytes(reversed(out))
+
+
+def _midi_note(i: int, t: int, j: int, seed: int = MIDI_SEED):
+    h = hashlib.md5(f"midi:{seed}:{i}:{t}:{j}".encode()).hexdigest()
+    return (36 + int(h[0:2], 16) % 48,      # pitch
+            40 + int(h[2:4], 16) % 80,      # velocity
+            int(h[4:7], 16) % 1000,         # delta before note-on
+            1 + int(h[7:10], 16) % 500)     # duration (delta to off)
+
+
+def synth_midi(n: int = 8, seed: int = MIDI_SEED) -> pa.Table:
+    """(file_id, payload): REAL standard MIDI files (MThd + MTrk
+    chunks, VLQ delta times — most deltas exceed 127, so multi-byte
+    VLQs are the norm, and any VLQ bug desynchronizes the walk).
+    Notes come from md5 chains, so the SQL twin regenerates every
+    (pitch, velocity, delta, duration) without parsing MIDI."""
+    ids, payloads = [], []
+    for i in range(n):
+        base = hashlib.md5(f"midi:{seed}:{i}".encode()).hexdigest()
+        nt = 1 + int(base[0], 16) % 3
+        buf = io.BytesIO()
+        buf.write(b"MThd" + (6).to_bytes(4, "big")
+                  + (1).to_bytes(2, "big") + nt.to_bytes(2, "big")
+                  + (480).to_bytes(2, "big"))
+        for t in range(nt):
+            tb = hashlib.md5(f"midi:{seed}:{i}:{t}".encode()).hexdigest()
+            n_notes = 4 + int(tb[0:2], 16) % 28
+            ev = io.BytesIO()
+            for j in range(n_notes):
+                pitch, vel, d_on, dur = _midi_note(i, t, j, seed)
+                ev.write(_vlq(d_on) + bytes([0x90, pitch, vel]))
+                ev.write(_vlq(dur) + bytes([0x80, pitch, 0x40]))
+            ev.write(_vlq(0) + bytes([0xFF, 0x2F, 0x00]))  # end of track
+            body = ev.getvalue()
+            buf.write(b"MTrk" + len(body).to_bytes(4, "big") + body)
+        ids.append(i)
+        payloads.append(buf.getvalue())
+    return pa.table({
+        "file_id": pa.array(ids, pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+
+
+class MidiTrackReader:
+    """Actor-pool stage: REAL MIDI walk — chunk headers, VLQ delta
+    decoding, explicit-status note events, end-of-track meta — one row
+    per track (file_id, track_idx, n_events, total_ticks, notes_md5);
+    notes_md5 hashes the 'pitch:vel' note-on sequence."""
+
+    @staticmethod
+    def _read_vlq(data: bytes, pos: int) -> tuple[int, int]:
+        v = 0
+        while True:
+            b = data[pos]
+            pos += 1
+            v = (v << 7) | (b & 0x7F)
+            if not b & 0x80:
+                return v, pos
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"file_id": [], "track_idx": [], "n_events": [],
+                "total_ticks": [], "notes_md5": []}
+        for fid, payload in zip(df["file_id"], df["payload"]):
+            data = bytes(payload)
+            if data[:4] != b"MThd":
+                raise ValueError("not a MIDI file")
+            ntrks = int.from_bytes(data[10:12], "big")
+            pos = 8 + int.from_bytes(data[4:8], "big")
+            for t in range(ntrks):
+                if data[pos:pos + 4] != b"MTrk":
+                    raise ValueError(f"bad track chunk at {pos}")
+                tlen = int.from_bytes(data[pos + 4:pos + 8], "big")
+                p, end = pos + 8, pos + 8 + tlen
+                ticks = n_ev = 0
+                notes = []
+                while p < end:
+                    delta, p = self._read_vlq(data, p)
+                    ticks += delta
+                    status = data[p]
+                    p += 1
+                    if status == 0xFF:
+                        mtype = data[p]
+                        mlen, p = self._read_vlq(data, p + 1)
+                        p += mlen
+                        if mtype == 0x2F:
+                            break
+                    elif status & 0xF0 in (0x90, 0x80):
+                        pitch, vel = data[p], data[p + 1]
+                        p += 2
+                        n_ev += 1
+                        if status & 0xF0 == 0x90 and vel > 0:
+                            notes.append(f"{pitch}:{vel}")
+                    else:
+                        raise ValueError(f"unexpected status {status:#x}")
+                if p != end:
+                    raise ValueError("track length mismatch")
+                rows["file_id"].append(int(fid))
+                rows["track_idx"].append(t)
+                rows["n_events"].append(n_ev)
+                rows["total_ticks"].append(ticks)
+                rows["notes_md5"].append(
+                    hashlib.md5(",".join(notes).encode()).hexdigest())
+                pos = end
+        return pd.DataFrame(rows).astype(
+            {"file_id": np.int64, "track_idx": np.int64,
+             "n_events": np.int64, "total_ticks": np.int64})
+
+
+def midi_tracks(
+    files: ray.data.Dataset, concurrency: int = 2, batch_size: int = 4
+) -> ray.data.Dataset:
+    return files.map_batches(
+        MidiTrackReader, batch_format="pandas",
+        batch_size=batch_size, concurrency=concurrency)

@@ -4344,3 +4344,101 @@ FROM st GROUP BY stem
 
 TEXTOPS_QUERIES["pmi_bigrams"] = (q_pmi_bigrams, SQL_PMI_BIGRAMS)
 TEXTOPS_QUERIES["stem_freq"] = (q_stem_freq, SQL_STEM_FREQ)
+
+
+def q_midi_tracks(sf_dir: str):
+    """REAL standard-MIDI parsing (chunk walk, multi-byte VLQ delta
+    decoding, note/meta event framing); the twin regenerates every
+    track's (event count, tick total, note sequence) from the chain
+    rule without touching MIDI."""
+    return multimodal.midi_tracks(
+        ray.data.from_arrow(multimodal.synth_midi(8)))
+
+
+def _sql_midi_tracks() -> str:
+    from .multimodal import MIDI_SEED
+
+    return f"""
+WITH f AS (
+  SELECT i, md5('midi:{MIDI_SEED}:' || i) AS base FROM range(0, 8) t(i)
+),
+tr AS (
+  SELECT f.i, t.t FROM f, range(0, 3) t(t)
+  WHERE t.t < 1 + {_sql_hexval('base', 1, 1)} % 3
+),
+tk AS (
+  SELECT i, t, md5('midi:{MIDI_SEED}:' || i || ':' || t) AS tb FROM tr
+),
+nn AS (SELECT i, t, 4 + {_sql_hexval('tb', 1, 2)} % 28 AS n_notes FROM tk),
+notes AS (
+  SELECT nn.i, nn.t, j.j,
+         md5('midi:{MIDI_SEED}:' || nn.i || ':' || nn.t || ':' || j.j) AS h
+  FROM nn, range(0, 32) j(j) WHERE j.j < nn.n_notes
+),
+v AS (
+  SELECT i, t, j,
+         36 + {_sql_hexval('h', 1, 2)} % 48 AS pitch,
+         40 + {_sql_hexval('h', 3, 2)} % 80 AS vel,
+         {_sql_hexval('h', 5, 3)} % 1000 AS d_on,
+         1 + {_sql_hexval('h', 8, 3)} % 500 AS dur
+  FROM notes
+)
+SELECT CAST(i AS BIGINT) AS file_id, CAST(t AS BIGINT) AS track_idx,
+       CAST(2 * count(*) AS BIGINT) AS n_events,
+       CAST(sum(d_on + dur) AS BIGINT) AS total_ticks,
+       md5(string_agg(pitch || ':' || vel, ',' ORDER BY j)) AS notes_md5
+FROM v GROUP BY i, t
+"""
+
+
+TEXTOPS_QUERIES["midi_tracks"] = (q_midi_tracks, _sql_midi_tracks())
+
+
+def q_pdf_objects(sf_dir: str):
+    """REAL PDF parsing resolved THROUGH the xref table (startxref ->
+    fixed-width entries -> per-offset object headers -> /Length stream
+    framing); the twin regenerates (obj_num, kind, stream_len,
+    stream_md5) from the chain rule without parsing PDF."""
+    from ..sources import pdffile
+
+    return pdffile.pdf_objects(ray.data.from_arrow(pdffile.synth_pdf(6)))
+
+
+def _sql_pdf_objects() -> str:
+    from ..sources.pdffile import PDF_SEED
+
+    return f"""
+WITH f AS (
+  SELECT i, md5('pdf:{PDF_SEED}:' || i) AS base FROM range(0, 6) t(i)
+),
+ns AS (SELECT i, 3 + {_sql_hexval('base', 1, 1)} % 5 AS n_streams FROM f),
+fixed AS (
+  SELECT ns.i, k.k AS obj_num,
+         CASE k.k WHEN 1 THEN 'catalog' WHEN 2 THEN 'pages'
+                  ELSE 'page' END AS kind
+  FROM ns, range(1, 4) k(k)
+),
+st AS (
+  SELECT ns.i, 3 + k.k AS obj_num, k.k AS k,
+         md5('pdf:{PDF_SEED}:' || ns.i || ':' || k.k) AS sb
+  FROM ns, range(1, 8) k(k) WHERE k.k <= ns.n_streams
+),
+sz AS (SELECT i, obj_num, k, 30 + {_sql_hexval('sb', 1, 2)} % 200 AS size
+       FROM st),
+ch AS (
+  SELECT sz.i, sz.obj_num, sz.size,
+         string_agg(md5('pdf:{PDF_SEED}:' || sz.i || ':' || sz.k
+                        || ':' || j.j), '' ORDER BY j.j) AS chain
+  FROM sz, range(0, 8) j(j) GROUP BY sz.i, sz.obj_num, sz.size, sz.k
+)
+SELECT CAST(i AS BIGINT) AS file_id, CAST(obj_num AS BIGINT) AS obj_num,
+       kind, CAST(0 AS BIGINT) AS stream_len, md5('') AS stream_md5
+FROM fixed
+UNION ALL
+SELECT CAST(i AS BIGINT), CAST(obj_num AS BIGINT), 'stream',
+       CAST(size AS BIGINT), md5(substring(chain, 1, size))
+FROM ch
+"""
+
+
+TEXTOPS_QUERIES["pdf_objects"] = (q_pdf_objects, _sql_pdf_objects())

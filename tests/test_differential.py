@@ -684,7 +684,10 @@ def test_ninth_wave_orders_differential(ray_session, tmp_path, seed):
               # dollar prices make tied midranks and a tied median the
               # norm; the restricted O/F/P domain matches both sides)
               "anova_price_status", "spearman_qty_disc",
-              "revenue_runs_test"]:
+              "revenue_runs_test",
+              # rowgroup_pruning: the whole-dollar/dense-calendar shape
+              # makes row groups straddle equal days (tie order by key)
+              "rowgroup_pruning"]:
         _compare(str(tmp_path), q)
 
 
@@ -923,3 +926,43 @@ def test_html_extract_drops_script_and_comments():
     assert ext == "Doc 7 web hello <world> & friends"
     assert "var id" not in ext and "crawl:" not in ext
     assert "margin" not in ext
+
+
+def test_midi_vlq_integrity():
+    """A corrupted VLQ continuation bit desynchronizes the event walk
+    and must raise, not silently mis-count."""
+    from dygiepp_ray.textops import multimodal as M
+
+    tbl = M.synth_midi(4)
+    good = M.MidiTrackReader()(tbl.to_pandas())
+    assert (good["n_events"] % 2 == 0).all() and len(good) >= 4
+    # multi-byte VLQs are the norm in the synth (deltas up to 999)
+    assert (good["total_ticks"] > 127).all()
+    payload = bytearray(tbl.column("payload")[0].as_py())
+    # shrink the first MTrk chunk length by one byte: the VLQ walk no
+    # longer lands exactly on the chunk boundary
+    pos = payload.index(b"MTrk") + 4
+    tlen = int.from_bytes(payload[pos:pos + 4], "big")
+    payload[pos:pos + 4] = (tlen - 1).to_bytes(4, "big")
+    import pytest as _pytest
+    with _pytest.raises((ValueError, IndexError)):
+        M.MidiTrackReader()(pd.DataFrame(
+            {"file_id": [0], "payload": [bytes(payload)]}))
+
+
+def test_pdf_xref_offsets_are_live():
+    """Shifting the xref offsets must make the reader fail loudly —
+    proving objects are resolved THROUGH the table, not by scanning."""
+    from dygiepp_ray.sources import pdffile as P
+
+    tbl = P.synth_pdf(3)
+    good = P.PdfObjects()(tbl.to_pandas())
+    assert set(good["kind"]) == {"catalog", "pages", "page", "stream"}
+    raw = bytearray(tbl.column("payload")[0].as_py())
+    x = raw.index(b"xref")
+    first_entry = raw.index(b"0000000000 65535 f", x) + 20
+    raw[first_entry:first_entry + 10] = b"0000000007"  # bogus offset
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        P.PdfObjects()(pd.DataFrame(
+            {"file_id": [0], "payload": [bytes(raw)]}))

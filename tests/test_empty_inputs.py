@@ -116,7 +116,7 @@ _SAMPLE = [
     "anova_price_status", "spearman_qty_disc", "revenue_runs_test",
     "html_extract", "url_host_stats", "dpo_pairs", "bm25_search",
     "kg_hits", "kg_transe_scores", "span_corruption_export",
-    "pmi_bigrams", "stem_freq",
+    "pmi_bigrams", "stem_freq", "rowgroup_pruning",
     # lsh_band_sweep keeps its 5-config-row shape on empty input (the
     # SQL twin's VALUES table does too) — excluded from the zero-row
     # sample
