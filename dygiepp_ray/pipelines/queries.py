@@ -2950,6 +2950,8 @@ _DRIVER_SAMPLE_FIRST = (
     "dpo_pairs", "bm25_search", "kg_hits", "kg_transe_scores",
     "span_corruption_export", "pmi_bigrams", "stem_freq",
     "midi_tracks", "pdf_objects", "rowgroup_pruning",
+    "kg_mention_salience", "winnowing_fingerprints",
+    "ddsketch_error_audit",
     # tier -2: added this session (ninth continuation)
     "mann_whitney_quantity", "ks_price_by_status", "order_value_ecdf",
     "autocorr_revenue", "lineitem_reconciliation", "unicode_audit",
@@ -3961,3 +3963,50 @@ GROUP BY sc.subj, sc.pred, sc.obj, sc.l1
 
 KG_QUERIES["kg_transe_scores"] = (q_kg_transe_scores,
                                   _sql_kg_transe_scores())
+
+
+def q_kg_mention_salience(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
+    """Position-weighted entity salience: every mention contributes
+    ``1e6 // (1 + sent_ix)`` (lead sentences dominate — the salience
+    prior an entity linker feeds on, complementing kg_mention_counts'
+    flat counts).  Exact integers end to end.
+
+    Map-only over exploded mentions; per-batch partials collapse to
+    the surface vocabulary and the driver folds O(vocab) ints."""
+    pipe = from_documents_table(sf_dir)
+
+    _OUT = {"surface": object, "n_mentions": np.int64,
+            "salience_x1e6": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT.items()})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "surface" not in df.columns:
+            return empty_out
+        w = 1_000_000 // (1 + df["sent_ix"].to_numpy(np.int64))
+        g = pd.DataFrame({"surface": df["surface"].to_numpy(object),
+                          "w": w}).groupby("surface", as_index=False).agg(
+            n_mentions=("w", "size"), salience_x1e6=("w", "sum"))
+        return g.astype({"n_mentions": np.int64,
+                         "salience_x1e6": np.int64})
+
+    parts = pipe.mentions.select_columns(
+        ["surface", "sent_ix"]).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    if len(parts) == 0 or "surface" not in parts.columns:
+        return empty_out
+    return parts.groupby("surface", as_index=False).agg(
+        n_mentions=("n_mentions", "sum"),
+        salience_x1e6=("salience_x1e6", "sum")).astype(
+        {"n_mentions": np.int64, "salience_x1e6": np.int64})
+
+
+SQL_KG_MENTION_SALIENCE = SQL_TOKS + f"""
+SELECT surface, CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(sum(1000000 // (1 + (pos % {WIN}) // {TT})) AS BIGINT)
+         AS salience_x1e6
+FROM ents GROUP BY surface
+"""
+
+
+KG_QUERIES["kg_mention_salience"] = (q_kg_mention_salience,
+                                     SQL_KG_MENTION_SALIENCE)

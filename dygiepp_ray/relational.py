@@ -10926,3 +10926,112 @@ FROM cuts, g GROUP BY cuts.k, cuts.cut
 
 RELATIONAL_QUERIES["rowgroup_pruning"] = (
     rowgroup_pruning, SQL_ROWGROUP_PRUNING)
+
+
+def ddsketch_error_audit(sf_dir: str, sub_bits: int = 3) -> pd.DataFrame:
+    """Sketch-calibration audit (the hll_error_audit of quantiles):
+    per event type, the DDSketch bucket upper bound at p50/p95/p99
+    next to the EXACT quantile at the same rank ((q*n + den-1) // den,
+    1-based), with the relative error in ppm — the measurement that
+    justifies choosing the O(log range) sketch over the exact
+    histogram at 100 TB.  err_ppm = ((ub - exact) * 1e6) // exact;
+    the sketch bound is an exclusive upper edge, so the error is
+    always >= 0 wherever the sketch is correct.
+
+    One streaming pass: per-batch (type, cents) counts collapse to the
+    bounded cent domain (histogram_quantiles shape); the driver folds
+    O(distinct cents) ints and derives BOTH the exact quantiles and
+    the sketch buckets from the same counts."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    sub = 1 << sub_bits
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"event_type": pd.Series(dtype=object),
+                              "cents": pd.Series(dtype=np.int64),
+                              "n": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "value" not in df.columns:
+            return empty
+        cents = np.maximum(np.floor(
+            df["value"].to_numpy(np.float64) * 100.0).astype(np.int64), 1)
+        g = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                          "cents": cents}).groupby(
+            ["event_type", "cents"], as_index=False).size().rename(
+            columns={"size": "n"})
+        return g.astype({"cents": np.int64, "n": np.int64})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out_cols = {"event_type": object, "q": object, "n": np.int64,
+                "est_ub_cents": np.int64, "exact_cents": np.int64,
+                "err_ppm": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+    if parts.empty or "event_type" not in parts.columns:
+        return empty_out
+    folded = parts.groupby(["event_type", "cents"], as_index=False)[
+        "n"].sum()
+    rows = []
+    for et, g in folded.groupby("event_type"):
+        g = g.sort_values("cents")
+        vals = g["cents"].to_numpy(np.int64)
+        cnt = g["n"].to_numpy(np.int64)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        for qname, num, den in (("p50", 1, 2), ("p95", 95, 100),
+                                ("p99", 99, 100)):
+            rank = (num * n + den - 1) // den
+            i = int(np.searchsorted(cum, rank))
+            exact = int(vals[i])
+            # sketch bucket of the exact-rank value (same counts feed
+            # the sketch, so its quantile bucket is the value's bucket)
+            bl = exact.bit_length()
+            shift = max(bl - 1 - sub_bits, 0)
+            mant = exact >> shift
+            ub = (mant + 1) << shift
+            rows.append((et, qname, n, ub, exact,
+                         ((ub - exact) * 1_000_000) // exact))
+    return pd.DataFrame(rows, columns=list(out_cols)).astype(
+        {"n": np.int64, "est_ub_cents": np.int64,
+         "exact_cents": np.int64, "err_ppm": np.int64})
+
+
+SQL_DDSKETCH_ERROR_AUDIT = """
+WITH vals AS (
+  SELECT event_type,
+         greatest(CAST(floor(value * 100.0) AS BIGINT), 1) AS cents
+  FROM events
+),
+c AS (
+  SELECT event_type, cents, count(*) AS cnt FROM vals GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, cents,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM c
+),
+q(qname, num, den) AS (VALUES ('p50', 1, 2), ('p95', 95, 100),
+                              ('p99', 99, 100)),
+ex AS (
+  SELECT cum.event_type, q.qname, CAST(any_value(cum.n) AS BIGINT) AS n,
+         CAST(min(CASE WHEN cum.cum >= (q.num * cum.n + q.den - 1)
+                            // q.den
+                  THEN cum.cents END) AS BIGINT) AS exact
+  FROM cum, q GROUP BY cum.event_type, q.qname
+),
+m AS (
+  SELECT event_type, qname, n, exact,
+         greatest(length(bin(exact)) - 1 - 3, 0) AS shift
+  FROM ex
+)
+SELECT event_type, qname AS q, n,
+       CAST(((exact >> shift) + 1) << shift AS BIGINT) AS est_ub_cents,
+       exact AS exact_cents,
+       CAST(((((exact >> shift) + 1) << shift) - exact) * 1000000
+            // exact AS BIGINT) AS err_ppm
+FROM m
+"""
+
+
+RELATIONAL_QUERIES["ddsketch_error_audit"] = (
+    ddsketch_error_audit, SQL_DDSKETCH_ERROR_AUDIT)

@@ -4442,3 +4442,98 @@ FROM ch
 
 
 TEXTOPS_QUERIES["pdf_objects"] = (q_pdf_objects, _sql_pdf_objects())
+
+
+WINNOW_K = 5   # character k-gram length
+WINNOW_W = 4   # winnowing window (consecutive k-gram positions)
+
+
+def q_winnowing_fingerprints(sf_dir: str) -> "ray.data.Dataset":
+    """Winnowing document fingerprints (Schleimer et al., MOSS): hash
+    every 5-char k-gram (md5 first 8 hex -> BIGINT), slide a 4-wide
+    window over the k-gram sequence, keep each window's MINIMUM hash,
+    and fingerprint the doc as the md5 of its sorted distinct selected
+    hashes — the plagiarism/near-dup fingerprint family's guaranteed-
+    coverage complement to the rolling-hash ``fingerprints`` op (every
+    match of length >= k+w-1 shares a selected hash).
+
+    Map-only over documents (docs shorter than k+w-1 = 8 chars have no
+    window and are skipped on BOTH sides); per-batch self-contained.
+    -> (doc_id, n_kgrams, n_selected, fp_md5)."""
+    import hashlib
+
+    ds = _docs(sf_dir)
+    out_cols = {"doc_id": np.int64, "n_kgrams": np.int64,
+                "n_selected": np.int64, "fp_md5": object}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "text" not in df.columns:
+            return empty_out
+        rows = {c: [] for c in out_cols}
+        for did, text in zip(df["doc_id"].to_numpy(), df["text"]):
+            s = str(text)
+            nk = len(s) - WINNOW_K + 1
+            if nk < WINNOW_W:
+                continue
+            hs = np.array(
+                [int(hashlib.md5(s[p:p + WINNOW_K].encode()).hexdigest()[:8],
+                     16) for p in range(nk)], dtype=np.int64)
+            # min over each w-wide window (vectorized sliding min)
+            win = np.lib.stride_tricks.sliding_window_view(hs, WINNOW_W)
+            sel = np.unique(win.min(axis=1))
+            rows["doc_id"].append(int(did))
+            rows["n_kgrams"].append(nk)
+            rows["n_selected"].append(len(sel))
+            rows["fp_md5"].append(hashlib.md5(
+                ",".join(str(v) for v in sel).encode()).hexdigest())
+        if not rows["doc_id"]:
+            return empty_out
+        return pd.DataFrame(rows).astype(
+            {"doc_id": np.int64, "n_kgrams": np.int64,
+             "n_selected": np.int64})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def _sql_winnowing_fingerprints() -> str:
+    h = f"md5(substr(text, p, {WINNOW_K}))"
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) - {WINNOW_K} + 1 AS nk
+  FROM documents WHERE length(text) >= {WINNOW_K + WINNOW_W - 1}
+),
+kg AS (
+  SELECT d.doc_id, d.nk, s.p, {_sql_hexval_long(h, 8)} AS hv
+  FROM d, LATERAL (SELECT unnest(generate_series(1, d.nk)) AS p) s
+),
+w AS (
+  SELECT doc_id, nk, p,
+         min(hv) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN CURRENT ROW
+                       AND {WINNOW_W - 1} FOLLOWING) AS mn
+  FROM kg
+),
+sel AS (
+  SELECT DISTINCT doc_id, nk, mn FROM w WHERE p <= nk - {WINNOW_W - 1}
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(any_value(nk) AS BIGINT) AS n_kgrams,
+       CAST(count(*) AS BIGINT) AS n_selected,
+       md5(string_agg(CAST(mn AS VARCHAR), ',' ORDER BY mn)) AS fp_md5
+FROM sel GROUP BY doc_id
+"""
+
+
+def _sql_hexval_long(expr: str, nchars: int) -> str:
+    """BIGINT value of the first nchars hex chars of expr."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {1 + i}, 1)) - 1)"
+        f" * {16 ** (nchars - 1 - i)}::BIGINT"
+        for i in range(nchars)
+    ) + ")"
+
+
+TEXTOPS_QUERIES["winnowing_fingerprints"] = (
+    q_winnowing_fingerprints, _sql_winnowing_fingerprints())

@@ -90,7 +90,7 @@ def _compare(sf_dir: str, qname: str):
      "events_watermark_agg", "session_table", "event_pattern_match",
      "events_trailing_range", "chi2_independence",
      "conversion_lag_quantiles", "user_gap_mad", "dau_wau_mau",
-     "conversion_ab_test", "hll_error_audit"],
+     "conversion_ab_test", "hll_error_audit", "ddsketch_error_audit"],
 )
 def test_event_queries_differential(ray_session, tmp_path, seed, qname):
     rng = np.random.default_rng(seed * 1000 + len(qname))
@@ -493,7 +493,8 @@ def test_kg_schema_ops_differential(ray_session, tmp_path, seed):
               "kg_shared_neighbors", "kg_mention_contexts",
               "kg_merged_triples", "kg_degree_assortativity",
               "kg_qa_pairs", "chatml_export", "kg_alias_resolution",
-              "bio_tagged_export", "kg_hits", "kg_transe_scores"]:
+              "bio_tagged_export", "kg_hits", "kg_transe_scores",
+              "kg_mention_salience"]:
         _compare(str(tmp_path), q)
 
 
@@ -879,7 +880,8 @@ def test_webcorpus_differential(ray_session, tmp_path, seed):
               # span corruption / PMI / stemming: blank docs pin the
               # trim<>'' convention; 'a&&b'/'r&d' exercise suffix rules
               # on punctuation; tiny vocab gives heavy bigram mass
-              "span_corruption_export", "pmi_bigrams", "stem_freq"]:
+              "span_corruption_export", "pmi_bigrams", "stem_freq",
+              "winnowing_fingerprints"]:
         _compare(str(tmp_path), q)
 
 

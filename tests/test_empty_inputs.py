@@ -117,6 +117,8 @@ _SAMPLE = [
     "html_extract", "url_host_stats", "dpo_pairs", "bm25_search",
     "kg_hits", "kg_transe_scores", "span_corruption_export",
     "pmi_bigrams", "stem_freq", "rowgroup_pruning",
+    "kg_mention_salience", "winnowing_fingerprints",
+    "ddsketch_error_audit",
     # lsh_band_sweep keeps its 5-config-row shape on empty input (the
     # SQL twin's VALUES table does too) — excluded from the zero-row
     # sample
