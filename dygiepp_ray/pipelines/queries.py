@@ -2951,7 +2951,8 @@ _DRIVER_SAMPLE_FIRST = (
     "span_corruption_export", "pmi_bigrams", "stem_freq",
     "midi_tracks", "pdf_objects", "rowgroup_pruning",
     "kg_mention_salience", "winnowing_fingerprints",
-    "ddsketch_error_audit",
+    "ddsketch_error_audit", "churn_labels", "revenue_sax_motifs",
+    "contract_violations", "contrastive_pairs",
     # tier -2: added this session (ninth continuation)
     "mann_whitney_quantity", "ks_price_by_status", "order_value_ecdf",
     "autocorr_revenue", "lineitem_reconciliation", "unicode_audit",

@@ -11035,3 +11035,321 @@ FROM m
 
 RELATIONAL_QUERIES["ddsketch_error_audit"] = (
     ddsketch_error_audit, SQL_DDSKETCH_ERROR_AUDIT)
+
+
+def churn_labels(sf_dir: str) -> pd.DataFrame:
+    """Leakage-safe churn-label export (the temporal label/feature
+    split every behavioral model needs): the observation window is the
+    first 80% of the event time range (cutoff = tmin + 4*(tmax-tmin)//5,
+    integer micros); features come ONLY from events before the cutoff,
+    the label marks users with no event at-or-after it.  Users with no
+    observation-window activity are excluded (nothing to featurize).
+
+    Two streaming passes: a (min, max) scalar fold, then per-batch
+    per-user partials that collapse to the bounded user domain.
+    -> (user_id, n_events_obs, n_purchases_obs, recency_s, churned)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"])
+
+    def spanp(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "ts" not in df.columns:
+            return pd.DataFrame({"mn": pd.Series(dtype=object),
+                                 "mx": pd.Series(dtype=object)})
+        t = ts_epoch_us(df["ts"])
+        return pd.DataFrame({"mn": [str(int(t.min()))],
+                             "mx": [str(int(t.max()))]})
+
+    sp = ds.map_batches(spanp, batch_format="pandas").to_pandas()
+    out_cols = {"user_id": np.int64, "n_events_obs": np.int64,
+                "n_purchases_obs": np.int64, "recency_s": np.int64,
+                "churned": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+    if sp.empty or "mn" not in sp.columns:
+        return empty_out
+    tmin = min(int(v) for v in sp["mn"])
+    tmax = max(int(v) for v in sp["mx"])
+    cutoff = tmin + 4 * (tmax - tmin) // 5
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                              "n_obs": pd.Series(dtype=np.int64),
+                              "n_pur": pd.Series(dtype=np.int64),
+                              "last_obs": pd.Series(dtype=np.int64),
+                              "n_post": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "user_id" not in df.columns:
+            return empty
+        t = ts_epoch_us(df["ts"])
+        obs = t < cutoff
+        g = pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(np.int64),
+             "n_obs": obs.astype(np.int64),
+             "n_pur": (obs & (df["event_type"] == "purchase")
+                       .to_numpy()).astype(np.int64),
+             "last_obs": np.where(obs, t, np.int64(-1)),
+             "n_post": (~obs).astype(np.int64)}
+        ).groupby("user_id", as_index=False).agg(
+            n_obs=("n_obs", "sum"), n_pur=("n_pur", "sum"),
+            last_obs=("last_obs", "max"), n_post=("n_post", "sum"))
+        return g.astype(np.int64)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty or "user_id" not in parts.columns:
+        return empty_out
+    g = parts.groupby("user_id", as_index=False).agg(
+        n_obs=("n_obs", "sum"), n_pur=("n_pur", "sum"),
+        last_obs=("last_obs", "max"), n_post=("n_post", "sum"))
+    g = g[g["n_obs"] > 0]
+    if len(g) == 0:
+        return empty_out
+    return pd.DataFrame(
+        {"user_id": g["user_id"].to_numpy(np.int64),
+         "n_events_obs": g["n_obs"].to_numpy(np.int64),
+         "n_purchases_obs": g["n_pur"].to_numpy(np.int64),
+         "recency_s": (cutoff - g["last_obs"].to_numpy(np.int64))
+         // 1_000_000,
+         "churned": (g["n_post"].to_numpy(np.int64) == 0)
+         .astype(np.int64)}).reset_index(drop=True)
+
+
+SQL_CHURN_LABELS = """
+WITH e AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t, event_type
+  FROM events
+),
+b AS (SELECT min(t) AS tmin, max(t) AS tmax FROM e),
+c AS (SELECT tmin + 4 * (tmax - tmin) // 5 AS cutoff FROM b),
+g AS (
+  SELECT user_id,
+         sum(CASE WHEN t < cutoff THEN 1 ELSE 0 END) AS n_obs,
+         sum(CASE WHEN t < cutoff AND event_type = 'purchase'
+                  THEN 1 ELSE 0 END) AS n_pur,
+         max(CASE WHEN t < cutoff THEN t END) AS last_obs,
+         sum(CASE WHEN t >= cutoff THEN 1 ELSE 0 END) AS n_post
+  FROM e, c GROUP BY user_id
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(n_obs AS BIGINT) AS n_events_obs,
+       CAST(n_pur AS BIGINT) AS n_purchases_obs,
+       CAST((c.cutoff - last_obs) // 1000000 AS BIGINT) AS recency_s,
+       CAST(CASE WHEN n_post = 0 THEN 1 ELSE 0 END AS BIGINT) AS churned
+FROM g, c WHERE n_obs > 0
+"""
+
+
+def revenue_sax_motifs(sf_dir: str) -> pd.DataFrame:
+    """SAX symbolization + motif counts of the weekly revenue series
+    (symbolic aggregate approximation, Lin et al.): the densified
+    daily series is piecewise-aggregated into full 7-day windows
+    (integer sums), each window mapped to a quartile symbol a-d
+    against the PAA distribution's own rank breakpoints, and every
+    3-week motif counted — the regime-pattern miner run before
+    forecasting.  All integer arithmetic (rank cuts, no float).
+
+    Map-only partials collapse to the bounded day domain; the driver
+    folds O(days) ints (autocorr_revenue shape).
+    -> (motif, n)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"day": pd.Series(dtype=np.int64),
+                              "rev": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "o_orderdate" not in df.columns:
+            return empty
+        day = ts_epoch_us(df["o_orderdate"]) // 86_400_000_000
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(np.float64) * 100.0
+        ).astype(np.int64)
+        g = pd.DataFrame({"day": day, "rev": cents}).groupby(
+            "day", as_index=False)["rev"].sum()
+        return g.astype(np.int64)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out_cols = {"motif": object, "n": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+    if parts.empty or "day" not in parts.columns:
+        return empty_out
+    g = parts.groupby("day")["rev"].sum()
+    d0, d1 = int(g.index.min()), int(g.index.max())
+    x = np.zeros(d1 - d0 + 1, dtype=np.int64)
+    x[g.index.to_numpy(np.int64) - d0] = g.to_numpy(np.int64)
+    nw = len(x) // 7
+    if nw < 3:
+        return empty_out
+    paa = x[:nw * 7].reshape(nw, 7).sum(axis=1)
+    s = np.sort(paa)
+    # 1-based rank cuts ceil(nw/4), ceil(nw/2), ceil(3nw/4)
+    q1 = int(s[(nw + 3) // 4 - 1])
+    q2 = int(s[(nw + 1) // 2 - 1])
+    q3 = int(s[(3 * nw + 3) // 4 - 1])
+    sym = np.where(paa <= q1, "a",
+                   np.where(paa <= q2, "b",
+                            np.where(paa <= q3, "c", "d")))
+    motifs = ["".join(sym[i:i + 3]) for i in range(nw - 2)]
+    vc = pd.Series(motifs, dtype=object).value_counts()
+    return pd.DataFrame({"motif": vc.index.to_numpy(object),
+                         "n": vc.to_numpy(np.int64)})
+
+
+SQL_REVENUE_SAX_MOTIFS = """
+WITH daily AS (
+  SELECT CAST(CAST(epoch_us(o_orderdate) AS HUGEINT)
+              // 86400000000 AS BIGINT) AS day,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS HUGEINT))
+              AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+),
+b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+cal AS (
+  SELECT s.day, COALESCE(daily.rev, 0) AS rev
+  FROM (SELECT unnest(generate_series((SELECT d0 FROM b),
+                                      (SELECT d1 FROM b))) AS day) s
+  LEFT JOIN daily ON daily.day = s.day
+),
+w AS (
+  SELECT (day - (SELECT d0 FROM b)) // 7 AS wk, sum(rev) AS paa
+  FROM cal
+  WHERE (day - (SELECT d0 FROM b)) // 7
+        < (SELECT (d1 - d0 + 1) // 7 FROM b)
+  GROUP BY 1
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS nw FROM w),
+r AS (SELECT paa, row_number() OVER (ORDER BY paa) AS rn FROM w),
+q AS (
+  SELECT max(CASE WHEN rn = (nw + 3) // 4 THEN paa END) AS q1,
+         max(CASE WHEN rn = (nw + 1) // 2 THEN paa END) AS q2,
+         max(CASE WHEN rn = (3 * nw + 3) // 4 THEN paa END) AS q3
+  FROM r, nn GROUP BY nn.nw
+),
+sym AS (
+  SELECT wk, CASE WHEN paa <= q1 THEN 'a' WHEN paa <= q2 THEN 'b'
+                  WHEN paa <= q3 THEN 'c' ELSE 'd' END AS s
+  FROM w, q
+),
+tri AS (
+  SELECT s1.s || s2.s || s3.s AS motif
+  FROM sym s1 JOIN sym s2 ON s2.wk = s1.wk + 1
+  JOIN sym s3 ON s3.wk = s1.wk + 2
+)
+SELECT motif, CAST(count(*) AS BIGINT) AS n
+FROM tri, nn WHERE nn.nw >= 3 GROUP BY motif
+"""
+
+
+RELATIONAL_QUERIES["churn_labels"] = (churn_labels, SQL_CHURN_LABELS)
+RELATIONAL_QUERIES["revenue_sax_motifs"] = (
+    revenue_sax_motifs, SQL_REVENUE_SAX_MOTIFS)
+
+
+def contract_violations(sf_dir: str) -> pd.DataFrame:
+    """Data-contract audit over orders (the gate every ingested batch
+    must pass before entering a pipeline): per-rule violation counts
+    for value positivity, status domain, date range, key nullability
+    and primary-key uniqueness.  Rule rows are ALWAYS emitted (zero
+    counts prove the check ran — the pipeline_metrics convention).
+
+    Map-only partials for the four row-local rules; the PK-uniqueness
+    rule folds per-key counts inside an orderkey-keyed exchange (one
+    row per bucket leaves), so no rule ships more than O(rules +
+    buckets) rows to the driver.
+    -> (rule, n_violations)."""
+    from .core import partitioned_map_groups
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_totalprice", "o_orderdate"])
+    lo_day = (np.datetime64("1992-01-01") - np.datetime64("1970-01-01")
+              ) // np.timedelta64(1, "D")
+    hi_day = (np.datetime64("1999-01-01") - np.datetime64("1970-01-01")
+              ) // np.timedelta64(1, "D")
+
+    RULES = ["nonpositive_price", "bad_status", "date_out_of_range",
+             "bad_custkey", "duplicate_orderkey"]
+
+    def rowlocal(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"rule": pd.Series(dtype=object),
+                              "n": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "o_orderkey" not in df.columns:
+            return empty
+        day = ts_epoch_us(df["o_orderdate"]) // 86_400_000_000
+        price = df["o_totalprice"].to_numpy(np.float64)
+        ck = df["o_custkey"]
+        return pd.DataFrame(
+            {"rule": RULES[:4],
+             "n": np.array(
+                 [int((price <= 0).sum()),
+                  int((~df["o_orderstatus"].isin(("O", "F", "P")))
+                      .sum()),
+                  int(((day < int(lo_day)) | (day >= int(hi_day)))
+                      .sum()),
+                  int((ck.isna() | (ck.fillna(-1) < 0)).sum())],
+                 dtype=np.int64)})
+
+    parts = ds.map_batches(rowlocal, batch_format="pandas").to_pandas()
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_orderkey" not in df.columns:
+            return pd.DataFrame({"o_orderkey": pd.Series(dtype=np.int64),
+                                 "__k": pd.Series(dtype=np.int64)})
+        return pd.DataFrame(
+            {"o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+             "__k": df["o_orderkey"].to_numpy(np.int64)})
+
+    def dupcount(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_orderkey" not in df.columns:
+            return pd.DataFrame({"n": pd.Series(dtype=np.int64)})
+        c = df.groupby("o_orderkey").size()
+        return pd.DataFrame({"n": [np.int64((c[c > 1] - 1).sum())]})
+
+    dup = partitioned_map_groups(
+        ds.map_batches(keyed, batch_format="pandas"), "__k",
+        dupcount, num_buckets=8).to_pandas()
+    n_dup = int(dup["n"].sum()) if "n" in dup.columns and len(dup) else 0
+    counts = {r: 0 for r in RULES}
+    if not parts.empty and "rule" in parts.columns:
+        for r, n in parts.groupby("rule")["n"].sum().items():
+            counts[r] = int(n)
+    counts["duplicate_orderkey"] = n_dup
+    return pd.DataFrame({"rule": RULES,
+                         "n_violations": np.array(
+                             [counts[r] for r in RULES], np.int64)})
+
+
+SQL_CONTRACT_VIOLATIONS = """
+WITH e AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day
+  FROM orders
+),
+dup AS (
+  SELECT COALESCE(sum(c - 1), 0) AS n
+  FROM (SELECT count(*) AS c FROM e GROUP BY o_orderkey) t
+  WHERE c > 1
+)
+SELECT 'nonpositive_price' AS rule,
+       CAST(count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS BIGINT)
+         AS n_violations FROM e
+UNION ALL
+SELECT 'bad_status',
+       CAST(count(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                  THEN 1 END) AS BIGINT) FROM e
+UNION ALL
+SELECT 'date_out_of_range',
+       CAST(count(CASE WHEN day < 8035 OR day >= 10592 THEN 1 END)
+            AS BIGINT) FROM e
+UNION ALL
+SELECT 'bad_custkey',
+       CAST(count(CASE WHEN o_custkey IS NULL OR o_custkey < 0
+                  THEN 1 END) AS BIGINT) FROM e
+UNION ALL
+SELECT 'duplicate_orderkey', CAST(n AS BIGINT) FROM dup
+"""
+
+
+RELATIONAL_QUERIES["contract_violations"] = (
+    contract_violations, SQL_CONTRACT_VIOLATIONS)

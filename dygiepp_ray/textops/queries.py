@@ -4537,3 +4537,135 @@ def _sql_hexval_long(expr: str, nchars: int) -> str:
 
 TEXTOPS_QUERIES["winnowing_fingerprints"] = (
     q_winnowing_fingerprints, _sql_winnowing_fingerprints())
+
+
+def q_contrastive_pairs(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
+    """Contrastive-pair export for embedding training: each document
+    with >= 8 tokens splits into an (anchor, positive) half-pair, and
+    a hard NEGATIVE is the anchor of a deterministically-chosen
+    partner doc (md5 jump in id space: partner = (doc_id + 1 +
+    md5('ctr:doc')%（D-1)) % D with D = max_doc_id + 1) — the
+    in-batch-negatives recipe made reproducible.  Pairs whose partner
+    is too short to have an anchor drop out (inner-join semantics,
+    both sides).
+
+    Shape: one pass computes halves; the negative attach is ONE
+    doc-keyed coexchange (pairs keyed by partner_id meet halves keyed
+    by doc_id) — no broadcast of the corpus.
+    -> (doc_id, partner_id, anchor_md5, positive_md5, negative_md5)."""
+    import hashlib
+
+    from ..core import hash_coexchange
+
+    ds = _docs(sf_dir)
+    out_cols = {"doc_id": np.int64, "partner_id": np.int64,
+                "anchor_md5": object, "positive_md5": object,
+                "negative_md5": object}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+
+    def spanp(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "doc_id" not in df.columns:
+            return pd.DataFrame({"mx": pd.Series(dtype=object)})
+        return pd.DataFrame({"mx": [str(int(df["doc_id"].max()))]})
+
+    mx = ds.map_batches(spanp, batch_format="pandas").to_pandas()
+    if mx.empty or "mx" not in mx.columns:
+        return empty_out
+    D = max(int(v) for v in mx["mx"]) + 1
+    if D < 2:
+        return empty_out
+
+    def halves(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                              "anchor_md5": pd.Series(dtype=object),
+                              "positive_md5": pd.Series(dtype=object),
+                              "partner_id": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "doc_id" not in df.columns:
+            return empty
+        rows = {"doc_id": [], "anchor_md5": [], "positive_md5": [],
+                "partner_id": []}
+        for did, text in zip(df["doc_id"].to_numpy(), df["text"]):
+            toks = str(text).split()
+            if len(toks) < 8:
+                continue
+            half = len(toks) // 2
+            jump = int(hashlib.md5(
+                f"ctr:{int(did)}".encode()).hexdigest()[:8], 16)
+            rows["doc_id"].append(int(did))
+            rows["anchor_md5"].append(hashlib.md5(
+                " ".join(toks[:half]).encode()).hexdigest())
+            rows["positive_md5"].append(hashlib.md5(
+                " ".join(toks[half:]).encode()).hexdigest())
+            rows["partner_id"].append(
+                (int(did) + 1 + jump % (D - 1)) % D)
+        if not rows["doc_id"]:
+            return empty
+        return pd.DataFrame(rows).astype(
+            {"doc_id": np.int64, "partner_id": np.int64})
+
+    hv = ds.map_batches(halves, batch_format="pandas")
+
+    def attach(pairs: pd.DataFrame, part: pd.DataFrame) -> pd.DataFrame:
+        if len(pairs) == 0 or "doc_id" not in pairs.columns:
+            return empty_out
+        if len(part) == 0 or "anchor_md5" not in part.columns:
+            return empty_out
+        j = pairs.merge(
+            part[["doc_id", "anchor_md5"]].rename(
+                columns={"doc_id": "partner_id",
+                         "anchor_md5": "negative_md5"}),
+            on="partner_id")
+        if len(j) == 0:
+            return empty_out
+        return j[list(out_cols)].astype(
+            {"doc_id": np.int64, "partner_id": np.int64})
+
+    out = hash_coexchange(hv, hv, "partner_id", "doc_id", attach,
+                          num_buckets=8)
+    if out.count() == 0:
+        return empty_out
+    return out
+
+
+SQL_CONTRASTIVE_PAIRS = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+  FROM documents WHERE trim(text) <> ''
+),
+d AS (SELECT max(doc_id) + 1 AS dd FROM base),
+h AS (
+  SELECT doc_id, len(arr) AS n, len(arr) // 2 AS half, arr
+  FROM base WHERE len(arr) >= 8
+),
+hv AS (
+  SELECT doc_id,
+         md5(array_to_string(arr[1:half], ' ')) AS anchor_md5,
+         md5(array_to_string(arr[half + 1:n], ' ')) AS positive_md5
+  FROM h
+),
+pj AS (
+  SELECT hv.doc_id, hv.anchor_md5, hv.positive_md5,
+         (hv.doc_id + 1
+          + CAST(
+              (strpos('0123456789abcdef', substr(md5('ctr:' || hv.doc_id), 1, 1)) - 1) * 268435456
+            + (strpos('0123456789abcdef', substr(md5('ctr:' || hv.doc_id), 2, 1)) - 1) * 16777216
+            + (strpos('0123456789abcdef', substr(md5('ctr:' || hv.doc_id), 3, 1)) - 1) * 1048576
+            + (strpos('0123456789abcdef', substr(md5('ctr:' || hv.doc_id), 4, 1)) - 1) * 65536
+            + (strpos('0123456789abcdef', substr(md5('ctr:' || hv.doc_id), 5, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substr(md5('ctr:' || hv.doc_id), 6, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substr(md5('ctr:' || hv.doc_id), 7, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(md5('ctr:' || hv.doc_id), 8, 1)) - 1)
+            AS BIGINT) % (d.dd - 1)) % d.dd AS partner_id
+  FROM hv, d WHERE d.dd >= 2
+)
+SELECT CAST(pj.doc_id AS BIGINT) AS doc_id,
+       CAST(pj.partner_id AS BIGINT) AS partner_id,
+       pj.anchor_md5, pj.positive_md5,
+       neg.anchor_md5 AS negative_md5
+FROM pj JOIN hv neg ON neg.doc_id = pj.partner_id
+"""
+
+
+TEXTOPS_QUERIES["contrastive_pairs"] = (
+    q_contrastive_pairs, SQL_CONTRASTIVE_PAIRS)

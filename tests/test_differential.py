@@ -90,7 +90,8 @@ def _compare(sf_dir: str, qname: str):
      "events_watermark_agg", "session_table", "event_pattern_match",
      "events_trailing_range", "chi2_independence",
      "conversion_lag_quantiles", "user_gap_mad", "dau_wau_mau",
-     "conversion_ab_test", "hll_error_audit", "ddsketch_error_audit"],
+     "conversion_ab_test", "hll_error_audit", "ddsketch_error_audit",
+     "churn_labels"],
 )
 def test_event_queries_differential(ray_session, tmp_path, seed, qname):
     rng = np.random.default_rng(seed * 1000 + len(qname))
@@ -129,7 +130,8 @@ def test_orders_queries_differential(ray_session, tmp_path, seed):
               "revenue_drawdown", "revenue_pareto",
               "poisson_bootstrap_mean", "revenue_gini",
               "loo_target_encoding", "kaplan_meier", "revenue_cusum",
-              "cohort_ltv", "benford_audit", "haar_revenue"]:
+              "cohort_ltv", "benford_audit", "haar_revenue",
+              "revenue_sax_motifs"]:
         _compare(str(tmp_path), q)
 
 
@@ -881,7 +883,7 @@ def test_webcorpus_differential(ray_session, tmp_path, seed):
               # trim<>'' convention; 'a&&b'/'r&d' exercise suffix rules
               # on punctuation; tiny vocab gives heavy bigram mass
               "span_corruption_export", "pmi_bigrams", "stem_freq",
-              "winnowing_fingerprints"]:
+              "winnowing_fingerprints", "contrastive_pairs"]:
         _compare(str(tmp_path), q)
 
 
@@ -968,3 +970,29 @@ def test_pdf_xref_offsets_are_live():
     with _pytest.raises(ValueError):
         P.PdfObjects()(pd.DataFrame(
             {"file_id": [0], "payload": [bytes(raw)]}))
+
+
+@pytest.mark.parametrize("seed", [37])
+def test_contract_violations_differential(ray_session, tmp_path, seed):
+    """Planted contract breaches — duplicate keys, negative custkeys,
+    out-of-domain statuses, out-of-range dates, non-positive prices —
+    must be counted identically by the keyed-exchange dup fold and the
+    SQL twin."""
+    rng = np.random.default_rng(seed)
+    n = 160
+    keys = rng.integers(0, 60, n).astype(np.int64)  # heavy duplicates
+    status = rng.choice(["O", "F", "P", "X"], n)    # 'X' = breach
+    price = np.round(rng.uniform(-50, 40000, n), 2)  # some <= 0
+    custkey = rng.integers(-3, 40, n).astype(np.int64)  # some < 0
+    days = rng.integers(7000, 11500, n)              # some out of range
+    pq.write_table(pa.table(
+        {"o_orderkey": pa.array(keys),
+         "o_custkey": pa.array(custkey),
+         "o_orderstatus": pa.array(status),
+         "o_totalprice": pa.array(price, pa.float64()),
+         "o_orderdate": pa.array(
+             pd.to_datetime(days * 86_400 * 1_000_000_000),
+             pa.timestamp("us")),
+         "o_orderpriority": pa.array(rng.choice(["1-URGENT"], n))}
+    ), tmp_path / "orders.parquet")
+    _compare(str(tmp_path), "contract_violations")

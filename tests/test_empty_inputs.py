@@ -118,7 +118,11 @@ _SAMPLE = [
     "kg_hits", "kg_transe_scores", "span_corruption_export",
     "pmi_bigrams", "stem_freq", "rowgroup_pruning",
     "kg_mention_salience", "winnowing_fingerprints",
-    "ddsketch_error_audit",
+    "ddsketch_error_audit", "churn_labels", "revenue_sax_motifs",
+    "contrastive_pairs",
+    # contract_violations keeps its 5-rule zero-count card on empty
+    # input (the pipeline_metrics convention) — excluded from the
+    # zero-row sample
     # lsh_band_sweep keeps its 5-config-row shape on empty input (the
     # SQL twin's VALUES table does too) — excluded from the zero-row
     # sample
