@@ -2952,7 +2952,8 @@ _DRIVER_SAMPLE_FIRST = (
     "midi_tracks", "pdf_objects", "rowgroup_pruning",
     "kg_mention_salience", "winnowing_fingerprints",
     "ddsketch_error_audit", "churn_labels", "revenue_sax_motifs",
-    "contract_violations", "contrastive_pairs",
+    "contract_violations", "contrastive_pairs", "tfrecord_docs",
+    "l_diversity_profile", "monthly_top_movers",
     # tier -2: added this session (ninth continuation)
     "mann_whitney_quantity", "ks_price_by_status", "order_value_ecdf",
     "autocorr_revenue", "lineitem_reconciliation", "unicode_audit",

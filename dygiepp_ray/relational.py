@@ -11353,3 +11353,165 @@ SELECT 'duplicate_orderkey', CAST(n AS BIGINT) FROM dup
 
 RELATIONAL_QUERIES["contract_violations"] = (
     contract_violations, SQL_CONTRACT_VIOLATIONS)
+
+
+def l_diversity_profile(sf_dir: str) -> pd.DataFrame:
+    """l-diversity profile (the k_anonymity_violations companion):
+    with quasi-identifier (o_orderstatus, $1000 price bucket) and
+    sensitive attribute o_orderpriority, report per status how many
+    QI groups have exactly l distinct sensitive values — the privacy
+    readout a release gate thresholds (groups at l=1 are homogeneous
+    leaks).  -> (o_orderstatus, l, n_groups).
+
+    Map-only: per-batch (status, bucket, priority) counts collapse to
+    the bounded QI x sensitive domain; the driver folds O(domain)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_totalprice", "o_orderpriority"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"st": pd.Series(dtype=object),
+                              "b": pd.Series(dtype=np.int64),
+                              "p": pd.Series(dtype=object),
+                              "n": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "o_orderstatus" not in df.columns:
+            return empty
+        b = (np.floor(df["o_totalprice"].to_numpy(np.float64) * 100.0)
+             .astype(np.int64)) // 100_000
+        g = pd.DataFrame({"st": df["o_orderstatus"].to_numpy(),
+                          "b": b,
+                          "p": df["o_orderpriority"].to_numpy()}).groupby(
+            ["st", "b", "p"], as_index=False).size().rename(
+            columns={"size": "n"})
+        return g.astype({"b": np.int64, "n": np.int64})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out_cols = {"o_orderstatus": object, "l": np.int64,
+                "n_groups": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+    if parts.empty or "st" not in parts.columns:
+        return empty_out
+    cells = parts.groupby(["st", "b", "p"], as_index=False)["n"].sum()
+    lv = cells.groupby(["st", "b"], as_index=False).agg(
+        l=("p", "nunique"))
+    out = lv.groupby(["st", "l"], as_index=False).size().rename(
+        columns={"st": "o_orderstatus", "size": "n_groups"})
+    return out.astype({"l": np.int64, "n_groups": np.int64})
+
+
+SQL_L_DIVERSITY_PROFILE = """
+WITH e AS (
+  SELECT o_orderstatus AS st,
+         CAST(floor(o_totalprice * 100) AS BIGINT) // 100000 AS b,
+         o_orderpriority AS p
+  FROM orders
+),
+g AS (SELECT st, b, count(DISTINCT p) AS l FROM e GROUP BY st, b)
+SELECT st AS o_orderstatus, CAST(l AS BIGINT) AS l,
+       CAST(count(*) AS BIGINT) AS n_groups
+FROM g GROUP BY st, l
+"""
+
+
+def monthly_top_movers(sf_dir: str, top_k: int = 5) -> pd.DataFrame:
+    """Month-over-month brand movers: revenue rank per (month, brand)
+    over shipped lines, joined to the previous CALENDAR month's rank
+    (brands absent a month drop out — inner-join semantics), keeping
+    each month's top 5 by current rank — the trend report every
+    merchandising dashboard runs.  Ranks break ties by brand name.
+
+    Shape: per-batch (month, brand, cents) partials collapse to the
+    tiny months x brands domain; the broadcast part->brand lookup is
+    the small side (cheapest_supplier convention).
+    -> (month, brand, rank, prev_rank, delta)."""
+    parts_tbl = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).to_pandas()
+    out_cols = {"month": np.int64, "brand": object, "rank": np.int64,
+                "prev_rank": np.int64, "delta": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+    if len(parts_tbl) == 0 or "p_partkey" not in parts_tbl.columns:
+        return empty_out
+    brand_of = dict(zip(parts_tbl["p_partkey"].to_numpy(np.int64),
+                        parts_tbl["p_brand"].to_numpy(object)))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"midx": pd.Series(dtype=np.int64),
+                              "brand": pd.Series(dtype=object),
+                              "cents": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "l_partkey" not in df.columns:
+            return empty
+        ts = pd.to_datetime(df["l_shipdate"])
+        midx = ((ts.dt.year.to_numpy(np.int64) - 1970) * 12
+                + ts.dt.month.to_numpy(np.int64) - 1)
+        cents = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64) * 100.0
+        ).astype(np.int64)
+        brand = df["l_partkey"].map(brand_of)
+        keep = brand.notna().to_numpy()
+        if not keep.any():
+            return empty
+        g = pd.DataFrame({"midx": midx[keep],
+                          "brand": brand.to_numpy(object)[keep],
+                          "cents": cents[keep]}).groupby(
+            ["midx", "brand"], as_index=False)["cents"].sum()
+        return g.astype({"midx": np.int64, "cents": np.int64})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty or "midx" not in parts.columns:
+        return empty_out
+    g = parts.groupby(["midx", "brand"], as_index=False)["cents"].sum()
+    g = g.sort_values(["midx", "cents", "brand"],
+                      ascending=[True, False, True], ignore_index=True)
+    g["rank"] = g.groupby("midx").cumcount().to_numpy(np.int64) + 1
+    prev = g[["midx", "brand", "rank"]].copy()
+    prev["midx"] = prev["midx"] + 1
+    j = g.merge(prev, on=["midx", "brand"], suffixes=("", "_prev"))
+    j = j[j["rank"] <= top_k]
+    if len(j) == 0:
+        return empty_out
+    y = 1970 + j["midx"].to_numpy(np.int64) // 12
+    m = j["midx"].to_numpy(np.int64) % 12 + 1
+    return pd.DataFrame(
+        {"month": y * 100 + m, "brand": j["brand"].to_numpy(object),
+         "rank": j["rank"].to_numpy(np.int64),
+         "prev_rank": j["rank_prev"].to_numpy(np.int64),
+         "delta": (j["rank_prev"] - j["rank"]).to_numpy(np.int64)}
+    ).reset_index(drop=True)
+
+
+SQL_MONTHLY_TOP_MOVERS = """
+WITH e AS (
+  SELECT (year(l_shipdate) - 1970) * 12 + month(l_shipdate) - 1 AS midx,
+         p.p_brand AS brand,
+         CAST(floor(l_extendedprice * 100) AS HUGEINT) AS cents
+  FROM lineitem JOIN part p ON p.p_partkey = l_partkey
+),
+g AS (SELECT midx, brand, sum(cents) AS rev FROM e GROUP BY 1, 2),
+r AS (
+  SELECT midx, brand,
+         row_number() OVER (PARTITION BY midx
+                            ORDER BY rev DESC, brand ASC) AS rank
+  FROM g
+)
+SELECT CAST(1970 + cur.midx // 12 AS BIGINT) * 100
+         + CAST(cur.midx % 12 + 1 AS BIGINT) AS month,
+       cur.brand, CAST(cur.rank AS BIGINT) AS rank,
+       CAST(prv.rank AS BIGINT) AS prev_rank,
+       CAST(prv.rank - cur.rank AS BIGINT) AS delta
+FROM r cur JOIN r prv
+  ON prv.brand = cur.brand AND prv.midx = cur.midx - 1
+WHERE cur.rank <= 5
+"""
+
+
+RELATIONAL_QUERIES["l_diversity_profile"] = (
+    l_diversity_profile, SQL_L_DIVERSITY_PROFILE)
+RELATIONAL_QUERIES["monthly_top_movers"] = (
+    monthly_top_movers, SQL_MONTHLY_TOP_MOVERS)

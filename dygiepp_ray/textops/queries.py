@@ -4669,3 +4669,53 @@ FROM pj JOIN hv neg ON neg.doc_id = pj.partner_id
 
 TEXTOPS_QUERIES["contrastive_pairs"] = (
     q_contrastive_pairs, SQL_CONTRASTIVE_PAIRS)
+
+
+def q_tfrecord_docs(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
+    """TFRecord export/ingest round trip: one REAL TFRecord shard per
+    source (little-endian length framing + masked CRC32C on length
+    AND payload, verified on read-back), emitting per-shard record
+    counts, byte totals and a content digest the SQL twin reproduces
+    by string aggregation — the standard training-data interchange
+    sink, checksum math included (crc32c('123456789') pins the
+    Castagnoli polynomial in tests).
+
+    Shape: one source-keyed exchange; each bucket writes and re-reads
+    its shards locally (shards never cross the driver)."""
+    from ..core import partitioned_map_groups
+    from ..sources import tfrecord
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "text"])
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "source" not in df.columns:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "source": pd.Series(dtype=object),
+                                 "text": pd.Series(dtype=object),
+                                 "__k": pd.Series(dtype=object)})
+        return df.assign(__k=df["source"])
+
+    out = partitioned_map_groups(
+        ds.map_batches(key, batch_format="pandas"), "__k",
+        tfrecord.shard_roundtrip, num_buckets=8)
+    empty_out = pd.DataFrame(
+        {"source": pd.Series(dtype=object),
+         "n_records": pd.Series(dtype=np.int64),
+         "total_bytes": pd.Series(dtype=np.int64),
+         "content_md5": pd.Series(dtype=object)})
+    if out.count() == 0:
+        return empty_out
+    return out
+
+
+SQL_TFRECORD_DOCS = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_records,
+       CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+       md5(string_agg(text, '' ORDER BY doc_id)) AS content_md5
+FROM documents GROUP BY source
+"""
+
+
+TEXTOPS_QUERIES["tfrecord_docs"] = (q_tfrecord_docs, SQL_TFRECORD_DOCS)

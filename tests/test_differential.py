@@ -131,7 +131,7 @@ def test_orders_queries_differential(ray_session, tmp_path, seed):
               "poisson_bootstrap_mean", "revenue_gini",
               "loo_target_encoding", "kaplan_meier", "revenue_cusum",
               "cohort_ltv", "benford_audit", "haar_revenue",
-              "revenue_sax_motifs"]:
+              "revenue_sax_motifs", "l_diversity_profile"]:
         _compare(str(tmp_path), q)
 
 
@@ -181,7 +181,8 @@ def test_lineitem_queries_differential(ray_session, tmp_path, seed):
               "price_outliers", "winsorized_revenue",
               "cheapest_supplier", "small_quantity_revenue",
               "corr_matrix", "revenue_cube", "ols_price_qty",
-              "quantity_mode", "mad_price_outliers", "basket_rules"]:
+              "quantity_mode", "mad_price_outliers", "basket_rules",
+              "monthly_top_movers"]:
         _compare(str(tmp_path), q)
 
 
@@ -883,7 +884,8 @@ def test_webcorpus_differential(ray_session, tmp_path, seed):
               # trim<>'' convention; 'a&&b'/'r&d' exercise suffix rules
               # on punctuation; tiny vocab gives heavy bigram mass
               "span_corruption_export", "pmi_bigrams", "stem_freq",
-              "winnowing_fingerprints", "contrastive_pairs"]:
+              "winnowing_fingerprints", "contrastive_pairs",
+              "tfrecord_docs"]:
         _compare(str(tmp_path), q)
 
 

@@ -119,7 +119,8 @@ _SAMPLE = [
     "pmi_bigrams", "stem_freq", "rowgroup_pruning",
     "kg_mention_salience", "winnowing_fingerprints",
     "ddsketch_error_audit", "churn_labels", "revenue_sax_motifs",
-    "contrastive_pairs",
+    "contrastive_pairs", "tfrecord_docs", "l_diversity_profile",
+    "monthly_top_movers",
     # contract_violations keeps its 5-rule zero-count card on empty
     # input (the pipeline_metrics convention) — excluded from the
     # zero-row sample
