@@ -2954,6 +2954,7 @@ _DRIVER_SAMPLE_FIRST = (
     "ddsketch_error_audit", "churn_labels", "revenue_sax_motifs",
     "contract_violations", "contrastive_pairs", "tfrecord_docs",
     "l_diversity_profile", "monthly_top_movers",
+    "duplicate_payments", "bitmap_index_stats", "webdataset_export",
     # tier -2: added this session (ninth continuation)
     "mann_whitney_quantity", "ks_price_by_status", "order_value_ecdf",
     "autocorr_revenue", "lineitem_reconciliation", "unicode_audit",

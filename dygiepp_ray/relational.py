@@ -11515,3 +11515,161 @@ RELATIONAL_QUERIES["l_diversity_profile"] = (
     l_diversity_profile, SQL_L_DIVERSITY_PROFILE)
 RELATIONAL_QUERIES["monthly_top_movers"] = (
     monthly_top_movers, SQL_MONTHLY_TOP_MOVERS)
+
+
+def duplicate_payments(sf_dir: str, window_days: int = 90) -> pd.DataFrame:
+    """Duplicate-payment screen (the fraud/idempotency audit run on
+    every billing ledger): pairs of orders by the SAME customer in the
+    SAME $1000 value band within 90 days — the candidate set a retry-
+    bug / double-charge review works through.  Pairs are emitted once
+    (earlier day first; key order breaks day ties).
+
+    Shape: one (custkey, band)-keyed exchange; candidate pairs are
+    generated bucket-locally (exact: both legs co-locate by key), so
+    no all-pairs join ever forms.
+    -> (o_custkey, band, key_a, key_b, day_gap)."""
+    from .core import partitioned_map_groups
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice",
+                 "o_orderdate"])
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"key": pd.Series(dtype=np.int64),
+                              "cust": pd.Series(dtype=np.int64),
+                              "cents": pd.Series(dtype=np.int64),
+                              "day": pd.Series(dtype=np.int64),
+                              "__k": pd.Series(dtype=object)})
+        if len(df) == 0 or "o_orderkey" not in df.columns:
+            return empty
+        band = np.floor(
+            df["o_totalprice"].to_numpy(np.float64) / 1000.0
+        ).astype(np.int64)
+        out = pd.DataFrame(
+            {"key": df["o_orderkey"].to_numpy(np.int64),
+             "cust": df["o_custkey"].to_numpy(np.int64),
+             "cents": band,
+             "day": (ts_epoch_us(df["o_orderdate"])
+                     // 86_400_000_000).astype(np.int64)})
+        out["__k"] = (out["cust"].astype(str).str
+                      .cat(out["cents"].astype(str), sep="\x1f"))
+        return out
+
+    _OUT = {"o_custkey": np.int64, "band": np.int64,
+            "key_a": np.int64, "key_b": np.int64, "day_gap": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in _OUT.items()})
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "cust" not in df.columns:
+            return empty_out
+        rows = []
+        for (cust, cents), g in df.groupby(["cust", "cents"]):
+            if len(g) < 2:
+                continue
+            g = g.sort_values(["day", "key"])
+            days = g["day"].to_numpy(np.int64)
+            keys = g["key"].to_numpy(np.int64)
+            for i in range(len(g)):
+                for j in range(i + 1, len(g)):
+                    gap = int(days[j] - days[i])
+                    if gap > window_days:
+                        break
+                    rows.append((int(cust), int(cents),
+                                 int(keys[i]), int(keys[j]), gap))
+        if not rows:
+            return empty_out
+        return pd.DataFrame(rows, columns=list(_OUT)).astype(_OUT)
+
+    out = partitioned_map_groups(
+        ds.map_batches(key, batch_format="pandas"), "__k",
+        pairs, num_buckets=8)
+    if out.count() == 0:
+        return empty_out
+    return out
+
+
+SQL_DUPLICATE_PAYMENTS = """
+WITH e AS (
+  SELECT o_orderkey AS key, o_custkey AS cust,
+         CAST(floor(o_totalprice / 1000) AS BIGINT) AS band,
+         CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day
+  FROM orders
+)
+SELECT CAST(a.cust AS BIGINT) AS o_custkey, a.band,
+       CAST(a.key AS BIGINT) AS key_a, CAST(b.key AS BIGINT) AS key_b,
+       CAST(b.day - a.day AS BIGINT) AS day_gap
+FROM e a JOIN e b
+  ON b.cust = a.cust AND b.band = a.band
+ AND (a.day < b.day OR (a.day = b.day AND a.key < b.key))
+ AND b.day - a.day <= 90
+"""
+
+
+RELATIONAL_QUERIES["duplicate_payments"] = (
+    duplicate_payments, SQL_DUPLICATE_PAYMENTS)
+
+
+def bitmap_index_stats(sf_dir: str) -> pd.DataFrame:
+    """Bitmap-index sizing audit: for a per-status bitmap over the
+    o_orderkey value space (64-bit words), the set-bit count, touched
+    word count and bit density in ppm — the numbers that decide
+    bitmap-vs-btree for a low-cardinality column at 100 TB.
+
+    Map-only: per-batch (status, word) partials collapse to the
+    touched-word domain; driver folds O(words).
+    -> (o_orderstatus, n_set, n_words, density_ppm)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"st": pd.Series(dtype=object),
+                              "word": pd.Series(dtype=np.int64),
+                              "n": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "o_orderkey" not in df.columns:
+            return empty
+        g = pd.DataFrame(
+            {"st": df["o_orderstatus"].to_numpy(),
+             "word": df["o_orderkey"].to_numpy(np.int64) // 64}
+        ).groupby(["st", "word"], as_index=False).size().rename(
+            columns={"size": "n"})
+        return g.astype({"word": np.int64, "n": np.int64})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out_cols = {"o_orderstatus": object, "n_set": np.int64,
+                "n_words": np.int64, "density_ppm": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+    if parts.empty or "st" not in parts.columns:
+        return empty_out
+    w = parts.groupby(["st", "word"], as_index=False)["n"].sum()
+    g = w.groupby("st", as_index=False).agg(
+        n_set=("n", "sum"), n_words=("word", "size"))
+    return pd.DataFrame(
+        {"o_orderstatus": g["st"].to_numpy(object),
+         "n_set": g["n_set"].to_numpy(np.int64),
+         "n_words": g["n_words"].to_numpy(np.int64),
+         "density_ppm": (g["n_set"].to_numpy(np.int64) * 1_000_000)
+         // (64 * g["n_words"].to_numpy(np.int64))})
+
+
+SQL_BITMAP_INDEX_STATS = """
+WITH w AS (
+  SELECT o_orderstatus AS st, o_orderkey // 64 AS word,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+),
+g AS (
+  SELECT st, sum(n) AS n_set, CAST(count(*) AS BIGINT) AS n_words
+  FROM w GROUP BY st
+)
+SELECT st AS o_orderstatus, CAST(n_set AS BIGINT) AS n_set, n_words,
+       CAST(n_set * 1000000 // (64 * n_words) AS BIGINT) AS density_ppm
+FROM g
+"""
+
+
+RELATIONAL_QUERIES["bitmap_index_stats"] = (
+    bitmap_index_stats, SQL_BITMAP_INDEX_STATS)

@@ -4719,3 +4719,90 @@ FROM documents GROUP BY source
 
 
 TEXTOPS_QUERIES["tfrecord_docs"] = (q_tfrecord_docs, SQL_TFRECORD_DOCS)
+
+
+WDS_SHARD_SIZE = 16
+
+
+def q_webdataset_export(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
+    """WebDataset-style sharded export: documents pack into REAL tar
+    shards of 16 (shard = doc_id // 16, member name
+    '{doc_id:08d}.txt'), each shard is written with tarfile and
+    re-read member by member, emitting (shard_id, n_members,
+    total_bytes, content_md5) — the sink a multimodal loader streams
+    (shard-sequential reads, the 100-TB access pattern).  The twin
+    reproduces the stats by the same shard arithmetic.
+
+    Shape: one shard-keyed exchange; every bucket writes and re-reads
+    its own shards (tar bytes never cross the driver)."""
+    import hashlib
+    import io
+    import tarfile
+
+    from ..core import partitioned_map_groups
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "doc_id" not in df.columns:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "text": pd.Series(dtype=object),
+                                 "__k": pd.Series(dtype=np.int64)})
+        return df.assign(
+            __k=df["doc_id"].to_numpy(np.int64) // WDS_SHARD_SIZE)
+
+    _OUT = {"shard_id": np.int64, "n_members": np.int64,
+            "total_bytes": np.int64, "content_md5": object}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in _OUT.items()})
+
+    def roundtrip(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "doc_id" not in df.columns:
+            return empty_out
+        rows = {c: [] for c in _OUT}
+        for sid, g in df.groupby(
+                df["doc_id"].to_numpy(np.int64) // WDS_SHARD_SIZE):
+            g = g.sort_values("doc_id")
+            buf = io.BytesIO()
+            with tarfile.open(fileobj=buf, mode="w") as tf:
+                for did, text in zip(g["doc_id"], g["text"]):
+                    data = str(text).encode("utf-8")
+                    info = tarfile.TarInfo(name=f"{int(did):08d}.txt")
+                    info.size = len(data)
+                    info.mtime = 0
+                    tf.addfile(info, io.BytesIO(data))
+            buf.seek(0)
+            datas = []
+            with tarfile.open(fileobj=buf, mode="r") as tf:
+                for info in tf:
+                    if info.isfile():
+                        datas.append(tf.extractfile(info).read())
+            rows["shard_id"].append(int(sid))
+            rows["n_members"].append(len(datas))
+            rows["total_bytes"].append(sum(len(d) for d in datas))
+            rows["content_md5"].append(
+                hashlib.md5(b"".join(datas)).hexdigest())
+        return pd.DataFrame(rows).astype(
+            {"shard_id": np.int64, "n_members": np.int64,
+             "total_bytes": np.int64})
+
+    out = partitioned_map_groups(
+        ds.map_batches(key, batch_format="pandas"), "__k",
+        roundtrip, num_buckets=8)
+    if out.count() == 0:
+        return empty_out
+    return out
+
+
+SQL_WEBDATASET_EXPORT = f"""
+SELECT CAST(doc_id // {WDS_SHARD_SIZE} AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+       md5(string_agg(text, '' ORDER BY doc_id)) AS content_md5
+FROM documents GROUP BY 1
+"""
+
+
+TEXTOPS_QUERIES["webdataset_export"] = (
+    q_webdataset_export, SQL_WEBDATASET_EXPORT)

@@ -131,7 +131,10 @@ def test_orders_queries_differential(ray_session, tmp_path, seed):
               "poisson_bootstrap_mean", "revenue_gini",
               "loo_target_encoding", "kaplan_meier", "revenue_cusum",
               "cohort_ltv", "benford_audit", "haar_revenue",
-              "revenue_sax_motifs", "l_diversity_profile"]:
+              "revenue_sax_motifs", "l_diversity_profile",
+              # tiny key domains make band collisions and shared
+              # bitmap words the NORM here
+              "duplicate_payments", "bitmap_index_stats"]:
         _compare(str(tmp_path), q)
 
 
@@ -885,7 +888,7 @@ def test_webcorpus_differential(ray_session, tmp_path, seed):
               # on punctuation; tiny vocab gives heavy bigram mass
               "span_corruption_export", "pmi_bigrams", "stem_freq",
               "winnowing_fingerprints", "contrastive_pairs",
-              "tfrecord_docs"]:
+              "tfrecord_docs", "webdataset_export"]:
         _compare(str(tmp_path), q)
 
 
