@@ -2955,6 +2955,7 @@ _DRIVER_SAMPLE_FIRST = (
     "contract_violations", "contrastive_pairs", "tfrecord_docs",
     "l_diversity_profile", "monthly_top_movers",
     "duplicate_payments", "bitmap_index_stats", "webdataset_export",
+    "embedding_pair_cosine_hist", "events_hour_profile",
     # tier -2: added this session (ninth continuation)
     "mann_whitney_quantity", "ks_price_by_status", "order_value_ecdf",
     "autocorr_revenue", "lineitem_reconciliation", "unicode_audit",

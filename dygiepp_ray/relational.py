@@ -11673,3 +11673,60 @@ FROM g
 
 RELATIONAL_QUERIES["bitmap_index_stats"] = (
     bitmap_index_stats, SQL_BITMAP_INDEX_STATS)
+
+
+def events_hour_profile(sf_dir: str) -> pd.DataFrame:
+    """Hour-of-day seasonality per event type (the weekday_revenue
+    profile's event-stream sibling): counts and parts-per-million
+    share within each type — the load-shape table an ingestion
+    scheduler reads.  -> (event_type, hour, n, share_ppm).
+
+    Map-only partials collapse to the 24 x types domain."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"event_type": pd.Series(dtype=object),
+                              "hour": pd.Series(dtype=np.int64),
+                              "n": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "ts" not in df.columns:
+            return empty
+        hour = (ts_epoch_us(df["ts"]) // 3_600_000_000) % 24
+        g = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                          "hour": hour}).groupby(
+            ["event_type", "hour"], as_index=False).size().rename(
+            columns={"size": "n"})
+        return g.astype({"hour": np.int64, "n": np.int64})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out_cols = {"event_type": object, "hour": np.int64, "n": np.int64,
+                "share_ppm": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+    if parts.empty or "event_type" not in parts.columns:
+        return empty_out
+    g = parts.groupby(["event_type", "hour"], as_index=False)["n"].sum()
+    tot = g.groupby("event_type")["n"].transform("sum")
+    g["share_ppm"] = (g["n"].to_numpy(np.int64) * 1_000_000
+                      ) // tot.to_numpy(np.int64)
+    return g.astype({"hour": np.int64, "n": np.int64,
+                     "share_ppm": np.int64})
+
+
+SQL_EVENTS_HOUR_PROFILE = """
+WITH e AS (
+  SELECT event_type,
+         (CAST(epoch_us(ts) AS BIGINT) // 3600000000) % 24 AS hour
+  FROM events
+),
+g AS (SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2)
+SELECT event_type, hour, n,
+       CAST(n * 1000000 // sum(n) OVER (PARTITION BY event_type)
+            AS BIGINT) AS share_ppm
+FROM g
+"""
+
+
+RELATIONAL_QUERIES["events_hour_profile"] = (
+    events_hour_profile, SQL_EVENTS_HOUR_PROFILE)

@@ -4806,3 +4806,149 @@ FROM documents GROUP BY 1
 
 TEXTOPS_QUERIES["webdataset_export"] = (
     q_webdataset_export, SQL_WEBDATASET_EXPORT)
+
+
+def q_embedding_pair_cosine_hist(sf_dir: str) -> pd.DataFrame:
+    """Cosine-similarity distribution over deterministic random vector
+    pairs (partner = md5 jump in id space, the contrastive_pairs
+    convention) — the calibration histogram that picks the near-dup
+    threshold before an embedding-dedup run.  Vectors are quantized to
+    a fixed integer grid (floor(x * 1000), identical IEEE cast both
+    sides), dot products and norms are exact ints, and only the final
+    cosine runs in float64 through the pinned op sequence; zero-norm
+    vectors drop out on both sides.
+    -> (bucket, n) with bucket = floor(cos_x1e6 / 1e5).
+
+    Shape: codes stay bucket-local through ONE vec-keyed coexchange
+    (pairs meet partner codes); histogram partials collapse to the
+    21-bucket domain."""
+    import hashlib
+    import math
+
+    from ..core import hash_coexchange
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out_cols = {"bucket": np.int64, "n": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+
+    def spanp(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "vec_id" not in df.columns:
+            return pd.DataFrame({"mx": pd.Series(dtype=object)})
+        return pd.DataFrame({"mx": [str(int(df["vec_id"].max()))]})
+
+    mx = emb.map_batches(spanp, batch_format="pandas").to_pandas()
+    if mx.empty or "mx" not in mx.columns:
+        return empty_out
+    D = max(int(v) for v in mx["mx"]) + 1
+    if D < 2:
+        return empty_out
+
+    def codes(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
+                              "codes": pd.Series(dtype=object),
+                              "norm": pd.Series(dtype=np.int64),
+                              "partner": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "vec_id" not in df.columns:
+            return empty
+        rows = {"vec_id": [], "codes": [], "norm": [], "partner": []}
+        for vid, v in zip(df["vec_id"].to_numpy(), df["embedding"]):
+            c = np.floor(
+                np.asarray(v, np.float32).astype(np.float64) * 1000.0
+            ).astype(np.int64)
+            jump = int(hashlib.md5(
+                f"cos:{int(vid)}".encode()).hexdigest()[:8], 16)
+            rows["vec_id"].append(int(vid))
+            # serialize to bytes: exchange value columns must be scalar
+            # (textops.dedup convention)
+            rows["codes"].append(c.tobytes())
+            rows["norm"].append(int((c * c).sum()))
+            rows["partner"].append((int(vid) + 1 + jump % (D - 1)) % D)
+        return pd.DataFrame(rows).astype(
+            {"vec_id": np.int64, "norm": np.int64, "partner": np.int64})
+
+    cd = emb.map_batches(codes, batch_format="pandas")
+
+    def pair_cos(pairs: pd.DataFrame, part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"bucket": pd.Series(dtype=np.int64),
+                              "n": pd.Series(dtype=np.int64)})
+        if (len(pairs) == 0 or "vec_id" not in pairs.columns
+                or len(part) == 0 or "codes" not in part.columns):
+            return empty
+        j = pairs.merge(
+            part[["vec_id", "codes", "norm"]].rename(
+                columns={"vec_id": "partner", "codes": "codes_b",
+                         "norm": "norm_b"}),
+            on="partner")
+        buckets = []
+        for ca, na, cb, nb in zip(j["codes"], j["norm"],
+                                  j["codes_b"], j["norm_b"]):
+            if na == 0 or nb == 0:
+                continue
+            a = np.frombuffer(ca, dtype=np.int64)
+            b = np.frombuffer(cb, dtype=np.int64)
+            dot = int((a * b).sum())
+            cos = int(math.floor(
+                (1_000_000.0 * float(dot))
+                / math.sqrt(float(na) * float(nb))))
+            buckets.append(cos // 100_000)
+        if not buckets:
+            return empty
+        vc = pd.Series(buckets, dtype=np.int64).value_counts()
+        return pd.DataFrame({"bucket": vc.index.to_numpy(np.int64),
+                             "n": vc.to_numpy(np.int64)})
+
+    parts = hash_coexchange(cd, cd, "partner", "vec_id", pair_cos,
+                            num_buckets=8).to_pandas()
+    if parts.empty or "bucket" not in parts.columns:
+        return empty_out
+    return parts.groupby("bucket", as_index=False)["n"].sum().astype(
+        {"bucket": np.int64, "n": np.int64})
+
+
+def _sql_embedding_pair_cosine_hist() -> str:
+    jump = "md5('cos:' || e.vec_id)"
+    hx = "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({jump}, {1 + i}, 1)) - 1)"
+        f" * {16 ** (7 - i)}::BIGINT" for i in range(8)) + ")"
+    fd = ("(cosx - ((cosx % 100000) + 100000) % 100000) / 100000")
+    return f"""
+WITH d AS (SELECT max(vec_id) + 1 AS dd FROM embeddings),
+c AS (
+  SELECT vec_id, s.i,
+         CAST(floor(CAST(embedding[s.i] AS DOUBLE) * 1000.0)
+              AS BIGINT) AS code
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+                AS i) s
+),
+nrm AS (SELECT vec_id, sum(code * code) AS nn FROM c GROUP BY 1),
+p AS (
+  SELECT e.vec_id,
+         (e.vec_id + 1 + {hx} % (d.dd - 1)) % d.dd AS partner
+  FROM (SELECT DISTINCT vec_id FROM embeddings) e, d
+  WHERE d.dd >= 2
+),
+dot AS (
+  SELECT p.vec_id, p.partner, sum(a.code * b.code) AS dp
+  FROM p JOIN c a ON a.vec_id = p.vec_id
+  JOIN c b ON b.vec_id = p.partner AND b.i = a.i
+  GROUP BY 1, 2
+),
+cs AS (
+  SELECT CAST(floor((1000000.0 * CAST(dp AS DOUBLE))
+                    / sqrt(CAST(na.nn AS DOUBLE)
+                           * CAST(nb.nn AS DOUBLE))) AS BIGINT) AS cosx
+  FROM dot
+  JOIN nrm na ON na.vec_id = dot.vec_id
+  JOIN nrm nb ON nb.vec_id = dot.partner
+  WHERE na.nn > 0 AND nb.nn > 0
+)
+SELECT CAST({fd} AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n
+FROM cs GROUP BY 1
+"""
+
+
+TEXTOPS_QUERIES["embedding_pair_cosine_hist"] = (
+    q_embedding_pair_cosine_hist, _sql_embedding_pair_cosine_hist())

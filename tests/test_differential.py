@@ -91,7 +91,7 @@ def _compare(sf_dir: str, qname: str):
      "events_trailing_range", "chi2_independence",
      "conversion_lag_quantiles", "user_gap_mad", "dau_wau_mau",
      "conversion_ab_test", "hll_error_audit", "ddsketch_error_audit",
-     "churn_labels"],
+     "churn_labels", "events_hour_profile"],
 )
 def test_event_queries_differential(ray_session, tmp_path, seed, qname):
     rng = np.random.default_rng(seed * 1000 + len(qname))
@@ -585,6 +585,9 @@ def test_customer_embedding_backlog_differential(ray_session, tmp_path, seed):
     ), tmp_path / "embeddings.parquet")
     _compare(str(tmp_path), "embedding_pca1")
     _compare(str(tmp_path), "embedding_quantize")
+    # cosine-pair histogram: the planted zero vector must drop out of
+    # exactly the pairs that touch it, on both sides
+    _compare(str(tmp_path), "embedding_pair_cosine_hist")
 
     m = int(rng.integers(80, 300))
     pq.write_table(pa.table(

@@ -121,7 +121,8 @@ _SAMPLE = [
     "ddsketch_error_audit", "churn_labels", "revenue_sax_motifs",
     "contrastive_pairs", "tfrecord_docs", "l_diversity_profile",
     "monthly_top_movers", "duplicate_payments", "bitmap_index_stats",
-    "webdataset_export",
+    "webdataset_export", "embedding_pair_cosine_hist",
+    "events_hour_profile",
     # contract_violations keeps its 5-rule zero-count card on empty
     # input (the pipeline_metrics convention) — excluded from the
     # zero-row sample
