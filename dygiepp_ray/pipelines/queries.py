@@ -2956,6 +2956,7 @@ _DRIVER_SAMPLE_FIRST = (
     "l_diversity_profile", "monthly_top_movers",
     "duplicate_payments", "bitmap_index_stats", "webdataset_export",
     "embedding_pair_cosine_hist", "events_hour_profile",
+    "kg_completeness_audit", "kg_provenance_sample",
     # tier -2: added this session (ninth continuation)
     "mann_whitney_quantity", "ks_price_by_status", "order_value_ecdf",
     "autocorr_revenue", "lineitem_reconciliation", "unicode_audit",
@@ -4014,3 +4015,127 @@ FROM ents GROUP BY surface
 
 KG_QUERIES["kg_mention_salience"] = (q_kg_mention_salience,
                                      SQL_KG_MENTION_SALIENCE)
+
+
+def q_kg_completeness_audit(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
+    """Schema-completeness audit of the constructed KG: per predicate,
+    how many distinct subjects assert it and what fraction of ALL
+    subjects that covers (ppm) — the readout that tells a KG curator
+    which attributes are systematically missing before a downstream
+    model trains on absence-as-negative.
+
+    One subject-keyed exchange: subjects co-locate, so each bucket
+    emits exact per-predicate distinct-subject partials plus its own
+    distinct-subject count; the driver folds O(preds x buckets) rows.
+    -> (pred, n_subjects, coverage_ppm)."""
+    from ..core import partitioned_map_groups
+
+    pipe = from_documents_table(sf_dir)
+    trip = pipe.triples().select_columns(["subj", "pred"])
+
+    _OUT = {"pred": object, "n_subjects": np.int64,
+            "coverage_ppm": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT.items()})
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "subj" not in df.columns:
+            return pd.DataFrame({"subj": pd.Series(dtype=object),
+                                 "pred": pd.Series(dtype=object),
+                                 "__k": pd.Series(dtype=object)})
+        return df.assign(__k=df["subj"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"pred": pd.Series(dtype=object),
+                              "n": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "subj" not in df.columns:
+            return empty
+        d = df[["subj", "pred"]].drop_duplicates()
+        g = d.groupby("pred", as_index=False).size().rename(
+            columns={"size": "n"})
+        # bucket-local total: subjects co-locate, so the '' row's count
+        # is this bucket's exact distinct-subject count
+        tot = pd.DataFrame({"pred": [""],
+                            "n": [df["subj"].nunique()]})
+        return pd.concat([g, tot], ignore_index=True).astype(
+            {"n": np.int64})
+
+    parts = partitioned_map_groups(
+        trip.map_batches(key, batch_format="pandas"), "__k",
+        partial, num_buckets=16).to_pandas()
+    if parts.empty or "pred" not in parts.columns:
+        return empty_out
+    folded = parts.groupby("pred", as_index=False)["n"].sum()
+    total = int(folded.loc[folded["pred"] == "", "n"].sum())
+    out = folded[folded["pred"] != ""].reset_index(drop=True)
+    if total == 0 or len(out) == 0:
+        return empty_out
+    return pd.DataFrame(
+        {"pred": out["pred"].to_numpy(object),
+         "n_subjects": out["n"].to_numpy(np.int64),
+         "coverage_ppm": (out["n"].to_numpy(np.int64) * 1_000_000)
+         // total})
+
+
+def _sql_kg_completeness_audit() -> str:
+    return SQL_TOKS + f""",
+triples AS ({_KG_TRIPLES_BODY}),
+sp AS (SELECT DISTINCT subj, pred FROM triples),
+tot AS (SELECT CAST(count(DISTINCT subj) AS BIGINT) AS t FROM triples)
+SELECT pred, CAST(count(*) AS BIGINT) AS n_subjects,
+       CAST(count(*) * 1000000 // tot.t AS BIGINT) AS coverage_ppm
+FROM sp, tot GROUP BY pred, tot.t
+"""
+
+
+KG_QUERIES["kg_completeness_audit"] = (q_kg_completeness_audit,
+                                       _sql_kg_completeness_audit())
+
+
+def q_kg_provenance_sample(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
+    """Provenance-attached evidence sample: a deterministic 1-in-4
+    md5 sample of (conv_id, subj, pred, obj) triple ASSERTIONS (one
+    row per asserting conversation, not per distinct triple) — the
+    human-review queue a KG quality process drains, reproducible
+    across runs (the orders_sample md5 convention).
+
+    Map-only over the flagship triples (already conv-partitioned);
+    no shuffle, no driver collect beyond the sampled rows."""
+    import hashlib
+
+    pipe = from_documents_table(sf_dir)
+    trip = pipe.triples().select_columns(["conv_id", "subj", "pred", "obj"])
+
+    _OUT = {"conv_id": object, "subj": object, "pred": object,
+            "obj": object}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT.items()})
+
+    def sample(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "conv_id" not in df.columns:
+            return empty_out
+        d = df[["conv_id", "subj", "pred", "obj"]].drop_duplicates()
+        seed = (d["conv_id"].astype(str).str
+                .cat([d["subj"], d["pred"], d["obj"]], sep="\x1f"))
+        keep = seed.map(lambda s: int(hashlib.md5(
+            s.encode()).hexdigest()[:2], 16) % 4 == 0).to_numpy()
+        out = d[keep]
+        return out if len(out) else empty_out
+
+    out = trip.map_batches(sample, batch_format="pandas")
+    if out.count() == 0:
+        return empty_out
+    return out
+
+
+def _sql_kg_provenance_sample() -> str:
+    seed = ("conv_id || chr(31) || subj || chr(31) || pred"
+            " || chr(31) || obj")
+    return SQL_TOKS + f""",
+triples AS ({_KG_TRIPLES_BODY})
+SELECT DISTINCT conv_id, subj, pred, obj
+FROM triples
+WHERE ({_sql_hexval_big(f"md5({seed})", 2)}) % 4 = 0
+"""
+
+
+KG_QUERIES["kg_provenance_sample"] = (q_kg_provenance_sample,
+                                      _sql_kg_provenance_sample())

@@ -122,7 +122,8 @@ _SAMPLE = [
     "contrastive_pairs", "tfrecord_docs", "l_diversity_profile",
     "monthly_top_movers", "duplicate_payments", "bitmap_index_stats",
     "webdataset_export", "embedding_pair_cosine_hist",
-    "events_hour_profile",
+    "events_hour_profile", "kg_completeness_audit",
+    "kg_provenance_sample",
     # contract_violations keeps its 5-rule zero-count card on empty
     # input (the pipeline_metrics convention) — excluded from the
     # zero-row sample
