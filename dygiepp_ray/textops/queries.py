@@ -4952,3 +4952,133 @@ FROM cs GROUP BY 1
 
 TEXTOPS_QUERIES["embedding_pair_cosine_hist"] = (
     q_embedding_pair_cosine_hist, _sql_embedding_pair_cosine_hist())
+
+
+def q_embedding_feature_gain(sf_dir: str) -> pd.DataFrame:
+    """Per-dimension feature ranking by Gini gain (the split screen a
+    tree/feature-selection pass runs before training on embeddings):
+    each dim splits at code >= 0 over the fixed integer grid
+    (floor(x*1000)), and the impurity decrease wrt the vector label is
+    reported at fixed point 1e6 — impurity = 1e6 - sum over labels of
+    (1e6 * n_l^2) // n^2 (per-term floors, order-free integer sums, so
+    the HUGEINT twin hashes exactly).
+
+    Map-only: per-batch (dim, side, label) count partials collapse to
+    the 64 x 2 x labels domain; the driver folds O(domain) ints.
+    -> (dim, n_left, gain_x1e6)."""
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"dim": pd.Series(dtype=np.int64),
+                              "left": pd.Series(dtype=np.int64),
+                              "label": pd.Series(dtype=np.int64),
+                              "n": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "embedding" not in df.columns:
+            return empty
+        rows = []
+        for v, lb in zip(df["embedding"], df["label"]):
+            c = np.floor(np.asarray(v, np.float32).astype(np.float64)
+                         * 1000.0).astype(np.int64)
+            rows.append((c >= 0, int(lb)))
+        if not rows:
+            return empty
+        left = np.stack([r[0] for r in rows])      # (n, d)
+        labels = np.array([r[1] for r in rows], np.int64)
+        d = left.shape[1]
+        recs = []
+        for lb in np.unique(labels):
+            sub = left[labels == lb]
+            nl = sub.sum(axis=0).astype(np.int64)
+            nr = (len(sub) - nl).astype(np.int64)
+            for dim in range(d):
+                if nl[dim]:
+                    recs.append((dim, 1, int(lb), int(nl[dim])))
+                if nr[dim]:
+                    recs.append((dim, 0, int(lb), int(nr[dim])))
+        return pd.DataFrame(
+            recs, columns=["dim", "left", "label", "n"]).astype(np.int64)
+
+    parts = emb.map_batches(partial, batch_format="pandas").to_pandas()
+    out_cols = {"dim": np.int64, "n_left": np.int64,
+                "gain_x1e6": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+    if parts.empty or "dim" not in parts.columns:
+        return empty_out
+    g = parts.groupby(["dim", "left", "label"], as_index=False)["n"].sum()
+
+    def impurity(counts: dict) -> tuple:
+        n = sum(counts.values())
+        if n == 0:
+            return 0, 0
+        imp = 1_000_000 - sum(
+            (1_000_000 * c * c) // (n * n) for c in counts.values())
+        return imp, n
+
+    rows = []
+    for dim, gd in g.groupby("dim"):
+        lc = dict(gd[gd["left"] == 1].groupby("label")["n"].sum())
+        rc = dict(gd[gd["left"] == 0].groupby("label")["n"].sum())
+        il, nl = impurity(lc)
+        ir, nr = impurity(rc)
+        pc = {k: lc.get(k, 0) + rc.get(k, 0)
+              for k in set(lc) | set(rc)}
+        ip, n = impurity(pc)
+        if n == 0:
+            continue
+        gain = ip - (nl * il + nr * ir) // n
+        rows.append((int(dim), nl, gain))
+    if not rows:
+        return empty_out
+    return pd.DataFrame(rows, columns=list(out_cols)).astype(out_cols)
+
+
+SQL_EMBEDDING_FEATURE_GAIN = """
+WITH c AS (
+  SELECT label,
+         s.i - 1 AS dim,
+         CASE WHEN CAST(floor(CAST(embedding[s.i] AS DOUBLE) * 1000.0)
+                   AS BIGINT) >= 0 THEN 1 ELSE 0 END AS lft
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+                AS i) s
+),
+g AS (
+  SELECT dim, lft, label, CAST(count(*) AS HUGEINT) AS n
+  FROM c GROUP BY 1, 2, 3
+),
+sides AS (
+  SELECT dim, lft, sum(ns) AS ns, 1000000 - sum(term) AS imp
+  FROM (
+    SELECT dim, lft, n AS ns,
+           (1000000 * n * n)
+             // (sum(n) OVER (PARTITION BY dim, lft)
+                 * sum(n) OVER (PARTITION BY dim, lft)) AS term
+    FROM g
+  ) t GROUP BY dim, lft
+),
+parent AS (
+  SELECT dim, sum(ns) AS n, 1000000 - sum(term) AS imp
+  FROM (
+    SELECT dim, label, n AS ns,
+           (1000000 * n * n)
+             // (sum(n) OVER (PARTITION BY dim)
+                 * sum(n) OVER (PARTITION BY dim)) AS term
+    FROM (SELECT dim, label, sum(n) AS n FROM g GROUP BY 1, 2) p
+  ) t GROUP BY dim
+)
+SELECT CAST(p.dim AS BIGINT) AS dim,
+       CAST(COALESCE(l.ns, 0) AS BIGINT) AS n_left,
+       CAST(p.imp - (COALESCE(l.ns, 0) * COALESCE(l.imp, 0)
+                     + COALESCE(r.ns, 0) * COALESCE(r.imp, 0)) // p.n
+            AS BIGINT) AS gain_x1e6
+FROM parent p
+LEFT JOIN sides l ON l.dim = p.dim AND l.lft = 1
+LEFT JOIN sides r ON r.dim = p.dim AND r.lft = 0
+WHERE p.n > 0
+"""
+
+
+TEXTOPS_QUERIES["embedding_feature_gain"] = (
+    q_embedding_feature_gain, SQL_EMBEDDING_FEATURE_GAIN)

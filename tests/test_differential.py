@@ -589,6 +589,7 @@ def test_customer_embedding_backlog_differential(ray_session, tmp_path, seed):
     # cosine-pair histogram: the planted zero vector must drop out of
     # exactly the pairs that touch it, on both sides
     _compare(str(tmp_path), "embedding_pair_cosine_hist")
+    _compare(str(tmp_path), "embedding_feature_gain")
 
     m = int(rng.integers(80, 300))
     pq.write_table(pa.table(
