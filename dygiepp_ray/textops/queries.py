@@ -5082,3 +5082,91 @@ WHERE p.n > 0
 
 TEXTOPS_QUERIES["embedding_feature_gain"] = (
     q_embedding_feature_gain, SQL_EMBEDDING_FEATURE_GAIN)
+
+
+def q_turn_latency_stats(sf_dir: str) -> pd.DataFrame:
+    """Reply-latency profile of the transcript stream: consecutive-turn
+    timestamp gaps grouped by (role_from, role_to) — the
+    conversational-analytics table that answers 'how long do
+    assistant replies take after a user turn vs after a tool return'.
+    Works on the canonical input_hint ts column (here the
+    deterministic synthetic ts: turn t at TS0 + t(t+1)/2 s, so gaps
+    grow and the stats are non-trivial).
+
+    Map-only: gaps never cross conversations and each document's
+    turns are derived and paired inside one UDF call; per-batch
+    partials collapse to the 9-cell role matrix.
+    -> (role_from, role_to, n, total_gap_s, max_gap_s)."""
+    from ..semantics import DEFAULT_CONFIG
+
+    tt = DEFAULT_CONFIG.turn_tokens
+    roles = ("user", "assistant", "tool")
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out_cols = {"role_from": object, "role_to": object, "n": np.int64,
+                "total_gap_s": np.int64, "max_gap_s": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "text" not in df.columns:
+            return empty_out
+        rf, rt, gap = [], [], []
+        for text in df["text"]:
+            n = len(str(text).strip().split()) if str(text).strip() else 0
+            if n == 0:
+                continue
+            nt = (n + tt - 1) // tt
+            for t in range(nt - 1):
+                rf.append(roles[t % 3])
+                rt.append(roles[(t + 1) % 3])
+                gap.append(t + 1)  # ts gap: tri(t+1) - tri(t) seconds
+        if not rf:
+            return empty_out
+        g = pd.DataFrame({"role_from": rf, "role_to": rt,
+                          "gap": np.asarray(gap, np.int64)}).groupby(
+            ["role_from", "role_to"], as_index=False).agg(
+            n=("gap", "size"), total_gap_s=("gap", "sum"),
+            max_gap_s=("gap", "max"))
+        return g.astype({"n": np.int64, "total_gap_s": np.int64,
+                         "max_gap_s": np.int64})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty or "role_from" not in parts.columns:
+        return empty_out
+    return parts.groupby(["role_from", "role_to"], as_index=False).agg(
+        n=("n", "sum"), total_gap_s=("total_gap_s", "sum"),
+        max_gap_s=("max_gap_s", "max")).astype(
+        {"n": np.int64, "total_gap_s": np.int64, "max_gap_s": np.int64})
+
+
+def _sql_turn_latency_stats() -> str:
+    from ..semantics import DEFAULT_CONFIG
+
+    tt = DEFAULT_CONFIG.turn_tokens
+    role = ("CASE {t} % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' "
+            "ELSE 'tool' END")
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n
+  FROM documents WHERE trim(text) <> ''
+),
+nt AS (SELECT doc_id, (n + {tt} - 1) // {tt} AS nt FROM base),
+p AS (
+  SELECT doc_id, t.t
+  FROM nt, LATERAL (SELECT unnest(generate_series(0, nt.nt - 2))
+                    AS t) t
+  WHERE nt.nt >= 2
+)
+SELECT {role.format(t='t')} AS role_from,
+       {role.format(t='(t + 1)')} AS role_to,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(t + 1) AS BIGINT) AS total_gap_s,
+       CAST(max(t + 1) AS BIGINT) AS max_gap_s
+FROM p GROUP BY 1, 2
+"""
+
+
+TEXTOPS_QUERIES["turn_latency_stats"] = (
+    q_turn_latency_stats, _sql_turn_latency_stats())

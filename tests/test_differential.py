@@ -893,7 +893,8 @@ def test_webcorpus_differential(ray_session, tmp_path, seed):
               # on punctuation; tiny vocab gives heavy bigram mass
               "span_corruption_export", "pmi_bigrams", "stem_freq",
               "winnowing_fingerprints", "contrastive_pairs",
-              "tfrecord_docs", "webdataset_export"]:
+              "tfrecord_docs", "webdataset_export",
+              "turn_latency_stats"]:
         _compare(str(tmp_path), q)
 
 

@@ -124,6 +124,7 @@ _SAMPLE = [
     "webdataset_export", "embedding_pair_cosine_hist",
     "events_hour_profile", "kg_completeness_audit",
     "kg_provenance_sample", "embedding_feature_gain",
+    "turn_latency_stats",
     # contract_violations keeps its 5-rule zero-count card on empty
     # input (the pipeline_metrics convention) — excluded from the
     # zero-row sample
