@@ -1758,3 +1758,67 @@ FROM nodes n
 LEFT JOIN h2n ON h2n.node = n.node
 LEFT JOIN a2n ON a2n.node = n.node
 """
+
+
+def copurchase_components(sf_dir: str) -> pd.DataFrame:
+    """Component-size histogram of the co-purchase graph — the market-
+    structure readout (one giant blob vs many niches) that decides
+    whether graph features are worth computing at all.  Rides the
+    shared `_copurchase_edges` builder and the fully distributed
+    min-label `connected_components` (two keyed exchanges per round,
+    driver holds one convergence scalar); sizes fold in a component-
+    keyed exchange and only the tiny (size, count) histogram reaches
+    the driver.  -> (size, n_components)."""
+    from .textops.dedup import connected_components
+
+    edges = _copurchase_edges(sf_dir)
+    out_cols = {"size": np.int64, "n_components": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+    if edges.count() == 0:
+        return empty_out
+    comp = connected_components(edges)
+
+    def sizes(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "component" not in df.columns:
+            return pd.DataFrame({"size": pd.Series(dtype=np.int64)})
+        g = df.groupby("component", as_index=False).size()
+        return pd.DataFrame({"size": g["size"].to_numpy(np.int64)})
+
+    sz = partitioned_map_groups(
+        comp, "component", sizes, num_buckets=8).to_pandas()
+    if sz.empty or "size" not in sz.columns:
+        return empty_out
+    vc = sz["size"].value_counts()
+    return pd.DataFrame({"size": vc.index.to_numpy(np.int64),
+                         "n_components": vc.to_numpy(np.int64)})
+
+
+SQL_COPURCHASE_COMPONENTS = """
+WITH RECURSIVE d AS (
+  SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+  FROM lineitem
+),
+e AS (
+  SELECT DISTINCT a.pk AS pa, b.pk AS pb
+  FROM d a JOIN d b ON b.ok = a.ok AND a.pk < b.pk
+),
+sym AS (SELECT pa AS s, pb AS t FROM e
+        UNION ALL SELECT pb, pa FROM e),
+reach(a, b) AS (
+  SELECT s, t FROM sym
+  UNION
+  SELECT r.a, s2.t FROM reach r JOIN sym s2 ON s2.s = r.b
+),
+lab AS (
+  SELECT a AS node, least(a, min(b)) AS label FROM reach GROUP BY a
+),
+siz AS (SELECT label, CAST(count(*) AS BIGINT) AS size
+        FROM lab GROUP BY label)
+SELECT size, CAST(count(*) AS BIGINT) AS n_components
+FROM siz GROUP BY size
+"""
+
+
+ANALYTICS_QUERIES["copurchase_components"] = (
+    copurchase_components, SQL_COPURCHASE_COMPONENTS)

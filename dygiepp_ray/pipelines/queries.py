@@ -2958,6 +2958,7 @@ _DRIVER_SAMPLE_FIRST = (
     "embedding_pair_cosine_hist", "events_hour_profile",
     "kg_completeness_audit", "kg_provenance_sample",
     "embedding_feature_gain", "turn_latency_stats",
+    "copurchase_components", "protobuf_docs",
     # tier -2: added this session (ninth continuation)
     "mann_whitney_quantity", "ks_price_by_status", "order_value_ecdf",
     "autocorr_revenue", "lineitem_reconciliation", "unicode_audit",

@@ -5170,3 +5170,41 @@ FROM p GROUP BY 1, 2
 
 TEXTOPS_QUERIES["turn_latency_stats"] = (
     q_turn_latency_stats, _sql_turn_latency_stats())
+
+
+def q_protobuf_docs(sf_dir: str):
+    """REAL delimited-protobuf parsing (varint framing, tag/wire-type
+    dispatch, multi-byte varint ids); the twin regenerates every
+    message's (doc_id, category, payload md5) from the chain rule
+    without touching the wire format."""
+    from ..sources import protostream
+
+    return protostream.proto_records(
+        ray.data.from_arrow(protostream.synth_protostream(40)))
+
+
+def _sql_protobuf_docs() -> str:
+    from ..sources.protostream import PB_SEED
+
+    return f"""
+WITH m AS (
+  SELECT i, md5('pb:{PB_SEED}:' || i) AS base FROM range(0, 40) t(i)
+),
+d AS (SELECT i, base, 25 + {_sql_hexval('base', 1, 2)} % 230 AS size FROM m),
+ch AS (
+  SELECT d.i, d.base, d.size,
+         string_agg(md5('pb:{PB_SEED}:' || d.i || ':' || j.j), ''
+                    ORDER BY j.j) AS chain
+  FROM d, range(0, 8) j(j) GROUP BY d.i, d.base, d.size
+)
+SELECT CAST(0 AS BIGINT) AS file_id, CAST(i AS BIGINT) AS msg_idx,
+       CAST(1000 + i * 7 AS BIGINT) AS doc_id,
+       'cat' || CAST({_sql_hexval('base', 3, 1)} % 5 AS VARCHAR)
+         AS category,
+       CAST(size AS BIGINT) AS payload_len,
+       md5(substring(chain, 1, size)) AS payload_md5
+FROM ch
+"""
+
+
+TEXTOPS_QUERIES["protobuf_docs"] = (q_protobuf_docs, _sql_protobuf_docs())

@@ -185,7 +185,9 @@ def test_lineitem_queries_differential(ray_session, tmp_path, seed):
               "cheapest_supplier", "small_quantity_revenue",
               "corr_matrix", "revenue_cube", "ols_price_qty",
               "quantity_mode", "mad_price_outliers", "basket_rules",
-              "monthly_top_movers"]:
+              # sparse random baskets -> genuinely multi-component
+              # co-purchase graphs (sf tables give one giant blob)
+              "monthly_top_movers", "copurchase_components"]:
         _compare(str(tmp_path), q)
 
 
@@ -1007,3 +1009,19 @@ def test_contract_violations_differential(ray_session, tmp_path, seed):
          "o_orderpriority": pa.array(rng.choice(["1-URGENT"], n))}
     ), tmp_path / "orders.parquet")
     _compare(str(tmp_path), "contract_violations")
+
+
+def test_protobuf_varint_framing():
+    """Multi-byte varints are the norm in the synth stream; a length
+    corruption must fail loudly (message framing is live)."""
+    from dygiepp_ray.sources import protostream as P
+
+    tbl = P.synth_protostream(10)
+    good = P.ProtoRecords()(tbl.to_pandas())
+    assert len(good) == 10 and (good["doc_id"] >= 1000).all()
+    raw = bytearray(tbl.column("payload")[0].as_py())
+    raw[0] ^= 0x01  # first message's length prefix off by one
+    import pytest as _pytest
+    with _pytest.raises((ValueError, IndexError, UnicodeDecodeError)):
+        P.ProtoRecords()(pd.DataFrame(
+            {"file_id": [0], "payload": [bytes(raw)]}))

@@ -124,7 +124,8 @@ _SAMPLE = [
     "webdataset_export", "embedding_pair_cosine_hist",
     "events_hour_profile", "kg_completeness_audit",
     "kg_provenance_sample", "embedding_feature_gain",
-    "turn_latency_stats",
+    "turn_latency_stats", "copurchase_components",
+    # protobuf_docs synthesizes its own input (chain-rule twin)
     # contract_violations keeps its 5-rule zero-count card on empty
     # input (the pipeline_metrics convention) — excluded from the
     # zero-row sample
