@@ -167,6 +167,13 @@ def main() -> None:
             ("session_duration_quantiles", R.session_duration_quantiles),
             ("surprisal_buckets", TQ.q_surprisal_buckets),
             ("kg_store_lookup", KQ.q_kg_store_lookup),
+            # tenth continuation: web-corpus ingestion + retrieval +
+            # KG-embedding families
+            ("html_extract", TQ._webcorpus.q_html_extract),
+            ("bm25_search", TQ.q_bm25_search),
+            ("winnowing_fingerprints", TQ.q_winnowing_fingerprints),
+            ("kg_hits", KQ.q_kg_hits),
+            ("kg_transe_scores", KQ.q_kg_transe_scores),
         ]:
             t0 = time.perf_counter()
             res = fn(SF_DIR)

@@ -2959,6 +2959,7 @@ _DRIVER_SAMPLE_FIRST = (
     "kg_completeness_audit", "kg_provenance_sample",
     "embedding_feature_gain", "turn_latency_stats",
     "copurchase_components", "protobuf_docs",
+    "kg_transe_eval", "token_budget_allocation",
     # tier -2: added this session (ninth continuation)
     "mann_whitney_quantity", "ks_price_by_status", "order_value_ecdf",
     "autocorr_revenue", "lineitem_reconciliation", "unicode_audit",
@@ -4141,3 +4142,43 @@ WHERE ({_sql_hexval_big(f"md5({seed})", 2)}) % 4 = 0
 
 KG_QUERIES["kg_provenance_sample"] = (q_kg_provenance_sample,
                                       _sql_kg_provenance_sample())
+
+
+def q_kg_transe_eval(sf_dir: str) -> pd.DataFrame:
+    """Link-prediction eval card over the TransE scores: MRR (fixed
+    point 1e6, floored per-triple reciprocal ranks summed then
+    averaged) and hits@1/hits@3 — the one-row summary a KG-embedding
+    dashboard tracks per snapshot.  Derived from the same ranking as
+    kg_transe_scores, so the two stay consistent by construction."""
+    ranks = q_kg_transe_scores(sf_dir)
+    if not isinstance(ranks, pd.DataFrame):
+        ranks = ranks.to_pandas()
+    out_cols = {"n_triples": np.int64, "mrr_x1e6": np.int64,
+                "hits1": np.int64, "hits3": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+    if len(ranks) == 0 or "rank" not in ranks.columns:
+        return empty_out
+    r = ranks["rank"].to_numpy(np.int64)
+    n = len(r)
+    mrr = int(sum(1_000_000 // int(v) for v in r)) // n
+    return pd.DataFrame(
+        [(n, mrr, int((r == 1).sum()), int((r <= 3).sum()))],
+        columns=list(out_cols)).astype(out_cols)
+
+
+def _sql_kg_transe_eval() -> str:
+    inner = _sql_kg_transe_scores()
+    return f"""
+WITH ranks AS ({inner})
+SELECT CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(sum(1000000 // rank) // count(*) AS BIGINT) AS mrr_x1e6,
+       CAST(sum(CASE WHEN rank = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS hits1,
+       CAST(sum(CASE WHEN rank <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS hits3
+FROM ranks
+"""
+
+
+KG_QUERIES["kg_transe_eval"] = (q_kg_transe_eval, _sql_kg_transe_eval())

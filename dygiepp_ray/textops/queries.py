@@ -5208,3 +5208,92 @@ FROM ch
 
 
 TEXTOPS_QUERIES["protobuf_docs"] = (q_protobuf_docs, _sql_protobuf_docs())
+
+
+TOKEN_BUDGET = 1_000_000
+
+
+def q_token_budget_allocation(sf_dir: str) -> pd.DataFrame:
+    """Mixture apportionment by the largest-remainder (Hamilton)
+    method: a 1M-token training budget is split across sources in
+    proportion to their token mass, integer-exactly — quota =
+    B*T_s // T, then the leftover tokens go to the largest remainders
+    (ties to the lexicographically first source).  The allocation
+    table a data-mixture scheduler executes; sums to the budget
+    EXACTLY, unlike float weights.
+
+    Map-only: per-batch (source, tokens) partials collapse to the
+    source vocabulary; the driver folds O(sources).
+    -> (source, n_tokens, alloc_tokens)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"source": pd.Series(dtype=object),
+                              "n": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "text" not in df.columns:
+            return empty
+        toks = df["text"].astype(str).str.strip()
+        n = np.where(toks == "", 0,
+                     toks.str.count(r"\s+").to_numpy(np.int64) + 1)
+        g = pd.DataFrame({"source": df["source"].to_numpy(),
+                          "n": n}).groupby(
+            "source", as_index=False)["n"].sum()
+        return g.astype({"n": np.int64})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out_cols = {"source": object, "n_tokens": np.int64,
+                "alloc_tokens": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+    if parts.empty or "source" not in parts.columns:
+        return empty_out
+    g = parts.groupby("source", as_index=False)["n"].sum()
+    g = g[g["n"] > 0].sort_values("source", ignore_index=True)
+    T = int(g["n"].sum())
+    if T == 0:
+        return empty_out
+    B = TOKEN_BUDGET
+    quota = (B * g["n"].to_numpy(np.int64)) // T
+    rem = (B * g["n"].to_numpy(np.int64)) % T
+    L = B - int(quota.sum())
+    order = np.lexsort((np.arange(len(g)), -rem))  # rem DESC, src ASC
+    bonus = np.zeros(len(g), dtype=np.int64)
+    bonus[order[:L]] = 1
+    return pd.DataFrame(
+        {"source": g["source"].to_numpy(object),
+         "n_tokens": g["n"].to_numpy(np.int64),
+         "alloc_tokens": quota + bonus})
+
+
+def _sql_token_budget_allocation() -> str:
+    B = TOKEN_BUDGET
+    return rf"""
+WITH base AS (
+  SELECT source,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS HUGEINT)
+           AS n
+  FROM documents WHERE trim(text) <> ''
+),
+g AS (SELECT source, sum(n) AS n FROM base GROUP BY source),
+t AS (SELECT sum(n) AS tt FROM g),
+q AS (
+  SELECT source, n, ({B} * n) // t.tt AS quota,
+         ({B} * n) % t.tt AS rem
+  FROM g, t WHERE t.tt > 0
+),
+lft AS (SELECT {B} - sum(quota) AS l FROM q),
+r AS (
+  SELECT source, n, quota,
+         row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+  FROM q
+)
+SELECT source, CAST(n AS BIGINT) AS n_tokens,
+       CAST(quota + CASE WHEN rk <= lft.l THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc_tokens
+FROM r, lft
+"""
+
+
+TEXTOPS_QUERIES["token_budget_allocation"] = (
+    q_token_budget_allocation, _sql_token_budget_allocation())

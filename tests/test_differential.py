@@ -503,7 +503,7 @@ def test_kg_schema_ops_differential(ray_session, tmp_path, seed):
               "kg_qa_pairs", "chatml_export", "kg_alias_resolution",
               "bio_tagged_export", "kg_hits", "kg_transe_scores",
               "kg_mention_salience", "kg_completeness_audit",
-              "kg_provenance_sample"]:
+              "kg_provenance_sample", "kg_transe_eval"]:
         _compare(str(tmp_path), q)
 
 
@@ -896,7 +896,7 @@ def test_webcorpus_differential(ray_session, tmp_path, seed):
               "span_corruption_export", "pmi_bigrams", "stem_freq",
               "winnowing_fingerprints", "contrastive_pairs",
               "tfrecord_docs", "webdataset_export",
-              "turn_latency_stats"]:
+              "turn_latency_stats", "token_budget_allocation"]:
         _compare(str(tmp_path), q)
 
 

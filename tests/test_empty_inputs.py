@@ -125,6 +125,7 @@ _SAMPLE = [
     "events_hour_profile", "kg_completeness_audit",
     "kg_provenance_sample", "embedding_feature_gain",
     "turn_latency_stats", "copurchase_components",
+    "kg_transe_eval", "token_budget_allocation",
     # protobuf_docs synthesizes its own input (chain-rule twin)
     # contract_violations keeps its 5-rule zero-count card on empty
     # input (the pipeline_metrics convention) — excluded from the
