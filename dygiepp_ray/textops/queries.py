@@ -5297,3 +5297,120 @@ FROM r, lft
 
 TEXTOPS_QUERIES["token_budget_allocation"] = (
     q_token_budget_allocation, _sql_token_budget_allocation())
+
+
+TT_WIN = 16     # TextTiling block = one 16-token turn window
+TT_DIMS = 16    # hashed-feature dimensionality
+TT_THRESH_X1E6 = 500_000
+
+
+def q_topic_boundaries(sf_dir: str) -> "ray.data.Dataset":
+    """TextTiling-style topic segmentation (the chunk-boundary pass a
+    RAG indexer runs before embedding): each 16-token window becomes a
+    16-dim hashed count vector (md5(token) % 16 — the hashed_features
+    convention), adjacent windows are compared by cosine over exact
+    integer dots/norms (pinned float64 finish), and a boundary is
+    declared where similarity < 0.5.  Windows never cross documents.
+
+    Map-only over documents; per-batch self-contained.
+    -> (doc_id, n_windows, n_boundaries, min_cos_x1e6)."""
+    import hashlib
+    import math
+
+    ds = _docs(sf_dir)
+    out_cols = {"doc_id": np.int64, "n_windows": np.int64,
+                "n_boundaries": np.int64, "min_cos_x1e6": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "text" not in df.columns:
+            return empty_out
+        rows = {c: [] for c in out_cols}
+        for did, text in zip(df["doc_id"].to_numpy(), df["text"]):
+            toks = str(text).strip().split()
+            nw = (len(toks) + TT_WIN - 1) // TT_WIN
+            if nw < 2:
+                continue
+            vecs = np.zeros((nw, TT_DIMS), dtype=np.int64)
+            for pos, tok in enumerate(toks):
+                dim = int(hashlib.md5(tok.encode()).hexdigest()[:4],
+                          16) % TT_DIMS
+                vecs[pos // TT_WIN, dim] += 1
+            nb = 0
+            mincos = 1_000_000
+            for w in range(nw - 1):
+                a, b = vecs[w], vecs[w + 1]
+                na, nbm = int((a * a).sum()), int((b * b).sum())
+                if na == 0 or nbm == 0:
+                    continue
+                dot = int((a * b).sum())
+                cos = int(math.floor(
+                    (1_000_000.0 * float(dot))
+                    / math.sqrt(float(na) * float(nbm))))
+                mincos = min(mincos, cos)
+                if cos < TT_THRESH_X1E6:
+                    nb += 1
+            rows["doc_id"].append(int(did))
+            rows["n_windows"].append(nw)
+            rows["n_boundaries"].append(nb)
+            rows["min_cos_x1e6"].append(mincos)
+        if not rows["doc_id"]:
+            return empty_out
+        return pd.DataFrame(rows).astype(
+            {c: np.int64 for c in out_cols if c != "doc_id"}).astype(
+            {"doc_id": np.int64})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def _sql_topic_boundaries() -> str:
+    h = "md5(tok)"
+    return rf"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+  FROM documents WHERE trim(text) <> ''
+),
+toks AS (
+  SELECT doc_id, len(arr) AS n, arr[i] AS tok, i - 1 AS pos
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) s
+),
+nw AS (SELECT doc_id, (any_value(n) + {TT_WIN} - 1) // {TT_WIN} AS nw
+       FROM toks GROUP BY doc_id),
+v AS (
+  SELECT doc_id, pos // {TT_WIN} AS w,
+         {_sql_hexval(h, 1, 4)} % {TT_DIMS} AS dim,
+         CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2, 3
+),
+nrm AS (SELECT doc_id, w, sum(c * c) AS nn FROM v GROUP BY 1, 2),
+dotp AS (
+  SELECT a.doc_id, a.w, COALESCE(sum(a.c * b.c), 0) AS dp
+  FROM v a LEFT JOIN v b
+    ON b.doc_id = a.doc_id AND b.w = a.w + 1 AND b.dim = a.dim
+  GROUP BY 1, 2
+),
+cs AS (
+  SELECT na.doc_id, na.w,
+         CAST(floor((1000000.0 * CAST(d.dp AS DOUBLE))
+                    / sqrt(CAST(na.nn AS DOUBLE)
+                           * CAST(nb.nn AS DOUBLE))) AS BIGINT) AS cos
+  FROM nrm na
+  JOIN nrm nb ON nb.doc_id = na.doc_id AND nb.w = na.w + 1
+  JOIN dotp d ON d.doc_id = na.doc_id AND d.w = na.w
+  WHERE na.nn > 0 AND nb.nn > 0
+)
+SELECT CAST(nw.doc_id AS BIGINT) AS doc_id,
+       CAST(nw.nw AS BIGINT) AS n_windows,
+       CAST(COALESCE(sum(CASE WHEN cs.cos < {TT_THRESH_X1E6}
+                         THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_boundaries,
+       CAST(COALESCE(min(cs.cos), 1000000) AS BIGINT) AS min_cos_x1e6
+FROM nw LEFT JOIN cs ON cs.doc_id = nw.doc_id
+WHERE nw.nw >= 2
+GROUP BY nw.doc_id, nw.nw
+"""
+
+
+TEXTOPS_QUERIES["topic_boundaries"] = (
+    q_topic_boundaries, _sql_topic_boundaries())

@@ -896,7 +896,8 @@ def test_webcorpus_differential(ray_session, tmp_path, seed):
               "span_corruption_export", "pmi_bigrams", "stem_freq",
               "winnowing_fingerprints", "contrastive_pairs",
               "tfrecord_docs", "webdataset_export",
-              "turn_latency_stats", "token_budget_allocation"]:
+              "turn_latency_stats", "token_budget_allocation",
+              "topic_boundaries"]:
         _compare(str(tmp_path), q)
 
 
