@@ -2960,7 +2960,7 @@ _DRIVER_SAMPLE_FIRST = (
     "embedding_feature_gain", "turn_latency_stats",
     "copurchase_components", "protobuf_docs",
     "kg_transe_eval", "token_budget_allocation",
-    "topic_boundaries",
+    "topic_boundaries", "anonymize_width_search",
     # tier -2: added this session (ninth continuation)
     "mann_whitney_quantity", "ks_price_by_status", "order_value_ecdf",
     "autocorr_revenue", "lineitem_reconciliation", "unicode_audit",

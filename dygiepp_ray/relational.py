@@ -11730,3 +11730,106 @@ FROM g
 
 RELATIONAL_QUERIES["events_hour_profile"] = (
     events_hour_profile, SQL_EVENTS_HOUR_PROFILE)
+
+
+ANON_K = 10
+ANON_MAX_J = 15
+
+
+def anonymize_width_search(sf_dir: str) -> pd.DataFrame:
+    """k-anonymity REMEDY (the generalization step after
+    k_anonymity_violations / l_diversity_profile flag a table): for
+    each order status, find the smallest price-band width from the
+    doubling ladder 1000*2^j dollars (j = 0..14) at which EVERY band
+    group holds >= 10 rows — the minimal generalization that makes the
+    quasi-identifier safe to release.  Statuses whose total count
+    can't reach k report j = -1 (suppress, don't generalize).
+
+    Map-only: per-batch (status, j, band) count partials collapse to
+    the bounded ladder x band domain; the driver folds O(domain).
+    -> (o_orderstatus, chosen_j, width_dollars, n_groups, min_group)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"st": pd.Series(dtype=object),
+                              "j": pd.Series(dtype=np.int64),
+                              "band": pd.Series(dtype=np.int64),
+                              "n": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "o_orderstatus" not in df.columns:
+            return empty
+        dollars = np.floor(
+            df["o_totalprice"].to_numpy(np.float64)).astype(np.int64)
+        st = df["o_orderstatus"].to_numpy(object)
+        frames = []
+        for j in range(ANON_MAX_J):
+            w = 1000 << j
+            frames.append(pd.DataFrame(
+                {"st": st, "j": np.int64(j), "band": dollars // w}))
+        g = pd.concat(frames, ignore_index=True).groupby(
+            ["st", "j", "band"], as_index=False).size().rename(
+            columns={"size": "n"})
+        return g.astype({"j": np.int64, "band": np.int64,
+                         "n": np.int64})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out_cols = {"o_orderstatus": object, "chosen_j": np.int64,
+                "width_dollars": np.int64, "n_groups": np.int64,
+                "min_group": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+    if parts.empty or "st" not in parts.columns:
+        return empty_out
+    cells = parts.groupby(["st", "j", "band"], as_index=False)["n"].sum()
+    per_j = cells.groupby(["st", "j"], as_index=False).agg(
+        n_groups=("n", "size"), min_group=("n", "min"))
+    rows = []
+    for st, g in per_j.groupby("st"):
+        ok = g[g["min_group"] >= ANON_K].sort_values("j")
+        if len(ok):
+            r = ok.iloc[0]
+            rows.append((st, int(r["j"]), 1000 << int(r["j"]),
+                         int(r["n_groups"]), int(r["min_group"])))
+        else:
+            rows.append((st, -1, -1, 0, 0))
+    return pd.DataFrame(rows, columns=list(out_cols)).astype(
+        {c: t for c, t in out_cols.items() if c != "o_orderstatus"}
+    ).sort_values("o_orderstatus", ignore_index=True)
+
+
+SQL_ANONYMIZE_WIDTH_SEARCH = f"""
+WITH e AS (
+  SELECT o_orderstatus AS st,
+         CAST(floor(o_totalprice) AS BIGINT) AS dollars
+  FROM orders
+),
+lad AS (SELECT j, 1000 * (1 << j) AS w
+        FROM range(0, {ANON_MAX_J}) t(j)),
+c AS (
+  SELECT st, lad.j, lad.w, dollars // lad.w AS band,
+         CAST(count(*) AS BIGINT) AS n
+  FROM e, lad GROUP BY 1, 2, 3, 4
+),
+pj AS (
+  SELECT st, j, any_value(w) AS w,
+         CAST(count(*) AS BIGINT) AS n_groups, min(n) AS min_group
+  FROM c GROUP BY st, j
+),
+ok AS (
+  SELECT st, j, w, n_groups, min_group,
+         row_number() OVER (PARTITION BY st ORDER BY j) AS rk
+  FROM pj WHERE min_group >= {ANON_K}
+),
+sts AS (SELECT DISTINCT st FROM e)
+SELECT sts.st AS o_orderstatus,
+       CAST(COALESCE(ok.j, -1) AS BIGINT) AS chosen_j,
+       CAST(COALESCE(ok.w, -1) AS BIGINT) AS width_dollars,
+       CAST(COALESCE(ok.n_groups, 0) AS BIGINT) AS n_groups,
+       CAST(COALESCE(ok.min_group, 0) AS BIGINT) AS min_group
+FROM sts LEFT JOIN ok ON ok.st = sts.st AND ok.rk = 1
+"""
+
+
+RELATIONAL_QUERIES["anonymize_width_search"] = (
+    anonymize_width_search, SQL_ANONYMIZE_WIDTH_SEARCH)

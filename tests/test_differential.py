@@ -134,7 +134,10 @@ def test_orders_queries_differential(ray_session, tmp_path, seed):
               "revenue_sax_motifs", "l_diversity_profile",
               # tiny key domains make band collisions and shared
               # bitmap words the NORM here
-              "duplicate_payments", "bitmap_index_stats"]:
+              "duplicate_payments", "bitmap_index_stats",
+              # micro-tables rarely reach k=10 per band: the
+              # suppress (-1) branch runs here
+              "anonymize_width_search"]:
         _compare(str(tmp_path), q)
 
 

@@ -126,7 +126,7 @@ _SAMPLE = [
     "kg_provenance_sample", "embedding_feature_gain",
     "turn_latency_stats", "copurchase_components",
     "kg_transe_eval", "token_budget_allocation",
-    "topic_boundaries",
+    "topic_boundaries", "anonymize_width_search",
     # protobuf_docs synthesizes its own input (chain-rule twin)
     # contract_violations keeps its 5-rule zero-count card on empty
     # input (the pipeline_metrics convention) — excluded from the
