@@ -2961,6 +2961,7 @@ _DRIVER_SAMPLE_FIRST = (
     "copurchase_components", "protobuf_docs",
     "kg_transe_eval", "token_budget_allocation",
     "topic_boundaries", "anonymize_width_search",
+    "bigram_lm_eval", "mixture_temperature_sweep",
     # tier -2: added this session (ninth continuation)
     "mann_whitney_quantity", "ks_price_by_status", "order_value_ecdf",
     "autocorr_revenue", "lineitem_reconciliation", "unicode_audit",

@@ -5414,3 +5414,215 @@ GROUP BY nw.doc_id, nw.nw
 
 TEXTOPS_QUERIES["topic_boundaries"] = (
     q_topic_boundaries, _sql_topic_boundaries())
+
+
+BIGRAM_LM_V = 64  # add-1 smoothing vocabulary constant (hashed dims)
+
+
+def q_bigram_lm_eval(sf_dir: str) -> pd.DataFrame:
+    """Held-out bigram-LM evaluation (the data-quality readout behind
+    'is this corpus self-predictable'): a bigram model with add-1
+    smoothing is counted on the train split (md5 fences, the
+    train_split convention) and scored on the test split —
+    per-bigram probability p = (c_ab + 1) / (c_a + 64) at fixed point
+    1e9 (floored per bigram, then a floored average), plus the OOV
+    bigram rate.  No log anywhere, so every number is integer-exact.
+
+    Two streaming passes (train counts, test scoring); the train
+    bigram/unigram tables are the broadcast small side (bounded by
+    vocab — the decontaminate asymmetry).
+    -> one row (n_train_bigrams, n_test_bigrams, oov_ppm,
+    avg_p_x1e9)."""
+    import hashlib
+
+    from .corpus import TRAIN_HEX, VAL_HEX  # noqa: F401
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out_cols = {"n_train_bigrams": np.int64, "n_test_bigrams": np.int64,
+                "oov_ppm": np.int64, "avg_p_x1e9": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+
+    def split_of(did) -> str:
+        b = hashlib.md5(str(did).encode()).hexdigest()[:2]
+        return "train" if b < TRAIN_HEX else (
+            "val" if b < VAL_HEX else "test")
+
+    def counts(which: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"a": pd.Series(dtype=object),
+                                  "b": pd.Series(dtype=object),
+                                  "n": pd.Series(dtype=np.int64)})
+            if len(df) == 0 or "doc_id" not in df.columns:
+                return empty
+            aa, bb = [], []
+            for did, text in zip(df["doc_id"], df["text"]):
+                if split_of(did) != which:
+                    continue
+                ts = str(text).split()
+                aa.extend(ts[:-1])
+                bb.extend(ts[1:])
+            if not aa:
+                return empty
+            g = pd.DataFrame({"a": np.asarray(aa, object),
+                              "b": np.asarray(bb, object)}).groupby(
+                ["a", "b"], as_index=False).size().rename(
+                columns={"size": "n"})
+            return g.astype({"n": np.int64})
+        return fn
+
+    train = ds.map_batches(
+        counts("train"), batch_format="pandas").to_pandas()
+    test = ds.map_batches(
+        counts("test"), batch_format="pandas").to_pandas()
+    if (train.empty or "a" not in train.columns
+            or test.empty or "a" not in test.columns):
+        return empty_out
+    tr = train.groupby(["a", "b"])["n"].sum()
+    tr_uni = train.groupby("a")["n"].sum()
+    te = test.groupby(["a", "b"])["n"].sum()
+    n_train = int(tr.sum())
+    n_test = int(te.sum())
+    if n_test == 0:
+        return empty_out
+    oov = 0
+    total_p = 0
+    for (a, b), n in te.items():
+        c_ab = int(tr.get((a, b), 0))
+        c_a = int(tr_uni.get(a, 0))
+        if c_ab == 0:
+            oov += int(n)
+        p = (1_000_000_000 * (c_ab + 1)) // (c_a + BIGRAM_LM_V)
+        total_p += int(n) * p
+    return pd.DataFrame(
+        [(n_train, n_test, (oov * 1_000_000) // n_test,
+          total_p // n_test)],
+        columns=list(out_cols)).astype(out_cols)
+
+
+def _sql_bigram_lm_eval() -> str:
+    from .corpus import TRAIN_HEX, VAL_HEX
+
+    return rf"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hx
+  FROM documents WHERE trim(text) <> ''
+),
+toks AS (
+  SELECT doc_id, hx, arr[i] AS tok, i - 1 AS pos
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) s
+),
+big AS (
+  SELECT t1.hx, t1.tok AS a, t2.tok AS b
+  FROM toks t1 JOIN toks t2
+    ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+),
+tr AS (SELECT a, b, CAST(count(*) AS HUGEINT) AS n FROM big
+       WHERE hx < '{TRAIN_HEX}' GROUP BY 1, 2),
+tru AS (SELECT a, sum(n) AS n FROM tr GROUP BY a),
+te AS (SELECT a, b, CAST(count(*) AS HUGEINT) AS n FROM big
+       WHERE hx >= '{VAL_HEX}' GROUP BY 1, 2),
+sc AS (
+  SELECT te.n,
+         CASE WHEN tr.n IS NULL THEN te.n ELSE 0 END AS oov,
+         te.n * ((1000000000 * (COALESCE(tr.n, 0) + 1))
+                 // (COALESCE(tru.n, 0) + {BIGRAM_LM_V})) AS psum
+  FROM te
+  LEFT JOIN tr ON tr.a = te.a AND tr.b = te.b
+  LEFT JOIN tru ON tru.a = te.a
+)
+SELECT CAST((SELECT COALESCE(sum(n), 0) FROM tr) AS BIGINT)
+         AS n_train_bigrams,
+       CAST(sum(n) AS BIGINT) AS n_test_bigrams,
+       CAST(sum(oov) * 1000000 // sum(n) AS BIGINT) AS oov_ppm,
+       CAST(sum(psum) // sum(n) AS BIGINT) AS avg_p_x1e9
+FROM sc HAVING sum(n) > 0
+"""
+
+
+TEXTOPS_QUERIES["bigram_lm_eval"] = (
+    q_bigram_lm_eval, _sql_bigram_lm_eval())
+
+
+def q_mixture_temperature_sweep(sf_dir: str) -> pd.DataFrame:
+    """Sampling-temperature sweep for the data mixture (the table
+    behind choosing tau when upsampling low-resource sources): source
+    weights proportional to T_s^tau for tau in {0.5, 1.0}, computed as
+    integer fixed point — f = floor(sqrt(T)*1000) for tau=0.5 (sqrt is
+    correctly-rounded IEEE on both engines; everything after is
+    integer) and f = T for tau=1.0; weight_ppm = (1e6*f) // sum(f).
+
+    Map-only token-count partials over the source vocabulary (the
+    token_budget_allocation pass).
+    -> (tau_x10, source, n_tokens, weight_ppm)."""
+    import math
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"source": pd.Series(dtype=object),
+                              "n": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "text" not in df.columns:
+            return empty
+        toks = df["text"].astype(str).str.strip()
+        n = np.where(toks == "", 0,
+                     toks.str.count(r"\s+").to_numpy(np.int64) + 1)
+        g = pd.DataFrame({"source": df["source"].to_numpy(),
+                          "n": n}).groupby(
+            "source", as_index=False)["n"].sum()
+        return g.astype({"n": np.int64})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out_cols = {"tau_x10": np.int64, "source": object,
+                "n_tokens": np.int64, "weight_ppm": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+    if parts.empty or "source" not in parts.columns:
+        return empty_out
+    g = parts.groupby("source", as_index=False)["n"].sum()
+    g = g[g["n"] > 0].sort_values("source", ignore_index=True)
+    if len(g) == 0:
+        return empty_out
+    rows = []
+    for tau_x10 in (5, 10):
+        if tau_x10 == 5:
+            f = [int(math.floor(math.sqrt(float(int(n))) * 1000.0))
+                 for n in g["n"]]
+        else:
+            f = [int(n) for n in g["n"]]
+        tot = sum(f)
+        for src, n, fs in zip(g["source"], g["n"], f):
+            rows.append((tau_x10, src, int(n),
+                         (1_000_000 * fs) // tot))
+    return pd.DataFrame(rows, columns=list(out_cols)).astype(
+        {c: t for c, t in out_cols.items() if c != "source"})
+
+
+SQL_MIXTURE_TEMPERATURE_SWEEP = r"""
+WITH base AS (
+  SELECT source,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS HUGEINT)
+           AS n
+  FROM documents WHERE trim(text) <> ''
+),
+g AS (SELECT source, sum(n) AS n FROM base GROUP BY source),
+f AS (
+  SELECT 5 AS tau_x10, source, n,
+         CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000.0) AS HUGEINT) AS fv
+  FROM g
+  UNION ALL
+  SELECT 10, source, n, n FROM g
+),
+t AS (SELECT tau_x10, sum(fv) AS tot FROM f GROUP BY tau_x10)
+SELECT CAST(f.tau_x10 AS BIGINT) AS tau_x10, f.source,
+       CAST(f.n AS BIGINT) AS n_tokens,
+       CAST((1000000 * f.fv) // t.tot AS BIGINT) AS weight_ppm
+FROM f JOIN t ON t.tau_x10 = f.tau_x10
+"""
+
+
+TEXTOPS_QUERIES["mixture_temperature_sweep"] = (
+    q_mixture_temperature_sweep, SQL_MIXTURE_TEMPERATURE_SWEEP)

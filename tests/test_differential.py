@@ -900,7 +900,8 @@ def test_webcorpus_differential(ray_session, tmp_path, seed):
               "winnowing_fingerprints", "contrastive_pairs",
               "tfrecord_docs", "webdataset_export",
               "turn_latency_stats", "token_budget_allocation",
-              "topic_boundaries"]:
+              "topic_boundaries", "bigram_lm_eval",
+              "mixture_temperature_sweep"]:
         _compare(str(tmp_path), q)
 
 
