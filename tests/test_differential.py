@@ -1030,3 +1030,18 @@ def test_protobuf_varint_framing():
     with _pytest.raises((ValueError, IndexError, UnicodeDecodeError)):
         P.ProtoRecords()(pd.DataFrame(
             {"file_id": [0], "payload": [bytes(raw)]}))
+
+
+def test_tfrecord_crc32c_and_framing():
+    """Pin the Castagnoli polynomial (crc32c('123456789') = 0xe3069283)
+    and prove the reader actually verifies CRCs: a flipped payload
+    byte must raise, not pass through."""
+    from dygiepp_ray.sources import tfrecord as T
+
+    assert T.crc32c(b"123456789") == 0xE3069283
+    blob = bytearray(T.write_tfrecords([b"hello world", b"x" * 300]))
+    assert T.read_tfrecords(bytes(blob)) == [b"hello world", b"x" * 300]
+    blob[14] ^= 0xFF  # inside the first payload
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        T.read_tfrecords(bytes(blob))
