@@ -2962,6 +2962,7 @@ _DRIVER_SAMPLE_FIRST = (
     "kg_transe_eval", "token_budget_allocation",
     "topic_boundaries", "anonymize_width_search",
     "bigram_lm_eval", "mixture_temperature_sweep",
+    "kg_cardinality_rules", "tool_chain_export",
     # tier -2: added this session (ninth continuation)
     "mann_whitney_quantity", "ks_price_by_status", "order_value_ecdf",
     "autocorr_revenue", "lineitem_reconciliation", "unicode_audit",
@@ -4184,3 +4185,173 @@ FROM ranks
 
 
 KG_QUERIES["kg_transe_eval"] = (q_kg_transe_eval, _sql_kg_transe_eval())
+
+
+def q_kg_cardinality_rules(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
+    """Predicate cardinality induction (the ontology pass that labels
+    predicates functional / inverse-functional before constraint
+    checking): per predicate, the maximum distinct objects any subject
+    asserts and the maximum distinct subjects any object receives,
+    plus the induced flags (max == 1).
+
+    Two keyed exchanges — (subj, pred) and (obj, pred) dedup/count
+    sides — each emitting one per-pred partial row per bucket; the
+    driver folds O(preds x buckets) maxima.
+    -> (pred, max_obj_per_subj, max_subj_per_obj, functional,
+    inverse_functional)."""
+    from ..core import partitioned_map_groups
+
+    pipe = from_documents_table(sf_dir)
+    trip = pipe.triples().select_columns(["subj", "pred", "obj"])
+
+    _OUT = {"pred": object, "max_obj_per_subj": np.int64,
+            "max_subj_per_obj": np.int64, "functional": np.int64,
+            "inverse_functional": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT.items()})
+
+    def keyed(col: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0 or "subj" not in df.columns:
+                return pd.DataFrame(
+                    {"subj": pd.Series(dtype=object),
+                     "pred": pd.Series(dtype=object),
+                     "obj": pd.Series(dtype=object),
+                     "__k": pd.Series(dtype=object)})
+            return df.assign(
+                __k=df[col].str.cat(df["pred"], sep="\x1f"))
+        return fn
+
+    def maxcount(group_col: str, other: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0 or "pred" not in df.columns:
+                return pd.DataFrame({"pred": pd.Series(dtype=object),
+                                     "m": pd.Series(dtype=np.int64)})
+            d = df[["subj", "pred", "obj"]].drop_duplicates()
+            per = d.groupby([group_col, "pred"], as_index=False).agg(
+                m=(other, "nunique"))
+            g = per.groupby("pred", as_index=False)["m"].max()
+            return g.astype({"m": np.int64})
+        return fn
+
+    mo = partitioned_map_groups(
+        trip.map_batches(keyed("subj"), batch_format="pandas"), "__k",
+        maxcount("subj", "obj"), num_buckets=16).to_pandas()
+    ms = partitioned_map_groups(
+        trip.map_batches(keyed("obj"), batch_format="pandas"), "__k",
+        maxcount("obj", "subj"), num_buckets=16).to_pandas()
+    if (mo.empty or "pred" not in mo.columns
+            or ms.empty or "pred" not in ms.columns):
+        return empty_out
+    a = mo.groupby("pred")["m"].max()
+    b = ms.groupby("pred")["m"].max()
+    j = pd.concat([a.rename("mo"), b.rename("ms")], axis=1).reset_index()
+    return pd.DataFrame(
+        {"pred": j["pred"].to_numpy(object),
+         "max_obj_per_subj": j["mo"].to_numpy(np.int64),
+         "max_subj_per_obj": j["ms"].to_numpy(np.int64),
+         "functional": (j["mo"].to_numpy(np.int64) == 1)
+         .astype(np.int64),
+         "inverse_functional": (j["ms"].to_numpy(np.int64) == 1)
+         .astype(np.int64)})
+
+
+def _sql_kg_cardinality_rules() -> str:
+    return SQL_TOKS + f""",
+triples AS ({_KG_TRIPLES_BODY}),
+t AS (SELECT DISTINCT subj, pred, obj FROM triples),
+mo AS (
+  SELECT pred, max(c) AS m FROM (
+    SELECT subj, pred, count(DISTINCT obj) AS c FROM t GROUP BY 1, 2
+  ) x GROUP BY pred
+),
+ms AS (
+  SELECT pred, max(c) AS m FROM (
+    SELECT obj, pred, count(DISTINCT subj) AS c FROM t GROUP BY 1, 2
+  ) x GROUP BY pred
+)
+SELECT mo.pred, CAST(mo.m AS BIGINT) AS max_obj_per_subj,
+       CAST(ms.m AS BIGINT) AS max_subj_per_obj,
+       CAST(CASE WHEN mo.m = 1 THEN 1 ELSE 0 END AS BIGINT)
+         AS functional,
+       CAST(CASE WHEN ms.m = 1 THEN 1 ELSE 0 END AS BIGINT)
+         AS inverse_functional
+FROM mo JOIN ms ON ms.pred = mo.pred
+"""
+
+
+KG_QUERIES["kg_cardinality_rules"] = (q_kg_cardinality_rules,
+                                      _sql_kg_cardinality_rules())
+
+
+def q_tool_chain_export(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
+    """Agent tool-chain export: per conversation, the ordered sequence
+    of tool invocations collapsed to (n_tool_calls, chain digest) —
+    the behavioral fingerprint an agent-trajectory clustering consumes
+    (tool_transitions gives the aggregate matrix; this is the per-conv
+    artifact).  Tool turns follow the input_hint convention
+    (role == 'tool', tool = 't{turn_idx % 4}').
+
+    Map-only: each document's turn/tool derivation completes inside
+    one UDF call (the turn_latency_stats shape); no shuffle."""
+    from ..semantics import DEFAULT_CONFIG
+
+    import hashlib
+
+    tt = DEFAULT_CONFIG.turn_tokens
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out_cols = {"conv_id": object, "n_tool_calls": np.int64,
+                "chain_md5": object}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "text" not in df.columns:
+            return empty_out
+        rows = {c: [] for c in out_cols}
+        for did, text in zip(df["doc_id"].to_numpy(), df["text"]):
+            s = str(text).strip()
+            n = len(s.split()) if s else 0
+            if n == 0:
+                continue
+            nt = (n + tt - 1) // tt
+            chain = [f"t{t % 4}" for t in range(nt) if t % 3 == 2]
+            if not chain:
+                continue
+            rows["conv_id"].append(f"doc{int(did)}")
+            rows["n_tool_calls"].append(len(chain))
+            rows["chain_md5"].append(
+                hashlib.md5(",".join(chain).encode()).hexdigest())
+        if not rows["conv_id"]:
+            return empty_out
+        return pd.DataFrame(rows).astype({"n_tool_calls": np.int64})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def _sql_tool_chain_export() -> str:
+    from ..semantics import DEFAULT_CONFIG
+
+    tt = DEFAULT_CONFIG.turn_tokens
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n
+  FROM documents WHERE trim(text) <> ''
+),
+nt AS (SELECT doc_id, (n + {tt} - 1) // {tt} AS nt FROM base),
+tools AS (
+  SELECT doc_id, t.t, 't' || CAST(t.t % 4 AS VARCHAR) AS tool
+  FROM nt, LATERAL (SELECT unnest(generate_series(0, nt.nt - 1))
+                    AS t) t
+  WHERE t.t % 3 = 2
+)
+SELECT 'doc' || doc_id AS conv_id,
+       CAST(count(*) AS BIGINT) AS n_tool_calls,
+       md5(string_agg(tool, ',' ORDER BY t)) AS chain_md5
+FROM tools GROUP BY doc_id
+"""
+
+
+KG_QUERIES["tool_chain_export"] = (q_tool_chain_export,
+                                   _sql_tool_chain_export())

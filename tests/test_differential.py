@@ -506,7 +506,8 @@ def test_kg_schema_ops_differential(ray_session, tmp_path, seed):
               "kg_qa_pairs", "chatml_export", "kg_alias_resolution",
               "bio_tagged_export", "kg_hits", "kg_transe_scores",
               "kg_mention_salience", "kg_completeness_audit",
-              "kg_provenance_sample", "kg_transe_eval"]:
+              "kg_provenance_sample", "kg_transe_eval",
+              "kg_cardinality_rules", "tool_chain_export"]:
         _compare(str(tmp_path), q)
 
 
