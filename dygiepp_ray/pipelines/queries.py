@@ -2963,6 +2963,7 @@ _DRIVER_SAMPLE_FIRST = (
     "topic_boundaries", "anonymize_width_search",
     "bigram_lm_eval", "mixture_temperature_sweep",
     "kg_cardinality_rules", "tool_chain_export",
+    "kg_sink_entities",
     # tier -2: added this session (ninth continuation)
     "mann_whitney_quantity", "ks_price_by_status", "order_value_ecdf",
     "autocorr_revenue", "lineitem_reconciliation", "unicode_audit",
@@ -4355,3 +4356,77 @@ FROM tools GROUP BY doc_id
 
 KG_QUERIES["tool_chain_export"] = (q_tool_chain_export,
                                    _sql_tool_chain_export())
+
+
+def q_kg_sink_entities(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
+    """KG flow asymmetry report: entities asserted as OBJECT strictly
+    more often than as subject (over conversation-level triple
+    assertions — the distinct-pair graph saturates on a dense lexicon,
+    assertion counts never do) — the sink-leaning entities an
+    enrichment crawl targets, with both counts as priority signal.
+
+    One entity-keyed exchange over the tagged endpoint stream (both
+    roles of an entity co-locate, so the comparison is bucket-local).
+    -> (ent, n_as_obj, n_as_subj)."""
+    from ..core import partitioned_map_groups
+
+    pipe = from_documents_table(sf_dir)
+    trip = pipe.triples().select_columns(["conv_id", "subj", "obj"])
+
+    _OUT = {"ent": object, "n_as_obj": np.int64, "n_as_subj": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT.items()})
+
+    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "subj" not in df.columns:
+            return pd.DataFrame({"ent": pd.Series(dtype=object),
+                                 "as_obj": pd.Series(dtype=np.int64),
+                                 "n": pd.Series(dtype=np.int64)})
+        g = pd.concat([
+            pd.DataFrame({"ent": df["subj"].to_numpy(object),
+                          "as_obj": np.int64(0)}),
+            pd.DataFrame({"ent": df["obj"].to_numpy(object),
+                          "as_obj": np.int64(1)}),
+        ], ignore_index=True).groupby(
+            ["ent", "as_obj"], as_index=False).size().rename(
+            columns={"size": "n"})
+        return g.astype({"as_obj": np.int64, "n": np.int64})
+
+    def sinks(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "ent" not in df.columns:
+            return empty_out
+        g = df.groupby(["ent", "as_obj"], as_index=False)["n"].sum()
+        p = g.pivot_table(index="ent", columns="as_obj", values="n",
+                          fill_value=0, aggfunc="sum")
+        no = p[1] if 1 in p.columns else 0
+        ns = p[0] if 0 in p.columns else 0
+        out = pd.DataFrame({"ent": p.index.to_numpy(object),
+                            "n_as_obj": np.asarray(no, np.int64),
+                            "n_as_subj": np.asarray(ns, np.int64)})
+        out = out[out["n_as_obj"] > out["n_as_subj"]]
+        return out.reset_index(drop=True) if len(out) else empty_out
+
+    out = partitioned_map_groups(
+        trip.map_batches(endpoints, batch_format="pandas"), "ent",
+        sinks, num_buckets=16)
+    if out.count() == 0:
+        return empty_out
+    return out
+
+
+def _sql_kg_sink_entities() -> str:
+    return SQL_TOKS + f""",
+triples AS ({_KG_TRIPLES_BODY}),
+od AS (SELECT subj AS ent, CAST(count(*) AS BIGINT) AS n
+       FROM triples GROUP BY 1),
+idg AS (SELECT obj AS ent, CAST(count(*) AS BIGINT) AS n
+        FROM triples GROUP BY 1)
+SELECT COALESCE(idg.ent, od.ent) AS ent,
+       CAST(COALESCE(idg.n, 0) AS BIGINT) AS n_as_obj,
+       CAST(COALESCE(od.n, 0) AS BIGINT) AS n_as_subj
+FROM idg FULL JOIN od ON od.ent = idg.ent
+WHERE COALESCE(idg.n, 0) > COALESCE(od.n, 0)
+"""
+
+
+KG_QUERIES["kg_sink_entities"] = (q_kg_sink_entities,
+                                  _sql_kg_sink_entities())

@@ -507,7 +507,8 @@ def test_kg_schema_ops_differential(ray_session, tmp_path, seed):
               "bio_tagged_export", "kg_hits", "kg_transe_scores",
               "kg_mention_salience", "kg_completeness_audit",
               "kg_provenance_sample", "kg_transe_eval",
-              "kg_cardinality_rules", "tool_chain_export"]:
+              "kg_cardinality_rules", "tool_chain_export",
+              "kg_sink_entities"]:
         _compare(str(tmp_path), q)
 
 
