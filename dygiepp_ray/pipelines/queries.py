@@ -2963,7 +2963,7 @@ _DRIVER_SAMPLE_FIRST = (
     "topic_boundaries", "anonymize_width_search",
     "bigram_lm_eval", "mixture_temperature_sweep",
     "kg_cardinality_rules", "tool_chain_export",
-    "kg_sink_entities",
+    "kg_sink_entities", "events_peak_days",
     # tier -2: added this session (ninth continuation)
     "mann_whitney_quantity", "ks_price_by_status", "order_value_ecdf",
     "autocorr_revenue", "lineitem_reconciliation", "unicode_audit",

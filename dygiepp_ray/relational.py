@@ -11833,3 +11833,77 @@ FROM sts LEFT JOIN ok ON ok.st = sts.st AND ok.rk = 1
 
 RELATIONAL_QUERIES["anonymize_width_search"] = (
     anonymize_width_search, SQL_ANONYMIZE_WIDTH_SEARCH)
+
+
+def events_peak_days(sf_dir: str) -> pd.DataFrame:
+    """Peak detection over the daily event-count series: strict local
+    maxima (higher than BOTH neighbors on the densified calendar) —
+    the traffic-spike report an ingestion planner reads.  Exact
+    integer comparisons only.  -> (day, n).
+
+    Map-only partials collapse to the bounded day domain; the driver
+    folds O(days) ints (the autocorr_revenue shape)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"day": pd.Series(dtype=np.int64),
+                              "n": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "ts" not in df.columns:
+            return empty
+        day = ts_epoch_us(df["ts"]) // 86_400_000_000
+        g = pd.DataFrame({"day": day}).groupby(
+            "day", as_index=False).size().rename(columns={"size": "n"})
+        return g.astype({"day": np.int64, "n": np.int64})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out_cols = {"day": np.int64, "n": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+    if parts.empty or "day" not in parts.columns:
+        return empty_out
+    g = parts.groupby("day")["n"].sum().sort_index()
+    d0, d1 = int(g.index.min()), int(g.index.max())
+    x = np.zeros(d1 - d0 + 1, dtype=np.int64)
+    x[g.index.to_numpy(np.int64) - d0] = g.to_numpy(np.int64)
+    ndays = len(x)
+    if ndays < 3:
+        return empty_out
+    mid = x[1:-1]
+    peak = (mid > x[:-2]) & (mid > x[2:])
+    idx = np.flatnonzero(peak) + 1
+    if len(idx) == 0:
+        return empty_out
+    return pd.DataFrame({"day": idx + d0,
+                         "n": x[idx]}).astype(out_cols)
+
+
+SQL_EVENTS_PEAK_DAYS = """
+WITH daily AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(count(*) AS HUGEINT) AS n
+  FROM events GROUP BY 1
+),
+b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+cal AS (
+  SELECT s.day, COALESCE(daily.n, 0) AS n
+  FROM (SELECT unnest(generate_series((SELECT d0 FROM b),
+                                      (SELECT d1 FROM b))) AS day) s
+  LEFT JOIN daily ON daily.day = s.day
+),
+t AS (SELECT CAST(count(*) AS HUGEINT) AS days FROM cal),
+w AS (
+  SELECT day, n,
+         lag(n) OVER (ORDER BY day) AS pn,
+         lead(n) OVER (ORDER BY day) AS nn
+  FROM cal
+)
+SELECT CAST(w.day AS BIGINT) AS day, CAST(w.n AS BIGINT) AS n
+FROM w, t
+WHERE w.pn IS NOT NULL AND w.nn IS NOT NULL
+  AND w.n > w.pn AND w.n > w.nn AND t.days >= 3
+"""
+
+
+RELATIONAL_QUERIES["events_peak_days"] = (
+    events_peak_days, SQL_EVENTS_PEAK_DAYS)
