@@ -4633,7 +4633,7 @@ WITH base AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
   FROM documents WHERE trim(text) <> ''
 ),
-d AS (SELECT max(doc_id) + 1 AS dd FROM base),
+d AS (SELECT max(doc_id) + 1 AS dd FROM documents),
 h AS (
   SELECT doc_id, len(arr) AS n, len(arr) // 2 AS half, arr
   FROM base WHERE len(arr) >= 8
@@ -4712,7 +4712,7 @@ def q_tfrecord_docs(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
 
 SQL_TFRECORD_DOCS = """
 SELECT source, CAST(count(*) AS BIGINT) AS n_records,
-       CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
        md5(string_agg(text, '' ORDER BY doc_id)) AS content_md5
 FROM documents GROUP BY source
 """
@@ -4798,7 +4798,7 @@ def q_webdataset_export(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
 SQL_WEBDATASET_EXPORT = f"""
 SELECT CAST(doc_id // {WDS_SHARD_SIZE} AS BIGINT) AS shard_id,
        CAST(count(*) AS BIGINT) AS n_members,
-       CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
        md5(string_agg(text, '' ORDER BY doc_id)) AS content_md5
 FROM documents GROUP BY 1
 """
@@ -5476,9 +5476,15 @@ def q_bigram_lm_eval(sf_dir: str) -> pd.DataFrame:
         counts("train"), batch_format="pandas").to_pandas()
     test = ds.map_batches(
         counts("test"), batch_format="pandas").to_pandas()
-    if (train.empty or "a" not in train.columns
-            or test.empty or "a" not in test.columns):
+    if test.empty or "a" not in test.columns:
         return empty_out
+    if train.empty or "a" not in train.columns:
+        # Empty train split scores every test bigram as OOV with the
+        # add-1 floor p = 1e9 // V — matches the SQL twin's COALESCE-0
+        # path (ADVICE r4: don't early-return empty here).
+        train = pd.DataFrame({"a": pd.Series(dtype=object),
+                              "b": pd.Series(dtype=object),
+                              "n": pd.Series(dtype=np.int64)})
     tr = train.groupby(["a", "b"])["n"].sum()
     tr_uni = train.groupby("a")["n"].sum()
     te = test.groupby(["a", "b"])["n"].sum()

@@ -1047,3 +1047,58 @@ def test_tfrecord_crc32c_and_framing():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         T.read_tfrecords(bytes(blob))
+
+
+def test_advice_r4_contrastive_blank_at_max_doc_id(ray_session, tmp_path):
+    """ADVICE r4 (medium): the partner modulus D must come from the
+    FULL documents table on both sides.  Plant a BLANK doc at the max
+    doc_id so a twin that computes dd over non-blank docs only would
+    shift every partner_id."""
+    n = 40
+    rng = np.random.default_rng(7)
+    vocab = np.array(["alpha", "beta", "gamma", "delta", "eps"])
+    texts = [" ".join(rng.choice(vocab, 12)) for _ in range(n)]
+    texts[n - 1] = ""          # blank at max doc_id
+    texts[0] = ""              # and one interior blank for good measure
+    pq.write_table(pa.table(
+        {"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+         "source": pa.array(["web"] * n),
+         "text": pa.array(texts)}
+    ), tmp_path / "documents.parquet")
+    _compare(str(tmp_path), "contrastive_pairs")
+
+
+def test_advice_r4_bigram_lm_empty_train_split(ray_session, tmp_path):
+    """ADVICE r4 (low): all docs land in the md5-fenced TEST split ->
+    the engine must emit the same 1-row all-OOV card as the SQL twin
+    (n_train_bigrams=0, oov_ppm=1000000), not an empty frame."""
+    import hashlib as _h
+
+    ids = [i for i in range(400)
+           if _h.md5(str(i).encode()).hexdigest()[:2] >= "e6"][:20]
+    rng = np.random.default_rng(3)
+    vocab = np.array(["scan", "merge", "probe", "spill"])
+    texts = [" ".join(rng.choice(vocab, 10)) for _ in ids]
+    pq.write_table(pa.table(
+        {"doc_id": pa.array(np.asarray(ids, dtype=np.int64)),
+         "source": pa.array(["web"] * len(ids)),
+         "text": pa.array(texts)}
+    ), tmp_path / "documents.parquet")
+    _compare(str(tmp_path), "bigram_lm_eval")
+
+
+def test_advice_r4_export_bytes_vs_chars_nonascii(ray_session, tmp_path):
+    """ADVICE r4 (low): total_bytes must be UTF-8 BYTE length on both
+    sides (DuckDB strlen, engine len(encode)).  Non-ASCII text makes
+    char-count twins diverge."""
+    n = 24
+    texts = [f"héllo wörld ünïcode ✓ {i} — naïve café" for i in range(n)]
+    texts[5] = ""
+    pq.write_table(pa.table(
+        {"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+         "source": pa.array(["web" if i % 2 else "bücher"
+                             for i in range(n)]),
+         "text": pa.array(texts)}
+    ), tmp_path / "documents.parquet")
+    for q in ["tfrecord_docs", "webdataset_export"]:
+        _compare(str(tmp_path), q)
