@@ -2944,48 +2944,27 @@ FROM ents
 # manually but that never received a driver-emitted CORRECTNESS row
 # (VERDICT r3 #7).  New queries added mid-round go at the very front.
 _DRIVER_SAMPLE_FIRST = (
-    # tier -3: added the tenth continuation session
-    "anova_price_status", "spearman_qty_disc", "revenue_runs_test",
-    "html_extract", "url_host_stats", "warc_records", "eml_headers",
-    "dpo_pairs", "bm25_search", "kg_hits", "kg_transe_scores",
-    "span_corruption_export", "pmi_bigrams", "stem_freq",
-    "midi_tracks", "pdf_objects", "rowgroup_pruning",
-    "kg_mention_salience", "winnowing_fingerprints",
-    "ddsketch_error_audit", "churn_labels", "revenue_sax_motifs",
-    "contract_violations", "contrastive_pairs", "tfrecord_docs",
-    "l_diversity_profile", "monthly_top_movers",
-    "duplicate_payments", "bitmap_index_stats", "webdataset_export",
-    "embedding_pair_cosine_hist", "events_hour_profile",
-    "kg_completeness_audit", "kg_provenance_sample",
-    "embedding_feature_gain", "turn_latency_stats",
-    "copurchase_components", "protobuf_docs",
-    "kg_transe_eval", "token_budget_allocation",
-    "topic_boundaries", "anonymize_width_search",
-    "bigram_lm_eval", "mixture_temperature_sweep",
-    "kg_cardinality_rules", "tool_chain_export",
-    "kg_sink_entities", "events_peak_days",
-    # tier -2: added this session (ninth continuation)
-    "mann_whitney_quantity", "ks_price_by_status", "order_value_ecdf",
-    "autocorr_revenue", "lineitem_reconciliation", "unicode_audit",
-    "pii_scan", "masked_lm_export", "bloom_fpr_audit",
+    # Round-5 rotation: every query never driver-checked in
+    # CORRECTNESS_r01-r04, in prior registry order (213 entries).
+    # The driver samples the first ~50; checked queries follow via
+    # the full-registry update in all_queries().  New queries added
+    # mid-round go at the VERY front of this tuple.
+    "order_value_ecdf", "autocorr_revenue", "lineitem_reconciliation",
+    "unicode_audit", "pii_scan", "masked_lm_export", "bloom_fpr_audit",
     "kg_inverse_predicates", "packing_efficiency", "flac_info",
-    "ico_frames", "minhash_error_audit",
-    "weekday_revenue_profile", "orders_gap_analysis", "supplier_hhi",
-    "customer_percentile_rank", "kg_transitivity", "events_burst",
-    "lsh_band_sweep",
-    # tier -1: added the eighth continuation session
-    "basket_rules", "kaplan_meier", "conversion_ab_test", "revenue_cusum",
+    "ico_frames", "minhash_error_audit", "weekday_revenue_profile",
+    "orders_gap_analysis", "supplier_hhi", "customer_percentile_rank",
+    "kg_transitivity", "events_burst", "lsh_band_sweep", "basket_rules",
+    "kaplan_meier", "conversion_ab_test", "revenue_cusum",
     "sentence_dedup", "skipgram_pairs", "embedding_quantize",
     "kg_alias_resolution", "bio_tagged_export", "footer_stats",
     "mp3_frames", "split_leakage_audit", "cohort_ltv", "benford_audit",
     "hll_error_audit", "group_aware_split", "novelty_scores",
     "haar_revenue", "extractive_summary", "cdc_chunk_dedup",
-    # tier 0: added the sixth/seventh continuation sessions
-    "inverted_index", "mad_price_outliers", "embedding_pca1",
-    "gif_frames", "kg_type_constraints", "event_pattern_match",
-    "events_trailing_range", "hashed_features", "ipc_docs",
-    "kg_shared_neighbors", "edit1_name_neighbors",
-    "chi2_independence", "k_anonymity_violations",
+    "inverted_index", "mad_price_outliers", "embedding_pca1", "gif_frames",
+    "kg_type_constraints", "event_pattern_match", "events_trailing_range",
+    "hashed_features", "ipc_docs", "kg_shared_neighbors",
+    "edit1_name_neighbors", "chi2_independence", "k_anonymity_violations",
     "poisson_bootstrap_mean", "orders_backlog_by_day", "revenue_gini",
     "conversion_lag_quantiles", "user_gap_mad", "loo_target_encoding",
     "jpeg_dims", "dau_wau_mau", "chatml_export", "kg_qa_pairs",
@@ -2998,45 +2977,38 @@ _DRIVER_SAMPLE_FIRST = (
     "kg_ego_network", "ols_by_brand", "term_freq_spectrum",
     "kg_store_lookup", "kg_store_upsert", "near_dup_source_matrix",
     "dup_cluster_hist", "kg_yield_hist", "role_token_share",
-    "kg_mention_length_hist", "ship_lag_quantiles",
-    "events_watermark_agg", "session_table", "revenue_pareto",
-    "tool_transitions", "kg_predicate_drift", "quantity_mode",
-    "kg_predicate_stats", "kg_symmetric_pairs", "kg_conflicting_attrs",
-    "kg_upsert_diff", "word_entropy", "kg_entity_cards",
-    "kg_negative_samples", "csv_docs", "kg_entity_rank",
-    "pipeline_metrics", "kg_cluster_sizes", "corpus_card",
-    "kg_rule_mining", "events_gap_histogram", "role_transitions",
-    "lang_confusion", "kg_subgraph_export", "events_dedup_window",
-    "kg_triples_temporal",
-    "revenue_forecast", "national_market_share", "product_profit",
-    "slowest_supplier_orders", "idle_customers", "events_top_users_window",
-    "order_priority_check", "top_supplier_revenue", "bracket_revenue",
-    "volume_shipping", "returned_items", "promo_revenue",
-    "unigram_surprisal", "local_supplier_volume", "mixture_sample",
-    "kg_entity_degree", "kg_path2",
-    "png_features", "bfs_hops", "user_active_time", "zip_members",
-    "source_diversity", "events_late_arrivals", "image_dhash",
-    "containment_dups",
-    # tier 1: round-4 additions (never driver- or judge-checked)
-    "balance_ntile", "part_skyline", "heavy_hitters", "kmv_intersection",
-    "bpe_learn", "bpe_segment", "dedup_keep_best", "shipping_priority",
-    "cheapest_supplier", "user_paths",
-    "customer_order_dist", "large_volume_orders", "pivot_events",
-    "segment_rank",
-    "ddsketch_quantiles", "key_skew_profile", "join_size_estimate",
-    "customer_upsert",
+    "kg_mention_length_hist", "ship_lag_quantiles", "events_watermark_agg",
+    "session_table", "revenue_pareto", "tool_transitions",
+    "kg_predicate_drift", "quantity_mode", "kg_predicate_stats",
+    "kg_symmetric_pairs", "kg_conflicting_attrs", "kg_upsert_diff",
+    "word_entropy", "kg_entity_cards", "kg_negative_samples", "csv_docs",
+    "kg_entity_rank", "pipeline_metrics", "kg_cluster_sizes",
+    "corpus_card", "kg_rule_mining", "events_gap_histogram",
+    "role_transitions", "lang_confusion", "kg_subgraph_export",
+    "events_dedup_window", "kg_triples_temporal", "revenue_forecast",
+    "national_market_share", "product_profit", "slowest_supplier_orders",
+    "idle_customers", "events_top_users_window", "order_priority_check",
+    "top_supplier_revenue", "bracket_revenue", "volume_shipping",
+    "returned_items", "promo_revenue", "unigram_surprisal",
+    "local_supplier_volume", "mixture_sample", "kg_entity_degree",
+    "kg_path2", "png_features", "bfs_hops", "user_active_time",
+    "zip_members", "source_diversity", "events_late_arrivals",
+    "image_dhash", "containment_dups", "balance_ntile", "part_skyline",
+    "heavy_hitters", "kmv_intersection", "bpe_learn", "bpe_segment",
+    "dedup_keep_best", "shipping_priority", "cheapest_supplier",
+    "user_paths", "customer_order_dist", "large_volume_orders",
+    "pivot_events", "segment_rank", "ddsketch_quantiles",
+    "key_skew_profile", "join_size_estimate", "customer_upsert",
     "ner_eval_weighted", "dup_ngram_fraction", "tool_usage", "turn_spans",
     "events_resample", "users_setop", "zorder_layout",
     "purchase_attribution", "contingency_table", "orders_snapshot_diff",
     "events_ohlc", "small_quantity_revenue", "sales_opportunity",
-    "price_outliers", "user_streaks", "events_rate_alert",
-    "rfm_segments", "embedding_gram", "label_gram", "bmp_features",
-    "tar_members", "gzip_docs", "phrase_search", "quantiles_cont_price",
-    "quantiles_cont_by_flag", "winsorized_revenue",
-    # tier 2: r3 entries judge-verified but never driver-sampled
-    "label_centroids", "prefix_near_dups",
-    "wav_features", "ppm_features", "ppm_resize", "chunk_documents",
-    "tfidf_top_terms", "term_search", "decontaminate",
+    "price_outliers", "user_streaks", "events_rate_alert", "rfm_segments",
+    "embedding_gram", "label_gram", "bmp_features", "tar_members",
+    "gzip_docs", "phrase_search", "quantiles_cont_price",
+    "quantiles_cont_by_flag", "winsorized_revenue", "label_centroids",
+    "prefix_near_dups", "wav_features", "ppm_features", "ppm_resize",
+    "chunk_documents", "tfidf_top_terms", "term_search", "decontaminate",
     "fuzzy_decontaminate", "repetition_scores", "shuffle_rank",
     "cap_per_source", "frequent_ngrams", "prepare_training_set",
     "rare_bigram_scores", "train_split", "quality_gate",
