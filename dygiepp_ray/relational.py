@@ -11907,3 +11907,200 @@ WHERE w.pn IS NOT NULL AND w.nn IS NOT NULL
 
 RELATIONAL_QUERIES["events_peak_days"] = (
     events_peak_days, SQL_EVENTS_PEAK_DAYS)
+
+
+def theil_sen_revenue(sf_dir: str) -> pd.DataFrame:
+    """Theil-Sen robust trend over monthly revenue: the median of all
+    pairwise month-to-month slopes — the outlier-proof alternative to
+    OLS (`ols_price_qty`) for is-this-corpus/revenue-growing checks.
+    Slopes are fixed-point floor(1e6 * d_cents / d_months); the median
+    is the LOWER median (element (n-1)//2 of the sorted slopes), so
+    every number is integer-exact.
+
+    Shape: per-batch (month, cents) partials collapse to the tiny
+    month domain; the all-pairs step runs on the driver over the
+    aggregated ~O(100) monthly points only (never row-level data).
+    -> one row (n_months, n_pairs, median_slope_x1e6)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+    out_cols = {"n_months": np.int64, "n_pairs": np.int64,
+                "median_slope_x1e6": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"midx": pd.Series(dtype=np.int64),
+                              "cents": pd.Series(dtype=object)})
+        if len(df) == 0 or "o_orderdate" not in df.columns:
+            return empty
+        ts = pd.to_datetime(df["o_orderdate"])
+        midx = ((ts.dt.year.to_numpy(np.int64) - 1970) * 12
+                + ts.dt.month.to_numpy(np.int64) - 1)
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        g = pd.DataFrame({"midx": midx, "cents": cents}).groupby(
+            "midx", as_index=False)["cents"].sum()
+        # decimal-string partials: exact past int64 at any scale
+        g["cents"] = g["cents"].map(lambda v: str(int(v)))
+        return g
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty or "midx" not in parts.columns:
+        return empty_out
+    rev: dict[int, int] = {}
+    for m, c in zip(parts["midx"], parts["cents"]):
+        rev[int(m)] = rev.get(int(m), 0) + int(c)
+    months = sorted(rev)
+    n = len(months)
+    if n < 2:
+        return empty_out
+    slopes = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            slopes.append(
+                (1_000_000 * (rev[months[j]] - rev[months[i]]))
+                // (months[j] - months[i]))
+    slopes.sort()
+    return pd.DataFrame(
+        [(n, len(slopes), slopes[(len(slopes) - 1) // 2])],
+        columns=list(out_cols)).astype(out_cols)
+
+
+SQL_THEIL_SEN_REVENUE = f"""
+WITH g AS (
+  SELECT (year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1 AS midx,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT)) AS cents
+  FROM orders GROUP BY 1
+),
+p AS (
+  SELECT {_sql_floordiv('1000000 * (b.cents - a.cents)',
+                        'b.midx - a.midx')} AS s
+  FROM g a JOIN g b ON b.midx > a.midx
+),
+r AS (
+  SELECT s, row_number() OVER (ORDER BY s) AS rk,
+         count(*) OVER () AS np
+  FROM p
+)
+SELECT CAST((SELECT count(*) FROM g) AS BIGINT) AS n_months,
+       CAST(np AS BIGINT) AS n_pairs,
+       CAST(s AS BIGINT) AS median_slope_x1e6
+FROM r WHERE rk = (np - 1) // 2 + 1
+  AND (SELECT count(*) FROM g) >= 2
+"""
+
+
+RELATIONAL_QUERIES["theil_sen_revenue"] = (
+    theil_sen_revenue, SQL_THEIL_SEN_REVENUE)
+
+
+def kruskal_wallis_quantity(sf_dir: str) -> pd.DataFrame:
+    """Kruskal-Wallis H (uncorrected) for l_quantity across the three
+    l_returnflag groups — the rank-based does-the-distribution-differ
+    test that needs no normality assumption.  l_quantity's tiny value
+    domain makes exact tied-rank arithmetic cheap: 2x the average rank
+    is always an integer, so per-group rank sums are exact; the H
+    finish runs in float64 through the pinned left-associative
+    sequence ((t_A + t_N) + t_R) on BOTH sides.
+
+    Shape: per-batch (flag, qty, n) partials collapse to the ~150-cell
+    (flag x qty) domain; the driver folds python ints only.
+    -> one row (n_total, n_groups, sum_t3_minus_t, h_x1e9)."""
+    import math
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity"])
+    out_cols = {"n_total": np.int64, "n_groups": np.int64,
+                "sum_t3_minus_t": np.int64, "h_x1e9": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"flag": pd.Series(dtype=object),
+                              "qty": pd.Series(dtype=np.int64),
+                              "n": pd.Series(dtype=object)})
+        if len(df) == 0 or "l_returnflag" not in df.columns:
+            return empty
+        g = pd.DataFrame(
+            {"flag": df["l_returnflag"].to_numpy(object),
+             "qty": df["l_quantity"].to_numpy(np.float64).astype(np.int64)}
+        ).groupby(["flag", "qty"], as_index=False).size()
+        g["n"] = g["size"].map(lambda v: str(int(v)))
+        return g[["flag", "qty", "n"]]
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty or "flag" not in parts.columns:
+        return empty_out
+    cnt: dict[tuple, int] = {}
+    for f, q, n in zip(parts["flag"], parts["qty"], parts["n"]):
+        cnt[(str(f), int(q))] = cnt.get((str(f), int(q)), 0) + int(n)
+    flags = sorted({k[0] for k in cnt})
+    qtys = sorted({k[1] for k in cnt})
+    N = sum(cnt.values())
+    if N == 0 or len(flags) < 2:
+        return empty_out
+    # tied ranks over the value domain: 2*avg_rank(q) = 2*below + t + 1
+    below = 0
+    r2_of: dict[int, int] = {}
+    sum_t3 = 0
+    for q in qtys:
+        t = sum(cnt.get((f, q), 0) for f in flags)
+        r2_of[q] = 2 * below + t + 1
+        sum_t3 += t * t * t - t
+        below += t
+    # exact per-group rank sums (x2) and sizes
+    terms = []
+    for f in flags:
+        n_i = sum(cnt.get((f, q), 0) for q in qtys)
+        r2_i = sum(cnt.get((f, q), 0) * r2_of[q] for q in qtys)
+        # pinned float64 op order, identical in the SQL twin
+        terms.append((float(r2_i) / 2.0) ** 2 / float(n_i))
+    acc = terms[0]
+    for t_ in terms[1:]:
+        acc = acc + t_
+    h = 12.0 * acc / (float(N) * (float(N) + 1.0)) - 3.0 * (float(N) + 1.0)
+    return pd.DataFrame(
+        [(N, len(flags), sum_t3, math.floor(h * 1e9))],
+        columns=list(out_cols)).astype(out_cols)
+
+
+SQL_KRUSKAL_WALLIS_QUANTITY = """
+WITH e AS (
+  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+),
+vc AS (SELECT qty, CAST(count(*) AS HUGEINT) AS t FROM e GROUP BY qty),
+rk AS (
+  SELECT qty, t,
+         2 * (sum(t) OVER (ORDER BY qty) - t) + t + 1 AS r2
+  FROM vc
+),
+gs AS (
+  SELECT e.flag, CAST(count(*) AS HUGEINT) AS n_i,
+         sum(CAST(rk.r2 AS HUGEINT)) AS r2_i
+  FROM e JOIN rk ON rk.qty = e.qty GROUP BY e.flag
+),
+piv AS (
+  SELECT (SELECT sum(n_i) FROM gs) AS n,
+         (SELECT count(*) FROM gs) AS k,
+         (SELECT sum(t*t*t - t) FROM vc) AS st3,
+         list(
+           (CAST(r2_i AS DOUBLE) / 2.0) ^ 2 / CAST(n_i AS DOUBLE)
+           ORDER BY flag) AS terms
+  FROM gs
+)
+SELECT CAST(n AS BIGINT) AS n_total,
+       CAST(k AS BIGINT) AS n_groups,
+       CAST(st3 AS BIGINT) AS sum_t3_minus_t,
+       CAST(floor(
+         (12.0 * list_reduce(terms, (a, b) -> a + b)
+          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+          - 3.0 * (CAST(n AS DOUBLE) + 1.0)) * 1e9) AS BIGINT) AS h_x1e9
+FROM piv
+WHERE n > 0 AND k >= 2
+"""
+
+
+RELATIONAL_QUERIES["kruskal_wallis_quantity"] = (
+    kruskal_wallis_quantity, SQL_KRUSKAL_WALLIS_QUANTITY)
