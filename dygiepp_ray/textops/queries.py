@@ -4721,6 +4721,55 @@ FROM documents GROUP BY source
 TEXTOPS_QUERIES["tfrecord_docs"] = (q_tfrecord_docs, SQL_TFRECORD_DOCS)
 
 
+def q_avro_docs(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
+    """Avro Object Container export/ingest round trip: one REAL Avro
+    OCF shard per source (``Obj\\x01`` magic, schema metadata map,
+    zigzag-varint longs, per-block sync markers — ``sources/avrofile``)
+    written and re-read with full verification, emitting per-shard
+    statistics.  The twin reproduces them by string aggregation: the
+    container framing is what the engine is graded on.
+
+    Shape: one source-keyed exchange; each bucket writes and re-reads
+    its shards locally (shards never cross the driver)."""
+    from ..core import partitioned_map_groups
+    from ..sources import avrofile
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "text"])
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "source" not in df.columns:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "source": pd.Series(dtype=object),
+                                 "text": pd.Series(dtype=object),
+                                 "__k": pd.Series(dtype=object)})
+        return df.assign(__k=df["source"])
+
+    out = partitioned_map_groups(
+        ds.map_batches(key, batch_format="pandas"), "__k",
+        avrofile.shard_roundtrip, num_buckets=8)
+    empty_out = pd.DataFrame(
+        {"source": pd.Series(dtype=object),
+         "n_records": pd.Series(dtype=np.int64),
+         "total_bytes": pd.Series(dtype=np.int64),
+         "content_md5": pd.Series(dtype=object)})
+    if out.count() == 0:
+        return empty_out
+    return out
+
+
+SQL_AVRO_DOCS = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_records,
+       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+       md5(string_agg(text, '' ORDER BY doc_id)) AS content_md5
+FROM documents GROUP BY source
+"""
+
+
+TEXTOPS_QUERIES["avro_docs"] = (q_avro_docs, SQL_AVRO_DOCS)
+
+
 WDS_SHARD_SIZE = 16
 
 

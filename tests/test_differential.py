@@ -906,7 +906,7 @@ def test_webcorpus_differential(ray_session, tmp_path, seed):
               # on punctuation; tiny vocab gives heavy bigram mass
               "span_corruption_export", "pmi_bigrams", "stem_freq",
               "winnowing_fingerprints", "contrastive_pairs",
-              "tfrecord_docs", "webdataset_export",
+              "tfrecord_docs", "webdataset_export", "avro_docs",
               "turn_latency_stats", "token_budget_allocation",
               "topic_boundaries", "bigram_lm_eval",
               "mixture_temperature_sweep"]:
@@ -1106,5 +1106,24 @@ def test_advice_r4_export_bytes_vs_chars_nonascii(ray_session, tmp_path):
                              for i in range(n)]),
          "text": pa.array(texts)}
     ), tmp_path / "documents.parquet")
-    for q in ["tfrecord_docs", "webdataset_export"]:
+    for q in ["tfrecord_docs", "webdataset_export", "avro_docs"]:
         _compare(str(tmp_path), q)
+
+
+def test_avro_ocf_framing_and_sync_verification():
+    """Zigzag varints are pinned to the Avro spec values; a corrupted
+    block sync marker must raise, not pass through."""
+    from dygiepp_ray.sources import avrofile as A
+
+    # spec examples: 0->0, -1->1, 1->2, -2->3, 2->4
+    assert [A.zigzag_encode(n) for n in (0, -1, 1, -2, 2)] == [0, 1, 2, 3, 4]
+    assert A.write_long(1) == b"\x02" and A.write_long(-64) == b"\x7f"
+    assert A.write_long(64) == b"\x80\x01"  # multi-byte varint
+    recs = [(i, f"doc {i} — naïve".encode()) for i in range(40)]
+    blob = bytearray(A.write_avro(recs, key="web"))
+    assert bytes(blob[:4]) == b"Obj\x01"
+    assert A.read_avro(bytes(blob)) == recs
+    blob[-1] ^= 0xFF  # corrupt the final block's sync marker
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        A.read_avro(bytes(blob))

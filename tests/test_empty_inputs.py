@@ -131,7 +131,7 @@ _SAMPLE = [
     "kg_cardinality_rules", "tool_chain_export",
     "kg_sink_entities", "events_peak_days",
     # round 5
-    "theil_sen_revenue", "kruskal_wallis_quantity",
+    "theil_sen_revenue", "kruskal_wallis_quantity", "avro_docs",
     # protobuf_docs synthesizes its own input (chain-rule twin)
     # contract_violations keeps its 5-rule zero-count card on empty
     # input (the pipeline_metrics convention) — excluded from the
