@@ -2945,7 +2945,8 @@ FROM ents
 # (VERDICT r3 #7).  New queries added mid-round go at the very front.
 _DRIVER_SAMPLE_FIRST = (
     # round-5 additions (newest first)
-    "avro_docs", "theil_sen_revenue", "kruskal_wallis_quantity",
+    "window_shingle_dedup", "avro_docs", "theil_sen_revenue",
+    "kruskal_wallis_quantity",
     # Round-5 rotation: every query never driver-checked in
     # CORRECTNESS_r01-r04, in prior registry order (213 entries).
     # The driver samples the first ~50; checked queries follow via

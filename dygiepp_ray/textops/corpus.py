@@ -1561,3 +1561,91 @@ def cdc_chunk_dedup(
              // g["n_chunks"].to_numpy(np.int64)}).astype(out_cols)
 
     return partitioned_map_groups(parts, "doc_id", fold, num_buckets)
+
+
+WSD_WINDOW = 8
+
+
+def window_shingle_dedup(
+    ds: ray.data.Dataset,
+    window: int = WSD_WINDOW,
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Exact-substring duplication audit (the Lee-et-al 'Deduplicating
+    Training Data Makes Language Models Better' shape, at window
+    granularity): every overlapping ``window``-token span is hashed;
+    a span is DUPLICATED in a doc when the same span text also occurs
+    in an earlier document (global min doc_id owns the span — the
+    incremental-dedup first-wins convention).  Unlike sentence_dedup's
+    disjoint 16-token sentences, the stride-1 windows catch copied
+    substrings at ANY alignment.
+
+    Shape: docs explode to per-(doc, span-hash) COUNTED rows (batch-
+    local pre-aggregation); ONE span-keyed exchange computes each
+    hash's min doc and emits only later-doc partials; the driver folds
+    O(docs) rows.  Corpus bytes cross the wire once, as 32 B hashes +
+    counts — not text.
+    -> (doc_id, n_windows, dup_windows), docs with < window tokens
+    drop out."""
+    import hashlib
+
+    from ..core import hash_exchange
+    from .chunks import _doc_tokens
+
+    out_cols = {"doc_id": np.int64, "n_windows": np.int64,
+                "dup_windows": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+
+    _R = {"doc_id": np.int64, "wh": object, "cnt": np.int64}
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "text" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in _R.items()})
+        toks = _doc_tokens(df, "text")
+        ids, whs = [], []
+        for doc_id, tl in zip(df["doc_id"].to_numpy(np.int64), toks):
+            for i in range(len(tl) - window + 1):
+                ids.append(doc_id)
+                whs.append(hashlib.md5(
+                    " ".join(tl[i:i + window]).encode()).hexdigest())
+        if not ids:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in _R.items()})
+        g = pd.DataFrame({"doc_id": np.asarray(ids, np.int64),
+                          "wh": np.asarray(whs, object)}).groupby(
+            ["doc_id", "wh"], as_index=False).size().rename(
+            columns={"size": "cnt"})
+        return g.astype({"doc_id": np.int64, "cnt": np.int64})
+
+    rows = ds.map_batches(explode, batch_format="pandas")
+
+    _P = {"doc_id": np.int64, "n": np.int64, "dup": np.int64}
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "wh" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in _P.items()})
+        md = df.groupby("wh")["doc_id"].transform("min")
+        dup = np.where(df["doc_id"].to_numpy(np.int64)
+                       > md.to_numpy(np.int64),
+                       df["cnt"].to_numpy(np.int64), 0)
+        g = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                          "n": df["cnt"].to_numpy(np.int64),
+                          "dup": dup}).groupby(
+            "doc_id", as_index=False).sum()
+        return g.astype({c: np.int64 for c in _P})
+
+    parts = hash_exchange(rows, "wh", fold, num_buckets).map_batches(
+        lambda df: (df.groupby("doc_id", as_index=False).sum()
+                    if len(df) and "doc_id" in df.columns else df),
+        batch_format="pandas").to_pandas()
+    if parts.empty or "doc_id" not in parts.columns:
+        return empty_out
+    g = parts.groupby("doc_id", as_index=False).sum()
+    return pd.DataFrame(
+        {"doc_id": g["doc_id"].to_numpy(np.int64),
+         "n_windows": g["n"].to_numpy(np.int64),
+         "dup_windows": g["dup"].to_numpy(np.int64)}
+    ).sort_values("doc_id", ignore_index=True)

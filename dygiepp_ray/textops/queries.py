@@ -2535,6 +2535,41 @@ FROM f GROUP BY doc_id
 TEXTOPS_QUERIES["sentence_dedup"] = (q_sentence_dedup, SQL_SENTENCE_DEDUP)
 
 
+def q_window_shingle_dedup(sf_dir: str) -> pd.DataFrame:
+    """Exact-substring duplication audit over stride-1 8-token windows
+    — see textops/corpus.window_shingle_dedup (the Lee-et-al exact
+    dedup shape; catches copied substrings at any alignment)."""
+    from . import corpus as _c
+
+    return _c.window_shingle_dedup(_docs(sf_dir))
+
+
+SQL_WINDOW_SHINGLE_DEDUP = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+  FROM documents WHERE trim(text) <> ''
+),
+w AS (
+  SELECT doc_id,
+         md5(array_to_string(arr[i : i + 7], ' ')) AS wh
+  FROM base, LATERAL (
+    SELECT unnest(generate_series(1, len(arr) - 7)) AS i) t
+  WHERE len(arr) >= 8
+),
+m AS (SELECT wh, min(doc_id) AS md FROM w GROUP BY wh)
+SELECT CAST(w.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN w.doc_id > m.md THEN 1 ELSE 0 END)
+            AS BIGINT) AS dup_windows
+FROM w JOIN m ON m.wh = w.wh
+GROUP BY 1
+"""
+
+
+TEXTOPS_QUERIES["window_shingle_dedup"] = (
+    q_window_shingle_dedup, SQL_WINDOW_SHINGLE_DEDUP)
+
+
 def q_skipgram_pairs(sf_dir: str):
     """Skip-gram (center, context) pair counts for embedding training —
     see textops/corpus.skipgram_pairs."""
