@@ -946,3 +946,239 @@ def power_iteration(
 
     return pd.DataFrame({"dim": np.arange(d, dtype=np.int64),
                          "v": np.asarray(v, dtype=np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact k-means + SemDeDup-style semantic dedup
+# ---------------------------------------------------------------------------
+
+KM_SCALE = 1000
+
+
+def _quantize(df: pd.DataFrame) -> np.ndarray:
+    """floor(float64(x) * KM_SCALE) int64 — the bit-exact twin of
+    DuckDB's floor(CAST(x AS DOUBLE) * 1000)."""
+    return np.floor(
+        _stack(df["embedding"]).astype(np.float64) * KM_SCALE
+    ).astype(np.int64)
+
+
+def kmeans_int_centroids(
+    embeddings: ray.data.Dataset, k: int = 8, iters: int = 3
+) -> np.ndarray:
+    """Integer-exact distributed k-means: quantized vectors, integer
+    squared-L2 assignment (ties -> lowest cluster), centroids updated
+    by FLOORED integer division — so a DuckDB chained-CTE twin
+    reproduces every centroid bit-for-bit (the pagerank3 fixed-point
+    discipline applied to clustering).  Empty clusters keep their
+    previous centroid.
+
+    Each iteration is ONE streaming pass emitting per-batch
+    (cluster, dim-sum, n) partials; the driver holds k x d ints only
+    and folds PYTHON ints (decimal-string partials), exact at any
+    corpus size."""
+    embeddings = embeddings.materialize()  # iterative consumer
+    small = embeddings.map_batches(
+        lambda df: df.nsmallest(k, "vec_id"), batch_format="pandas"
+    ).to_pandas()
+    if small.empty or "vec_id" not in small.columns:
+        return np.zeros((0, 0), dtype=np.int64)
+    small = small.nsmallest(k, "vec_id")
+    centroids = _quantize(small)
+
+    for _ in range(iters):
+        cref = ray.put(centroids)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"cluster": pd.Series(dtype=np.int64),
+                                  "vsum": pd.Series(dtype=object),
+                                  "n": pd.Series(dtype=np.int64)})
+            if len(df) == 0 or "embedding" not in df.columns:
+                return empty
+            c = ray.get(cref)
+            q = _quantize(df)
+            d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)  # ties -> lowest cluster
+            rows = {"cluster": [], "vsum": [], "n": []}
+            for ci in np.unique(assign):
+                sel = q[assign == ci]
+                rows["cluster"].append(int(ci))
+                # decimal-string sums: overflow-proof driver fold
+                rows["vsum"].append(",".join(
+                    str(int(v)) for v in sel.sum(axis=0)))
+                rows["n"].append(len(sel))
+            return pd.DataFrame(rows).astype(
+                {"cluster": np.int64, "n": np.int64})
+
+        parts = embeddings.map_batches(
+            partial, batch_format="pandas").to_pandas()
+        if parts.empty or "cluster" not in parts.columns:
+            return centroids
+        new = centroids.copy()
+        for ci, g in parts.groupby("cluster"):
+            sums = [0] * centroids.shape[1]
+            n = 0
+            for vs, cnt in zip(g["vsum"], g["n"]):
+                for j, v in enumerate(vs.split(",")):
+                    sums[j] += int(v)
+                n += int(cnt)
+            if n:
+                new[int(ci)] = [s // n for s in sums]  # python FLOOR div
+        centroids = new
+    return centroids
+
+
+def kmeans_int_assign(
+    embeddings: ray.data.Dataset, centroids: np.ndarray
+) -> ray.data.Dataset:
+    """Final-assignment pass: (vec_id, cluster, dist) per vector with
+    the exact integer distances under the given centroids."""
+    cref = ray.put(centroids)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
+                              "cluster": pd.Series(dtype=np.int64),
+                              "dist": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "embedding" not in df.columns:
+            return empty
+        c = ray.get(cref)
+        q = _quantize(df)
+        d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d, axis=1)
+        return pd.DataFrame(
+            {"vec_id": df["vec_id"].to_numpy(np.int64),
+             "cluster": a.astype(np.int64),
+             "dist": d[np.arange(len(a)), a].astype(np.int64)})
+
+    return embeddings.map_batches(assign, batch_format="pandas")
+
+
+def kmeans_clusters(
+    embeddings: ray.data.Dataset, k: int = 8, iters: int = 3
+) -> pd.DataFrame:
+    """Per-cluster summary after integer-exact k-means: size, centroid
+    checksum (sum of centroid components) and exact integer inertia.
+    -> (cluster, n_vecs, centroid_sum, inertia)."""
+    out_cols = {"cluster": np.int64, "n_vecs": np.int64,
+                "centroid_sum": np.int64, "inertia": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+    embeddings = embeddings.materialize()
+    centroids = kmeans_int_centroids(embeddings, k=k, iters=iters)
+    if centroids.size == 0:
+        return empty_out
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "cluster" not in df.columns:
+            return pd.DataFrame({"cluster": pd.Series(dtype=np.int64),
+                                 "n": pd.Series(dtype=np.int64),
+                                 "d": pd.Series(dtype=object)})
+        g = df.groupby("cluster", as_index=False).agg(
+            n=("vec_id", "size"), dsum=("dist", "sum"))
+        g["d"] = g["dsum"].map(lambda v: str(int(v)))
+        return g[["cluster", "n", "d"]].astype(
+            {"cluster": np.int64, "n": np.int64})
+
+    parts = kmeans_int_assign(embeddings, centroids).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    if parts.empty or "cluster" not in parts.columns:
+        return empty_out
+    agg: dict[int, list[int]] = {}
+    for ci, n, d in zip(parts["cluster"], parts["n"], parts["d"]):
+        a = agg.setdefault(int(ci), [0, 0])
+        a[0] += int(n)
+        a[1] += int(d)
+    rows = [(ci, agg[ci][0], int(centroids[ci].sum()), agg[ci][1])
+            for ci in sorted(agg)]
+    return pd.DataFrame(rows, columns=list(out_cols)).astype(out_cols)
+
+
+SEMDEDUP_TAU_X1E6 = 350_000
+
+
+def semantic_dedup(
+    embeddings: ray.data.Dataset,
+    k: int = 8,
+    iters: int = 3,
+    tau_x1e6: int = SEMDEDUP_TAU_X1E6,
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with k-means, then mark within-cluster cosine
+    near-duplicates — the semantic complement to MinHash/SimHash
+    text dedup.  A vector is a DUP of the smallest earlier same-
+    cluster vec_id whose cosine (fixed point 1e6, pinned
+    double-divide-sqrt sequence) reaches ``tau_x1e6``; first-wins,
+    like incremental_dedup.  Zero vectors never pair (undefined
+    cosine).
+
+    Shape: the k-means passes stream (driver holds k x d ints); the
+    pair scan is ONE cluster-keyed exchange — candidate pairs exist
+    only INSIDE a cluster, which is the entire SemDeDup trick, so no
+    all-pairs path exists at any scale.  Quantized vectors ride the
+    exchange as byte blobs; per-bucket scoring is one int64 matmul.
+    -> (vec_id, cluster, dup_of, cos_x1e6)."""
+    from ..core import hash_exchange
+
+    out_cols = {"vec_id": np.int64, "cluster": np.int64,
+                "dup_of": np.int64, "cos_x1e6": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+    embeddings = embeddings.materialize()
+    centroids = kmeans_int_centroids(embeddings, k=k, iters=iters)
+    if centroids.size == 0:
+        return empty_out
+    cref = ray.put(centroids)
+
+    def assign_q(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
+                              "cluster": pd.Series(dtype=np.int64),
+                              "qv": pd.Series(dtype=object)})
+        if len(df) == 0 or "embedding" not in df.columns:
+            return empty
+        c = ray.get(cref)
+        q = _quantize(df)
+        d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d, axis=1)
+        return pd.DataFrame(
+            {"vec_id": df["vec_id"].to_numpy(np.int64),
+             "cluster": a.astype(np.int64),
+             "qv": [row.tobytes() for row in q]})
+
+    rows = embeddings.map_batches(assign_q, batch_format="pandas")
+
+    def pair_scan(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "qv" not in df.columns:
+            return empty_out
+        recs = []
+        for ci, g in df.groupby("cluster"):
+            g = g.sort_values("vec_id")
+            ids = g["vec_id"].to_numpy(np.int64)
+            Q = np.stack([np.frombuffer(b, dtype=np.int64)
+                          for b in g["qv"]])
+            n2 = (Q * Q).sum(axis=1)
+            live = n2 > 0  # zero vectors never pair
+            dot = Q @ Q.T
+            denom = np.sqrt(n2.astype(np.float64)[:, None]
+                            * n2.astype(np.float64)[None, :])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = np.floor(
+                    1_000_000.0 * (dot.astype(np.float64) / denom))
+            for j in range(1, len(ids)):
+                if not live[j]:
+                    continue
+                ok = np.nonzero(
+                    live[:j] & (sim[:j, j] >= tau_x1e6))[0]
+                if len(ok):
+                    i = ok[0]  # ids sorted -> smallest qualifying
+                    recs.append((int(ids[j]), int(ci), int(ids[i]),
+                                 int(sim[i, j])))
+        if not recs:
+            return empty_out
+        return pd.DataFrame(recs, columns=list(out_cols)).astype(out_cols)
+
+    out = hash_exchange(rows, "cluster", pair_scan, num_buckets)
+    pdf = out.to_pandas()
+    if pdf.empty or "vec_id" not in pdf.columns:
+        return empty_out
+    return pdf.sort_values("vec_id", ignore_index=True).astype(out_cols)

@@ -5716,3 +5716,130 @@ FROM f JOIN t ON t.tau_x10 = f.tau_x10
 
 TEXTOPS_QUERIES["mixture_temperature_sweep"] = (
     q_mixture_temperature_sweep, SQL_MIXTURE_TEMPERATURE_SWEEP)
+
+
+def q_kmeans_clusters(sf_dir: str) -> pd.DataFrame:
+    """Integer-exact k-means summary over the embeddings table — see
+    textops/ann.kmeans_clusters (floored-division centroid updates,
+    the pagerank3 fixed-point discipline applied to clustering)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann.kmeans_clusters(ds, k=8, iters=3)
+
+
+def _sql_fdiv(a: str, b: str) -> str:
+    # python-floor division twin (DuckDB // truncates toward zero)
+    return f"(({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) / ({b})"
+
+
+def _sql_kmeans_chain(k: int = 8, iters: int = 3) -> str:
+    """Shared chained-CTE prefix: quantized vectors ``v``, seed
+    centroids ``c0``, per-iteration assignment ``a{i}`` / centroid
+    ``c{i}`` pairs, final assignment ``af(vec_id, cluster, dist)``.
+    Mirrors ann.kmeans_int_centroids step for step."""
+    parts = [f"""v AS (
+  SELECT vec_id, i AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings, LATERAL (
+    SELECT unnest(generate_series(1, len(embedding))) AS i) s
+),
+seeds AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+           AS cluster
+  FROM (SELECT DISTINCT vec_id FROM v) ORDER BY vec_id LIMIT {k}
+),
+c0 AS (
+  SELECT s.cluster, v.dim, v.q AS cq
+  FROM seeds s JOIN v ON v.vec_id = s.vec_id
+)"""]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        parts.append(f"""a{i} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT v.vec_id, c.cluster,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY sum((v.q - c.cq) * (v.q - c.cq)), c.cluster) AS rn
+    FROM v JOIN {prev} c ON c.dim = v.dim
+    GROUP BY v.vec_id, c.cluster) WHERE rn = 1
+),
+n{i} AS (
+  SELECT a.cluster, v.dim,
+         CAST({_sql_fdiv('sum(v.q)', 'count(*)')} AS BIGINT) AS cq
+  FROM a{i} a JOIN v ON v.vec_id = a.vec_id GROUP BY 1, 2
+),
+c{i} AS (
+  SELECT p.cluster, p.dim, COALESCE(n.cq, p.cq) AS cq
+  FROM {prev} p LEFT JOIN n{i} n
+    ON n.cluster = p.cluster AND n.dim = p.dim
+)""")
+    parts.append(f"""af AS (
+  SELECT vec_id, cluster, dist FROM (
+    SELECT v.vec_id, c.cluster,
+           sum((v.q - c.cq) * (v.q - c.cq)) AS dist,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY sum((v.q - c.cq) * (v.q - c.cq)), c.cluster) AS rn
+    FROM v JOIN c{iters} c ON c.dim = v.dim
+    GROUP BY v.vec_id, c.cluster) WHERE rn = 1
+)""")
+    return "WITH " + ",\n".join(parts)
+
+
+SQL_KMEANS_CLUSTERS = _sql_kmeans_chain() + """
+SELECT CAST(af.cluster AS BIGINT) AS cluster,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(cs.csum AS BIGINT) AS centroid_sum,
+       CAST(sum(af.dist) AS BIGINT) AS inertia
+FROM af JOIN (SELECT cluster, sum(cq) AS csum FROM c3 GROUP BY 1) cs
+  ON cs.cluster = af.cluster
+GROUP BY af.cluster, cs.csum
+"""
+
+
+TEXTOPS_QUERIES["kmeans_clusters"] = (q_kmeans_clusters,
+                                      SQL_KMEANS_CLUSTERS)
+
+
+def q_semantic_dedup(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup-style within-cluster cosine near-duplicates — see
+    textops/ann.semantic_dedup (k-means buckets, first-wins)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann.semantic_dedup(ds, k=8, iters=3)
+
+
+SQL_SEMANTIC_DEDUP = _sql_kmeans_chain() + f""",
+nrm AS (SELECT vec_id, sum(q * q) AS n2 FROM v GROUP BY 1),
+prs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, a.cluster,
+         sum(va.q * vb.q) AS dot
+  FROM af a JOIN af b ON b.cluster = a.cluster AND b.vec_id > a.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id AND vb.dim = va.dim
+  GROUP BY 1, 2, 3
+),
+sims AS (
+  SELECT ib, ia, prs.cluster,
+         CAST(floor(1000000.0 * (CAST(dot AS DOUBLE)
+           / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))))
+           AS BIGINT) AS cos_x1e6
+  FROM prs
+  JOIN nrm na ON na.vec_id = ia
+  JOIN nrm nb ON nb.vec_id = ib
+  WHERE na.n2 > 0 AND nb.n2 > 0
+),
+qual AS (
+  SELECT ib, cluster, ia, cos_x1e6,
+         row_number() OVER (PARTITION BY ib ORDER BY ia) AS rn
+  FROM sims WHERE cos_x1e6 >= {ann.SEMDEDUP_TAU_X1E6}
+)
+SELECT CAST(ib AS BIGINT) AS vec_id,
+       CAST(cluster AS BIGINT) AS cluster,
+       CAST(ia AS BIGINT) AS dup_of,
+       cos_x1e6
+FROM qual WHERE rn = 1
+"""
+
+
+TEXTOPS_QUERIES["semantic_dedup"] = (q_semantic_dedup, SQL_SEMANTIC_DEDUP)

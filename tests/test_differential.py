@@ -606,6 +606,11 @@ def test_customer_embedding_backlog_differential(ray_session, tmp_path, seed):
     # exactly the pairs that touch it, on both sides
     _compare(str(tmp_path), "embedding_pair_cosine_hist")
     _compare(str(tmp_path), "embedding_feature_gain")
+    # integer k-means: the zero vector lands among the 8 seeds here,
+    # pinning the empty-cluster carry-forward and seed conventions;
+    # semantic_dedup additionally pins the n2>0 zero-vector guard
+    _compare(str(tmp_path), "kmeans_clusters")
+    _compare(str(tmp_path), "semantic_dedup")
 
     m = int(rng.integers(80, 300))
     pq.write_table(pa.table(

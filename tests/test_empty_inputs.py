@@ -132,7 +132,7 @@ _SAMPLE = [
     "kg_sink_entities", "events_peak_days",
     # round 5
     "theil_sen_revenue", "kruskal_wallis_quantity", "avro_docs",
-    "window_shingle_dedup",
+    "window_shingle_dedup", "kmeans_clusters", "semantic_dedup",
     # protobuf_docs synthesizes its own input (chain-rule twin)
     # contract_violations keeps its 5-rule zero-count card on empty
     # input (the pipeline_metrics convention) — excluded from the
