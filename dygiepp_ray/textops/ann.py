@@ -1182,3 +1182,76 @@ def semantic_dedup(
     if pdf.empty or "vec_id" not in pdf.columns:
         return empty_out
     return pdf.sort_values("vec_id", ignore_index=True).astype(out_cols)
+
+
+def quantile_normalize(
+    embeddings: ray.data.Dataset, num_buckets: int | None = None
+) -> pd.DataFrame:
+    """Quantile normalization across embedding dimensions (the
+    microarray-style feature-prep op: force every dimension to share
+    one distribution): each value maps to the FLOORED mean of the
+    values holding its within-dim rank (rank ties broken by vec_id),
+    all in quantized int64 space — bit-exact vs the window-function
+    SQL twin.
+
+    Shape: two keyed exchanges, each perfectly partitioned — by dim
+    (per-dim sort/rank over ~n values) then by rank (per-rank mean
+    over n_dims values); the driver folds O(vectors) partials.
+    -> (vec_id, qn_sum) — the per-vector sum of normalized values."""
+    from ..core import hash_exchange
+
+    out_cols = {"vec_id": np.int64, "qn_sum": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+
+    _V = {"vec_id": np.int64, "dim": np.int64, "q": np.int64}
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "embedding" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in _V.items()})
+        q = _quantize(df)
+        n, d = q.shape
+        return pd.DataFrame(
+            {"vec_id": np.repeat(df["vec_id"].to_numpy(np.int64), d),
+             "dim": np.tile(np.arange(1, d + 1, dtype=np.int64), n),
+             "q": q.ravel()})
+
+    rows = embeddings.map_batches(explode, batch_format="pandas")
+
+    _R = {"vec_id": np.int64, "rk": np.int64, "q": np.int64}
+
+    def rank_within_dim(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "dim" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in _R.items()})
+        df = df.sort_values(["dim", "q", "vec_id"])
+        rk = df.groupby("dim").cumcount().to_numpy(np.int64) + 1
+        return pd.DataFrame({"vec_id": df["vec_id"].to_numpy(np.int64),
+                             "rk": rk,
+                             "q": df["q"].to_numpy(np.int64)})
+
+    ranked = hash_exchange(rows, "dim", rank_within_dim, num_buckets)
+
+    _P = {"vec_id": np.int64, "t": object}
+
+    def rank_mean(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "rk" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in _P.items()})
+        g = df.groupby("rk")
+        tv = {int(r): int(s) // int(c) for r, s, c in zip(
+            g.size().index, g["q"].sum(), g.size())}
+        out = df.groupby("vec_id", as_index=False).agg(
+            tsum=("rk", lambda s: sum(tv[int(r)] for r in s)))
+        out["t"] = out["tsum"].map(lambda v: str(int(v)))
+        return out[["vec_id", "t"]].astype({"vec_id": np.int64})
+
+    parts = hash_exchange(ranked, "rk", rank_mean, num_buckets).to_pandas()
+    if parts.empty or "vec_id" not in parts.columns:
+        return empty_out
+    agg: dict[int, int] = {}
+    for vid, t in zip(parts["vec_id"], parts["t"]):
+        agg[int(vid)] = agg.get(int(vid), 0) + int(t)
+    return pd.DataFrame(sorted(agg.items()),
+                        columns=list(out_cols)).astype(out_cols)

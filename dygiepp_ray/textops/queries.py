@@ -5843,3 +5843,39 @@ FROM qual WHERE rn = 1
 
 
 TEXTOPS_QUERIES["semantic_dedup"] = (q_semantic_dedup, SQL_SEMANTIC_DEDUP)
+
+
+def q_quantile_normalize(sf_dir: str) -> pd.DataFrame:
+    """Quantile normalization across embedding dims — see
+    textops/ann.quantile_normalize (per-dim ranks -> per-rank floored
+    means; two perfectly-partitioned exchanges)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann.quantile_normalize(ds)
+
+
+SQL_QUANTILE_NORMALIZE = f"""
+WITH v AS (
+  SELECT vec_id, i AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings, LATERAL (
+    SELECT unnest(generate_series(1, len(embedding))) AS i) s
+),
+r AS (
+  SELECT vec_id, q,
+         row_number() OVER (PARTITION BY dim ORDER BY q, vec_id) AS rk
+  FROM v
+),
+t AS (
+  SELECT rk,
+         CAST({_sql_fdiv('sum(q)', 'count(*)')} AS BIGINT) AS tv
+  FROM r GROUP BY rk
+)
+SELECT CAST(r.vec_id AS BIGINT) AS vec_id,
+       CAST(sum(t.tv) AS BIGINT) AS qn_sum
+FROM r JOIN t ON t.rk = r.rk GROUP BY 1
+"""
+
+
+TEXTOPS_QUERIES["quantile_normalize"] = (q_quantile_normalize,
+                                         SQL_QUANTILE_NORMALIZE)

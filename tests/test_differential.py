@@ -611,6 +611,9 @@ def test_customer_embedding_backlog_differential(ray_session, tmp_path, seed):
     # semantic_dedup additionally pins the n2>0 zero-vector guard
     _compare(str(tmp_path), "kmeans_clusters")
     _compare(str(tmp_path), "semantic_dedup")
+    # per-dim rank ties (quantized values collide) pin the vec_id
+    # tie-break on both sides
+    _compare(str(tmp_path), "quantile_normalize")
 
     m = int(rng.integers(80, 300))
     pq.write_table(pa.table(
