@@ -12104,3 +12104,124 @@ WHERE n > 0 AND k >= 2
 
 RELATIONAL_QUERIES["kruskal_wallis_quantity"] = (
     kruskal_wallis_quantity, SQL_KRUSKAL_WALLIS_QUANTITY)
+
+
+def welch_t_test(sf_dir: str) -> pd.DataFrame:
+    """Welch's unequal-variance t-test for l_extendedprice (cents)
+    between the 'O' and 'F' line statuses, with the Welch-Satterthwaite
+    degrees of freedom — the exact-moments discipline: per-batch
+    chunked integer (n, sum, sum-of-squares) partials as decimal
+    strings, python-int fold on the driver, and a float64 finish that
+    runs the IDENTICAL IEEE op sequence as the SQL twin.
+    -> one row (n_o, n_f, t_x1e9, df_x1e6)."""
+    import math
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_linestatus", "l_extendedprice"])
+    out_cols = {"n_o": np.int64, "n_f": np.int64,
+                "t_x1e9": np.int64, "df_x1e6": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"st": pd.Series(dtype=object),
+                              "n": pd.Series(dtype=np.int64),
+                              "s": pd.Series(dtype=object),
+                              "q": pd.Series(dtype=object)})
+        if len(df) == 0 or "l_linestatus" not in df.columns:
+            return empty
+        rows = {"st": [], "n": [], "s": [], "q": []}
+        for st in ("O", "F"):
+            c = np.floor(
+                df.loc[df["l_linestatus"] == st, "l_extendedprice"]
+                .to_numpy(np.float64) * 100.0 + 0.5).astype(np.int64)
+            if len(c) == 0:
+                continue
+            s = q = 0
+            for i in range(0, len(c), 4096):  # int64-safe chunks
+                ch = c[i:i + 4096]
+                s += int(ch.sum())
+                q += int((ch * ch).sum())
+            rows["st"].append(st)
+            rows["n"].append(len(c))
+            rows["s"].append(str(s))
+            rows["q"].append(str(q))
+        if not rows["st"]:
+            return empty
+        return pd.DataFrame(rows).astype({"n": np.int64})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty or "st" not in parts.columns:
+        return empty_out
+    agg = {"O": [0, 0, 0], "F": [0, 0, 0]}
+    for st, n, s, q in zip(parts["st"], parts["n"], parts["s"],
+                           parts["q"]):
+        a = agg[str(st)]
+        a[0] += int(n)
+        a[1] += int(s)
+        a[2] += int(q)
+    (n1, s1, q1), (n2, s2, q2) = agg["O"], agg["F"]
+    if n1 < 2 or n2 < 2:
+        return empty_out
+    # pinned float64 sequence — mirrored verbatim in the SQL twin
+    n1f, n2f = float(n1), float(n2)
+    m1 = float(s1) / n1f
+    m2 = float(s2) / n2f
+    v1 = (float(q1) - float(s1) * float(s1) / n1f) / (n1f - 1.0)
+    v2 = (float(q2) - float(s2) * float(s2) / n2f) / (n2f - 1.0)
+    se1 = v1 / n1f
+    se2 = v2 / n2f
+    se = se1 + se2
+    if se <= 0:
+        return empty_out
+    t = (m1 - m2) / math.sqrt(se)
+    dfree = se * se / (se1 * se1 / (n1f - 1.0) + se2 * se2 / (n2f - 1.0))
+    return pd.DataFrame(
+        [(n1, n2, math.floor(t * 1e9), math.floor(dfree * 1e6))],
+        columns=list(out_cols)).astype(out_cols)
+
+
+SQL_WELCH_T_TEST = """
+WITH e AS (
+  SELECT l_linestatus AS st,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT) AS c
+  FROM lineitem WHERE l_linestatus IN ('O', 'F')
+),
+s AS (
+  SELECT st, CAST(count(*) AS HUGEINT) AS n, sum(c) AS sc,
+         sum(c * c) AS qc
+  FROM e GROUP BY st
+),
+p AS (
+  SELECT max(CASE WHEN st = 'O' THEN n END) AS n1,
+         max(CASE WHEN st = 'O' THEN sc END) AS s1,
+         max(CASE WHEN st = 'O' THEN qc END) AS q1,
+         max(CASE WHEN st = 'F' THEN n END) AS n2,
+         max(CASE WHEN st = 'F' THEN sc END) AS s2,
+         max(CASE WHEN st = 'F' THEN qc END) AS q2
+  FROM s
+),
+f AS (
+  SELECT n1, n2,
+         CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+         CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+         ((CAST(q1 AS DOUBLE)
+           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+          / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE) AS se1,
+         ((CAST(q2 AS DOUBLE)
+           - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+          / (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE) AS se2
+  FROM p WHERE n1 >= 2 AND n2 >= 2
+)
+SELECT CAST(n1 AS BIGINT) AS n_o, CAST(n2 AS BIGINT) AS n_f,
+       CAST(floor((m1 - m2) / sqrt(se1 + se2) * 1e9) AS BIGINT) AS t_x1e9,
+       CAST(floor((se1 + se2) * (se1 + se2)
+             / (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0)
+                + se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)) * 1e6)
+            AS BIGINT) AS df_x1e6
+FROM f WHERE se1 + se2 > 0
+"""
+
+
+RELATIONAL_QUERIES["welch_t_test"] = (welch_t_test, SQL_WELCH_T_TEST)
