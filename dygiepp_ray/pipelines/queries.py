@@ -646,6 +646,88 @@ FROM rel GROUP BY 1, 2, 3
 """
 
 
+def q_kg_entity_timeline(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
+    """Entity lifespans over the constructed KG: per (surface, label)
+    mention key, total mentions, distinct conversations and first/
+    last-seen timestamps — the staleness/churn readout a KG store
+    serves next to `kg_triples_temporal`'s per-triple valid time
+    (reference emits per-doc mentions only; the corpus-wide roll-up is
+    the store side).  A mention's ts is the ts of the turn holding its
+    START token (turn t stamped at t(t+1)/2 seconds by the adapter).
+
+    Partials collapse to one row per (entity, conv) inside each
+    extraction block; ONE keyed exchange on the entity key finalizes
+    count/distinct/min/max — shuffle bytes are O(entities x
+    convs-per-block), never O(mentions)."""
+    from ..core import partitioned_map_groups
+
+    pipe = from_documents_table(sf_dir)
+    spw = WIN // TT  # turns per window
+
+    _OUT = {"surface": object, "label": object,
+            "n_mentions": np.int64, "n_convs": np.int64,
+            "first_seen_us": np.int64, "last_seen_us": np.int64}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "surface" not in df.columns:
+            return pd.DataFrame(
+                {"key": pd.Series(dtype=object),
+                 "surface": pd.Series(dtype=object),
+                 "label": pd.Series(dtype=object),
+                 "conv_id": pd.Series(dtype=object),
+                 "n": pd.Series(dtype=np.int64),
+                 "lo": pd.Series(dtype=np.int64),
+                 "hi": pd.Series(dtype=np.int64)})
+        w = (
+            df["doc_key"].str.extract(r"_SPLIT_(\d+)$", expand=False)
+            .fillna("0").astype(np.int64)
+        )
+        t = w.to_numpy(np.int64) * spw + df["sent_ix"].to_numpy(np.int64)
+        ts_us = (t * (t + 1) // 2) * 1_000_000
+        d = pd.DataFrame(
+            {"surface": df["surface"].to_numpy(object),
+             "label": df["label"].to_numpy(object),
+             "conv_id": df["conv_id"].to_numpy(object),
+             "ts_us": ts_us})
+        g = d.groupby(["surface", "label", "conv_id"],
+                      as_index=False).agg(
+            n=("ts_us", "size"), lo=("ts_us", "min"), hi=("ts_us", "max"))
+        g["key"] = g["surface"].str.cat(g["label"], sep="\x1f")
+        return g.astype({"n": np.int64, "lo": np.int64, "hi": np.int64})
+
+    partials = pipe.mentions.map_batches(partial, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "surface" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in _OUT.items()})
+        g = df.groupby(["surface", "label"], as_index=False).agg(
+            n_mentions=("n", "sum"), n_convs=("conv_id", "nunique"),
+            first_seen_us=("lo", "min"), last_seen_us=("hi", "max"))
+        for c in ("n_mentions", "n_convs",
+                  "first_seen_us", "last_seen_us"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    out = partitioned_map_groups(partials, "key", final, num_buckets=16)
+    if out.count() == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t)
+                             for c, t in _OUT.items()})
+    return out
+
+
+SQL_KG_ENTITY_TIMELINE = SQL_TOKS + f"""
+SELECT surface, {_LABEL_CASE} AS label,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_convs,
+       CAST(min((pos // {TT}) * (pos // {TT} + 1) // 2) * 1000000
+            AS BIGINT) AS first_seen_us,
+       CAST(max((pos // {TT}) * (pos // {TT} + 1) // 2) * 1000000
+            AS BIGINT) AS last_seen_us
+FROM ents GROUP BY 1, 2
+"""
+
+
 def q_kg_entity_degree(sf_dir: str) -> ray.data.Dataset:
     """Degree profile of the constructed KG: per subject entity, its
     triple count, distinct objects and distinct predicates — the fan-out
@@ -2945,7 +3027,7 @@ FROM ents
 # (VERDICT r3 #7).  New queries added mid-round go at the very front.
 _DRIVER_SAMPLE_FIRST = (
     # round-5 additions (newest first)
-    "welch_t_test",
+    "kg_entity_timeline", "welch_t_test",
     "quantile_normalize", "kmeans_clusters", "semantic_dedup",
     "window_shingle_dedup", "avro_docs", "theil_sen_revenue",
     "kruskal_wallis_quantity",
@@ -3477,6 +3559,7 @@ KG_QUERIES = {
     "kg_relations": (q_kg_relations, SQL_KG_RELATIONS),
     "kg_triples": (q_kg_triples, SQL_KG_TRIPLES),
     "kg_triples_temporal": (q_kg_triples_temporal, SQL_KG_TRIPLES_TEMPORAL),
+    "kg_entity_timeline": (q_kg_entity_timeline, SQL_KG_ENTITY_TIMELINE),
     "kg_entity_degree": (q_kg_entity_degree, SQL_KG_ENTITY_DEGREE),
     "kg_path2": (q_kg_path2, SQL_KG_PATH2),
     "kg_ego_network": (q_kg_ego_network, SQL_KG_EGO_NETWORK),

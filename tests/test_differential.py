@@ -260,6 +260,9 @@ def test_kg_triples_temporal_differential(ray_session, tmp_path, seed):
          "text": pa.array(texts)}
     ), tmp_path / "documents.parquet")
     _compare(str(tmp_path), "kg_triples_temporal")
+    # entity lifespans share the _SPLIT_w parse + turn-ts formula but
+    # roll up MENTIONS (start-token turn), not predicate turns
+    _compare(str(tmp_path), "kg_entity_timeline")
 
 
 @pytest.mark.parametrize("seed", [17, 53])
