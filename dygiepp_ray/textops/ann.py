@@ -1255,3 +1255,94 @@ def quantile_normalize(
         agg[int(vid)] = agg.get(int(vid), 0) + int(t)
     return pd.DataFrame(sorted(agg.items()),
                         columns=list(out_cols)).astype(out_cols)
+
+
+NPY_SHARD = 256
+
+
+def npy_shard_roundtrip(
+    embeddings: ray.data.Dataset, num_buckets: int | None = None
+) -> pd.DataFrame:
+    """NumPy ``.npy`` v1.0 shard export/ingest round trip: vectors pack
+    into one REAL .npy per shard (shard = vec_id // 256) — magic
+    ``\\x93NUMPY``, version 1.0, 64-byte-aligned ASCII header dict,
+    little-endian float32 payload — written by hand (not np.save) and
+    re-read with full header validation; the re-read data must equal
+    the input bit-for-bit.  Emits per-shard stats the SQL twin
+    reproduces from the quantized values.
+
+    Shape: one shard-keyed exchange; shard bytes never cross the
+    driver.  -> (shard_id, n_vecs, q_sum)."""
+    import ast
+
+    from ..core import partitioned_map_groups
+
+    out_cols = {"shard_id": np.int64, "n_vecs": np.int64,
+                "q_sum": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        # list columns do not survive a pandas map_batches round trip:
+        # ship the float32 payload as bytes (the _assign_lists rule)
+        if len(df) == 0 or "vec_id" not in df.columns:
+            return pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
+                                 "payload": pd.Series(dtype=object),
+                                 "__k": pd.Series(dtype=np.int64)})
+        mat = _stack(df["embedding"]).astype("<f4")
+        return pd.DataFrame(
+            {"vec_id": df["vec_id"].to_numpy(np.int64),
+             "payload": [row.tobytes() for row in mat],
+             "__k": df["vec_id"].to_numpy(np.int64) // NPY_SHARD})
+
+    def write_npy(mat: np.ndarray) -> bytes:
+        head = ("{'descr': '<f4', 'fortran_order': False, "
+                f"'shape': {mat.shape!r}, }}")
+        # pad so that magic+ver+len+header is a multiple of 64
+        pad = 64 - ((10 + len(head) + 1) % 64)
+        head = head + " " * (pad % 64) + "\n"
+        out = bytearray(b"\x93NUMPY\x01\x00")
+        out += len(head).to_bytes(2, "little")
+        out += head.encode("latin1")
+        out += np.ascontiguousarray(mat, dtype="<f4").tobytes()
+        return bytes(out)
+
+    def read_npy(blob: bytes) -> np.ndarray:
+        if blob[:8] != b"\x93NUMPY\x01\x00":
+            raise ValueError("bad .npy magic/version")
+        hlen = int.from_bytes(blob[8:10], "little")
+        if (10 + hlen) % 64:
+            raise ValueError(".npy header not 64-byte aligned")
+        hdr = ast.literal_eval(blob[10:10 + hlen].decode("latin1"))
+        if hdr["descr"] != "<f4" or hdr["fortran_order"]:
+            raise ValueError("unexpected .npy dtype/order")
+        n, d = hdr["shape"]
+        data = np.frombuffer(blob[10 + hlen:], dtype="<f4")
+        if data.size != n * d:
+            raise ValueError(".npy payload size mismatch")
+        return data.reshape(n, d)
+
+    def roundtrip(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "vec_id" not in df.columns:
+            return empty_out
+        rows = {c: [] for c in out_cols}
+        for sid, g in df.groupby("__k"):
+            g = g.sort_values("vec_id")
+            mat = np.stack([np.frombuffer(b, dtype="<f4")
+                            for b in g["payload"]])
+            back = read_npy(write_npy(mat))
+            if back.shape != mat.shape or not (back == mat).all():
+                raise ValueError(f".npy round trip diverged: shard {sid}")
+            q = np.floor(back.astype(np.float64) * KM_SCALE)
+            rows["shard_id"].append(int(sid))
+            rows["n_vecs"].append(len(g))
+            rows["q_sum"].append(int(q.sum()))
+        return pd.DataFrame(rows).astype(out_cols)
+
+    out = partitioned_map_groups(
+        embeddings.map_batches(key, batch_format="pandas"), "__k",
+        roundtrip, num_buckets or 8)
+    pdf = out.to_pandas()
+    if pdf.empty or "shard_id" not in pdf.columns:
+        return empty_out
+    return pdf.sort_values("shard_id", ignore_index=True).astype(out_cols)

@@ -5879,3 +5879,28 @@ FROM r JOIN t ON t.rk = r.rk GROUP BY 1
 
 TEXTOPS_QUERIES["quantile_normalize"] = (q_quantile_normalize,
                                          SQL_QUANTILE_NORMALIZE)
+
+
+def q_npy_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Hand-written NumPy .npy v1.0 shard round trip over the
+    embeddings table — see textops/ann.npy_shard_roundtrip."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann.npy_shard_roundtrip(ds)
+
+
+SQL_NPY_EMBEDDINGS = f"""
+WITH v AS (
+  SELECT vec_id, i AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings, LATERAL (
+    SELECT unnest(generate_series(1, len(embedding))) AS i) s
+)
+SELECT CAST(vec_id // {ann.NPY_SHARD} AS BIGINT) AS shard_id,
+       CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+       CAST(sum(q) AS BIGINT) AS q_sum
+FROM v GROUP BY 1
+"""
+
+
+TEXTOPS_QUERIES["npy_embeddings"] = (q_npy_embeddings, SQL_NPY_EMBEDDINGS)

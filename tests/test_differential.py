@@ -620,6 +620,8 @@ def test_customer_embedding_backlog_differential(ray_session, tmp_path, seed):
     # per-dim rank ties (quantized values collide) pin the vec_id
     # tie-break on both sides
     _compare(str(tmp_path), "quantile_normalize")
+    # 40 vecs in one shard: header alignment + f4 payload round trip
+    _compare(str(tmp_path), "npy_embeddings")
 
     m = int(rng.integers(80, 300))
     pq.write_table(pa.table(
