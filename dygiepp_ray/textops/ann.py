@@ -1346,3 +1346,94 @@ def npy_shard_roundtrip(
     if pdf.empty or "shard_id" not in pdf.columns:
         return empty_out
     return pdf.sort_values("shard_id", ignore_index=True).astype(out_cols)
+
+
+KNN_K = 3
+
+
+def label_knn_eval(
+    embeddings: ray.data.Dataset, k: int = KNN_K
+) -> pd.DataFrame:
+    """Leave-one-out k-NN label accuracy — the standard
+    is-this-embedding-space-any-good readout (CIFAR-style LOO eval)
+    run per label: each vector is classified by majority vote of its
+    k nearest OTHER vectors (exact integer squared-L2 over quantized
+    values; distance ties break by vec_id, vote ties by smallest
+    label) and scored against its own label.
+
+    Shape: the quantized matrix is the BROADCAST small side (ray.put
+    once — an eval op runs over an eval-set-sized sample, the
+    decontaminate asymmetry; at corpus scale swap in the IVF/LSH
+    candidate generators); each batch scores itself against it in one
+    int64 matmul.  -> (label, n, n_correct, acc_ppm)."""
+    out_cols = {"label": np.int64, "n": np.int64,
+                "n_correct": np.int64, "acc_ppm": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+    embeddings = embeddings.materialize()
+    full = embeddings.map_batches(
+        lambda df: pd.DataFrame(
+            {"vec_id": df["vec_id"].to_numpy(np.int64),
+             "label": df["label"].to_numpy(np.int64),
+             "qv": [r.tobytes() for r in _quantize(df)]})
+        if len(df) and "vec_id" in df.columns else
+        pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
+                      "label": pd.Series(dtype=np.int64),
+                      "qv": pd.Series(dtype=object)}),
+        batch_format="pandas").to_pandas()
+    if full.empty or "vec_id" not in full.columns or len(full) < 2:
+        return empty_out
+    full = full.sort_values("vec_id", ignore_index=True)
+    ids = full["vec_id"].to_numpy(np.int64)
+    labs = full["label"].to_numpy(np.int64)
+    Q = np.stack([np.frombuffer(b, dtype=np.int64) for b in full["qv"]])
+    ref = ray.put((ids, labs, Q))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"label": pd.Series(dtype=np.int64),
+                              "n": pd.Series(dtype=np.int64),
+                              "c": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "vec_id" not in df.columns:
+            return empty
+        aids, alabs, A = ray.get(ref)
+        q = _quantize(df)
+        bids = df["vec_id"].to_numpy(np.int64)
+        blabs = df["label"].to_numpy(np.int64)
+        n2a = (A * A).sum(axis=1)
+        n2b = (q * q).sum(axis=1)
+        d = n2b[:, None] + n2a[None, :] - 2 * (q @ A.T)
+        rows = {"label": [], "n": [], "c": []}
+        agg: dict[int, list[int]] = {}
+        for i in range(len(bids)):
+            order = np.lexsort((aids, d[i]))
+            votes: dict[int, int] = {}
+            taken = 0
+            for j in order:
+                if aids[j] == bids[i]:
+                    continue  # leave-one-out
+                votes[int(alabs[j])] = votes.get(int(alabs[j]), 0) + 1
+                taken += 1
+                if taken == k:
+                    break
+            best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+            a = agg.setdefault(int(blabs[i]), [0, 0])
+            a[0] += 1
+            a[1] += int(best == blabs[i])
+        for lab, (n, c) in agg.items():
+            rows["label"].append(lab)
+            rows["n"].append(n)
+            rows["c"].append(c)
+        return pd.DataFrame(rows).astype(
+            {"label": np.int64, "n": np.int64, "c": np.int64})
+
+    parts = embeddings.map_batches(score, batch_format="pandas").to_pandas()
+    if parts.empty or "label" not in parts.columns:
+        return empty_out
+    g = parts.groupby("label", as_index=False).sum()
+    return pd.DataFrame(
+        {"label": g["label"].to_numpy(np.int64),
+         "n": g["n"].to_numpy(np.int64),
+         "n_correct": g["c"].to_numpy(np.int64),
+         "acc_ppm": (1_000_000 * g["c"].to_numpy(np.int64))
+         // g["n"].to_numpy(np.int64)}
+    ).sort_values("label", ignore_index=True).astype(out_cols)

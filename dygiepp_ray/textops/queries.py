@@ -5904,3 +5904,56 @@ FROM v GROUP BY 1
 
 
 TEXTOPS_QUERIES["npy_embeddings"] = (q_npy_embeddings, SQL_NPY_EMBEDDINGS)
+
+
+def q_label_knn_eval(sf_dir: str) -> pd.DataFrame:
+    """Leave-one-out 3-NN label accuracy per label — see
+    textops/ann.label_knn_eval."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"])
+    return ann.label_knn_eval(ds)
+
+
+SQL_LABEL_KNN_EVAL = f"""
+WITH v AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         list_transform(embedding,
+           x -> floor(CAST(x AS DOUBLE) * 1000)) AS ql
+  FROM embeddings
+),
+n2 AS (SELECT vec_id, list_dot_product(ql, ql) AS s FROM v),
+p AS (
+  SELECT a.vec_id AS qa, b.vec_id AS nb, b.label AS nlab,
+         na.s + nbn.s - 2 * list_dot_product(a.ql, b.ql) AS dist
+  FROM v a JOIN v b ON b.vec_id <> a.vec_id
+  JOIN n2 na ON na.vec_id = a.vec_id
+  JOIN n2 nbn ON nbn.vec_id = b.vec_id
+),
+r AS (
+  SELECT qa, nlab,
+         row_number() OVER (PARTITION BY qa ORDER BY dist, nb) AS rk
+  FROM p
+),
+vt AS (
+  SELECT qa, nlab, count(*) AS c FROM r WHERE rk <= {ann.KNN_K}
+  GROUP BY 1, 2
+),
+w AS (
+  SELECT qa, nlab AS pred FROM (
+    SELECT qa, nlab,
+           row_number() OVER (PARTITION BY qa
+                              ORDER BY c DESC, nlab ASC) AS rn
+    FROM vt) WHERE rn = 1
+)
+SELECT v.label, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN w.pred = v.label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       CAST(1000000 * sum(CASE WHEN w.pred = v.label THEN 1 ELSE 0 END)
+            // count(*) AS BIGINT) AS acc_ppm
+FROM v JOIN w ON w.qa = v.vec_id
+GROUP BY 1
+"""
+
+
+TEXTOPS_QUERIES["label_knn_eval"] = (q_label_knn_eval, SQL_LABEL_KNN_EVAL)

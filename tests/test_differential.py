@@ -622,6 +622,9 @@ def test_customer_embedding_backlog_differential(ray_session, tmp_path, seed):
     _compare(str(tmp_path), "quantile_normalize")
     # 40 vecs in one shard: header alignment + f4 payload round trip
     _compare(str(tmp_path), "npy_embeddings")
+    # 3 labels over 40 vecs: vote ties and distance ties are common,
+    # pinning both tie-break conventions
+    _compare(str(tmp_path), "label_knn_eval")
 
     m = int(rng.integers(80, 300))
     pq.write_table(pa.table(
