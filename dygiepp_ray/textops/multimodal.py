@@ -214,6 +214,50 @@ def wav_features(
     )
 
 
+WAV_RMS_WIN = 64
+
+
+class WavWindowDecoder:
+    """Actor-pool stage: REAL wave parse -> per-64-sample-window exact
+    integer energy (sum of squared int16 samples) — the loudness
+    profile a speech-segmentation pipeline windows on.  The tail
+    window may be short; its true length is emitted."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        import io
+        import wave
+
+        _OUT = {"media_id": np.int64, "win_ix": np.int64,
+                "n_samples": np.int64, "energy": np.int64}
+        if len(df) == 0 or "payload" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in _OUT.items()})
+        rows = {c: [] for c in _OUT}
+        for mid, payload in zip(df["media_id"], df["payload"]):
+            with wave.open(io.BytesIO(payload), "rb") as w:
+                pcm = np.frombuffer(
+                    w.readframes(w.getnframes()), dtype="<i2"
+                ).astype(np.int64)
+            for wix in range(0, len(pcm), WAV_RMS_WIN):
+                win = pcm[wix:wix + WAV_RMS_WIN]
+                rows["media_id"].append(int(mid))
+                rows["win_ix"].append(wix // WAV_RMS_WIN)
+                rows["n_samples"].append(len(win))
+                rows["energy"].append(int((win * win).sum()))
+        return pd.DataFrame(rows).astype(_OUT)
+
+
+def wav_rms_windows(
+    media: ray.data.Dataset, concurrency: int = 2, batch_size: int = 16
+) -> ray.data.Dataset:
+    """Real-decode windowed audio energy: small batches (binary
+    payloads), exact integers end to end."""
+    return media.map_batches(
+        WavWindowDecoder, batch_format="pandas",
+        batch_size=batch_size, concurrency=concurrency,
+    )
+
+
 PPM_SEED = 11
 
 

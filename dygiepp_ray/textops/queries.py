@@ -5957,3 +5957,48 @@ GROUP BY 1
 
 
 TEXTOPS_QUERIES["label_knn_eval"] = (q_label_knn_eval, SQL_LABEL_KNN_EVAL)
+
+
+def q_wav_rms_windows(sf_dir: str):
+    """REAL audio decode -> per-64-sample-window exact integer energy
+    (see multimodal.WavWindowDecoder); the twin regenerates every
+    int16 sample from the md5 chain and re-windows by k // 64."""
+    media = ray.data.from_arrow(multimodal.synth_wav(32))
+    return multimodal.wav_rms_windows(media)
+
+
+SQL_WAV_RMS_WINDOWS = f"""
+WITH m AS (
+  SELECT i AS media_id, md5('wav:{multimodal.WAV_SEED}:' || i) AS base
+  FROM range(0, 32) t(i)
+),
+p AS (
+  SELECT media_id, 64 + {_sql_hexval('base', 1, 4)} % 448 AS n_samples FROM m
+),
+raw AS (
+  SELECT media_id, k // {multimodal.WAV_RMS_WIN} AS win_ix,
+         md5('wav:{multimodal.WAV_SEED}:' || media_id || ':'
+             || CAST(k // 8 AS VARCHAR)) AS chunk,
+         (k % 8) * 4 AS off
+  FROM p, unnest(range(0, n_samples)) r(k)
+),
+sv AS (
+  SELECT media_id, win_ix,
+         (({_HEXNIB.format(o=1)}) * 16 + ({_HEXNIB.format(o=2)}))
+       + 256 * (({_HEXNIB.format(o=3)}) * 16 + ({_HEXNIB.format(o=4)})) AS u
+  FROM raw
+),
+sgn AS (
+  SELECT media_id, win_ix,
+         CAST(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS BIGINT) AS v
+  FROM sv
+)
+SELECT media_id, CAST(win_ix AS BIGINT) AS win_ix,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(v * v) AS BIGINT) AS energy
+FROM sgn GROUP BY 1, 2
+"""
+
+
+TEXTOPS_QUERIES["wav_rms_windows"] = (q_wav_rms_windows,
+                                      SQL_WAV_RMS_WINDOWS)

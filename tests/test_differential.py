@@ -1149,3 +1149,10 @@ def test_avro_ocf_framing_and_sync_verification():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         A.read_avro(bytes(blob))
+
+
+def test_wav_rms_windows_differential(ray_session, tmp_path):
+    """Self-synthesizing input (md5-chain WAV): the REAL wave-module
+    parse + 64-sample windowing must match the hex-pair SQL twin,
+    including the short tail window."""
+    _compare(str(tmp_path), "wav_rms_windows")
