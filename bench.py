@@ -174,6 +174,11 @@ def main() -> None:
             ("winnowing_fingerprints", TQ.q_winnowing_fingerprints),
             ("kg_hits", KQ.q_kg_hits),
             ("kg_transe_scores", KQ.q_kg_transe_scores),
+            # round 5: semantic/exact dedup + clustering additions
+            ("semantic_dedup", TQ.q_semantic_dedup),
+            ("kmeans_clusters", TQ.q_kmeans_clusters),
+            ("window_shingle_dedup", TQ.q_window_shingle_dedup),
+            ("kg_entity_timeline", KQ.q_kg_entity_timeline),
         ]:
             t0 = time.perf_counter()
             res = fn(SF_DIR)
