@@ -6002,3 +6002,91 @@ FROM sgn GROUP BY 1, 2
 
 TEXTOPS_QUERIES["wav_rms_windows"] = (q_wav_rms_windows,
                                       SQL_WAV_RMS_WINDOWS)
+
+
+SKEW_BUCKETS = 16
+
+
+def q_shard_skew_report(sf_dir: str) -> pd.DataFrame:
+    """Partition-skew introspection for the conv_id exchange (the
+    north rule's 'skew handled explicitly' made checkable): each
+    conversation hashes to one of 16 report buckets (md5 convention —
+    the internal exchange uses pandas' siphash, but skew is a property
+    of the KEY DISTRIBUTION, which both hashes sample identically);
+    per bucket, conversation and token counts plus the token load as
+    ppm of a perfectly-even share.  A hot bucket here is the signal to
+    salt keys before the canonicalization shuffle.
+
+    Map-only: per-batch (bucket, n, tokens) partials collapse to 16
+    rows; the driver folds python ints.
+    -> (bucket, n_convs, n_tokens, load_ppm)."""
+    import hashlib
+
+    ds = _docs(sf_dir)
+    out_cols = {"bucket": np.int64, "n_convs": np.int64,
+                "n_tokens": np.int64, "load_ppm": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+
+    from .chunks import _doc_tokens
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"bucket": pd.Series(dtype=np.int64),
+                              "n": pd.Series(dtype=np.int64),
+                              "t": pd.Series(dtype=object)})
+        if len(df) == 0 or "doc_id" not in df.columns:
+            return empty
+        nt = _doc_tokens(df, "text").map(len).to_numpy(np.int64)
+        bk = np.fromiter(
+            (int(hashlib.md5(f"doc{int(d)}".encode()).hexdigest()[:8],
+                 16) % SKEW_BUCKETS
+             for d in df["doc_id"]), dtype=np.int64, count=len(df))
+        g = pd.DataFrame({"bucket": bk, "n": 1, "tok": nt}).groupby(
+            "bucket", as_index=False).agg(n=("n", "sum"),
+                                          tok=("tok", "sum"))
+        g["t"] = g["tok"].map(lambda v: str(int(v)))
+        return g[["bucket", "n", "t"]].astype(
+            {"bucket": np.int64, "n": np.int64})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty or "bucket" not in parts.columns:
+        return empty_out
+    agg: dict[int, list[int]] = {}
+    for b, n, t in zip(parts["bucket"], parts["n"], parts["t"]):
+        a = agg.setdefault(int(b), [0, 0])
+        a[0] += int(n)
+        a[1] += int(t)
+    total = sum(v[1] for v in agg.values())
+    if total == 0:
+        return empty_out
+    rows = [(b, agg[b][0], agg[b][1],
+             (1_000_000 * agg[b][1] * SKEW_BUCKETS) // total)
+            for b in sorted(agg)]
+    return pd.DataFrame(rows, columns=list(out_cols)).astype(out_cols)
+
+
+SQL_SHARD_SKEW_REPORT = rf"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt,
+         {_sql_hexval("md5('doc' || doc_id)", 1, 8)} % {SKEW_BUCKETS}
+           AS bucket
+  FROM documents
+),
+g AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_convs,
+         CAST(sum(nt) AS HUGEINT) AS n_tokens
+  FROM base GROUP BY bucket
+),
+t AS (SELECT sum(n_tokens) AS total FROM g)
+SELECT CAST(bucket AS BIGINT) AS bucket, n_convs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(1000000 * n_tokens * {SKEW_BUCKETS} // t.total AS BIGINT)
+         AS load_ppm
+FROM g, t WHERE t.total > 0
+"""
+
+
+TEXTOPS_QUERIES["shard_skew_report"] = (q_shard_skew_report,
+                                        SQL_SHARD_SKEW_REPORT)

@@ -134,7 +134,7 @@ _SAMPLE = [
     "theil_sen_revenue", "kruskal_wallis_quantity", "avro_docs",
     "window_shingle_dedup", "kmeans_clusters", "semantic_dedup",
     "quantile_normalize", "welch_t_test", "kg_entity_timeline",
-    "npy_embeddings", "label_knn_eval",
+    "npy_embeddings", "label_knn_eval", "shard_skew_report",
     # protobuf_docs synthesizes its own input (chain-rule twin)
     # contract_violations keeps its 5-rule zero-count card on empty
     # input (the pipeline_metrics convention) — excluded from the
