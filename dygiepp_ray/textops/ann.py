@@ -1437,3 +1437,177 @@ def label_knn_eval(
          "acc_ppm": (1_000_000 * g["c"].to_numpy(np.int64))
          // g["n"].to_numpy(np.int64)}
     ).sort_values("label", ignore_index=True).astype(out_cols)
+
+
+# fixed-point DCG discounts: floor(1e6 / log2(i+1)) for ranks 1..5 —
+# pinned literals so both engines stay in integer arithmetic
+NDCG_DISCOUNTS = (1_000_000, 630_929, 500_000, 430_676, 386_852)
+
+
+def ndcg_label_retrieval(
+    embeddings: ray.data.Dataset, k: int = 5
+) -> pd.DataFrame:
+    """NDCG@5 of nearest-neighbor retrieval where relevance = same
+    label — the ranking-quality complement to label_knn_eval's
+    classification view.  Distances are exact integer squared-L2 over
+    quantized vectors (ties by vec_id); DCG uses the pinned
+    fixed-point discount table, so every number is integer-exact.
+    Query vectors with no same-label partner are excluded (IDCG
+    undefined).
+
+    Shape: broadcast eval-set matrix (the decontaminate asymmetry);
+    one matmul per batch.  -> (label, n_queries, mean_ndcg_x1e6)."""
+    out_cols = {"label": np.int64, "n_queries": np.int64,
+                "mean_ndcg_x1e6": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+    embeddings = embeddings.materialize()
+    full = embeddings.map_batches(
+        lambda df: pd.DataFrame(
+            {"vec_id": df["vec_id"].to_numpy(np.int64),
+             "label": df["label"].to_numpy(np.int64),
+             "qv": [r.tobytes() for r in _quantize(df)]})
+        if len(df) and "vec_id" in df.columns else
+        pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
+                      "label": pd.Series(dtype=np.int64),
+                      "qv": pd.Series(dtype=object)}),
+        batch_format="pandas").to_pandas()
+    if full.empty or "vec_id" not in full.columns or len(full) < 2:
+        return empty_out
+    full = full.sort_values("vec_id", ignore_index=True)
+    ids = full["vec_id"].to_numpy(np.int64)
+    labs = full["label"].to_numpy(np.int64)
+    Q = np.stack([np.frombuffer(b, dtype=np.int64) for b in full["qv"]])
+    lab_counts = pd.Series(labs).value_counts().to_dict()
+    ref = ray.put((ids, labs, Q))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"label": pd.Series(dtype=np.int64),
+                              "n": pd.Series(dtype=np.int64),
+                              "s": pd.Series(dtype=object)})
+        if len(df) == 0 or "vec_id" not in df.columns:
+            return empty
+        aids, alabs, A = ray.get(ref)
+        q = _quantize(df)
+        bids = df["vec_id"].to_numpy(np.int64)
+        blabs = df["label"].to_numpy(np.int64)
+        d = ((q * q).sum(axis=1)[:, None]
+             + (A * A).sum(axis=1)[None, :] - 2 * (q @ A.T))
+        agg: dict[int, list[int]] = {}
+        for i in range(len(bids)):
+            n_rel = lab_counts.get(int(blabs[i]), 0) - 1
+            if n_rel <= 0:
+                continue  # IDCG undefined
+            order = np.lexsort((aids, d[i]))
+            dcg = taken = 0
+            for j in order:
+                if aids[j] == bids[i]:
+                    continue
+                if alabs[j] == blabs[i]:
+                    dcg += NDCG_DISCOUNTS[taken]
+                taken += 1
+                if taken == k:
+                    break
+            idcg = sum(NDCG_DISCOUNTS[:min(k, n_rel)])
+            nd = (1_000_000 * dcg) // idcg
+            a = agg.setdefault(int(blabs[i]), [0, 0])
+            a[0] += 1
+            a[1] += nd
+        if not agg:
+            return empty
+        return pd.DataFrame(
+            {"label": list(agg), "n": [v[0] for v in agg.values()],
+             "s": [str(v[1]) for v in agg.values()]}).astype(
+            {"label": np.int64, "n": np.int64})
+
+    parts = embeddings.map_batches(score, batch_format="pandas").to_pandas()
+    if parts.empty or "label" not in parts.columns:
+        return empty_out
+    agg: dict[int, list[int]] = {}
+    for lab, n, s in zip(parts["label"], parts["n"], parts["s"]):
+        a = agg.setdefault(int(lab), [0, 0])
+        a[0] += int(n)
+        a[1] += int(s)
+    rows = [(lab, a[0], a[1] // a[0]) for lab, a in sorted(agg.items())]
+    return pd.DataFrame(rows, columns=list(out_cols)).astype(out_cols)
+
+
+CORESET_K = 8
+
+
+def kcenter_coreset(
+    embeddings: ray.data.Dataset, k: int = CORESET_K
+) -> pd.DataFrame:
+    """Greedy k-center coreset selection (farthest-point sampling —
+    the classic 2-approximation; the coreset-curation primitive for
+    'pick k maximally-diverse exemplars'): start from the smallest
+    vec_id, then repeatedly select the vector FARTHEST from the
+    selected set (exact integer squared-L2; distance ties -> smallest
+    vec_id).  Emits each selection with its distance-to-set at
+    selection time (0 for the seed).
+
+    Shape: k-1 streaming passes; each batch reduces itself against
+    the tiny broadcast selected set (k x d ints) and emits ONE
+    candidate row; the driver folds O(blocks) rows per pass.
+    -> (sel_ix, vec_id, min_dist)."""
+    out_cols = {"sel_ix": np.int64, "vec_id": np.int64,
+                "min_dist": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+    embeddings = embeddings.materialize()
+    seed = embeddings.map_batches(
+        lambda df: df[["vec_id"]].nsmallest(1, "vec_id")
+        if len(df) and "vec_id" in df.columns else
+        pd.DataFrame({"vec_id": pd.Series(dtype=np.int64)}),
+        batch_format="pandas").to_pandas()
+    if seed.empty or "vec_id" not in seed.columns:
+        return empty_out
+    first = int(seed["vec_id"].min())
+    sel_rows = [(1, first, 0)]
+    sel_vecs: np.ndarray | None = None
+
+    def get_vec(vid: int) -> np.ndarray:
+        def pick(df: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"qv": pd.Series(dtype=object)})
+            if len(df) == 0 or "vec_id" not in df.columns:
+                return empty
+            hit = df[df["vec_id"] == vid]
+            if len(hit) == 0:
+                return empty
+            return pd.DataFrame(
+                {"qv": [r.tobytes() for r in _quantize(hit)]})
+
+        got = embeddings.map_batches(
+            pick, batch_format="pandas").to_pandas()
+        return np.frombuffer(got["qv"].iloc[0], dtype=np.int64)
+
+    sel_vecs = get_vec(first)[None, :]
+    for ix in range(2, k + 1):
+        sref = ray.put(sel_vecs)
+
+        def cand(df: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
+                                  "md": pd.Series(dtype=np.int64)})
+            if len(df) == 0 or "vec_id" not in df.columns:
+                return empty
+            S = ray.get(sref)
+            q = _quantize(df)
+            d = ((q * q).sum(axis=1)[:, None]
+                 + (S * S).sum(axis=1)[None, :] - 2 * (q @ S.T))
+            md = d.min(axis=1)
+            bids = df["vec_id"].to_numpy(np.int64)
+            # batch-local winner: max md, tie -> smallest vec_id
+            order = np.lexsort((bids, -md))
+            return pd.DataFrame({"vec_id": [int(bids[order[0]])],
+                                 "md": [int(md[order[0]])]})
+
+        parts = embeddings.map_batches(
+            cand, batch_format="pandas").to_pandas()
+        if parts.empty or "vec_id" not in parts.columns:
+            break
+        parts = parts.sort_values(
+            ["md", "vec_id"], ascending=[False, True], ignore_index=True)
+        vid, md = int(parts["vec_id"].iloc[0]), int(parts["md"].iloc[0])
+        sel_rows.append((ix, vid, md))
+        sel_vecs = np.vstack([sel_vecs, get_vec(vid)[None, :]])
+    return pd.DataFrame(sel_rows, columns=list(out_cols)).astype(out_cols)

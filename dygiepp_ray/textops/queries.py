@@ -6090,3 +6090,125 @@ FROM g, t WHERE t.total > 0
 
 TEXTOPS_QUERIES["shard_skew_report"] = (q_shard_skew_report,
                                         SQL_SHARD_SKEW_REPORT)
+
+
+def q_ndcg_label_retrieval(sf_dir: str) -> pd.DataFrame:
+    """NDCG@5 of same-label nearest-neighbor retrieval — see
+    textops/ann.ndcg_label_retrieval."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"])
+    return ann.ndcg_label_retrieval(ds)
+
+
+_D = ann.NDCG_DISCOUNTS
+_IDCG_PARTIAL = [sum(_D[:i]) for i in range(1, 6)]  # n_rel = 1..5
+
+SQL_NDCG_LABEL_RETRIEVAL = f"""
+WITH v AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         list_transform(embedding,
+           x -> floor(CAST(x AS DOUBLE) * 1000)) AS ql
+  FROM embeddings
+),
+n2 AS (SELECT vec_id, list_dot_product(ql, ql) AS s FROM v),
+lc AS (SELECT label, count(*) AS c FROM v GROUP BY 1),
+p AS (
+  SELECT a.vec_id AS qa, a.label AS qlab, b.label AS nlab, b.vec_id AS nb,
+         na.s + nbn.s - 2 * list_dot_product(a.ql, b.ql) AS dist
+  FROM v a JOIN v b ON b.vec_id <> a.vec_id
+  JOIN n2 na ON na.vec_id = a.vec_id
+  JOIN n2 nbn ON nbn.vec_id = b.vec_id
+),
+r AS (
+  SELECT qa, qlab, nlab,
+         row_number() OVER (PARTITION BY qa ORDER BY dist, nb) AS rk
+  FROM p
+),
+dcg AS (
+  SELECT qa, any_value(qlab) AS qlab,
+         sum(CASE WHEN nlab = qlab THEN
+               CASE rk WHEN 1 THEN {_D[0]} WHEN 2 THEN {_D[1]}
+                       WHEN 3 THEN {_D[2]} WHEN 4 THEN {_D[3]}
+                       WHEN 5 THEN {_D[4]} END
+             ELSE 0 END) AS dcg
+  FROM r WHERE rk <= 5 GROUP BY qa
+),
+nd AS (
+  SELECT d.qlab AS label,
+         1000000 * CAST(d.dcg AS HUGEINT)
+           // (CASE WHEN lc.c - 1 >= 5 THEN {_IDCG_PARTIAL[4]}
+                    WHEN lc.c - 1 = 4 THEN {_IDCG_PARTIAL[3]}
+                    WHEN lc.c - 1 = 3 THEN {_IDCG_PARTIAL[2]}
+                    WHEN lc.c - 1 = 2 THEN {_IDCG_PARTIAL[1]}
+                    ELSE {_IDCG_PARTIAL[0]} END) AS ndv
+  FROM dcg d JOIN lc ON lc.label = d.qlab
+  WHERE lc.c >= 2
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(ndv) // count(*) AS BIGINT) AS mean_ndcg_x1e6
+FROM nd GROUP BY 1
+"""
+
+
+TEXTOPS_QUERIES["ndcg_label_retrieval"] = (
+    q_ndcg_label_retrieval, SQL_NDCG_LABEL_RETRIEVAL)
+
+
+def q_kcenter_coreset(sf_dir: str) -> pd.DataFrame:
+    """Greedy k-center coreset (farthest-point sampling) — see
+    textops/ann.kcenter_coreset."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann.kcenter_coreset(ds)
+
+
+def _sql_kcenter_chain(k: int = 8) -> str:
+    # every chained CTE is MATERIALIZED: sel{i} and m{i} each reference
+    # m{i-1}, so inlined CTEs re-evaluate the chain EXPONENTIALLY
+    # (2^k scans — it filled the disk before finishing at k=8)
+    parts = ["""v AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding,
+           x -> floor(CAST(x AS DOUBLE) * 1000)) AS ql
+  FROM embeddings
+),
+n2 AS MATERIALIZED (
+  SELECT vec_id, list_dot_product(ql, ql) AS s FROM v),
+sel1 AS MATERIALIZED (SELECT min(vec_id) AS vid FROM v),
+m1 AS MATERIALIZED (
+  SELECT a.vec_id,
+         na.s + ns.s - 2 * list_dot_product(a.ql, sv.ql) AS md
+  FROM v a JOIN n2 na ON na.vec_id = a.vec_id
+  CROSS JOIN sel1
+  JOIN v sv ON sv.vec_id = sel1.vid
+  JOIN n2 ns ON ns.vec_id = sel1.vid
+)"""]
+    for i in range(2, k + 1):
+        parts.append(
+            f"sel{i} AS MATERIALIZED (SELECT vec_id AS vid, md "
+            f"FROM m{i - 1} ORDER BY md DESC, vec_id ASC LIMIT 1)")
+        if i < k:
+            parts.append(f"""m{i} AS MATERIALIZED (
+  SELECT a.vec_id,
+         least(m{i - 1}.md,
+               na.s + ns.s - 2 * list_dot_product(a.ql, sv.ql)) AS md
+  FROM v a JOIN n2 na ON na.vec_id = a.vec_id
+  JOIN m{i - 1} ON m{i - 1}.vec_id = a.vec_id
+  CROSS JOIN sel{i}
+  JOIN v sv ON sv.vec_id = sel{i}.vid
+  JOIN n2 ns ON ns.vec_id = sel{i}.vid
+)""")
+    final = ("SELECT CAST(1 AS BIGINT) AS sel_ix, "
+             "CAST(vid AS BIGINT) AS vec_id, "
+             "CAST(0 AS BIGINT) AS min_dist FROM sel1")
+    for i in range(2, k + 1):
+        final += (f" UNION ALL SELECT CAST({i} AS BIGINT), "
+                  f"CAST(vid AS BIGINT), CAST(md AS BIGINT) FROM sel{i}")
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+SQL_KCENTER_CORESET = _sql_kcenter_chain(ann.CORESET_K)
+
+
+TEXTOPS_QUERIES["kcenter_coreset"] = (q_kcenter_coreset,
+                                      SQL_KCENTER_CORESET)

@@ -628,6 +628,10 @@ def test_customer_embedding_backlog_differential(ray_session, tmp_path, seed):
     # 3 labels over 40 vecs: vote ties and distance ties are common,
     # pinning both tie-break conventions
     _compare(str(tmp_path), "label_knn_eval")
+    # small label groups hit every partial-IDCG branch (n_rel < 5)
+    _compare(str(tmp_path), "ndcg_label_retrieval")
+    # the zero vector is a legitimate farthest-point candidate
+    _compare(str(tmp_path), "kcenter_coreset")
 
     m = int(rng.integers(80, 300))
     pq.write_table(pa.table(
