@@ -6212,3 +6212,7 @@ SQL_KCENTER_CORESET = _sql_kcenter_chain(ann.CORESET_K)
 
 TEXTOPS_QUERIES["kcenter_coreset"] = (q_kcenter_coreset,
                                       SQL_KCENTER_CORESET)
+
+
+TEXTOPS_QUERIES["rss_entries"] = (
+    _webcorpus.q_rss_entries, _webcorpus._sql_rss_entries())

@@ -490,3 +490,114 @@ SELECT CAST(i AS BIGINT) AS msg_id,
        CAST(length(body) AS BIGINT) AS body_bytes
 FROM b
 """
+
+
+RSS_SEED = 17
+
+
+def synth_rss(n: int, seed: int = RSS_SEED) -> pa.Table:
+    """(feed_id, payload): REAL RSS 2.0 XML feeds.  Item titles are
+    md5 chains with a deterministic '&x' suffix on even-nibble items
+    (escaped to ``&amp;x`` on the wire — the parse must unescape), and
+    description lengths derive from the chain, so the SQL twin
+    regenerates every per-feed statistic without an XML parser."""
+    ids, payloads = [], []
+    for i in range(n):
+        base = hashlib.md5(f"rss:{seed}:{i}".encode()).hexdigest()
+        k = 3 + _hexval(base[0]) % 6
+        items = []
+        for j in range(k):
+            t = hashlib.md5(f"rss:{seed}:{i}:{j}:t".encode()).hexdigest()
+            if _hexval(t[0]) % 2 == 0:
+                title = t + "&x"
+            else:
+                title = t
+            dlen = 20 + int(hashlib.md5(
+                f"rss:{seed}:{i}:{j}:d".encode()).hexdigest()[:2], 16) % 200
+            desc = (hashlib.md5(
+                f"rss:{seed}:{i}:{j}:dc".encode()).hexdigest() * 7)[:dlen]
+            esc = title.replace("&", "&amp;")
+            items.append(
+                f"<item><title>{esc}</title>"
+                f"<link>https://example.org/{t[:8]}</link>"
+                f"<description>{desc}</description></item>")
+        xml = ("<?xml version=\"1.0\"?>\n<rss version=\"2.0\"><channel>"
+               f"<title>feed {i}</title>" + "".join(items)
+               + "</channel></rss>")
+        ids.append(i)
+        payloads.append(xml.encode("ascii"))
+    return pa.table({
+        "feed_id": pa.array(ids, pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+
+
+class RssEntries:
+    """Actor-pool stage: REAL xml.etree parse of RSS 2.0 feeds ->
+    (feed_id, n_items, titles_md5, desc_bytes); titles_md5 hashes the
+    UNESCAPED titles concatenated in document order."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        import xml.etree.ElementTree as ET
+
+        _OUT = {"feed_id": np.int64, "n_items": np.int64,
+                "titles_md5": object, "desc_bytes": np.int64}
+        if len(df) == 0 or "feed_id" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in _OUT.items()})
+        rows = {c: [] for c in _OUT}
+        for fid, payload in zip(df["feed_id"], df["payload"]):
+            root = ET.fromstring(bytes(payload).decode("ascii"))
+            items = root.findall("./channel/item")
+            titles = [it.findtext("title") or "" for it in items]
+            descs = [it.findtext("description") or "" for it in items]
+            rows["feed_id"].append(int(fid))
+            rows["n_items"].append(len(items))
+            rows["titles_md5"].append(
+                hashlib.md5("".join(titles).encode("ascii")).hexdigest())
+            rows["desc_bytes"].append(sum(len(d) for d in descs))
+        return pd.DataFrame(rows).astype(
+            {"feed_id": np.int64, "n_items": np.int64,
+             "desc_bytes": np.int64})
+
+
+def rss_entries(feeds: ray.data.Dataset,
+                concurrency: int = 2) -> ray.data.Dataset:
+    return feeds.map_batches(
+        RssEntries, batch_format="pandas", batch_size=8,
+        concurrency=concurrency)
+
+
+def q_rss_entries(sf_dir: str) -> ray.data.Dataset:
+    """REAL RSS 2.0 parse (channel/item tree walk, entity unescape);
+    the twin regenerates titles/description lengths from the chain
+    rule without an XML parser."""
+    return rss_entries(ray.data.from_arrow(synth_rss(24)))
+
+
+def _sql_rss_entries() -> str:
+    return f"""
+WITH m AS (
+  SELECT i, md5('rss:{RSS_SEED}:' || i) AS base FROM range(0, 24) t(i)
+),
+h AS (SELECT i, 3 + {_sql_hexval('base', 1, 1)} % 6 AS k FROM m),
+it AS (
+  SELECT h.i, q.j,
+         md5('rss:{RSS_SEED}:' || h.i || ':' || q.j || ':t') AS t
+  FROM h, range(0, 9) q(j) WHERE q.j < h.k
+),
+ti AS (
+  SELECT i, j,
+         CASE WHEN ({_sql_hexval('t', 1, 1)}) % 2 = 0
+              THEN t || '&x' ELSE t END AS title,
+         20 + {_sql_hexval(
+             "md5('rss:" + str(RSS_SEED) + ":' || i || ':' || j || ':d')",
+             1, 2)} % 200 AS dlen
+  FROM it
+)
+SELECT CAST(i AS BIGINT) AS feed_id,
+       CAST(count(*) AS BIGINT) AS n_items,
+       md5(string_agg(title, '' ORDER BY j)) AS titles_md5,
+       CAST(sum(dlen) AS BIGINT) AS desc_bytes
+FROM ti GROUP BY i
+"""

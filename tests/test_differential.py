@@ -1163,3 +1163,14 @@ def test_wav_rms_windows_differential(ray_session, tmp_path):
     parse + 64-sample windowing must match the hex-pair SQL twin,
     including the short tail window."""
     _compare(str(tmp_path), "wav_rms_windows")
+
+
+def test_rss_entries_differential(ray_session, tmp_path):
+    """Self-synthesizing RSS feeds: the real XML parse (tree walk +
+    entity unescape of the planted &amp;) must match the chain-rule
+    twin, including the '&x'-suffixed titles."""
+    _compare(str(tmp_path), "rss_entries")
+    # the escape actually occurs on the wire
+    from dygiepp_ray.textops import webcorpus as W
+    blob = b"".join(W.synth_rss(24).column("payload").to_pylist())
+    assert b"&amp;x" in blob
