@@ -12225,3 +12225,79 @@ FROM f WHERE se1 + se2 > 0
 
 
 RELATIONAL_QUERIES["welch_t_test"] = (welch_t_test, SQL_WELCH_T_TEST)
+
+
+def pseudonymize_users(sf_dir: str) -> pd.DataFrame:
+    """Pseudonymization audit for the events stream (the GDPR-style
+    stable-token rewrite next to redact_terms' content rewrite): each
+    user_id maps to pseudonym 'u' + md5('pseudo:' || id)[:8]; the
+    audit proves the mapping is FIT FOR JOINING — per pseudonym, the
+    distinct source ids (collisions break referential integrity) and
+    the event count the pseudonymized stream preserves.  Only
+    colliding or high-volume pseudonyms surface (full mappings are
+    PII-adjacent; the audit is the safe artifact).
+
+    Map-only: per-batch (pseudonym, ids, n) partials collapse to the
+    user domain; one pseudonym-keyed exchange finalizes.
+    -> (pseudonym, n_source_ids, n_events) for pseudonyms with
+    n_source_ids > 1 OR n_events >= 64."""
+    import hashlib
+
+    from .core import partitioned_map_groups
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"])
+    out_cols = {"pseudonym": object, "n_source_ids": np.int64,
+                "n_events": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"pseudonym": pd.Series(dtype=object),
+                              "user_id": pd.Series(dtype=np.int64),
+                              "n": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "user_id" not in df.columns:
+            return empty
+        g = df.groupby("user_id", as_index=False).size().rename(
+            columns={"size": "n"})
+        g["pseudonym"] = [
+            "u" + hashlib.md5(f"pseudo:{int(u)}".encode()).hexdigest()[:8]
+            for u in g["user_id"]]
+        return g[["pseudonym", "user_id", "n"]].astype(
+            {"user_id": np.int64, "n": np.int64})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "pseudonym" not in df.columns:
+            return empty_out
+        g = df.groupby("pseudonym", as_index=False).agg(
+            n_source_ids=("user_id", "nunique"), n_events=("n", "sum"))
+        g = g[(g["n_source_ids"] > 1) | (g["n_events"] >= 64)]
+        return g.astype({"n_source_ids": np.int64,
+                         "n_events": np.int64})
+
+    out = partitioned_map_groups(parts, "pseudonym", final,
+                                 num_buckets=16)
+    pdf = out.to_pandas()
+    if pdf.empty or "pseudonym" not in pdf.columns:
+        return empty_out
+    return pdf.sort_values("pseudonym", ignore_index=True)
+
+
+SQL_PSEUDONYMIZE_USERS = """
+WITH g AS (
+  SELECT 'u' || substr(md5('pseudo:' || user_id), 1, 8) AS pseudonym,
+         user_id, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT pseudonym,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_source_ids,
+       CAST(sum(n) AS BIGINT) AS n_events
+FROM g GROUP BY 1
+HAVING count(DISTINCT user_id) > 1 OR sum(n) >= 64
+"""
+
+
+RELATIONAL_QUERIES["pseudonymize_users"] = (
+    pseudonymize_users, SQL_PSEUDONYMIZE_USERS)

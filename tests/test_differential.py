@@ -91,7 +91,10 @@ def _compare(sf_dir: str, qname: str):
      "events_trailing_range", "chi2_independence",
      "conversion_lag_quantiles", "user_gap_mad", "dau_wau_mau",
      "conversion_ab_test", "hll_error_audit", "ddsketch_error_audit",
-     "churn_labels", "events_hour_profile", "events_peak_days"],
+     "churn_labels", "events_hour_profile", "events_peak_days",
+     # tiny user space (7 ids) -> every pseudonym crosses the
+     # n_events>=64 cut or not; the collision branch stays reachable
+     "pseudonymize_users"],
 )
 def test_event_queries_differential(ray_session, tmp_path, seed, qname):
     rng = np.random.default_rng(seed * 1000 + len(qname))
