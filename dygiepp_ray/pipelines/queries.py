@@ -3027,7 +3027,8 @@ FROM ents
 # (VERDICT r3 #7).  New queries added mid-round go at the very front.
 _DRIVER_SAMPLE_FIRST = (
     # round-5 additions (newest first)
-    "pseudonymize_users", "rss_entries", "ndcg_label_retrieval",
+    "kg_cycles3", "pseudonymize_users", "rss_entries",
+    "ndcg_label_retrieval",
     "kcenter_coreset",
     "shard_skew_report", "wav_rms_windows", "label_knn_eval",
     "npy_embeddings",
@@ -4494,3 +4495,77 @@ WHERE COALESCE(idg.n, 0) > COALESCE(od.n, 0)
 
 KG_QUERIES["kg_sink_entities"] = (q_kg_sink_entities,
                                   _sql_kg_sink_entities())
+
+
+def q_kg_cycles3(sf_dir: str) -> pd.DataFrame:
+    """Directed 3-cycle census over the constructed KG (the feedback-
+    loop motif: a -> b -> c -> a) plus node/edge counts — the motif
+    statistic KG-quality audits run next to `kg_transitivity` (which
+    counts the OPEN wedge closures; this counts the closed directed
+    loops).  Cycles are counted once per rotation (smallest entity
+    first).
+
+    Shape: distinct (subj, obj) edges come out of ONE pair-keyed
+    exchange; the closure then runs on the driver over the deduped
+    edge set, which is bounded by the entity lexicon squared — a
+    vocabulary property, not a corpus-size property (the
+    canonicalization bound, `stages/canonicalize.py`).
+    -> one row (n_nodes, n_edges, n_cycles3)."""
+    from ..core import partitioned_map_groups
+
+    pipe = from_documents_table(sf_dir)
+    trip = pipe.triples().select_columns(["subj", "obj"])
+
+    out_cols = {"n_nodes": np.int64, "n_edges": np.int64,
+                "n_cycles3": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "subj" not in df.columns:
+            return pd.DataFrame({"subj": pd.Series(dtype=object),
+                                 "obj": pd.Series(dtype=object),
+                                 "__k": pd.Series(dtype=object)})
+        d = df[df["subj"] != df["obj"]]
+        d = d.drop_duplicates(["subj", "obj"])  # batch-local pre-dedup
+        return d.assign(__k=d["subj"].str.cat(d["obj"], sep="\x1f"))
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "subj" not in df.columns:
+            return pd.DataFrame({"subj": pd.Series(dtype=object),
+                                 "obj": pd.Series(dtype=object)})
+        return df.drop_duplicates(["subj", "obj"])[["subj", "obj"]]
+
+    e = partitioned_map_groups(
+        trip.map_batches(key, batch_format="pandas"), "__k", dedup,
+        num_buckets=16).to_pandas()
+    if e.empty or "subj" not in e.columns:
+        return empty_out
+    nodes = pd.unique(pd.concat([e["subj"], e["obj"]], ignore_index=True))
+    ab = e.rename(columns={"subj": "a", "obj": "b"})
+    bc = e.rename(columns={"subj": "b", "obj": "c"})
+    ca = e.rename(columns={"subj": "c", "obj": "a"})
+    j = ab.merge(bc, on="b").merge(ca, on=["c", "a"])
+    j = j[(j["a"] < j["b"]) & (j["a"] < j["c"])]
+    return pd.DataFrame(
+        [(len(nodes), len(e), len(j))],
+        columns=list(out_cols)).astype(out_cols)
+
+
+SQL_KG_CYCLES3 = SQL_TOKS + f""",
+triples AS ({_KG_TRIPLES_BODY}),
+e AS (SELECT DISTINCT subj AS s, obj AS o FROM triples WHERE subj <> obj)
+SELECT CAST((SELECT count(DISTINCT x) FROM
+               (SELECT s AS x FROM e UNION ALL SELECT o FROM e))
+            AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*)
+             FROM e e1 JOIN e e2 ON e2.s = e1.o
+             JOIN e e3 ON e3.s = e2.o AND e3.o = e1.s
+             WHERE e1.s < e1.o AND e1.s < e2.o)
+            AS BIGINT) AS n_cycles3
+WHERE EXISTS (SELECT 1 FROM e)
+"""
+
+
+KG_QUERIES["kg_cycles3"] = (q_kg_cycles3, SQL_KG_CYCLES3)
