@@ -6216,3 +6216,7 @@ TEXTOPS_QUERIES["kcenter_coreset"] = (q_kcenter_coreset,
 
 TEXTOPS_QUERIES["rss_entries"] = (
     _webcorpus.q_rss_entries, _webcorpus._sql_rss_entries())
+
+
+TEXTOPS_QUERIES["robots_audit"] = (
+    _webcorpus.q_robots_audit, _webcorpus._sql_robots_audit())

@@ -601,3 +601,150 @@ SELECT CAST(i AS BIGINT) AS feed_id,
        CAST(sum(dlen) AS BIGINT) AS desc_bytes
 FROM ti GROUP BY i
 """
+
+
+ROBOTS_SEED = 23
+
+
+def synth_robots(n: int, seed: int = ROBOTS_SEED) -> pa.Table:
+    """(file_id, payload): REAL robots.txt files — comment lines,
+    mixed-case directives, a User-agent: * group with Disallow rules
+    (even-nibble rules also carry a more specific Allow), plus a
+    decoy group for another agent that a correct parser must skip.
+    Rule paths and probe URLs are md5-derived, so the SQL twin
+    regenerates the longest-match evaluation without parsing."""
+    ids, payloads = [], []
+    for i in range(n):
+        base = hashlib.md5(f"robots:{seed}:{i}".encode()).hexdigest()
+        k = 2 + _hexval(base[0]) % 4
+        lines = ["# synthetic robots corpus",
+                 "User-agent: decoybot", "Disallow: /",
+                 "", "User-Agent: *"]
+        for j in range(k):
+            p = "/p" + hashlib.md5(
+                f"robots:{seed}:{i}:r:{j}".encode()).hexdigest()[:4] + "/"
+            lines.append(f"Disallow: {p}")
+            if _hexval(p[2]) % 2 == 0:
+                lines.append(f"Allow: {p}pub")
+        ids.append(i)
+        payloads.append(("\n".join(lines) + "\n").encode("ascii"))
+    return pa.table({
+        "file_id": pa.array(ids, pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+
+
+class RobotsAudit:
+    """Actor-pool stage: REAL robots.txt parse (comments, blank-line
+    group splits, case-insensitive directives, User-agent: * group
+    selection) -> longest-match evaluation of 8 md5-derived probe
+    URLs per file (ties prefer Allow — the Google convention).
+    -> (file_id, n_rules, n_urls, n_allowed)."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        _OUT = {"file_id": np.int64, "n_rules": np.int64,
+                "n_urls": np.int64, "n_allowed": np.int64}
+        if len(df) == 0 or "file_id" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in _OUT.items()})
+        rows = {c: [] for c in _OUT}
+        for fid, payload in zip(df["file_id"], df["payload"]):
+            rules = []  # (path, is_allow) for User-agent: *
+            agents: list[str] = []
+            in_star = False
+            for raw in bytes(payload).decode("ascii").splitlines():
+                line = raw.split("#", 1)[0].strip()
+                if not line:
+                    agents = []
+                    continue
+                key, _, val = line.partition(":")
+                key, val = key.strip().lower(), val.strip()
+                if key == "user-agent":
+                    agents.append(val)
+                    in_star = "*" in agents
+                elif key in ("allow", "disallow") and in_star and val:
+                    rules.append((val, key == "allow"))
+                    agents = ["*"]  # rules end the agent header run
+            n_allowed = 0
+            n_urls = 8
+            for j in range(n_urls):
+                h = hashlib.md5(
+                    f"robots:{ROBOTS_SEED}:{int(fid)}:u:{j}".encode()
+                ).hexdigest()
+                rp = "/p" + hashlib.md5(
+                    f"robots:{ROBOTS_SEED}:{int(fid)}:r:{j % max(1, len([r for r in rules if not r[1]]))}".encode()
+                ).hexdigest()[:4] + "/"
+                url = rp + ("pub" if _hexval(h[0]) % 2 == 0 else "item")
+                best_len, best_allow = -1, True
+                for path, is_allow in rules:
+                    if url.startswith(path):
+                        if (len(path) > best_len
+                                or (len(path) == best_len and is_allow)):
+                            best_len, best_allow = len(path), is_allow
+                n_allowed += int(best_allow)
+            rows["file_id"].append(int(fid))
+            rows["n_rules"].append(len(rules))
+            rows["n_urls"].append(n_urls)
+            rows["n_allowed"].append(n_allowed)
+        return pd.DataFrame(rows).astype(_OUT)
+
+
+def q_robots_audit(sf_dir: str) -> ray.data.Dataset:
+    """REAL robots.txt parsing + longest-match URL evaluation; the
+    twin regenerates rules and probe URLs from the chain rule."""
+    return ray.data.from_arrow(synth_robots(24)).map_batches(
+        RobotsAudit, batch_format="pandas", batch_size=8, concurrency=2)
+
+
+def _sql_robots_audit() -> str:
+    return f"""
+WITH m AS (
+  SELECT i, md5('robots:{ROBOTS_SEED}:' || i) AS base
+  FROM range(0, 24) t(i)
+),
+h AS (SELECT i, 2 + {_sql_hexval('base', 1, 1)} % 4 AS k FROM m),
+dr AS (
+  SELECT h.i, q.j,
+         '/p' || substr(md5('robots:{ROBOTS_SEED}:' || h.i
+                            || ':r:' || q.j), 1, 4) || '/' AS path
+  FROM h, range(0, 6) q(j) WHERE q.j < h.k
+),
+rules AS (
+  SELECT i, path, FALSE AS is_allow FROM dr
+  UNION ALL
+  SELECT i, path || 'pub', TRUE FROM dr
+  WHERE (strpos('0123456789abcdef', substr(path, 3, 1)) - 1) % 2 = 0
+),
+nr AS (SELECT i, count(*) AS n_rules FROM rules GROUP BY i),
+urls AS (
+  SELECT h.i, q.j,
+         '/p' || substr(md5('robots:{ROBOTS_SEED}:' || h.i || ':r:'
+                            || (q.j % h.k)), 1, 4) || '/'
+         || CASE WHEN ({_sql_hexval(
+             "md5('robots:" + str(ROBOTS_SEED)
+             + ":' || h.i || ':u:' || q.j)", 1, 1)}) % 2 = 0
+                 THEN 'pub' ELSE 'item' END AS url
+  FROM h, range(0, 8) q(j)
+),
+match AS (
+  SELECT u.i, u.j, r.is_allow,
+         row_number() OVER (PARTITION BY u.i, u.j
+                            ORDER BY length(r.path) DESC,
+                                     r.is_allow DESC) AS rn
+  FROM urls u JOIN rules r
+    ON r.i = u.i AND starts_with(u.url, r.path)
+),
+verdict AS (
+  SELECT u.i, u.j,
+         COALESCE(mx.is_allow, TRUE) AS allowed
+  FROM urls u LEFT JOIN (SELECT * FROM match WHERE rn = 1) mx
+    ON mx.i = u.i AND mx.j = u.j
+)
+SELECT CAST(v.i AS BIGINT) AS file_id,
+       CAST(nr.n_rules AS BIGINT) AS n_rules,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(CASE WHEN v.allowed THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_allowed
+FROM verdict v JOIN nr ON nr.i = v.i
+GROUP BY 1, 2
+"""

@@ -1180,3 +1180,14 @@ def test_rss_entries_differential(ray_session, tmp_path):
     from dygiepp_ray.textops import webcorpus as W
     blob = b"".join(W.synth_rss(24).column("payload").to_pylist())
     assert b"&amp;x" in blob
+
+
+def test_robots_audit_differential(ray_session, tmp_path):
+    """Self-synthesizing robots.txt corpus: the real parse (comments,
+    group splits, case-insensitive directives, decoy agent group that
+    must be SKIPPED) + longest-match/Allow-tie evaluation must match
+    the chain-rule twin."""
+    _compare(str(tmp_path), "robots_audit")
+    from dygiepp_ray.textops import webcorpus as W
+    blob = b"".join(W.synth_robots(24).column("payload").to_pylist())
+    assert b"User-agent: decoybot" in blob  # the trap exists
