@@ -1611,3 +1611,84 @@ def kcenter_coreset(
         sel_rows.append((ix, vid, md))
         sel_vecs = np.vstack([sel_vecs, get_vec(vid)[None, :]])
     return pd.DataFrame(sel_rows, columns=list(out_cols)).astype(out_cols)
+
+
+def cluster_hard_negatives(
+    embeddings: ray.data.Dataset,
+    k: int = 8,
+    iters: int = 3,
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Hard-negative mining for contrastive training: for each vector,
+    the NEAREST same-k-means-cluster vector with a DIFFERENT label —
+    the close-but-wrong examples a contrastive loss learns most from
+    (the in-cluster restriction is what makes them hard; the SemDeDup
+    clustering is reused as the candidate generator).  Exact integer
+    distances, ties by the smaller candidate vec_id.  Vectors whose
+    cluster holds no other label yield no row.
+
+    Shape: the k-means passes stream; the mining is ONE cluster-keyed
+    exchange with quantized vectors as byte payloads, one int64
+    matmul per bucket.  -> (vec_id, label, neg_id, neg_label, dist)."""
+    from ..core import hash_exchange
+
+    out_cols = {"vec_id": np.int64, "label": np.int64,
+                "neg_id": np.int64, "neg_label": np.int64,
+                "dist": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+    embeddings = embeddings.materialize()
+    centroids = kmeans_int_centroids(embeddings, k=k, iters=iters)
+    if centroids.size == 0:
+        return empty_out
+    cref = ray.put(centroids)
+
+    def assign_q(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
+                              "label": pd.Series(dtype=np.int64),
+                              "cluster": pd.Series(dtype=np.int64),
+                              "qv": pd.Series(dtype=object)})
+        if len(df) == 0 or "embedding" not in df.columns:
+            return empty
+        c = ray.get(cref)
+        q = _quantize(df)
+        d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pd.DataFrame(
+            {"vec_id": df["vec_id"].to_numpy(np.int64),
+             "label": df["label"].to_numpy(np.int64),
+             "cluster": np.argmin(d, axis=1).astype(np.int64),
+             "qv": [row.tobytes() for row in q]})
+
+    rows = embeddings.map_batches(assign_q, batch_format="pandas")
+
+    def mine(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "qv" not in df.columns:
+            return empty_out
+        recs = []
+        for ci, g in df.groupby("cluster"):
+            g = g.sort_values("vec_id")
+            ids = g["vec_id"].to_numpy(np.int64)
+            labs = g["label"].to_numpy(np.int64)
+            Q = np.stack([np.frombuffer(b, dtype=np.int64)
+                          for b in g["qv"]])
+            n2 = (Q * Q).sum(axis=1)
+            d = n2[:, None] + n2[None, :] - 2 * (Q @ Q.T)
+            for i in range(len(ids)):
+                diff = labs != labs[i]
+                if not diff.any():
+                    continue
+                cand = np.nonzero(diff)[0]
+                # ids sorted: lexsort picks min dist, tie smaller id
+                order = cand[np.lexsort((ids[cand], d[i, cand]))]
+                j = order[0]
+                recs.append((int(ids[i]), int(labs[i]), int(ids[j]),
+                             int(labs[j]), int(d[i, j])))
+        if not recs:
+            return empty_out
+        return pd.DataFrame(recs, columns=list(out_cols)).astype(out_cols)
+
+    out = hash_exchange(rows, "cluster", mine, num_buckets)
+    pdf = out.to_pandas()
+    if pdf.empty or "vec_id" not in pdf.columns:
+        return empty_out
+    return pdf.sort_values("vec_id", ignore_index=True).astype(out_cols)

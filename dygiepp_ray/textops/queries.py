@@ -6220,3 +6220,44 @@ TEXTOPS_QUERIES["rss_entries"] = (
 
 TEXTOPS_QUERIES["robots_audit"] = (
     _webcorpus.q_robots_audit, _webcorpus._sql_robots_audit())
+
+
+def q_cluster_hard_negatives(sf_dir: str) -> pd.DataFrame:
+    """Hard-negative mining inside k-means clusters — see
+    textops/ann.cluster_hard_negatives."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"])
+    return ann.cluster_hard_negatives(ds)
+
+
+SQL_CLUSTER_HARD_NEGATIVES = _sql_kmeans_chain() + """,
+lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+nrm AS (SELECT vec_id, sum(q * q) AS n2 FROM v GROUP BY 1),
+prs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         la.label AS lab_a, lb2.label AS lab_b,
+         na.s + nb.s - 2 * sum(va.q * vb.q) AS dist
+  FROM af a JOIN af b ON b.cluster = a.cluster AND b.vec_id <> a.vec_id
+  JOIN lb la ON la.vec_id = a.vec_id
+  JOIN lb lb2 ON lb2.vec_id = b.vec_id AND lb2.label <> la.label
+  JOIN (SELECT vec_id, n2 AS s FROM nrm) na ON na.vec_id = a.vec_id
+  JOIN (SELECT vec_id, n2 AS s FROM nrm) nb ON nb.vec_id = b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id AND vb.dim = va.dim
+  GROUP BY 1, 2, 3, 4, na.s, nb.s
+),
+pick AS (
+  SELECT ia, lab_a, ib, lab_b, dist,
+         row_number() OVER (PARTITION BY ia ORDER BY dist, ib) AS rn
+  FROM prs
+)
+SELECT CAST(ia AS BIGINT) AS vec_id, lab_a AS label,
+       CAST(ib AS BIGINT) AS neg_id, lab_b AS neg_label,
+       CAST(dist AS BIGINT) AS dist
+FROM pick WHERE rn = 1
+"""
+
+
+TEXTOPS_QUERIES["cluster_hard_negatives"] = (
+    q_cluster_hard_negatives, SQL_CLUSTER_HARD_NEGATIVES)

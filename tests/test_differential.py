@@ -636,6 +636,8 @@ def test_customer_embedding_backlog_differential(ray_session, tmp_path, seed):
     _compare(str(tmp_path), "label_knn_eval")
     # small label groups hit every partial-IDCG branch (n_rel < 5)
     _compare(str(tmp_path), "ndcg_label_retrieval")
+    # tiny clusters: some hold one label only (no-row branch)
+    _compare(str(tmp_path), "cluster_hard_negatives")
     # the zero vector is a legitimate farthest-point candidate
     _compare(str(tmp_path), "kcenter_coreset")
 
