@@ -3027,7 +3027,8 @@ FROM ents
 # (VERDICT r3 #7).  New queries added mid-round go at the very front.
 _DRIVER_SAMPLE_FIRST = (
     # round-5 additions (newest first)
-    "cluster_hard_negatives", "robots_audit", "kg_cycles3",
+    "embedding_drift_ab", "cluster_hard_negatives", "robots_audit",
+    "kg_cycles3",
     "pseudonymize_users", "rss_entries",
     "ndcg_label_retrieval",
     "kcenter_coreset",

@@ -6261,3 +6261,103 @@ FROM pick WHERE rn = 1
 
 TEXTOPS_QUERIES["cluster_hard_negatives"] = (
     q_cluster_hard_negatives, SQL_CLUSTER_HARD_NEGATIVES)
+
+
+def q_embedding_drift_ab(sf_dir: str) -> pd.DataFrame:
+    """Embedding-distribution drift monitor: vectors split into A/B by
+    the md5 fence (first hex nibble of md5(vec_id) even -> A) and the
+    squared distance between group mean vectors is computed EXACTLY in
+    integers via the cross-multiplied form
+    ``drift_num = sum_d (sA_d*nB - sB_d*nA)^2`` with denominator
+    ``(nA*nB)^2`` — the did-my-embedding-space-shift readout between
+    two snapshots, with no float in sight until the final ratio.
+
+    Map-only: per-batch (group, dim-sum, n) partials; the driver folds
+    python ints.  -> one row (n_a, n_b, drift_x1e9)."""
+    import hashlib
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out_cols = {"n_a": np.int64, "n_b": np.int64, "drift_x1e9": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"grp": pd.Series(dtype=object),
+                              "n": pd.Series(dtype=np.int64),
+                              "vsum": pd.Series(dtype=object)})
+        if len(df) == 0 or "vec_id" not in df.columns:
+            return empty
+        q = ann._quantize(df)
+        nib = np.fromiter(
+            (int(hashlib.md5(str(int(v)).encode()).hexdigest()[0], 16)
+             for v in df["vec_id"]), dtype=np.int64, count=len(df))
+        rows = {"grp": [], "n": [], "vsum": []}
+        for gname, mask in (("a", nib % 2 == 0), ("b", nib % 2 == 1)):
+            if not mask.any():
+                continue
+            sel = q[mask]
+            rows["grp"].append(gname)
+            rows["n"].append(int(mask.sum()))
+            rows["vsum"].append(",".join(
+                str(int(v)) for v in sel.sum(axis=0)))
+        if not rows["grp"]:
+            return empty
+        return pd.DataFrame(rows).astype({"n": np.int64})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty or "grp" not in parts.columns:
+        return empty_out
+    agg: dict[str, list] = {}
+    for g, n, vs in zip(parts["grp"], parts["n"], parts["vsum"]):
+        vals = [int(v) for v in vs.split(",")]
+        a = agg.setdefault(str(g), [0, [0] * len(vals)])
+        a[0] += int(n)
+        for j, v in enumerate(vals):
+            a[1][j] += v
+    if "a" not in agg or "b" not in agg:
+        return empty_out
+    na, sa = agg["a"]
+    nb, sb = agg["b"]
+    num = sum((x * nb - y * na) ** 2 for x, y in zip(sa, sb))
+    den = (na * nb) ** 2
+    drift = (1_000_000_000 * num) // den
+    return pd.DataFrame([(na, nb, drift)],
+                        columns=list(out_cols)).astype(out_cols)
+
+
+SQL_EMBEDDING_DRIFT_AB = f"""
+WITH v AS (
+  SELECT vec_id, i AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS HUGEINT) AS q,
+         CASE WHEN (strpos('0123456789abcdef',
+                substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+              THEN 'a' ELSE 'b' END AS grp
+  FROM embeddings, LATERAL (
+    SELECT unnest(generate_series(1, len(embedding))) AS i) s
+),
+g AS (
+  SELECT dim,
+         sum(CASE WHEN grp = 'a' THEN q END) AS sa,
+         sum(CASE WHEN grp = 'b' THEN q END) AS sb
+  FROM v GROUP BY dim
+),
+n AS (
+  SELECT count(DISTINCT CASE WHEN grp = 'a' THEN vec_id END) AS na,
+         count(DISTINCT CASE WHEN grp = 'b' THEN vec_id END) AS nb
+  FROM v
+)
+SELECT CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b,
+       CAST(1000000000 * sum(
+              (COALESCE(g.sa, 0) * n.nb - COALESCE(g.sb, 0) * n.na)
+            * (COALESCE(g.sa, 0) * n.nb - COALESCE(g.sb, 0) * n.na))
+            // ((CAST(n.na AS HUGEINT) * n.nb)
+                * (CAST(n.na AS HUGEINT) * n.nb)) AS BIGINT)
+         AS drift_x1e9
+FROM g, n WHERE n.na > 0 AND n.nb > 0
+GROUP BY n.na, n.nb
+"""
+
+
+TEXTOPS_QUERIES["embedding_drift_ab"] = (
+    q_embedding_drift_ab, SQL_EMBEDDING_DRIFT_AB)

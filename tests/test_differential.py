@@ -638,6 +638,8 @@ def test_customer_embedding_backlog_differential(ray_session, tmp_path, seed):
     _compare(str(tmp_path), "ndcg_label_retrieval")
     # tiny clusters: some hold one label only (no-row branch)
     _compare(str(tmp_path), "cluster_hard_negatives")
+    # 40 vecs split by md5 fence: unequal halves are the norm
+    _compare(str(tmp_path), "embedding_drift_ab")
     # the zero vector is a legitimate farthest-point candidate
     _compare(str(tmp_path), "kcenter_coreset")
 
