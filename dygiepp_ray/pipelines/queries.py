@@ -3027,6 +3027,7 @@ FROM ents
 # (VERDICT r3 #7).  New queries added mid-round go at the very front.
 _DRIVER_SAMPLE_FIRST = (
     # round-5 additions (newest first)
+    "kg_predicate_by_role",
     "embedding_drift_ab", "cluster_hard_negatives", "robots_audit",
     "kg_cycles3",
     "pseudonymize_users", "rss_entries",
@@ -4571,3 +4572,82 @@ WHERE EXISTS (SELECT 1 FROM e)
 
 
 KG_QUERIES["kg_cycles3"] = (q_kg_cycles3, SQL_KG_CYCLES3)
+
+
+def q_kg_predicate_by_role(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
+    """Triple provenance by SPEAKER ROLE: per (predicate, role of the
+    turn containing the predicate token), mention counts and distinct
+    conversations — the who-asserts-what dimension a KG trust model
+    weights by (assistant-asserted vs tool-asserted facts carry
+    different evidential weight in an agent-transcript KG).
+
+    Rides the relation mentions (doc_key window parse -> global turn
+    -> the adapter's cyclic role stamp); per-block partials collapse
+    to the tiny (pred, role) domain before one keyed exchange."""
+    from ..core import partitioned_map_groups
+
+    pipe = from_documents_table(sf_dir)
+    spw = WIN // TT
+    _ROLES = np.array(["user", "assistant", "tool"], dtype=object)
+
+    _OUT = {"pred": object, "role": object,
+            "n_mentions": np.int64, "n_convs": np.int64}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "subj" not in df.columns:
+            return pd.DataFrame(
+                {"key": pd.Series(dtype=object),
+                 "pred": pd.Series(dtype=object),
+                 "role": pd.Series(dtype=object),
+                 "conv_id": pd.Series(dtype=object),
+                 "n": pd.Series(dtype=np.int64)})
+        w = (
+            df["doc_key"].str.extract(r"_SPLIT_(\d+)$", expand=False)
+            .fillna("0").astype(np.int64)
+        )
+        t = w.to_numpy(np.int64) * spw + df["sent_ix"].to_numpy(np.int64)
+        g = pd.DataFrame(
+            {"pred": df["label"].to_numpy(object),
+             "role": _ROLES[t % 3],
+             "conv_id": df["conv_id"].to_numpy(object)}
+        ).groupby(["pred", "role", "conv_id"], as_index=False).size(
+        ).rename(columns={"size": "n"})
+        g["key"] = g["pred"].str.cat(g["role"], sep="\x1f")
+        return g.astype({"n": np.int64})
+
+    partials = pipe.relations.map_batches(partial, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "pred" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in _OUT.items()})
+        g = df.groupby(["pred", "role"], as_index=False).agg(
+            n_mentions=("n", "sum"), n_convs=("conv_id", "nunique"))
+        return g.astype({"n_mentions": np.int64, "n_convs": np.int64})
+
+    out = partitioned_map_groups(partials, "key", final, num_buckets=8)
+    if out.count() == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t)
+                             for c, t in _OUT.items()})
+    return out
+
+
+SQL_KG_PREDICATE_BY_ROLE = SQL_TOKS + f""",
+rel AS (
+  SELECT e1.doc_id, p.tok AS pred, p.pos // {TT} AS t
+  FROM ents e1
+  JOIN preds p ON p.doc_id = e1.doc_id AND p.pos = e1.e_end + 1
+  JOIN ents e2 ON e2.doc_id = e1.doc_id AND e2.pos = e1.e_end + 2
+  WHERE e1.pos // {TT} = e2.e_end // {TT}
+)
+SELECT pred,
+       CASE CAST(t % 3 AS INT) WHEN 0 THEN 'user'
+            WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_convs
+FROM rel GROUP BY 1, 2
+"""
+
+
+KG_QUERIES["kg_predicate_by_role"] = (q_kg_predicate_by_role,
+                                      SQL_KG_PREDICATE_BY_ROLE)

@@ -272,6 +272,9 @@ def test_kg_triples_temporal_differential(ray_session, tmp_path, seed):
     # the dense toy KG closes many directed loops; random subsets pin
     # the rotation-start (smallest entity first) convention
     _compare(str(tmp_path), "kg_cycles3")
+    # predicate turns land on all three cyclic roles across the
+    # multi-window docs (the _SPLIT_w + t%3 stamp must agree)
+    _compare(str(tmp_path), "kg_predicate_by_role")
 
 
 @pytest.mark.parametrize("seed", [17, 53])
