@@ -6361,3 +6361,94 @@ GROUP BY n.na, n.nb
 
 TEXTOPS_QUERIES["embedding_drift_ab"] = (
     q_embedding_drift_ab, SQL_EMBEDDING_DRIFT_AB)
+
+
+def q_sqlite_docs(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
+    """SQLite export/ingest round trip: one REAL SQLite database file
+    per source (stdlib sqlite3 — the single-file interchange format
+    analysts actually hand around), written to worker-local scratch,
+    re-opened READ-ONLY via URI, integrity-checked
+    (PRAGMA integrity_check) and aggregated INSIDE sqlite; per-shard
+    stats match the string-aggregation twin.
+
+    Shape: one source-keyed exchange; database files live and die on
+    the worker (never cross the driver)."""
+    import hashlib
+    import os
+    import sqlite3
+    import tempfile
+
+    from ..core import partitioned_map_groups
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "text"])
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "source" not in df.columns:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "source": pd.Series(dtype=object),
+                                 "text": pd.Series(dtype=object),
+                                 "__k": pd.Series(dtype=object)})
+        return df.assign(__k=df["source"])
+
+    _OUT = {"source": object, "n_records": np.int64,
+            "total_bytes": np.int64, "content_md5": object}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in _OUT.items()})
+
+    def roundtrip(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "source" not in df.columns:
+            return empty_out
+        rows = {c: [] for c in _OUT}
+        for src, g in df.groupby("source"):
+            g = g.sort_values("doc_id")
+            fd, path = tempfile.mkstemp(suffix=".sqlite",
+                                        prefix="dygiepp_")
+            os.close(fd)
+            try:
+                con = sqlite3.connect(path)
+                con.execute("CREATE TABLE docs ("
+                            "doc_id INTEGER PRIMARY KEY, text TEXT)")
+                con.executemany(
+                    "INSERT INTO docs VALUES (?, ?)",
+                    [(int(d), str(t))
+                     for d, t in zip(g["doc_id"], g["text"])])
+                con.commit()
+                con.close()
+                ro = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+                ok, = ro.execute("PRAGMA integrity_check").fetchone()
+                if ok != "ok":
+                    raise ValueError(f"sqlite integrity failed: {src}")
+                n, = ro.execute("SELECT count(*) FROM docs").fetchone()
+                texts = [t for (t,) in ro.execute(
+                    "SELECT text FROM docs ORDER BY doc_id")]
+                ro.close()
+            finally:
+                os.unlink(path)
+            rows["source"].append(str(src))
+            rows["n_records"].append(int(n))
+            rows["total_bytes"].append(
+                sum(len(t.encode("utf-8")) for t in texts))
+            rows["content_md5"].append(hashlib.md5(
+                "".join(texts).encode("utf-8")).hexdigest())
+        return pd.DataFrame(rows).astype(
+            {"n_records": np.int64, "total_bytes": np.int64})
+
+    out = partitioned_map_groups(
+        ds.map_batches(key, batch_format="pandas"), "__k",
+        roundtrip, num_buckets=8)
+    if out.count() == 0:
+        return empty_out
+    return out
+
+
+SQL_SQLITE_DOCS = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_records,
+       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+       md5(string_agg(text, '' ORDER BY doc_id)) AS content_md5
+FROM documents GROUP BY source
+"""
+
+
+TEXTOPS_QUERIES["sqlite_docs"] = (q_sqlite_docs, SQL_SQLITE_DOCS)

@@ -1148,7 +1148,8 @@ def test_advice_r4_export_bytes_vs_chars_nonascii(ray_session, tmp_path):
                              for i in range(n)]),
          "text": pa.array(texts)}
     ), tmp_path / "documents.parquet")
-    for q in ["tfrecord_docs", "webdataset_export", "avro_docs"]:
+    for q in ["tfrecord_docs", "webdataset_export", "avro_docs",
+              "sqlite_docs"]:
         _compare(str(tmp_path), q)
 
 
