@@ -1607,3 +1607,54 @@ def midi_tracks(
     return files.map_batches(
         MidiTrackReader, batch_format="pandas",
         batch_size=batch_size, concurrency=concurrency)
+
+
+def synth_mixed_media(n: int = 48) -> pa.Table:
+    """(media_id, payload): a MIXED binary corpus — real WAV (RIFF),
+    real P6 PPM and opaque md5-ascii blobs interleaved by
+    media_id % 3 — the untyped object-store dump a multimodal ingest
+    pipeline must sniff before routing."""
+    wav = synth_wav((n + 2) // 3).column("payload").to_pylist()
+    ppm = synth_ppm((n + 1) // 3).column("payload").to_pylist()
+    blob = synth_media((n + 0) // 3).column("payload").to_pylist()
+    ids, payloads = [], []
+    for m in range(n):
+        ids.append(m)
+        if m % 3 == 0:
+            payloads.append(wav[m // 3])
+        elif m % 3 == 1:
+            payloads.append(ppm[m // 3])
+        else:
+            payloads.append(blob[m // 3])
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+
+
+class MediaSniffer:
+    """Actor-pool stage: magic-byte sniffing router — the dispatch
+    step in front of format-specific decoders (RIFF/WAVE -> 'wav',
+    P6 -> 'ppm', else 'unknown').  Sniffing reads the FILE bytes,
+    never metadata columns."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        _OUT = {"media_id": np.int64, "kind_detected": object,
+                "n_bytes": np.int64}
+        if len(df) == 0 or "media_id" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in _OUT.items()})
+        rows = {c: [] for c in _OUT}
+        for mid, payload in zip(df["media_id"], df["payload"]):
+            b = bytes(payload)
+            if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                kind = "wav"
+            elif b[:3] == b"P6\n":
+                kind = "ppm"
+            else:
+                kind = "unknown"
+            rows["media_id"].append(int(mid))
+            rows["kind_detected"].append(kind)
+            rows["n_bytes"].append(len(b))
+        return pd.DataFrame(rows).astype(
+            {"media_id": np.int64, "n_bytes": np.int64})

@@ -6452,3 +6452,54 @@ FROM documents GROUP BY source
 
 
 TEXTOPS_QUERIES["sqlite_docs"] = (q_sqlite_docs, SQL_SQLITE_DOCS)
+
+
+def q_media_sniff(sf_dir: str) -> ray.data.Dataset:
+    """Magic-byte sniffing router over a mixed binary corpus — see
+    multimodal.MediaSniffer; the twin regenerates each format's exact
+    byte size from the md5 chain (44-byte WAV header + 2 bytes/sample,
+    PPM header arithmetic, blob hex length)."""
+    media = ray.data.from_arrow(multimodal.synth_mixed_media(48))
+    return media.map_batches(
+        multimodal.MediaSniffer, batch_format="pandas",
+        batch_size=16, concurrency=2)
+
+
+SQL_MEDIA_SNIFF = f"""
+WITH ids AS (SELECT m FROM range(0, 48) t(m)),
+wav AS (
+  SELECT m, 'wav' AS kind,
+         44 + 2 * (64 + {_sql_hexval(
+             "md5('wav:" + str(multimodal.WAV_SEED)
+             + ":' || (m // 3))", 1, 4)} % 448) AS n_bytes
+  FROM ids WHERE m % 3 = 0
+),
+ppm AS (
+  SELECT m, 'ppm' AS kind,
+         9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+           + w * h * 3 AS n_bytes
+  FROM (
+    SELECT m,
+           8 + {_sql_hexval(
+               "md5('ppm:" + str(multimodal.PPM_SEED)
+               + ":' || (m // 3))", 1, 4)} % 56 AS w,
+           8 + {_sql_hexval(
+               "md5('ppm:" + str(multimodal.PPM_SEED)
+               + ":' || (m // 3))", 5, 4)} % 56 AS h
+    FROM ids WHERE m % 3 = 1)
+),
+blob AS (
+  SELECT m, 'unknown' AS kind,
+         64 + {_sql_hexval(
+             "md5('media:5:' || (m // 3))", 3, 4)} % 4032 AS n_bytes
+  FROM ids WHERE m % 3 = 2
+),
+u AS (SELECT * FROM wav UNION ALL SELECT * FROM ppm
+      UNION ALL SELECT * FROM blob)
+SELECT CAST(m AS BIGINT) AS media_id, kind AS kind_detected,
+       CAST(n_bytes AS BIGINT) AS n_bytes
+FROM u
+"""
+
+
+TEXTOPS_QUERIES["media_sniff"] = (q_media_sniff, SQL_MEDIA_SNIFF)

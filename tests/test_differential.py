@@ -1199,3 +1199,10 @@ def test_robots_audit_differential(ray_session, tmp_path):
     from dygiepp_ray.textops import webcorpus as W
     blob = b"".join(W.synth_robots(24).column("payload").to_pylist())
     assert b"User-agent: decoybot" in blob  # the trap exists
+
+
+def test_media_sniff_differential(ray_session, tmp_path):
+    """Self-synthesizing mixed binary corpus: magic-byte routing
+    (RIFF/WAVE, P6, unknown) + exact byte sizes must match the
+    chain-rule twin."""
+    _compare(str(tmp_path), "media_sniff")
