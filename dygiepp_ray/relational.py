@@ -12301,3 +12301,84 @@ HAVING count(DISTINCT user_id) > 1 OR sum(n) >= 64
 
 RELATIONAL_QUERIES["pseudonymize_users"] = (
     pseudonymize_users, SQL_PSEUDONYMIZE_USERS)
+
+
+def events_seasonal_backtest(sf_dir: str) -> pd.DataFrame:
+    """Rolling-origin backtest of the two standard no-model
+    forecasters over the daily event-count series: seasonal-naive
+    (predict day d with day d-7) vs naive (predict with d-1), scored
+    by MAE at fixed point 1000 over the densified calendar (missing
+    days count as 0, the events_peak_days convention) — the
+    is-there-weekly-structure readout that decides whether a seasonal
+    model is worth training.
+
+    Map-only: per-batch (day, n) partials collapse to the day domain;
+    the driver folds python ints over O(days) rows.
+    -> one row (n_days_scored, mae7_x1000, mae1_x1000)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts"])
+    out_cols = {"n_days_scored": np.int64, "mae7_x1000": np.int64,
+                "mae1_x1000": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"day": pd.Series(dtype=np.int64),
+                              "n": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "ts" not in df.columns:
+            return empty
+        day = ts_epoch_us(df["ts"]) // 86_400_000_000
+        g = pd.DataFrame({"day": day}).groupby(
+            "day", as_index=False).size().rename(columns={"size": "n"})
+        return g.astype({"day": np.int64, "n": np.int64})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty or "day" not in parts.columns:
+        return empty_out
+    cnt: dict[int, int] = {}
+    for d, n in zip(parts["day"], parts["n"]):
+        cnt[int(d)] = cnt.get(int(d), 0) + int(n)
+    d0, d1 = min(cnt), max(cnt)
+    if d1 - d0 < 7:
+        return empty_out
+    series = {d: cnt.get(d, 0) for d in range(d0, d1 + 1)}
+    e7 = e1 = ns = 0
+    for d in range(d0 + 7, d1 + 1):
+        e7 += abs(series[d] - series[d - 7])
+        e1 += abs(series[d] - series[d - 1])
+        ns += 1
+    return pd.DataFrame(
+        [(ns, (1000 * e7) // ns, (1000 * e1) // ns)],
+        columns=list(out_cols)).astype(out_cols)
+
+
+SQL_EVENTS_SEASONAL_BACKTEST = """
+WITH daily AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(count(*) AS HUGEINT) AS n
+  FROM events GROUP BY 1
+),
+b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+cal AS (
+  SELECT s.day, COALESCE(daily.n, 0) AS n
+  FROM (SELECT unnest(generate_series((SELECT d0 FROM b),
+                                      (SELECT d1 FROM b))) AS day) s
+  LEFT JOIN daily ON daily.day = s.day
+),
+w AS (
+  SELECT day, n,
+         lag(n, 7) OVER (ORDER BY day) AS n7,
+         lag(n, 1) OVER (ORDER BY day) AS n1
+  FROM cal
+),
+sc AS (SELECT * FROM w WHERE day >= (SELECT d0 FROM b) + 7)
+SELECT CAST(count(*) AS BIGINT) AS n_days_scored,
+       CAST(1000 * sum(abs(n - n7)) // count(*) AS BIGINT) AS mae7_x1000,
+       CAST(1000 * sum(abs(n - n1)) // count(*) AS BIGINT) AS mae1_x1000
+FROM sc
+HAVING (SELECT d1 - d0 FROM b) >= 7
+"""
+
+
+RELATIONAL_QUERIES["events_seasonal_backtest"] = (
+    events_seasonal_backtest, SQL_EVENTS_SEASONAL_BACKTEST)

@@ -94,7 +94,10 @@ def _compare(sf_dir: str, qname: str):
      "churn_labels", "events_hour_profile", "events_peak_days",
      # tiny user space (7 ids) -> every pseudonym crosses the
      # n_events>=64 cut or not; the collision branch stays reachable
-     "pseudonymize_users"],
+     "pseudonymize_users",
+     # ~25-hour synthetic span: the d1-d0 >= 7 guard and calendar
+     # densification both bind here
+     "events_seasonal_backtest"],
 )
 def test_event_queries_differential(ray_session, tmp_path, seed, qname):
     rng = np.random.default_rng(seed * 1000 + len(qname))

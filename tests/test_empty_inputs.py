@@ -137,7 +137,7 @@ _SAMPLE = [
     "npy_embeddings", "label_knn_eval", "shard_skew_report",
     "ndcg_label_retrieval", "kcenter_coreset", "pseudonymize_users",
     "kg_cycles3", "cluster_hard_negatives", "embedding_drift_ab",
-    "kg_predicate_by_role", "sqlite_docs",
+    "kg_predicate_by_role", "sqlite_docs", "events_seasonal_backtest",
     # protobuf_docs synthesizes its own input (chain-rule twin)
     # contract_violations keeps its 5-rule zero-count card on empty
     # input (the pipeline_metrics convention) — excluded from the
