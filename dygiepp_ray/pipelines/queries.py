@@ -3027,7 +3027,7 @@ FROM ents
 # (VERDICT r3 #7).  New queries added mid-round go at the very front.
 _DRIVER_SAMPLE_FIRST = (
     # round-5 additions (newest first)
-    "events_seasonal_backtest",
+    "kg_partition_plan", "events_seasonal_backtest",
     "media_sniff", "sqlite_docs", "kg_predicate_by_role",
     "embedding_drift_ab", "cluster_hard_negatives", "robots_audit",
     "kg_cycles3",
@@ -4652,3 +4652,91 @@ FROM rel GROUP BY 1, 2
 
 KG_QUERIES["kg_predicate_by_role"] = (q_kg_predicate_by_role,
                                       SQL_KG_PREDICATE_BY_ROLE)
+
+
+PLAN_PARTITIONS = 3
+
+
+def q_kg_partition_plan(sf_dir: str) -> pd.DataFrame:
+    """Partition planning from statistics: predicates are assigned to
+    3 store partitions by the greedy LPT rule (heaviest predicate
+    first, ties by name; each goes to the least-loaded partition so
+    far, ties to the lowest partition id) over corpus-wide mention
+    counts — the plan a KG store materializer computes BEFORE the big
+    shuffle, so partition loads stay balanced under predicate skew.
+
+    Per-block (pred, n) partials collapse to the tiny predicate
+    domain; the greedy fold runs on the driver over O(preds) rows and
+    the SQL twin replays it with a recursive CTE.
+    -> (pred, n_mentions, partition, partition_load)."""
+    pipe = from_documents_table(sf_dir)
+
+    _OUT = {"pred": object, "n_mentions": np.int64,
+            "partition": np.int64, "partition_load": np.int64}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "label" not in df.columns:
+            return pd.DataFrame({"pred": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})
+        g = df.groupby("label", as_index=False).size().rename(
+            columns={"label": "pred", "size": "n"})
+        return g.astype({"n": np.int64})
+
+    parts = pipe.relations.map_batches(
+        partial, batch_format="pandas").to_pandas()
+    if parts.empty or "pred" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t)
+                             for c, t in _OUT.items()})
+    agg: dict[str, int] = {}
+    for p, n in zip(parts["pred"], parts["n"]):
+        agg[str(p)] = agg.get(str(p), 0) + int(n)
+    order = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
+    loads = [0] * PLAN_PARTITIONS
+    assign = []
+    for pred, n in order:
+        k = loads.index(min(loads))  # least-loaded, lowest id on tie
+        assign.append((pred, n, k))
+        loads[k] += n
+    return pd.DataFrame(
+        [(p, n, k, loads[k]) for p, n, k in assign],
+        columns=list(_OUT)).astype(_OUT)
+
+
+SQL_KG_PARTITION_PLAN = SQL_TOKS + f""",
+rel AS (
+  SELECT p.tok AS pred
+  FROM ents e1
+  JOIN preds p ON p.doc_id = e1.doc_id AND p.pos = e1.e_end + 1
+  JOIN ents e2 ON e2.doc_id = e1.doc_id AND e2.pos = e1.e_end + 2
+  WHERE e1.pos // {TT} = e2.e_end // {TT}
+),
+cnt AS (
+  SELECT pred, CAST(count(*) AS BIGINT) AS n,
+         row_number() OVER (ORDER BY count(*) DESC, pred) AS rk
+  FROM rel GROUP BY pred
+),
+plan AS (
+  WITH RECURSIVE fold AS (
+    SELECT 0 AS rk, CAST(NULL AS VARCHAR) AS pred,
+           CAST(0 AS BIGINT) AS n, CAST(-1 AS BIGINT) AS part,
+           [CAST(0 AS BIGINT), 0, 0] AS loads
+    UNION ALL
+    SELECT c.rk, c.pred, c.n,
+           CAST(list_position(f.loads, list_min(f.loads)) - 1
+                AS BIGINT) AS part,
+           list_transform(range(1, 4), i -> CASE
+             WHEN i = list_position(f.loads, list_min(f.loads))
+             THEN f.loads[i] + c.n ELSE f.loads[i] END) AS loads
+    FROM fold f JOIN cnt c ON c.rk = f.rk + 1
+  )
+  SELECT * FROM fold WHERE rk > 0
+)
+SELECT pred, n AS n_mentions, part AS partition,
+       CAST((SELECT max(p2.loads[CAST(p1.part + 1 AS INT)])
+             FROM plan p2) AS BIGINT) AS partition_load
+FROM plan p1
+"""
+
+
+KG_QUERIES["kg_partition_plan"] = (q_kg_partition_plan,
+                                   SQL_KG_PARTITION_PLAN)

@@ -278,6 +278,9 @@ def test_kg_triples_temporal_differential(ray_session, tmp_path, seed):
     # predicate turns land on all three cyclic roles across the
     # multi-window docs (the _SPLIT_w + t%3 stamp must agree)
     _compare(str(tmp_path), "kg_predicate_by_role")
+    # random predicate loads pin the LPT fold (heaviest-first, name
+    # ties, least-loaded-partition ties) against the recursive CTE
+    _compare(str(tmp_path), "kg_partition_plan")
 
 
 @pytest.mark.parametrize("seed", [17, 53])
