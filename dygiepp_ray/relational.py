@@ -12382,3 +12382,79 @@ HAVING (SELECT d1 - d0 FROM b) >= 7
 
 RELATIONAL_QUERIES["events_seasonal_backtest"] = (
     events_seasonal_backtest, SQL_EVENTS_SEASONAL_BACKTEST)
+
+
+def user_value_auc(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
+    """Time-weighted value integral per user (the trapezoid AUC that
+    turns point-in-time gauges into exposure: twice the integral of
+    the linearly-interpolated value curve, in cent-milliseconds, so
+    everything stays integer-exact): segments run between consecutive
+    events ordered by (ts, event_id).  Users with one event have no
+    segment and report auc2x = 0.
+
+    ONE user-keyed exchange; per-bucket vectorized diff over each
+    user's ordered events.  -> (user_id, n_events, auc2x)."""
+    from .core import partitioned_map_groups
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"])
+    out_cols = {"user_id": np.int64, "n_events": np.int64,
+                "auc2x": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "user_id" not in df.columns:
+            return empty_out
+        d = df.sort_values(["user_id", "ts", "event_id"])
+        ms = ts_epoch_us(d["ts"]) // 1000
+        cv = np.floor(
+            d["value"].to_numpy(np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        uid = d["user_id"].to_numpy(np.int64)
+        same = uid[1:] == uid[:-1]
+        seg = (cv[1:] + cv[:-1]) * (ms[1:] - ms[:-1]) * same
+        acc = pd.DataFrame(
+            {"user_id": uid[1:][same], "a": seg[same]}).groupby(
+            "user_id", as_index=False)["a"].sum()
+        n = pd.DataFrame({"user_id": uid}).groupby(
+            "user_id", as_index=False).size()
+        out = n.merge(acc, on="user_id", how="left").fillna({"a": 0})
+        return pd.DataFrame(
+            {"user_id": out["user_id"].to_numpy(np.int64),
+             "n_events": out["size"].to_numpy(np.int64),
+             "auc2x": out["a"].to_numpy(np.int64)})
+
+    out = partitioned_map_groups(ds, "user_id", fold, num_buckets=16)
+    if out.count() == 0:
+        return empty_out
+    return out
+
+
+SQL_USER_VALUE_AUC = """
+WITH e AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) AS BIGINT) // 1000 AS ms,
+         event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cv
+  FROM events
+),
+w AS (
+  SELECT user_id, cv, ms,
+         lag(cv) OVER (PARTITION BY user_id
+                       ORDER BY ms, event_id) AS pcv,
+         lag(ms) OVER (PARTITION BY user_id
+                       ORDER BY ms, event_id) AS pms
+  FROM e
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(COALESCE(sum((cv + pcv) * (ms - pms)), 0) AS BIGINT)
+         AS auc2x
+FROM w GROUP BY user_id
+"""
+
+
+RELATIONAL_QUERIES["user_value_auc"] = (user_value_auc,
+                                        SQL_USER_VALUE_AUC)

@@ -97,7 +97,9 @@ def _compare(sf_dir: str, qname: str):
      "pseudonymize_users",
      # ~25-hour synthetic span: the d1-d0 >= 7 guard and calendar
      # densification both bind here
-     "events_seasonal_backtest"],
+     "events_seasonal_backtest",
+     # heavy ts ties: the (ms, event_id) segment order must agree
+     "user_value_auc"],
 )
 def test_event_queries_differential(ray_session, tmp_path, seed, qname):
     rng = np.random.default_rng(seed * 1000 + len(qname))
