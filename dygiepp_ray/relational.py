@@ -12458,3 +12458,97 @@ FROM w GROUP BY user_id
 
 RELATIONAL_QUERIES["user_value_auc"] = (user_value_auc,
                                         SQL_USER_VALUE_AUC)
+
+
+def frequent_event_sequences(sf_dir: str) -> pd.DataFrame:
+    """Sequential-pattern mining, PrefixSpan-lite: for every length-2
+    and length-3 pattern over the four event types, the number of
+    users whose (ts, event_id)-ordered event stream CONTAINS it as a
+    subsequence (gaps allowed) — the funnel-discovery primitive that
+    finds which orderings actually happen before anyone hand-builds a
+    funnel.  Event types map to their distinct initials, so
+    containment is a regex over each user's letter path.
+
+    ONE user-keyed exchange builds per-user paths; each bucket tests
+    its users against the fixed 80-pattern set (compiled once per
+    call) and emits per-pattern partial counts; the driver folds 80
+    ints.  -> (pattern, k, n_users), patterns with zero users drop."""
+    import itertools
+    import re
+
+    from .core import partitioned_map_groups
+
+    types = ["click", "error", "purchase", "view"]
+    letters = {t: t[0] for t in types}
+    pats = []
+    for k in (2, 3):
+        for combo in itertools.product(types, repeat=k):
+            pats.append((">".join(combo), k,
+                         re.compile(".*".join(letters[t]
+                                              for t in combo))))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"])
+    out_cols = {"pattern": object, "k": np.int64, "n_users": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "user_id" not in df.columns:
+            return empty_out
+        d = df.sort_values(["user_id", "ts", "event_id"])
+        d = d.assign(c=d["event_type"].astype(str).str[0])
+        paths = d.groupby("user_id")["c"].agg("".join)
+        rows = {"pattern": [], "k": [], "n_users": []}
+        for name, k, rx in pats:
+            n = int(paths.map(lambda p: rx.search(p) is not None).sum())
+            if n:
+                rows["pattern"].append(name)
+                rows["k"].append(k)
+                rows["n_users"].append(n)
+        if not rows["pattern"]:
+            return empty_out
+        return pd.DataFrame(rows).astype({"k": np.int64,
+                                          "n_users": np.int64})
+
+    parts = partitioned_map_groups(
+        ds, "user_id", fold, num_buckets=16).to_pandas()
+    if parts.empty or "pattern" not in parts.columns:
+        return empty_out
+    g = parts.groupby(["pattern", "k"], as_index=False).agg(
+        n_users=("n_users", "sum"))
+    return g.sort_values(["k", "pattern"], ignore_index=True).astype(
+        {"k": np.int64, "n_users": np.int64})
+
+
+SQL_FREQUENT_EVENT_SEQUENCES = """
+WITH p AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), ''
+                    ORDER BY ts, event_id) AS path
+  FROM events GROUP BY user_id
+),
+ty AS (SELECT unnest(['click', 'error', 'purchase', 'view']) AS t),
+p2 AS (
+  SELECT a.t || '>' || b.t AS pattern, 2 AS k,
+         '%' || substr(a.t, 1, 1) || '%' || substr(b.t, 1, 1) || '%'
+           AS lk
+  FROM ty a, ty b
+),
+p3 AS (
+  SELECT a.t || '>' || b.t || '>' || c.t AS pattern, 3 AS k,
+         '%' || substr(a.t, 1, 1) || '%' || substr(b.t, 1, 1)
+             || '%' || substr(c.t, 1, 1) || '%' AS lk
+  FROM ty a, ty b, ty c
+),
+pats AS (SELECT * FROM p2 UNION ALL SELECT * FROM p3)
+SELECT pats.pattern, CAST(pats.k AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM pats JOIN p ON p.path LIKE pats.lk
+GROUP BY 1, 2
+"""
+
+
+RELATIONAL_QUERIES["frequent_event_sequences"] = (
+    frequent_event_sequences, SQL_FREQUENT_EVENT_SEQUENCES)

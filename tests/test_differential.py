@@ -99,7 +99,10 @@ def _compare(sf_dir: str, qname: str):
      # densification both bind here
      "events_seasonal_backtest",
      # heavy ts ties: the (ms, event_id) segment order must agree
-     "user_value_auc"],
+     "user_value_auc",
+     # short random paths: many of the 80 patterns drop to zero,
+     # pinning the drop-vs-keep convention and the tie order
+     "frequent_event_sequences"],
 )
 def test_event_queries_differential(ray_session, tmp_path, seed, qname):
     rng = np.random.default_rng(seed * 1000 + len(qname))
