@@ -3027,6 +3027,7 @@ FROM ents
 # (VERDICT r3 #7).  New queries added mid-round go at the very front.
 _DRIVER_SAMPLE_FIRST = (
     # round-5 additions (newest first)
+    "doc_length_outliers",
     "frequent_event_sequences", "user_value_auc", "kg_partition_plan", "events_seasonal_backtest",
     "media_sniff", "sqlite_docs", "kg_predicate_by_role",
     "embedding_drift_ab", "cluster_hard_negatives", "robots_audit",

@@ -6503,3 +6503,97 @@ FROM u
 
 
 TEXTOPS_QUERIES["media_sniff"] = (q_media_sniff, SQL_MEDIA_SNIFF)
+
+
+def q_doc_length_outliers(sf_dir: str) -> pd.DataFrame:
+    """Per-source Tukey-fence length card: token-count quartiles at
+    integer ranks (q1 at rank ceil(n/4), q3 at ceil(3n/4), 1-based),
+    the far fence q3 + 3*(q3-q1), and the count of docs strictly
+    above it — the scrape-gone-wrong detector (a 100x-length doc in a
+    source is usually concatenation breakage; zero outliers is the
+    HEALTHY reading this card proves).
+
+    Two map-only passes over a bounded domain: (source, n_tokens)
+    count partials collapse to the per-source token-count histogram
+    (the small-domain exact-quantile trick); the driver computes
+    fences from O(domain) rows and the second pass counts exceeders
+    with the broadcast fence map.
+    -> (source, q1, q3, fence, n_docs, n_outliers)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "text"])
+    out_cols = {"source": object, "q1": np.int64, "q3": np.int64,
+                "fence": np.int64, "n_docs": np.int64,
+                "n_outliers": np.int64}
+    empty_out = pd.DataFrame({c: pd.Series(dtype=t)
+                              for c, t in out_cols.items()})
+
+    from .chunks import _doc_tokens
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"source": pd.Series(dtype=object),
+                              "nt": pd.Series(dtype=np.int64),
+                              "c": pd.Series(dtype=np.int64)})
+        if len(df) == 0 or "doc_id" not in df.columns:
+            return empty
+        nt = _doc_tokens(df, "text").map(len).to_numpy(np.int64)
+        g = pd.DataFrame({"source": df["source"].to_numpy(object),
+                          "nt": nt}).groupby(
+            ["source", "nt"], as_index=False).size().rename(
+            columns={"size": "c"})
+        return g.astype({"nt": np.int64, "c": np.int64})
+
+    parts = ds.map_batches(hist, batch_format="pandas").to_pandas()
+    if parts.empty or "source" not in parts.columns:
+        return empty_out
+    h = parts.groupby(["source", "nt"], as_index=False)["c"].sum()
+    rows = []
+    for src, g in h.groupby("source"):
+        g = g.sort_values("nt")
+        n = int(g["c"].sum())
+        cum = g["c"].cumsum().to_numpy(np.int64)
+        vals = g["nt"].to_numpy(np.int64)
+        q1 = int(vals[np.searchsorted(cum, (n + 3) // 4)])
+        q3 = int(vals[np.searchsorted(cum, (3 * n + 3) // 4)])
+        fence = q3 + 3 * (q3 - q1)
+        n_out = int(g.loc[g["nt"] > fence, "c"].sum())
+        rows.append((str(src), q1, q3, fence, n, n_out))
+    return pd.DataFrame(sorted(rows), columns=list(out_cols)).astype(
+        out_cols)
+
+
+SQL_DOC_LENGTH_OUTLIERS = r"""
+WITH d AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+           AS nt
+  FROM documents
+),
+h AS (SELECT source, nt, count(*) AS c FROM d GROUP BY 1, 2),
+cum AS (
+  SELECT source, nt,
+         sum(c) OVER (PARTITION BY source ORDER BY nt) AS cm,
+         sum(c) OVER (PARTITION BY source) AS n
+  FROM h
+),
+q AS (
+  SELECT source, any_value(n) AS n,
+         min(CASE WHEN cm >= (n + 3) // 4 THEN nt END) AS q1,
+         min(CASE WHEN cm >= (3 * n + 3) // 4 THEN nt END) AS q3
+  FROM cum GROUP BY source
+)
+SELECT q.source, CAST(q.q1 AS BIGINT) AS q1,
+       CAST(q.q3 AS BIGINT) AS q3,
+       CAST(q.q3 + 3 * (q.q3 - q.q1) AS BIGINT) AS fence,
+       CAST(q.n AS BIGINT) AS n_docs,
+       CAST((SELECT count(*) FROM d
+             WHERE d.source = q.source
+               AND d.nt > q.q3 + 3 * (q.q3 - q.q1)) AS BIGINT)
+         AS n_outliers
+FROM q
+"""
+
+
+TEXTOPS_QUERIES["doc_length_outliers"] = (
+    q_doc_length_outliers, SQL_DOC_LENGTH_OUTLIERS)

@@ -245,7 +245,10 @@ def test_document_queries_differential(ray_session, tmp_path, seed):
               "window_shingle_dedup",
               # 16 report buckets over few docs: empty buckets and the
               # blank-doc zero-token convention both occur here
-              "shard_skew_report"]:
+              "shard_skew_report",
+              # random micro-corpora DO produce outliers here; blank
+              # docs pin the zero-token histogram bucket
+              "doc_length_outliers"]:
         _compare(str(tmp_path), q)
 
 

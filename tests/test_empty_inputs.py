@@ -139,6 +139,7 @@ _SAMPLE = [
     "kg_cycles3", "cluster_hard_negatives", "embedding_drift_ab",
     "kg_predicate_by_role", "sqlite_docs", "events_seasonal_backtest",
     "kg_partition_plan", "user_value_auc", "frequent_event_sequences",
+    "doc_length_outliers",
     # protobuf_docs synthesizes its own input (chain-rule twin)
     # contract_violations keeps its 5-rule zero-count card on empty
     # input (the pipeline_metrics convention) — excluded from the
