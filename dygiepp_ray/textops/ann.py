@@ -1260,6 +1260,41 @@ def quantile_normalize(
 NPY_SHARD = 256
 
 
+def write_npy(mat: np.ndarray) -> bytes:
+    """Hand-written .npy v1.0: magic, version, uint16 header length,
+    64-byte-aligned ASCII header dict, little-endian f4 payload."""
+    head = ("{'descr': '<f4', 'fortran_order': False, "
+            f"'shape': {mat.shape!r}, }}")
+    # pad so that magic+ver+len+header is a multiple of 64
+    pad = 64 - ((10 + len(head) + 1) % 64)
+    head = head + " " * (pad % 64) + "\n"
+    out = bytearray(b"\x93NUMPY\x01\x00")
+    out += len(head).to_bytes(2, "little")
+    out += head.encode("latin1")
+    out += np.ascontiguousarray(mat, dtype="<f4").tobytes()
+    return bytes(out)
+
+
+def read_npy(blob: bytes) -> np.ndarray:
+    """Parse + validate a .npy v1.0 blob (magic/version, 64-byte
+    header alignment, dtype/order, payload size)."""
+    import ast
+
+    if blob[:8] != b"\x93NUMPY\x01\x00":
+        raise ValueError("bad .npy magic/version")
+    hlen = int.from_bytes(blob[8:10], "little")
+    if (10 + hlen) % 64:
+        raise ValueError(".npy header not 64-byte aligned")
+    hdr = ast.literal_eval(blob[10:10 + hlen].decode("latin1"))
+    if hdr["descr"] != "<f4" or hdr["fortran_order"]:
+        raise ValueError("unexpected .npy dtype/order")
+    n, d = hdr["shape"]
+    data = np.frombuffer(blob[10 + hlen:], dtype="<f4")
+    if data.size != n * d:
+        raise ValueError(".npy payload size mismatch")
+    return data.reshape(n, d)
+
+
 def npy_shard_roundtrip(
     embeddings: ray.data.Dataset, num_buckets: int | None = None
 ) -> pd.DataFrame:
@@ -1294,33 +1329,6 @@ def npy_shard_roundtrip(
             {"vec_id": df["vec_id"].to_numpy(np.int64),
              "payload": [row.tobytes() for row in mat],
              "__k": df["vec_id"].to_numpy(np.int64) // NPY_SHARD})
-
-    def write_npy(mat: np.ndarray) -> bytes:
-        head = ("{'descr': '<f4', 'fortran_order': False, "
-                f"'shape': {mat.shape!r}, }}")
-        # pad so that magic+ver+len+header is a multiple of 64
-        pad = 64 - ((10 + len(head) + 1) % 64)
-        head = head + " " * (pad % 64) + "\n"
-        out = bytearray(b"\x93NUMPY\x01\x00")
-        out += len(head).to_bytes(2, "little")
-        out += head.encode("latin1")
-        out += np.ascontiguousarray(mat, dtype="<f4").tobytes()
-        return bytes(out)
-
-    def read_npy(blob: bytes) -> np.ndarray:
-        if blob[:8] != b"\x93NUMPY\x01\x00":
-            raise ValueError("bad .npy magic/version")
-        hlen = int.from_bytes(blob[8:10], "little")
-        if (10 + hlen) % 64:
-            raise ValueError(".npy header not 64-byte aligned")
-        hdr = ast.literal_eval(blob[10:10 + hlen].decode("latin1"))
-        if hdr["descr"] != "<f4" or hdr["fortran_order"]:
-            raise ValueError("unexpected .npy dtype/order")
-        n, d = hdr["shape"]
-        data = np.frombuffer(blob[10 + hlen:], dtype="<f4")
-        if data.size != n * d:
-            raise ValueError(".npy payload size mismatch")
-        return data.reshape(n, d)
 
     def roundtrip(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0 or "vec_id" not in df.columns:

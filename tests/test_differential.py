@@ -1220,3 +1220,42 @@ def test_media_sniff_differential(ray_session, tmp_path):
     (RIFF/WAVE, P6, unknown) + exact byte sizes must match the
     chain-rule twin."""
     _compare(str(tmp_path), "media_sniff")
+
+
+def test_avro_negative_block_count_and_npy_alignment():
+    """Spec edge cases: an Avro metadata map block with a NEGATIVE
+    count carries a byte size before the pairs (read path must honor
+    it); a .npy header that is not 64-byte aligned must raise."""
+    import io
+
+    from dygiepp_ray.sources import avrofile as A
+
+    recs = [(5, b"x")]
+    blob = A.write_avro(recs, key="k")
+    # rebuild the metadata map with a negative-count block
+    buf = io.BytesIO(blob)
+    assert buf.read(4) == A.MAGIC
+    n = A.read_long(buf)
+    pairs = []
+    for _ in range(n):
+        k = A._read_bytes(buf)
+        pairs.append((k, A._read_bytes(buf)))
+    assert A.read_long(buf) == 0
+    rest = buf.read()
+    body = b"".join(A._write_str(k) + A._write_str(v) for k, v in pairs)
+    neg = (A.MAGIC + A.write_long(-n) + A.write_long(len(body))
+           + body + A.write_long(0) + rest)
+    assert A.read_avro(neg) == recs
+
+    import pytest as _pytest
+
+    from dygiepp_ray.textops.ann import read_npy, write_npy
+
+    mat = np.arange(8, dtype="<f4").reshape(2, 4)
+    assert (read_npy(write_npy(mat)) == mat).all()
+    bad = bytearray(b"\x93NUMPY\x01\x00")
+    head = b"{'descr': '<f4', 'fortran_order': False, 'shape': (2, 4), }\n"
+    bad += len(head).to_bytes(2, "little") + head  # 10+len % 64 != 0
+    bad += mat.tobytes()
+    with _pytest.raises(ValueError, match="alig"):
+        read_npy(bytes(bad))
